@@ -1,0 +1,94 @@
+"""End-to-end smoke: create store -> push -> get/batchGet/compute."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from venice_spark.engine import VeniceSparkEngine
+from venice_spark.push import DuplicateKeyError
+
+
+@pytest.fixture()
+def engine(spark, tmp_root, sf_dir):
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("customers", key_fields=["c_custkey"], partition_count=4)
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    eng.push("customers", df)
+    return eng
+
+
+def test_push_and_get(engine, spark, sf_dir):
+    store = engine.store("customers")
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = src.count()
+    assert store.df().count() == n
+
+    any_key = src.select("c_custkey").first()[0]
+    row = store.get(any_key)
+    assert row is not None and row["c_custkey"] == any_key
+    assert store.get(-999999) is None
+
+
+def test_batch_get_missing_keys_absent(engine, spark, sf_dir):
+    store = engine.store("customers")
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    keys = [r[0] for r in src.select("c_custkey").limit(5).collect()]
+    got = store.batch_get(keys + [-1, -2])
+    assert got.count() == len(keys)
+    assert set(r["c_custkey"] for r in got.collect()) == set(keys)
+
+
+def test_streaming_batch_get(engine, spark, sf_dir):
+    store = engine.store("customers")
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    keys = [r[0] for r in src.select("c_custkey").limit(3).collect()]
+    it = store.streaming_batch_get(keys)
+    first = next(it)
+    assert first["c_custkey"] in keys
+
+
+def test_duplicate_key_policy(engine, spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b")], schema=["c_custkey", "c_name"]
+    )
+    with pytest.raises(DuplicateKeyError):
+        engine.push("customers", df)
+    # identical duplicates are deduped silently
+    df2 = spark.createDataFrame([(1, "a"), (1, "a")], schema=["c_custkey", "c_name"])
+    res = engine.push("customers", df2)
+    assert res.rows == 1
+
+
+def test_version_swap_and_repush(engine, spark, sf_dir):
+    store = engine.store("customers")
+    v1 = engine.catalog.current_version("customers")
+    res = engine.repush("customers")
+    assert res.version == v1 + 1
+    assert engine.catalog.current_version("customers") == res.version
+    assert store.df().count() == store.df(v1).count()
+
+
+def test_compute_over_keys(spark, tmp_root, sf_dir):
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("emb", key_fields=["vec_id"], partition_count=4)
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng.push("emb", df)
+    store = eng.store("emb")
+    dim = len(df.select("embedding").first()[0])
+    w = [0.1] * dim
+    keys = [r[0] for r in df.select("vec_id").limit(4).collect()]
+    out = (
+        store.compute()
+        .project("label")
+        .dot_product("embedding", w, "score")
+        .cosine_similarity("embedding", w, "cos")
+        .count("embedding", "dim")
+        .error_channel()
+        .execute(spark, keys)
+    )
+    rows = out.collect()
+    assert len(rows) == len(keys)
+    for r in rows:
+        assert r["dim"] == dim
+        assert r["score"] is not None
+        assert -1.0001 <= r["cos"] <= 1.0001
+        assert r["__veniceComputationError__"] == {}

@@ -1,0 +1,237 @@
+"""Store catalog: named stores, versioned parquet data, atomic version swap.
+
+Reference semantics:
+  - Store: key schema + versioned value schemas + config
+    (internal/venice-common/src/main/java/com/linkedin/venice/meta/Store.java:1).
+  - Version: immutable snapshot produced by one batch push; the controller
+    swaps a "current version" pointer atomically on push completion
+    (meta/Version.java:1, hadoop/VenicePushJob.java:759-1010).
+  - Value schemas form a versioned, compatibility-checked list
+    (internal/venice-client-common/.../schema/SchemaEntry.java:1).
+
+Spark-first mapping: a store is a directory `<root>/<store>/` containing
+`v<N>/` parquet version dirs plus a `store.json` metadata file. The atomic
+swap is an os.replace() of the metadata file pointing at the new version —
+readers resolving the store always see a complete version. On a real
+deployment `<root>` is an object-store prefix and the pointer flip is a
+conditional PUT; the engine code is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class StoreNotFoundError(KeyError):
+    pass
+
+
+class SchemaIncompatibleError(ValueError):
+    pass
+
+
+@dataclass
+class StoreMeta:
+    name: str
+    key_fields: list[str]
+    key_schema_json: str | None = None
+    # versioned value schemas: list of StructType JSON strings, 1-indexed ids
+    value_schemas: list[str] = field(default_factory=list)
+    current_version: int = 0
+    largest_used_version: int = 0
+    partition_count: int = 32
+    # hybrid-store config (reference: meta/HybridStoreConfigImpl.java:17-44)
+    hybrid: bool = False
+    rewind_seconds: int = 0
+    # active-active / timestamp conflict resolution enabled
+    active_active: bool = False
+    config: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=2, default=str)
+
+    @staticmethod
+    def from_json(s: str) -> "StoreMeta":
+        d = json.loads(s)
+        return StoreMeta(**d)
+
+
+def _struct_from_json(s: str) -> T.StructType:
+    return T.StructType.fromJson(json.loads(s))
+
+
+def _is_backward_compatible(old: T.StructType, new: T.StructType) -> bool:
+    """New schema must keep every old field with the same type (adds allowed).
+
+    This mirrors the spirit of Avro backward-compat checks
+    (schema/avro/SchemaCompatibility.java:1) in StructType terms: a reader
+    with the new schema can still read rows written with the old one.
+    """
+    new_fields = {f.name: f for f in new.fields}
+    for f in old.fields:
+        nf = new_fields.get(f.name)
+        if nf is None or nf.dataType != f.dataType:
+            return False
+    return True
+
+
+class StoreCatalog:
+    """Filesystem-backed catalog of versioned stores."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- paths ----
+    def store_dir(self, store: str) -> str:
+        return os.path.join(self.root, store)
+
+    def _meta_path(self, store: str) -> str:
+        return os.path.join(self.store_dir(store), "store.json")
+
+    def version_dir(self, store: str, version: int) -> str:
+        return os.path.join(self.store_dir(store), f"v{version}")
+
+    def update_log_dir(self, store: str) -> str:
+        """Directory of appended put/delete/update rows (the 'real-time topic')."""
+        return os.path.join(self.store_dir(store), "rt")
+
+    # ---- store lifecycle ----
+    def create_store(
+        self,
+        name: str,
+        key_fields: list[str],
+        value_schema: T.StructType | None = None,
+        partition_count: int = 32,
+        hybrid: bool = False,
+        rewind_seconds: int = 0,
+        active_active: bool = False,
+        **config: Any,
+    ) -> StoreMeta:
+        if os.path.exists(self._meta_path(name)):
+            raise ValueError(f"store {name!r} already exists")
+        meta = StoreMeta(
+            name=name,
+            key_fields=list(key_fields),
+            value_schemas=[json.dumps(value_schema.jsonValue())] if value_schema else [],
+            partition_count=partition_count,
+            hybrid=hybrid,
+            rewind_seconds=rewind_seconds,
+            active_active=active_active,
+            config=config,
+        )
+        os.makedirs(self.store_dir(name), exist_ok=True)
+        self._write_meta(meta)
+        return meta
+
+    def get_store(self, name: str) -> StoreMeta:
+        try:
+            with open(self._meta_path(name)) as f:
+                return StoreMeta.from_json(f.read())
+        except FileNotFoundError:
+            raise StoreNotFoundError(name) from None
+
+    def list_stores(self) -> list[str]:
+        out = []
+        if os.path.isdir(self.root):
+            for d in sorted(os.listdir(self.root)):
+                if os.path.exists(self._meta_path(d)):
+                    out.append(d)
+        return out
+
+    def delete_store(self, name: str) -> None:
+        shutil.rmtree(self.store_dir(name), ignore_errors=True)
+
+    # ---- schema registry (R14) ----
+    def add_value_schema(self, store: str, schema: T.StructType) -> int:
+        meta = self.get_store(store)
+        if meta.value_schemas:
+            latest = _struct_from_json(meta.value_schemas[-1])
+            if not _is_backward_compatible(latest, schema):
+                raise SchemaIncompatibleError(
+                    f"value schema for {store!r} drops/retypes existing fields"
+                )
+        meta.value_schemas.append(json.dumps(schema.jsonValue()))
+        self._write_meta(meta)
+        return len(meta.value_schemas)
+
+    def get_value_schema(self, store: str, schema_id: int = -1) -> T.StructType:
+        meta = self.get_store(store)
+        if not meta.value_schemas:
+            raise SchemaIncompatibleError(f"store {store!r} has no value schemas")
+        return _struct_from_json(meta.value_schemas[schema_id if schema_id > 0 else -1])
+
+    def get_key_fields(self, store: str) -> list[str]:
+        return self.get_store(store).key_fields
+
+    # ---- version lifecycle ----
+    def begin_version(self, store: str) -> int:
+        """Reserve the next version number (reference: createNewStoreVersion,
+        VenicePushJob.java:885)."""
+        meta = self.get_store(store)
+        meta.largest_used_version += 1
+        self._write_meta(meta)
+        return meta.largest_used_version
+
+    def commit_version(self, store: str, version: int) -> None:
+        """Atomically make `version` current (pointer flip == os.replace)."""
+        meta = self.get_store(store)
+        if not os.path.isdir(self.version_dir(store, version)):
+            raise ValueError(f"version dir for {store} v{version} does not exist")
+        meta.current_version = version
+        meta.config["version_committed_at"] = time.time()
+        self._write_meta(meta)
+
+    def current_version(self, store: str) -> int:
+        return self.get_store(store).current_version
+
+    def list_versions(self, store: str) -> list[int]:
+        d = self.store_dir(store)
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def retire_old_versions(self, store: str, keep: int = 2) -> list[int]:
+        """Drop all but the newest `keep` versions (never the current one)."""
+        meta = self.get_store(store)
+        versions = self.list_versions(store)
+        retired = []
+        for v in versions[:-keep] if keep else versions:
+            if v != meta.current_version:
+                shutil.rmtree(self.version_dir(store, v), ignore_errors=True)
+                retired.append(v)
+        return retired
+
+    # ---- reading ----
+    def read_current(self, spark: SparkSession, store: str) -> DataFrame:
+        meta = self.get_store(store)
+        if meta.current_version <= 0:
+            raise ValueError(f"store {store!r} has no current version")
+        return spark.read.parquet(self.version_dir(store, meta.current_version))
+
+    def read_version(self, spark: SparkSession, store: str, version: int) -> DataFrame:
+        return spark.read.parquet(self.version_dir(store, version))
+
+    # ---- internals ----
+    def _write_meta(self, meta: StoreMeta) -> None:
+        """Atomic metadata write: tmp file + os.replace."""
+        path = self._meta_path(meta.name)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(meta.to_json())
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)

@@ -1,0 +1,130 @@
+"""VeniceSparkEngine — the top-level facade tying catalog, push, and reads.
+
+Usage:
+    engine = VeniceSparkEngine(spark, root="/data/venice")
+    engine.create_store("members", key_fields=["id"])
+    engine.push("members", df)                       # W8 batch push + swap
+    store = engine.store("members")
+    store.get("42")                                  # R1
+    store.batch_get(["1", "2"])                      # R2
+    store.compute().project("name").dot_product(...).execute(keys)  # R4-R10
+    store.aggregate().count_group_by_value(5, "field")              # R11
+
+The router/server tier of the reference collapses away: a "get" is a
+broadcast semi-join against the current version's sorted parquet, served by
+the cluster (reference lifecycle: docs/contributing/architecture/read-path;
+StorageReadRequestHandler.java:539,699).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from venice_spark.catalog import StoreCatalog
+from venice_spark.compute import ComputeAggregationBuilder, ComputeRequestBuilder
+from venice_spark.push import BatchPushJob, MaterializedViewDef, PushResult, incremental_push, repush
+
+
+class StoreHandle:
+    def __init__(self, engine: "VeniceSparkEngine", name: str):
+        self.engine = engine
+        self.name = name
+        self.spark = engine.spark
+        self.catalog = engine.catalog
+
+    # ---- raw frames ----
+    def df(self, version: int | None = None) -> DataFrame:
+        if version is None:
+            return self.catalog.read_current(self.spark, self.name)
+        return self.catalog.read_version(self.spark, self.name, version)
+
+    @property
+    def key_fields(self) -> list[str]:
+        return self.catalog.get_key_fields(self.name)
+
+    # ---- R1 single get ----
+    def get(self, key: Any) -> Row | None:
+        kf = self.key_fields
+        key_tuple = (key,) if len(kf) == 1 else tuple(key)
+        cond = None
+        for k, v in zip(kf, key_tuple):
+            c = F.col(k) == F.lit(v)
+            cond = c if cond is None else (cond & c)
+        rows = self.df().filter(cond).drop("partition_id").limit(1).collect()
+        return rows[0] if rows else None
+
+    # ---- R2 batch get ----
+    def batch_get(self, keys: Sequence[Any]) -> DataFrame:
+        """Missing keys are simply absent (AvroGenericStoreClient.java:58).
+        Broadcast hash join against sorted parquet; with partition_id stored,
+        Catalyst prunes rowgroups via key min/max."""
+        kf = self.key_fields
+        rows = [(k,) if len(kf) == 1 else tuple(k) for k in keys]
+        kdf = self.spark.createDataFrame(rows, schema=self.df().select(*kf).schema)
+        return self.df().drop("partition_id").join(F.broadcast(kdf), on=kf, how="inner")
+
+    # ---- R3 streaming batch get ----
+    def streaming_batch_get(self, keys: Sequence[Any]) -> Iterator[Row]:
+        """Results stream back per-record (toLocalIterator) instead of one
+        collected blob — partial consumption stops the job early, the moral of
+        MultiGetRecordStreamDecoder's incremental delivery."""
+        return self.batch_get(keys).toLocalIterator()
+
+    # ---- R4-R10 compute ----
+    def compute(self) -> ComputeRequestBuilder:
+        return ComputeRequestBuilder(self.df(), self.key_fields)
+
+    # ---- R11/R12 ----
+    def aggregate(self) -> ComputeAggregationBuilder:
+        return ComputeAggregationBuilder(self.df(), self.key_fields)
+
+    # ---- R16 ----
+    def approx_unique_keys(self, rsd: float = 0.05) -> int:
+        """HLL distinct-key estimate (StoreIngestionTask.java:2901-2907 uses
+        datasketches HLL; Spark's approx_count_distinct is HLL++)."""
+        kf = self.key_fields
+        row = self.df().select(
+            F.approx_count_distinct(F.concat_ws("\x00", *[F.col(k).cast("string") for k in kf]), rsd).alias("n")
+        ).collect()[0]
+        return int(row["n"])
+
+    # ---- R15 DaVinci-style local materialization ----
+    def subscribe_all(self) -> DataFrame:
+        """Eagerly materialize the current version into executor memory —
+        the DaVinci 'subscribe all partitions, serve with 0 hops' mode
+        (clients/da-vinci-client/.../DaVinciClient.java:14-58)."""
+        df = self.df().cache()
+        df.count()
+        return df
+
+
+class VeniceSparkEngine:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.catalog = StoreCatalog(root)
+        self._push_job = BatchPushJob(self.catalog)
+
+    def create_store(self, name: str, key_fields: list[str], **kwargs) -> None:
+        self.catalog.create_store(name, key_fields, **kwargs)
+
+    def store(self, name: str) -> StoreHandle:
+        return StoreHandle(self, name)
+
+    def push(
+        self,
+        store: str,
+        df: DataFrame,
+        views: list[MaterializedViewDef] | None = None,
+        **kwargs,
+    ) -> PushResult:
+        return self._push_job.run(self.spark, store, df, views=views, **kwargs)
+
+    def incremental_push(self, store: str, delta: DataFrame, **kwargs) -> PushResult:
+        return incremental_push(self.spark, self.catalog, store, delta, **kwargs)
+
+    def repush(self, store: str, **kwargs) -> PushResult:
+        return repush(self.spark, self.catalog, store, **kwargs)

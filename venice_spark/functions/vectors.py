@@ -1,0 +1,164 @@
+"""Vector kernels for read-compute and similarity search.
+
+Reference operators (internal/venice-client-common/src/main/java/com/linkedin/venice/compute/):
+  - DotProductOperator.java:11-74      dot(value_field, param)
+  - CosineSimilarityOperator.java:14-96 cos(value_field, param), param L2
+    norm cached per request (lines 46-62)
+  - HadamardProductOperator.java:1-70  element-wise product
+  - CountOperator.java:12-68           collection size
+  - ComputeUtils.java:168-258          4-way unrolled float kernels
+
+Spark-first: everything here is a JVM-side Column expression
+(zip_with/aggregate run inside whole-stage codegen; no Python in the hot
+path). Arithmetic is done in float64 with a strict left-to-right fold so
+results are bit-reproducible and oracle-checkable. A numpy pandas_udf
+variant is provided for very wide vectors where Arrow batching wins.
+
+Semantics parity:
+  - empty/null vector -> NULL result (DotProductOperator.java:40-45)
+  - length mismatch   -> NULL result + error-channel entry (R9); the
+    reference returns 0.0f plus an error map entry — we surface NULL for
+    the value and the same error map entry (documented deviation: NULL is
+    more SQL-natural than a sentinel 0.0).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def _lit_array(values: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)).cast("double") for v in values])
+
+
+def _fold_sum(products: Column) -> Column:
+    """Strict sequential sum: ((0+x1)+x2)+... — matches an explicit
+    a1*b1 + a2*b2 + ... expression bit-for-bit in IEEE754."""
+    return F.aggregate(products, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+
+def dot_product(field: Column | str, param: Sequence[float] | Column) -> Column:
+    """R5. NULL when either side is null/empty or lengths mismatch."""
+    a = _as_double_array(field)
+    b = _lit_array(param) if not isinstance(param, Column) else param.cast("array<double>")
+    raw = _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+    ok = a.isNotNull() & b.isNotNull() & (F.size(a) > 0) & (F.size(b) > 0) & (F.size(a) == F.size(b))
+    return F.when(ok, raw)
+
+
+def squared_l2_norm(field: Column | str) -> Column:
+    a = _as_double_array(field)
+    return _fold_sum(F.zip_with(a, a, lambda x, y: x * y))
+
+
+def cosine_similarity(field: Column | str, param: Sequence[float] | Column) -> Column:
+    """R6. dot(a,b) / (||a|| * ||b||). When the param is a Python sequence its
+    norm is precomputed driver-side once — the same caching the reference does
+    per request (CosineSimilarityOperator.java:46-62), for free via
+    constant folding."""
+    a = _as_double_array(field)
+    if isinstance(param, Column):
+        b = param.cast("array<double>")
+        b_norm = F.sqrt(_fold_sum(F.zip_with(b, b, lambda x, y: x * y)))
+    else:
+        b = _lit_array(param)
+        b_norm = F.lit(param_l2_norm(param))
+    raw = _fold_sum(F.zip_with(a, b, lambda x, y: x * y)) / (F.sqrt(squared_l2_norm(a)) * b_norm)
+    ok = a.isNotNull() & b.isNotNull() & (F.size(a) > 0) & (F.size(b) > 0) & (F.size(a) == F.size(b))
+    return F.when(ok, raw)
+
+
+def param_l2_norm(param: Sequence[float]) -> float:
+    """Driver-side L2 norm with the same left-to-right fold as the SQL path."""
+    acc = 0.0
+    for v in param:
+        acc = acc + float(v) * float(v)
+    return math.sqrt(acc)
+
+
+def hadamard_product(field: Column | str, param: Sequence[float] | Column) -> Column:
+    """R7. Element-wise product; NULL on null/empty/length-mismatch."""
+    a = _as_double_array(field)
+    b = _lit_array(param) if not isinstance(param, Column) else param.cast("array<double>")
+    ok = a.isNotNull() & b.isNotNull() & (F.size(a) > 0) & (F.size(b) > 0) & (F.size(a) == F.size(b))
+    return F.when(ok, F.zip_with(a, b, lambda x, y: x * y))
+
+
+def collection_count(field: Column | str) -> Column:
+    """R8. Size of an array or map field; NULL input -> NULL (the reference
+    returns -1 + error entry; Spark's size() legacy -1 is disabled)."""
+    c = F.col(field) if isinstance(field, str) else field
+    return F.when(c.isNotNull(), F.size(c))
+
+
+def compute_error_entries(
+    field_name: str, field: Column | str, param_len: int | None
+) -> Column:
+    """R9. Error-channel map for one computed field: entries only for actual
+    errors, mirroring __veniceComputationError__
+    (ComputeUtils.java:69-143)."""
+    c = F.col(field) if isinstance(field, str) else field
+    err = F.when(
+        c.isNull(), F.lit(f"field {field_name} is null")
+    )
+    if param_len is not None:
+        err = err.when(
+            F.size(c) != param_len,
+            F.concat(
+                F.lit(f"field {field_name} length "),
+                F.size(c).cast("string"),
+                F.lit(f" != param length {param_len}"),
+            ),
+        )
+    return F.when(err.isNotNull(), F.create_map(F.lit(field_name), err)).otherwise(
+        F.create_map().cast("map<string,string>")
+    )
+
+
+# ---- numpy fast path for wide vectors (Arrow-batched, ~10-100x over row UDFs) ----
+
+def make_dot_product_pandas_udf(param: Sequence[float]):
+    """Pandas-UDF dot product: use when vectors are wide (>=512 dims) and the
+    fold expression gets expensive to codegen. Same NULL semantics."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    p = np.asarray(param, dtype=np.float64)
+
+    @pandas_udf("double")
+    def dot(col: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None or len(v) == 0 or len(v) != len(p):
+                return None
+            return float(np.asarray(v, dtype=np.float64) @ p)
+
+        return col.map(one)
+
+    return dot
+
+
+def oracle_dot_sql(array_expr: str, param: Sequence[float]) -> str:
+    """Emit the DuckDB-equivalent explicit sum for the same dot product —
+    bit-identical to the fold above (used to build oracle SQL strings)."""
+    terms = [
+        f"CAST({array_expr}[{i + 1}] AS DOUBLE) * {float(v)!r}" for i, v in enumerate(param)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def oracle_sq_norm_sql(array_expr: str, dim: int) -> str:
+    terms = [
+        f"CAST({array_expr}[{i + 1}] AS DOUBLE) * CAST({array_expr}[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    ]
+    return "(" + " + ".join(terms) + ")"

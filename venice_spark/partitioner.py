@@ -1,0 +1,74 @@
+"""Partitioning: MD5-parity partition id + fast xxhash64 internal path.
+
+Reference: DefaultVenicePartitioner computes MD5(keyBytes) and reduces it
+mod numPartitions byte-by-byte
+(internal/venice-client-common/src/main/java/com/linkedin/venice/partitioner/DefaultVenicePartitioner.java:56-88).
+Byte-wise Horner reduction of the digest mod N is mathematically identical to
+interpreting the 16-byte digest as a big-endian unsigned integer mod N, so we
+compute exactly that — parity without porting the loop.
+
+At scale: the partition id is computed as a *column*, so repartition(n, col)
+stays in the DataFrame API (no RDD escape hatch like the reference's
+spark/utils/SparkPartitionUtils.java:22-28 needs) and survives AQE.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def key_bytes_col(*key_cols: str | Column) -> Column:
+    """Serialize key fields to bytes: single field -> utf8 of its string form;
+    composite keys join with a 0x00 separator. (We do not replicate Avro binary
+    encoding — parity tests compare partition *distribution*, not raw bytes.)
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    joined = F.concat_ws("\x00", *[c.cast("string") for c in cols])
+    return F.encode(joined, "UTF-8")
+
+
+def md5_partition_id(key: Column, num_partitions: int) -> Column:
+    """MD5(key) mod n, matching the reference partitioner's math.
+
+    md5 hex -> take as 128-bit unsigned int mod n. conv() overflows on 128-bit,
+    so reduce in two 64-bit halves: (hi * 2^64 + lo) % n computed with modular
+    arithmetic. All JVM-side (whole-stage codegen), no Python UDF.
+    """
+    hex_ = F.md5(key)
+    n = F.lit(num_partitions).cast("decimal(38,0)")
+    hi = F.conv(F.substring(hex_, 1, 16), 16, 10).cast("decimal(38,0)")
+    lo = F.conv(F.substring(hex_, 17, 16), 16, 10).cast("decimal(38,0)")
+    two64 = F.lit(18446744073709551616).cast("decimal(38,0)")  # 2^64
+    # ((hi % n) * (2^64 % n) + lo % n) % n  — every intermediate fits decimal38
+    pid = ((hi % n) * (two64 % n) + (lo % n)) % n
+    return pid.cast("int").alias("partition_id")
+
+
+def fast_partition_id(key: Column, num_partitions: int) -> Column:
+    """Internal default: xxhash64-based pmod — cheaper than MD5, same spread."""
+    return F.pmod(F.xxhash64(key), F.lit(num_partitions)).cast("int").alias("partition_id")
+
+
+def with_partition_id(
+    df: DataFrame,
+    key_fields: list[str],
+    num_partitions: int,
+    md5_parity: bool = False,
+) -> DataFrame:
+    key = key_bytes_col(*key_fields)
+    pid = md5_partition_id(key, num_partitions) if md5_parity else fast_partition_id(key, num_partitions)
+    return df.withColumn("partition_id", pid)
+
+
+def repartition_and_sort(
+    df: DataFrame, key_fields: list[str], num_partitions: int, md5_parity: bool = False
+) -> DataFrame:
+    """Stage I4 of the reference push pipeline: custom hash partition + sort
+    within partition by key (AbstractDataWriterSparkJob.java:942-947,
+    PartitionSorter.java:17-21). Sorted-by-key parquet gives rowgroup min/max
+    pruning on key lookups — the same win as RocksDB SST bulk ingest."""
+    with_pid = with_partition_id(df, key_fields, num_partitions, md5_parity)
+    return with_pid.repartition(num_partitions, F.col("partition_id")).sortWithinPartitions(
+        *key_fields
+    )

@@ -1,0 +1,59 @@
+"""Predicate algebra (R13) — 1:1 with the reference's typed predicate tree
+(clients/venice-thin-client/src/main/java/com/linkedin/venice/client/store/predicate/:
+Predicate.java, AndPredicate, OrPredicate, AnyOfPredicate, 24 typed
+comparison classes, RecordFieldProjectionEqualsPredicate).
+
+Spark-first: each predicate lowers to a Column expression, so Catalyst
+pushes it into the parquet scan (check .explain for PushedFilters).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def and_(*preds: Column) -> Column:
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def or_(*preds: Column) -> Column:
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+def any_of(field: str | Column, *values: Any) -> Column:
+    c = F.col(field) if isinstance(field, str) else field
+    return c.isin(list(values))
+
+
+def equal_to(field: str | Column, value: Any) -> Column:
+    c = F.col(field) if isinstance(field, str) else field
+    return c == F.lit(value)
+
+
+def greater_than(field: str | Column, value: Any) -> Column:
+    c = F.col(field) if isinstance(field, str) else field
+    return c > F.lit(value)
+
+
+def greater_or_equals(field: str | Column, value: Any) -> Column:
+    c = F.col(field) if isinstance(field, str) else field
+    return c >= F.lit(value)
+
+
+def lower_than(field: str | Column, value: Any) -> Column:
+    c = F.col(field) if isinstance(field, str) else field
+    return c < F.lit(value)
+
+
+def lower_or_equals(field: str | Column, value: Any) -> Column:
+    c = F.col(field) if isinstance(field, str) else field
+    return c <= F.lit(value)

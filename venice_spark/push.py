@@ -1,0 +1,227 @@
+"""Batch push job: full-version write with atomic swap, plus incremental
+push, repush and TTL repush.
+
+Mirrors the reference's own Spark data-writer pipeline stage-for-stage
+(clients/venice-push-job/src/main/java/com/linkedin/venice/spark/datawriter/jobs/AbstractDataWriterSparkJob.java:886-1000):
+
+  I1 input read            -> spark.read.parquet/avro + select
+  I3 record processing     -> values stay native columns (no serialization)
+  I6 duplicate-key policy  -> window dedup + conflict detection
+  I7 storage quota         -> persist + size accounting before write
+  I4 partition + sort      -> repartition(n, partition_id) + sortWithinPartitions
+  I5 partition write       -> write.parquet(version_dir), counts via group-by
+  W8 atomic swap           -> catalog.commit_version (pointer flip)
+
+Scale notes: the only shuffle is the single repartition on the partition id;
+dedup reuses that same hash partitioning (window over key) so Catalyst plans
+one exchange. Values are never funneled through Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from venice_spark.catalog import StoreCatalog
+from venice_spark.partitioner import repartition_and_sort
+
+
+class DuplicateKeyError(ValueError):
+    """Same key pushed with differing values and allow_duplicate_key=False
+    (reference: hadoop/task/datawriter/AbstractPartitionWriter.java,
+    'allow.duplicate.key' policy)."""
+
+
+class QuotaExceededError(ValueError):
+    """Estimated storage footprint exceeds the store quota
+    (reference: AbstractDataWriterSparkJob.java:1022-1052)."""
+
+
+@dataclass
+class PushResult:
+    store: str
+    version: int
+    rows: int
+    partitions: int
+    path: str
+
+
+def _dedup_latest_wins(df: DataFrame, key_fields: list[str], order_col: str | None) -> DataFrame:
+    """Keep one row per key. With an order column, highest wins (deterministic);
+    without, rows must be identical duplicates (checked by caller)."""
+    if order_col is None:
+        return df.dropDuplicates(key_fields)
+    w = Window.partitionBy(*key_fields).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def check_duplicate_keys(df: DataFrame, key_fields: list[str]) -> DataFrame:
+    """Return keys that appear with >1 distinct value row (stage I6 conflict
+    check). Empty result == clean input."""
+    value_cols = [c for c in df.columns if c not in key_fields]
+    return (
+        df.groupBy(*key_fields)
+        .agg(F.countDistinct(F.struct(*value_cols)).alias("distinct_values"))
+        .filter(F.col("distinct_values") > 1)
+    )
+
+
+class BatchPushJob:
+    """W8: write a DataFrame as a new immutable store version and swap."""
+
+    def __init__(self, catalog: StoreCatalog):
+        self.catalog = catalog
+
+    def run(
+        self,
+        spark: SparkSession,
+        store: str,
+        df: DataFrame,
+        allow_duplicate_key: bool = False,
+        dedup_order_col: str | None = None,
+        storage_quota_bytes: int | None = None,
+        md5_parity: bool = False,
+        views: list["MaterializedViewDef"] | None = None,
+    ) -> PushResult:
+        meta = self.catalog.get_store(store)
+        key_fields = meta.key_fields
+        missing = [k for k in key_fields if k not in df.columns]
+        if missing:
+            raise ValueError(f"input is missing key fields {missing}")
+
+        # I6 duplicate-key policy
+        if allow_duplicate_key or dedup_order_col is not None:
+            df = _dedup_latest_wins(df, key_fields, dedup_order_col)
+        else:
+            conflicts = check_duplicate_keys(df, key_fields).limit(1).collect()
+            if conflicts:
+                raise DuplicateKeyError(
+                    f"key {conflicts[0][: len(key_fields)]} has conflicting values"
+                )
+            df = df.dropDuplicates(key_fields)
+
+        # I7 storage quota: persist once so the count/size pass is reused by the write
+        if storage_quota_bytes is not None:
+            df = df.persist()
+            rows = df.count()
+            # cheap estimate: sampled avg row width * rows
+            sample = df.limit(1000).toPandas()
+            est_row_bytes = max(1, int(sample.memory_usage(deep=True).sum() / max(1, len(sample))))
+            if est_row_bytes * rows > storage_quota_bytes:
+                df.unpersist()
+                raise QuotaExceededError(
+                    f"~{est_row_bytes * rows} bytes exceeds quota {storage_quota_bytes}"
+                )
+
+        # I4 partition + sort, I5 write
+        version = self.catalog.begin_version(store)
+        path = self.catalog.version_dir(store, version)
+        out = repartition_and_sort(df, key_fields, meta.partition_count, md5_parity)
+        out.write.mode("overwrite").parquet(path)
+
+        # W15 materialized views are co-written in the same job
+        for view in views or []:
+            view.write(self.catalog, store, version, out)
+
+        written = spark.read.parquet(path)
+        rows = written.count()
+
+        # W8 atomic swap
+        self.catalog.commit_version(store, version)
+        return PushResult(store, version, rows, meta.partition_count, path)
+
+
+@dataclass
+class MaterializedViewDef:
+    """W15: re-partitioned / projected copy maintained at write time
+    (internal/venice-common/.../views/MaterializedView.java:22-70,
+    projection fields meta/MaterializedViewParameters.java:34)."""
+
+    name: str
+    partition_count: int
+    key_fields: list[str]
+    projection: list[str] | None = None  # None = all columns
+
+    def view_dir(self, catalog: StoreCatalog, store: str, version: int) -> str:
+        return f"{catalog.version_dir(store, version)}__view_{self.name}"
+
+    def write(self, catalog: StoreCatalog, store: str, version: int, df: DataFrame) -> None:
+        out = df.drop("partition_id")
+        if self.projection is not None:
+            keep = list(dict.fromkeys(self.key_fields + self.projection))
+            out = out.select(*keep)
+        out = repartition_and_sort(out, self.key_fields, self.partition_count)
+        out.write.mode("overwrite").parquet(self.view_dir(catalog, store, version))
+
+
+def incremental_push(
+    spark: SparkSession,
+    catalog: StoreCatalog,
+    store: str,
+    delta: DataFrame,
+    order_col: str | None = None,
+) -> PushResult:
+    """W9: append a keyed delta into the *current* version without a swap.
+
+    Implemented as delta-partition append + latest-wins compaction on read;
+    here we compact eagerly into a new version dir but keep the version number
+    (mirrors how servers apply incremental push records onto the current
+    version; VenicePushJob.java:919-931)."""
+    meta = catalog.get_store(store)
+    base = catalog.read_current(spark, store)
+    key_fields = meta.key_fields
+    # rows in delta override rows in base (put = full-value upsert, W1)
+    tagged = base.withColumn("__src", F.lit(0)).unionByName(
+        delta.withColumn("__src", F.lit(1)), allowMissingColumns=True
+    )
+    order = [F.col("__src").desc()] + (
+        [F.col(order_col).desc()] if order_col else []
+    )
+    w = Window.partitionBy(*key_fields).orderBy(*order)
+    merged = (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    version = catalog.current_version(store)
+    path = catalog.version_dir(store, version)
+    out = repartition_and_sort(merged, key_fields, meta.partition_count)
+    tmp = f"{path}__inc_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    rows = spark.read.parquet(path).count()
+    return PushResult(store, version, rows, meta.partition_count, path)
+
+
+def repush(
+    spark: SparkSession,
+    catalog: StoreCatalog,
+    store: str,
+    ttl_seconds: int | None = None,
+    now_ts: int | None = None,
+    ts_col: str = "_rmd_ts",
+) -> PushResult:
+    """W10/W11: re-materialize a store from its own current version
+    (compaction / cluster migration), optionally dropping records whose
+    RMD timestamp is older than now - ttl
+    (hadoop/input/kafka/ttl/VeniceKafkaInputTTLFilter.java,
+    spark/input/kafka/ttl/SparkKafkaInputTTLFilter.java)."""
+    meta = catalog.get_store(store)
+    df = catalog.read_current(spark, store)
+    if ttl_seconds is not None:
+        if ts_col not in df.columns:
+            raise ValueError(f"TTL repush requires timestamp column {ts_col!r}")
+        if now_ts is None:
+            raise ValueError("TTL repush requires explicit now_ts for determinism")
+        df = df.filter(F.col(ts_col) >= F.lit(now_ts - ttl_seconds))
+    job = BatchPushJob(catalog)
+    return job.run(spark, store, df.drop("partition_id"), allow_duplicate_key=True)

@@ -1,0 +1,39 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are tuned so the same code runs on local[32] for tests and on a
+1000-executor cluster unchanged: AQE on (runtime coalesce + skew-join),
+adaptive shuffle partitions, arrow for pandas interchange, zstd parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partitions: on a real cluster you want 2-3x total cores and AQE
+# coalescing down; locally 32 keeps task overhead sane at sf<=0.1.
+_DEFAULT_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "venice_spark", master: str | None = None) -> SparkSession:
+    """Return (or create) a SparkSession with engine defaults applied."""
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", _DEFAULT_LOCAL_CPUS)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{_DEFAULT_LOCAL_CPUS}]")
+    return builder.getOrCreate()
