@@ -3,36 +3,50 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementations live in venice_spark/plans/reference_queries.py; this file
+is the thin driver-facing shim.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: read-compute over the
+    embeddings store — project + dotProduct + cosineSimilarity + count with
+    the error channel, the reference's signature server-side query shape
+    (ComputeRequestBuilder.java:22-106)."""
+    from venice_spark.compute import ComputeRequestBuilder
+    from venice_spark.plans.reference_queries import W64
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    builder = ComputeRequestBuilder(df, ["vec_id"])
+    return (
+        builder.project("label")
+        .dot_product("embedding", W64, "score")
+        .cosine_similarity("embedding", W64, "cos")
+        .count("embedding", "dim")
+        .error_channel()
+        .plan()
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from venice_spark.plans.reference_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from venice_spark.plans.reference_queries import ORACLES
+
+    return dict(ORACLES)
