@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {"q": sec, ...}, "sf": ...}
+
+Each query is forced to full materialization with a noop-format write (so
+Catalyst can't short-circuit column evaluation the way count() can).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: bulk-ingest shuffle, point/batch reads, vector compute,
+# facet aggregation, update merge, plus training-data extensions when present
+HEADLINE = [
+    "r2_batch_get",
+    "r5_dot_product",
+    "r6_cosine_similarity",
+    "r8_count_map",
+    "r10_filter_compute",
+    "r11_count_group_by_value",
+    "r12_count_group_by_bucket",
+    "w1_put_latest_wins",
+    "w3_partial_update_set_field",
+    "w11_ttl_filter",
+    "x_dedup_exact",
+    "x_minhash_near_dup",
+    "x_ann_topk",
+    "x_text_quality",
+    "x_token_count",
+]
+
+
+def main():
+    os.environ["SPARK_GRAFT_CPUS"] = CPUS
+    from venice_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("venice_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # warm the JVM + file listing once
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = queries[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
