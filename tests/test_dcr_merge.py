@@ -1,0 +1,161 @@
+"""DCR merge kernel tests: reference-shaped cases (FIXTURES.md F6) +
+the determinism property (Merge.java:27-38): any arrival order of the same
+op set yields the identical final state."""
+
+import random
+
+from hypothesis import given, settings, strategies as st
+
+from venice_spark.merge.dcr import merge_ops
+
+LF = {"tags"}
+MF = {"props"}
+
+
+def put(ts, colo=0, **value):
+    return {"op": "PUT", "ts": ts, "colo": colo, "value": value}
+
+
+def delete(ts, colo=0):
+    return {"op": "DELETE", "ts": ts, "colo": colo}
+
+
+def update(ts, colo=0, **u):
+    return {"op": "UPDATE", "ts": ts, "colo": colo, "update": u}
+
+
+# ---- record-level rules (AbstractMerge.java:17-80) ----
+
+def test_higher_ts_wins():
+    out = merge_ops([put(1, score=1), put(5, score=2), put(3, score=3)])
+    assert out == {"score": 2}
+
+
+def test_delete_wins_ties():
+    assert merge_ops([put(5, score=1), delete(5)]) is None
+    assert merge_ops([delete(5), put(5, score=1)]) is None
+    # put strictly after delete survives
+    assert merge_ops([delete(5), put(6, score=1)]) == {"score": 1}
+
+
+def test_put_put_tie_deterministic_value_comparison():
+    a = merge_ops([put(5, score=1), put(5, score=2)])
+    b = merge_ops([put(5, score=2), put(5, score=1)])
+    assert a == b == {"score": 2}  # larger canonical value wins
+
+
+def test_field_level_timestamps():
+    # fields merge independently: later update of one field doesn't clobber others
+    out = merge_ops(
+        [put(10, first="A", last="B"), update(20, set_first="C"), update(15, set_last="D")]
+    )
+    assert out == {"first": "C", "last": "D"}
+
+
+def test_delete_then_partial_update_resurrects_field():
+    out = merge_ops([put(10, first="A", last="B"), delete(15), update(20, set_first="Z")])
+    assert out == {"first": "Z"}
+
+
+# ---- collection rules (SortBasedCollectionFieldOpHandler semantics) ----
+
+def test_list_set_union_diff():
+    out = merge_ops(
+        [
+            put(10, tags=["a", "b"]),
+            update(11, add_tags=["c"]),
+            update(12, rem_tags=["a"]),
+        ],
+        list_fields=LF,
+    )
+    assert out["tags"] == ["b", "c"]
+
+
+def test_remove_wins_tie_on_element():
+    out = merge_ops(
+        [put(10, tags=["a"]), update(11, add_tags=["x"]), update(11, rem_tags=["x"])],
+        list_fields=LF,
+    )
+    assert out["tags"] == ["a"]
+
+
+def test_whole_put_dominates_older_element_ops():
+    out = merge_ops(
+        [update(5, add_tags=["old"]), put(10, tags=["new"]), update(15, add_tags=["newer"])],
+        list_fields=LF,
+    )
+    assert out["tags"] == ["new", "newer"]
+
+
+def test_observed_remove_readd():
+    out = merge_ops(
+        [put(10, tags=["a"]), update(12, rem_tags=["a"]), update(14, add_tags=["a"])],
+        list_fields=LF,
+    )
+    assert out["tags"] == ["a"]
+
+
+def test_map_union_diff():
+    out = merge_ops(
+        [
+            put(10, props={"k1": "v1", "k2": "v2"}),
+            update(11, mapadd_props={"k2": "v2x", "k3": "v3"}),
+            update(12, maprem_props=["k1"]),
+        ],
+        map_fields=MF,
+    )
+    assert out["props"] == {"k2": "v2x", "k3": "v3"}
+
+
+def test_tombstone_suppresses_collection():
+    out = merge_ops(
+        [put(10, tags=["a"], score=1), delete(15), update(20, add_tags=["z"])],
+        list_fields=LF,
+    )
+    assert out == {"tags": ["z"]}
+
+
+# ---- determinism property ----
+
+_ops_strategy = st.lists(
+    st.one_of(
+        st.builds(
+            lambda ts, colo, v: put(ts, colo, score=v),
+            st.integers(0, 20), st.integers(0, 2), st.integers(0, 5),
+        ),
+        st.builds(
+            lambda ts, colo, tags: put(ts, colo, tags=tags),
+            st.integers(0, 20), st.integers(0, 2),
+            st.lists(st.sampled_from("abcd"), max_size=3),
+        ),
+        st.builds(delete, st.integers(0, 20), st.integers(0, 2)),
+        st.builds(
+            lambda ts, colo, e: update(ts, colo, add_tags=[e]),
+            st.integers(0, 20), st.integers(0, 2), st.sampled_from("abcd"),
+        ),
+        st.builds(
+            lambda ts, colo, e: update(ts, colo, rem_tags=[e]),
+            st.integers(0, 20), st.integers(0, 2), st.sampled_from("abcd"),
+        ),
+        st.builds(
+            lambda ts, colo, k, v: update(ts, colo, mapadd_props={k: v}),
+            st.integers(0, 20), st.integers(0, 2),
+            st.sampled_from("xyz"), st.integers(0, 3),
+        ),
+        st.builds(
+            lambda ts, colo, k: update(ts, colo, maprem_props=[k]),
+            st.integers(0, 20), st.integers(0, 2), st.sampled_from("xyz"),
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(ops=_ops_strategy, seed=st.integers(0, 10**6))
+def test_any_arrival_order_same_state(ops, seed):
+    expected = merge_ops(ops, LF, MF)
+    shuffled = ops[:]
+    random.Random(seed).shuffle(shuffled)
+    assert merge_ops(shuffled, LF, MF) == expected

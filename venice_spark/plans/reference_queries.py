@@ -327,6 +327,112 @@ def w15_materialized_view(spark, sf_dir):
     return df.select("c_custkey", "c_name", "c_mktsegment").repartition(8, "c_custkey")
 
 
+@register(
+    "w2_delete_tombstone",
+    "SELECT user_id, event_type, value FROM ("
+    "  SELECT user_id, event_type, value, "
+    "  CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'PUT' END AS op, "
+    "  row_number() OVER (PARTITION BY user_id, event_type "
+    "                     ORDER BY event_id DESC) AS rn FROM events"
+    ") WHERE rn = 1 AND op <> 'DELETE'",
+)
+def w2_delete_tombstone(spark, sf_dir):
+    """W2: delete = tombstone row filtered at compaction; latest op per key
+    wins and a winning DELETE removes the key
+    (VeniceProducer.delete; AbstractMerge.java:48-66)."""
+    df = _t(spark, sf_dir, "events")
+    ops = df.withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("DELETE")).otherwise(F.lit("PUT"))
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("event_id").desc())
+    return (
+        ops.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "DELETE"))
+        .select("user_id", "event_type", "value")
+    )
+
+
+@register(
+    "w4_w5_list_ops",
+    "SELECT c_custkey, unnest(list_sort(list_distinct(list_filter("
+    "  list_concat("
+    "    [c_mktsegment, 'T' || CAST(c_custkey % 3 AS VARCHAR)], "
+    "    ['NEW' || CAST(c_custkey % 2 AS VARCHAR)]), "
+    "  x -> x <> 'T1')))) AS tag "
+    "FROM customer",
+)
+def w4_w5_list_ops(spark, sf_dir):
+    """W4/W5: list setUnion + setDiff as sorted-set expressions
+    (UpdateBuilder.setElementsToAddToListField/...RemoveFromListField,
+    WriteComputeOperation.java:41-48)."""
+    from venice_spark.updates import merged_list
+
+    df = _t(spark, sf_dir, "customer")
+    old = F.array(
+        F.col("c_mktsegment"),
+        F.concat(F.lit("T"), (F.col("c_custkey") % 3).cast("string")),
+    )
+    add = F.array(F.concat(F.lit("NEW"), (F.col("c_custkey") % 2).cast("string")))
+    rem = F.array(F.lit("T1"))
+    return df.select("c_custkey", F.explode(merged_list(old, add, rem)).alias("tag"))
+
+
+@register(
+    "w6_map_ops",
+    "SELECT c_custkey, c_mktsegment AS mk, 'base' AS mv FROM customer "
+    "UNION ALL "
+    "SELECT c_custkey, 'K' || CAST(c_custkey % 5 AS VARCHAR), 'old' FROM customer "
+    "WHERE (c_custkey % 5) NOT IN (0, 1) "
+    "UNION ALL "
+    "SELECT c_custkey, 'K0', 'newv' FROM customer",
+)
+def w6_map_ops(spark, sf_dir):
+    """W6: mapUnion (update wins per key) + mapDiff (drop keys)
+    (UpdateBuilder.java:69,81; WriteComputeOperation.java:50-66). Result
+    exploded to entry rows; oracle derives the surviving entries directly."""
+    from venice_spark.updates import merged_map
+
+    df = _t(spark, sf_dir, "customer")
+    old = F.create_map(
+        F.col("c_mktsegment"), F.lit("base"),
+        F.concat(F.lit("K"), (F.col("c_custkey") % 5).cast("string")), F.lit("old"),
+    )
+    mapadd = F.create_map(F.lit("K0"), F.lit("newv"))
+    maprem = F.array(F.lit("K1"))
+    merged = merged_map(old, mapadd, maprem)
+    return df.select("c_custkey", F.explode(merged).alias("mk", "mv"))
+
+
+@register(
+    "w7_dcr_merge",
+    "SELECT user_id, value FROM ("
+    "  SELECT user_id, value, event_type, "
+    "  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+    "  FROM events"
+    ") WHERE rn = 1 AND event_type <> 'error'",
+)
+def w7_dcr_merge(spark, sf_dir):
+    """W7: timestamp conflict resolution through the commutative merge kernel
+    (MergeConflictResolver.java:45-751 semantics; see venice_spark/merge/dcr.py).
+    Op log: every event is a PUT of {value}, 'error' events are DELETEs;
+    logical ts = event_id (unique total order). The kernel folds per key in
+    an applyInPandas stage; the oracle is an independent SQL latest-wins
+    formulation — agreement validates the kernel's record-level path."""
+    from venice_spark.merge.dcr import merge_op_log
+
+    df = _t(spark, sf_dir, "events")
+    op_log = df.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("PUT"))
+        .alias("op"),
+        F.col("event_id").alias("ts"),
+        F.lit(0).alias("colo"),
+        "value",
+    )
+    return merge_op_log(op_log, ["user_id"], "user_id bigint, value double")
+
+
 # ----------------------------------------------------- ingestion dataflow
 
 @register(
