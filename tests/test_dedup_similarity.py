@@ -1,0 +1,78 @@
+"""Dedup + similarity operators: planted-duplicate detection and LSH recall."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from venice_spark.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_buckets,
+)
+from venice_spark.plans.reference_queries import W64
+from venice_spark.similarity import brute_force_topk, knn_join, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # plant: 1000/1001 exact dup of doc 0; 1002 near-dup of doc 1 (one word changed)
+    rows = base.filter(F.col("doc_id").isin([0, 1])).collect()
+    t0, t1 = rows[0]["text"], rows[1]["text"]
+    near = t1.split(" ")
+    near[len(near) // 2] = "XWORDX"
+    extra = spark.createDataFrame(
+        [(1000, t0), (1001, "  " + t0.upper() + "  "), (1002, " ".join(near))],
+        schema="doc_id bigint, text string",
+    )
+    return base.unionByName(extra)
+
+
+def test_exact_dedup_finds_planted(docs_with_dups):
+    groups = exact_dedup(docs_with_dups, "text", "doc_id")
+    dup_groups = groups.filter(F.col("dup_count") > 1).collect()
+    assert len(dup_groups) == 1
+    # canonical is the smallest id; normalization folds case + whitespace
+    assert dup_groups[0]["canonical_id"] == 0
+    assert dup_groups[0]["dup_count"] == 3
+
+
+def test_minhash_lsh_finds_near_dup(docs_with_dups):
+    pairs = minhash_lsh_pairs(
+        docs_with_dups, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 1002) in found  # near-dup pair survives banding + jaccard
+    assert all(j["jaccard"] >= 0.5 for j in pairs)
+
+
+def test_simhash_identical_docs_same_hash(docs_with_dups):
+    sh = simhash_buckets(docs_with_dups, "text", "doc_id", bits=16)
+    vals = {r["doc_id"]: r["simhash"] for r in sh.filter(F.col("doc_id").isin([0, 1000])).collect()}
+    assert vals[0] == vals[1000]
+
+
+def test_embedding_near_dup_detects_identical(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clone = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(99999).cast("long"))
+    df = emb.unionByName(clone)
+    pairs = embedding_near_dup_pairs(df, "embedding", "vec_id", "label", threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 99999) in got
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = [r["vec_id"] for r in brute_force_topk(emb, W64, "embedding", "vec_id", 10).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(emb, W64, "embedding", "vec_id", 10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, f"LSH recall too low: {recall} (exact={exact}, approx={approx})"
+
+
+def test_knn_join_self_neighbor(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 30)
+    out = knn_join(emb, emb, "embedding", "vec_id", "vec_id", k=1).collect()
+    # every vector's nearest neighbor (including self) is itself, cos=1
+    for r in out:
+        assert r["lid"] == r["rid"]
+        assert abs(r["cos"] - 1.0) < 1e-9

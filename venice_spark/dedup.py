@@ -1,0 +1,141 @@
+"""Deduplication operators for training-data pipelines (north-star surface).
+
+Five strategies, all partition-parallel and shuffle-minimal:
+
+  exact_dedup        hash-groupBy on a normalized fingerprint — one shuffle
+  minhash_lsh_pairs  shingle → minhash → band-bucket join — candidate pairs
+                     without the O(n²) cross join; exact-jaccard verify stage
+  simhash_pairs      16/64-bit simhash, bucket by hash, optional hamming radius
+  ngram_jaccard      exact jaccard between candidate pairs
+  embedding_near_dup blocked cosine near-duplicate pairs over vectors
+
+Scale design: every candidate-generation step is a hash join on a derived
+bucket key (band hash / simhash / blocking key), so the shuffle volume is
+O(n · bands), never O(n²). The verify stage touches only candidate pairs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from venice_spark.functions import text as TX
+from venice_spark.functions import vectors as VX
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of identical (normalized) documents: fingerprint, canonical id
+    (min), duplicate count. Survivors = rows where id == canonical_id."""
+    return (
+        df.withColumn("fingerprint", TX.fingerprint(text_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    sh = TX.shingles(text_col, shingle_n)
+    return df.select(F.col(id_col), *TX.minhash_signature(sh, num_hashes))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: signature → band rows → self-join on
+    (band_idx, band_hash) → exact jaccard ≥ threshold.
+
+    The band join is the scale path: each doc emits `bands` rows; identical
+    band hashes collide in the shuffle, so candidate generation is linear in
+    data + collisions."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.concat_ws(":", *[c.cast("string") for c in cols]).alias("h"))
+        )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.h")
+
+    a = exploded.alias("a")
+    b_ = exploded.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    sh = df.select(F.col(id_col), TX.shingles(text_col, shingle_n).alias("sh"))
+    j = (
+        cands.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return j
+
+
+def ngram_jaccard(
+    df_a: DataFrame, df_b: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Exact token-n-gram jaccard for pre-paired frames (id_a/id_b join)."""
+    sh_a = df_a.select(F.col(id_col).alias("id_a"), TX.shingles(text_col, shingle_n).alias("sh_a"))
+    sh_b = df_b.select(F.col(id_col).alias("id_b"), TX.shingles(text_col, shingle_n).alias("sh_b"))
+    return sh_a, sh_b
+
+
+def simhash_buckets(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash per doc; identical hashes = near-dup candidates (hamming-0).
+    For hamming ≤ k, re-join on hash with masked bit groups."""
+    return df.select(F.col(id_col), TX.simhash(text_col, bits).alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Cosine near-duplicate pairs within blocking buckets — the O(n²/buckets)
+    verified stage of embedding dedup. Block on a cheap key (cluster id,
+    label, LSH bucket); at 100 TB the block key IS the LSH bucket."""
+    v = df.select(
+        F.col(id_col), F.col(block_col).alias("blk"), F.col(vec_col).alias("v"),
+        F.sqrt(VX.squared_l2_norm(vec_col)).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = VX.dot_product(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn("cos", dot / (F.col("a.nrm") * F.col("b.nrm")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cos",
+        )
+    )

@@ -1,0 +1,139 @@
+"""Text-analysis kernels for large-scale training-data pipelines.
+
+All JVM-side Column expressions (no Python UDFs): tokenization, quality
+scoring, language-ID heuristics, fingerprints, shingles, minhash/simhash
+primitives. These power the dedup/similarity north-star operators and are
+designed to run over 100 TB document tables — every function is a pure
+per-row expression (embarrassingly parallel, no shuffle).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# small deterministic stopword set used by quality + lang-id heuristics
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(_c(col))
+
+
+def avg_token_len(col: Column | str) -> Column:
+    """Mean token length in doubles (total non-space chars / token count)."""
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("int"), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars."""
+    c = _c(col)
+    stripped = F.regexp_replace(c, r"[^\p{Punct}]", "")
+    return F.length(stripped).cast("double") / F.length(c).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite heuristic in [0,1]: rewards stopword presence and sane token
+    lengths, penalizes very short docs — the standard cheap pre-filter shape
+    for LLM corpus cleaning."""
+    n = token_count(col)
+    sw = stopword_ratio(col)
+    avg = avg_token_len(col)
+    len_ok = F.when(n >= 20, F.lit(1.0)).otherwise(n.cast("double") / F.lit(20.0))
+    sw_ok = F.least(sw * 4.0, F.lit(1.0))
+    avg_ok = F.when((avg >= 2.0) & (avg <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_ok * 0.4 + sw_ok * 0.4 + avg_ok * 0.2)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-marker language heuristic. The testdata corpus is synthetic
+    English-ish; real deployments plug in per-language marker sets."""
+    toks = tokens(col)
+    en = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(en, F.lower(t))))
+    return F.when(hits >= 1, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of case/whitespace-normalized
+    text. Used as the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles (distinct), the MinHash input unit."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def hash64(col: Column, seed: int | None = None) -> Column:
+    """Deterministic 60-bit hash from md5 hex (portable to any SQL engine:
+    same construction works in DuckDB — used for oracle parity)."""
+    s = _c(col)
+    if seed is not None:
+        s = F.concat(F.lit(f"{seed}:"), s)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash: for each seed, min over shingles of hash64(seed||shingle).
+    Pure expressions — transform + array_min per seed, no shuffle."""
+    def _hash_fn(s: int):
+        return lambda x: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{s}:"), x)), 1, 15), 16, 10
+        ).cast("bigint")
+
+    out = []
+    for s in range(num_hashes):
+        out.append(F.array_min(F.transform(shingle_col, _hash_fn(s))).alias(f"mh{s}"))
+    return out
+
+
+def simhash(col: Column | str, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens: per-bit majority vote of token hashes,
+    packed into a bigint. Pure expression (fold over tokens)."""
+    toks = tokens(col)
+    hashed = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+    )
+    def _vote_fn(b: int):
+        # closure factory: pyspark introspects lambda arity, so a `b=b`
+        # default parameter is misread as a 3-arg merge function
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        votes = F.aggregate(hashed, F.lit(0).cast("int"), _vote_fn(b))
+        out = out + F.when(votes >= 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0))
+    return out

@@ -435,6 +435,289 @@ def w7_dcr_merge(spark, sf_dir):
 
 # ----------------------------------------------------- ingestion dataflow
 
+# ------------------------------------------------ north-star extensions
+# Training-data pipeline operators over documents/embeddings (BASELINE.json
+# north_star). Oracles re-derive the same math independently in DuckDB.
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_SHINGLES_CTE = (
+    f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks)"
+)
+
+
+@register(
+    "x_token_count",
+    f"SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents",
+)
+def x_token_count(spark, sf_dir):
+    """Token counting (whitespace tokenizer) — per-row expression, no shuffle."""
+    from venice_spark.functions import text as TX
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", TX.token_count("text").alias("n_tokens"))
+
+
+_SW_IN = "('the','a','and','of','to','in','is','it')"
+
+@register(
+    "x_text_quality",
+    f"SELECT doc_id, length(text) AS n_chars, len({_TOKS}) AS n_tokens, "
+    f"CAST(len(list_filter({_TOKS}, tk -> lower(tk) IN {_SW_IN})) AS DOUBLE) "
+    f"/ CAST(len({_TOKS}) AS DOUBLE) AS stop_ratio "
+    "FROM documents",
+)
+def x_text_quality(spark, sf_dir):
+    """Quality metrics: length, token count, stopword ratio."""
+    from venice_spark.functions import text as TX
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        TX.char_count("text").alias("n_chars"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.stopword_ratio("text").alias("stop_ratio"),
+    )
+
+
+@register(
+    "x_lang_id",
+    f"SELECT doc_id, CASE WHEN len(list_filter({_TOKS}, tk -> lower(tk) IN {_SW_IN})) >= 1 "
+    "THEN 'en' ELSE 'unk' END AS lang_pred FROM documents",
+)
+def x_lang_id(spark, sf_dir):
+    """Language-ID n-gram/stopword heuristic."""
+    from venice_spark.functions import text as TX
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "x_fingerprint",
+    "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint "
+    "FROM documents",
+)
+def x_fingerprint(spark, sf_dir):
+    """Document fingerprinting (normalized md5 — rolling-hash stand-in)."""
+    from venice_spark.functions import text as TX
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "x_dedup_exact",
+    "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint, "
+    "min(doc_id) AS canonical_id, count(*) AS dup_count FROM documents GROUP BY 1",
+)
+def x_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized fingerprint — one shuffle."""
+    from venice_spark.dedup import exact_dedup
+
+    df = _t(spark, sf_dir, "documents")
+    return exact_dedup(df, "text", "doc_id")
+
+
+@register(
+    "x_dedup_ngram_jaccard",
+    _SHINGLES_CTE + " "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard "
+    "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1",
+)
+def x_dedup_ngram_jaccard(spark, sf_dir):
+    """N-gram jaccard similarity between adjacent doc pairs (pairing is the
+    caller's concern — LSH supplies candidates at scale; this validates the
+    jaccard kernel itself)."""
+    from venice_spark.functions import text as TX
+
+    df = _t(spark, sf_dir, "documents")
+    sh = df.select("doc_id", TX.shingles("text", 3).alias("sh"))
+    a = sh.alias("a")
+    b = sh.select((F.col("doc_id") - 1).alias("join_id"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("a.doc_id") == F.col("join_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            "id_b",
+            (
+                F.size(F.array_intersect("a.sh", "sh_b")).cast("double")
+                / F.size(F.array_union("a.sh", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.02) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min(('0x' || substr(md5('{s}:' || s_sh), 1, 15))::BIGINT) AS mh{s}"
+        for s in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        + " || ':' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + " AS h FROM sigs"
+        for b in range(bands)
+    )
+    return (
+        _SHINGLES_CTE + ", "
+        f"sigs AS (SELECT doc_id, {mins} FROM (SELECT doc_id, unnest(sh) AS s_sh FROM sh) GROUP BY doc_id), "
+        f"bands AS ({band_selects}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
+        "JOIN bands b ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id) "
+        "SELECT * FROM ("
+        "  SELECT id_a, id_b, CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / "
+        "  CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard "
+        "  FROM cand JOIN sh x ON x.doc_id = cand.id_a JOIN sh y ON y.doc_id = cand.id_b"
+        f") WHERE jaccard >= {threshold}"
+    )
+
+
+@register("x_minhash_near_dup", _minhash_oracle_sql())
+def x_minhash_near_dup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs: shingle → 16 minhashes → 4 band buckets →
+    bucket join → exact-jaccard verify. Candidate generation is O(n·bands)
+    shuffle, never O(n²)."""
+    from venice_spark.dedup import minhash_lsh_pairs
+
+    df = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(df, "text", "doc_id", num_hashes=16, bands=4, threshold=0.02)
+
+
+def _simhash_oracle_sql(bits: int = 16) -> str:
+    terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(h, x -> ((x >> {b}) & 1) = 1)) - len(h) >= 0 "
+        f"THEN {2**b} ELSE 0 END"
+        for b in range(bits)
+    )
+    return (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        "hs AS (SELECT doc_id, list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h FROM toks) "
+        f"SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM hs"
+    )
+
+
+@register("x_simhash", _simhash_oracle_sql())
+def x_simhash(spark, sf_dir):
+    """SimHash fingerprints (16-bit): per-bit majority vote of token hashes.
+    Identical values = hamming-0 near-dup bucket key."""
+    from venice_spark.dedup import simhash_buckets
+
+    df = _t(spark, sf_dir, "documents")
+    return simhash_buckets(df, "text", "doc_id", bits=16)
+
+
+@register(
+    "x_ann_topk",
+    "SELECT vec_id, cos FROM ("
+    f"  SELECT vec_id, ({vectors.oracle_dot_sql('embedding', W64)}) / "
+    f"  (sqrt({vectors.oracle_sq_norm_sql('embedding', DIM)}) * {_B_NORM!r}) AS cos "
+    "  FROM embeddings) ORDER BY cos DESC, vec_id ASC LIMIT 10",
+)
+def x_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN correctness baseline) —
+    TakeOrderedAndProject, no global sort."""
+    from venice_spark.similarity import brute_force_topk
+
+    df = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(df, W64, "embedding", "vec_id", k=10)
+
+
+@register("x_ann_lsh")  # rows-only: approximate by design
+def x_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the 100 TB scale path: probe a few
+    buckets instead of scanning the corpus). Recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    from venice_spark.similarity import lsh_topk
+
+    df = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(df, W64, "embedding", "vec_id", k=10)
+
+
+def _knn_oracle_sql() -> str:
+    dot = " + ".join(
+        f"CAST(lv[{i}] AS DOUBLE) * CAST(rv[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
+    )
+    nl = " + ".join(f"CAST(lv[{i}] AS DOUBLE) * CAST(lv[{i}] AS DOUBLE)" for i in range(1, DIM + 1))
+    nr = " + ".join(f"CAST(rv[{i}] AS DOUBLE) * CAST(rv[{i}] AS DOUBLE)" for i in range(1, DIM + 1))
+    return (
+        "WITH l AS (SELECT vec_id AS lid, embedding AS lv FROM embeddings WHERE vec_id < 50), "
+        "r AS (SELECT vec_id AS rid, embedding AS rv FROM embeddings), "
+        f"s AS (SELECT lid, rid, ({dot}) / (sqrt({nl}) * sqrt({nr})) AS cos FROM l, r) "
+        "SELECT lid, rid, cos, rank FROM (SELECT lid, rid, cos, "
+        "row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rank FROM s) "
+        "WHERE rank <= 3"
+    )
+
+
+@register("x_knn_join", _knn_oracle_sql())
+def x_knn_join(spark, sf_dir):
+    """k-NN join: each probe vector's top-3 neighbors (brute-force verified
+    variant; LSH blocking bounds the candidate set at scale)."""
+    from venice_spark.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 50)
+    return knn_join(left, emb, "embedding", "vec_id", "vec_id", k=3)
+
+
+@register(
+    "x_embedding_near_dup",
+    "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    + "("
+    + " + ".join(
+        f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    + ") / (sqrt("
+    + " + ".join(
+        f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(a.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    + ") * sqrt("
+    + " + ".join(
+        f"CAST(b.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    + ")) AS cos FROM embeddings a JOIN embeddings b "
+    "ON a.label = b.label AND a.vec_id < b.vec_id) WHERE cos >= 0.4",
+)
+def x_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (the blocking key is
+    an LSH bucket at scale). Threshold tuned so the synthetic corpus yields a
+    non-trivial but small result."""
+    from venice_spark.dedup import embedding_near_dup_pairs
+
+    df = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(df, "embedding", "vec_id", "label", threshold=0.4)
+
+
+@register(
+    "cdc_change_events",
+    "SELECT user_id, event_type, event_id, value AS after, "
+    "lag(value) OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS before "
+    "FROM events",
+)
+def cdc_change_events(spark, sf_dir):
+    """CDC: ChangeEvent{before, after} per key mutation
+    (VeniceChangelogConsumer.java:19-209, ChangeEvent). Batch formulation:
+    lag() over the per-key op sequence; streaming twin lives in
+    venice_spark/streaming/cdc.py."""
+    df = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return df.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("value").alias("after"),
+        F.lag("value").over(w).alias("before"),
+    )
+
+
 @register(
     "i6_duplicate_key_check",
     "SELECT user_id, event_type, distinct_values FROM ("

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (north-star surface).
+
+  brute_force_topk   exact cosine top-k — the correctness baseline; scan +
+                     JVM fold expression + bounded TakeOrderedAndProject
+  lsh_topk           random-hyperplane LSH bucketed search — the scale path:
+                     probe only matching/nearby buckets instead of the full
+                     scan; recall tested against the brute-force baseline
+
+At 100 TB the LSH variant turns a full-corpus scan into a partition-pruned
+bucket read when the table is written partitioned by bucket id.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from venice_spark.functions import vectors as VX
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine. orderBy+limit compiles to TakeOrderedAndProject:
+    per-partition heaps + driver merge of k rows — no global sort shuffle."""
+    cos = VX.cosine_similarity(vec_col, list(query))
+    return (
+        df.select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG-based, library-free so the
+    same planes can be re-derived anywhere)."""
+    planes = []
+    state = seed * 2654435761 % (2**31)
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            v.append((state / 2**31) * 2.0 - 1.0)
+        planes.append(v)
+    return planes
+
+
+def lsh_bucket_col(vec_col: str, dim: int, n_planes: int = 8, seed: int = 42):
+    """Random-hyperplane signature: bit b = sign(v · plane_b). 2^n_planes
+    buckets; cosine-similar vectors land in the same/nearby buckets."""
+    out = F.lit(0)
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        d = VX.dot_product(vec_col, plane)
+        out = out + F.when(d > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return out.alias("lsh_bucket")
+
+
+def _query_bucket(query: Sequence[float], planes: list[list[float]]) -> int:
+    qb = 0
+    for i, plane in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(query, plane):
+            acc += float(x) * y
+        if acc > 0:
+            qb |= 1 << i
+    return qb
+
+
+def _probe_set(qb: int, n_planes: int, probe_hamming: int) -> list[int]:
+    probe = [qb]
+    if probe_hamming >= 1:
+        probe += [qb ^ (1 << i) for i in range(n_planes)]
+    if probe_hamming >= 2:
+        probe += [
+            qb ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return probe
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 8,
+    tables: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k with multi-table OR-amplification: `tables`
+    independent hyperplane sets; a vector is a candidate if ANY table's
+    bucket is within `probe_hamming` bits of the query's bucket in that
+    table. Candidate fraction ≈ tables·probes/2^n_planes of the corpus —
+    tune (tables, n_planes, probe_hamming) for the recall/scan tradeoff.
+
+    At 100 TB: write the table partitioned by table-0's bucket id for
+    partition pruning on the primary probe, and let the remaining tables
+    filter within scanned partitions."""
+    dim = dim or len(query)
+    cond = None
+    for t in range(tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        qb = _query_bucket(query, planes)
+        probe = _probe_set(qb, n_planes, probe_hamming)
+        bucket = lsh_bucket_col(vec_col, dim, n_planes, seed + 1000 * t)
+        c = bucket.isin(probe)
+        cond = c if cond is None else (cond | c)
+
+    cos = VX.cosine_similarity(vec_col, list(query))
+    return (
+        df.filter(cond)
+        .select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str,
+    left_id: str,
+    right_id: str,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force k-NN join (every left row's top-k right neighbors) via
+    block-nested cosine + window rank. Use with a blocking/LSH pre-filter at
+    scale; exact variant is the oracle baseline."""
+    from pyspark.sql import Window
+
+    l_ = left.select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv"))
+    r_ = right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv"))
+    dot = VX.dot_product(F.col("lv"), F.col("rv"))
+    nrm = F.sqrt(VX.squared_l2_norm(F.col("lv"))) * F.sqrt(VX.squared_l2_norm(F.col("rv")))
+    scored = l_.crossJoin(r_).withColumn("cos", dot / nrm)
+    w = Window.partitionBy("lid").orderBy(F.col("cos").desc(), F.col("rid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lid", "rid", "cos", "rank")
+    )
