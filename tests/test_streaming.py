@@ -1,0 +1,120 @@
+"""Hybrid replay + CDC streaming over file-based update logs (the local
+stand-in for the RT Kafka topic — identical readStream code path)."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from venice_spark.catalog import StoreCatalog
+from venice_spark.streaming.cdc import ChangeCaptureStream, change_events_batch, seek_to_timestamp
+from venice_spark.streaming.hybrid import HybridReplay, latest_wins
+
+SCHEMA = "key string, val double, ts long"
+
+
+def test_latest_wins_with_deletes(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1.0, 10, "PUT"),
+            ("a", 2.0, 20, "PUT"),
+            ("b", 9.0, 10, "PUT"),
+            ("b", 0.0, 30, "DELETE"),
+        ],
+        schema=SCHEMA + ", op string",
+    )
+    out = {r["key"]: r["val"] for r in latest_wins(df, ["key"], "ts").collect()}
+    assert out == {"a": 2.0}
+
+
+def test_hybrid_replay_file_stream(spark, tmp_path):
+    root = str(tmp_path / "cat")
+    catalog = StoreCatalog(root)
+    catalog.create_store("h", key_fields=["key"], hybrid=True, rewind_seconds=0)
+
+    serving = str(tmp_path / "serving")
+    spark.createDataFrame(
+        [("a", 1.0, 10), ("b", 1.0, 10)], schema=SCHEMA
+    ).write.parquet(serving)
+
+    rt_dir = str(tmp_path / "rt")
+    os.makedirs(rt_dir)
+    spark.createDataFrame(
+        [("a", 5.0, 20), ("c", 7.0, 15)], schema=SCHEMA
+    ).write.mode("append").parquet(rt_dir)
+
+    replay = HybridReplay(spark, catalog, "h", serving)
+    stream = spark.readStream.schema(SCHEMA).parquet(rt_dir)
+    q = replay.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    out = {r["key"]: r["val"] for r in spark.read.parquet(serving).collect()}
+    assert out == {"a": 5.0, "b": 1.0, "c": 7.0}
+    # ready-to-serve: serving caught up with the RT batch
+    rt = spark.read.parquet(rt_dir)
+    assert replay.ready_to_serve(rt, lag_threshold_seconds=0)
+
+
+def test_hybrid_rewind_filters_old_rows(spark, tmp_path):
+    root = str(tmp_path / "cat")
+    catalog = StoreCatalog(root)
+    catalog.create_store("h", key_fields=["key"], hybrid=True, rewind_seconds=100)
+
+    serving = str(tmp_path / "serving")
+    spark.createDataFrame([("a", 1.0, 10)], schema=SCHEMA).write.parquet(serving)
+
+    rt_dir = str(tmp_path / "rt")
+    os.makedirs(rt_dir)
+    # ts=500 is older than now(1000) - rewind(100) -> dropped; ts=950 kept
+    spark.createDataFrame(
+        [("a", 99.0, 500), ("b", 2.0, 950)], schema=SCHEMA
+    ).write.mode("append").parquet(rt_dir)
+
+    replay = HybridReplay(spark, catalog, "h", serving, now_ts=1000)
+    stream = spark.readStream.schema(SCHEMA).parquet(rt_dir)
+    q = replay.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    out = {r["key"]: r["val"] for r in spark.read.parquet(serving).collect()}
+    assert out == {"a": 1.0, "b": 2.0}
+
+
+def test_change_events_batch(spark):
+    log = spark.createDataFrame(
+        [("a", 1.0, 10), ("a", 2.0, 20), ("b", 5.0, 15)], schema=SCHEMA
+    )
+    ev = change_events_batch(log, ["key"], "val", "ts")
+    rows = {(r["key"], r["ts"]): (r["before"], r["after"]) for r in ev.collect()}
+    assert rows[("a", 10)] == (None, 1.0)
+    assert rows[("a", 20)] == (1.0, 2.0)
+    assert rows[("b", 15)] == (None, 5.0)
+    # seekToTimestamp drops earlier coordinates
+    assert seek_to_timestamp(ev, "ts", 15).count() == 2
+
+
+def test_cdc_stream_with_snapshot(spark, tmp_path):
+    rt_dir = str(tmp_path / "rt")
+    os.makedirs(rt_dir)
+    spark.createDataFrame(
+        [("a", 1.0, 10, "PUT"), ("a", 2.0, 20, "PUT"), ("b", 3.0, 12, "PUT"), ("b", 0.0, 25, "DELETE")],
+        schema=SCHEMA + ", op string",
+    ).write.mode("append").parquet(rt_dir)
+
+    cdc = ChangeCaptureStream(
+        spark,
+        snapshot_dir=str(tmp_path / "snap"),
+        out_dir=str(tmp_path / "changes"),
+        key_fields=["key"],
+        value_col="val",
+    )
+    stream = spark.readStream.schema(SCHEMA + ", op string").parquet(rt_dir)
+    q = cdc.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    ev = spark.read.parquet(str(tmp_path / "changes"))
+    rows = {(r["key"], r["ts"]): (r["before"], r["after"], r["op"]) for r in ev.collect()}
+    assert rows[("a", 10)] == (None, 1.0, "PUT")
+    assert rows[("a", 20)] == (1.0, 2.0, "PUT")
+    assert rows[("b", 25)][1] is None and rows[("b", 25)][2] == "DELETE"
+    # snapshot: only 'a' remains (b deleted)
+    snap = {r["key"]: r["val"] for r in spark.read.parquet(str(tmp_path / "snap")).collect()}
+    assert snap == {"a": 2.0}

@@ -696,6 +696,23 @@ def x_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(df, "embedding", "vec_id", "label", threshold=0.4)
 
 
+@register("x_multimodal_features")  # rows-only: stub codec features
+def x_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload column + Arrow-batched feature
+    extraction via mapInPandas (codec stubbed — see venice_spark/multimodal.py;
+    batch shape, schema and partitioning are the real contract)."""
+    from venice_spark.multimodal import attach_media_columns, extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_media_columns(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+        "text/plain",
+    )
+    return extract_features(media).select("media_id", "mime", "payload_bytes", "features")
+
+
 @register(
     "cdc_change_events",
     "SELECT user_id, event_type, event_id, value AS after, "

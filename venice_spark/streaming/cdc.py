@@ -1,0 +1,130 @@
+"""Change-data-capture stream (R15/§2.5).
+
+Reference: VeniceChangelogConsumer polls ChangeEvent{currentValue,
+previousValue} per key with seekable coordinates (beginning / end-of-push /
+tail / checkpoint / timestamp)
+(clients/da-vinci-client/src/main/java/com/linkedin/davinci/consumer/VeniceChangelogConsumer.java:19-209).
+
+Spark-first: the change stream is a DataFrame of
+(key..., before, after, op, ts) rows.
+  - Batch edition: lag() window over the op log (cdc_change_events query).
+  - Streaming edition: readStream over the update log; each micro-batch
+    joins against the serving snapshot to supply `before`, then the snapshot
+    advances. Seek-to-timestamp/offset = predicate on ts/offset columns —
+    with the log stored ts-partitioned, seeks become partition pruning.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+
+def change_events_batch(
+    op_log: DataFrame, key_fields: list[str], value_col: str, ts_col: str
+) -> DataFrame:
+    """Batch CDC: before = previous op's value per key (None for first)."""
+    w = Window.partitionBy(*key_fields).orderBy(ts_col)
+    op = F.col("op") if "op" in op_log.columns else F.lit("PUT")
+    return op_log.select(
+        *key_fields,
+        F.col(ts_col),
+        op.alias("op"),
+        F.when(op != "DELETE", F.col(value_col)).alias("after"),
+        F.lag(value_col).over(w).alias("before"),
+    )
+
+
+def seek_to_timestamp(change_stream: DataFrame, ts_col: str, start_ts: int) -> DataFrame:
+    """seekToTimestamp: only events at/after start_ts."""
+    return change_stream.filter(F.col(ts_col) >= F.lit(start_ts))
+
+
+def seek_to_tail(change_stream: DataFrame, ts_col: str, after_ts: int) -> DataFrame:
+    """seekToTail: strictly new events."""
+    return change_stream.filter(F.col(ts_col) > F.lit(after_ts))
+
+
+class ChangeCaptureStream:
+    """Streaming CDC: emits (key, before, after, op, ts) per micro-batch into
+    an output dir, maintaining a snapshot for `before` resolution."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        snapshot_dir: str,
+        out_dir: str,
+        key_fields: list[str],
+        value_col: str,
+        ts_col: str = "ts",
+    ):
+        self.spark = spark
+        self.snapshot_dir = snapshot_dir
+        self.out_dir = out_dir
+        self.key_fields = key_fields
+        self.value_col = value_col
+        self.ts_col = ts_col
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        spark = self.spark
+        kf = self.key_fields
+        vc, tc = self.value_col, self.ts_col
+
+        # resolve `before` against the current snapshot
+        try:
+            snap = spark.read.parquet(self.snapshot_dir)
+        except Exception:
+            snap = None
+        batch = batch_df
+        if "op" not in batch.columns:
+            batch = batch.withColumn("op", F.lit("PUT"))
+
+        # within-batch ordering: apply ops per key in ts order
+        w = Window.partitionBy(*kf).orderBy(tc)
+        seq = batch.withColumn(
+            "__prev_in_batch", F.lag(vc).over(w)
+        )
+        if snap is not None:
+            prev = snap.select(*kf, F.col(vc).alias("__snap_val"))
+            seq = seq.join(prev, on=kf, how="left")
+        else:
+            seq = seq.withColumn("__snap_val", F.lit(None).cast(seq.schema[vc].dataType))
+
+        events = seq.select(
+            *kf,
+            F.col(tc),
+            F.col("op"),
+            F.when(F.col("op") != "DELETE", F.col(vc)).alias("after"),
+            F.coalesce(F.col("__prev_in_batch"), F.col("__snap_val")).alias("before"),
+        )
+        events.write.mode("append").parquet(self.out_dir)
+
+        # advance the snapshot: latest op per key, deletes drop the key
+        wd = Window.partitionBy(*kf).orderBy(F.col(tc).desc())
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(wd))
+            .filter(F.col("__rn") == 1)
+        )
+        new_rows = latest.filter(F.col("op") != "DELETE").select(*kf, vc, tc)
+        if snap is not None:
+            touched = latest.select(*kf)
+            kept = snap.join(touched, on=kf, how="left_anti")
+            new_snap = kept.unionByName(new_rows)
+        else:
+            new_snap = new_rows
+        tmp = f"{self.snapshot_dir}__tmp"
+        new_snap.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.snapshot_dir):
+            shutil.rmtree(self.snapshot_dir)
+        shutil.move(tmp, self.snapshot_dir)
+
+    def start(self, update_stream: DataFrame, checkpoint_dir: str):
+        return (
+            update_stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

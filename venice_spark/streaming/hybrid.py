@@ -1,0 +1,110 @@
+"""Hybrid stores: batch version + real-time update replay (§2.5).
+
+Reference semantics:
+  - A hybrid store replays the last `rewindTimeInSeconds` of the real-time
+    topic on top of each new batch version
+    (meta/HybridStoreConfigImpl.java:17-44).
+  - The version goes online ("ready to serve") when replay lag drops under
+    the offset/time threshold (HybridStoreConfigImpl.java:26-33).
+  - Arrival order is irrelevant by design — conflicts resolve by timestamps
+    (Merge.java:27-31), so the merge is plain latest-ts-wins; watermarks only
+    bound state, never correctness.
+
+Spark-first: the RT topic is any streaming source (Kafka in production, a
+parquet file-stream dir locally — same code path via `readStream`). Replay
+runs `foreachBatch`, merging each micro-batch into the serving table with
+the same latest-wins fold the batch path uses. Rewind maps to a timestamp
+lower bound on the source (Kafka: startingOffsetsByTimestamp).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from venice_spark.catalog import StoreCatalog
+
+
+def latest_wins(df: DataFrame, key_fields: list[str], ts_col: str, tiebreak: list[str] | None = None) -> DataFrame:
+    """One row per key: max (ts, tiebreak...) wins; DELETE ops drop the key
+    if an `op` column is present."""
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*key_fields).orderBy(*order)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    if "op" in df.columns:
+        out = out.filter(F.col("op") != "DELETE").drop("op")
+    return out
+
+
+class HybridReplay:
+    """Structured-Streaming replay of an RT update log into a serving table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: StoreCatalog,
+        store: str,
+        serving_dir: str,
+        ts_col: str = "ts",
+        rewind_seconds: int | None = None,
+        now_ts: int | None = None,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.store = store
+        self.serving_dir = serving_dir
+        self.ts_col = ts_col
+        meta = catalog.get_store(store)
+        self.key_fields = meta.key_fields
+        self.rewind_seconds = meta.rewind_seconds if rewind_seconds is None else rewind_seconds
+        self.now_ts = now_ts
+
+    def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: union serving + micro-batch, latest-wins, swap.
+        At scale this is an incremental MERGE against the serving store; the
+        local file edition rewrites (idempotent per micro-batch)."""
+        serving = self.spark.read.parquet(self.serving_dir)
+        merged = latest_wins(
+            serving.withColumn("__src", F.lit(0)).unionByName(
+                batch_df.withColumn("__src", F.lit(1)), allowMissingColumns=True
+            ),
+            self.key_fields,
+            self.ts_col,
+            tiebreak=["__src"],
+        ).drop("__src")
+        tmp = f"{self.serving_dir}__stream_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self.serving_dir)
+        shutil.move(tmp, self.serving_dir)
+
+    def start(self, rt_stream: DataFrame, checkpoint_dir: str, available_now: bool = True):
+        """Run the replay. `rt_stream` is a streaming DataFrame of update rows
+        (key..., value columns, ts, optional op). Rewind: drop rows older
+        than now - rewind."""
+        stream = rt_stream
+        if self.rewind_seconds and self.now_ts is not None:
+            cutoff = self.now_ts - self.rewind_seconds
+            stream = stream.filter(F.col(self.ts_col) >= F.lit(cutoff))
+        writer = (
+            stream.writeStream.foreachBatch(self._merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def ready_to_serve(self, rt_batch: DataFrame, lag_threshold_seconds: int) -> bool:
+        """Ready-to-serve gate: replay lag (max source ts - max serving ts)
+        under the threshold (offsetLagThresholdToGoOnline /
+        producerTimestampLagThresholdToGoOnline)."""
+        src_max = rt_batch.agg(F.max(self.ts_col)).collect()[0][0]
+        if src_max is None:
+            return True
+        serving = self.spark.read.parquet(self.serving_dir)
+        srv_max = serving.agg(F.max(self.ts_col)).collect()[0][0]
+        if srv_max is None:
+            return False
+        return (src_max - srv_max) <= lag_threshold_seconds
