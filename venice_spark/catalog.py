@@ -168,7 +168,7 @@ class StoreCatalog:
         meta = self.get_store(store)
         if not meta.value_schemas:
             raise SchemaIncompatibleError(f"store {store!r} has no value schemas")
-        return _struct_from_json(meta.value_schemas[schema_id if schema_id > 0 else -1])
+        return _struct_from_json(meta.value_schemas[schema_id - 1 if schema_id > 0 else -1])
 
     def get_key_fields(self, store: str) -> list[str]:
         return self.get_store(store).key_fields

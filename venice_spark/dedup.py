@@ -59,16 +59,23 @@ def minhash_lsh_pairs(
     band hashes collide in the shuffle, so candidate generation is linear in
     data + collisions."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # Materialize shingles + signatures once: without a barrier the band
+    # self-join and the verify joins each re-derive the full md5/minhash
+    # expression chain (measured 20x slower at sf0.1). At cluster scale these
+    # persists become checkpoint tables.
+    sh = df.select(F.col(id_col), TX.shingles(text_col, shingle_n).alias("sh")).persist()
+    sigs = sh.select(F.col(id_col), *TX.minhash_signature(F.col("sh"), num_hashes))
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(
             F.struct(F.lit(b).alias("band_idx"), F.concat_ws(":", *[c.cast("string") for c in cols]).alias("h"))
         )
-    exploded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_idx", "band.h")
+    exploded = (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
+        .select(id_col, "band.band_idx", "band.h")
+        .persist()
+    )
 
     a = exploded.alias("a")
     b_ = exploded.alias("b")
@@ -83,7 +90,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = df.select(F.col(id_col), TX.shingles(text_col, shingle_n).alias("sh"))
     j = (
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")

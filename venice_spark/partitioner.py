@@ -39,7 +39,7 @@ def md5_partition_id(key: Column, num_partitions: int) -> Column:
     n = F.lit(num_partitions).cast("decimal(38,0)")
     hi = F.conv(F.substring(hex_, 1, 16), 16, 10).cast("decimal(38,0)")
     lo = F.conv(F.substring(hex_, 17, 16), 16, 10).cast("decimal(38,0)")
-    two64 = F.lit(18446744073709551616).cast("decimal(38,0)")  # 2^64
+    two64 = F.lit("18446744073709551616").cast("decimal(38,0)")  # 2^64 (> long, via string)
     # ((hi % n) * (2^64 % n) + lo % n) % n  — every intermediate fits decimal38
     pid = ((hi % n) * (two64 % n) + (lo % n)) % n
     return pid.cast("int").alias("partition_id")

@@ -149,6 +149,30 @@ def r8_count_map(spark, sf_dir):
 
 
 @register(
+    "r9_error_channel",
+    "SELECT vec_id, CAST(NULL AS DOUBLE) AS score, "
+    "'field embedding length ' || CAST(len(embedding) AS VARCHAR) || "
+    "' != param length 2' AS err FROM embeddings",
+)
+def r9_error_channel(spark, sf_dir):
+    """R9: per-field compute errors land in __veniceComputationError__ instead
+    of failing the request (ComputeUtils.java:69-143): length-mismatched dot
+    product -> NULL result + error entry."""
+    from venice_spark.compute import ERROR_FIELD, ComputeRequestBuilder
+
+    df = _t(spark, sf_dir, "embeddings")
+    out = (
+        ComputeRequestBuilder(df, ["vec_id"])
+        .dot_product("embedding", [1.0, 2.0], "score")
+        .error_channel()
+        .plan()
+    )
+    return out.select(
+        "vec_id", "score", F.element_at(F.col(ERROR_FIELD), "embedding").alias("err")
+    )
+
+
+@register(
     "r10_filter_compute",
     "SELECT l_orderkey, l_linenumber, l_quantity, "
     "l_extendedprice * (1.0 - l_discount) AS revenue "

@@ -1,0 +1,99 @@
+"""Write-side producer APIs (W1/W2/W12/W13): append put/delete/update rows
+into a store's real-time update log.
+
+Reference:
+  - VeniceProducer.asyncPut/asyncDelete/asyncUpdate
+    (clients/venice-producer/src/main/java/com/linkedin/venice/producer/VeniceProducer.java:29-90)
+  - Samza/Flink SystemProducer writing to the RT topic with an optional
+    logical timestamp (integrations/venice-samza/.../VeniceSystemProducer.java,
+    VeniceObjectWithTimestamp.java)
+
+Spark-first: the RT "topic" is an append-only parquet dir (file edition) —
+in production the same rows go to Kafka and the identical readStream code
+consumes either. Rows carry (key..., op, ts, colo, value/update columns);
+consumers are HybridReplay (latest-wins) or merge_op_log (full DCR).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from venice_spark.catalog import StoreCatalog
+from venice_spark.updates import UpdateBuilder
+
+
+class VeniceProducer:
+    """Buffered producer: collect ops, flush as one append (micro-batch)."""
+
+    def __init__(self, spark: SparkSession, catalog: StoreCatalog, store: str, colo: int = 0):
+        self.spark = spark
+        self.catalog = catalog
+        self.store = store
+        self.colo = colo
+        self.key_fields = catalog.get_key_fields(store)
+        self._buffer: list[dict] = []
+
+    def _key_dict(self, key: Any) -> dict:
+        if len(self.key_fields) == 1:
+            return {self.key_fields[0]: key}
+        return dict(zip(self.key_fields, key))
+
+    def put(self, key: Any, value: dict, ts: int | None = None) -> None:
+        self._buffer.append(
+            {**self._key_dict(key), "op": "PUT", "ts": self._ts(ts), "colo": self.colo, **value}
+        )
+
+    def delete(self, key: Any, ts: int | None = None) -> None:
+        self._buffer.append(
+            {**self._key_dict(key), "op": "DELETE", "ts": self._ts(ts), "colo": self.colo}
+        )
+
+    def update(self, key: Any, ts: int | None = None) -> "ProducerUpdateBuilder":
+        return ProducerUpdateBuilder(self, self._key_dict(key), self._ts(ts))
+
+    def flush(self, schema: str | None = None) -> str:
+        """Append buffered ops to the store's RT log dir; returns the dir."""
+        rt_dir = self.catalog.update_log_dir(self.store)
+        if not self._buffer:
+            return rt_dir
+        if schema is not None:
+            df = self.spark.createDataFrame(self._normalize_rows(), schema=schema)
+        else:
+            df = self.spark.createDataFrame(self._normalize_rows())
+        df.write.mode("append").parquet(rt_dir)
+        self._buffer.clear()
+        return rt_dir
+
+    def _normalize_rows(self) -> list[dict]:
+        # every row must carry every column (sparse ops -> None fill)
+        all_cols: dict[str, None] = {}
+        for r in self._buffer:
+            for c in r:
+                all_cols[c] = None
+        return [{**all_cols, **r} for r in self._buffer]
+
+    @staticmethod
+    def _ts(ts: int | None) -> int:
+        return int(time.time() * 1000) if ts is None else int(ts)
+
+
+class ProducerUpdateBuilder(UpdateBuilder):
+    """asyncUpdate(UpdateBuilder) twin: builds a partial-update op row and
+    enqueues it on .produce()."""
+
+    def __init__(self, producer: VeniceProducer, key: dict, ts: int):
+        super().__init__(key=key, ts=ts)
+        self._producer = producer
+
+    def produce(self) -> None:
+        row = self.build()
+        self._producer._buffer.append(
+            {**row, "op": "UPDATE", "colo": self._producer.colo}
+        )
+
+
+def read_rt_log(spark: SparkSession, catalog: StoreCatalog, store: str) -> DataFrame:
+    return spark.read.parquet(catalog.update_log_dir(store))
