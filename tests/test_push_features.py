@@ -1,0 +1,91 @@
+"""Push-pipeline features: incremental push (W9), TTL repush (W11), storage
+quota (I7), materialized views (W15), record transformer (W14)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from venice_spark.engine import VeniceSparkEngine
+from venice_spark.push import MaterializedViewDef, QuotaExceededError, RecordTransformer
+
+
+@pytest.fixture()
+def engine(spark, tmp_root):
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("s", key_fields=["key"], partition_count=2)
+    base = spark.createDataFrame(
+        [("a", 1.0, 10), ("b", 2.0, 10), ("c", 3.0, 10)], "key string, val double, _rmd_ts long"
+    )
+    eng.push("s", base)
+    return eng
+
+
+def test_incremental_push_overrides_and_inserts(engine, spark):
+    delta = spark.createDataFrame(
+        [("b", 99.0, 20), ("d", 4.0, 20)], "key string, val double, _rmd_ts long"
+    )
+    res = engine.incremental_push("s", delta)
+    out = {r["key"]: r["val"] for r in engine.store("s").df().collect()}
+    assert out == {"a": 1.0, "b": 99.0, "c": 3.0, "d": 4.0}
+    # no version swap: still the same current version
+    assert engine.catalog.current_version("s") == res.version
+
+
+def test_ttl_repush_drops_old_records(engine):
+    # ttl=5s at now=20: rows with _rmd_ts < 15 dropped
+    res = engine.repush("s", ttl_seconds=5, now_ts=20)
+    assert engine.store("s").df().count() == 0 or res.rows == 0
+
+
+def test_ttl_repush_keeps_fresh(engine, spark):
+    delta = spark.createDataFrame([("z", 9.0, 100)], "key string, val double, _rmd_ts long")
+    engine.incremental_push("s", delta)
+    engine.repush("s", ttl_seconds=95, now_ts=105)  # cutoff=10: keeps ts>=10
+    assert engine.store("s").df().count() == 4
+
+
+def test_storage_quota(engine, spark):
+    big = spark.createDataFrame(
+        [(f"k{i}", "x" * 1000, 0) for i in range(1000)], "key string, val string, _rmd_ts long"
+    )
+    with pytest.raises(QuotaExceededError):
+        engine.push("s", big, storage_quota_bytes=10_000, allow_duplicate_key=True)
+    # generous quota passes
+    engine.push("s", big, storage_quota_bytes=10**9, allow_duplicate_key=True)
+
+
+def test_materialized_view_cowritten(engine, spark):
+    view = MaterializedViewDef("by_val", partition_count=1, key_fields=["key"], projection=["val"])
+    df = spark.createDataFrame([("a", 1.0, 5, "extra")], "key string, val double, _rmd_ts long, other string")
+    res = engine.push("s", df, views=[view], allow_duplicate_key=True)
+    vdir = view.view_dir(engine.catalog, "s", res.version)
+    vdf = spark.read.parquet(vdir)
+    assert set(vdf.columns) == {"key", "val", "partition_id"}
+    assert vdf.count() == 1
+
+
+def test_record_transformer_dataframe(engine, spark):
+    class Doubler(RecordTransformer):
+        def transform(self, df):
+            return df.withColumn("val", F.col("val") * 2).filter(F.col("key") != "drop")
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 0), ("drop", 9.0, 0)], "key string, val double, _rmd_ts long"
+    )
+    engine.push("s", df, record_transformer=Doubler(), allow_duplicate_key=True)
+    out = {r["key"]: r["val"] for r in engine.store("s").df().collect()}
+    assert out == {"a": 2.0}
+
+
+def test_record_transformer_pandas_batches(engine, spark):
+    class Upper(RecordTransformer):
+        output_schema = "key string, val double"
+
+        def transform_record_batches(self, batches):
+            for pdf in batches:
+                pdf = pdf[["key", "val"]].copy()
+                pdf["key"] = pdf["key"].str.upper()
+                yield pdf
+
+    df = spark.createDataFrame([("a", 1.0, 0)], "key string, val double, _rmd_ts long")
+    engine.push("s", df, record_transformer=Upper(), allow_duplicate_key=True)
+    assert [r["key"] for r in engine.store("s").df().collect()] == ["A"]

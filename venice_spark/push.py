@@ -88,9 +88,16 @@ class BatchPushJob:
         storage_quota_bytes: int | None = None,
         md5_parity: bool = False,
         views: list["MaterializedViewDef"] | None = None,
+        record_transformer: "RecordTransformer | None" = None,
     ) -> PushResult:
         meta = self.catalog.get_store(store)
         key_fields = meta.key_fields
+
+        # W14: per-record transform/filter during ingestion
+        # (DaVinciRecordTransformer.java:44-154)
+        if record_transformer is not None:
+            df = record_transformer.apply(df)
+
         missing = [k for k in key_fields if k not in df.columns]
         if missing:
             raise ValueError(f"input is missing key fields {missing}")
@@ -135,6 +142,38 @@ class BatchPushJob:
         # W8 atomic swap
         self.catalog.commit_version(store, version)
         return PushResult(store, version, rows, meta.partition_count, path)
+
+
+class RecordTransformer:
+    """W14: user hook transforming/filtering each record during ingestion,
+    optionally to a different output schema or an external side sink
+    (reference: clients/da-vinci-client/.../DaVinciRecordTransformer.java:44,
+    123,139,154; DuckDB side-sink example integrations/venice-duckdb/.../
+    DuckDBDaVinciRecordTransformer.java).
+
+    Subclass and override `transform` (whole-DataFrame, keeps Catalyst in
+    play — preferred) or `transform_record_batches` (Arrow pandas batches for
+    imperative logic). Returning fewer rows = filtering."""
+
+    output_schema: str | None = None  # required for transform_record_batches
+
+    def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover - default
+        return df
+
+    def transform_record_batches(self, batches):
+        raise NotImplementedError
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        try:
+            self.transform_record_batches  # overridden?
+            has_batches = type(self).transform_record_batches is not RecordTransformer.transform_record_batches
+        except AttributeError:  # pragma: no cover
+            has_batches = False
+        if has_batches:
+            if not self.output_schema:
+                raise ValueError("transform_record_batches requires output_schema")
+            return df.mapInPandas(self.transform_record_batches, schema=self.output_schema)
+        return self.transform(df)
 
 
 @dataclass
