@@ -790,3 +790,126 @@ def i9_consistency_check(spark, sf_dir):
     a = df.filter(F.col("o_totalprice") >= 2000).drop("o_orderstatus")
     b = df.filter(F.col("o_orderstatus") != "X").drop("o_orderstatus")
     return a.exceptAll(b)
+
+
+@register(
+    "r3_streaming_batch_get",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer "
+    f"WHERE c_custkey IN ({', '.join(map(str, _R2_KEYS))})",
+)
+def r3_streaming_batch_get(spark, sf_dir):
+    """R3: streaming batch get — same result set as R2, delivered
+    per-record (AvroGenericStoreClient.java:91,133; chunked decode
+    MultiGetRecordStreamDecoder). Engine surface:
+    StoreHandle.streaming_batch_get drives this plan through
+    toLocalIterator, streaming partitions as they complete — the
+    partial-response semantics of the reference's footer."""
+    df = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    keys = spark.createDataFrame([(k,) for k in _R2_KEYS], "c_custkey bigint")
+    return df.join(F.broadcast(keys), "c_custkey", "inner")
+
+
+@register(
+    "w9_incremental_push",
+    "SELECT o_orderkey, totalprice, src FROM ("
+    "  SELECT o_orderkey, totalprice, src, row_number() OVER ("
+    "    PARTITION BY o_orderkey ORDER BY ts DESC) AS rn FROM ("
+    "    SELECT o_orderkey, o_totalprice AS totalprice, 'base' AS src, 0 AS ts FROM orders "
+    "    UNION ALL "
+    "    SELECT o_orderkey, o_totalprice * 2, 'delta', 1 FROM orders "
+    "    WHERE o_orderkey % 10 = 0)"
+    ") WHERE rn = 1",
+)
+def w9_incremental_push(spark, sf_dir):
+    """W9: incremental push — keyed delta appended onto the current version
+    without a swap; reads see base ∪ delta with delta winning per key
+    (VenicePushJob.java:919-931). Latest-wins union, one shuffle; the
+    engine's incremental_push persists exactly this shape."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.lit("base").alias("src"),
+        F.lit(0).alias("ts"),
+    )
+    delta = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("totalprice"),
+            F.lit("delta").alias("src"),
+            F.lit(1).alias("ts"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts").desc())
+    return (
+        base.unionByName(delta)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "totalprice", "src")
+    )
+
+
+@register(
+    "w10_repush_offset_dedup",
+    "SELECT user_id, event_id, event_type, value FROM ("
+    "  SELECT user_id, event_id, event_type, value, row_number() OVER ("
+    "    PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events"
+    ") WHERE rn = 1",
+)
+def w10_repush_offset_dedup(spark, sf_dir):
+    """W10: Kafka-input repush — re-materialize a store from its own topic,
+    keeping the highest-offset record per key
+    (VeniceKafkaInputReducer.java:1; spark/input/kafka/). events stands in
+    for the topic with event_id as the offset. Rank-limit pushdown
+    (WindowGroupLimit) makes the shuffle carry ~1 row per key."""
+    df = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+_TP_TOKS = _TOKS
+_TP_QUAL = (
+    f"len({_TP_TOKS}) BETWEEN 5 AND 100000 AND "
+    f"CAST(len(list_filter({_TP_TOKS}, tk -> lower(tk) IN {_SW_IN})) AS DOUBLE) "
+    f"/ CAST(len({_TP_TOKS}) AS DOUBLE) >= 0.05"
+)
+
+@register(
+    "x_training_pipeline",
+    "SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM ("
+    "  SELECT lang, n_tokens, row_number() OVER ("
+    "    PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM ("
+    f"    SELECT doc_id, lang, len({_TP_TOKS}) AS n_tokens, "
+    "     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint "
+    f"    FROM documents WHERE {_TP_QUAL})"
+    ") WHERE rn = 1 GROUP BY lang",
+)
+def x_training_pipeline(spark, sf_dir):
+    """Composite training-data prep pipeline: quality filter → exact dedup
+    (keep lowest doc_id per fingerprint) → per-language token accounting.
+    The shape of a real 100 TB corpus job: one narrow filter stage, one
+    dedup shuffle, one partial-agg shuffle."""
+    from venice_spark.functions import text as TX
+
+    df = _t(spark, sf_dir, "documents")
+    qual = df.filter(
+        TX.token_count("text").between(5, 100000)
+        & (TX.stopword_ratio("text") >= 0.05)
+    ).select(
+        "doc_id",
+        "lang",
+        TX.token_count("text").alias("n_tokens"),
+        TX.fingerprint("text").alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        qual.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )

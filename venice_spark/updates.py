@@ -130,8 +130,14 @@ def apply_update_columns(
     cols: list[Column] = [F.col(k) for k in key_fields]
     for f_ in fields:
         old = F.col(f"b.{f_.name}")
+        set_c = _opt(updates, f"set_{f_.name}")
+        # whole-collection replacement is a legal write-compute branch for
+        # every field kind (WriteComputeSchemaConverter: union of NoOp |
+        # <fieldType> | CollectionOps); element ops then apply on top.
+        if set_c is not None:
+            old = F.coalesce(set_c, old)
         if f_.kind == "scalar":
-            c = merged_scalar(old, _opt(updates, f"set_{f_.name}"))
+            c = old
         elif f_.kind == "list":
             c = merged_list(old, _opt(updates, f"add_{f_.name}"), _opt(updates, f"rem_{f_.name}"))
         elif f_.kind == "map":
@@ -166,58 +172,121 @@ def apply_update_log(
     (key, element), scale-safe for 100 TB logs.
     """
     reduced = None
-    scalar_aggs = []
+    set_aggs = []
     for f_ in fields:
         set_c = f"set_{f_.name}"
-        if f_.kind == "scalar" and set_c in update_log.columns:
-            # last non-NoOp set wins: max_by over ts restricted to non-null sets
-            scalar_aggs.append(
+        if set_c in update_log.columns:
+            # last non-NoOp set wins: max_by over ts restricted to non-null
+            # sets; for collections also track the winning set's ts so older
+            # element ops are superseded (sequential semantics: a whole-
+            # collection set wipes everything before it).
+            set_aggs.append(
                 F.max_by(
                     F.col(set_c),
                     F.when(F.col(set_c).isNotNull(), F.col(ts_col)),
                 ).alias(set_c)
             )
-    if scalar_aggs:
-        reduced = update_log.groupBy(*key_fields).agg(*scalar_aggs)
+            if f_.kind in ("list", "map"):
+                set_aggs.append(
+                    F.max(
+                        F.when(F.col(set_c).isNotNull(), F.col(ts_col))
+                    ).alias(f"__setts_{f_.name}")
+                )
+    if set_aggs:
+        reduced = update_log.groupBy(*key_fields).agg(*set_aggs)
 
-    elem_frames = []
-    for f_ in fields:
-        if f_.kind != "list":
-            continue
-        add_c, rem_c = f"add_{f_.name}", f"rem_{f_.name}"
-        ops = []
-        if add_c in update_log.columns:
-            ops.append(
-                update_log.select(
-                    *key_fields, ts_col, F.explode_outer(add_c).alias("elem")
-                ).withColumn("op", F.lit("add"))
-            )
-        if rem_c in update_log.columns:
-            ops.append(
-                update_log.select(
-                    *key_fields, ts_col, F.explode_outer(rem_c).alias("elem")
-                ).withColumn("op", F.lit("rem"))
-            )
-        if not ops:
-            continue
+    def _elem_fold(f_name: str, ops: list[DataFrame], elem_col: str, aggs: list[Column]):
+        """Last-op-per-element fold shared by list and map fields: one
+        shuffle on (key, element), then per-key collect of survivors.
+        Element ops older than the field's winning whole-collection set are
+        dropped (the set wiped them); add wins add/rem ties at equal ts
+        (deterministic, matches DCR's put-beats-delete-at-equal-ts inverse
+        documented in merge/dcr.py)."""
         all_ops = ops[0]
         for o in ops[1:]:
-            all_ops = all_ops.unionByName(o)
-        we = Window.partitionBy(*key_fields, "elem").orderBy(F.col(ts_col).desc())
+            all_ops = all_ops.unionByName(o, allowMissingColumns=True)
+        setts_c = f"__setts_{f_name}"
+        if reduced is not None and setts_c in reduced.columns:
+            setts = reduced.select(*key_fields, setts_c)
+            all_ops = all_ops.join(setts, on=key_fields, how="left").filter(
+                F.col(setts_c).isNull() | (F.col(ts_col) >= F.col(setts_c))
+            )
+        we = Window.partitionBy(*key_fields, elem_col).orderBy(
+            F.col(ts_col).desc(), F.col("op").asc()
+        )
         last = (
-            all_ops.filter(F.col("elem").isNotNull())
+            all_ops.filter(F.col(elem_col).isNotNull())
             .withColumn("__rn", F.row_number().over(we))
             .filter(F.col("__rn") == 1)
         )
-        folded = last.groupBy(*key_fields).agg(
-            F.array_sort(
-                F.collect_list(F.when(F.col("op") == "add", F.col("elem")))
-            ).alias(add_c),
-            F.array_sort(
-                F.collect_list(F.when(F.col("op") == "rem", F.col("elem")))
-            ).alias(rem_c),
-        )
-        elem_frames.append(folded)
+        return last.groupBy(*key_fields).agg(*aggs)
+
+    elem_frames = []
+    for f_ in fields:
+        if f_.kind == "list":
+            add_c, rem_c = f"add_{f_.name}", f"rem_{f_.name}"
+            ops = []
+            if add_c in update_log.columns:
+                ops.append(
+                    update_log.select(
+                        *key_fields, ts_col, F.explode_outer(add_c).alias("elem")
+                    ).withColumn("op", F.lit("add"))
+                )
+            if rem_c in update_log.columns:
+                ops.append(
+                    update_log.select(
+                        *key_fields, ts_col, F.explode_outer(rem_c).alias("elem")
+                    ).withColumn("op", F.lit("rem"))
+                )
+            if not ops:
+                continue
+            aggs = [
+                F.array_sort(
+                    F.collect_list(F.when(F.col("op") == kind, F.col("elem")))
+                ).alias(col)
+                for kind, col in (("add", add_c), ("rem", rem_c))
+            ]
+            elem_frames.append(_elem_fold(f_.name, ops, "elem", aggs))
+        elif f_.kind == "map":
+            mapadd_c, maprem_c = f"mapadd_{f_.name}", f"maprem_{f_.name}"
+            ops = []
+            has_add = mapadd_c in update_log.columns
+            if has_add:
+                ops.append(
+                    update_log.select(
+                        *key_fields,
+                        ts_col,
+                        F.explode_outer(mapadd_c).alias("mk", "mv"),
+                    ).withColumn("op", F.lit("add"))
+                )
+            if maprem_c in update_log.columns:
+                ops.append(
+                    update_log.select(
+                        *key_fields, ts_col, F.explode_outer(maprem_c).alias("mk")
+                    ).withColumn("op", F.lit("rem"))
+                )
+            if not ops:
+                continue
+            aggs = [
+                F.array_sort(
+                    F.collect_list(F.when(F.col("op") == "rem", F.col("mk")))
+                ).alias(maprem_c)
+            ]
+            if has_add:
+                aggs.insert(
+                    0,
+                    F.map_from_entries(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("op") == "add",
+                                    F.struct(F.col("mk"), F.col("mv")),
+                                )
+                            )
+                        )
+                    ).alias(mapadd_c),
+                )
+            elem_frames.append(_elem_fold(f_.name, ops, "mk", aggs))
 
     eff = reduced
     for fr in elem_frames:
@@ -225,3 +294,61 @@ def apply_update_log(
     if eff is None:
         return base
     return apply_update_columns(base, eff, key_fields, fields)
+
+
+# ---- derived (write-compute) schema generation ----
+
+def derive_update_schema(value_schema, key_fields: list[str]):
+    """Derive the write-compute *update schema* for a value schema, the
+    StructType equivalent of WriteComputeSchemaConverter.convertFromValueRecordSchema
+    (schema/writecompute/WriteComputeSchemaConverter.java:43-120):
+
+      every non-key field f  ->  set_<f>: f.type, nullable (NULL = NoOp)
+      array field f          ->  + add_<f>/rem_<f>: f.type (ListOps setUnion/setDiff,
+                                   WriteComputeOperation.java:41-48)
+      map field f            ->  + mapadd_<f>: f.type, maprem_<f>: array<keyType>
+                                   (MapOps mapUnion/mapDiff, WriteComputeOperation.java:50-66)
+
+    plus the key fields themselves and a `ts` long (the logical write
+    timestamp every producer path carries). The result is the exact schema
+    `UpdateBuilder.build()` rows conform to and `apply_update_log` consumes.
+    """
+    import pyspark.sql.types as T
+
+    out = []
+    for f_ in value_schema.fields:
+        if f_.name in key_fields:
+            out.append(T.StructField(f_.name, f_.dataType, False))
+    out.append(T.StructField("ts", T.LongType(), False))
+    for f_ in value_schema.fields:
+        if f_.name in key_fields:
+            continue
+        out.append(T.StructField(f"set_{f_.name}", f_.dataType, True))
+        if isinstance(f_.dataType, T.ArrayType):
+            out.append(T.StructField(f"add_{f_.name}", f_.dataType, True))
+            out.append(T.StructField(f"rem_{f_.name}", f_.dataType, True))
+        elif isinstance(f_.dataType, T.MapType):
+            out.append(T.StructField(f"mapadd_{f_.name}", f_.dataType, True))
+            out.append(
+                T.StructField(f"maprem_{f_.name}", T.ArrayType(f_.dataType.keyType), True)
+            )
+    return T.StructType(out)
+
+
+def field_specs_from_schema(value_schema, key_fields: list[str]) -> list[FieldSpec]:
+    """FieldSpec list (scalar/list/map kinds) inferred from a value schema —
+    the shape `apply_update_columns`/`apply_update_log` need."""
+    import pyspark.sql.types as T
+
+    specs = []
+    for f_ in value_schema.fields:
+        if f_.name in key_fields:
+            continue
+        if isinstance(f_.dataType, T.ArrayType):
+            kind = "list"
+        elif isinstance(f_.dataType, T.MapType):
+            kind = "map"
+        else:
+            kind = "scalar"
+        specs.append(FieldSpec(f_.name, kind))
+    return specs
