@@ -31,12 +31,14 @@ HEADLINE = [
     "r12_count_group_by_bucket",
     "w1_put_latest_wins",
     "w3_partial_update_set_field",
+    "w9_incremental_push",
     "w11_ttl_filter",
     "x_dedup_exact",
     "x_minhash_near_dup",
     "x_ann_topk",
     "x_text_quality",
     "x_token_count",
+    "x_training_pipeline",
 ]
 
 

@@ -76,3 +76,19 @@ def test_knn_join_self_neighbor(spark, sf_dir):
     for r in out:
         assert r["lid"] == r["rid"]
         assert abs(r["cos"] - 1.0) < 1e-9
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from venice_spark.similarity import ivf_assign, ivf_topk, train_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, "embedding", n_centroids=8, sample_fraction=1.0)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    exact = [r["vec_id"] for r in brute_force_topk(emb, W64, "embedding", "vec_id", 10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, W64, "embedding", "vec_id", cents, 10, nprobe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
+    # precomputed list column path (the at-scale layout) gives identical results
+    with_list = emb.withColumn("ivf_list", ivf_assign(emb, "embedding", cents))
+    approx2 = [r["vec_id"] for r in ivf_topk(with_list, W64, "embedding", "vec_id", cents, 10, nprobe=4, list_col="ivf_list").collect()]
+    assert approx2 == approx

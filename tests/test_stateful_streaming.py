@@ -1,0 +1,108 @@
+"""Stateful streaming latest-wins (applyInPandasWithState): per-key state,
+out-of-order arrival, delete-wins-ties, tombstone blocks stale puts."""
+
+import os
+
+import pyspark.sql.types as T
+
+from venice_spark.streaming.stateful import latest_wins_stateful
+
+VALUE = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("val", T.DoubleType(), True),
+    ]
+)
+SRC = "key string, val double, ts long, op string"
+
+
+def _run(spark, tmp_path, rows):
+    rt_dir = str(tmp_path / "rt")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(rt_dir)
+    spark.createDataFrame(rows, schema=SRC).coalesce(1).write.mode("append").parquet(rt_dir)
+    stream = spark.readStream.schema(SRC).parquet(rt_dir)
+    resolved = latest_wins_stateful(stream, ["key"], VALUE)
+    q = (
+        resolved.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination(120)
+    return {r["key"]: (r["val"], r["ts"]) for r in spark.read.parquet(out_dir).collect()}
+
+
+def test_stateful_latest_wins_out_of_order(spark, tmp_path):
+    out = _run(
+        spark,
+        tmp_path,
+        [
+            ("a", 2.0, 20, "PUT"),
+            ("a", 1.0, 10, "PUT"),   # stale, arrives later — ignored
+            ("b", 3.0, 5, "PUT"),
+            ("b", 4.0, 7, "PUT"),
+        ],
+    )
+    assert out == {"a": (2.0, 20), "b": (4.0, 7)}
+
+
+def test_stateful_delete_wins_ties_and_blocks_stale_puts(spark, tmp_path):
+    out = _run(
+        spark,
+        tmp_path,
+        [
+            ("a", 1.0, 10, "PUT"),
+            ("a", None, 20, "DELETE"),
+            ("a", 9.0, 20, "PUT"),   # tie with tombstone -> delete wins
+            ("b", 1.0, 10, "PUT"),
+            ("b", None, 15, "DELETE"),
+            ("b", 2.0, 12, "PUT"),   # older than tombstone -> stays deleted
+            ("c", 5.0, 30, "PUT"),
+        ],
+    )
+    # a and b end deleted: no output row with a live value
+    assert out == {"c": (5.0, 30)}
+
+
+def test_windowed_rollup_under_stream(spark, tmp_path):
+    """The x_event_rollup aggregation shape under readStream + watermark:
+    tumbling 1h windows, availableNow trigger, append after watermark close."""
+    import datetime as dt
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, 10, 5)
+    rows = [
+        (t0, "click", 1.0),
+        (t0 + dt.timedelta(minutes=10), "click", 2.0),
+        (t0 + dt.timedelta(hours=1), "click", 5.0),
+        (t0 + dt.timedelta(hours=3), "view", 1.0),  # advances watermark past earlier windows
+    ]
+    spark.createDataFrame(rows, "ts timestamp, event_type string, value double") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(src)
+    import pyspark.sql.functions as F
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        agg.writeStream.foreachBatch(lambda b, _i: b.write.mode("append").parquet(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w"]["start"].hour, r["event_type"]): (r["n"], r["total"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[(10, "click")] == (2, 3.0)
+    assert got[(11, "click")] == (1, 5.0)

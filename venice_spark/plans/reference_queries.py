@@ -913,3 +913,44 @@ def x_training_pipeline(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
     )
+
+
+@register("x_ann_ivf")  # rows-only: approximate by design (probe subset)
+def x_ann_ivf(spark, sf_dir):
+    """IVF ANN: driver-trained coarse k-means quantizer, nprobe nearest
+    inverted lists scanned with exact cosine. At 100 TB the corpus is
+    written partitioned by list id -> probes are partition pruning.
+    Recall vs brute force asserted in tests/test_dedup_similarity.py."""
+    from venice_spark.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, "embedding", n_centroids=8, sample_fraction=0.5)
+    return ivf_topk(emb, W64, "embedding", "vec_id", cents, k=10, nprobe=4)
+
+
+@register(
+    "x_event_rollup",
+    "SELECT epoch_ns(ts) // 3600000000000 * 3600000000000 AS bucket, event_type, "
+    "count(*) AS n, sum(value) AS total, min(value) AS vmin, max(value) AS vmax "
+    "FROM events GROUP BY 1, 2",
+)
+def x_event_rollup(spark, sf_dir):
+    """Time-bucketed rollup over the event stream (the batch twin of a
+    windowed streaming aggregation — Venice itself has no windowing, §2.5;
+    this is north-star surface). Partial-agg before the single shuffle;
+    the same expression runs under readStream + watermark unchanged.
+    Buckets are hour-truncated epoch nanoseconds (events.ts reads as long
+    nanos — see _t)."""
+    df = _t(spark, sf_dir, "events")
+    hour_ns = 3600 * 1_000_000_000
+    return (
+        df.groupBy(
+            (F.col("ts") - F.col("ts") % hour_ns).alias("bucket"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )

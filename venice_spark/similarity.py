@@ -150,3 +150,96 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("lid", "rid", "cos", "rank")
     )
+
+
+# ---- IVF (inverted-file) variant ----
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    sample_fraction: float = 0.1,
+    max_sample: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Coarse k-means quantizer trained driver-side on a bounded sample
+    (numpy Lloyd iterations — the sample is small by construction, the
+    corpus never leaves the cluster). Returns centroid vectors to pass to
+    `ivf_assign` / `ivf_topk`."""
+    import numpy as np
+
+    sample = (
+        df.select(vec_col)
+        .sample(fraction=min(1.0, sample_fraction), seed=seed)
+        .limit(max_sample)
+        .collect()
+    )
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cents[c] = v / max(float(np.linalg.norm(v)), 1e-12)
+    return cents.tolist()
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]):
+    """Column: index of the nearest (max-cosine) centroid — the IVF list id.
+    Pure JVM expressions (one dot product per centroid, greatest() select);
+    write the corpus partitioned by this column and probes become partition
+    pruning."""
+    nrm = F.sqrt(VX.squared_l2_norm(vec_col))
+    sims = [VX.dot_product(vec_col, c) / nrm for c in ivf_normalized(centroids)]
+    best = F.greatest(*sims) if len(sims) > 1 else sims[0]
+    out = F.lit(0)
+    for i in range(len(sims) - 1, 0, -1):
+        out = F.when(sims[i] == best, F.lit(i)).otherwise(out)
+    return out
+
+
+def ivf_normalized(centroids: list[list[float]]) -> list[list[float]]:
+    out = []
+    for c in centroids:
+        n = math.sqrt(sum(v * v for v in c)) or 1.0
+        out.append([v / n for v in c])
+    return out
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    list_col: str | None = None,
+) -> DataFrame:
+    """IVF search: rank centroids by cosine to the query, scan only the
+    `nprobe` nearest inverted lists, exact cosine within them. If the
+    corpus already carries a precomputed list id column (`list_col`,
+    written at ingest — the scale path), filter on it (partition pruning);
+    otherwise assign on the fly."""
+    cents = ivf_normalized(centroids)
+    qn = math.sqrt(sum(v * v for v in query)) or 1.0
+    q = [v / qn for v in query]
+    ranked = sorted(
+        range(len(cents)),
+        key=lambda i: -sum(a * b for a, b in zip(q, cents[i])),
+    )
+    probe = ranked[:nprobe]
+    lc = F.col(list_col) if list_col else ivf_assign(df, vec_col, centroids)
+    cos = VX.cosine_similarity(vec_col, list(query))
+    return (
+        df.filter(lc.isin(probe))
+        .select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
