@@ -89,3 +89,38 @@ def test_record_transformer_pandas_batches(engine, spark):
     df = spark.createDataFrame([("a", 1.0, 0)], "key string, val double, _rmd_ts long")
     engine.push("s", df, record_transformer=Upper(), allow_duplicate_key=True)
     assert [r["key"] for r in engine.store("s").df().collect()] == ["A"]
+
+
+def test_incremental_push_nulls_as_deletes(engine, spark):
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k long, name string, v double"
+    )
+    engine.create_store("etl", key_fields=["k"])
+    engine.push("etl", base)
+    delta = spark.createDataFrame(
+        [(2, None, None), (3, "c2", 30.0), (4, "d", 4.0)], "k long, name string, v double"
+    )
+    engine.incremental_push("etl", delta, nulls_as_deletes=True)
+    out = {r["k"]: r["name"] for r in engine.store("etl").df().collect()}
+    # key 2 tombstoned by all-null delta row; 3 updated; 4 inserted
+    assert out == {1: "a", 3: "c2", 4: "d"}
+
+
+def test_partial_key_lookup_prefix_validation(spark, sf_dir):
+    import pytest as _pytest
+    from venice_spark.compute import ComputeRequestBuilder
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = ComputeRequestBuilder(li, ["l_orderkey", "l_linenumber"])
+    b.project("l_quantity")
+    out = b.partial_key_lookup(l_orderkey=100)
+    rows = out.collect()
+    assert rows and all(True for _ in rows)
+    # full key works too
+    b2 = ComputeRequestBuilder(li, ["l_orderkey", "l_linenumber"])
+    b2.project("l_quantity")
+    assert b2.partial_key_lookup(l_orderkey=100, l_linenumber=1).count() <= len(rows)
+    # non-leading field -> error (reference: prefix must cover leading fields)
+    b3 = ComputeRequestBuilder(li, ["l_orderkey", "l_linenumber"])
+    with _pytest.raises(ValueError, match="leading prefix"):
+        b3.partial_key_lookup(l_linenumber=1)

@@ -136,6 +136,26 @@ class ComputeRequestBuilder:
             self.with_error_channel,
         ).plan()
 
+    def partial_key_lookup(self, **field_values: Any) -> DataFrame:
+        """R10 with the reference's key-prefix contract: equality on a
+        *leading prefix* of the composite key's fields; anything else is an
+        error, mirroring the client-side validation
+        (AvroComputeRequestBuilderV4.java:33-75 — prefix serialization only
+        works for leading fields; DaVinciComputeTest exercises the failure).
+        Leading-prefix equality + key-sorted rowgroups = the RocksDB prefix
+        iteration access path."""
+        given = list(field_values)
+        prefix = self.key_fields[: len(given)]
+        if given != prefix:
+            raise ValueError(
+                f"partial-key lookup must specify a leading prefix of the key "
+                f"fields {self.key_fields}; got {given}"
+            )
+        pred = F.lit(True)
+        for name, v in field_values.items():
+            pred = pred & (F.col(name) == F.lit(v))
+        return self.execute_with_filter(pred)
+
 
 @dataclass
 class ComputeAggregationBuilder:

@@ -205,16 +205,27 @@ def incremental_push(
     store: str,
     delta: DataFrame,
     order_col: str | None = None,
+    nulls_as_deletes: bool = False,
 ) -> PushResult:
     """W9: append a keyed delta into the *current* version without a swap.
 
     Implemented as delta-partition append + latest-wins compaction on read;
     here we compact eagerly into a new version dir but keep the version number
     (mirrors how servers apply incremental push records onto the current
-    version; VenicePushJob.java:919-931)."""
+    version; VenicePushJob.java:919-931).
+
+    nulls_as_deletes: ETL-shaped inputs encode deletes as null values
+    (union[null, T] — etl/UnionValueWithNull.avsc, TestBatch.java:768-791);
+    a delta row whose value columns are all NULL tombstones its key."""
     meta = catalog.get_store(store)
     base = catalog.read_current(spark, store)
     key_fields = meta.key_fields
+    if nulls_as_deletes:
+        vcols = [c for c in delta.columns if c not in key_fields and c != order_col]
+        is_del = F.lit(True)
+        for c in vcols:
+            is_del = is_del & F.col(c).isNull()
+        delta = delta.withColumn("__del", is_del)
     # rows in delta override rows in base (put = full-value upsert, W1)
     tagged = base.withColumn("__src", F.lit(0)).unionByName(
         delta.withColumn("__src", F.lit(1)), allowMissingColumns=True
@@ -228,6 +239,10 @@ def incremental_push(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+    if nulls_as_deletes:
+        merged = merged.filter(
+            ~F.coalesce(F.col("__del"), F.lit(False))
+        ).drop("__del")
     version = catalog.current_version(store)
     path = catalog.version_dir(store, version)
     out = repartition_and_sort(merged, key_fields, meta.partition_count)
