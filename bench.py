@@ -39,6 +39,8 @@ HEADLINE = [
     "x_text_quality",
     "x_token_count",
     "x_training_pipeline",
+    "x_event_rollup",
+    "x_embed_quantize",
 ]
 
 

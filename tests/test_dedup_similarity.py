@@ -92,3 +92,20 @@ def test_ivf_topk_recall(spark, sf_dir):
     with_list = emb.withColumn("ivf_list", ivf_assign(emb, "embedding", cents))
     approx2 = [r["vec_id"] for r in ivf_topk(with_list, W64, "embedding", "vec_id", cents, 10, nprobe=4, list_col="ivf_list").collect()]
     assert approx2 == approx
+
+
+def test_quantize_roundtrip_cosine(spark, sf_dir):
+    from venice_spark.functions.vectors import (
+        cosine_similarity,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    rt = emb.withColumn("__q", quantize_int8("embedding")).withColumn(
+        "deq", dequantize_int8("__q")
+    )
+    orig = rt.select(cosine_similarity("embedding", W64).alias("c")).collect()
+    deq = rt.select(cosine_similarity("deq", W64).alias("c")).collect()
+    errs = [abs(a["c"] - b["c"]) for a, b in zip(orig, deq) if a["c"] is not None]
+    assert errs and max(errs) < 0.02, f"quantization cosine drift too high: {max(errs)}"

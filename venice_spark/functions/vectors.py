@@ -162,3 +162,30 @@ def oracle_sq_norm_sql(array_expr: str, dim: int) -> str:
         for i in range(dim)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def quantize_int8(field: Column | str, scale: float = 127.0) -> Column:
+    """Symmetric int8 quantization of a float vector: clamp(round(x/amax *
+    scale)) with amax = max(|x|) per row. 4x storage reduction for 100 TB
+    embedding corpora; dequantize ≈ q * amax/scale. Pure JVM expressions.
+    Returns struct(amax float, q array<tinyint>)."""
+    a = _as_double_array(field)
+    amax = F.array_max(F.transform(a, lambda x: F.abs(x)))
+    safe = F.when(amax > 0, amax).otherwise(F.lit(1.0))
+    q = F.transform(
+        a,
+        lambda x: F.least(
+            F.lit(127.0), F.greatest(F.lit(-127.0), F.round(x / safe * F.lit(scale)))
+        ).cast("tinyint"),
+    )
+    return F.struct(amax.cast("float").alias("amax"), q.alias("q"))
+
+
+def dequantize_int8(field: Column | str, scale: float = 127.0) -> Column:
+    """Inverse of quantize_int8: array<float> ≈ q * amax/scale."""
+    c = F.col(field) if isinstance(field, str) else field
+    amax = c["amax"].cast("double")
+    safe = F.when(amax > 0, amax).otherwise(F.lit(1.0))
+    return F.transform(
+        c["q"], lambda x: (x.cast("double") * safe / F.lit(scale)).cast("float")
+    )

@@ -954,3 +954,25 @@ def x_event_rollup(spark, sf_dir):
             F.max("value").alias("vmax"),
         )
     )
+
+
+@register(
+    "x_embed_quantize",
+    "WITH t AS (SELECT vec_id, embedding, "
+    "  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS am "
+    "  FROM embeddings) "
+    "SELECT vec_id, CAST(am AS FLOAT) AS amax, "
+    "list_transform(embedding, x -> CAST(least(127.0, greatest(-127.0, "
+    "round(CAST(x AS DOUBLE) / (CASE WHEN am > 0 THEN am ELSE 1.0 END) * 127.0, 0)"
+    ")) AS TINYINT)) AS q FROM t",
+)
+def x_embed_quantize(spark, sf_dir):
+    """int8 symmetric quantization of the embedding column — the 4x storage
+    lever for 100 TB corpora; dequantized cosine stays within ~1% (asserted
+    in tests). Pure JVM expressions, no shuffle."""
+    from venice_spark.functions import vectors as VX
+
+    df = _t(spark, sf_dir, "embeddings")
+    return df.withColumn("__q", VX.quantize_int8("embedding")).select(
+        "vec_id", F.col("__q.amax").alias("amax"), F.col("__q.q").alias("q")
+    )

@@ -32,6 +32,12 @@ def get_spark(app_name: str = "venice_spark", master: str | None = None) -> Spar
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # bucketed saveAsTable targets (local runs must not litter the cwd;
+        # clusters override with a real warehouse path)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/venice_spark_warehouse"),
+        )
     )
     if master is not None:
         builder = builder.master(master)
