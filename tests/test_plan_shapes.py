@@ -62,3 +62,19 @@ def test_filter_compute_prunes_partitions_of_sorted_store(spark, sf_dir):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters")[1][:300]
     assert "GreaterThanOrEqual(l_orderkey" in pushed or "l_orderkey" in pushed, pushed
+
+
+def test_store_get_prunes_partition_dirs(spark, sf_dir, tmp_path):
+    from venice_spark import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("c", key_fields=["c_custkey"], partition_count=8)
+    eng.push("c", spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    st = eng.store("c")
+    out = st.batch_get([1, 2, 3])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # version layout is partitioned by partition_id -> the scan must carry
+    # partition filters (directory pruning), not just data filters
+    assert "PartitionFilters: [" in plan and "partition_id" in plan.split("PartitionFilters")[1][:200], plan
+    assert st.get(1) is not None
+    assert st.get(10**9) is None

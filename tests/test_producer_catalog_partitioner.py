@@ -74,3 +74,16 @@ def test_repartition_and_sort_layout(spark):
 
     counts = out.rdd.mapPartitions(check).collect()
     assert sum(counts) == 100
+
+
+def test_version_manifest_written_and_readable(spark, tmp_path):
+    from venice_spark import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("m", key_fields=["k"])
+    eng.push("m", spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    man = eng.catalog.version_manifest("m")
+    assert man["rows"] == 2
+    assert man["push_type"] == "full"
+    assert man["partitioner"] == "xxhash64"
+    assert man["version"] == eng.catalog.current_version("m")

@@ -182,14 +182,36 @@ class StoreCatalog:
         self._write_meta(meta)
         return meta.largest_used_version
 
-    def commit_version(self, store: str, version: int) -> None:
-        """Atomically make `version` current (pointer flip == os.replace)."""
+    def commit_version(
+        self, store: str, version: int, manifest: dict | None = None
+    ) -> None:
+        """Atomically make `version` current (pointer flip == os.replace).
+
+        `manifest` records push metadata alongside the version dir (row
+        count, partitioner, push type, timestamps) — the role of the
+        reference's Version record (meta/Version.java:1), queryable without
+        touching the data files."""
         meta = self.get_store(store)
         if not os.path.isdir(self.version_dir(store, version)):
             raise ValueError(f"version dir for {store} v{version} does not exist")
+        if manifest is not None:
+            with open(
+                os.path.join(self.version_dir(store, version), "_version_manifest.json"),
+                "w",
+            ) as f:
+                json.dump({**manifest, "version": version, "committed_at": time.time()}, f, indent=2)
         meta.current_version = version
         meta.config["version_committed_at"] = time.time()
         self._write_meta(meta)
+
+    def version_manifest(self, store: str, version: int | None = None) -> dict | None:
+        if version is None:
+            version = self.current_version(store)
+        p = os.path.join(self.version_dir(store, version), "_version_manifest.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
 
     def current_version(self, store: str) -> int:
         return self.get_store(store).current_version

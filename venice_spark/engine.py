@@ -46,26 +46,47 @@ class StoreHandle:
     def key_fields(self) -> list[str]:
         return self.catalog.get_key_fields(self.name)
 
+    def _keys_with_pid(self, keys: Sequence[Any]) -> DataFrame:
+        """Key DataFrame stamped with the store's partition id (same column
+        expression the push used) — the router's key→partition math
+        (VeniceDelegateMode.java:191), here driving directory pruning."""
+        from venice_spark.partitioner import with_partition_id
+
+        meta = self.engine.catalog.get_store(self.name)
+        kf = self.key_fields
+        rows = [(k,) if len(kf) == 1 else tuple(k) for k in keys]
+        kdf = self.spark.createDataFrame(rows, schema=self.df().select(*kf).schema)
+        return with_partition_id(
+            kdf, kf, meta.partition_count, bool(meta.config.get("md5_parity", False))
+        )
+
     # ---- R1 single get ----
     def get(self, key: Any) -> Row | None:
         kf = self.key_fields
         key_tuple = (key,) if len(kf) == 1 else tuple(key)
-        cond = None
+        pid_rows = self._keys_with_pid([key]).collect()
+        pid = pid_rows[0]["partition_id"]
+        cond = F.col("partition_id") == F.lit(pid)
         for k, v in zip(kf, key_tuple):
-            c = F.col(k) == F.lit(v)
-            cond = c if cond is None else (cond & c)
+            cond = cond & (F.col(k) == F.lit(v))
         rows = self.df().filter(cond).drop("partition_id").limit(1).collect()
         return rows[0] if rows else None
 
     # ---- R2 batch get ----
     def batch_get(self, keys: Sequence[Any]) -> DataFrame:
         """Missing keys are simply absent (AvroGenericStoreClient.java:58).
-        Broadcast hash join against sorted parquet; with partition_id stored,
-        Catalyst prunes rowgroups via key min/max."""
+        Broadcast hash join on (partition_id, key): the partition ids prune
+        version directories (only dirs owning requested keys are scanned),
+        key-sorted files prune rowgroups via min/max."""
         kf = self.key_fields
-        rows = [(k,) if len(kf) == 1 else tuple(k) for k in keys]
-        kdf = self.spark.createDataFrame(rows, schema=self.df().select(*kf).schema)
-        return self.df().drop("partition_id").join(F.broadcast(kdf), on=kf, how="inner")
+        kdf = self._keys_with_pid(keys)
+        pids = sorted({r["partition_id"] for r in kdf.select("partition_id").distinct().collect()})
+        return (
+            self.df()
+            .filter(F.col("partition_id").isin(pids))
+            .join(F.broadcast(kdf), on=["partition_id", *kf], how="inner")
+            .drop("partition_id")
+        )
 
     # ---- R3 streaming batch get ----
     def streaming_batch_get(self, keys: Sequence[Any]) -> Iterator[Row]:

@@ -86,12 +86,16 @@ class BatchPushJob:
         allow_duplicate_key: bool = False,
         dedup_order_col: str | None = None,
         storage_quota_bytes: int | None = None,
-        md5_parity: bool = False,
+        md5_parity: bool | None = None,
         views: list["MaterializedViewDef"] | None = None,
         record_transformer: "RecordTransformer | None" = None,
     ) -> PushResult:
         meta = self.catalog.get_store(store)
         key_fields = meta.key_fields
+        if md5_parity is None:
+            # partitioner choice is store-level config (VenicePartitioner is
+            # configured per store) so reads recompute the same ids
+            md5_parity = bool(meta.config.get("md5_parity", False))
 
         # W14: per-record transform/filter during ingestion
         # (DaVinciRecordTransformer.java:44-154)
@@ -130,7 +134,15 @@ class BatchPushJob:
         version = self.catalog.begin_version(store)
         path = self.catalog.version_dir(store, version)
         out = repartition_and_sort(df, key_fields, meta.partition_count, md5_parity)
-        out.write.mode("overwrite").parquet(path)
+        # partition_id as a *directory* partition: point/batch gets prune to
+        # one dir (the Spark twin of routing a key to its owning partition),
+        # and each dir holds one key-sorted file for rowgroup min/max pruning.
+        # An empty push writes unpartitioned so the parquet footer keeps the
+        # schema (a dir with zero partitions is unreadable).
+        if out.take(1):
+            out.write.mode("overwrite").partitionBy("partition_id").parquet(path)
+        else:
+            out.write.mode("overwrite").parquet(path)
 
         # W15 materialized views are co-written in the same job
         for view in views or []:
@@ -139,8 +151,17 @@ class BatchPushJob:
         written = spark.read.parquet(path)
         rows = written.count()
 
-        # W8 atomic swap
-        self.catalog.commit_version(store, version)
+        # W8 atomic swap (+ Version-record manifest, meta/Version.java:1)
+        self.catalog.commit_version(
+            store,
+            version,
+            manifest={
+                "rows": rows,
+                "partition_count": meta.partition_count,
+                "partitioner": "md5" if md5_parity else "xxhash64",
+                "push_type": "full",
+            },
+        )
         return PushResult(store, version, rows, meta.partition_count, path)
 
 
@@ -245,9 +266,14 @@ def incremental_push(
         ).drop("__del")
     version = catalog.current_version(store)
     path = catalog.version_dir(store, version)
-    out = repartition_and_sort(merged, key_fields, meta.partition_count)
+    out = repartition_and_sort(
+        merged, key_fields, meta.partition_count, bool(meta.config.get("md5_parity", False))
+    )
     tmp = f"{path}__inc_tmp"
-    out.write.mode("overwrite").parquet(tmp)
+    if out.take(1):
+        out.write.mode("overwrite").partitionBy("partition_id").parquet(tmp)
+    else:
+        out.write.mode("overwrite").parquet(tmp)
     import shutil
 
     shutil.rmtree(path)
