@@ -39,8 +39,14 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    sh = TX.shingles(text_col, shingle_n)
-    return df.select(F.col(id_col), *TX.minhash_signature(sh, num_hashes))
+    hs = (
+        df.select(
+            F.col(id_col),
+            TX.shingle_hashes(TX.shingles(text_col, shingle_n), num_hashes).alias("__hs"),
+        )
+        .persist()
+    )
+    return hs.select(F.col(id_col), *TX.minhash_from_hashes(F.col("__hs"), num_hashes))
 
 
 def minhash_lsh_pairs(
@@ -63,8 +69,16 @@ def minhash_lsh_pairs(
     # self-join and the verify joins each re-derive the full md5/minhash
     # expression chain (measured 20x slower at sf0.1). At cluster scale these
     # persists become checkpoint tables.
-    sh = df.select(F.col(id_col), TX.shingles(text_col, shingle_n).alias("sh")).persist()
-    sigs = sh.select(F.col(id_col), *TX.minhash_signature(F.col("sh"), num_hashes))
+    sh = df.select(
+        F.col(id_col),
+        TX.shingles(text_col, shingle_n).alias("sh"),
+    ).persist()
+    # hash material computed once per shingle (4 digests -> 16 windows),
+    # persisted so the 16 per-window mins don't re-derive the md5 chain
+    hs = sh.select(
+        F.col(id_col), TX.shingle_hashes(F.col("sh"), num_hashes).alias("__hs")
+    ).persist()
+    sigs = hs.select(F.col(id_col), *TX.minhash_from_hashes(F.col("__hs"), num_hashes))
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]

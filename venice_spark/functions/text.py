@@ -109,18 +109,44 @@ def hash64(col: Column, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> list[Column]:
-    """MinHash: for each seed, min over shingles of hash64(seed||shingle).
-    Pure expressions — transform + array_min per seed, no shuffle."""
-    def _hash_fn(s: int):
-        return lambda x: F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{s}:"), x)), 1, 15), 16, 10
-        ).cast("bigint")
+def shingle_hashes(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """Per-shingle hash material for MinHash: ceil(num_hashes/4) seeded md5
+    hex digests concatenated (each 32 hex chars = four 8-hex/32-bit hash
+    windows). ONE md5 per (shingle, seed-group) instead of one per
+    (shingle, hash function) — 4x fewer digests than the naive scheme;
+    windows are substr'd out afterwards. Materialize (persist/checkpoint)
+    the result before fanning out into per-window mins, or each min
+    re-evaluates the digests."""
+    n_md5 = (num_hashes + 3) // 4
+
+    def _one(x):
+        parts = [F.md5(x)]
+        for m in range(1, n_md5):
+            parts.append(F.md5(F.concat(F.lit(f"{m}:"), x)))
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+    return F.transform(shingle_col, _one)
+
+
+def minhash_from_hashes(hashes_col: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash mins from `shingle_hashes` material: mh_s = min over shingles
+    of the s-th 32-bit window. Cheap substr+conv expressions only."""
+    # closure factory, NOT a `s=s` default arg: pyspark reads lambda arity,
+    # and a 2-param lambda becomes an (element, index) function
+    def _window_fn(s: int):
+        return lambda h: F.conv(F.substring(h, 1 + 8 * s, 8), 16, 10).cast("bigint")
 
     out = []
     for s in range(num_hashes):
-        out.append(F.array_min(F.transform(shingle_col, _hash_fn(s))).alias(f"mh{s}"))
+        out.append(F.array_min(F.transform(hashes_col, _window_fn(s))).alias(f"mh{s}"))
     return out
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash signature columns straight from shingles (convenience; the
+    two-step shingle_hashes → minhash_from_hashes with a persist between is
+    the fast path — see dedup.minhash_lsh_pairs)."""
+    return minhash_from_hashes(shingle_hashes(shingle_col, num_hashes), num_hashes)
 
 
 def simhash(col: Column | str, bits: int = 16) -> Column:

@@ -577,8 +577,14 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
 
 def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.02) -> str:
     rows = num_hashes // bands
+    n_md5 = (num_hashes + 3) // 4
+    big = " || ".join(
+        "md5(s_sh)" if m == 0 else f"md5('{m}:' || s_sh)" for m in range(n_md5)
+    )
+    # same windowed construction as functions/text.shingle_hashes: 32-bit
+    # windows substr'd out of concatenated seeded digests
     mins = ", ".join(
-        f"min(('0x' || substr(md5('{s}:' || s_sh), 1, 15))::BIGINT) AS mh{s}"
+        f"min(('0x' || substr({big}, {1 + 8 * s}, 8))::BIGINT) AS mh{s}"
         for s in range(num_hashes)
     )
     band_selects = " UNION ALL ".join(
