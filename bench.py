@@ -65,6 +65,25 @@ def main():
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+
+    # bulk ingest (W8): the reference's primary dataflow — full push of
+    # lineitem through dedup -> partition+sort -> partitioned write -> swap
+    import shutil
+    import tempfile
+
+    from venice_spark import VeniceSparkEngine
+
+    root = tempfile.mkdtemp(prefix="vs_bench_push_")
+    try:
+        eng = VeniceSparkEngine(spark, root)
+        eng.create_store("bench_li", key_fields=["l_orderkey", "l_linenumber"], partition_count=32)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        t0 = time.monotonic()
+        eng.push("bench_li", li, allow_duplicate_key=True)
+        timings["w8_batch_push"] = round(time.monotonic() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
     for name in names:
         fn = queries[name]
         t0 = time.monotonic()

@@ -726,7 +726,21 @@ def x_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(df, "embedding", "vec_id", "label", threshold=0.4)
 
 
-@register("x_multimodal_features")  # rows-only: stub codec features
+def _multimodal_oracle_sql(dim: int = 16) -> str:
+    # mirrors multimodal._fake_features: byte i of md5(payload) -> ((b*(i+7))%255)/255*2-1
+    feats = ", ".join(
+        f"CAST(CAST((('0x' || substr(md5(text), {2 * (i % 16) + 1}, 2))::INT * {i + 7}) % 255 AS DOUBLE)"
+        f" / 255.0 * 2.0 - 1.0 AS FLOAT)"
+        for i in range(dim)
+    )
+    return (
+        "SELECT doc_id AS media_id, 'text/plain' AS mime, "
+        "CAST(octet_length(encode(text)) AS INT) AS payload_bytes, "
+        f"[{feats}] AS features FROM documents"
+    )
+
+
+@register("x_multimodal_features", _multimodal_oracle_sql())
 def x_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload column + Arrow-batched feature
     extraction via mapInPandas (codec stubbed — see venice_spark/multimodal.py;

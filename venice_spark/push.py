@@ -48,6 +48,17 @@ class PushResult:
     path: str
 
 
+def _fix_empty_partitioned_dir(out: DataFrame, path: str) -> None:
+    """A partitionBy write of an empty frame leaves a dir with no partition
+    subdirs (unreadable — no schema anywhere); rewrite plain so the parquet
+    footer carries the schema. Post-write directory check instead of a
+    pre-write take(1), which would recompute the pipeline's first partition."""
+    import os
+
+    if not any(e.startswith("partition_id=") for e in os.listdir(path)):
+        out.write.mode("overwrite").parquet(path)
+
+
 def _dedup_latest_wins(df: DataFrame, key_fields: list[str], order_col: str | None) -> DataFrame:
     """Keep one row per key. With an order column, highest wins (deterministic);
     without, rows must be identical duplicates (checked by caller)."""
@@ -137,12 +148,8 @@ class BatchPushJob:
         # partition_id as a *directory* partition: point/batch gets prune to
         # one dir (the Spark twin of routing a key to its owning partition),
         # and each dir holds one key-sorted file for rowgroup min/max pruning.
-        # An empty push writes unpartitioned so the parquet footer keeps the
-        # schema (a dir with zero partitions is unreadable).
-        if out.take(1):
-            out.write.mode("overwrite").partitionBy("partition_id").parquet(path)
-        else:
-            out.write.mode("overwrite").parquet(path)
+        out.write.mode("overwrite").partitionBy("partition_id").parquet(path)
+        _fix_empty_partitioned_dir(out, path)
 
         # W15 materialized views are co-written in the same job
         for view in views or []:
@@ -270,10 +277,8 @@ def incremental_push(
         merged, key_fields, meta.partition_count, bool(meta.config.get("md5_parity", False))
     )
     tmp = f"{path}__inc_tmp"
-    if out.take(1):
-        out.write.mode("overwrite").partitionBy("partition_id").parquet(tmp)
-    else:
-        out.write.mode("overwrite").parquet(tmp)
+    out.write.mode("overwrite").partitionBy("partition_id").parquet(tmp)
+    _fix_empty_partitioned_dir(out, tmp)
     import shutil
 
     shutil.rmtree(path)
