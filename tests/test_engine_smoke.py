@@ -92,3 +92,31 @@ def test_compute_over_keys(spark, tmp_root, sf_dir):
         assert r["score"] is not None
         assert -1.0001 <= r["cos"] <= 1.0001
         assert r["__veniceComputationError__"] == {}
+
+
+def test_compression_strategy_config(engine, spark, tmp_path):
+    import glob
+
+    for codec, ext in (("no_op", ""), ("gzip", ".gz.parquet"), ("zstd", ".zstd.parquet")):
+        name = f"comp_{codec}"
+        engine.create_store(name, key_fields=["k"], compression=codec)
+        engine.push(name, spark.createDataFrame([(1, "a" * 100)], "k long, v string"))
+        files = glob.glob(
+            f"{engine.catalog.version_dir(name, 1)}/partition_id=*/*.parquet"
+        )
+        assert files
+        if ext:
+            assert any(f.endswith(ext) for f in files), (codec, files)
+        else:
+            assert all(".gz." not in f and ".zstd." not in f for f in files), files
+
+
+def test_partial_subscribe(engine, spark, sf_dir):
+    engine.create_store("sub", key_fields=["c_custkey"], partition_count=8)
+    engine.push("sub", spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    st = engine.store("sub")
+    part = st.subscribe([0, 1])
+    pids = {r["partition_id"] for r in part.select("partition_id").distinct().collect()}
+    assert pids <= {0, 1} and pids
+    assert part.count() < st.df().count()
+    part.unpersist()

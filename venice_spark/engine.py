@@ -122,6 +122,14 @@ class StoreHandle:
         df.count()
         return df
 
+    def subscribe(self, partitions: Sequence[int]) -> DataFrame:
+        """Partial subscription: materialize only the given partitions
+        (DaVinciClient.subscribe(Set<Integer>) — DaVinciClient.java:33-44).
+        Directory pruning means only those partitions' files are ever read."""
+        df = self.df().filter(F.col("partition_id").isin(list(partitions))).cache()
+        df.count()
+        return df
+
 
 class VeniceSparkEngine:
     def __init__(self, spark: SparkSession, root: str):

@@ -148,7 +148,18 @@ class BatchPushJob:
         # partition_id as a *directory* partition: point/batch gets prune to
         # one dir (the Spark twin of routing a key to its owning partition),
         # and each dir holds one key-sorted file for rowgroup min/max pruning.
-        out.write.mode("overwrite").partitionBy("partition_id").parquet(path)
+        # Compression strategy is store-level (CompressionStrategy.java:11-13
+        # NO_OP/GZIP/ZSTD_WITH_DICT): parquet codec none/gzip/zstd — zstd's
+        # trained dictionary is parquet dictionary encoding, built in.
+        codec = {"no_op": "none", "gzip": "gzip", "zstd": "zstd"}[
+            str(meta.config.get("compression", "zstd")).lower()
+        ]
+        (
+            out.write.mode("overwrite")
+            .option("compression", codec)
+            .partitionBy("partition_id")
+            .parquet(path)
+        )
         _fix_empty_partitioned_dir(out, path)
 
         # W15 materialized views are co-written in the same job
