@@ -109,3 +109,24 @@ def test_quantize_roundtrip_cosine(spark, sf_dir):
     deq = rt.select(cosine_similarity("deq", W64).alias("c")).collect()
     errs = [abs(a["c"] - b["c"]) for a, b in zip(orig, deq) if a["c"] is not None]
     assert errs and max(errs) < 0.02, f"quantization cosine drift too high: {max(errs)}"
+
+
+def test_pack_sequences_budget_semantics(spark):
+    from venice_spark.dedup import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([4, 4, 4, 25, 3])], "doc_id long, n long"
+    )
+    out = pack_sequences(df, "n", "doc_id", budget=10, n_shards=1).collect()
+    packs = {r["doc_id"]: r["pack_id"] for r in out}
+    # cumsums: 4,8,12,37,40 -> buckets 0,0,1,3,3
+    assert packs == {0: 0, 1: 0, 2: 1, 3: 3, 4: 3}
+    assert all(r["shard"] == out[0]["shard"] for r in out)
+
+
+def test_bpe_ish_token_count(spark):
+    from venice_spark.functions.text import bpe_ish_token_count
+
+    df = spark.createDataFrame([("Hello, world 42!",)], "text string")
+    # tokens: Hello , world 4 2 !  -> 6
+    assert df.select(bpe_ish_token_count("text").alias("n")).first()["n"] == 6

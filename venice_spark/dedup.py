@@ -159,3 +159,87 @@ def embedding_near_dup_pairs(
             "cos",
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    budget: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Sequence packing for training batches: assign documents to packs of
+    ~`budget` total tokens. Greedy packing is inherently sequential, so the
+    scale-safe formulation shards first (hash of id), then packs within each
+    shard by running token total over a deterministic order — one window
+    per shard, fully parallel across shards. Output adds `shard` and
+    `pack_id`; (shard, pack_id) is the batch key.
+
+    Documents longer than the budget get a pack of their own (the running
+    total still advances past them)."""
+    from pyspark.sql import Window
+
+    # md5-based shard (portable construction — same math runs in any SQL
+    # engine for oracle parity; xxhash64 would be marginally cheaper)
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(id_col)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__cum", F.sum(F.col(token_col)).over(w))
+        .withColumn(
+            "pack_id",
+            ((F.col("__cum") - F.lit(1)) / F.lit(budget)).cast("bigint"),
+        )
+        .drop("__cum")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+    groups: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within a hamming radius. Pigeonhole blocking:
+    split the hash into `groups` bit-groups; any pair within hamming ≤
+    groups-1 shares at least one exact group, so candidates come from
+    `groups` hash-joins on (group_idx, group_bits) — never a cross join.
+    Verify = bit_count(xor) ≤ max_hamming. Requires max_hamming < groups."""
+    if max_hamming >= groups:
+        raise ValueError("pigeonhole blocking needs max_hamming < groups")
+    width = bits // groups
+    sh = df.select(F.col(id_col), TX.simhash(text_col, bits).alias("sh")).persist()
+    gcols = []
+    for g in range(groups):
+        gcols.append(
+            F.struct(
+                F.lit(g).alias("g"),
+                F.shiftright(F.col("sh"), g * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("gb"),
+            )
+        )
+    blocks = sh.select(
+        F.col(id_col), F.col("sh"), F.explode(F.array(*gcols)).alias("blk")
+    ).select(id_col, "sh", "blk.g", "blk.gb")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.gb") == F.col("b.gb"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

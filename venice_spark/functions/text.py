@@ -168,3 +168,13 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
         votes = F.aggregate(hashed, F.lit(0).cast("int"), _vote_fn(b))
         out = out + F.when(votes >= 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0))
     return out
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column | str, pattern: str = BPE_ISH_PATTERN) -> Column:
+    """Sub-word-ish token count via a GPT-2-flavored regex (letter runs,
+    single digits, punctuation marks) — the cheap stand-in for a real BPE
+    vocabulary when budgeting tokens at corpus scale. Pure expression."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(pattern), F.lit(0)))

@@ -996,3 +996,71 @@ def x_embed_quantize(spark, sf_dir):
     return df.withColumn("__q", VX.quantize_int8("embedding")).select(
         "vec_id", F.col("__q.amax").alias("amax"), F.col("__q.q").alias("q")
     )
+
+
+@register(
+    "x_bpe_token_count",
+    "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) "
+    "AS n_bpe_tokens FROM documents",
+)
+def x_bpe_token_count(spark, sf_dir):
+    """Sub-word-ish (BPE-flavored regex) token counting — the budget unit for
+    sequence packing; per-row expression, no shuffle."""
+    from venice_spark.functions import text as TX
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", TX.bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+@register(
+    "x_sequence_packing",
+    "WITH t AS (SELECT doc_id, "
+    f"  len({_TOKS}) AS n, "
+    "  (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32) AS shard "
+    "  FROM documents), "
+    "p AS (SELECT shard, CAST((sum(n) OVER (PARTITION BY shard ORDER BY doc_id) - 1) "
+    "  // 512 AS BIGINT) AS pack_id, n FROM t) "
+    "SELECT shard, pack_id, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens "
+    "FROM p GROUP BY shard, pack_id",
+)
+def x_sequence_packing(spark, sf_dir):
+    """Sequence packing: shard by id hash, running token total per shard,
+    pack = cumsum bucket of 512 tokens. Greedy packing made parallel —
+    one window per shard, shards independent (the 100 TB formulation)."""
+    from venice_spark.dedup import pack_sequences
+    from venice_spark.functions import text as TX
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count("text").alias("n")
+    )
+    packed = pack_sequences(df, "n", "doc_id", budget=512, n_shards=32)
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+    )
+
+
+def _simhash_pairs_oracle_sql(bits: int = 16, max_hamming: int = 3) -> str:
+    # independent construction: brute-force all-pairs verify (fine at sf0.01);
+    # the engine's pigeonhole blocking must find exactly the same pairs
+    base = _simhash_oracle_sql(bits)
+    return (
+        f"WITH sh AS ({base}) "
+        "SELECT * FROM ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+        f") WHERE hamming <= {max_hamming}"
+    )
+
+
+@register("x_simhash_pairs", _simhash_pairs_oracle_sql())
+def x_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs within hamming ≤ 3 via pigeonhole bit-group
+    blocking (4 groups of 4 bits: any pair ≤ 3 bits apart shares a group) —
+    candidates from 4 hash-joins, never O(n²); the oracle IS the O(n²)
+    brute force, so blocking completeness is exactly what's checked."""
+    from venice_spark.dedup import simhash_pairs
+
+    df = _t(spark, sf_dir, "documents")
+    return simhash_pairs(df, "text", "doc_id", bits=16, max_hamming=3, groups=4)
