@@ -31,6 +31,7 @@ HEADLINE = [
     "r12_count_group_by_bucket",
     "w1_put_latest_wins",
     "w3_partial_update_set_field",
+    "w7_dcr_merge",
     "w9_incremental_push",
     "w11_ttl_filter",
     "x_dedup_exact",

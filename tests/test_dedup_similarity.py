@@ -130,3 +130,13 @@ def test_bpe_ish_token_count(spark):
     df = spark.createDataFrame([("Hello, world 42!",)], "text string")
     # tokens: Hello , world 4 2 !  -> 6
     assert df.select(bpe_ish_token_count("text").alias("n")).first()["n"] == 6
+
+
+def test_ngram_jaccard_on_candidate_pairs(spark, docs_with_dups):
+    from venice_spark.dedup import ngram_jaccard
+
+    pairs = spark.createDataFrame([(0, 1000), (1, 1002)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard(pairs, docs_with_dups, "text", "doc_id").collect()}
+    assert out[(0, 1000)] == 1.0          # exact duplicate
+    assert 0.5 < out[(1, 1002)] < 1.0     # one word changed

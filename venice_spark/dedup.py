@@ -119,12 +119,27 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard(
-    df_a: DataFrame, df_b: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+    pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
 ) -> DataFrame:
-    """Exact token-n-gram jaccard for pre-paired frames (id_a/id_b join)."""
-    sh_a = df_a.select(F.col(id_col).alias("id_a"), TX.shingles(text_col, shingle_n).alias("sh_a"))
-    sh_b = df_b.select(F.col(id_col).alias("id_b"), TX.shingles(text_col, shingle_n).alias("sh_b"))
-    return sh_a, sh_b
+    """Exact token-n-gram jaccard for candidate pairs: `pairs` carries
+    (id_a, id_b) — from LSH, simhash blocking, or any blocking scheme —
+    and `docs` the corpus. Two hash joins against the shingled corpus,
+    verify math on candidates only."""
+    sh = docs.select(
+        F.col(id_col), TX.shingles(text_col, shingle_n).alias("__sh")
+    )
+    return (
+        pairs.join(
+            sh.withColumnsRenamed({id_col: "id_a", "__sh": "sh_a"}), "id_a"
+        )
+        .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash_buckets(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
