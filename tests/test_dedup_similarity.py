@@ -140,3 +140,21 @@ def test_ngram_jaccard_on_candidate_pairs(spark, docs_with_dups):
            ngram_jaccard(pairs, docs_with_dups, "text", "doc_id").collect()}
     assert out[(0, 1000)] == 1.0          # exact duplicate
     assert 0.5 < out[(1, 1002)] < 1.0     # one word changed
+
+
+def test_prepare_corpus_pipeline(spark, docs_with_dups):
+    from venice_spark.pipeline import CorpusPrepConfig, prepare_corpus
+
+    out = prepare_corpus(
+        docs_with_dups,
+        config=CorpusPrepConfig(
+            min_tokens=1, min_stopword_ratio=0.0, near_dup_jaccard=0.8, pack_budget=512
+        ),
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # exact dups (1000=copy of 0, 1001=case/space variant) deduped to doc 0;
+    # near-dup 1002 (1 word changed vs doc 1) removed by the LSH stage
+    assert 0 in ids and 1000 not in ids and 1001 not in ids
+    assert 1 in ids and 1002 not in ids
+    cols = out.columns
+    assert "n_tokens" in cols and "pack_id" in cols and "shard" in cols
