@@ -106,3 +106,68 @@ def test_windowed_rollup_under_stream(spark, tmp_path):
     }
     assert got[(10, "click")] == (2, 3.0)
     assert got[(11, "click")] == (1, 5.0)
+
+
+def test_dcr_stateful_cross_trigger(spark, tmp_path):
+    """Full field-level DCR as a streaming operator: state (serialized
+    RecordState) survives across triggers; result equals the batch kernel
+    folding the same ops."""
+    import pyspark.sql.types as T
+    from venice_spark.merge.dcr import merge_ops
+    from venice_spark.streaming.stateful import dcr_stateful
+
+    SRC = (
+        "key string, op string, ts long, colo int, val double, "
+        "tags array<string>, add_tags array<string>, rem_tags array<string>"
+    )
+    VALUE = T.StructType(
+        [
+            T.StructField("key", T.StringType(), False),
+            T.StructField("val", T.DoubleType(), True),
+            T.StructField("tags", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    batch1 = [
+        ("a", "PUT", 10, 0, 1.0, ["x"], None, None),
+        ("a", "UPDATE", 12, 1, None, None, ["y"], None),
+    ]
+    batch2 = [
+        ("a", "UPDATE", 11, 0, None, None, None, ["x"]),  # out-of-order remove
+        ("a", "PUT", 9, 1, 99.0, ["stale"], None, None),  # stale put, ignored
+    ]
+
+    def run_once(rows, out_dir):
+        spark.createDataFrame(rows, SRC).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(SRC).parquet(src)
+        q = (
+            dcr_stateful(stream, ["key"], VALUE, list_fields={"tags"})
+            .writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once(batch1, out + "1")
+    run_once(batch2, out + "2")
+
+    first = spark.read.parquet(out + "1").collect()[0]
+    assert sorted(first["tags"]) == ["x", "y"]  # state after trigger 1
+    last = spark.read.parquet(out + "2").collect()[0]
+    ops = [
+        {"op": "PUT", "ts": 10, "colo": 0, "value": {"val": 1.0, "tags": ["x"]}},
+        {"op": "UPDATE", "ts": 12, "colo": 1, "update": {"add_tags": ["y"]}},
+        {"op": "UPDATE", "ts": 11, "colo": 0, "update": {"rem_tags": ["x"]}},
+        {"op": "PUT", "ts": 9, "colo": 1, "value": {"val": 99.0, "tags": ["stale"]}},
+    ]
+    expected = merge_ops(ops, list_fields={"tags"})
+    assert last["val"] == expected["val"] == 1.0
+    assert sorted(last["tags"]) == sorted(expected["tags"]) == ["y"]

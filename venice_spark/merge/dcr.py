@@ -288,3 +288,44 @@ def _from_pandas(v):
     if isinstance(v, float) and v != v:  # NaN -> missing
         return None
     return v
+
+
+# ---- state serialization (for streaming DCR: state rides in GroupState) ----
+
+def _reg_to_dict(r: _Reg) -> dict:
+    return {"t": list(r.t) if r.t is not None else None, "value": r.value}
+
+
+def _reg_from_dict(d: dict) -> _Reg:
+    return _Reg(t=tuple(d["t"]) if d["t"] is not None else None, value=d["value"])
+
+
+def record_state_to_json(st: RecordState) -> str:
+    return json.dumps(
+        {
+            "scalars": {k: _reg_to_dict(r) for k, r in st.scalars.items()},
+            "collections": {
+                k: {
+                    "whole": _reg_to_dict(cs.whole),
+                    "elems": [[e, _reg_to_dict(r)] for e, r in cs.elems.items()],
+                    "is_map": cs.is_map,
+                }
+                for k, cs in st.collections.items()
+            },
+        },
+        default=str,
+    )
+
+
+def record_state_from_json(s: str) -> RecordState:
+    d = json.loads(s)
+    st = RecordState()
+    st.scalars = {k: _reg_from_dict(r) for k, r in d["scalars"].items()}
+    for k, cd in d["collections"].items():
+        cs = CollectionState(is_map=cd["is_map"])
+        cs.whole = _reg_from_dict(cd["whole"])
+        # JSON turns list elements into lists; element identities are
+        # scalars in practice (strings/numbers) so this round-trips exactly
+        cs.elems = {e if not isinstance(e, list) else tuple(e): _reg_from_dict(r) for e, r in cd["elems"]}
+        st.collections[k] = cs
+    return st

@@ -101,3 +101,83 @@ def latest_wins_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dcr_stateful(
+    updates,
+    key_fields: list[str],
+    value_schema: T.StructType,
+    list_fields: set | None = None,
+    map_fields: set | None = None,
+    ts_col: str = "ts",
+    op_col: str = "op",
+):
+    """Streaming active-active DCR: the full field-level merge kernel
+    (merge/dcr.py — per-field timestamps, collection element registers,
+    delete-wins-ties, deterministic tie-break) with per-key state carried
+    across triggers as serialized RecordState. This is the leader-ingestion
+    loop of the reference (ActiveActiveStoreIngestionTask.java:615,640:
+    read stored value+RMD, resolve, produce resolved record) as a
+    Structured Streaming operator.
+
+    `updates` rows: key fields + op (PUT/DELETE/UPDATE) + ts + colo + value
+    columns (PUT) and/or set_/add_/rem_/mapadd_/maprem_ columns (UPDATE).
+    Output: one resolved row per key per trigger in which its state
+    changed; deleted keys emit no row (tombstone stays in state so stale
+    ops cannot resurrect)."""
+    from venice_spark.merge.dcr import (
+        RecordState,
+        _from_pandas,
+        _is_update_col,
+        record_state_from_json,
+        record_state_to_json,
+    )
+
+    lf = set(list_fields or set())
+    mf = set(map_fields or set())
+    val_fields = [f.name for f in value_schema.fields if f.name not in key_fields]
+    out_schema = T.StructType(list(value_schema.fields))
+    state_schema = T.StructType([T.StructField("state_json", T.StringType(), True)])
+
+    def fold(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        st = (
+            record_state_from_json(state.get[0])
+            if state.exists and state.get[0]
+            else RecordState()
+        )
+        saw = False
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                saw = True
+                kind = row[op_col]
+                ts = int(row[ts_col])
+                colo = int(row["colo"]) if "colo" in row else 0
+                if kind == "PUT":
+                    value = {
+                        c: _from_pandas(row[c])
+                        for c in val_fields
+                        if c in row and not _is_update_col(c)
+                    }
+                    st.apply_put(value, ts, colo, lf, mf)
+                elif kind == "DELETE":
+                    st.apply_delete(ts, colo)
+                else:
+                    update = {
+                        c: _from_pandas(row[c]) for c in row.index if _is_update_col(c)
+                    }
+                    st.apply_update(update, ts, colo)
+        if saw:
+            state.update((record_state_to_json(st),))
+            merged = st.finalize(lf, mf)
+            if merged is not None:
+                yield pd.DataFrame(
+                    [{**dict(zip(key_fields, key)), **{c: merged.get(c) for c in val_fields}}]
+                )
+
+    return updates.groupBy(*key_fields).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
