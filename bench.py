@@ -82,6 +82,17 @@ def main():
         t0 = time.monotonic()
         eng.push("bench_li", li, allow_duplicate_key=True)
         timings["w8_batch_push"] = round(time.monotonic() - t0, 3)
+
+        # serving path against the pushed store: partition-dir pruned gets
+        st = eng.store("bench_li")
+        sample = [tuple(r) for r in li.select("l_orderkey", "l_linenumber").limit(200).collect()]
+        t0 = time.monotonic()
+        assert st.get(sample[0]) is not None
+        timings["r1_store_point_get"] = round(time.monotonic() - t0, 3)
+        keys = sample
+        t0 = time.monotonic()
+        st.batch_get(keys).write.format("noop").mode("overwrite").save()
+        timings["r2_store_batch_get"] = round(time.monotonic() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

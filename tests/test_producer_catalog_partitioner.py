@@ -87,3 +87,27 @@ def test_version_manifest_written_and_readable(spark, tmp_path):
     assert man["push_type"] == "full"
     assert man["partitioner"] == "xxhash64"
     assert man["version"] == eng.catalog.current_version("m")
+
+
+def test_partition_id_py_parity(spark):
+    """Driver-side partition id must equal the column expression for both
+    partitioners — gets route with the Python twin, pushes with the column."""
+    from venice_spark.partitioner import partition_id_py, with_partition_id
+
+    rows = [(1,), (42,), (999999,), (123456789012,)]
+    for md5p in (False, True):
+        kdf = spark.createDataFrame(rows, "k long")
+        got = {
+            r["k"]: r["partition_id"]
+            for r in with_partition_id(kdf, ["k"], 32, md5p).collect()
+        }
+        for (k,) in rows:
+            assert partition_id_py((k,), 32, md5p) == got[k], (md5p, k)
+    comp = [("a", 7), ("hello world", 123), ("", 0)]
+    kdf2 = spark.createDataFrame(comp, "a string, b long")
+    got2 = {
+        (r["a"], r["b"]): r["partition_id"]
+        for r in with_partition_id(kdf2, ["a", "b"], 16).collect()
+    }
+    for kt in comp:
+        assert partition_id_py(kt, 16) == got2[kt], kt

@@ -46,26 +46,37 @@ class StoreHandle:
     def key_fields(self) -> list[str]:
         return self.catalog.get_key_fields(self.name)
 
-    def _keys_with_pid(self, keys: Sequence[Any]) -> DataFrame:
-        """Key DataFrame stamped with the store's partition id (same column
-        expression the push used) — the router's key→partition math
-        (VeniceDelegateMode.java:191), here driving directory pruning."""
-        from venice_spark.partitioner import with_partition_id
+    def _keys_with_pid(self, keys: Sequence[Any]) -> tuple[DataFrame, list[int]]:
+        """Key DataFrame stamped with each key's partition id — the router's
+        key→partition math (VeniceDelegateMode.java:191), computed DRIVER-side
+        with the pure-Python twin of the partitioner (partition_id_py parity-
+        tested against the column expression) so no Spark job is spent on
+        routing; the ids drive directory pruning."""
+        from venice_spark.partitioner import partition_id_py
 
         meta = self.engine.catalog.get_store(self.name)
+        md5p = bool(meta.config.get("md5_parity", False))
         kf = self.key_fields
-        rows = [(k,) if len(kf) == 1 else tuple(k) for k in keys]
-        kdf = self.spark.createDataFrame(rows, schema=self.df().select(*kf).schema)
-        return with_partition_id(
-            kdf, kf, meta.partition_count, bool(meta.config.get("md5_parity", False))
-        )
+        rows = []
+        for k in keys:
+            kt = (k,) if len(kf) == 1 else tuple(k)
+            rows.append((*kt, partition_id_py(kt, meta.partition_count, md5p)))
+        import pyspark.sql.types as T
+
+        schema = self.df().select(*kf).schema.add("partition_id", T.IntegerType(), False)
+        kdf = self.spark.createDataFrame(rows, schema=schema)
+        return kdf, sorted({r[-1] for r in rows})
 
     # ---- R1 single get ----
     def get(self, key: Any) -> Row | None:
+        from venice_spark.partitioner import partition_id_py
+
+        meta = self.engine.catalog.get_store(self.name)
         kf = self.key_fields
         key_tuple = (key,) if len(kf) == 1 else tuple(key)
-        pid_rows = self._keys_with_pid([key]).collect()
-        pid = pid_rows[0]["partition_id"]
+        pid = partition_id_py(
+            key_tuple, meta.partition_count, bool(meta.config.get("md5_parity", False))
+        )
         cond = F.col("partition_id") == F.lit(pid)
         for k, v in zip(kf, key_tuple):
             cond = cond & (F.col(k) == F.lit(v))
@@ -79,8 +90,7 @@ class StoreHandle:
         version directories (only dirs owning requested keys are scanned),
         key-sorted files prune rowgroups via min/max."""
         kf = self.key_fields
-        kdf = self._keys_with_pid(keys)
-        pids = sorted({r["partition_id"] for r in kdf.select("partition_id").distinct().collect()})
+        kdf, pids = self._keys_with_pid(keys)
         return (
             self.df()
             .filter(F.col("partition_id").isin(pids))

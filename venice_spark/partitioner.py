@@ -72,3 +72,95 @@ def repartition_and_sort(
     return with_pid.repartition(num_partitions, F.col("partition_id")).sortWithinPartitions(
         *key_fields
     )
+
+
+# ---- driver-side partition id (no Spark job per lookup) ----
+
+_P1, _P2, _P3, _P4, _P5 = (
+    0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5,
+)
+_M = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def xxhash64_py(data: bytes, seed: int = 42) -> int:
+    """Pure-Python XXH64 (same algorithm Spark's `xxhash64` uses; Spark's
+    default seed is 42). Lets the driver compute a key's partition id
+    without launching a job — the router's key→partition math in-process."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while i <= n - 32:
+            for vi, off in ((1, 0), (2, 8), (3, 16), (4, 24)):
+                lane = int.from_bytes(data[i + off : i + off + 8], "little")
+                v = (v1, v2, v3, v4)[vi - 1]
+                v = (v + lane * _P2) & _M
+                v = _rotl(v, 31)
+                v = (v * _P1) & _M
+                if vi == 1:
+                    v1 = v
+                elif vi == 2:
+                    v2 = v
+                elif vi == 3:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            v = (v * _P2) & _M
+            v = _rotl(v, 31)
+            v = (v * _P1) & _M
+            h = ((h ^ v) * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i <= n - 8:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        k = (lane * _P2) & _M
+        k = _rotl(k, 31)
+        k = (k * _P1) & _M
+        h = (_rotl(h ^ k, 27) * _P1 + _P4) & _M
+        i += 8
+    if i <= n - 4:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        h = (_rotl(h ^ ((lane * _P1) & _M), 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M), 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def partition_id_py(key_values, num_partitions: int, md5_parity: bool = False) -> int:
+    """Driver-side twin of `with_partition_id`: same key serialization
+    (string forms joined with 0x00, utf-8), same hash, same mod."""
+    import hashlib
+
+    data = "\x00".join(_str_form(v) for v in key_values).encode("utf-8")
+    if md5_parity:
+        return int.from_bytes(hashlib.md5(data).digest(), "big") % num_partitions
+    h = xxhash64_py(data)
+    signed = h - (1 << 64) if h >= (1 << 63) else h
+    return signed % num_partitions  # Python % is pmod for negative values
+
+
+def _str_form(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v == int(v):
+        return str(v)
+    return str(v)
