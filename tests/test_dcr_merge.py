@@ -159,3 +159,58 @@ def test_any_arrival_order_same_state(ops, seed):
     shuffled = ops[:]
     random.Random(seed).shuffle(shuffled)
     assert merge_ops(shuffled, LF, MF) == expected
+
+
+# ---- state serialization properties (streaming DCR correctness) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st_
+
+_elem = st_.sampled_from(["a", "b", "c"])
+_op = st_.one_of(
+    st_.builds(
+        lambda ts, colo, v, tags: {"op": "PUT", "ts": ts, "colo": colo,
+                                   "value": {"v": v, "tags": tags}},
+        st_.integers(1, 20), st_.integers(0, 2), st_.integers(0, 9),
+        st_.lists(_elem, max_size=3),
+    ),
+    st_.builds(
+        lambda ts, colo: {"op": "DELETE", "ts": ts, "colo": colo},
+        st_.integers(1, 20), st_.integers(0, 2),
+    ),
+    st_.builds(
+        lambda ts, colo, add, rem: {"op": "UPDATE", "ts": ts, "colo": colo,
+                                    "update": {"add_tags": add or None, "rem_tags": rem or None}},
+        st_.integers(1, 20), st_.integers(0, 2),
+        st_.lists(_elem, max_size=2), st_.lists(_elem, max_size=2),
+    ),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ops=st_.lists(_op, min_size=1, max_size=10), cut=st_.integers(0, 10))
+def test_state_json_roundtrip_mid_fold_preserves_result(ops, cut):
+    """Streaming DCR serializes state between triggers; folding ops with a
+    JSON round-trip at ANY split point must equal the uninterrupted fold."""
+    from venice_spark.merge.dcr import (
+        RecordState, merge_ops, record_state_from_json, record_state_to_json,
+    )
+
+    cut = min(cut, len(ops))
+    lf = {"tags"}
+
+    def apply(st, op):
+        if op["op"] == "PUT":
+            st.apply_put(op["value"], op["ts"], op["colo"], lf, set())
+        elif op["op"] == "DELETE":
+            st.apply_delete(op["ts"], op["colo"])
+        else:
+            st.apply_update(op["update"], op["ts"], op["colo"])
+
+    st = RecordState()
+    for op in ops[:cut]:
+        apply(st, op)
+    st = record_state_from_json(record_state_to_json(st))
+    for op in ops[cut:]:
+        apply(st, op)
+    assert st.finalize(lf, set()) == merge_ops(ops, lf, set())

@@ -23,4 +23,19 @@ from venice_spark.engine import VeniceSparkEngine
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "StoreCatalog", "VeniceSparkEngine", "__version__"]
+__all__ = [
+    "get_spark",
+    "StoreCatalog",
+    "VeniceSparkEngine",
+    "__version__",
+    # heavier surfaces live in submodules (imported lazily by users):
+    #   venice_spark.compute      read-compute DSL
+    #   venice_spark.updates      write-compute partial updates
+    #   venice_spark.producer     put/delete/update producer
+    #   venice_spark.merge.dcr    active-active conflict resolution
+    #   venice_spark.streaming    hybrid replay / CDC / stateful operators
+    #   venice_spark.dedup        dedup + sequence packing
+    #   venice_spark.similarity   ANN (brute force / LSH / IVF)
+    #   venice_spark.pipeline     corpus-prep composition
+    #   venice_spark.multimodal   binary media columns
+]
