@@ -1064,3 +1064,45 @@ def x_simhash_pairs(spark, sf_dir):
 
     df = _t(spark, sf_dir, "documents")
     return simhash_pairs(df, "text", "doc_id", bits=16, max_hamming=3, groups=4)
+
+
+@register(
+    "x_skew_salted_count",
+    "SELECT l_returnflag, count(*) AS count FROM lineitem GROUP BY 1",
+)
+def x_skew_salted_count(spark, sf_dir):
+    """Skew-safe two-level aggregation (skew.salted_count): salt spreads
+    each hot key over 64 reducers, combine sums the partials. The oracle is
+    the plain GROUP BY — equivalence is exactly the property to check."""
+    from venice_spark.skew import salted_count
+
+    df = _t(spark, sf_dir, "lineitem")
+    return salted_count(df, ["l_returnflag"], salt_buckets=64)
+
+
+_Q_N = f"len({_TOKS})"
+_Q_SW = (
+    f"CAST(len(list_filter({_TOKS}, tk -> lower(tk) IN {_SW_IN})) AS DOUBLE) "
+    f"/ CAST(len({_TOKS}) AS DOUBLE)"
+)
+_Q_AVG = (
+    f"CAST(list_sum(list_transform({_TOKS}, tk -> length(tk))) AS DOUBLE) "
+    f"/ CAST(len({_TOKS}) AS DOUBLE)"
+)
+
+@register(
+    "x_quality_score",
+    "SELECT doc_id, ("
+    f"  (CASE WHEN {_Q_N} >= 20 THEN 1.0 ELSE CAST({_Q_N} AS DOUBLE) / 20.0 END) * 0.4"
+    f"  + least({_Q_SW} * 4.0, 1.0) * 0.4"
+    f"  + (CASE WHEN {_Q_AVG} >= 2.0 AND {_Q_AVG} <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2"
+    ") AS quality FROM documents",
+)
+def x_quality_score(spark, sf_dir):
+    """Composite quality heuristic in [0,1] (functions/text.quality_score):
+    length, stopword-presence, and token-shape terms — the cheap pre-filter
+    for corpus cleaning, mirrored term-for-term in the oracle."""
+    from venice_spark.functions import text as TX
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", TX.quality_score("text").alias("quality"))
