@@ -1106,3 +1106,35 @@ def x_quality_score(spark, sf_dir):
 
     df = _t(spark, sf_dir, "documents")
     return df.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+@register(
+    "r11_multi_field_facets",
+    "SELECT 'c_mktsegment' AS field, value, count FROM ("
+    "  SELECT c_mktsegment AS value, count(*) AS count FROM customer"
+    "  GROUP BY 1 ORDER BY count DESC, value ASC LIMIT 3) "
+    "UNION ALL "
+    "SELECT 'c_nationkey', value, count FROM ("
+    "  SELECT CAST(c_nationkey AS VARCHAR) AS value, count(*) AS count FROM customer"
+    "  GROUP BY 1 ORDER BY count DESC, value ASC LIMIT 3)",
+)
+def r11_multi_field_facets(spark, sf_dir):
+    """R11 multi-field form: countGroupByValue(topK, field...) returns an
+    independent top-K per requested field
+    (ComputeAggregationRequestBuilder.java:16). Values stringified so the
+    per-field frames union into one result."""
+    from venice_spark.compute import ComputeAggregationBuilder
+
+    df = _t(spark, sf_dir, "customer").withColumn(
+        "c_nationkey", F.col("c_nationkey").cast("string")
+    )
+    per_field = ComputeAggregationBuilder(df, ["c_custkey"]).count_group_by_value(
+        3, "c_mktsegment", "c_nationkey"
+    )
+    out = None
+    for fname, frame in per_field.items():
+        tagged = frame.select(
+            F.lit(fname).alias("field"), F.col("value").cast("string").alias("value"), "count"
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
