@@ -1138,3 +1138,48 @@ def r11_multi_field_facets(spark, sf_dir):
         )
         out = tagged if out is None else out.unionByName(tagged)
     return out
+
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, in microseconds
+
+@register(
+    "x_sessionize",
+    # microsecond precision on both sides: DuckDB reads TIMESTAMP(NANOS)
+    # parquet at us precision, Spark reads exact ns -> truncate to us
+    "WITH s AS (SELECT user_id, epoch_us(ts) AS tus, "
+    "  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > "
+    f"  {_GAP_US} THEN 1 ELSE 0 END AS new_s FROM events "
+    "  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))), "
+    "t AS (SELECT user_id, tus, CAST(sum(new_s) OVER ("
+    "  PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS BIGINT)"
+    "  AS session_seq FROM s) "
+    "SELECT user_id, session_seq, count(*) AS n_events, "
+    "min(tus) AS start_ts, max(tus) AS end_ts, max(tus) - min(tus) AS duration "
+    "FROM t GROUP BY user_id, session_seq",
+)
+def x_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event log (30-min gap): lag + running
+    sum per user, then per-session rollup. One shuffle on the user key; the
+    batch twin of F.session_window, oracle-checkable."""
+    from venice_spark.sessions import session_stats
+
+    df = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("tus")
+    )
+    return session_stats(df, "user_id", "tus", _GAP_US)
+
+
+@register(
+    "x_distinct_users",
+    "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events "
+    "FROM events GROUP BY 1",
+)
+def x_distinct_users(spark, sf_dir):
+    """Exact distinct-user rollup per event type (partial-agg friendly:
+    Spark expands countDistinct into a two-phase aggregate). The HLL
+    variant is r16_hll_approx; this is its exact oracle-checked twin."""
+    df = _t(spark, sf_dir, "events")
+    return df.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
