@@ -158,3 +158,14 @@ def test_prepare_corpus_pipeline(spark, docs_with_dups):
     assert 1 in ids and 1002 not in ids
     cols = out.columns
     assert "n_tokens" in cols and "pack_id" in cols and "shard" in cols
+
+
+def test_dup_clusters_transitive(spark):
+    from venice_spark.dedup import dup_clusters
+
+    # chain 1~2~3 plus pair 10~11: two components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

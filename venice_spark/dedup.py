@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines (north-star surface).
 
-Five strategies, all partition-parallel and shuffle-minimal:
+Strategies, all partition-parallel and shuffle-minimal:
 
   exact_dedup        hash-groupBy on a normalized fingerprint — one shuffle
   minhash_lsh_pairs  shingle → minhash → band-bucket join — candidate pairs
@@ -8,6 +8,8 @@ Five strategies, all partition-parallel and shuffle-minimal:
   simhash_pairs      16/64-bit simhash, bucket by hash, optional hamming radius
   ngram_jaccard      exact jaccard between candidate pairs
   embedding_near_dup blocked cosine near-duplicate pairs over vectors
+  dup_clusters       transitive dup groups (min-label connected components)
+  pack_sequences     token-budget batch assignment (sharded cumsum)
 
 Scale design: every candidate-generation step is a hash join on a derived
 bucket key (band hash / simhash / blocking key), so the shuffle volume is
@@ -258,3 +260,61 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Transitive duplicate clusters from near-dup pairs: connected
+    components by iterative min-label propagation. Returns (id, cluster_id)
+    with cluster_id = the component's minimum member id (the canonical
+    survivor). Dedup graphs are unions of small cliques, so convergence is
+    fast (diameter rounds, typically 2-3); each round is one join + one
+    aggregate — no driver-side graph state.
+
+    An iterative dataflow by nature (no single SQL equivalent) — the
+    pytest fixture checks planted chains A~B~C collapse to one cluster."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -1183,3 +1183,17 @@ def x_distinct_users(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
+
+
+@register("x_dup_clusters")  # rows-only: iterative dataflow, no single-SQL oracle
+def x_dup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: MinHash pairs -> connected components
+    by min-label propagation (dedup.dup_clusters). Iterative joins with a
+    convergence check — the one operator here that is genuinely not
+    expressible as one SQL statement; chain semantics are pytest-pinned
+    (planted A~B~C collapses to one cluster)."""
+    from venice_spark.dedup import dup_clusters, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.02)
+    return dup_clusters(pairs)
