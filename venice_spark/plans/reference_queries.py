@@ -1197,3 +1197,40 @@ def x_dup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.02)
     return dup_clusters(pairs)
+
+
+@register(
+    "x_event_percentiles",
+    "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
+    "quantile_cont(value, 0.95) AS p95, quantile_cont(value, 0.99) AS p99 "
+    "FROM events GROUP BY 1",
+)
+def x_event_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (the serving-latency
+    rollup shape). Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition -> bit-comparable."""
+    df = _t(spark, sf_dir, "events")
+    return df.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+
+
+@register(
+    "x_event_histogram",
+    "SELECT event_type, "
+    "CAST(least(20.0, greatest(0.0, floor(value / 50.0))) AS BIGINT) AS bucket, "
+    "count(*) AS n FROM events GROUP BY 1, 2",
+)
+def x_event_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type (bucket width 50, clamped
+    to [0, 20]) — the profile/quality-dashboard shape; pure partial-agg,
+    one shuffle."""
+    df = _t(spark, sf_dir, "events")
+    bucket = F.least(
+        F.lit(20.0), F.greatest(F.lit(0.0), F.floor(F.col("value") / 50.0))
+    ).cast("bigint")
+    return df.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
