@@ -1,0 +1,34 @@
+"""As-of join semantics: inclusive boundary, nulls before first right row,
+per-key isolation."""
+
+from venice_spark.operators.asof import asof_join
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [("u1", 5), ("u1", 10), ("u1", 15), ("u2", 10), ("u3", 99)],
+        "k string, lts long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 12, "b"), ("u2", 1, "c")],
+        "k string, rts long, payload string",
+    )
+    out = {
+        (r["k"], r["lts"]): r["payload"]
+        for r in asof_join(left, right, ["k"], "lts", "rts", ["payload"]).collect()
+    }
+    assert out == {
+        ("u1", 5): None,    # nothing at or before 5
+        ("u1", 10): "a",    # inclusive boundary
+        ("u1", 15): "b",    # latest preceding
+        ("u2", 10): "c",
+        ("u3", 99): None,   # key with no right rows
+    }
+    ex = {
+        (r["k"], r["lts"]): r["payload"]
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["payload"], inclusive=False
+        ).collect()
+    }
+    assert ex[("u1", 10)] is None  # strict: same-ts right row excluded
+    assert ex[("u1", 15)] == "b"

@@ -1,0 +1,52 @@
+"""As-of join: for each left row, the most recent right row at or before
+its timestamp, per key — the point-in-time lookup every feature/training
+pipeline needs (label events joined to the latest snapshot/dimension).
+
+Spark has no ASOF JOIN operator; the naive range join explodes to
+O(left × right) per key. The scale-safe formulation is the union-tag
+trick: interleave both sides sorted by (key, ts), carry the right side's
+columns forward with last(ignorenulls) over an unbounded-preceding window,
+then keep only left rows. One shuffle on the key, linear work — the same
+plan shape as latest-wins compaction.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """Left as-of join: output = left columns + `right_cols` from the most
+    recent right row with right_ts <= left_ts (or < when inclusive=False),
+    same key; NULLs when no right row precedes. Right rows should be unique
+    per (key, right_ts) — pre-aggregate otherwise (ambiguous as-of)."""
+    lt = left.withColumn("__ats", F.col(left_ts)).withColumn(
+        "__side", F.lit(1 if inclusive else 0)
+    )
+    rt = right.select(
+        *key_cols,
+        F.col(right_ts).alias("__ats"),
+        F.lit(0 if inclusive else 1).alias("__side"),
+        *[F.col(c) for c in right_cols],
+    )
+    both = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__ats", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = both
+    for c in right_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.filter(F.col("__side") == (1 if inclusive else 0)).drop(
+        "__ats", "__side"
+    )

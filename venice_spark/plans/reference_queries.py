@@ -1234,3 +1234,39 @@ def x_event_histogram(spark, sf_dir):
     return df.groupBy("event_type", bucket.alias("bucket")).agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "x_asof_join",
+    "WITH r AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS ots, "
+    "  arg_max(o_orderkey, o_orderkey) AS o_orderkey, "
+    "  arg_max(o_totalprice, o_orderkey) AS o_totalprice "
+    "  FROM orders GROUP BY 1, 2), "
+    "e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events) "
+    "SELECT e.event_id, e.user_id, e.tus, r.o_orderkey, r.o_totalprice "
+    "FROM e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.tus >= r.ots",
+)
+def x_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each event picks the customer's most
+    recent order at event time. DuckDB's native ASOF JOIN is the oracle;
+    the Spark side is the union-tag + last(ignorenulls) linear formulation
+    (one shuffle, no range-join blowup). Right side pre-aggregated to one
+    row per (key, ts) so the as-of target is unambiguous."""
+    from venice_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("tus")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ots"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    r = orders.groupBy("user_id", "ots").agg(
+        F.max_by("o_orderkey", "o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+    return asof_join(
+        ev, r, ["user_id"], "tus", "ots", ["o_orderkey", "o_totalprice"]
+    )
