@@ -32,3 +32,21 @@ def test_asof_join_semantics(spark):
     }
     assert ex[("u1", 10)] is None  # strict: same-ts right row excluded
     assert ex[("u1", 15)] == "b"
+
+
+def test_range_join_semantics(spark):
+    from venice_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame(
+        [("u1", 5), ("u1", 15), ("u1", 25), ("u2", 15)], "k string, ts long"
+    )
+    ivs = spark.createDataFrame(
+        [("u1", 0, 10, "A"), ("u1", 10, 20, "B"), ("u2", 100, 200, "C")],
+        "k string, s long, e long, name string",
+    )
+    # tiny bucket width forces multi-bucket intervals; results must not dup
+    out = sorted(
+        (r["k"], r["ts"], r["name"])
+        for r in range_join(pts, ivs, ["k"], "ts", "s", "e", bucket_width=3).collect()
+    )
+    assert out == [("u1", 5, "A"), ("u1", 15, "B")]

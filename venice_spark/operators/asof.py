@@ -50,3 +50,40 @@ def asof_join(
     return out.filter(F.col("__side") == (1 if inclusive else 0)).drop(
         "__ats", "__side"
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval join without the O(points × intervals) per-key
+    blowup: both sides map to coarse time buckets of `bucket_width`
+    (intervals explode to every bucket they overlap, points to exactly
+    one), the join runs on (key, bucket) equality — hash join, AQE
+    skew-split applies — and the exact start <= ts <= end predicate filters
+    the survivors. Each (point, interval) pair meets in exactly one bucket
+    (the point's), so no dedup is needed.
+
+    Pick bucket_width near the typical interval length: the interval
+    explosion factor is len/width + 1, the bucket collision factor is
+    width-proportional — the usual space/selectivity tradeoff."""
+    p = points.withColumn("__b", F.floor(F.col(ts_col) / bucket_width))
+    i = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width),
+                F.floor(F.col(end_col) / bucket_width),
+            )
+        ),
+    )
+    return (
+        p.join(i, on=[*key_cols, "__b"])
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("__b")
+    )

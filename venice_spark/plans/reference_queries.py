@@ -1270,3 +1270,33 @@ def x_asof_join(spark, sf_dir):
     return asof_join(
         ev, r, ["user_id"], "tus", "ots", ["o_orderkey", "o_totalprice"]
     )
+
+
+_DAY_US = 86_400_000_000
+
+@register(
+    "x_range_join",
+    "WITH i AS (SELECT o_custkey AS user_id, o_orderkey, "
+    f"  epoch_us(o_orderdate) AS s, epoch_us(o_orderdate) + 7 * {_DAY_US} AS e "
+    "  FROM orders), "
+    "p AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events) "
+    "SELECT p.event_id, p.user_id, p.tus, i.o_orderkey, i.s, i.e "
+    "FROM p JOIN i ON p.user_id = i.user_id AND p.tus >= i.s AND p.tus <= i.e",
+)
+def x_range_join(spark, sf_dir):
+    """Range (interval) join: events falling in each order's 7-day window.
+    Bucketized formulation (operators/asof.range_join): hash join on
+    (key, time bucket) + exact predicate — never the per-key cross join a
+    naive BETWEEN join plans. Oracle is the naive BETWEEN join."""
+    from venice_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("tus")
+    )
+    iv = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) + 7 * _DAY_US).alias("e"),
+    )
+    return range_join(ev, iv, ["user_id"], "tus", "s", "e", bucket_width=7 * _DAY_US)
