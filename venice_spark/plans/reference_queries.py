@@ -1300,3 +1300,19 @@ def x_range_join(spark, sf_dir):
         (F.unix_micros(F.col("o_orderdate").cast("timestamp")) + 7 * _DAY_US).alias("e"),
     )
     return range_join(ev, iv, ["user_id"], "tus", "s", "e", bucket_width=7 * _DAY_US)
+
+
+@register(
+    "x_rollup_agg",
+    "SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars "
+    "FROM documents GROUP BY ROLLUP(lang, source)",
+)
+def x_rollup_agg(spark, sf_dir):
+    """Hierarchical rollup (lang -> source -> grand total) — the multi-level
+    accounting query over a corpus; subtotal rows carry NULL group keys in
+    both engines. Partial-agg per grouping set, one shuffle."""
+    df = _t(spark, sf_dir, "documents")
+    return df.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
