@@ -34,6 +34,27 @@ def test_asof_join_semantics(spark):
     assert ex[("u1", 15)] == "b"
 
 
+def test_asof_join_rejects_column_collision(spark):
+    import pytest
+
+    left = spark.createDataFrame([("u1", 5, "mine")], "k string, lts long, payload string")
+    right = spark.createDataFrame([("u1", 1, "theirs")], "k string, rts long, payload string")
+    with pytest.raises(ValueError, match="payload"):
+        asof_join(left, right, ["k"], "lts", "rts", ["payload"])
+
+
+def test_asof_join_null_right_value_is_matched(spark):
+    """A right row with a NULL payload is still the match — its NULL is
+    carried (DuckDB/pandas ASOF semantics), not skipped for an older
+    non-null row."""
+    left = spark.createDataFrame([("u1", 20)], "k string, lts long")
+    right = spark.createDataFrame(
+        [("u1", 5, "old"), ("u1", 15, None)], "k string, rts long, payload string"
+    )
+    rows = asof_join(left, right, ["k"], "lts", "rts", ["payload"]).collect()
+    assert rows[0]["payload"] is None
+
+
 def test_range_join_semantics(spark):
     from venice_spark.operators.asof import range_join
 

@@ -68,6 +68,16 @@ def test_stateful_delete_wins_ties_and_blocks_stale_puts(spark, tmp_path):
     assert out == {"c": (5.0, 30)}
 
 
+def test_stateful_put_tie_is_arrival_order_independent(spark, tmp_path):
+    """Two PUTs with equal ts resolve by the deterministic value-rank
+    tiebreak (merge/dcr._rank: larger canonical JSON wins), not by arrival
+    order — run both orders, same winner."""
+    rows_ab = [("k", 1.0, 10, "PUT"), ("k", 2.0, 10, "PUT")]
+    out1 = _run(spark, tmp_path / "o1", rows_ab)
+    out2 = _run(spark, tmp_path / "o2", list(reversed(rows_ab)))
+    assert out1 == out2 == {"k": (2.0, 10)}
+
+
 def test_windowed_rollup_under_stream(spark, tmp_path):
     """The x_event_rollup aggregation shape under readStream + watermark:
     tumbling 1h windows, availableNow trigger, append after watermark close."""

@@ -78,6 +78,89 @@ def test_hybrid_rewind_filters_old_rows(spark, tmp_path):
     assert out == {"a": 1.0, "b": 2.0}
 
 
+def test_latest_wins_null_op_is_put(spark):
+    # rows from an op-less source (e.g. the serving table) union'd with an
+    # op-carrying stream get op=NULL — they must count as PUTs, not vanish
+    df = spark.createDataFrame(
+        [("a", 1.0, 10, None), ("b", 2.0, 20, "PUT"), ("c", 3.0, 5, "DELETE")],
+        schema=SCHEMA + ", op string",
+    )
+    out = {r["key"]: r["val"] for r in latest_wins(df, ["key"], "ts").collect()}
+    assert out == {"a": 1.0, "b": 2.0}
+
+
+def test_hybrid_replay_op_stream_keeps_serving_only_keys(spark, tmp_path):
+    """Serving keys untouched by an op-carrying micro-batch must survive
+    (regression: NULL op on serving rows used to fail the DELETE filter)."""
+    root = str(tmp_path / "cat")
+    catalog = StoreCatalog(root)
+    catalog.create_store("h", key_fields=["key"], hybrid=True, rewind_seconds=0)
+
+    serving = str(tmp_path / "serving")
+    spark.createDataFrame(
+        [("a", 1.0, 10), ("b", 1.0, 10)], schema=SCHEMA
+    ).write.parquet(serving)
+
+    rt_dir = str(tmp_path / "rt")
+    os.makedirs(rt_dir)
+    spark.createDataFrame(
+        [("a", 5.0, 20, "PUT")], schema=SCHEMA + ", op string"
+    ).write.mode("append").parquet(rt_dir)
+
+    replay = HybridReplay(spark, catalog, "h", serving)
+    stream = spark.readStream.schema(SCHEMA + ", op string").parquet(rt_dir)
+    q = replay.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    out = {r["key"]: r["val"] for r in replay.read().collect()}
+    assert out == {"a": 5.0, "b": 1.0}
+
+
+def test_hybrid_replay_tombstone_blocks_stale_put(spark, tmp_path):
+    """A DELETE persists as a tombstone in the serving table, so a stale PUT
+    (older ts) arriving in a LATER micro-batch cannot resurrect the key —
+    the arrival-order determinism contract (Merge.java:27-31)."""
+    root = str(tmp_path / "cat")
+    catalog = StoreCatalog(root)
+    catalog.create_store("h", key_fields=["key"], hybrid=True, rewind_seconds=0)
+
+    serving = str(tmp_path / "serving")
+    spark.createDataFrame([("a", 1.0, 10), ("b", 2.0, 10)], schema=SCHEMA).write.parquet(serving)
+
+    rt_dir = str(tmp_path / "rt")
+    os.makedirs(rt_dir)
+    replay = HybridReplay(spark, catalog, "h", serving)
+
+    # micro-batch 1: delete 'a' at ts=50
+    spark.createDataFrame(
+        [("a", 0.0, 50, "DELETE")], schema=SCHEMA + ", op string"
+    ).write.mode("append").parquet(rt_dir)
+    stream = spark.readStream.schema(SCHEMA + ", op string").parquet(rt_dir)
+    q = replay.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert {r["key"] for r in replay.read().collect()} == {"b"}
+
+    # micro-batch 2: stale PUT for 'a' at ts=30 (< tombstone's 50)
+    spark.createDataFrame(
+        [("a", 9.0, 30, "PUT"), ("b", 3.0, 60, "PUT")], schema=SCHEMA + ", op string"
+    ).write.mode("append").parquet(rt_dir)
+    stream = spark.readStream.schema(SCHEMA + ", op string").parquet(rt_dir)
+    q = replay.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    out = {r["key"]: r["val"] for r in replay.read().collect()}
+    assert out == {"b": 3.0}  # 'a' stays deleted
+    # a FRESH put (ts > tombstone) does resurrect
+    spark.createDataFrame(
+        [("a", 7.0, 70, "PUT")], schema=SCHEMA + ", op string"
+    ).write.mode("append").parquet(rt_dir)
+    stream = spark.readStream.schema(SCHEMA + ", op string").parquet(rt_dir)
+    q = replay.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    out = {r["key"]: r["val"] for r in replay.read().collect()}
+    assert out == {"a": 7.0, "b": 3.0}
+
+
 def test_change_events_batch(spark):
     log = spark.createDataFrame(
         [("a", 1.0, 10), ("a", 2.0, 20), ("b", 5.0, 15)], schema=SCHEMA

@@ -28,7 +28,18 @@ def asof_join(
     """Left as-of join: output = left columns + `right_cols` from the most
     recent right row with right_ts <= left_ts (or < when inclusive=False),
     same key; NULLs when no right row precedes. Right rows should be unique
-    per (key, right_ts) — pre-aggregate otherwise (ambiguous as-of)."""
+    per (key, right_ts) — pre-aggregate otherwise (ambiguous as-of).
+
+    `right_cols` must not already exist on `left` (raises): left rows'
+    own values would otherwise be indistinguishable from right-side values
+    in the carry-forward. Right values ride in one struct per right row, so
+    a right row whose column is NULL still *matches* (the NULL is carried,
+    like DuckDB/pandas ASOF) instead of being skipped for an older value."""
+    clash = [c for c in right_cols if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"right_cols {clash} already exist on the left frame; rename them first"
+        )
     lt = left.withColumn("__ats", F.col(left_ts)).withColumn(
         "__side", F.lit(1 if inclusive else 0)
     )
@@ -36,7 +47,7 @@ def asof_join(
         *key_cols,
         F.col(right_ts).alias("__ats"),
         F.lit(0 if inclusive else 1).alias("__side"),
-        *[F.col(c) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__rvals"),
     )
     both = lt.unionByName(rt, allowMissingColumns=True)
     w = (
@@ -44,11 +55,11 @@ def asof_join(
         .orderBy("__ats", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = both
+    out = both.withColumn("__rvals", F.last("__rvals", ignorenulls=True).over(w))
     for c in right_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        out = out.withColumn(c, F.col("__rvals").getField(c))
     return out.filter(F.col("__side") == (1 if inclusive else 0)).drop(
-        "__ats", "__side"
+        "__ats", "__side", "__rvals"
     )
 
 

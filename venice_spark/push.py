@@ -246,12 +246,14 @@ def incremental_push(
     order_col: str | None = None,
     nulls_as_deletes: bool = False,
 ) -> PushResult:
-    """W9: append a keyed delta into the *current* version without a swap.
+    """W9: apply a keyed delta onto the current version's content.
 
-    Implemented as delta-partition append + latest-wins compaction on read;
-    here we compact eagerly into a new version dir but keep the version number
-    (mirrors how servers apply incremental push records onto the current
-    version; VenicePushJob.java:919-931).
+    The reference applies incremental-push records in place on the current
+    version (VenicePushJob.java:919-931); the Spark-first materialization
+    compacts base ∪ delta eagerly into a NEW version dir and flips the
+    catalog pointer — the logical content is identical, and the flip is
+    atomic (os.replace of store.json), so a crash mid-push never loses the
+    previous snapshot and concurrent readers always see a complete version.
 
     nulls_as_deletes: ETL-shaped inputs encode deletes as null values
     (union[null, T] — etl/UnionValueWithNull.avsc, TestBatch.java:768-791);
@@ -282,19 +284,24 @@ def incremental_push(
         merged = merged.filter(
             ~F.coalesce(F.col("__del"), F.lit(False))
         ).drop("__del")
-    version = catalog.current_version(store)
+    version = catalog.begin_version(store)
     path = catalog.version_dir(store, version)
     out = repartition_and_sort(
         merged, key_fields, meta.partition_count, bool(meta.config.get("md5_parity", False))
     )
-    tmp = f"{path}__inc_tmp"
-    out.write.mode("overwrite").partitionBy("partition_id").parquet(tmp)
-    _fix_empty_partitioned_dir(out, tmp)
-    import shutil
-
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    out.write.mode("overwrite").partitionBy("partition_id").parquet(path)
+    _fix_empty_partitioned_dir(out, path)
     rows = spark.read.parquet(path).count()
+    catalog.commit_version(
+        store,
+        version,
+        manifest={
+            "rows": rows,
+            "partition_count": meta.partition_count,
+            "partitioner": "md5" if meta.config.get("md5_parity") else "xxhash64",
+            "push_type": "incremental",
+        },
+    )
     return PushResult(store, version, rows, meta.partition_count, path)
 
 

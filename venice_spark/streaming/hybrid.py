@@ -25,15 +25,47 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from venice_spark.catalog import StoreCatalog
 
 
+def _is_delete() -> "F.Column":
+    """NULL-safe tombstone test: rows without an op (or op=NULL) are PUTs.
+    A plain `op != 'DELETE'` is NULL for op-less rows and silently drops
+    them through a filter."""
+    return F.coalesce(F.col("op") == F.lit("DELETE"), F.lit(False))
+
+
+def resolve_latest(
+    df: DataFrame, key_fields: list[str], ts_col: str, tiebreak: list[str] | None = None
+) -> DataFrame:
+    """One row per key: max (ts, delete-wins-ties, tiebreak...) wins.
+    Tombstone rows are KEPT (op='DELETE') so callers can persist them —
+    required so a stale PUT arriving later cannot resurrect a deleted key
+    (reference: AbstractMerge.java:48-66 delete-wins-ties + determinism
+    contract Merge.java:27-31). Rows without an op column count as PUTs."""
+    has_op = "op" in df.columns
+    order = [F.col(ts_col).desc()]
+    if has_op:
+        order.append(_is_delete().desc())  # DELETE beats PUT on a ts tie
+    order += [F.col(c).desc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*key_fields).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
 def latest_wins(df: DataFrame, key_fields: list[str], ts_col: str, tiebreak: list[str] | None = None) -> DataFrame:
     """One row per key: max (ts, tiebreak...) wins; DELETE ops drop the key
-    if an `op` column is present."""
-    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
-    w = Window.partitionBy(*key_fields).orderBy(*order)
-    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    if an `op` column is present. Rows with a missing/NULL op are PUTs."""
+    out = resolve_latest(df, key_fields, ts_col, tiebreak)
     if "op" in df.columns:
-        out = out.filter(F.col("op") != "DELETE").drop("op")
+        out = out.filter(~_is_delete()).drop("op")
     return out
+
+
+def read_serving(spark: SparkSession, serving_dir: str) -> DataFrame:
+    """Read a hybrid serving table for queries: tombstone rows (op='DELETE',
+    kept on disk so stale PUTs cannot resurrect deleted keys) are filtered
+    and the op column dropped."""
+    df = spark.read.parquet(serving_dir)
+    if "op" in df.columns:
+        df = df.filter(~_is_delete()).drop("op")
+    return df
 
 
 class HybridReplay:
@@ -59,14 +91,30 @@ class HybridReplay:
         self.rewind_seconds = meta.rewind_seconds if rewind_seconds is None else rewind_seconds
         self.now_ts = now_ts
 
+    @staticmethod
+    def _norm_op(df: DataFrame) -> DataFrame:
+        """Every row carries an explicit op; missing/NULL op means PUT.
+        Serving rows re-read from disk keep their persisted op (incl.
+        DELETE tombstones)."""
+        if "op" not in df.columns:
+            df = df.withColumn("op", F.lit("PUT"))
+        return df.withColumn("op", F.coalesce(F.col("op"), F.lit("PUT")))
+
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: union serving + micro-batch, latest-wins, swap.
         At scale this is an incremental MERGE against the serving store; the
-        local file edition rewrites (idempotent per micro-batch)."""
-        serving = self.spark.read.parquet(self.serving_dir)
-        merged = latest_wins(
+        local file edition rewrites (idempotent per micro-batch).
+
+        The serving table PERSISTS tombstones (op='DELETE' rows): dropping
+        them would let a stale PUT with an older ts, arriving in a later
+        micro-batch, resurrect the key — violating the arrival-order
+        determinism contract (Merge.java:27-31). Readers use `read()` /
+        `read_serving()` which filter tombstones."""
+        serving = self._norm_op(self.spark.read.parquet(self.serving_dir))
+        merged = resolve_latest(
             serving.withColumn("__src", F.lit(0)).unionByName(
-                batch_df.withColumn("__src", F.lit(1)), allowMissingColumns=True
+                self._norm_op(batch_df).withColumn("__src", F.lit(1)),
+                allowMissingColumns=True,
             ),
             self.key_fields,
             self.ts_col,
@@ -76,8 +124,14 @@ class HybridReplay:
         merged.write.mode("overwrite").parquet(tmp)
         import shutil
 
-        shutil.rmtree(self.serving_dir)
+        old = f"{self.serving_dir}__stream_old"
+        shutil.move(self.serving_dir, old)  # keep old aside until new is in place
         shutil.move(tmp, self.serving_dir)
+        shutil.rmtree(old)
+
+    def read(self) -> DataFrame:
+        """The store's live view: tombstones filtered, op dropped."""
+        return read_serving(self.spark, self.serving_dir)
 
     def start(self, rt_stream: DataFrame, checkpoint_dir: str, available_now: bool = True):
         """Run the replay. `rt_stream` is a streaming DataFrame of update rows

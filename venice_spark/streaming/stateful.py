@@ -75,6 +75,17 @@ def latest_wins_stateful(
                     else:
                         if ts < st["ts"] or (ts == st["ts"] and st["deleted"]):
                             continue
+                        if ts == st["ts"]:
+                            # PUT vs PUT ts tie: deterministic value-rank
+                            # tiebreak (same total order as merge/dcr._rank,
+                            # AbstractMerge.java:17-80 compareAndReturn) so
+                            # the winner is arrival-order independent
+                            from venice_spark.merge.dcr import _rank
+
+                            new_v = {f: r.get(f) for f in val_fields}
+                            old_v = {f: st.get(f) for f in val_fields}
+                            if _rank(new_v) <= _rank(old_v):
+                                continue
                 st = {
                     "ts": ts,
                     "deleted": is_del,
