@@ -728,15 +728,15 @@ def x_embedding_near_dup(spark, sf_dir):
 
 def _multimodal_oracle_sql(dim: int = 16) -> str:
     # mirrors multimodal._fake_features: byte i of md5(payload) -> ((b*(i+7))%255)/255*2-1
-    feats = ", ".join(
-        f"CAST(CAST((('0x' || substr(md5(text), {2 * (i % 16) + 1}, 2))::INT * {i + 7}) % 255 AS DOUBLE)"
-        f" / 255.0 * 2.0 - 1.0 AS FLOAT)"
-        for i in range(dim)
-    )
+    # exploded to one row per (media, pos) — order-insensitive scalar rows for
+    # the driver's comparator (array columns are not canonicalizable)
     return (
         "SELECT doc_id AS media_id, 'text/plain' AS mime, "
         "CAST(octet_length(encode(text)) AS INT) AS payload_bytes, "
-        f"[{feats}] AS features FROM documents"
+        "r.range - 1 AS pos, "
+        "CAST(CAST((('0x' || substr(md5(text), 2 * ((r.range - 1) % 16) + 1, 2))::INT "
+        "* (r.range + 6)) % 255 AS DOUBLE) / 255.0 * 2.0 - 1.0 AS FLOAT) AS feature "
+        f"FROM documents, range(1, {dim + 1}) r"
     )
 
 
@@ -744,7 +744,8 @@ def _multimodal_oracle_sql(dim: int = 16) -> str:
 def x_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload column + Arrow-batched feature
     extraction via mapInPandas (codec stubbed — see venice_spark/multimodal.py;
-    batch shape, schema and partitioning are the real contract)."""
+    batch shape, schema and partitioning are the real contract). Features
+    posexplode to scalar rows, like r7, so the oracle can canonicalize."""
     from venice_spark.multimodal import attach_media_columns, extract_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -754,7 +755,9 @@ def x_multimodal_features(spark, sf_dir):
         "payload",
         "text/plain",
     )
-    return extract_features(media).select("media_id", "mime", "payload_bytes", "features")
+    return extract_features(media).select(
+        "media_id", "mime", "payload_bytes", F.posexplode("features").alias("pos", "feature")
+    )
 
 
 @register(
@@ -981,20 +984,23 @@ def x_event_rollup(spark, sf_dir):
     "WITH t AS (SELECT vec_id, embedding, "
     "  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS am "
     "  FROM embeddings) "
-    "SELECT vec_id, CAST(am AS FLOAT) AS amax, "
-    "list_transform(embedding, x -> CAST(least(127.0, greatest(-127.0, "
-    "round(CAST(x AS DOUBLE) / (CASE WHEN am > 0 THEN am ELSE 1.0 END) * 127.0, 0)"
-    ")) AS TINYINT)) AS q FROM t",
+    "SELECT vec_id, CAST(am AS FLOAT) AS amax, r.range - 1 AS pos, "
+    "CAST(least(127.0, greatest(-127.0, "
+    "round(CAST(embedding[r.range] AS DOUBLE) / (CASE WHEN am > 0 THEN am ELSE 1.0 END) * 127.0, 0)"
+    f")) AS TINYINT) AS qv FROM t, range(1, {DIM + 1}) r",
 )
 def x_embed_quantize(spark, sf_dir):
     """int8 symmetric quantization of the embedding column — the 4x storage
     lever for 100 TB corpora; dequantized cosine stays within ~1% (asserted
-    in tests). Pure JVM expressions, no shuffle."""
+    in tests). Pure JVM expressions, no shuffle. Quantized vector posexplodes
+    to (pos, qv) rows so the oracle comparator can canonicalize."""
     from venice_spark.functions import vectors as VX
 
     df = _t(spark, sf_dir, "embeddings")
     return df.withColumn("__q", VX.quantize_int8("embedding")).select(
-        "vec_id", F.col("__q.amax").alias("amax"), F.col("__q.q").alias("q")
+        "vec_id",
+        F.col("__q.amax").alias("amax"),
+        F.posexplode("__q.q").alias("pos", "qv"),
     )
 
 
@@ -1273,33 +1279,38 @@ def x_asof_join(spark, sf_dir):
 
 
 _DAY_US = 86_400_000_000
+_HOUR_US = 3_600_000_000
 
 @register(
     "x_range_join",
-    "WITH i AS (SELECT o_custkey AS user_id, o_orderkey, "
-    f"  epoch_us(o_orderdate) AS s, epoch_us(o_orderdate) + 7 * {_DAY_US} AS e "
-    "  FROM orders), "
+    "WITH i AS (SELECT user_id, event_id AS iv_id, epoch_us(ts) AS s, "
+    f"  epoch_us(ts) + {_HOUR_US} AS e FROM events WHERE event_type = 'purchase'), "
     "p AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events) "
-    "SELECT p.event_id, p.user_id, p.tus, i.o_orderkey, i.s, i.e "
+    "SELECT p.event_id, p.user_id, p.tus, i.iv_id, i.s, i.e "
     "FROM p JOIN i ON p.user_id = i.user_id AND p.tus >= i.s AND p.tus <= i.e",
 )
 def x_range_join(spark, sf_dir):
-    """Range (interval) join: events falling in each order's 7-day window.
-    Bucketized formulation (operators/asof.range_join): hash join on
-    (key, time bucket) + exact predicate — never the per-key cross join a
-    naive BETWEEN join plans. Oracle is the naive BETWEEN join."""
+    """Range (interval) join: all events falling within one hour after each
+    purchase event of the same user (attribution window). Bucketized
+    formulation (operators/asof.range_join): hash join on (key, time bucket)
+    + exact predicate — never the per-key cross join a naive BETWEEN join
+    plans. Oracle is the naive BETWEEN join."""
     from venice_spark.operators.asof import range_join
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", F.expr("ts div 1000").alias("tus")
     )
-    iv = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        "o_orderkey",
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s"),
-        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) + 7 * _DAY_US).alias("e"),
+    iv = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("iv_id"),
+            F.expr("ts div 1000").alias("s"),
+            (F.expr("ts div 1000") + _HOUR_US).alias("e"),
+        )
     )
-    return range_join(ev, iv, ["user_id"], "tus", "s", "e", bucket_width=7 * _DAY_US)
+    return range_join(ev, iv, ["user_id"], "tus", "s", "e", bucket_width=_HOUR_US)
 
 
 @register(
