@@ -78,6 +78,64 @@ def test_knn_join_self_neighbor(spark, sf_dir):
         assert abs(r["cos"] - 1.0) < 1e-9
 
 
+def test_knn_join_lsh_recall_on_clustered_corpus(spark):
+    """Planted clusters: 20 centers x 10 jittered members (cos ~0.95+ within
+    a cluster). knn_join_lsh must recover >=0.9 of the exact top-3 neighbor
+    pairs — the near-duplicate regime the blocked join targets."""
+    import math
+    import random
+
+    from venice_spark.similarity import knn_join_lsh
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for _c in range(20):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for _m in range(10):
+            v = [x + rng.gauss(0, 0.12) for x in center]
+            n = math.sqrt(sum(y * y for y in v))
+            rows.append((vid, [y / n for y in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["lid"], r["rid"])
+        for r in knn_join(emb, emb, "embedding", "vec_id", "vec_id", k=3).collect()
+    }
+    approx_rows = knn_join_lsh(
+        emb, emb, "embedding", "vec_id", "vec_id", k=3, dim=64
+    ).collect()
+    approx = {(r["lid"], r["rid"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH knn-join recall too low: {recall:.3f}"
+    # every returned cos must be exact (rescoring is not approximated):
+    # approx pairs are a subset of all-pairs cosine, dominated by exact top-k
+    exact_cos = {
+        (r["lid"], r["rid"]): r["cos"]
+        for r in knn_join(emb, emb, "embedding", "vec_id", "vec_id", k=200).collect()
+    }
+    for r in approx_rows:
+        assert abs(exact_cos[(r["lid"], r["rid"])] - r["cos"]) < 1e-12
+
+
+def test_knn_join_lsh_subset_of_candidates(spark, sf_dir):
+    """On the sf corpus: rank/cos are internally consistent and no left id
+    exceeds k rows."""
+    from venice_spark.similarity import knn_join_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 40)
+    out = knn_join_lsh(emb, emb, "embedding", "vec_id", "vec_id", k=3, dim=64).collect()
+    per_left = {}
+    for r in out:
+        per_left.setdefault(r["lid"], []).append((r["rank"], r["cos"], r["rid"]))
+    for lid, rs in per_left.items():
+        rs.sort()
+        assert len(rs) <= 3
+        assert rs[0][2] == lid and abs(rs[0][1] - 1.0) < 1e-9  # self is rank 1
+        cosines = [c for _, c, _ in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     from venice_spark.similarity import ivf_assign, ivf_topk, train_ivf_centroids
 

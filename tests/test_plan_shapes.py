@@ -64,6 +64,15 @@ def test_filter_compute_prunes_partitions_of_sorted_store(spark, sf_dir):
     assert "GreaterThanOrEqual(l_orderkey" in pushed or "l_orderkey" in pushed, pushed
 
 
+def test_knn_join_lsh_has_no_cartesian_product(spark, sf_dir):
+    """The blocked k-NN join must plan hash joins on (table, bucket) and id —
+    never a cartesian/nested-loop product (that is exactly what it exists to
+    replace)."""
+    df = QUERIES["x_knn_join_lsh"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_store_get_prunes_partition_dirs(spark, sf_dir, tmp_path):
     from venice_spark import VeniceSparkEngine
 

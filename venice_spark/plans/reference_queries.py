@@ -695,6 +695,60 @@ def x_knn_join(spark, sf_dir):
     return knn_join(left, emb, "embedding", "vec_id", "vec_id", k=3)
 
 
+def _lsh_knn_oracle_sql(k: int = 3, n_planes: int = 8, tables: int = 8, seed: int = 42) -> str:
+    """Re-derive the full hyperplane-LSH candidate join in DuckDB SQL (the
+    x_minhash_near_dup oracle pattern): bucket bit = sign of an explicit
+    left-to-right dot-product sum, bit-identical to the Spark fold
+    (vectors.oracle_dot_sql), so the oracle checks the implementation
+    EXACTLY — candidate generation, dedup, rescoring and ranking."""
+    from venice_spark.functions.vectors import oracle_dot_sql
+    from venice_spark.similarity import _hyperplanes
+
+    buckets = []
+    for t in range(tables):
+        bits = " + ".join(
+            f"CASE WHEN {oracle_dot_sql('embedding', plane)} > 0 THEN {2**i} ELSE 0 END"
+            for i, plane in enumerate(_hyperplanes(DIM, n_planes, seed + 1000 * t))
+        )
+        buckets.append(f"({bits})")
+    dot = " + ".join(
+        f"CAST(lv.embedding[{i}] AS DOUBLE) * CAST(rv.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    nl = " + ".join(
+        f"CAST(lv.embedding[{i}] AS DOUBLE) * CAST(lv.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    nr = " + ".join(
+        f"CAST(rv.embedding[{i}] AS DOUBLE) * CAST(rv.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    return (
+        f"WITH b AS (SELECT vec_id, embedding, [{', '.join(buckets)}] AS bks FROM embeddings), "
+        "l AS (SELECT * FROM b WHERE vec_id < 50), "
+        f"cand AS (SELECT DISTINCT l.vec_id AS lid, r.vec_id AS rid "
+        f"  FROM l, b r, range(1, {tables + 1}) t WHERE l.bks[t.range] = r.bks[t.range]), "
+        f"s AS (SELECT c.lid, c.rid, ({dot}) / (sqrt({nl}) * sqrt({nr})) AS cos "
+        "  FROM cand c JOIN b lv ON c.lid = lv.vec_id JOIN b rv ON c.rid = rv.vec_id) "
+        "SELECT lid, rid, cos, rank FROM (SELECT lid, rid, cos, "
+        "row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rank FROM s) "
+        f"WHERE rank <= {k}"
+    )
+
+
+@register("x_knn_join_lsh", _lsh_knn_oracle_sql())
+def x_knn_join_lsh(spark, sf_dir):
+    """Blocked k-NN join (similarity.knn_join_lsh): LSH-bucket candidate
+    generation -> exact rescoring -> window rank. The scale path that
+    replaces x_knn_join's cartesian product; oracle re-derives the full
+    hyperplane math in SQL so the match is exact, not approximate."""
+    from venice_spark.similarity import knn_join_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 50)
+    return knn_join_lsh(left, emb, "embedding", "vec_id", "vec_id", k=3, dim=DIM)
+
+
 @register(
     "x_embedding_near_dup",
     "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

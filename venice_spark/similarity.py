@@ -152,6 +152,72 @@ def knn_join(
     )
 
 
+def lsh_table_buckets(
+    vec_col: str | "F.Column",
+    dim: int,
+    n_planes: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+):
+    """Array column of per-table hyperplane bucket ids (one entry per LSH
+    table). Same plane derivation as lsh_bucket_col/_hyperplanes, so buckets
+    are reproducible anywhere — including in oracle SQL."""
+    entries = []
+    for t in range(tables):
+        b = F.lit(0)
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t)):
+            d = VX.dot_product(vec_col, plane)
+            b = b + F.when(d > 0, F.lit(2**i)).otherwise(F.lit(0))
+        entries.append(b)
+    return F.array(*entries)
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str,
+    left_id: str,
+    right_id: str,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Blocked k-NN join — the scale path for `knn_join`'s semantics: top-k
+    right neighbors per left row *among LSH candidates* (pairs colliding in
+    at least one of `tables` hyperplane tables), exact-rescored by cosine.
+
+    Plan shape (no cartesian product anywhere):
+      1. explode each side to (table, bucket) rows carrying ONLY the id —
+         vectors never ride through the candidate shuffle;
+      2. hash-join on (table, bucket) -> candidate pairs, dedup;
+      3. join the vectors back by id and score exactly; window-rank top-k.
+    Candidate volume is O(sum of per-bucket products), tunable via
+    (n_planes, tables); at 100 TB write both sides bucketed by the table-0
+    bucket so step 2 is a co-located join. Recall is a function of corpus
+    geometry: near-duplicate pairs (cos >= ~0.8) collide with high
+    probability; unrelated pairs almost never (recall test uses a planted
+    clustered corpus)."""
+    from pyspark.sql import Window
+
+    bks = lsh_table_buckets(vec_col, dim, n_planes, tables, seed)
+    lb = left.select(F.col(left_id).alias("lid"), F.posexplode(bks).alias("t", "b"))
+    rb = right.select(F.col(right_id).alias("rid"), F.posexplode(bks).alias("t", "b"))
+    cand = lb.join(rb, ["t", "b"]).select("lid", "rid").dropDuplicates(["lid", "rid"])
+    lv = left.select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv"))
+    rv = right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv"))
+    dot = VX.dot_product(F.col("lv"), F.col("rv"))
+    nrm = F.sqrt(VX.squared_l2_norm(F.col("lv"))) * F.sqrt(VX.squared_l2_norm(F.col("rv")))
+    scored = cand.join(lv, "lid").join(rv, "rid").withColumn("cos", dot / nrm)
+    w = Window.partitionBy("lid").orderBy(F.col("cos").desc(), F.col("rid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lid", "rid", "cos", "rank")
+    )
+
+
 # ---- IVF (inverted-file) variant ----
 
 def train_ivf_centroids(
