@@ -115,6 +115,82 @@ def test_tombstone_suppresses_collection():
     assert out == {"tags": ["z"]}
 
 
+# ---- whole-collection vs element-op tie fixtures ----
+# (SortBasedCollectionFieldOpHandler.java:411,762: elements with ts <= the
+# collection put's ts fold into the put-only prefix — the whole put wins a
+# ts tie against an add; a remove whose ts ties the put still blocks.)
+
+def test_whole_put_wins_tie_against_element_add():
+    # add of a NEW element at the same ts as the whole put: put-only prefix
+    # semantics — the element does not survive
+    out = merge_ops(
+        [put(10, tags=["a", "b"]), update(10, add_tags=["c"])], list_fields=LF
+    )
+    assert out["tags"] == ["a", "b"]
+    # ... in either arrival order
+    out = merge_ops(
+        [update(10, add_tags=["c"]), put(10, tags=["a", "b"])], list_fields=LF
+    )
+    assert out["tags"] == ["a", "b"]
+
+
+def test_element_remove_wins_tie_against_whole_put():
+    # deleted-element ts == whole-put ts: the tombstone blocks the element
+    out = merge_ops(
+        [put(10, tags=["a", "b"]), update(10, rem_tags=["a"])], list_fields=LF
+    )
+    assert out["tags"] == ["b"]
+    out = merge_ops(
+        [update(10, rem_tags=["a"]), put(10, tags=["a", "b"])], list_fields=LF
+    )
+    assert out["tags"] == ["b"]
+
+
+def test_whole_delete_wins_tie_against_element_add():
+    # record DELETE at ts == element add ts: delete wins ties at every level
+    out = merge_ops(
+        [put(5, tags=["a"], score=1), update(10, add_tags=["z"]), delete(10)],
+        list_fields=LF,
+    )
+    assert out is None
+
+
+def test_put_only_prefix_map_semantics():
+    # map twin: mapadd at the whole put's ts does not override the put's
+    # entry, but a strictly later mapadd does
+    out = merge_ops(
+        [
+            put(10, props={"k": "put"}),
+            update(10, mapadd_props={"k": "tie", "new": "tie"}),
+            update(11, mapadd_props={"k2": "later"}),
+        ],
+        map_fields=MF,
+    )
+    assert out["props"] == {"k": "put", "k2": "later"}
+
+
+# ---- map-side pre-combine algebra (merge_states) ----
+
+from venice_spark.merge.dcr import (  # noqa: E402
+    RecordState,
+    merge_states,
+    record_state_from_json,
+    record_state_to_json,
+)
+
+
+def _fold_state(ops):
+    st = RecordState()
+    for op in ops:
+        if op["op"] == "PUT":
+            st.apply_put(op["value"], op["ts"], op["colo"], LF, MF)
+        elif op["op"] == "DELETE":
+            st.apply_delete(op["ts"], op["colo"])
+        else:
+            st.apply_update(op["update"], op["ts"], op["colo"])
+    return st
+
+
 # ---- determinism property ----
 
 _ops_strategy = st.lists(
@@ -159,6 +235,25 @@ def test_any_arrival_order_same_state(ops, seed):
     shuffled = ops[:]
     random.Random(seed).shuffle(shuffled)
     assert merge_ops(shuffled, LF, MF) == expected
+
+
+@settings(max_examples=300, deadline=None)
+@given(ops=_ops_strategy, cut=st.integers(0, 12), seed=st.integers(0, 10**6))
+def test_partial_fold_then_merge_states_equals_full_fold(ops, cut, seed):
+    """The pre-combine contract: fold any partition of the op set into
+    partial states (with the JSON round-trip the shuffle imposes), merge
+    the partials — result identical to folding everything in one pass."""
+    expected = merge_ops(ops, LF, MF)
+    shuffled = ops[:]
+    random.Random(seed).shuffle(shuffled)
+    cut = min(cut, len(shuffled))
+    a = _fold_state(shuffled[:cut])
+    b = _fold_state(shuffled[cut:])
+    a = record_state_from_json(record_state_to_json(a))
+    b = record_state_from_json(record_state_to_json(b))
+    merged = merge_states(RecordState(), a)
+    merged = merge_states(merged, b)
+    assert merged.finalize(LF, MF) == expected
 
 
 # ---- state serialization properties (streaming DCR correctness) ----

@@ -112,3 +112,35 @@ def test_merge_op_log_spark(spark):
     assert set(rows) == {"k1", "k3"}  # k2 deleted
     assert rows["k1"]["first"] == "A" and rows["k1"]["tags"] == ["a", "b"]
     assert rows["k3"]["first"] == "Cv2"
+
+
+def test_merge_op_log_pre_combine_matches_direct(spark):
+    """Map-side pre-combine path ≡ direct per-key fold, across partition
+    layouts (the combiner must be layout-invariant)."""
+    rows = []
+    for k in range(20):
+        rows.append((f"k{k}", "PUT", 10 + k % 3, 0, f"v{k}", ["a", "b"], None, None))
+        rows.append((f"k{k}", "UPDATE", 20, 1, None, None, ["c"], None))
+        if k % 4 == 0:
+            rows.append((f"k{k}", "DELETE", 25, 0, None, None, None, None))
+        if k % 4 == 1:
+            rows.append((f"k{k}", "UPDATE", 30, 2, None, None, None, f"w{k}"))
+    schema = (
+        "key string, op string, ts long, colo int, first string, "
+        "tags array<string>, add_tags array<string>, set_first string"
+    )
+    out_schema = "key string, first string, tags array<string>"
+    for nparts in (1, 7):
+        log = spark.createDataFrame(rows, schema=schema).repartition(nparts)
+        direct = merge_op_log(log, ["key"], out_schema, list_fields={"tags"})
+        combined = merge_op_log(
+            log, ["key"], out_schema, list_fields={"tags"}, pre_combine=True
+        )
+        fast = merge_op_log(
+            log, ["key"], out_schema, list_fields={"tags"}, num_partitions=5
+        )
+        d = {r["key"]: (r["first"], r["tags"]) for r in direct.collect()}
+        c = {r["key"]: (r["first"], r["tags"]) for r in combined.collect()}
+        f = {r["key"]: (r["first"], r["tags"]) for r in fast.collect()}
+        assert d == c == f
+        assert "k0" not in d  # deleted keys emit no row on any path

@@ -454,7 +454,12 @@ def w7_dcr_merge(spark, sf_dir):
         F.lit(0).alias("colo"),
         "value",
     )
-    return merge_op_log(op_log, ["user_id"], "user_id bigint, value double")
+    # explicit fold width: AQE would coalesce this shuffle by bytes and
+    # under-parallelize the CPU-bound Python kernel (see merge_op_log doc)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return merge_op_log(
+        op_log, ["user_id"], "user_id bigint, value double", num_partitions=n
+    )
 
 
 # ----------------------------------------------------- ingestion dataflow

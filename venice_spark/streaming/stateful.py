@@ -138,8 +138,8 @@ def dcr_stateful(
     ops cannot resurrect)."""
     from venice_spark.merge.dcr import (
         RecordState,
-        _from_pandas,
         _is_update_col,
+        apply_pdf,
         record_state_from_json,
         record_state_to_json,
     )
@@ -158,25 +158,12 @@ def dcr_stateful(
         )
         saw = False
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                saw = True
-                kind = row[op_col]
-                ts = int(row[ts_col])
-                colo = int(row["colo"]) if "colo" in row else 0
-                if kind == "PUT":
-                    value = {
-                        c: _from_pandas(row[c])
-                        for c in val_fields
-                        if c in row and not _is_update_col(c)
-                    }
-                    st.apply_put(value, ts, colo, lf, mf)
-                elif kind == "DELETE":
-                    st.apply_delete(ts, colo)
-                else:
-                    update = {
-                        c: _from_pandas(row[c]) for c in row.index if _is_update_col(c)
-                    }
-                    st.apply_update(update, ts, colo)
+            if len(pdf) == 0:
+                continue
+            saw = True
+            vcols = [c for c in pdf.columns if c in val_fields and not _is_update_col(c)]
+            ucols = [c for c in pdf.columns if _is_update_col(c)]
+            apply_pdf(st, pdf, vcols, ucols, lf, mf, op_col=op_col, ts_col=ts_col)
         if saw:
             state.update((record_state_to_json(st),))
             merged = st.finalize(lf, mf)
