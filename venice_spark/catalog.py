@@ -69,19 +69,6 @@ def _struct_from_json(s: str) -> T.StructType:
     return T.StructType.fromJson(json.loads(s))
 
 
-def _is_backward_compatible(old: T.StructType, new: T.StructType) -> bool:
-    """New schema must keep every old field with the same type (adds allowed).
-
-    This mirrors the spirit of Avro backward-compat checks
-    (schema/avro/SchemaCompatibility.java:1) in StructType terms: a reader
-    with the new schema can still read rows written with the old one.
-    """
-    new_fields = {f.name: f for f in new.fields}
-    for f in old.fields:
-        nf = new_fields.get(f.name)
-        if nf is None or nf.dataType != f.dataType:
-            return False
-    return True
 
 
 class StoreCatalog:
@@ -153,13 +140,25 @@ class StoreCatalog:
 
     # ---- schema registry (R14) ----
     def add_value_schema(self, store: str, schema: T.StructType) -> int:
+        """Register a new value schema after an Avro-style reader/writer
+        resolution check (schema/avro/SchemaCompatibility.java:1 semantics;
+        see venice_spark/schema_compat.py): by-name field resolution,
+        numeric/string-bytes promotions, defaulted adds, null-branch
+        coverage. The store config key `schema_compat` picks the level —
+        backward / forward / full / none, each with a `_transitive` variant
+        checking every prior schema; default `full` (the reference's
+        default for value schemas)."""
+        from venice_spark.schema_compat import incompatibilities_for_level
+
         meta = self.get_store(store)
-        if meta.value_schemas:
-            latest = _struct_from_json(meta.value_schemas[-1])
-            if not _is_backward_compatible(latest, schema):
-                raise SchemaIncompatibleError(
-                    f"value schema for {store!r} drops/retypes existing fields"
-                )
+        level = str(meta.config.get("schema_compat", "full")).lower()
+        previous = [_struct_from_json(s) for s in meta.value_schemas]
+        problems = incompatibilities_for_level(level, previous, schema)
+        if problems:
+            detail = "; ".join(str(p) for p in problems[:5])
+            raise SchemaIncompatibleError(
+                f"value schema for {store!r} fails {level} compatibility: {detail}"
+            )
         meta.value_schemas.append(json.dumps(schema.jsonValue()))
         self._write_meta(meta)
         return len(meta.value_schemas)

@@ -1,0 +1,200 @@
+"""Avro-style reader/writer schema resolution over Spark StructTypes.
+
+Re-derives the resolution rules of Avro's spec as the reference applies them
+to value-schema evolution (internal/venice-client-common/src/main/java/com/
+linkedin/venice/schema/avro/SchemaCompatibility.java:1 — reader/writer
+compatibility walk; controller-side check on every added value schema,
+SchemaEntry.java:1), in StructType terms:
+
+  - fields resolve by NAME, never by position (swapped order is compatible)
+  - a reader field absent from the writer needs a default; the StructType
+    twin of Avro's `"default": null` union is a nullable field (an explicit
+    non-null default may ride in field metadata under "default")
+  - writer fields unknown to the reader are ignored (projection)
+  - numeric type promotion follows the Avro promotion lattice
+    int → long → float → double (plus Spark's byte/short below int) and
+    string ↔ binary, the bytes/string promotion pair
+  - nullability is the union-with-null branch: a writer that may emit null
+    is only readable by a reader that accepts null (reader union must cover
+    every writer branch); a non-null writer read by a nullable reader is
+    fine
+  - arrays/maps/structs resolve recursively (Avro: items, values, fields)
+
+`check_reader_writer` returns the incompatibility list (empty == the reader
+can read anything the writer wrote); `backward` / `forward` / `full` wrap
+it with the directional vocabulary the registry uses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+
+# Avro promotion lattice (writer type -> reader types that can hold it).
+# Spark's sub-int integrals widen into the int family first.
+_NUMERIC_ORDER = [
+    T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+    T.FloatType(), T.DoubleType(),
+]
+
+
+@dataclass
+class Incompatibility:
+    path: str
+    reason: str
+
+    def __str__(self) -> str:  # pragma: no cover - repr convenience
+        return f"{self.path}: {self.reason}"
+
+
+def _promotable(writer: T.DataType, reader: T.DataType) -> bool:
+    """Writer value representable by the reader type (Avro promotion)."""
+    if writer == reader:
+        return True
+    try:
+        wi = _NUMERIC_ORDER.index(writer)
+        ri = _NUMERIC_ORDER.index(reader)
+        return ri > wi
+    except ValueError:
+        pass
+    # Avro's string <-> bytes promotion pair
+    pair = {writer.__class__, reader.__class__}
+    return pair == {T.StringType, T.BinaryType}
+
+
+def _has_default(field: T.StructField) -> bool:
+    """Reader-side default: nullable (== Avro union with null, default null)
+    or an explicit default recorded in field metadata."""
+    if field.nullable:
+        return True
+    return "default" in (field.metadata or {})
+
+
+def check_reader_writer(
+    reader: T.DataType,
+    writer: T.DataType,
+    path: str = "$",
+    reader_nullable: bool = False,
+    writer_nullable: bool = False,
+) -> list[Incompatibility]:
+    """Can a reader with `reader` schema read data written as `writer`?
+    Returns the list of incompatibilities (empty == compatible)."""
+    out: list[Incompatibility] = []
+
+    # union-with-null branch coverage: writer may emit null -> reader must
+    # accept null (SchemaCompatibility: every writer branch needs a reader
+    # branch)
+    if writer_nullable and not reader_nullable:
+        out.append(Incompatibility(path, "writer value may be null but reader type is not nullable"))
+
+    if isinstance(reader, T.StructType) and isinstance(writer, T.StructType):
+        wfields = {f.name: f for f in writer.fields}
+        for rf in reader.fields:
+            fpath = f"{path}.{rf.name}"
+            wf = wfields.get(rf.name)
+            if wf is None:
+                if not _has_default(rf):
+                    out.append(
+                        Incompatibility(
+                            fpath,
+                            "reader field absent from writer schema and has no default",
+                        )
+                    )
+                continue
+            out.extend(
+                check_reader_writer(
+                    rf.dataType, wf.dataType, fpath,
+                    reader_nullable=rf.nullable, writer_nullable=wf.nullable,
+                )
+            )
+        # writer-only fields are skipped by the reader (projection) — no check
+        return out
+
+    if isinstance(reader, T.ArrayType) and isinstance(writer, T.ArrayType):
+        out.extend(
+            check_reader_writer(
+                reader.elementType, writer.elementType, f"{path}[]",
+                reader_nullable=reader.containsNull, writer_nullable=writer.containsNull,
+            )
+        )
+        return out
+
+    if isinstance(reader, T.MapType) and isinstance(writer, T.MapType):
+        # Avro map keys are strings; Spark allows typed keys — resolve both
+        out.extend(
+            check_reader_writer(reader.keyType, writer.keyType, f"{path}<key>")
+        )
+        out.extend(
+            check_reader_writer(
+                reader.valueType, writer.valueType, f"{path}<val>",
+                reader_nullable=reader.valueContainsNull,
+                writer_nullable=writer.valueContainsNull,
+            )
+        )
+        return out
+
+    if not _promotable(writer, reader):
+        out.append(
+            Incompatibility(
+                path,
+                f"writer type {writer.simpleString()} is not readable as "
+                f"{reader.simpleString()} (no Avro promotion)",
+            )
+        )
+    return out
+
+
+def backward_incompatibilities(
+    old: T.StructType, new: T.StructType
+) -> list[Incompatibility]:
+    """BACKWARD: a reader on the NEW schema can read data written with the
+    OLD one (consumers upgrade first)."""
+    return check_reader_writer(reader=new, writer=old)
+
+
+def forward_incompatibilities(
+    old: T.StructType, new: T.StructType
+) -> list[Incompatibility]:
+    """FORWARD: a reader still on the OLD schema can read data written with
+    the NEW one (producers upgrade first)."""
+    return check_reader_writer(reader=old, writer=new)
+
+
+def full_incompatibilities(
+    old: T.StructType, new: T.StructType
+) -> list[Incompatibility]:
+    """FULL: both directions — the reference's default for value schemas
+    (readers and writers evolve independently across a fleet)."""
+    return backward_incompatibilities(old, new) + [
+        Incompatibility(f"(forward) {i.path}", i.reason)
+        for i in forward_incompatibilities(old, new)
+    ]
+
+
+_CHECKS = {
+    "backward": backward_incompatibilities,
+    "forward": forward_incompatibilities,
+    "full": full_incompatibilities,
+    "none": lambda old, new: [],
+}
+
+
+def incompatibilities_for_level(
+    level: str, previous: list[T.StructType], new: T.StructType
+) -> list[Incompatibility]:
+    """Check `new` against prior schemas for a compat `level`:
+    backward/forward/full check against the latest schema only;
+    the `_transitive` variants check against every prior schema."""
+    base = level.removesuffix("_transitive")
+    try:
+        check = _CHECKS[base]
+    except KeyError:
+        raise ValueError(f"unknown schema compat level {level!r}") from None
+    if not previous:
+        return []
+    targets = previous if level.endswith("_transitive") else previous[-1:]
+    out = []
+    for old in targets:
+        out.extend(check(old, new))
+    return out
