@@ -1,0 +1,61 @@
+"""Registry-wide guards.
+
+Round-2 postmortem: a testdata schema change (events.ts NANOS -> MICROS)
+broke five registered queries while 130 unit tests stayed green, because
+nothing ran the registry against the real testdata. These tests close that
+hole:
+
+  - every registered query must ANALYZE AND RUN against the actual testdata;
+  - the driver checks only the first DRIVER_WINDOW queries, so that window
+    must contain only oracle-bearing queries (no wasted slots);
+  - dedup queries must not leak cached plans into a long-lived session.
+"""
+
+import pytest
+
+from venice_spark.plans.reference_queries import DRIVER_WINDOW, ORACLES, QUERIES, _TAIL
+
+
+def test_window_is_all_oracle_bearing():
+    names = list(QUERIES)
+    window = names[:DRIVER_WINDOW]
+    missing = [n for n in window if n not in ORACLES]
+    assert missing == [], f"driver-window queries without an oracle: {missing}"
+
+
+def test_tail_is_only_redundant_or_rows_only():
+    # everything pushed out of the window must be declared in _TAIL (a
+    # conscious demotion), never silently evicted by registration order
+    names = list(QUERIES)
+    dark = names[DRIVER_WINDOW:]
+    undeclared = [n for n in dark if n not in _TAIL]
+    assert undeclared == [], (
+        f"queries fell outside the driver's {DRIVER_WINDOW}-slot window without "
+        f"an explicit _TAIL demotion: {undeclared}"
+    )
+
+
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_registry_query_runs(spark, sf_dir, name):
+    """Smoke-run every registered query against the real testdata parquet.
+
+    `.limit(1).collect()` forces analysis, optimization, and at least one
+    task — an AnalysisException from a testdata type drift fails here even
+    when the query sits outside the driver's checked window.
+    """
+    df = QUERIES[name](spark, sf_dir)
+    df.limit(1).collect()
+
+
+def test_dedup_queries_leave_no_cached_plans(spark, sf_dir):
+    """minhash/simhash/cluster queries persist intermediates internally; the
+    persists must be function-local. CacheManager entries live until an
+    explicit unpersist (a leak in a 50-query driver session); RDD-scoped
+    localCheckpoint blocks are reclaimed by the ContextCleaner, so only the
+    former counts as a leak."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before = cm.cachedData().size()  # other fixtures may cache legitimately
+    for name in ("x_minhash_near_dup", "x_simhash_pairs", "x_dup_clusters"):
+        QUERIES[name](spark, sf_dir).count()
+        after = cm.cachedData().size()
+        assert after == before, f"{name} left {after - before} cache entries behind"

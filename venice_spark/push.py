@@ -128,9 +128,12 @@ class BatchPushJob:
                 )
             df = df.dropDuplicates(key_fields)
 
-        # I7 storage quota: persist once so the count/size pass is reused by the write
+        # I7 storage quota: persist once so the count/size pass is reused by
+        # the write; released after the write lands (never leaks into the
+        # caller's long-lived session)
+        quota_persisted = None
         if storage_quota_bytes is not None:
-            df = df.persist()
+            df = quota_persisted = df.persist()
             rows = df.count()
             # cheap estimate: sampled avg row width * rows
             sample = df.limit(1000).toPandas()
@@ -165,6 +168,9 @@ class BatchPushJob:
         # W15 materialized views are co-written in the same job
         for view in views or []:
             view.write(self.catalog, store, version, out)
+
+        if quota_persisted is not None:
+            quota_persisted.unpersist()
 
         written = spark.read.parquet(path)
         rows = written.count()
