@@ -106,6 +106,48 @@ def test_incremental_push_nulls_as_deletes(engine, spark):
     assert out == {1: "a", 3: "c2", 4: "d"}
 
 
+def test_large_value_round_trip(spark, tmp_root):
+    """§1.4 chunking semantic: values of arbitrary size round-trip losslessly.
+
+    The reference splits >1MB values into chunks + ChunkedValueManifest
+    (VeniceWriter.java:1980 putLargeValue, reassembly ChunkAssembler.java:1,
+    docs/contributing/architecture/write-path.md:47-63); parquet has no cell
+    limit so the machinery is a non-goal — but the SEMANTIC (multi-MB values
+    survive push -> get byte-identical) must hold and is pinned here with
+    values well past the 1MB chunking threshold."""
+    import hashlib
+
+    def blob(seed: str, mb: int) -> bytes:
+        # deterministic pseudo-random bytes, incompressible enough to be real
+        out = bytearray()
+        h = seed.encode()
+        while len(out) < mb * 1024 * 1024:
+            h = hashlib.sha256(h).digest()
+            out += h * 4096
+        return bytes(out[: mb * 1024 * 1024])
+
+    values = {"k1": blob("one", 2), "k2": blob("two", 4), "k3": b"small"}
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("big", key_fields=["key"], partition_count=2)
+    df = spark.createDataFrame(
+        [(k, v) for k, v in values.items()], "key string, payload binary"
+    )
+    eng.push("big", df)
+
+    st = eng.store("big")
+    for k, v in values.items():
+        row = st.get(k)
+        assert row is not None and bytes(row["payload"]) == v, f"{k} corrupted"
+    got = {r["key"]: bytes(r["payload"]) for r in st.batch_get(list(values)).collect()}
+    assert got == values
+    # large values also survive an incremental-push merge + repush rewrite
+    delta = spark.createDataFrame([("k1", blob("one-v2", 3))], "key string, payload binary")
+    eng.incremental_push("big", delta)
+    eng.repush("big")
+    assert bytes(st.get("k1")["payload"]) == blob("one-v2", 3)
+    assert bytes(st.get("k2")["payload"]) == values["k2"]
+
+
 def test_partial_key_lookup_prefix_validation(spark, sf_dir):
     import pytest as _pytest
     from venice_spark.compute import ComputeRequestBuilder

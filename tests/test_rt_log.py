@@ -1,0 +1,231 @@
+"""RT transport layer: Kafka wiring (I2/W12) through a wire-identical
+file-backed stand-in, DIV-style producer-coordinate dedup, and the
+record-transformer side sink (W14)."""
+
+import os
+import random
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from venice_spark.catalog import StoreCatalog
+from venice_spark.engine import VeniceSparkEngine
+from venice_spark.push import RecordTransformer
+from venice_spark.sources.inputs import (
+    KAFKA_WIRE_SCHEMA,
+    decode_kafka_updates,
+    read_kafka_topic,
+)
+from venice_spark.streaming.div import div_check, div_dedup
+from venice_spark.streaming.hybrid import HybridReplay, latest_wins
+
+
+def _wire_rows(spark, msgs, topic="rt"):
+    """msgs: list of (key_str, value_json_str, ts_millis, offset)."""
+    from datetime import datetime, timezone
+
+    rows = [
+        (
+            k.encode(),
+            v.encode(),
+            topic,
+            0,
+            off,
+            datetime.fromtimestamp(ts / 1000, tz=timezone.utc),
+            0,
+        )
+        for (k, v, ts, off) in msgs
+    ]
+    return spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+
+
+# ---------------------------------------------------------------- I2 wiring
+
+
+def test_kafka_batch_read_through_standin(spark, tmp_path):
+    wire_dir = str(tmp_path / "wire")
+    _wire_rows(
+        spark,
+        [
+            ("a", '{"key": "a", "val": 1.5, "ts": 100}', 1000, 0),
+            ("b", '{"key": "b", "val": 2.5, "ts": null}', 2000, 1),
+        ],
+    ).write.parquet(wire_dir)
+
+    wire = read_kafka_topic(
+        spark, "unused:9092", "rt", source_format="parquet", source_path=wire_dir
+    )
+    assert set(wire.columns) >= {"key", "value", "topic", "partition", "offset", "timestamp"}
+    upd = decode_kafka_updates(wire, "key string, val double, ts long")
+    out = {r["key"]: (r["val"], r["ts"]) for r in upd.collect()}
+    # payload ts wins; null payload ts falls back to broker millis
+    assert out == {"a": (1.5, 100), "b": (2.5, 2000)}
+
+
+def test_kafka_rewind_timestamp_filter(spark, tmp_path):
+    wire_dir = str(tmp_path / "wire")
+    _wire_rows(
+        spark,
+        [
+            ("old", '{"key": "old", "val": 1.0, "ts": 1}', 1_000, 0),
+            ("new", '{"key": "new", "val": 2.0, "ts": 2}', 9_000, 1),
+        ],
+    ).write.parquet(wire_dir)
+    wire = read_kafka_topic(
+        spark,
+        "unused:9092",
+        "rt",
+        starting_timestamp_ms=5_000,
+        source_format="parquet",
+        source_path=wire_dir,
+    )
+    assert [r["key"] for r in wire.collect()] == [b"new"]
+
+
+def test_kafka_stream_feeds_hybrid_replay_end_to_end(spark, tmp_path):
+    """The production shape: readStream(kafka wire) -> decode -> HybridReplay.
+    Only the format() line differs from a real broker."""
+    root = str(tmp_path / "cat")
+    catalog = StoreCatalog(root)
+    catalog.create_store("h", key_fields=["key"], hybrid=True, rewind_seconds=0)
+
+    serving = str(tmp_path / "serving")
+    spark.createDataFrame(
+        [("a", 1.0, 10), ("b", 1.0, 10)], "key string, val double, ts long"
+    ).write.parquet(serving)
+
+    wire_dir = str(tmp_path / "wire")
+    os.makedirs(wire_dir)
+    _wire_rows(
+        spark,
+        [
+            ("a", '{"key": "a", "val": 5.0, "ts": 20, "op": "PUT"}', 1000, 0),
+            ("b", '{"key": "b", "val": 0.0, "ts": 30, "op": "DELETE"}', 1000, 1),
+            ("c", '{"key": "c", "val": 7.0, "ts": 15, "op": "PUT"}', 1000, 2),
+        ],
+    ).write.mode("append").parquet(wire_dir)
+
+    wire_stream = read_kafka_topic(
+        spark,
+        "unused:9092",
+        "rt",
+        streaming=True,
+        source_format="parquet",
+        source_path=wire_dir,
+    )
+    upd = decode_kafka_updates(
+        wire_stream, "key string, val double, ts long, op string"
+    )
+    replay = HybridReplay(spark, catalog, "h", serving)
+    q = replay.start(upd, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    out = {r["key"]: r["val"] for r in replay.read().collect()}
+    assert out == {"a": 5.0, "c": 7.0}  # b deleted
+
+
+# ---------------------------------------------------------------- DIV dedup
+
+DIV_SCHEMA = "producer_guid string, segment int, sequence int, key string, val double, ts long"
+
+
+def test_div_dedup_drops_redelivered(spark):
+    log = spark.createDataFrame(
+        [
+            ("p1", 0, 0, "a", 1.0, 10),
+            ("p1", 0, 0, "a", 1.0, 10),  # broker redelivery
+            ("p1", 0, 1, "b", 2.0, 11),
+            ("p2", 0, 0, "c", 3.0, 12),
+        ],
+        DIV_SCHEMA,
+    )
+    assert div_dedup(log).count() == 3
+    rep = {(r["producer_guid"], r["segment"]): r for r in div_check(log).collect()}
+    assert rep[("p1", 0)]["duplicates"] == 1
+    assert rep[("p1", 0)]["missing"] == 0
+
+
+def test_div_check_detects_gap(spark):
+    log = spark.createDataFrame(
+        [("p1", 0, 0, "a", 1.0, 10), ("p1", 0, 3, "b", 2.0, 11)], DIV_SCHEMA
+    )
+    rep = div_check(log).collect()[0]
+    assert rep["missing"] == 2  # seqs 1, 2 lost
+
+
+def test_div_missing_columns_raises(spark):
+    df = spark.createDataFrame([("a", 1.0)], "key string, val double")
+    with pytest.raises(ValueError, match="DIV coordinate"):
+        div_dedup(df)
+
+
+def test_div_replayed_segments_identical_state(spark):
+    """Determinism property: duplicating and shuffling log segments, then
+    DIV-dedup + latest-wins, yields the exact state of the clean log
+    (Merge.java:27-31 contract extended to transport re-delivery)."""
+    rng = random.Random(7)
+    clean = [
+        ("p1", s, q, f"k{rng.randrange(6)}", float(rng.randrange(100)), s * 100 + q)
+        for s in range(3)
+        for q in range(5)
+    ]
+    replayed = clean + [m for m in clean if m[1] == 1] + [m for m in clean if m[1] == 2]
+    rng.shuffle(replayed)
+
+    def state(msgs):
+        df = div_dedup(spark.createDataFrame(msgs, DIV_SCHEMA))
+        merged = latest_wins(df, ["key"], "ts", tiebreak=["val"])
+        return {(r["key"], r["val"], r["ts"]) for r in merged.collect()}
+
+    assert state(replayed) == state(clean)
+
+
+# ---------------------------------------------------------------- W14 sink
+
+
+def test_record_transformer_side_sink_duckdb(spark, tmp_root, tmp_path):
+    """The DuckDB side-sink shape (DuckDBDaVinciRecordTransformer.java):
+    the transformer mirrors transformed records into an external SQL table
+    during the push."""
+    db = str(tmp_path / "side.db")
+
+    class SideSink(RecordTransformer):
+        def transform(self, df):
+            return df.withColumn("val", F.col("val") * 10)
+
+        def sink(self, df):
+            con = duckdb.connect(db)
+            pdf = df.select("key", "val").toPandas()
+            con.execute("CREATE TABLE side AS SELECT * FROM pdf")
+            con.close()
+
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("s", key_fields=["key"], partition_count=2)
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "key string, val double")
+    eng.push("s", df, record_transformer=SideSink())
+
+    # main store got the transformed rows
+    out = {r["key"]: r["val"] for r in eng.store("s").df().collect()}
+    assert out == {"a": 10.0, "b": 20.0}
+    # side table mirrors them
+    con = duckdb.connect(db)
+    side = dict(con.execute("SELECT key, val FROM side ORDER BY key").fetchall())
+    con.close()
+    assert side == {"a": 10.0, "b": 20.0}
+
+
+def test_record_transformer_side_sink_parquet(spark, tmp_root, tmp_path):
+    """Distributed side sink: a second parquet table written during the push
+    (no driver collect — the scale-path flavor)."""
+    side_dir = str(tmp_path / "side_pq")
+
+    class PqSink(RecordTransformer):
+        def sink(self, df):
+            df.write.mode("overwrite").parquet(side_dir)
+
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("s", key_fields=["key"], partition_count=2)
+    df = spark.createDataFrame([("a", 1.0)], "key string, val double")
+    eng.push("s", df, record_transformer=PqSink())
+    assert spark.read.parquet(side_dir).count() == 1

@@ -198,7 +198,15 @@ class RecordTransformer:
 
     Subclass and override `transform` (whole-DataFrame, keeps Catalyst in
     play — preferred) or `transform_record_batches` (Arrow pandas batches for
-    imperative logic). Returning fewer rows = filtering."""
+    imperative logic). Returning fewer rows = filtering.
+
+    Override `sink` to mirror the transformed records into an external side
+    store during the push — the DuckDB transformer's processPut writes each
+    record into a SQL table as it ingests
+    (DuckDBDaVinciRecordTransformer.java processPut/onStartVersionIngestion);
+    here the hook receives the whole transformed DataFrame once per push, so
+    the side write is a distributed `df.write` (or any client the user
+    drives), not a per-record driver loop."""
 
     output_schema: str | None = None  # required for transform_record_batches
 
@@ -207,6 +215,11 @@ class RecordTransformer:
 
     def transform_record_batches(self, batches):
         raise NotImplementedError
+
+    def sink(self, df: DataFrame) -> None:  # pragma: no cover - default no-op
+        """Optional side-sink: called with the transformed DataFrame before
+        the version write; exceptions fail the push (the reference aborts
+        ingestion when the transformer throws)."""
 
     def apply(self, df: DataFrame) -> DataFrame:
         try:
@@ -217,8 +230,12 @@ class RecordTransformer:
         if has_batches:
             if not self.output_schema:
                 raise ValueError("transform_record_batches requires output_schema")
-            return df.mapInPandas(self.transform_record_batches, schema=self.output_schema)
-        return self.transform(df)
+            out = df.mapInPandas(self.transform_record_batches, schema=self.output_schema)
+        else:
+            out = self.transform(df)
+        if type(self).sink is not RecordTransformer.sink:
+            self.sink(out)
+        return out
 
 
 @dataclass

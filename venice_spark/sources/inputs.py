@@ -15,6 +15,7 @@ the documented production configuration.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -49,27 +50,95 @@ def read_input(
     return df.select(*cols)
 
 
+# Kafka's fixed wire schema: what `format("kafka")` (and our file-based
+# test-double) yields per message.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
 def read_kafka_topic(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
     starting_timestamp_ms: int | None = None,
     streaming: bool = False,
+    source_format: str = "kafka",
+    source_path: str | None = None,
 ) -> DataFrame:
     """I2 / RT source: Kafka topic as batch (repush) or stream (hybrid).
     Rewind maps to startingTimestamp (HybridStoreConfigImpl.rewindTimeInSeconds).
-    Gated: requires a broker + the spark-sql-kafka package."""
+
+    Production (`source_format="kafka"`) requires a broker + the
+    spark-sql-kafka package. Tests run the SAME code path against a
+    file-backed stand-in (`source_format="parquet"`, `source_path=dir`)
+    whose rows carry KAFKA_WIRE_SCHEMA — only the format/option lines
+    differ, the returned frame is wire-identical, and everything downstream
+    (decode_kafka_updates, HybridReplay) is byte-for-byte the production
+    pipeline.
+    """
     reader = spark.readStream if streaming else spark.read
-    r = (
-        reader.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-    )
+    if source_format == "kafka":
+        r = (
+            reader.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+        )
+        if starting_timestamp_ms is not None:
+            r = r.option("startingTimestamp", str(starting_timestamp_ms))
+        try:
+            return r.load()
+        except Exception as e:  # pragma: no cover - env-dependent
+            raise RuntimeError(
+                "kafka source requires a broker and the spark-sql-kafka package"
+            ) from e
+    # file-backed stand-in: same wire schema, same downstream pipeline
+    if source_path is None:
+        raise ValueError("non-kafka source_format requires source_path")
+    if streaming:
+        df = reader.schema(KAFKA_WIRE_SCHEMA).format(source_format).load(source_path)
+    else:
+        df = reader.format(source_format).load(source_path)
     if starting_timestamp_ms is not None:
-        r = r.option("startingTimestamp", str(starting_timestamp_ms))
-    try:
-        return r.load()
-    except Exception as e:  # pragma: no cover - env-dependent
-        raise RuntimeError(
-            "kafka source requires a broker and the spark-sql-kafka package"
-        ) from e
+        df = df.filter(
+            F.unix_millis(F.col("timestamp")) >= F.lit(starting_timestamp_ms)
+        )
+    return df
+
+
+def decode_kafka_updates(
+    wire: DataFrame,
+    value_schema: str,
+    key_schema: str | None = None,
+    ts_from_payload: str | None = None,
+) -> DataFrame:
+    """Decode Kafka wire rows into update-log rows for HybridReplay.
+
+    The reference's RT envelope carries an Avro-encoded key and a
+    KafkaMessageEnvelope whose payload is the value plus an optional logical
+    timestamp (VeniceObjectWithTimestamp — integrations/venice-samza/.../
+    VeniceObjectWithTimestamp.java); our wire values are JSON-encoded
+    update rows (key fields, value columns, optional op/ts), decoded with
+    `from_json` — a pure JVM expression, no Python in the path.
+
+    ts precedence: a `ts` field inside the payload (logical write
+    timestamp) wins; otherwise the broker timestamp in epoch millis —
+    exactly the producer-timestamp fallback the reference applies when no
+    logical ts is attached.
+    """
+    payload = F.from_json(F.col("value").cast("string"), value_schema)
+    out = wire.select(
+        F.col("timestamp").alias("__broker_ts"),
+        F.col("offset").alias("__offset"),
+        payload.alias("__p"),
+    ).select("__p.*", "__broker_ts", "__offset")
+    ts_col = ts_from_payload or "ts"
+    if ts_col in out.columns:
+        out = out.withColumn(
+            ts_col,
+            F.coalesce(F.col(ts_col), F.unix_millis(F.col("__broker_ts"))),
+        )
+    else:
+        out = out.withColumn(ts_col, F.unix_millis(F.col("__broker_ts")))
+    return out.drop("__broker_ts", "__offset")

@@ -1,0 +1,80 @@
+"""Data-integrity validation (DIV) for the real-time update log.
+
+Reference semantics (internal/venice-common/src/main/java/com/linkedin/
+venice/kafka/validation/ — ProducerTracker per producer GUID, Segment with
+monotonically increasing sequence numbers; clients/da-vinci-client/.../
+davinci/validation/): every producer stamps each message with
+(producerGUID, segmentNumber, messageSequenceNumber). Consumers use the
+coordinates to
+
+  - DROP duplicates: a (guid, segment, seq) already seen is the same
+    message re-delivered (producer retry / broker redelivery / log replay);
+  - DETECT gaps: a skipped sequence number inside a segment means data
+    loss ("MISSING" DataFaultType).
+
+Spark-first: the log is a DataFrame with the three coordinate columns, so
+
+  - dedup is `dropDuplicates` on the coordinates — one hash shuffle on the
+    coordinate key, and identical duplicates collapse map-side first;
+  - gap detection is a per-(guid, segment) aggregate comparing the count
+    of distinct sequences to the min/max span — no window, no sort, a
+    single partial-aggregated groupBy that scales to any log size.
+
+Because a (guid, segment, seq) triple identifies one immutable message,
+dedup-then-merge is idempotent under any re-delivery pattern — the
+property test shuffles and duplicates log segments and asserts identical
+serving state (Merge.java:27-31 determinism contract extended to the
+transport layer).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+DIV_COLS = ("producer_guid", "segment", "sequence")
+
+
+def div_dedup(df: DataFrame, cols: tuple[str, str, str] = DIV_COLS) -> DataFrame:
+    """Drop re-delivered messages: one row per (guid, segment, seq).
+
+    Rows sharing coordinates are by contract byte-identical (a producer
+    never reuses a sequence number for different payloads), so any survivor
+    is correct and `dropDuplicates` — which keeps an arbitrary one — is
+    deterministic in effect.
+    """
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"log is missing DIV coordinate columns {missing}")
+    return df.dropDuplicates(list(cols))
+
+
+def div_check(df: DataFrame, cols: tuple[str, str, str] = DIV_COLS) -> DataFrame:
+    """Per-(producer, segment) integrity report.
+
+    Returns rows (producer_guid, segment, first_seq, last_seq, messages,
+    duplicates, missing) where `missing` > 0 flags lost messages (the
+    MISSING fault) and `duplicates` counts re-deliveries. Empty
+    missing/duplicates everywhere == clean log.
+    """
+    guid, seg, seq = cols
+    return (
+        df.groupBy(guid, seg)
+        .agg(
+            F.min(seq).alias("first_seq"),
+            F.max(seq).alias("last_seq"),
+            F.count(F.lit(1)).alias("messages"),
+            F.countDistinct(seq).alias("distinct_seqs"),
+        )
+        .select(
+            guid,
+            seg,
+            "first_seq",
+            "last_seq",
+            "messages",
+            (F.col("messages") - F.col("distinct_seqs")).alias("duplicates"),
+            (
+                F.col("last_seq") - F.col("first_seq") + 1 - F.col("distinct_seqs")
+            ).alias("missing"),
+        )
+    )
