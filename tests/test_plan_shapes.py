@@ -73,6 +73,63 @@ def test_knn_join_lsh_has_no_cartesian_product(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_batch_push_dedup_is_single_shuffle(spark, tmp_path):
+    """The push pipeline's partition + dedup + sort must plan exactly ONE
+    exchange: the groupBy(partition_id, key) dedup reuses the repartition's
+    hash partitioning (partition_id is a function of the key). A second
+    exchange here doubles the dominant cost of every 100 TB push."""
+    from venice_spark.partitioner import with_partition_id
+
+    df = spark.createDataFrame(
+        [(i % 50, float(i), i) for i in range(200)], "k long, v double, ts long"
+    )
+    parted = with_partition_id(df, ["k"], 8).repartition(8, F.col("partition_id"))
+    out = (
+        parted.groupBy("partition_id", "k")
+        .agg(F.max_by(F.struct("v", "ts"), F.col("ts")).alias("__v"))
+        .select("partition_id", "k", "__v.*")
+        .sortWithinPartitions("k")
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_incremental_push_merge_never_shuffles_base(spark, sf_dir):
+    """W9's delta-wins merge must be a broadcast anti-join — no exchange,
+    sort, or window touching the base side (at 100 TB a windowed merge
+    would shuffle+sort the whole store to override 0.01% of keys)."""
+    plan = _plan(QUERIES["w9_incremental_push"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+
+
+def test_delta_resolved_get_still_prunes_partitions(spark, tmp_path):
+    """Point reads through the LSM delta-log view: the partition_id filter
+    must push through the resolve window to BOTH the base and delta scans
+    (the window partitions by (partition_id, key) precisely so this
+    pruning survives)."""
+    from venice_spark import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("d", key_fields=["k"], partition_count=8)
+    eng.push("d", spark.createDataFrame([(i, i * 1.0) for i in range(100)], "k long, v double"))
+    eng.incremental_push(
+        "d", spark.createDataFrame([(1, 99.0)], "k long, v double"), eager=False
+    )
+    st = eng.store("d")
+    from venice_spark.partitioner import partition_id_py
+
+    pid = partition_id_py((1,), 8, False)
+    view = st.df().filter(F.col("partition_id") == pid)
+    plan = _plan(view)
+    scans = [seg for seg in plan.split("Scan parquet") if "PartitionFilters" in seg]
+    assert len(scans) >= 2, plan  # base + delta scans
+    for seg in scans:
+        pf = seg.split("PartitionFilters")[1][:200]
+        assert "partition_id" in pf, plan
+    assert st.get(1)["v"] == 99.0
+
+
 def test_store_get_prunes_partition_dirs(spark, sf_dir, tmp_path):
     from venice_spark import VeniceSparkEngine
 

@@ -106,6 +106,66 @@ def test_incremental_push_nulls_as_deletes(engine, spark):
     assert out == {1: "a", 3: "c2", 4: "d"}
 
 
+def test_lazy_incremental_push_delta_log(engine, spark):
+    """eager=False: the delta lands in the version's delta log (LSM shape —
+    delta-sized write, base untouched); reads resolve latest-delta-wins;
+    compaction folds the log into a new version."""
+    v0 = engine.catalog.current_version("s")
+    delta = spark.createDataFrame(
+        [("b", 99.0, 20), ("d", 4.0, 20)], "key string, val double, _rmd_ts long"
+    )
+    engine.incremental_push("s", delta, eager=False)
+    assert engine.catalog.current_version("s") == v0  # base untouched
+    assert len(engine.catalog.list_delta_dirs("s", v0)) == 1
+    out = {r["key"]: r["val"] for r in engine.store("s").df().collect()}
+    assert out == {"a": 1.0, "b": 99.0, "c": 3.0, "d": 4.0}
+
+    # a second delta overrides the first for overlapping keys
+    delta2 = spark.createDataFrame([("b", 100.0, 30)], "key string, val double, _rmd_ts long")
+    engine.incremental_push("s", delta2, eager=False)
+    st = engine.store("s")
+    assert st.get("b")["val"] == 100.0  # point get resolves through the log
+    got = {r["key"]: r["val"] for r in st.batch_get(["b", "d"]).collect()}
+    assert got == {"b": 100.0, "d": 4.0}
+
+    # compaction: content identical, delta log folded away, pointer flipped
+    res = engine.compact("s")
+    assert engine.catalog.current_version("s") == res.version > v0
+    assert engine.catalog.list_delta_dirs("s", res.version) == []
+    out2 = {r["key"]: r["val"] for r in engine.store("s").df().collect()}
+    assert out2 == {"a": 1.0, "b": 100.0, "c": 3.0, "d": 4.0}
+
+
+def test_lazy_incremental_push_tombstones(engine, spark):
+    """A nulls-as-deletes tombstone in a later delta hides a put in an
+    earlier one, and survives compaction as an absent key."""
+    d1 = spark.createDataFrame([("x", 8.0, 20)], "key string, val double, _rmd_ts long")
+    engine.incremental_push("s", d1, eager=False)
+    d2 = spark.createDataFrame([("x", None, None), ("a", None, None)],
+                               "key string, val double, _rmd_ts long")
+    engine.incremental_push("s", d2, eager=False, nulls_as_deletes=True)
+    keys = {r["key"] for r in engine.store("s").df().collect()}
+    assert keys == {"b", "c"}  # 'x' put hidden by tombstone, 'a' deleted
+    engine.compact("s")
+    assert {r["key"] for r in engine.store("s").df().collect()} == {"b", "c"}
+
+
+def test_lazy_push_auto_compacts_at_threshold(spark, tmp_root):
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("t", key_fields=["key"], partition_count=2, delta_compact_threshold=2)
+    eng.push("t", spark.createDataFrame([("a", 1.0)], "key string, val double"))
+    v0 = eng.catalog.current_version("t")
+    eng.incremental_push("t", spark.createDataFrame([("b", 2.0)], "key string, val double"), eager=False)
+    assert eng.catalog.current_version("t") == v0
+    # second lazy push hits the threshold -> auto-compaction flips the version
+    eng.incremental_push("t", spark.createDataFrame([("c", 3.0)], "key string, val double"), eager=False)
+    v1 = eng.catalog.current_version("t")
+    assert v1 > v0
+    assert eng.catalog.list_delta_dirs("t", v1) == []
+    out = {r["key"]: r["val"] for r in eng.store("t").df().collect()}
+    assert out == {"a": 1.0, "b": 2.0, "c": 3.0}
+
+
 def test_large_value_round_trip(spark, tmp_root):
     """§1.4 chunking semantic: values of arbitrary size round-trip losslessly.
 

@@ -234,12 +234,75 @@ class StoreCatalog:
                 retired.append(v)
         return retired
 
+    # ---- delta log (lazy incremental push) ----
+    def deltas_dir(self, store: str, version: int) -> str:
+        """Delta-log root for a version: `v{N}/_deltas/d{K}` dirs, each one
+        incremental push. Living inside the version dir means version
+        retirement cleans them up with the base."""
+        return os.path.join(self.version_dir(store, version), "_deltas")
+
+    def list_delta_dirs(self, store: str, version: int) -> list[str]:
+        root = self.deltas_dir(store, version)
+        if not os.path.isdir(root):
+            return []
+        ks = sorted(
+            int(d[1:]) for d in os.listdir(root) if d.startswith("d") and d[1:].isdigit()
+        )
+        return [os.path.join(root, f"d{k}") for k in ks]
+
     # ---- reading ----
-    def read_current(self, spark: SparkSession, store: str) -> DataFrame:
+    def read_current(
+        self, spark: SparkSession, store: str, resolve_deltas: bool = True
+    ) -> DataFrame:
+        """The store's current content. With a delta log present (lazy
+        incremental pushes, see push.incremental_push eager=False) the view
+        is base ∪ deltas resolved latest-delta-wins — the LSM read path:
+        writes stay delta-sized, reads pay one merge until compaction folds
+        the log into the next version."""
         meta = self.get_store(store)
         if meta.current_version <= 0:
             raise ValueError(f"store {store!r} has no current version")
-        return spark.read.parquet(self.version_dir(store, meta.current_version))
+        base = spark.read.parquet(self.version_dir(store, meta.current_version))
+        deltas = self.list_delta_dirs(store, meta.current_version)
+        if not deltas or not resolve_deltas:
+            return base
+        return self._resolve_delta_view(spark, base, deltas, meta.key_fields)
+
+    @staticmethod
+    def _resolve_delta_view(
+        spark: SparkSession, base: DataFrame, delta_dirs: list[str], key_fields: list[str]
+    ) -> DataFrame:
+        """base ∪ d1 ∪ ... ∪ dk with per-key precedence dk > ... > d1 > base.
+
+        Each delta is already one-row-per-key (deduped at push time), so
+        precedence is purely the delta index. The window partitions by
+        (partition_id, *key) — partition_id is a pure function of the key,
+        so the grouping is identical to per-key, and crucially a reader's
+        `partition_id = P` filter now pushes THROUGH the window to both
+        scans: point gets on a delta-backed store still prune directories.
+        Tombstones (`__del` from nulls_as_deletes) survive resolution until
+        filtered at the end, so a delete in d2 hides a put in d1."""
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        parts = [base.withColumn("__src", F.lit(0))]
+        for i, d in enumerate(delta_dirs, start=1):
+            parts.append(spark.read.parquet(d).withColumn("__src", F.lit(i)))
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p, allowMissingColumns=True)
+        w = Window.partitionBy("partition_id", *key_fields).orderBy(F.col("__src").desc())
+        out = (
+            allp.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+        if "__del" in out.columns:
+            out = out.filter(~F.coalesce(F.col("__del"), F.lit(False))).drop("__del")
+        return out
+
+    def read_version(self, spark: SparkSession, store: str, version: int) -> DataFrame:
+        return spark.read.parquet(self.version_dir(store, version))
 
     def read_version(self, spark: SparkSession, store: str, version: int) -> DataFrame:
         return spark.read.parquet(self.version_dir(store, version))

@@ -26,7 +26,14 @@ from pyspark.sql import DataFrame, Row, SparkSession
 
 from venice_spark.catalog import StoreCatalog
 from venice_spark.compute import ComputeAggregationBuilder, ComputeRequestBuilder
-from venice_spark.push import BatchPushJob, MaterializedViewDef, PushResult, incremental_push, repush
+from venice_spark.push import (
+    BatchPushJob,
+    MaterializedViewDef,
+    PushResult,
+    compact_store,
+    incremental_push,
+    repush,
+)
 
 
 class StoreHandle:
@@ -164,6 +171,10 @@ class VeniceSparkEngine:
 
     def incremental_push(self, store: str, delta: DataFrame, **kwargs) -> PushResult:
         return incremental_push(self.spark, self.catalog, store, delta, **kwargs)
+
+    def compact(self, store: str) -> PushResult:
+        """Fold accumulated lazy-push deltas into a new compacted version."""
+        return compact_store(self.spark, self.catalog, store)
 
     def repush(self, store: str, **kwargs) -> PushResult:
         return repush(self.spark, self.catalog, store, **kwargs)

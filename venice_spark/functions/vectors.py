@@ -172,10 +172,17 @@ def quantize_int8(field: Column | str, scale: float = 127.0) -> Column:
     a = _as_double_array(field)
     amax = F.array_max(F.transform(a, lambda x: F.abs(x)))
     safe = F.when(amax > 0, amax).otherwise(F.lit(1.0))
-    q = F.transform(
+    # Bind the per-row scale ONCE via array_repeat + zip_with. Referencing
+    # `safe` inside a transform lambda would inline (and re-evaluate) the
+    # whole array_max per ELEMENT — lambda bodies get no common-subexpression
+    # elimination and no whole-stage codegen, so that shape is O(d²) per row
+    # (measured 4x wall on the quantize query). array_repeat evaluates its
+    # child a single time, making the kernel O(d) again.
+    q = F.zip_with(
         a,
-        lambda x: F.least(
-            F.lit(127.0), F.greatest(F.lit(-127.0), F.round(x / safe * F.lit(scale)))
+        F.array_repeat(safe, F.size(a)),
+        lambda x, m: F.least(
+            F.lit(127.0), F.greatest(F.lit(-127.0), F.round(x / m * F.lit(scale)))
         ).cast("tinyint"),
     )
     return F.struct(amax.cast("float").alias("amax"), q.alias("q"))

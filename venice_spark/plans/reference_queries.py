@@ -935,14 +935,16 @@ def r3_streaming_batch_get(spark, sf_dir):
 def w9_incremental_push(spark, sf_dir):
     """W9: incremental push — keyed delta appended onto the current version
     without a swap; reads see base ∪ delta with delta winning per key
-    (VenicePushJob.java:919-931). Latest-wins union, one shuffle; the
-    engine's incremental_push persists exactly this shape."""
+    (VenicePushJob.java:919-931). Broadcast LEFT-ANTI join + union: the
+    delta is small relative to the base, so the base is never shuffled or
+    sorted for the merge — the shape the engine's incremental_push
+    persists (a windowed row_number here would shuffle+sort 100 TB of base
+    to override 0.01% of keys)."""
     orders = _t(spark, sf_dir, "orders")
     base = orders.select(
         "o_orderkey",
         F.col("o_totalprice").alias("totalprice"),
         F.lit("base").alias("src"),
-        F.lit(0).alias("ts"),
     )
     delta = (
         orders.filter(F.col("o_orderkey") % 10 == 0)
@@ -950,16 +952,12 @@ def w9_incremental_push(spark, sf_dir):
             "o_orderkey",
             (F.col("o_totalprice") * 2).alias("totalprice"),
             F.lit("delta").alias("src"),
-            F.lit(1).alias("ts"),
         )
     )
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts").desc())
-    return (
-        base.unionByName(delta)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_orderkey", "totalprice", "src")
+    survivors = base.join(
+        F.broadcast(delta.select("o_orderkey")), "o_orderkey", "left_anti"
     )
+    return survivors.unionByName(delta).select("o_orderkey", "totalprice", "src")
 
 
 @register(

@@ -13,8 +13,10 @@ Mirrors the reference's own Spark data-writer pipeline stage-for-stage
   W8 atomic swap           -> catalog.commit_version (pointer flip)
 
 Scale notes: the only shuffle is the single repartition on the partition id;
-dedup reuses that same hash partitioning (window over key) so Catalyst plans
-one exchange. Values are never funneled through Python.
+dedup happens INSIDE it (groupBy(partition_id, key) — the repartition's hash
+partitioning satisfies the grouping distribution because partition_id is a
+pure function of the key, so Catalyst plans exactly one exchange). Values
+are never funneled through Python.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from venice_spark.catalog import StoreCatalog
-from venice_spark.partitioner import repartition_and_sort
+from venice_spark.partitioner import repartition_and_sort, with_partition_id
 
 
 class DuplicateKeyError(ValueError):
@@ -117,17 +119,6 @@ class BatchPushJob:
         if missing:
             raise ValueError(f"input is missing key fields {missing}")
 
-        # I6 duplicate-key policy
-        if allow_duplicate_key or dedup_order_col is not None:
-            df = _dedup_latest_wins(df, key_fields, dedup_order_col)
-        else:
-            conflicts = check_duplicate_keys(df, key_fields).limit(1).collect()
-            if conflicts:
-                raise DuplicateKeyError(
-                    f"key {conflicts[0][: len(key_fields)]} has conflicting values"
-                )
-            df = df.dropDuplicates(key_fields)
-
         # I7 storage quota: persist once so the count/size pass is reused by
         # the write; released after the write lands (never leaks into the
         # caller's long-lived session)
@@ -144,10 +135,49 @@ class BatchPushJob:
                     f"~{est_row_bytes * rows} bytes exceeds quota {storage_quota_bytes}"
                 )
 
-        # I4 partition + sort, I5 write
+        # I4 partition + I6 dedup + sort, fused into ONE shuffle: repartition
+        # on partition_id, then dedup via groupBy(partition_id, key) — the
+        # existing hash partitioning satisfies the grouping's distribution
+        # (partition_id is a pure function of the key), so Catalyst plans no
+        # second exchange, and first/max_by partial-aggregate map-side. This
+        # is the reference's own shape: the partition writer dedups while
+        # iterating the already-partitioned sorted reducer stream
+        # (AbstractPartitionWriter.java, after
+        # repartitionAndSortWithinPartitions). The previous dropDuplicates →
+        # repartition sequence shuffled the full input twice.
         version = self.catalog.begin_version(store)
         path = self.catalog.version_dir(store, version)
-        out = repartition_and_sort(df, key_fields, meta.partition_count, md5_parity)
+        parted = with_partition_id(df, key_fields, meta.partition_count, md5_parity)
+        parted = parted.repartition(meta.partition_count, F.col("partition_id"))
+        value_cols = [c for c in df.columns if c not in key_fields]
+        if not value_cols:
+            out = parted.dropDuplicates(key_fields)  # key-only table
+        else:
+            aggs = []
+            if dedup_order_col is not None:
+                picked = F.max_by(F.struct(*value_cols), F.col(dedup_order_col))
+            else:
+                picked = F.first(F.struct(*value_cols))
+            aggs.append(picked.alias("__v"))
+            if not allow_duplicate_key and dedup_order_col is None:
+                aggs.append(
+                    F.countDistinct(F.struct(*value_cols)).alias("__distinct_values")
+                )
+            grouped = parted.groupBy("partition_id", *key_fields).agg(*aggs)
+            if not allow_duplicate_key and dedup_order_col is None:
+                conflict = (
+                    grouped.filter(F.col("__distinct_values") > 1)
+                    .select(*key_fields)
+                    .limit(1)
+                    .collect()
+                )
+                if conflict:
+                    raise DuplicateKeyError(
+                        f"key {tuple(conflict[0])} has conflicting values"
+                    )
+                grouped = grouped.drop("__distinct_values")
+            out = grouped.select("partition_id", *key_fields, "__v.*")
+        out = out.sortWithinPartitions(*key_fields)
         # partition_id as a *directory* partition: point/batch gets prune to
         # one dir (the Spark twin of routing a key to its owning partition),
         # and each dir holds one key-sorted file for rowgroup min/max pruning.
@@ -261,6 +291,24 @@ class MaterializedViewDef:
         out.write.mode("overwrite").parquet(self.view_dir(catalog, store, version))
 
 
+def _prepare_delta(
+    delta: DataFrame, key_fields: list[str], order_col: str | None, nulls_as_deletes: bool
+) -> DataFrame:
+    """One row per key, tombstones marked: the canonical delta shape.
+
+    nulls_as_deletes: ETL-shaped inputs encode deletes as null values
+    (union[null, T] — etl/UnionValueWithNull.avsc, TestBatch.java:768-791);
+    a delta row whose value columns are all NULL tombstones its key."""
+    if nulls_as_deletes:
+        vcols = [c for c in delta.columns if c not in key_fields and c != order_col]
+        is_del = F.lit(True)
+        for c in vcols:
+            is_del = is_del & F.col(c).isNull()
+        delta = delta.withColumn("__del", is_del)
+    # dedup WITHIN the delta only (it is small; the base never sees a window)
+    return _dedup_latest_wins(delta, key_fields, order_col)
+
+
 def incremental_push(
     spark: SparkSession,
     catalog: StoreCatalog,
@@ -268,50 +316,66 @@ def incremental_push(
     delta: DataFrame,
     order_col: str | None = None,
     nulls_as_deletes: bool = False,
+    eager: bool = True,
 ) -> PushResult:
     """W9: apply a keyed delta onto the current version's content.
 
     The reference applies incremental-push records in place on the current
-    version (VenicePushJob.java:919-931); the Spark-first materialization
-    compacts base ∪ delta eagerly into a NEW version dir and flips the
-    catalog pointer — the logical content is identical, and the flip is
-    atomic (os.replace of store.json), so a crash mid-push never loses the
-    previous snapshot and concurrent readers always see a complete version.
+    version (VenicePushJob.java:919-931). Two Spark-first materializations:
 
-    nulls_as_deletes: ETL-shaped inputs encode deletes as null values
-    (union[null, T] — etl/UnionValueWithNull.avsc, TestBatch.java:768-791);
-    a delta row whose value columns are all NULL tombstones its key."""
+    eager=True (default): compact base ∪ delta into a NEW version dir and
+    flip the catalog pointer — atomic (os.replace of store.json), a crash
+    mid-push never loses the previous snapshot. The merge is a BROADCAST
+    LEFT-ANTI join (base keys minus delta keys) + union: the delta is tiny
+    relative to the base, so the base side is never shuffled or sorted for
+    the merge — only the unavoidable repartition for the version write
+    remains. (A windowed row_number over base ∪ delta would shuffle AND
+    sort 100 TB to override 0.01% of its keys.)
+
+    eager=False: LSM shape — append the delta to the current version's
+    delta log (catalog.deltas_dir) WITHOUT touching the base; reads resolve
+    base ∪ deltas latest-wins (StoreCatalog._resolve_delta_view) and
+    compaction is deferred to compact_store / the `delta_compact_threshold`
+    store config (default 8). At 100 TB an incremental push then costs
+    delta-sized I/O, not a full rewrite."""
     meta = catalog.get_store(store)
-    base = catalog.read_current(spark, store)
     key_fields = meta.key_fields
-    if nulls_as_deletes:
-        vcols = [c for c in delta.columns if c not in key_fields and c != order_col]
-        is_del = F.lit(True)
-        for c in vcols:
-            is_del = is_del & F.col(c).isNull()
-        delta = delta.withColumn("__del", is_del)
+    md5p = bool(meta.config.get("md5_parity", False))
+    delta = _prepare_delta(delta, key_fields, order_col, nulls_as_deletes)
+
+    if not eager:
+        import os
+
+        cur = meta.current_version
+        if cur <= 0:
+            raise ValueError(f"store {store!r} has no current version to delta onto")
+        existing = catalog.list_delta_dirs(store, cur)
+        k = (
+            max(int(os.path.basename(d)[1:]) for d in existing) + 1 if existing else 1
+        )
+        dpath = os.path.join(catalog.deltas_dir(store, cur), f"d{k}")
+        out = repartition_and_sort(delta, key_fields, meta.partition_count, md5p)
+        out.write.mode("overwrite").partitionBy("partition_id").parquet(dpath)
+        _fix_empty_partitioned_dir(out, dpath)
+        rows = spark.read.parquet(dpath).count()
+        threshold = int(meta.config.get("delta_compact_threshold", 8))
+        if len(existing) + 1 >= threshold:
+            return compact_store(spark, catalog, store)
+        return PushResult(store, cur, rows, meta.partition_count, dpath)
+
+    base = catalog.read_current(spark, store)
+    if "partition_id" in base.columns:
+        base = base.drop("partition_id")
     # rows in delta override rows in base (put = full-value upsert, W1)
-    tagged = base.withColumn("__src", F.lit(0)).unionByName(
-        delta.withColumn("__src", F.lit(1)), allowMissingColumns=True
-    )
-    order = [F.col("__src").desc()] + (
-        [F.col(order_col).desc()] if order_col else []
-    )
-    w = Window.partitionBy(*key_fields).orderBy(*order)
-    merged = (
-        tagged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__src")
-    )
+    keys_only = F.broadcast(delta.select(*key_fields))
+    survivors = base.join(keys_only, on=key_fields, how="left_anti")
+    inserts = delta
     if nulls_as_deletes:
-        merged = merged.filter(
-            ~F.coalesce(F.col("__del"), F.lit(False))
-        ).drop("__del")
+        inserts = inserts.filter(~F.coalesce(F.col("__del"), F.lit(False))).drop("__del")
+    merged = survivors.unionByName(inserts, allowMissingColumns=True)
     version = catalog.begin_version(store)
     path = catalog.version_dir(store, version)
-    out = repartition_and_sort(
-        merged, key_fields, meta.partition_count, bool(meta.config.get("md5_parity", False))
-    )
+    out = repartition_and_sort(merged, key_fields, meta.partition_count, md5p)
     out.write.mode("overwrite").partitionBy("partition_id").parquet(path)
     _fix_empty_partitioned_dir(out, path)
     rows = spark.read.parquet(path).count()
@@ -321,8 +385,38 @@ def incremental_push(
         manifest={
             "rows": rows,
             "partition_count": meta.partition_count,
-            "partitioner": "md5" if meta.config.get("md5_parity") else "xxhash64",
+            "partitioner": "md5" if md5p else "xxhash64",
             "push_type": "incremental",
+        },
+    )
+    return PushResult(store, version, rows, meta.partition_count, path)
+
+
+def compact_store(spark: SparkSession, catalog: StoreCatalog, store: str) -> PushResult:
+    """Fold the current version's delta log into a new compacted version and
+    flip the pointer (the lazy half of eager=False incremental pushes —
+    RocksDB compaction's role in the reference's storage tier). Resolution
+    happens through the same _resolve_delta_view readers use, so compaction
+    never changes observable content, only read cost."""
+    meta = catalog.get_store(store)
+    resolved = catalog.read_current(spark, store)  # delta-resolved view
+    if "partition_id" in resolved.columns:
+        resolved = resolved.drop("partition_id")
+    version = catalog.begin_version(store)
+    path = catalog.version_dir(store, version)
+    md5p = bool(meta.config.get("md5_parity", False))
+    out = repartition_and_sort(resolved, meta.key_fields, meta.partition_count, md5p)
+    out.write.mode("overwrite").partitionBy("partition_id").parquet(path)
+    _fix_empty_partitioned_dir(out, path)
+    rows = spark.read.parquet(path).count()
+    catalog.commit_version(
+        store,
+        version,
+        manifest={
+            "rows": rows,
+            "partition_count": meta.partition_count,
+            "partitioner": "md5" if md5p else "xxhash64",
+            "push_type": "compaction",
         },
     )
     return PushResult(store, version, rows, meta.partition_count, path)
