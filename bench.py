@@ -56,32 +56,34 @@ HEADLINE = [
     "x_sessionize",
 ]
 
-# round-1 seconds × 1.5 headroom at sf0.1/local[32]; queries not measured in
-# r1 get no budget (first measurement sets the bar next round)
+# round-3 seconds × 1.5 headroom at sf0.1/local[32] (see BENCH_TARGETS.md)
 BUDGET_SEC = {
-    "w8_batch_push": 8.0,
+    "w8_batch_push": 5.6,
     "r1_store_point_get": 0.5,
-    "r2_store_batch_get": 3.0,
-    "r2_batch_get": 0.9,
+    "r2_store_batch_get": 2.8,
+    "r2_batch_get": 0.8,
     "r5_dot_product": 0.8,
     "r6_cosine_similarity": 0.7,
-    "r8_count_map": 1.2,
+    "r8_count_map": 1.1,
     "r10_filter_compute": 0.4,
     "r11_count_group_by_value": 0.6,
     "r12_count_group_by_bucket": 0.4,
-    "w1_put_latest_wins": 1.0,
-    "w3_partial_update_set_field": 1.2,
-    "w7_dcr_merge": 9.4,
-    "w9_incremental_push": 1.0,
-    "w11_ttl_filter": 0.5,
-    "x_dedup_exact": 2.3,
-    "x_minhash_near_dup": 8.6,
-    "x_ann_topk": 0.8,
-    "x_text_quality": 0.8,
-    "x_token_count": 0.3,
-    "x_training_pipeline": 1.1,
+    "w1_put_latest_wins": 1.1,
+    "w3_partial_update_set_field": 1.1,
+    "w7_dcr_merge": 3.7,
+    "w9_incremental_push": 0.7,
+    "w11_ttl_filter": 0.4,
+    "x_dedup_exact": 1.9,
+    "x_minhash_near_dup": 3.6,
+    "x_ann_topk": 0.6,
+    "x_text_quality": 0.5,
+    "x_token_count": 0.4,
+    "x_training_pipeline": 1.0,
     "x_event_rollup": 0.6,
-    "x_embed_quantize": 1.7,
+    "x_embed_quantize": 0.6,
+    "x_asof_join": 1.9,
+    "x_range_join": 0.9,
+    "x_sessionize": 1.1,
 }
 
 

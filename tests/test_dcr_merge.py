@@ -309,3 +309,97 @@ def test_state_json_roundtrip_mid_fold_preserves_result(ops, cut):
     for op in ops[cut:]:
         apply(st, op)
     assert st.finalize(lf, set()) == merge_ops(ops, lf, set())
+
+
+# ---- vectorized scalar fast path (merge_op_log scalar_only branch) ----
+
+_scalar_op = st_.one_of(
+    st_.builds(
+        lambda ts, colo, a, b: {"op": "PUT", "ts": ts, "colo": colo,
+                                "value": {"a": a, "b": b}},
+        st_.integers(1, 6), st_.integers(0, 2),
+        st_.one_of(st_.none(), st_.integers(-3, 3), st_.floats(-2, 2, allow_nan=False)),
+        st_.one_of(st_.none(), st_.text("xy", max_size=2)),
+    ),
+    st_.builds(
+        lambda ts, colo: {"op": "DELETE", "ts": ts, "colo": colo},
+        st_.integers(1, 6), st_.integers(0, 2),
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    logs=st_.dictionaries(
+        st_.integers(0, 3), st_.lists(_scalar_op, min_size=1, max_size=8),
+        min_size=1, max_size=4,
+    ),
+    seed=st_.integers(0, 1000),
+)
+def test_scalar_fast_path_matches_general_kernel(logs, seed):
+    """_fold_scalar_pdf must agree with merge_ops on every key for arbitrary
+    scalar PUT/DELETE logs — including ts ties (delete-wins-ties, value-rank
+    PUT ties), None values, and shuffled arrival order. The small ts domain
+    forces frequent ties, the interesting case."""
+    import random
+
+    import pandas as pd
+
+    from venice_spark.merge.dcr import _fold_scalar_pdf, merge_ops
+
+    rows = []
+    for k, ops in logs.items():
+        for op in ops:
+            v = op.get("value", {})
+            rows.append(
+                {"k": k, "op": op["op"], "ts": op["ts"], "colo": op["colo"],
+                 "a": v.get("a"), "b": v.get("b")}
+            )
+    random.Random(seed).shuffle(rows)
+    pdf = pd.DataFrame(rows)
+
+    out = _fold_scalar_pdf(pdf, ["k"], ["a", "b"])
+    got = {}
+    for r in out.to_dict("records"):
+        a, b = r["a"], r["b"]
+        a = None if (isinstance(a, float) and a != a) else a
+        b = None if (isinstance(b, float) and b != b) else b
+        got[r["k"]] = {"a": a, "b": b}
+
+    for k, ops in logs.items():
+        expect = merge_ops(ops)
+        if expect is None:
+            assert k not in got, (k, got.get(k))
+        else:
+            norm = {c: expect.get(c) for c in ("a", "b")}
+            # int/float unification: pandas may upcast ints in mixed columns
+            for c in ("a", "b"):
+                g, e = got[k][c], norm[c]
+                if isinstance(g, float) and isinstance(e, int):
+                    g = int(g) if g == int(g) else g
+                assert g == e or (g is None and e is None), (k, c, got[k], norm)
+
+
+def test_merge_op_log_scalar_fast_path_spark(spark):
+    """End-to-end through merge_op_log: the scalar_only branch (events-style
+    PUT/DELETE log) returns the same result as the general applyInPandas
+    path on the same log."""
+    import pyspark.sql.functions as F
+
+    from venice_spark.merge.dcr import merge_op_log
+
+    rows = [
+        (1, "PUT", 10, 0, 1.0), (1, "PUT", 20, 0, 2.0), (1, "DELETE", 20, 0, None),
+        (2, "PUT", 5, 0, 9.0), (2, "DELETE", 4, 0, None),
+        (3, "DELETE", 9, 0, None), (3, "PUT", 9, 1, 7.0),
+        (4, "PUT", 1, 0, None),
+    ]
+    log = spark.createDataFrame(rows, "k long, op string, ts long, colo int, v double")
+    fast = merge_op_log(log, ["k"], "k long, v double", num_partitions=4)
+    general = merge_op_log(log, ["k"], "k long, v double")
+    f = {r["k"]: r["v"] for r in fast.collect()}
+    g = {r["k"]: r["v"] for r in general.collect()}
+    assert f == g
+    # ts-tie semantics: key 1 deleted (DELETE ties PUT@20 and wins); key 2
+    # survives (delete older); key 3 deleted (tie); key 4 = NULL-value put
+    assert set(f) == {2, 4} and f[2] == 9.0 and f[4] is None

@@ -161,6 +161,87 @@ def test_hybrid_replay_tombstone_blocks_stale_put(spark, tmp_path):
     assert out == {"a": 7.0, "b": 3.0}
 
 
+def test_hybrid_replay_append_mode(spark, tmp_path):
+    """mode='append': each micro-batch appends batch-resolved rows (O(batch)
+    per trigger, base never rewritten); reads resolve base ∪ appends; the
+    tombstone / stale-PUT contract holds across batches; compact() folds
+    the log without changing content."""
+    root = str(tmp_path / "cat")
+    catalog = StoreCatalog(root)
+    catalog.create_store("h", key_fields=["key"], hybrid=True, rewind_seconds=0)
+
+    serving = str(tmp_path / "serving")
+    spark.createDataFrame(
+        [("a", 1.0, 10), ("b", 2.0, 10)], schema=SCHEMA
+    ).write.parquet(serving)
+    import glob
+
+    base_files = set(glob.glob(f"{serving}/*.parquet"))
+
+    rt_dir = str(tmp_path / "rt")
+    os.makedirs(rt_dir)
+    replay = HybridReplay(spark, catalog, "h", serving, mode="append", compact_every=0)
+
+    # batch 1: update a, delete b
+    spark.createDataFrame(
+        [("a", 5.0, 20, "PUT"), ("b", 0.0, 30, "DELETE")], schema=SCHEMA + ", op string"
+    ).write.mode("append").parquet(rt_dir)
+    stream = spark.readStream.schema(SCHEMA + ", op string").parquet(rt_dir)
+    replay.start(stream, str(tmp_path / "ckpt")).awaitTermination(120)
+
+    # base files untouched (append mode never rewrites them)
+    assert base_files <= set(glob.glob(f"{serving}/*.parquet"))
+    out = {r["key"]: r["val"] for r in replay.read().collect()}
+    assert out == {"a": 5.0}
+
+    # batch 2: stale PUT for b (ts=25 < tombstone 30) must NOT resurrect
+    spark.createDataFrame(
+        [("b", 9.0, 25, "PUT"), ("c", 7.0, 15, "PUT")], schema=SCHEMA + ", op string"
+    ).write.mode("append").parquet(rt_dir)
+    stream = spark.readStream.schema(SCHEMA + ", op string").parquet(rt_dir)
+    replay.start(stream, str(tmp_path / "ckpt")).awaitTermination(120)
+    out = {r["key"]: r["val"] for r in replay.read().collect()}
+    assert out == {"a": 5.0, "c": 7.0}
+
+    # compaction: content identical, log folded to one row per key
+    replay.compact()
+    out2 = {r["key"]: r["val"] for r in replay.read().collect()}
+    assert out2 == out
+    raw = spark.read.option("mergeSchema", "true").parquet(serving)
+    assert raw.count() == raw.select("key").distinct().count()
+    # tombstone for b still present post-compaction (stale-PUT protection)
+    assert raw.filter(F.col("op") == "DELETE").count() == 1
+
+
+def test_hybrid_append_mode_matches_rewrite_mode(spark, tmp_path):
+    """Determinism: the same RT log replayed through both modes yields the
+    same final state (batching/merge strategy must never change content —
+    Merge.java:27-31 extended to the materialization strategy)."""
+    rows = [
+        ("a", 1.0, 10, "PUT"), ("a", 3.0, 30, "PUT"), ("a", 2.0, 20, "PUT"),
+        ("b", 4.0, 15, "PUT"), ("b", 0.0, 15, "DELETE"),   # delete wins tie
+        ("c", 6.0, 11, "PUT"), ("c", 0.0, 10, "DELETE"),
+    ]
+    states = {}
+    for mode in ("rewrite", "append"):
+        root = str(tmp_path / f"cat_{mode}")
+        catalog = StoreCatalog(root)
+        catalog.create_store("h", key_fields=["key"], hybrid=True, rewind_seconds=0)
+        serving = str(tmp_path / f"serving_{mode}")
+        spark.createDataFrame([("z", 9.0, 1)], schema=SCHEMA).write.parquet(serving)
+        rt_dir = str(tmp_path / f"rt_{mode}")
+        os.makedirs(rt_dir)
+        replay = HybridReplay(spark, catalog, "h", serving, mode=mode)
+        spark.createDataFrame(rows, schema=SCHEMA + ", op string").write.mode(
+            "append"
+        ).parquet(rt_dir)
+        stream = spark.readStream.schema(SCHEMA + ", op string").parquet(rt_dir)
+        replay.start(stream, str(tmp_path / f"ckpt_{mode}")).awaitTermination(120)
+        states[mode] = {(r["key"], r["val"], r["ts"]) for r in replay.read().collect()}
+    assert states["rewrite"] == states["append"]
+    assert states["append"] == {("a", 3.0, 30), ("c", 6.0, 11), ("z", 9.0, 1)}
+
+
 def test_change_events_batch(spark):
     log = spark.createDataFrame(
         [("a", 1.0, 10), ("a", 2.0, 20), ("b", 5.0, 15)], schema=SCHEMA

