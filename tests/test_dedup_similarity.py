@@ -227,3 +227,59 @@ def test_dup_clusters_transitive(spark):
     )
     out = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_decontaminate_removes_ngram_overlap(spark):
+    from venice_spark.pipeline import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content about spark engines"),
+            (3, "another clean document with no leakage at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "we observed the quick brown fox in the wild")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"] for r in decontaminate(train, ev, ngram_n=3).collect()}
+    # doc 1 shares the 3-gram "the quick brown" (and more) with the eval doc
+    assert out == {2, 3}
+
+
+def test_decontaminate_no_overlap_keeps_all(spark):
+    from venice_spark.pipeline import decontaminate
+
+    train = spark.createDataFrame([(1, "alpha beta gamma delta")], "doc_id long, text string")
+    ev = spark.createDataFrame([(9, "epsilon zeta eta theta")], "doc_id long, text string")
+    assert decontaminate(train, ev, ngram_n=3).count() == 1
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    from venice_spark.pipeline import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "rare" if i % 10 == 0 else "common") for i in range(2000)],
+        "id long, domain string",
+    )
+    out = stratified_sample(df, "domain", {"rare": 1.0, "common": 0.25}, "id")
+    counts = {r["domain"]: r["n"] for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert counts["rare"] == 200  # rate 1.0 keeps every row
+    assert 350 < counts["common"] < 550  # ~25% of 1800, hash-binomial spread
+    # deterministic: the same call returns the identical id set
+    a = {r["id"] for r in out.collect()}
+    b = {r["id"] for r in stratified_sample(df, "domain", {"rare": 1.0, "common": 0.25}, "id").collect()}
+    assert a == b
+    # monotone under rate increase: the 25% sample is a subset of the 50% one
+    c = {r["id"] for r in stratified_sample(df, "domain", {"rare": 1.0, "common": 0.5}, "id").collect()}
+    assert a <= c
+
+
+def test_stratified_sample_default_rate_zero_drops_unlisted(spark):
+    from venice_spark.pipeline import stratified_sample
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, domain string")
+    out = stratified_sample(df, "domain", {"x": 1.0}, "id")
+    assert [r["domain"] for r in out.collect()] == ["x"]

@@ -73,3 +73,54 @@ def prepare_corpus(
             kept, "n_tokens", id_col, cfg.pack_budget, cfg.n_shards
         )
     return kept
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: drop training documents sharing ANY token
+    n-gram with an evaluation corpus (the standard guard against test-set
+    leakage in pretraining data).
+
+    Scale shape: the eval side (benchmark suites — thousands of docs, not
+    billions) collapses to a distinct n-gram set and BROADCASTS, so the
+    training corpus is never shuffled: explode (narrow) → broadcast hash
+    join → distinct contaminated ids (small) → broadcast left-anti. At
+    100 TB the only shuffle is over the contaminated-id set."""
+    ev = (
+        eval_df.select(F.explode(TX.shingles(text_col, ngram_n)).alias("__ng"))
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col), F.explode(TX.shingles(text_col, ngram_n)).alias("__ng")
+    )
+    contaminated = tr.join(F.broadcast(ev), "__ng").select(id_col).distinct()
+    return train.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum hash sampling — the domain-mixing primitive
+    (e.g. keep 100% of a rare domain, 20% of web crawl). A row survives iff
+    hash64(id) mod precision < rate(stratum) * precision: no RNG, identical
+    output on every run and engine (md5-based hash64 reruns in any SQL
+    dialect — the oracle re-derives it), and rows never move between strata
+    samples when rates change, only in or out. Pure per-row expression: no
+    shuffle, no Python."""
+    bucket = F.pmod(TX.hash64(F.col(id_col).cast("string")), F.lit(precision))
+    threshold = F.lit(int(round(default_rate * precision)))
+    for s, r in rates.items():
+        threshold = F.when(
+            F.col(stratum_col) == s, F.lit(int(round(r * precision)))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

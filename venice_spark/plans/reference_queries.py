@@ -1133,6 +1133,49 @@ def x_sequence_packing(spark, sf_dir):
     )
 
 
+@register(
+    "x_decontaminate",
+    _SHINGLES_CTE + ", "
+    "ev AS (SELECT DISTINCT ng FROM sh, UNNEST(sh.sh) AS t(ng) WHERE doc_id % 97 = 0), "
+    "bad AS (SELECT DISTINCT s.doc_id FROM sh s, UNNEST(s.sh) AS t(ng) "
+    "  WHERE s.doc_id % 97 <> 0 AND ng IN (SELECT ng FROM ev)) "
+    "SELECT doc_id FROM documents WHERE doc_id % 97 <> 0 "
+    "AND doc_id NOT IN (SELECT doc_id FROM bad)",
+)
+def x_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop training docs sharing any token
+    3-gram with the eval corpus (doc_id % 97 == 0 plays the benchmark set).
+    Eval n-gram set broadcasts; the training corpus is never shuffled
+    (pipeline.decontaminate)."""
+    from venice_spark.pipeline import decontaminate
+
+    df = _t(spark, sf_dir, "documents")
+    ev = df.filter(F.col("doc_id") % 97 == 0)
+    train = df.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, ev, "text", "doc_id", ngram_n=3).select("doc_id")
+
+
+@register(
+    "x_stratified_sample",
+    "SELECT event_id, event_type FROM events "
+    "WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) < "
+    "CASE WHEN event_type = 'error' THEN 1000000 "
+    "WHEN event_type = 'view' THEN 200000 ELSE 500000 END",
+)
+def x_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling by event_type (domain mixing: keep
+    all errors, 20% of views, 50% otherwise): hash64(event_id) mod 1e6
+    under a per-stratum threshold. No RNG — the oracle re-derives the
+    identical md5 hash math (pipeline.stratified_sample)."""
+    from venice_spark.pipeline import stratified_sample
+
+    df = _t(spark, sf_dir, "events")
+    out = stratified_sample(
+        df, "event_type", {"error": 1.0, "view": 0.2}, "event_id", default_rate=0.5
+    )
+    return out.select("event_id", "event_type")
+
+
 def _simhash_pairs_oracle_sql(bits: int = 16, max_hamming: int = 3) -> str:
     # independent construction: brute-force all-pairs verify (fine at sf0.01);
     # the engine's pigeonhole blocking must find exactly the same pairs
@@ -1426,6 +1469,8 @@ def x_rollup_agg(spark, sf_dir):
 DRIVER_WINDOW = 50
 
 _TAIL = [
+    "r11_multi_field_facets",  # R11 family covered by r11_count_group_by_value
+    "x_event_histogram",       # bucketed counting covered by r12 + x_event_percentiles
     "r3_streaming_batch_get",  # plan-identical to r2_batch_get
     "x_token_count",           # strict subset of x_text_quality
     "x_fingerprint",           # same md5 fingerprint expr checked via x_dedup_exact
