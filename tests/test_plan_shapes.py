@@ -88,10 +88,14 @@ def test_batch_push_dedup_is_single_shuffle(spark, tmp_path):
         parted.groupBy("partition_id", "k")
         .agg(F.max_by(F.struct("v", "ts"), F.col("ts")).alias("__v"))
         .select("partition_id", "k", "__v.*")
-        .sortWithinPartitions("k")
+        .sortWithinPartitions("partition_id", "k")
     )
     plan = _plan(out)
     assert plan.count("Exchange") == 1, plan
+    # the output sort must be ELIMINATED: the SortAggregate already emits
+    # (partition_id, key) order, so only the aggregate's own input sort
+    # remains — a second Sort would re-sort every partition after the agg
+    assert plan.count("Sort ") == 1, plan
 
 
 def test_incremental_push_merge_never_shuffles_base(spark, sf_dir):

@@ -177,7 +177,12 @@ class BatchPushJob:
                     )
                 grouped = grouped.drop("__distinct_values")
             out = grouped.select("partition_id", *key_fields, "__v.*")
-        out = out.sortWithinPartitions(*key_fields)
+        # Sort on (partition_id, key): each written file holds ONE pid, so
+        # per-file key order is identical to a bare key sort — but this
+        # ordering matches what the SortAggregate above already emits, so
+        # EliminateSorts removes the node entirely (a bare key sort re-sorts
+        # the full partition; pinned by the single-Sort plan test).
+        out = out.sortWithinPartitions("partition_id", *key_fields)
         # partition_id as a *directory* partition: point/batch gets prune to
         # one dir (the Spark twin of routing a key to its owning partition),
         # and each dir holds one key-sorted file for rowgroup min/max pruning.
