@@ -40,3 +40,70 @@ def test_frame_sampling_shape(media):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         _decode_image(b"\x89PNG...")
+
+
+# ---- real codec path: PPM/PGM in pure numpy ----
+
+
+def _ppm(w, h, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    from venice_spark.multimodal import encode_ppm
+
+    return arr, encode_ppm(arr)
+
+
+def test_ppm_round_trip_and_comments():
+    import numpy as np
+
+    from venice_spark.multimodal import decode_ppm, encode_ppm
+
+    arr, payload = _ppm(7, 5, seed=3)
+    assert np.array_equal(decode_ppm(payload), arr)
+    # header comments are legal PPM; decoder must skip them
+    with_comment = b"P6\n# a comment\n7 5\n255\n" + arr.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), arr)
+    # grayscale P5
+    g = arr[:, :, :1].copy()
+    assert np.array_equal(decode_ppm(encode_ppm(g)), g)
+
+
+def test_decode_rejects_unknown_format():
+    import pytest
+
+    from venice_spark.multimodal import _decode_image
+
+    with pytest.raises(NotImplementedError, match="PIL"):
+        _decode_image(b"\x89PNG\r\n\x1a\nrest")
+
+
+def test_resize_images_spark(spark):
+    import numpy as np
+
+    from venice_spark.multimodal import decode_ppm, resize_images
+
+    arr, payload = _ppm(8, 8, seed=1)
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    out = resize_images(df, 4, 4).collect()[0]
+    assert (out["width"], out["height"]) == (4, 4)
+    dec = decode_ppm(bytes(out["payload"]))
+    assert dec.shape == (4, 4, 3)
+    # nearest-neighbor: output pixel (0,0) is input pixel (0,0); (3,3) maps to (6,6)
+    assert np.array_equal(dec[0, 0], arr[0, 0])
+    assert np.array_equal(dec[3, 3], arr[6, 6])
+
+
+def test_real_feature_extraction_spark(spark):
+    from venice_spark.multimodal import extract_features, image_features, decode_ppm
+
+    arr, payload = _ppm(6, 6, seed=2)
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    row = extract_features(df, use_stub=False).collect()[0]
+    feats = row["features"]
+    assert len(feats) == 6 + 16  # 3ch mean/std + 4x4 luminance grid
+    expected = image_features(decode_ppm(payload))
+    assert all(abs(a - b) < 1e-6 for a, b in zip(feats, expected))
+    # all features land in [0,1]
+    assert all(0.0 <= f <= 1.0 for f in feats)

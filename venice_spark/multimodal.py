@@ -1,10 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 North-star surface for 100 TB multimodal training pipelines. The Spark-side
-plumbing is real (schemas, Arrow-batched mapInPandas, partitioning); the
-actual codec work is stubbed behind clearly-marked hooks because media
-libraries are not available in this environment — swap `_decode_image` for
-PIL/ffmpeg in production.
+plumbing is real (schemas, Arrow-batched mapInPandas, partitioning), and so
+is the codec path for header+raw formats: PPM/PGM decode, nearest-neighbor
+resize, re-encode and luminance-grid feature extraction are pure numpy
+(decode_ppm/resize_nearest/image_features). Compressed formats (JPEG/PNG/
+video) need PIL/ffmpeg, which are not in this container — those stay gated
+behind a clearly-marked NotImplementedError in `_decode_image`, with a
+deterministic stand-in (`_fake_features`) keeping the pipeline shape
+testable for arbitrary payloads.
 
 Design rules for scale:
   - binary payloads stay opaque until the last possible stage (no decode
@@ -46,10 +50,85 @@ def attach_media_columns(df: DataFrame, id_col: str, payload_col: str, mime: str
     )
 
 
-def _decode_image(payload: bytes) -> "object":
-    """STUB: real implementation uses PIL.Image.open(io.BytesIO(payload)).
-    Not available in this container."""
-    raise NotImplementedError("image decode requires PIL — not in this environment")
+def decode_ppm(payload: bytes):
+    """REAL pure-numpy decode of binary PPM (P6, RGB) / PGM (P5, grayscale):
+    ASCII header (magic, width, height, maxval; # comments allowed) followed
+    by raw samples. Returns uint8 ndarray (h, w, channels). No external
+    media libraries needed — these formats are just a header + pixel array."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM payload (magic {magic!r})")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte after maxval, then raw samples
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    ch = 3 if magic == b"P6" else 1
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i).reshape(
+        h, w, ch
+    )
+
+
+def encode_ppm(arr) -> bytes:
+    """Inverse of decode_ppm: uint8 (h, w, 1|3) ndarray → binary PGM/PPM."""
+    h, w, ch = arr.shape
+    magic = b"P6" if ch == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def resize_nearest(arr, out_w: int, out_h: int):
+    """Nearest-neighbor resize via numpy index mapping — real resize math,
+    vectorized, no media libs."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[rows][:, cols]
+
+
+def image_features(arr, grid: int = 4) -> list[float]:
+    """Real feature vector from a decoded image: per-channel mean/std (RGB
+    padded for grayscale) + a grid×grid downsampled luminance map, all
+    scaled to [0,1]. dim = 6 + grid²."""
+    import numpy as np
+
+    a = arr.astype(np.float64) / 255.0
+    if a.shape[2] == 1:
+        a = np.repeat(a, 3, axis=2)
+    feats = []
+    for c in range(3):
+        feats += [float(a[:, :, c].mean()), float(a[:, :, c].std())]
+    lum = a @ [0.299, 0.587, 0.114]
+    small = resize_nearest(lum[:, :, None], grid, grid)[:, :, 0]
+    feats += [float(v) for v in small.ravel()]
+    return feats
+
+
+def _decode_image(payload: bytes):
+    """Decode an image payload to an ndarray. PPM/PGM decode natively
+    (decode_ppm — pure numpy); compressed formats (JPEG/PNG/...) need PIL,
+    which is not in this container, and stay explicitly gated."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "only PPM/PGM decode natively; JPEG/PNG require PIL — not in this environment"
+    )
 
 
 def _fake_features(payload: bytes, dim: int) -> list[float]:
@@ -83,11 +162,49 @@ def extract_features(
                         lambda p: _fake_features(bytes(p), dim) if p is not None else None
                     )
                 )
-            else:  # pragma: no cover - requires media libs
+            else:
+                # real path: decode (native for PPM/PGM) → image_features
                 pdf = pdf.assign(
-                    features=pdf[payload_col].map(lambda p: _decode_image(bytes(p)))
+                    features=pdf[payload_col].map(
+                        lambda p: image_features(_decode_image(bytes(p)))
+                        if p is not None
+                        else None
+                    )
                 )
             yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Resize PPM/PGM payloads to (out_w, out_h) — decode → nearest-neighbor
+    resize → re-encode, per Arrow batch, no shuffle. Adds width/height
+    columns for metadata-first filtering downstream."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [
+            T.StructField(payload_col, T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    other = [f.name for f in df.schema.fields if f.name != payload_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf[payload_col].map(
+                lambda p: encode_ppm(resize_nearest(_decode_image(bytes(p)), out_w, out_h))
+                if p is not None
+                else None
+            )
+            out = pdf[other].assign(**{payload_col: resized})
+            out["width"] = out_w
+            out["height"] = out_h
+            yield out
 
     return df.mapInPandas(run, schema=out_schema)
 
