@@ -282,3 +282,31 @@ def test_cdc_stream_with_snapshot(spark, tmp_path):
     # snapshot: only 'a' remains (b deleted)
     snap = {r["key"]: r["val"] for r in spark.read.parquet(str(tmp_path / "snap")).collect()}
     assert snap == {"a": 2.0}
+
+
+def test_version_diff_events(spark, tmp_path):
+    """CDC across a version swap: adds, changes, and removals between two
+    immutable versions; unchanged keys emit nothing."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.streaming.cdc import version_diff_events
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("s", key_fields=["k"], partition_count=4)
+    v1 = eng.push(
+        "s",
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k long, name string, v double"
+        ),
+    ).version
+    v2 = eng.push(
+        "s",
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "B", 2.5), (4, "d", 4.0)], "k long, name string, v double"
+        ),
+    ).version
+
+    ev = {r["k"]: r for r in version_diff_events(spark, eng.catalog, "s", v1, v2).collect()}
+    assert set(ev) == {2, 3, 4}  # key 1 unchanged -> absent
+    assert ev[2]["op"] == "PUT" and ev[2]["before"]["name"] == "b" and ev[2]["after"]["name"] == "B"
+    assert ev[3]["op"] == "DELETE" and ev[3]["after"] is None
+    assert ev[4]["op"] == "PUT" and ev[4]["before"] is None and ev[4]["after"]["v"] == 4.0

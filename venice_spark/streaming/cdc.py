@@ -35,6 +35,49 @@ def change_events_batch(
     )
 
 
+def version_diff_events(
+    spark: SparkSession,
+    catalog,
+    store: str,
+    from_version: int,
+    to_version: int,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC across a version swap: change events between two immutable store
+    versions — the batch twin of the changelog consumer's VersionSwap
+    handling (VeniceChangelogConsumer seeks across swaps and replays the
+    post-swap state; docs/.../VeniceChangelogConsumer.java:19-209).
+
+    Returns (key..., op, before, after) where before/after are structs of
+    the value columns: op=PUT for keys added or changed in `to_version`
+    (before NULL for adds), op=DELETE for keys present in `from_version`
+    but absent after the swap. Unchanged keys emit nothing.
+
+    Plan: one full-outer join on the key. Both versions are written with
+    the same partitioner and key-sorted files, so at scale this is a
+    co-partitioned merge; the null-safe struct comparison is a single JVM
+    expression (no Python)."""
+    old = catalog.read_version(spark, store, from_version).drop("partition_id")
+    new = catalog.read_version(spark, store, to_version).drop("partition_id")
+    kf = catalog.get_key_fields(store)
+    if value_cols is None:
+        value_cols = [c for c in new.columns if c not in kf]
+    o = old.select(*kf, F.struct(*value_cols).alias("__old"))
+    n = new.select(*kf, F.struct(*value_cols).alias("__new"))
+    joined = o.join(n, on=kf, how="full_outer")
+    return (
+        joined.filter(~F.col("__old").eqNullSafe(F.col("__new")))
+        .select(
+            *kf,
+            F.when(F.col("__new").isNull(), F.lit("DELETE"))
+            .otherwise(F.lit("PUT"))
+            .alias("op"),
+            F.col("__old").alias("before"),
+            F.col("__new").alias("after"),
+        )
+    )
+
+
 def seek_to_timestamp(change_stream: DataFrame, ts_col: str, start_ts: int) -> DataFrame:
     """seekToTimestamp: only events at/after start_ts."""
     return change_stream.filter(F.col(ts_col) >= F.lit(start_ts))
