@@ -226,3 +226,43 @@ def test_partial_key_lookup_prefix_validation(spark, sf_dir):
     b3 = ComputeRequestBuilder(li, ["l_orderkey", "l_linenumber"])
     with _pytest.raises(ValueError, match="leading prefix"):
         b3.partial_key_lookup(l_linenumber=1)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_lazy_and_eager_push_sequences_equivalent(spark, tmp_path, seed):
+    """Semantic pin for the LSM path: any sequence of keyed deltas (upserts +
+    null-tombstones) applied as lazy delta-log pushes — read mid-log, and
+    read after compaction — must equal the same sequence applied as eager
+    compacting pushes. The materialization strategy must never change
+    observable content."""
+    import random
+
+    rng = random.Random(seed)
+    seq = []
+    for _ in range(4):  # 4 deltas of 6 ops over 8 keys
+        ops = []
+        for _ in range(6):
+            k = rng.randrange(8)
+            if rng.random() < 0.25:
+                ops.append((k, None, None))  # tombstone
+            else:
+                ops.append((k, f"n{rng.randrange(100)}", float(rng.randrange(100))))
+        seq.append(ops)
+
+    def run(mode):
+        eng = VeniceSparkEngine(spark, str(tmp_path / f"root_{mode}_{seed}"))
+        eng.create_store("s", key_fields=["k"], partition_count=4)
+        eng.push("s", spark.createDataFrame([(99, "base", 0.0)], "k long, name string, v double"))
+        for ops in seq:
+            delta = spark.createDataFrame(ops, "k long, name string, v double")
+            eng.incremental_push(
+                "s", delta, eager=(mode == "eager"), nulls_as_deletes=True
+            )
+        state = {r["k"]: (r["name"], r["v"]) for r in eng.store("s").df().collect()}
+        if mode == "lazy":
+            eng.compact("s")
+            compacted = {r["k"]: (r["name"], r["v"]) for r in eng.store("s").df().collect()}
+            assert compacted == state, "compaction changed content"
+        return state
+
+    assert run("eager") == run("lazy")
