@@ -120,3 +120,26 @@ def test_partial_subscribe(engine, spark, sf_dir):
     assert pids <= {0, 1} and pids
     assert part.count() < st.df().count()
     part.unpersist()
+
+
+def test_compute_dsl_over_delta_resolved_store(spark, tmp_path):
+    """Read-compute must see through the LSM delta log: a dot product over a
+    store with pending deltas uses the delta-resolved values."""
+    import pyspark.sql.functions as F
+
+    from venice_spark import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("v", key_fields=["vec_id"], partition_count=4)
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, emb array<float>"
+    )
+    eng.push("v", base)
+    delta = spark.createDataFrame([(1, [0.0, 2.0])], "vec_id long, emb array<float>")
+    eng.incremental_push("v", delta, eager=False)
+
+    out = (
+        eng.store("v").compute().project("vec_id").dot_product("emb", [10.0, 1.0], "score").plan()
+    )
+    scores = {r["vec_id"]: r["score"] for r in out.collect()}
+    assert scores == {1: 2.0, 2: 1.0}  # vec 1 reflects the delta, not the base
