@@ -309,3 +309,39 @@ def ivf_topk(
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_build_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    path: str,
+) -> None:
+    """Materialize the IVF scale layout: the corpus written to `path`
+    PARTITIONED BY its IVF list id. Probing then prunes directories — a
+    search with nprobe lists scans nprobe/n_centroids of the files before
+    a single row is read (the claim SCALE.md makes; the plan-shape test
+    asserts PartitionFilters on the probe scan). One shuffle-free pass:
+    ivf_assign is pure JVM expressions."""
+    out = df.withColumn("ivf_list", ivf_assign(df, vec_col, centroids))
+    out.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: Sequence[float],
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search against a materialized index dir (ivf_build_index):
+    the `ivf_list IN (probes)` filter lands on the partition column, so
+    only the probed lists' directories are ever opened."""
+    df = spark.read.parquet(path)
+    return ivf_topk(
+        df, query, vec_col, id_col, centroids, k=k, nprobe=nprobe, list_col="ivf_list"
+    )
