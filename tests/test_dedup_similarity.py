@@ -305,3 +305,4 @@ def test_ivf_indexed_layout_prunes_partitions(spark, sf_dir, tmp_path):
 
     fly = ivf_topk(emb, W64, "embedding", "vec_id", cents, k=10, nprobe=4)
     assert [r["vec_id"] for r in got.collect()] == [r["vec_id"] for r in fly.collect()]
+

@@ -345,3 +345,4 @@ def ivf_topk_indexed(
     return ivf_topk(
         df, query, vec_col, id_col, centroids, k=k, nprobe=nprobe, list_col="ivf_list"
     )
+
