@@ -1,0 +1,138 @@
+"""End-to-end store lifecycle — the reference's golden read-back test shape
+(integrationTest endToEnd/TestBatch.java:149-791, TestHybrid, merging-batch-
+and-rt docs): push data, then after EVERY subsequent lifecycle step read
+every key back and compare against an independently-maintained expectation
+dict. One store travels: full push → incremental push → lazy delta push →
+RT replay (puts + deletes) → TTL repush → compaction → version retirement."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from venice_spark.catalog import StoreCatalog
+from venice_spark.engine import VeniceSparkEngine
+from venice_spark.streaming.hybrid import HybridReplay
+
+SCHEMA = "k long, name string, score double, _rmd_ts long"
+
+
+def _read_all(engine, store):
+    return {
+        r["k"]: (r["name"], r["score"], r["_rmd_ts"])
+        for r in engine.store(store).df().drop("partition_id").collect()
+    }
+
+
+def test_full_lifecycle_golden_readback(spark, tmp_path):
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("life", key_fields=["k"], partition_count=4, hybrid=True)
+
+    # step 1: full batch push
+    expect = {i: (f"n{i}", float(i), 100) for i in range(40)}
+    eng.push("life", spark.createDataFrame([(k, *v) for k, v in expect.items()], SCHEMA))
+    assert _read_all(eng, "life") == expect
+
+    # step 2: eager incremental push — overrides + inserts
+    delta = {5: ("n5b", 55.0, 200), 40: ("n40", 40.0, 200)}
+    eng.incremental_push(
+        "life", spark.createDataFrame([(k, *v) for k, v in delta.items()], SCHEMA)
+    )
+    expect.update(delta)
+    assert _read_all(eng, "life") == expect
+
+    # step 3: lazy delta push — read-time resolution, base untouched
+    delta2 = {6: ("n6b", 66.0, 300)}
+    eng.incremental_push(
+        "life", spark.createDataFrame([(k, *v) for k, v in delta2.items()], SCHEMA),
+        eager=False,
+    )
+    expect.update(delta2)
+    assert _read_all(eng, "life") == expect
+
+    # step 4: point + batch reads agree with the golden dict through the log
+    st = eng.store("life")
+    assert tuple(st.get(6))[1:] == expect[6]
+    got = {r["k"] for r in st.batch_get([0, 6, 40, 999]).collect()}
+    assert got == {0, 6, 40}  # missing key absent, not an error
+
+    # step 5: compact the delta log — content must not change
+    eng.compact("life")
+    assert _read_all(eng, "life") == expect
+
+    # step 6: RT replay on top of the current version (hybrid store):
+    # fresh puts win, deletes tombstone, stale put loses
+    serving = str(tmp_path / "serving")
+    eng.store("life").df().drop("partition_id").withColumnRenamed(
+        "_rmd_ts", "ts"
+    ).write.parquet(serving)
+    rt = str(tmp_path / "rt")
+    os.makedirs(rt)
+    spark.createDataFrame(
+        [
+            (1, "n1-rt", 1.5, 500, "PUT"),     # fresh put wins
+            (2, None, None, 500, "DELETE"),    # delete
+            (3, "n3-stale", 0.0, 50, "PUT"),   # stale: loses to ts=100
+        ],
+        "k long, name string, score double, ts long, op string",
+    ).write.mode("append").parquet(rt)
+    replay = HybridReplay(spark, eng.catalog, "life", serving, ts_col="ts")
+    replay.start(
+        spark.readStream.schema("k long, name string, score double, ts long, op string").parquet(rt),
+        str(tmp_path / "ckpt"),
+    ).awaitTermination(120)
+    expect[1] = ("n1-rt", 1.5, 500)
+    del expect[2]
+    hybrid_state = {
+        r["k"]: (r["name"], r["score"], r["ts"]) for r in replay.read().collect()
+    }
+    assert hybrid_state == {k: (n, s, t) for k, (n, s, t) in expect.items()}
+
+    # step 7: TTL repush drops records older than now - ttl (W11): keep ts>=200
+    eng.push(
+        "life",
+        replay.read().withColumnRenamed("ts", "_rmd_ts"),
+        allow_duplicate_key=True,
+    )
+    eng.repush("life", ttl_seconds=300, now_ts=500)
+    expect = {k: v for k, v in expect.items() if v[2] >= 200}
+    assert _read_all(eng, "life") == expect
+
+    # step 8: version retirement never touches the current version
+    versions_before = eng.catalog.list_versions("life")
+    retired = eng.catalog.retire_old_versions("life", keep=1)
+    assert eng.catalog.current_version("life") not in retired
+    assert _read_all(eng, "life") == expect
+    assert len(eng.catalog.list_versions("life")) < len(versions_before)
+
+
+def test_crashed_push_leaves_readers_on_old_version(spark, tmp_path):
+    """Crash-safety of the swap protocol: a push that dies after writing its
+    version dir but before the pointer flip is invisible to readers, and
+    the next push proceeds normally past the orphaned version."""
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("c", key_fields=["k"], partition_count=2)
+    eng.push("c", spark.createDataFrame([(1, "a")], "k long, v string"))
+    v_ok = eng.catalog.current_version("c")
+
+    # simulate the crash: reserve a version and write data, never commit
+    dead = eng.catalog.begin_version("c")
+    spark.createDataFrame([(9, "never-visible")], "k long, v string").write.parquet(
+        eng.catalog.version_dir("c", dead)
+    )
+    assert eng.catalog.current_version("c") == v_ok
+    assert {r["k"] for r in eng.store("c").df().collect()} == {1}
+
+    # a later successful push skips past the orphan and swaps normally
+    res = eng.push("c", spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert res.version > dead
+    assert eng.catalog.current_version("c") == res.version
+    assert {r["k"] for r in eng.store("c").df().collect()} == {2}
+
+
+def test_commit_requires_existing_version_dir(spark, tmp_path):
+    catalog = StoreCatalog(str(tmp_path / "root"))
+    catalog.create_store("x", key_fields=["k"])
+    v = catalog.begin_version("x")
+    with pytest.raises(ValueError, match="does not exist"):
+        catalog.commit_version("x", v)
