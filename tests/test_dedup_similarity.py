@@ -306,3 +306,28 @@ def test_ivf_indexed_layout_prunes_partitions(spark, sf_dir, tmp_path):
     fly = ivf_topk(emb, W64, "embedding", "vec_id", cents, k=10, nprobe=4)
     assert [r["vec_id"] for r in got.collect()] == [r["vec_id"] for r in fly.collect()]
 
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
+    """A corpus with a large block of identical boilerplate must not blow up
+    candidate generation: with max_bucket_size the boilerplate bucket is
+    dropped (its members belong to exact dedup), while genuinely near-dup
+    pairs outside it still surface."""
+    from venice_spark.dedup import minhash_lsh_pairs
+
+    boiler = "the same boilerplate text repeated in every single document here"
+    rows = [(i, boiler) for i in range(50)]
+    rows += [
+        (100, "a unique document about spark engines and data pipelines ok"),
+        (101, "a unique document about spark engines and data pipelines yes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_pairs(df, "text", "doc_id", max_bucket_size=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs  # real near-dups still found
+    assert not any(a < 100 and b < 100 for a, b in pairs)  # boilerplate capped out
+
+    # uncapped: the boilerplate block floods the pair set (50*49/2 pairs)
+    full = minhash_lsh_pairs(df, "text", "doc_id")
+    assert full.count() >= 50 * 49 / 2

@@ -73,13 +73,22 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs: signature → band rows → self-join on
     (band_idx, band_hash) → exact jaccard ≥ threshold.
 
     The band join is the scale path: each doc emits `bands` rows; identical
     band hashes collide in the shuffle, so candidate generation is linear in
-    data + collisions."""
+    data + collisions.
+
+    max_bucket_size caps the collision blowup: a band bucket of b docs emits
+    b² candidate pairs, so one degenerate bucket (boilerplate corpus, empty
+    docs) can dominate the whole job. Buckets over the cap are dropped from
+    CANDIDATE GENERATION only — their members are near-exact duplicates by
+    construction (identical on a full band) and belong to exact/fingerprint
+    dedup, the standard split in production near-dup pipelines. Default None
+    keeps the exhaustive behavior the oracle checks."""
     rows_per_band = num_hashes // bands
     # Materialize shingles + signatures once: without a barrier the band
     # self-join and the verify joins each re-derive the full md5/minhash
@@ -109,6 +118,19 @@ def minhash_lsh_pairs(
         .select(id_col, "band.band_idx", "band.h")
         .persist()
     )
+    all_bands = exploded
+    if max_bucket_size is not None:
+        # one aggregate over the band rows; the anti-join side (oversized
+        # buckets) is tiny by construction and broadcasts
+        big = (
+            exploded.groupBy("band_idx", "h")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band_idx", "h")
+        )
+        exploded = exploded.join(
+            F.broadcast(big), ["band_idx", "h"], "left_anti"
+        ).persist()
 
     a = exploded.alias("a")
     b_ = exploded.alias("b")
@@ -139,7 +161,7 @@ def minhash_lsh_pairs(
     # reclaimed by the ContextCleaner when the result is dropped, unlike
     # CacheManager entries which live until an explicit unpersist.
     out = j.localCheckpoint(eager=True)
-    for d in (sh, hs, exploded):
+    for d in (sh, hs, all_bands, exploded):
         d.unpersist()
     return out
 
