@@ -331,3 +331,17 @@ def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
     # uncapped: the boilerplate block floods the pair set (50*49/2 pairs)
     full = minhash_lsh_pairs(df, "text", "doc_id")
     assert full.count() >= 50 * 49 / 2
+
+
+def test_simhash_bucket_cap(spark):
+    from venice_spark.dedup import simhash_pairs
+
+    boiler = "identical boilerplate text for every row of this block indeed"
+    rows = [(i, boiler) for i in range(40)] + [
+        (100, "something entirely different lives here with other words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = simhash_pairs(df, "text", "doc_id", max_bucket_size=10)
+    assert capped.count() == 0  # the boilerplate block is the only dup source
+    full = simhash_pairs(df, "text", "doc_id")
+    assert full.count() >= 40 * 39 / 2

@@ -267,12 +267,17 @@ def simhash_pairs(
     bits: int = 16,
     max_hamming: int = 3,
     groups: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs within a hamming radius. Pigeonhole blocking:
     split the hash into `groups` bit-groups; any pair within hamming ≤
     groups-1 shares at least one exact group, so candidates come from
     `groups` hash-joins on (group_idx, group_bits) — never a cross join.
-    Verify = bit_count(xor) ≤ max_hamming. Requires max_hamming < groups."""
+    Verify = bit_count(xor) ≤ max_hamming. Requires max_hamming < groups.
+
+    max_bucket_size drops oversized bit-group buckets from candidate
+    generation (see minhash_lsh_pairs — same degenerate-corpus bound, same
+    exact-dedup escape hatch for the dropped members)."""
     if max_hamming >= groups:
         raise ValueError("pigeonhole blocking needs max_hamming < groups")
     width = bits // groups
@@ -292,6 +297,14 @@ def simhash_pairs(
     blocks = sh.select(
         F.col(id_col), F.col("sh"), F.explode(F.array(*gcols)).alias("blk")
     ).select(id_col, "sh", "blk.g", "blk.gb")
+    if max_bucket_size is not None:
+        big = (
+            blocks.groupBy("g", "gb")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("g", "gb")
+        )
+        blocks = blocks.join(F.broadcast(big), ["g", "gb"], "left_anti")
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = (
         a.join(
