@@ -136,3 +136,34 @@ def test_commit_requires_existing_version_dir(spark, tmp_path):
     v = catalog.begin_version("x")
     with pytest.raises(ValueError, match="does not exist"):
         catalog.commit_version("x", v)
+
+
+def test_engine_hybrid_serve_one_call(spark, tmp_path):
+    """The facade hybrid loop: push → producer writes → hybrid_serve() gives
+    the merged live view; a second round of writes + hybrid_serve resumes
+    from the streaming checkpoint and picks up only the new log files."""
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("h", key_fields=["k"], partition_count=2, hybrid=True)
+    eng.push("h", spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    st = eng.store("h")
+
+    p = st.producer()
+    p.put(1, {"v": "a2"}, ts=100)
+    p.put(3, {"v": "c"}, ts=100)
+    p.delete(2, ts=100)
+    p.flush(schema="k long, op string, ts long, colo int, v string")
+
+    replay = st.hybrid_serve()
+    out = {r["k"]: r["v"] for r in replay.read().collect()}
+    assert out == {1: "a2", 3: "c"}
+
+    # round 2: checkpoint resume — only the new file replays
+    p.put(4, {"v": "d"}, ts=200)
+    p.put(2, {"v": "b2"}, ts=200)  # fresh put resurrects past the tombstone
+    p.flush(schema="k long, op string, ts long, colo int, v string")
+    replay2 = st.hybrid_serve()
+    out2 = {r["k"]: r["v"] for r in replay2.read().collect()}
+    assert out2 == {1: "a2", 2: "b2", 3: "c", 4: "d"}
+    # lag gate: serving has caught up with the log
+    rt = spark.read.parquet(eng.catalog.update_log_dir("h"))
+    assert replay2.ready_to_serve(rt, lag_threshold_seconds=0)

@@ -130,6 +130,62 @@ class StoreHandle:
         ).collect()[0]
         return int(row["n"])
 
+    # ---- W12/W13 + §2.5: hybrid store serving loop ----
+    def producer(self, colo: int = 0):
+        """Online producer into this store's RT update log (W12/W13 —
+        VeniceProducer.asyncPut/asyncDelete/asyncUpdate)."""
+        from venice_spark.producer import VeniceProducer
+
+        return VeniceProducer(self.spark, self.catalog, self.name, colo=colo)
+
+    def hybrid_serve(
+        self,
+        ts_col: str = "ts",
+        mode: str = "rewrite",
+        compact_every: int = 16,
+        rewind_seconds: int | None = None,
+        now_ts: int | None = None,
+    ):
+        """One-call hybrid serving loop (§2.5, merging-batch-and-rt-data.md):
+        seed the serving table from the current batch version (batch rows get
+        logical ts 0, so any RT write wins its key — the reference's RT-over-
+        batch precedence), replay the store's RT log into it via Structured
+        Streaming with a persistent checkpoint (each call resumes where the
+        last stopped — only NEW log files are processed), and return the
+        HybridReplay handle (.read() for the live view, .ready_to_serve()
+        for the lag gate, .compact() in append mode)."""
+        import os
+
+        from venice_spark.streaming.hybrid import HybridReplay
+
+        store_dir = self.catalog.store_dir(self.name)
+        serving = os.path.join(store_dir, "serving")
+        if not os.path.isdir(serving):
+            base = self.df().drop("partition_id")
+            if ts_col not in base.columns:
+                base = base.withColumn(ts_col, F.lit(0).cast("long"))
+            base.write.parquet(serving)
+        replay = HybridReplay(
+            self.spark,
+            self.catalog,
+            self.name,
+            serving,
+            ts_col=ts_col,
+            rewind_seconds=rewind_seconds,
+            now_ts=now_ts,
+            mode=mode,
+            compact_every=compact_every,
+        )
+        rt_dir = self.catalog.update_log_dir(self.name)
+        if os.path.isdir(rt_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(rt_dir)
+        ):
+            schema = self.spark.read.parquet(rt_dir).schema
+            stream = self.spark.readStream.schema(schema).parquet(rt_dir)
+            q = replay.start(stream, os.path.join(store_dir, "_rt_checkpoint"))
+            q.awaitTermination()
+        return replay
+
     # ---- R15 DaVinci-style local materialization ----
     def subscribe_all(self) -> DataFrame:
         """Eagerly materialize the current version into executor memory —
