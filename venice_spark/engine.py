@@ -186,6 +186,23 @@ class StoreHandle:
             q.awaitTermination()
         return replay
 
+    def aa_serve(
+        self,
+        value_cols: list[str],
+        list_fields: set[str] | None = None,
+        map_fields: set[str] | None = None,
+        ts_col: str = "ts",
+    ):
+        """Active-active twin of hybrid_serve: the RT log replays through
+        the full DCR kernel with per-key register state persisted in the
+        serving table (the leader's MergeConflictResolver loop —
+        ActiveActiveStoreIngestionTask.java:615,640). Field-level UPDATE
+        ops get true per-field timestamps; cross-colo ties resolve
+        deterministically."""
+        from venice_spark.streaming.aa import aa_serve
+
+        return aa_serve(self, value_cols, list_fields, map_fields, ts_col)
+
     # ---- R15 DaVinci-style local materialization ----
     def subscribe_all(self) -> DataFrame:
         """Eagerly materialize the current version into executor memory —
