@@ -1,0 +1,206 @@
+"""Active-active hybrid replay: the RT log merged through the full DCR
+kernel with per-key state persisted in the serving table.
+
+Reference: AA ingestion's leader loop reads the stored value + replication
+metadata for each incoming RT record, runs MergeConflictResolver.put/
+update/delete against it, and writes the resolved record back
+(clients/da-vinci-client/.../consumer/ActiveActiveStoreIngestionTask.java:
+615,640; resolver MergeConflictResolver.java:45-751). The stored RMD is
+what makes late/out-of-order/cross-colo writes deterministic.
+
+Spark-first: the serving table carries (key, __state__, value columns,
+__deleted) where __state__ is the serialized RecordState — exactly the
+role of the reference's RMD: per-field/per-element timestamp registers
+plus the record tombstone. Each micro-batch:
+
+  1. ops repartition-join against the prior state of the keys they touch
+     (one shuffle on the key — untouched keys are never read or written
+     beyond the anti-join);
+  2. one applyInPandas fold per touched key: rebuild RecordState from
+     JSON, apply the batch's ops through the SAME kernel the batch path
+     uses (apply_pdf), re-serialize;
+  3. untouched rows ∪ refreshed rows swap in atomically.
+
+Because every register is a pointwise max, the fold is commutative —
+arrival order across micro-batches, colos, or replays cannot change the
+final state (Merge.java:27-31), and tombstone registers persist in
+__state__ so a stale PUT arriving later cannot resurrect a deleted key.
+
+Reads filter __deleted and drop the state column. UPDATE rows (set_* /
+add_* / rem_* / mapadd_* / maprem_* columns from UpdateBuilder) get full
+field-level semantics on the streaming path — the same columns
+merge_op_log accepts in batch mode.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from venice_spark.catalog import StoreCatalog
+
+
+class ActiveActiveReplay:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: StoreCatalog,
+        store: str,
+        serving_dir: str,
+        value_cols: list[str],
+        list_fields: set[str] | None = None,
+        map_fields: set[str] | None = None,
+        ts_col: str = "ts",
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.store = store
+        self.serving_dir = serving_dir
+        self.key_fields = catalog.get_key_fields(store)
+        self.value_cols = list(value_cols)
+        self.list_fields = set(list_fields or set())
+        self.map_fields = set(map_fields or set())
+        self.ts_col = ts_col
+
+    # ---- serving-table schema helpers ----
+    def _fold_schema(self, ops: DataFrame) -> "object":
+        from pyspark.sql import types as T
+
+        key_schema = ops.select(*self.key_fields).schema
+        value_types = {}
+        for c in self.value_cols:
+            if c in ops.columns:
+                value_types[c] = ops.schema[c].dataType
+            else:
+                value_types[c] = T.StringType()
+        return T.StructType(
+            list(key_schema.fields)
+            + [T.StructField("__state__", T.StringType(), True)]
+            + [T.StructField(c, value_types[c], True) for c in self.value_cols]
+            + [T.StructField("__deleted", T.BooleanType(), False)]
+        )
+
+    def seed(self, base: DataFrame, base_ts: int = 0) -> None:
+        """Initialize the serving table from a batch version: every row
+        becomes a PUT at `base_ts` folded through the kernel, so RT writes
+        with higher timestamps win exactly as the reference's batch-then-RT
+        precedence dictates."""
+        ops = base.select(
+            *self.key_fields,
+            F.lit("PUT").alias("op"),
+            F.lit(base_ts).cast("long").alias(self.ts_col),
+            F.lit(0).alias("colo"),
+            *[F.col(c) for c in self.value_cols if c in base.columns],
+        )
+        folded = self._fold_new(ops)
+        folded.write.mode("overwrite").parquet(self.serving_dir)
+
+    def _fold_new(self, ops: DataFrame, prior: DataFrame | None = None) -> DataFrame:
+        """Fold op rows (optionally carrying a prior __state__ per key) into
+        one serving row per key."""
+        import pandas as pd
+
+        from venice_spark.merge.dcr import (
+            RecordState,
+            apply_pdf,
+            merge_states,
+            record_state_from_json,
+            record_state_to_json,
+        )
+
+        kf = self.key_fields
+        vc = self.value_cols
+        lf, mf = self.list_fields, self.map_fields
+        ts_col = self.ts_col
+        non_key = [c for c in ops.columns if c not in kf + ["op", ts_col, "colo", "__state__"]]
+        value_cols = [c for c in non_key if not c.startswith(("set_", "add_", "rem_", "mapadd_", "maprem_"))]
+        update_cols = [c for c in non_key if c.startswith(("set_", "add_", "rem_", "mapadd_", "maprem_"))]
+
+        if prior is not None:
+            ops = ops.join(
+                prior.select(*kf, "__state__"), on=kf, how="left"
+            )
+        elif "__state__" not in ops.columns:
+            ops = ops.withColumn("__state__", F.lit(None).cast("string"))
+        out_schema = self._fold_schema(ops)
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            keys = {k: pdf[k].iloc[0] for k in kf}
+            st = RecordState()
+            prior_json = next((s for s in pdf["__state__"] if isinstance(s, str)), None)
+            if prior_json is not None:
+                merge_states(st, record_state_from_json(prior_json))
+            batch = pdf.rename(columns={ts_col: "ts"}) if ts_col != "ts" else pdf
+            apply_pdf(st, batch, value_cols, update_cols, lf, mf)
+            merged = st.finalize(lf, mf)
+            row = {**keys, "__state__": record_state_to_json(st)}
+            if merged is None:
+                row.update({c: None for c in vc})
+                row["__deleted"] = True
+            else:
+                row.update({c: merged.get(c) for c in vc})
+                row["__deleted"] = False
+            return pd.DataFrame([row])
+
+        return ops.groupBy(*kf).applyInPandas(fold, schema=out_schema)
+
+    def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        snap = self.spark.read.parquet(self.serving_dir)
+        touched = batch_df.select(*self.key_fields).distinct()
+        prior = snap.join(touched, on=self.key_fields, how="left_semi")
+        refreshed = self._fold_new(batch_df, prior=prior)
+        kept = snap.join(touched, on=self.key_fields, how="left_anti")
+        new_snap = kept.unionByName(refreshed)
+        tmp = f"{self.serving_dir}__aa_tmp"
+        new_snap.write.mode("overwrite").parquet(tmp)
+        old = f"{self.serving_dir}__aa_old"
+        shutil.move(self.serving_dir, old)
+        shutil.move(tmp, self.serving_dir)
+        shutil.rmtree(old)
+
+    def start(self, rt_stream: DataFrame, checkpoint_dir: str):
+        return (
+            rt_stream.writeStream.foreachBatch(self._merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def read(self) -> DataFrame:
+        """Live view: deleted keys filtered, state column dropped."""
+        df = self.spark.read.parquet(self.serving_dir)
+        return df.filter(~F.col("__deleted")).select(*self.key_fields, *self.value_cols)
+
+
+def aa_serve(
+    engine_store,
+    value_cols: list[str],
+    list_fields: set[str] | None = None,
+    map_fields: set[str] | None = None,
+    ts_col: str = "ts",
+):
+    """One-call AA serving loop (the facade twin of hybrid_serve for
+    active-active stores): seed from the current version if needed, replay
+    the RT log through the DCR kernel with a persistent checkpoint, return
+    the replay handle."""
+    spark = engine_store.spark
+    catalog = engine_store.catalog
+    name = engine_store.name
+    store_dir = catalog.store_dir(name)
+    serving = os.path.join(store_dir, "aa_serving")
+    replay = ActiveActiveReplay(
+        spark, catalog, name, serving, value_cols, list_fields, map_fields, ts_col
+    )
+    if not os.path.isdir(serving):
+        replay.seed(engine_store.df().drop("partition_id"))
+    rt_dir = catalog.update_log_dir(name)
+    if os.path.isdir(rt_dir) and any(f.endswith(".parquet") for f in os.listdir(rt_dir)):
+        schema = spark.read.parquet(rt_dir).schema
+        stream = spark.readStream.schema(schema).parquet(rt_dir)
+        q = replay.start(stream, os.path.join(store_dir, "_aa_checkpoint"))
+        q.awaitTermination()
+    return replay
