@@ -1,0 +1,146 @@
+"""Unit tests for the corpus-statistics / quality operators added in round 3:
+repetition metrics, PII scrub, n-gram counts, inverted index, top-k per
+group. Expectations are hand-computed on tiny inline corpora (independent of
+the DuckDB oracles, which check the same ops at testdata scale)."""
+
+import pytest
+import pyspark.sql.functions as F
+
+from venice_spark import pipeline as P
+from venice_spark.functions import text as TX
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        # 4 non-empty lines, "dup dup" repeated -> 3 distinct of 4 lines
+        (1, "dup dup\ndup dup\n\nuniq one\nother line"),
+        # bigrams: "a b","b a","a b" -> top bigram "a b" 2/3
+        (2, "a b a b"),
+        (3, "single"),
+        (4, "mail me at bob.smith@example.com or call +1 555-123-4567 now"),
+        (5, "no pii here, just words and more words here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_repetition_metrics(spark, docs):
+    out = {
+        r["doc_id"]: r
+        for r in P.repetition_metrics(docs, "text", "doc_id").collect()
+    }
+    assert out[1]["dup_line_frac"] == pytest.approx(1 - 3 / 4)
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == pytest.approx(2 / 3)
+    # no bigrams -> defined as 0, not null/NaN
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[3]["dup_line_frac"] == 0.0
+
+
+def test_pii_scrub_counts_and_redaction(spark, docs):
+    out = {r["doc_id"]: r for r in P.pii_scrub(docs, "text", "doc_id").collect()}
+    assert out[4]["emails"] == 1
+    assert out[4]["phones"] == 1
+    assert "<EMAIL>" in out[4]["redacted"]
+    assert "<PHONE>" in out[4]["redacted"]
+    assert "example.com" not in out[4]["redacted"]
+    assert "555" not in out[4]["redacted"]
+    assert out[5]["emails"] == 0 and out[5]["phones"] == 0
+
+
+def test_pii_redaction_is_noop_without_pii(spark, docs):
+    row = (
+        P.pii_scrub(docs, "text", "doc_id")
+        .filter(F.col("doc_id") == 5)
+        .collect()[0]
+    )
+    clean = docs.filter(F.col("doc_id") == 5).collect()[0]["text"]
+    assert row["redacted"] == clean
+
+
+def test_ngram_counts_bigrams(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y z")], ["doc_id", "text"]
+    )
+    # bigrams: doc1: "x y","y x","x y"; doc2: "x y","y z" -> x y:3, y x:1, y z:1
+    rows = P.ngram_counts(df, "text", n=2, top_k=10).collect()
+    got = {r["gram"]: r["n"] for r in rows}
+    assert got == {"x y": 3, "y x": 1, "y z": 1}
+    # ordering: count desc then gram asc
+    assert [r["gram"] for r in rows] == ["x y", "y x", "y z"]
+
+
+def test_ngram_counts_trigrams(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    got = {r["gram"]: r["n"] for r in P.ngram_counts(df, "text", n=3).collect()}
+    assert got == {"a b c": 1, "b c d": 1}
+
+
+def test_inverted_index_band_and_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "apple banana"),
+            (1, "apple cherry"),
+            (2, "apple banana banana"),  # within-doc repeat counts once
+        ],
+        ["doc_id", "text"],
+    )
+    rows = P.inverted_index(df, "text", "doc_id", min_df=2, max_df=2).collect()
+    got = {r["token"]: (r["df"], r["postings"]) for r in rows}
+    # apple df=3 excluded by max_df; cherry df=1 excluded by min_df
+    assert got == {"banana": (2, [2, 3])}
+
+
+def test_topk_per_group_window_limit(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", 1, 100),
+            ("en", 2, 300),
+            ("en", 3, 300),  # tie with doc 2 -> doc 2 ranks first
+            ("en", 4, 50),
+            ("fr", 5, 10),
+        ],
+        ["lang", "doc_id", "n_chars"],
+    )
+    out = P.topk_per_group(df, ["lang"], "n_chars", "doc_id", k=2)
+    rows = sorted(
+        [(r["lang"], r["rk"], r["doc_id"]) for r in out.collect()]
+    )
+    assert rows == [("en", 1, 2), ("en", 2, 3), ("fr", 1, 5)]
+
+
+def test_topk_per_group_plans_window_group_limit(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v"), F.col("id").alias("t")
+    )
+    plan = (
+        P.topk_per_group(df, ["g"], "v", "t", k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_text_kernels_edge_cases(spark):
+    # NOTE: trim() strips spaces only (both Spark and DuckDB), so a
+    # newline-only doc tokenizes to empty-string tokens — a degenerate-input
+    # artifact shared with the SQL oracle, pinned here so a tokenizer change
+    # that silently breaks oracle parity fails a unit test first.
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\n\n\n"), (4, "one")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            TX.dup_line_fraction("text").alias("dlf"),
+            TX.top_bigram_fraction("text").alias("tbf"),
+            TX.email_count("text").alias("em"),
+        ).collect()
+    }
+    for r in out.values():
+        assert r["dlf"] == 0.0
+        assert r["em"] == 0
+    assert out[1]["tbf"] == 0.0
+    assert out[2]["tbf"] == 0.0
+    assert out[4]["tbf"] == 0.0
+    assert out[3]["tbf"] == 1.0  # the empty-token artifact described above

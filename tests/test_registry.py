@@ -78,6 +78,11 @@ def test_driver_window_carries_only_oracle_queries():
         "r11_multi_field_facets", "x_event_histogram", "r3_streaming_batch_get",
         "x_token_count", "x_fingerprint", "r8_count_array", "x_simhash",
         "x_knn_join", "x_distinct_users",
+        # round-3 demotions: each family keeps a stronger in-window query
+        # (x_text_quality, x_minhash_near_dup, x_ngram_counts, w1's
+        # WindowGroupLimit shape)
+        "x_bpe_token_count", "x_dedup_ngram_jaccard", "x_quality_score",
+        "x_topk_per_group", "x_inverted_index",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

@@ -170,6 +170,80 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
     return out
 
 
+def lines(col: Column | str) -> Column:
+    """Non-empty trimmed lines of a document."""
+    raw = F.split(_c(col), r"\n")
+    return F.filter(F.transform(raw, F.trim), lambda l: F.length(l) > 0)
+
+
+def dup_line_fraction(col: Column | str) -> Column:
+    """Fraction of non-empty lines that are repeats of an earlier line —
+    the Gopher-style repetition signal (boilerplate, chat logs, scraped
+    nav bars). Pure per-row expression: 1 - distinct/total, 0 for docs
+    with <2 lines."""
+    ls = lines(col)
+    n = F.size(ls)
+    frac = F.lit(1.0) - F.size(F.array_distinct(ls)).cast("double") / n.cast("double")
+    return F.when(n >= 2, frac).otherwise(F.lit(0.0))
+
+
+def bigrams(col: Column | str) -> Column:
+    """Token bigrams (NOT distinct — repetition analysis needs duplicates)."""
+    toks = tokens(col)
+    cnt = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, cnt),
+        F.slice(toks, 2, cnt),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.when(F.size(toks) >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def top_bigram_fraction(col: Column | str) -> Column:
+    """Occurrences of the single most frequent bigram / total bigrams —
+    Gopher's top-2-gram repetition metric. Zero-shuffle: sort the bigram
+    array and fold a longest-equal-run counter over it (struct accumulator),
+    instead of explode -> two groupBys. 0.0 for docs with no bigrams."""
+    grams = F.array_sort(bigrams(col))
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(grams, acc0, _step, lambda acc: acc["best"])
+    n = F.size(grams)
+    return F.when(
+        n > 0, best.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+# PII patterns kept to the Java-regex ∩ RE2 common subset so the same
+# pattern strings run verbatim in Spark and the DuckDB oracle
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def email_count(col: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_c(col), F.lit(EMAIL_PATTERN), F.lit(0)))
+
+
+def phone_count(col: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_c(col), F.lit(PHONE_PATTERN), F.lit(0)))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails/phone-ish runs with typed placeholder tokens — the
+    scrub step of a corpus-prep pipeline. Order matters: emails first so
+    digit runs inside addresses aren't half-eaten by the phone pass."""
+    c = F.regexp_replace(_c(col), EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(c, PHONE_PATTERN, "<PHONE>")
+
+
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 

@@ -124,3 +124,109 @@ def stratified_sample(
             F.col(stratum_col) == s, F.lit(int(round(r * precision)))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction of
+    non-empty lines that repeat an earlier line, and the share of the most
+    frequent token bigram among all bigrams. Both are zero-shuffle per-row
+    expressions (the bigram mode is a sorted-array longest-equal-run fold,
+    not an explode -> two-groupBy round trip), so the stage stays narrow
+    and embarrassingly parallel at 100 TB."""
+    return df.select(
+        id_col,
+        TX.dup_line_fraction(text_col).alias("dup_line_frac"),
+        TX.top_bigram_fraction(text_col).alias("top_bigram_frac"),
+    )
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Count and redact email/phone-shaped spans (typed placeholder tokens).
+    Patterns live in functions/text.py and are restricted to the Java-regex
+    ∩ RE2 subset so the identical strings run in any SQL oracle. Pure
+    per-row regexp expressions — no shuffle, no Python."""
+    return df.select(
+        id_col,
+        TX.email_count(text_col).alias("emails"),
+        TX.phone_count(text_col).alias("phones"),
+        TX.redact_pii(text_col).alias("redacted"),
+    )
+
+
+def ngram_counts(
+    df: DataFrame, text_col: str, n: int = 2, top_k: int = 50
+) -> DataFrame:
+    """Corpus-level token n-gram frequencies, top-K by count (ties broken
+    by gram for determinism) — the vocabulary/phrase-statistics pass of a
+    corpus audit. Explode -> partial-agg count -> TakeOrderedAndProject:
+    the map-side combine absorbs the explode fan-out and the top-K never
+    performs a global sort."""
+    if n == 2:
+        grams = TX.bigrams(text_col)
+    else:
+        toks = TX.tokens(text_col)
+        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        grams = F.slice(toks, 1, cnt)
+        for j in range(1, n):
+            grams = F.zip_with(
+                grams,
+                F.slice(toks, 1 + j, cnt),
+                lambda g, t: F.concat(g, F.lit(" "), t),
+            )
+        grams = F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    exploded = df.select(F.explode(grams).alias("gram"))
+    counted = exploded.groupBy("gram").agg(F.count("*").alias("n"))
+    return counted.orderBy(F.desc("n"), F.asc("gram")).limit(top_k)
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 2,
+    max_df: int = 40,
+) -> DataFrame:
+    """Token -> sorted posting-list index over the corpus, keeping terms
+    whose document frequency lies in [min_df, max_df] (drops hapaxes and
+    stopword-scale terms whose lists would be unbounded). One shuffle on
+    token; postings are collected per token and sorted inside the row, so
+    output order inside a list is deterministic. The df band is the scale
+    guard: posting lists are capped at max_df entries by construction."""
+    pairs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(TX.tokens(text_col))).alias("token"),
+    )
+    agg = pairs.groupBy("token").agg(
+        F.size(F.collect_set("doc_id")).cast("bigint").alias("df"),
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+    )
+    return agg.filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    tiebreak_col: str,
+    k: int = 3,
+    descending: bool = True,
+) -> DataFrame:
+    """Best-K rows per group (e.g. highest-quality documents per language
+    bucket) via ROW_NUMBER with a deterministic tiebreak. Spark plans this
+    as WindowGroupLimit: each map task keeps a per-group top-K heap BEFORE
+    the shuffle, so shuffle volume is ~K rows per (group, input partition),
+    not the full table — the same rank-limit pushdown the push pipeline's
+    latest-wins dedup relies on."""
+    from pyspark.sql import Window
+
+    ordering = [
+        F.desc(order_col) if descending else F.asc(order_col),
+        F.asc(tiebreak_col),
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(*ordering)
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )

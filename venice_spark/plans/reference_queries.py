@@ -1459,6 +1459,123 @@ def x_rollup_agg(spark, sf_dir):
     )
 
 
+from venice_spark.functions.text import EMAIL_PATTERN as _EMAIL_P
+from venice_spark.functions.text import PHONE_PATTERN as _PHONE_P
+
+_LINES_SQL = (
+    "list_filter(list_transform(str_split(text, chr(10)), ln -> trim(ln)), "
+    "ln -> length(ln) > 0)"
+)
+_BIGRAMS_SQL = (
+    f"CASE WHEN len({_TOKS}) >= 2 THEN "
+    f"list_transform(range(1, len({_TOKS})), i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "x_repetition_filter",
+    # independent construction: the oracle computes the top-bigram share by
+    # explode + GROUP BY; the engine uses a zero-shuffle sorted-run fold —
+    # agreement is exactly the property checked
+    f"WITH l AS (SELECT doc_id, {_LINES_SQL} AS ls, {_BIGRAMS_SQL} AS grams "
+    "FROM documents), "
+    "tb AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS tbf "
+    "FROM (SELECT b.doc_id, t.g, count(*) AS c FROM l b, UNNEST(b.grams) AS t(g) "
+    "GROUP BY 1, 2) GROUP BY 1) "
+    "SELECT b.doc_id, "
+    "CASE WHEN len(b.ls) >= 2 "
+    "THEN 1.0 - CAST(len(list_distinct(b.ls)) AS DOUBLE) / CAST(len(b.ls) AS DOUBLE) "
+    "ELSE 0.0 END AS dup_line_frac, "
+    "coalesce(tb.tbf, 0.0) AS top_bigram_frac "
+    "FROM l b LEFT JOIN tb USING (doc_id)",
+)
+def x_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality metrics (pipeline.repetition_metrics):
+    duplicate-line fraction + top-bigram share, both pure per-row
+    expressions (no shuffle, no Python)."""
+    from venice_spark.pipeline import repetition_metrics
+
+    df = _t(spark, sf_dir, "documents")
+    return repetition_metrics(df, "text", "doc_id")
+
+
+@register(
+    "x_pii_scrub",
+    "SELECT doc_id, "
+    f"CAST(len(regexp_extract_all(text, '{_EMAIL_P}')) AS INT) AS emails, "
+    f"CAST(len(regexp_extract_all(text, '{_PHONE_P}')) AS INT) AS phones, "
+    f"md5(regexp_replace(regexp_replace(text, '{_EMAIL_P}', '<EMAIL>', 'g'), "
+    f"'{_PHONE_P}', '<PHONE>', 'g')) AS redacted_md5 "
+    "FROM documents",
+)
+def x_pii_scrub(spark, sf_dir):
+    """PII count + redaction (pipeline.pii_scrub): email/phone patterns in
+    the Java-regex ∩ RE2 subset run VERBATIM in both engines; the redacted
+    text is md5'd for compact value comparison. Per-row regexp only."""
+    from venice_spark.pipeline import pii_scrub
+
+    df = _t(spark, sf_dir, "documents")
+    out = pii_scrub(df, "text", "doc_id")
+    return out.select(
+        "doc_id", "emails", "phones", F.md5("redacted").alias("redacted_md5")
+    )
+
+
+@register(
+    "x_ngram_counts",
+    f"WITH g AS (SELECT t.g AS gram FROM (SELECT {_BIGRAMS_SQL} AS grams "
+    "FROM documents) b, UNNEST(b.grams) AS t(g)) "
+    "SELECT gram, count(*) AS n FROM g GROUP BY 1 ORDER BY n DESC, gram LIMIT 50",
+)
+def x_ngram_counts(spark, sf_dir):
+    """Corpus bigram frequency top-50 (pipeline.ngram_counts): explode →
+    partial-agg count → TakeOrderedAndProject; tie-broken by gram so the
+    limit boundary is deterministic in both engines."""
+    from venice_spark.pipeline import ngram_counts
+
+    df = _t(spark, sf_dir, "documents")
+    return ngram_counts(df, "text", n=2, top_k=50)
+
+
+@register(
+    "x_topk_per_group",
+    "SELECT lang, doc_id, n_chars, rk FROM ("
+    "  SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("
+    "    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk FROM documents"
+    ") WHERE rk <= 3",
+)
+def x_topk_per_group(spark, sf_dir):
+    """Best-K documents per language (pipeline.topk_per_group) — the
+    'select the best docs per bucket' curation step. Plans as
+    WindowGroupLimit: per-group top-K heaps before the shuffle."""
+    from venice_spark.pipeline import topk_per_group
+
+    df = _t(spark, sf_dir, "documents")
+    out = topk_per_group(df, ["lang"], "n_chars", "doc_id", k=3)
+    return out.select("lang", "doc_id", "n_chars", "rk")
+
+
+@register(
+    "x_inverted_index",
+    f"WITH p AS (SELECT DISTINCT doc_id, t.tok AS token FROM (SELECT doc_id, "
+    f"{_TOKS} AS toks FROM documents) d, UNNEST(d.toks) AS t(tok)), "
+    "agg AS (SELECT token, count(*) AS df, list_sort(list(doc_id)) AS postings "
+    "FROM p GROUP BY 1) "
+    "SELECT token, df, postings FROM agg WHERE df BETWEEN 2 AND 1000",
+)
+def x_inverted_index(spark, sf_dir):
+    """Token → sorted posting-list index (pipeline.inverted_index). One
+    shuffle on token. The df band is the 100 TB guard (stopword-scale terms
+    never materialize a list); the testdata vocabulary is 31 near-universal
+    tokens, so the registered query opens the band wide enough to build
+    real posting lists rather than filtering everything out."""
+    from venice_spark.pipeline import inverted_index
+
+    df = _t(spark, sf_dir, "documents")
+    return inverted_index(df, "text", "doc_id", min_df=2, max_df=1000)
+
+
 # ---------------------------------------------------------------- ordering
 #
 # The driver's correctness gate checks the FIRST 50 registered queries in
@@ -1469,6 +1586,11 @@ def x_rollup_agg(spark, sf_dir):
 DRIVER_WINDOW = 50
 
 _TAIL = [
+    "x_bpe_token_count",       # token-budget family covered by x_text_quality
+    "x_dedup_ngram_jaccard",   # verify-stage variant; x_minhash_near_dup carries family
+    "x_quality_score",         # composite of the x_text_quality terms
+    "x_topk_per_group",        # window-rank shape also pinned by w1 WindowGroupLimit
+    "x_inverted_index",        # corpus-stats family carried by x_ngram_counts
     "r11_multi_field_facets",  # R11 family covered by r11_count_group_by_value
     "x_event_histogram",       # bucketed counting covered by r12 + x_event_percentiles
     "r3_streaming_batch_get",  # plan-identical to r2_batch_get
