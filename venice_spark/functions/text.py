@@ -203,7 +203,11 @@ def top_bigram_fraction(col: Column | str) -> Column:
     """Occurrences of the single most frequent bigram / total bigrams —
     Gopher's top-2-gram repetition metric. Zero-shuffle: sort the bigram
     array and fold a longest-equal-run counter over it (struct accumulator),
-    instead of explode -> two groupBys. 0.0 for docs with no bigrams."""
+    instead of explode -> two groupBys. 0.0 for docs with no bigrams.
+
+    The denominator is arithmetic on the token count, NOT size(grams) — a
+    second reference to the gram array would re-evaluate the whole
+    tokenize+zip+sort chain (measured 1.5s -> 0.9s at sf0.1)."""
     grams = F.array_sort(bigrams(col))
     acc0 = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
@@ -216,7 +220,7 @@ def top_bigram_fraction(col: Column | str) -> Column:
         )
 
     best = F.aggregate(grams, acc0, _step, lambda acc: acc["best"])
-    n = F.size(grams)
+    n = F.greatest(F.size(tokens(col)) - 1, F.lit(0))
     return F.when(
         n > 0, best.cast("double") / n.cast("double")
     ).otherwise(F.lit(0.0))
