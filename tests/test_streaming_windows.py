@@ -1,0 +1,136 @@
+"""Windowed streaming rollup (streaming/windows.py): watermark semantics
+pinned empirically —
+
+- availableNow runs a final no-data micro-batch, so watermark-finalized
+  windows ARE emitted before termination;
+- a row older than the checkpointed watermark is dropped on replay
+  (late-data policy, the bounded-state trade Venice's KV-only design never
+  has to make — SURVEY §2.5);
+- the same `windowed_rollup` plan over the same rows as a BATCH frame
+  agrees with the streamed sink on every finalized window.
+"""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from venice_spark.streaming.windows import run_rollup_to_sink, windowed_rollup
+
+HOUR_NS = 3_600_000_000_000
+SCHEMA = "ts long, event_type string, value double"
+
+
+def _rows(*specs):
+    return [(int(h * HOUR_NS), t, float(v)) for h, t, v in specs]
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    base = str(tmp_path)
+    return f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+
+
+def _run(spark, src, sink, ckpt):
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    roll = windowed_rollup(
+        stream,
+        "ts",
+        ["event_type"],
+        {"n": "count(*)", "total": "sum(value)"},
+        "1 hour",
+        watermark_delay="30 minutes",
+    )
+    q = run_rollup_to_sink(roll, ckpt, sink)
+    q.awaitTermination(120)
+
+
+def _sink_rows(spark, sink):
+    return sorted(
+        (str(r["window_start"]), r["event_type"], r["n"], r["total"])
+        for r in spark.read.parquet(sink).collect()
+    )
+
+
+def test_stream_emits_finalized_windows_and_matches_batch(spark, dirs):
+    src, sink, ckpt = dirs
+    data = _rows((0.2, "a", 1), (0.5, "a", 2), (1.3, "b", 3), (2.1, "a", 4), (3.5, "a", 5))
+    spark.createDataFrame(data, SCHEMA).write.mode("append").parquet(src)
+    _run(spark, src, sink, ckpt)
+
+    got = _sink_rows(spark, sink)
+    # watermark = 3.5h - 30min = 3h -> windows ending <= 3h are final;
+    # [3,4) (the 3.5h row) is still open and must NOT be in the sink
+    assert got == [
+        ("1970-01-01 00:00:00", "a", 2, 3.0),
+        ("1970-01-01 01:00:00", "b", 1, 3.0),
+        ("1970-01-01 02:00:00", "a", 1, 4.0),
+    ]
+
+    # batch plan over the same rows, restricted to the finalized windows,
+    # must agree exactly (same plan, no watermark on the batch side)
+    batch = windowed_rollup(
+        spark.createDataFrame(data, SCHEMA),
+        "ts",
+        ["event_type"],
+        {"n": "count(*)", "total": "sum(value)"},
+        "1 hour",
+    )
+    final = batch.filter(F.col("window_end") <= F.lit("1970-01-01 03:00:00").cast("timestamp"))
+    expect = sorted(
+        (str(r["window_start"]), r["event_type"], r["n"], r["total"])
+        for r in final.collect()
+    )
+    assert got == expect
+
+
+def test_late_rows_dropped_and_windows_emitted_once(spark, dirs):
+    src, sink, ckpt = dirs
+    spark.createDataFrame(
+        _rows((0.2, "a", 1), (0.5, "a", 2), (1.3, "b", 3), (2.1, "a", 4), (3.5, "a", 5)),
+        SCHEMA,
+    ).write.mode("append").parquet(src)
+    _run(spark, src, sink, ckpt)
+
+    # restart from the checkpoint with one LATE row (0.4h < watermark 3h)
+    # and one advancing row (5.9h -> watermark 5.4h, finalizing [3,4))
+    spark.createDataFrame(
+        _rows((0.4, "a", 100), (5.9, "a", 6)), SCHEMA
+    ).write.mode("append").parquet(src)
+    _run(spark, src, sink, ckpt)
+
+    got = _sink_rows(spark, sink)
+    assert got == [
+        # [0,1) exactly once, WITHOUT the late value-100 row
+        ("1970-01-01 00:00:00", "a", 2, 3.0),
+        ("1970-01-01 01:00:00", "b", 1, 3.0),
+        ("1970-01-01 02:00:00", "a", 1, 4.0),
+        # finalized by the second run's watermark advance
+        ("1970-01-01 03:00:00", "a", 1, 5.0),
+    ]
+
+
+def test_sliding_window_batch(spark):
+    df = spark.createDataFrame(_rows((0.2, "a", 1), (0.7, "a", 2)), SCHEMA)
+    out = windowed_rollup(
+        df, "ts", ["event_type"], {"n": "count(*)"},
+        window_duration="1 hour", slide_duration="30 minutes",
+    )
+    rows = sorted((str(r["window_start"]), r["n"]) for r in out.collect())
+    # 0.2h falls in windows [-0.5,0.5) and [0,1); 0.7h in [0,1) and [0.5,1.5)
+    assert rows == [
+        ("1969-12-31 23:30:00", 1),
+        ("1970-01-01 00:00:00", 2),
+        ("1970-01-01 00:30:00", 1),
+    ]
+
+
+def test_timestamp_column_passthrough(spark):
+    # a real timestamp column skips the nanos conversion
+    df = spark.createDataFrame(
+        [("1970-01-01 00:10:00", "a")], "t string, event_type string"
+    ).select(F.col("t").cast("timestamp").alias("t"), "event_type")
+    out = windowed_rollup(df, "t", ["event_type"], {"n": "count(*)"}, "1 hour")
+    r = out.collect()[0]
+    assert str(r["window_start"]) == "1970-01-01 00:00:00" and r["n"] == 1
