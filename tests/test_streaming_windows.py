@@ -134,3 +134,74 @@ def test_timestamp_column_passthrough(spark):
     out = windowed_rollup(df, "t", ["event_type"], {"n": "count(*)"}, "1 hour")
     r = out.collect()[0]
     assert str(r["window_start"]) == "1970-01-01 00:00:00" and r["n"] == 1
+
+
+def _run_sessions(spark, src, sink, ckpt, gap="30 minutes"):
+    from venice_spark.streaming.windows import session_rollup
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    roll = session_rollup(
+        stream, "ts", ["event_type"], {"n": "count(*)"},
+        gap_duration=gap, watermark_delay="30 minutes",
+    )
+    q = run_rollup_to_sink(roll, ckpt, sink)
+    q.awaitTermination(120)
+
+
+def test_session_windows_stream(spark, dirs):
+    src, sink, ckpt = dirs
+    # user "a": events at 0.0h and 0.2h (one session, gap 0.5h), then 2.0h
+    # (new session); user "b": single event at 0.1h. Sentinel at 9h pushes
+    # the watermark (8.5h) past every session end so all finalize.
+    spark.createDataFrame(
+        _rows((0.0, "a", 1), (0.2, "a", 1), (2.0, "a", 1), (0.1, "b", 1), (9.0, "z", 0)),
+        SCHEMA,
+    ).write.mode("append").parquet(src)
+    _run_sessions(spark, src, sink, ckpt)
+    got = sorted(
+        (r["event_type"], str(r["session_start"]), str(r["session_end"]), r["n"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [
+        ("a", "1970-01-01 00:00:00", "1970-01-01 00:42:00", 2),  # 0.2h + 30min gap
+        ("a", "1970-01-01 02:00:00", "1970-01-01 02:30:00", 1),
+        ("b", "1970-01-01 00:06:00", "1970-01-01 00:36:00", 1),
+        # the 9h sentinel's own session ends at 9:30 > watermark 8.5h,
+        # so it correctly stays open and unemitted
+    ]
+
+
+def test_session_count_agrees_with_batch_sessionize(spark, dirs):
+    """The streaming session_window and the batch lag-over-window
+    sessionizer (sessions.sessionize) must agree on the NUMBER of sessions
+    per key (their boundary conventions differ only at delta == gap
+    exactly, which this data avoids)."""
+    from venice_spark.sessions import sessionize
+    from venice_spark.streaming.windows import session_rollup
+
+    src, sink, ckpt = dirs
+    specs = [
+        (0.0, "a", 1), (0.1, "a", 1), (0.9, "a", 1),   # sessions: {0,0.1}, {0.9}
+        (0.2, "b", 1), (0.3, "b", 1),                   # one session
+        (9.0, "z", 0),                                  # watermark sentinel
+    ]
+    df = spark.createDataFrame(_rows(*specs), SCHEMA)
+    df.write.mode("append").parquet(src)
+    _run_sessions(spark, src, sink, ckpt)
+    stream_sessions = (
+        spark.read.parquet(sink).groupBy("event_type").count().collect()
+    )
+    got = {r["event_type"]: r["count"] for r in stream_sessions}
+
+    gap_ns = 30 * 60 * 1_000_000_000
+    batch = sessionize(df, "event_type", "ts", gap_ns)
+    expect = {
+        r["event_type"]: r["n"]
+        for r in batch.groupBy("event_type")
+        .agg(F.countDistinct("session_seq").alias("n"))
+        .collect()
+    }
+    # the sentinel's own session is still open on the stream side; compare
+    # the finalized keys (the batch run, having no watermark, sees them all)
+    expect.pop("z")
+    assert got == expect == {"a": 2, "b": 1}

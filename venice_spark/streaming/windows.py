@@ -89,3 +89,38 @@ def run_rollup_to_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_rollup(
+    events: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    agg_exprs: dict[str, str],
+    gap_duration: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows (the streaming twin of sessions.sessionize,
+    which is the batch lag-over-window formulation): a session closes when
+    no event arrives for `gap_duration`. Built on `session_window`, whose
+    state store merges overlapping candidate sessions per key; the watermark
+    finalizes sessions whose end precedes it, so state stays bounded by the
+    live-session population rather than history.
+
+    Returns session_start, session_end, *group_cols, *agg outputs.
+    """
+    ts = F.col(ts_col)
+    if dict(events.dtypes)[ts_col] in ("bigint", "long"):
+        ts = F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+    with_ts = events.withColumn("_event_time", ts)
+    if events.isStreaming:
+        with_ts = with_ts.withWatermark("_event_time", watermark_delay)
+    aggs = [F.expr(sql).alias(name) for name, sql in agg_exprs.items()]
+    out = with_ts.groupBy(
+        F.session_window("_event_time", gap_duration).alias("_w"), *group_cols
+    ).agg(*aggs)
+    return out.select(
+        F.col("_w.start").alias("session_start"),
+        F.col("_w.end").alias("session_end"),
+        *group_cols,
+        *[F.col(n) for n in agg_exprs],
+    )
