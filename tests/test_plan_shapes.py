@@ -148,3 +148,35 @@ def test_store_get_prunes_partition_dirs(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "partition_id" in plan.split("PartitionFilters")[1][:200], plan
     assert st.get(1) is not None
     assert st.get(10**9) is None
+
+
+def test_per_row_corpus_metrics_have_no_shuffle_and_no_python(spark, sf_dir):
+    """repetition metrics and PII scrub are pure per-row expression chains:
+    one scan, zero Exchange, zero Python stage — the shape that stays
+    embarrassingly parallel at 100 TB."""
+    for q in ("x_repetition_filter", "x_pii_scrub"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "Exchange" not in plan, (q, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (q, plan)
+
+
+def test_ngram_counts_partial_aggregates_and_heap_topk(spark, sf_dir):
+    """The explode fan-out must be absorbed by a map-side partial aggregate
+    (two HashAggregates around one Exchange) and the top-K must be
+    TakeOrderedAndProject, never a global Sort."""
+    plan = _plan(QUERIES["x_ngram_counts"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Sort " not in plan or "SortAggregate" not in plan
+
+
+def test_inverted_index_single_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["x_inverted_index"](spark, sf_dir))
+    # one Exchange for the token groupBy; AQE may add a read node but no
+    # second shuffle stage
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_topk_per_group_has_rank_limit_pushdown(spark, sf_dir):
+    plan = _plan(QUERIES["x_topk_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
