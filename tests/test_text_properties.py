@@ -1,0 +1,80 @@
+"""Hypothesis property tests for the text-quality kernels: invariants that
+must hold on arbitrary (including adversarial) text, checked via a single
+batched Spark round-trip per example set for speed."""
+
+import string
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from venice_spark import pipeline as P
+from venice_spark.functions import text as TX
+
+# text alphabet that exercises tokenizer boundaries: words, digits,
+# whitespace (incl. newlines), punctuation, @ and dots for the PII regexes
+_ALPHA = string.ascii_letters + string.digits + " \n\t.@-+()%_,"
+texts = st.lists(
+    st.text(alphabet=_ALPHA, min_size=0, max_size=120), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts)
+def test_fraction_metrics_bounded(spark, docs):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    rows = df.select(
+        TX.dup_line_fraction("text").alias("dlf"),
+        TX.top_bigram_fraction("text").alias("tbf"),
+        TX.email_count("text").alias("em"),
+        TX.phone_count("text").alias("ph"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r["dlf"] < 1.0  # strictly <1: one line always survives dedup
+        assert 0.0 <= r["tbf"] <= 1.0
+        assert r["em"] >= 0 and r["ph"] >= 0
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts)
+def test_redaction_idempotent_and_clean(spark, docs):
+    """redact(redact(x)) == redact(x), and a redacted text matches no PII
+    pattern — the placeholder tokens must never re-trigger either regex."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    rows = df.select(
+        TX.redact_pii("text").alias("once"),
+        TX.redact_pii(TX.redact_pii("text")).alias("twice"),
+        TX.email_count(TX.redact_pii("text")).alias("em_after"),
+        TX.phone_count(TX.redact_pii("text")).alias("ph_after"),
+    ).collect()
+    for r in rows:
+        assert r["once"] == r["twice"]
+        assert r["em_after"] == 0
+        assert r["ph_after"] == 0
+
+
+def test_prepare_corpus_repetition_gates(spark):
+    """The new repetition knobs drop boilerplate docs; the same corpus with
+    gates off keeps them (filters compose narrowly, no shuffle added)."""
+    good = "the quick brown fox jumps over the lazy dog and runs far away home"
+    boiler = "\n".join(["menu home about contact the"] * 8)
+    loops = " ".join(["the same the same"] * 10)
+    df = spark.createDataFrame(
+        [(1, good), (2, boiler), (3, loops)], "doc_id long, text string"
+    )
+    cfg_off = P.CorpusPrepConfig(min_tokens=3, min_stopword_ratio=0.0)
+    ids_off = {r["doc_id"] for r in P.prepare_corpus(df, config=cfg_off).collect()}
+    assert ids_off == {1, 2, 3}
+
+    cfg_on = P.CorpusPrepConfig(
+        min_tokens=3,
+        min_stopword_ratio=0.0,
+        max_dup_line_frac=0.5,
+        max_top_bigram_frac=0.3,
+    )
+    ids_on = {r["doc_id"] for r in P.prepare_corpus(df, config=cfg_on).collect()}
+    assert ids_on == {1}

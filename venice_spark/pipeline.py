@@ -27,6 +27,10 @@ class CorpusPrepConfig:
     min_tokens: int = 5
     max_tokens: int = 100_000
     min_stopword_ratio: float = 0.05
+    # Gopher-style repetition gates (None = skip); both are zero-shuffle
+    # per-row expressions so enabling them keeps stage 1 narrow
+    max_dup_line_frac: float | None = None
+    max_top_bigram_frac: float | None = None
     near_dup_jaccard: float | None = None  # None = skip the MinHash stage
     pack_budget: int | None = None         # None = skip sequence packing
     n_shards: int = 32
@@ -44,10 +48,14 @@ def prepare_corpus(
     cfg = config or CorpusPrepConfig()
 
     # 1. quality filter — narrow, no shuffle
-    qual = df.filter(
-        TX.token_count(text_col).between(cfg.min_tokens, cfg.max_tokens)
-        & (TX.stopword_ratio(text_col) >= cfg.min_stopword_ratio)
-    ).withColumn("n_tokens", TX.token_count(text_col))
+    pred = TX.token_count(text_col).between(cfg.min_tokens, cfg.max_tokens) & (
+        TX.stopword_ratio(text_col) >= cfg.min_stopword_ratio
+    )
+    if cfg.max_dup_line_frac is not None:
+        pred = pred & (TX.dup_line_fraction(text_col) <= cfg.max_dup_line_frac)
+    if cfg.max_top_bigram_frac is not None:
+        pred = pred & (TX.top_bigram_fraction(text_col) <= cfg.max_top_bigram_frac)
+    qual = df.filter(pred).withColumn("n_tokens", TX.token_count(text_col))
 
     # 2. exact dedup — keep lowest id per fingerprint (one shuffle)
     from pyspark.sql import Window
