@@ -111,3 +111,48 @@ def test_partition_id_py_parity(spark):
     }
     for kt in comp:
         assert partition_id_py(kt, 16) == got2[kt], kt
+
+
+def test_concurrent_begin_version_reserves_distinct_numbers(tmp_root):
+    """Two push jobs racing begin_version must get distinct versions — the
+    catalog lock is the file-system stand-in for the reference controller's
+    serialized createNewStoreVersion (VenicePushJob.java:885)."""
+    import concurrent.futures
+
+    from venice_spark.catalog import StoreCatalog
+
+    cat = StoreCatalog(tmp_root)
+    cat.create_store("race", key_fields=["k"])
+
+    def reserve(_):
+        # each worker uses its own catalog instance (own lock fd), as two
+        # separate driver processes would
+        return StoreCatalog(tmp_root).begin_version("race")
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        got = sorted(ex.map(reserve, range(16)))
+    assert got == list(range(1, 17))
+    assert StoreCatalog(tmp_root).get_store("race").largest_used_version == 16
+
+
+def test_concurrent_schema_registration_serializes(tmp_root):
+    import concurrent.futures
+
+    from pyspark.sql import types as T
+
+    from venice_spark.catalog import StoreCatalog
+
+    cat = StoreCatalog(tmp_root)
+    cat.create_store("sreg", key_fields=["k"], schema_compat="none")
+
+    def add(i):
+        schema = T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField(f"f{i}", T.LongType())]
+        )
+        return StoreCatalog(tmp_root).add_value_schema("sreg", schema)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        ids = sorted(ex.map(add, range(12)))
+    # every registration got a unique, dense schema id
+    assert ids == list(range(1, 13))
+    assert len(StoreCatalog(tmp_root).get_store("sreg").value_schemas) == 12

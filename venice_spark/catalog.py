@@ -19,6 +19,8 @@ conditional PUT; the engine code is identical.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import shutil
@@ -92,6 +94,26 @@ class StoreCatalog:
         """Directory of appended put/delete/update rows (the 'real-time topic')."""
         return os.path.join(self.store_dir(store), "rt")
 
+    @contextlib.contextmanager
+    def _locked(self, store: str):
+        """Exclusive advisory lock serializing metadata read-modify-write.
+
+        The reference serializes version creation/swap through the
+        controller (VenicePushJob asks the controller for the next version
+        — hadoop/VenicePushJob.java:885); with a file catalog the
+        equivalent is an fcntl lock next to store.json, so two concurrent
+        push jobs can never reserve the same version number or lose each
+        other's metadata updates. Lock scope is one store — pushes to
+        different stores never contend."""
+        os.makedirs(self.store_dir(store), exist_ok=True)
+        fd = os.open(os.path.join(self.store_dir(store), ".lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
     # ---- store lifecycle ----
     def create_store(
         self,
@@ -150,18 +172,19 @@ class StoreCatalog:
         default for value schemas)."""
         from venice_spark.schema_compat import incompatibilities_for_level
 
-        meta = self.get_store(store)
-        level = str(meta.config.get("schema_compat", "full")).lower()
-        previous = [_struct_from_json(s) for s in meta.value_schemas]
-        problems = incompatibilities_for_level(level, previous, schema)
-        if problems:
-            detail = "; ".join(str(p) for p in problems[:5])
-            raise SchemaIncompatibleError(
-                f"value schema for {store!r} fails {level} compatibility: {detail}"
-            )
-        meta.value_schemas.append(json.dumps(schema.jsonValue()))
-        self._write_meta(meta)
-        return len(meta.value_schemas)
+        with self._locked(store):
+            meta = self.get_store(store)
+            level = str(meta.config.get("schema_compat", "full")).lower()
+            previous = [_struct_from_json(s) for s in meta.value_schemas]
+            problems = incompatibilities_for_level(level, previous, schema)
+            if problems:
+                detail = "; ".join(str(p) for p in problems[:5])
+                raise SchemaIncompatibleError(
+                    f"value schema for {store!r} fails {level} compatibility: {detail}"
+                )
+            meta.value_schemas.append(json.dumps(schema.jsonValue()))
+            self._write_meta(meta)
+            return len(meta.value_schemas)
 
     def get_value_schema(self, store: str, schema_id: int = -1) -> T.StructType:
         meta = self.get_store(store)
@@ -175,11 +198,13 @@ class StoreCatalog:
     # ---- version lifecycle ----
     def begin_version(self, store: str) -> int:
         """Reserve the next version number (reference: createNewStoreVersion,
-        VenicePushJob.java:885)."""
-        meta = self.get_store(store)
-        meta.largest_used_version += 1
-        self._write_meta(meta)
-        return meta.largest_used_version
+        VenicePushJob.java:885). Serialized per store — concurrent pushes
+        get distinct version numbers."""
+        with self._locked(store):
+            meta = self.get_store(store)
+            meta.largest_used_version += 1
+            self._write_meta(meta)
+            return meta.largest_used_version
 
     def commit_version(
         self, store: str, version: int, manifest: dict | None = None
@@ -190,7 +215,6 @@ class StoreCatalog:
         count, partitioner, push type, timestamps) — the role of the
         reference's Version record (meta/Version.java:1), queryable without
         touching the data files."""
-        meta = self.get_store(store)
         if not os.path.isdir(self.version_dir(store, version)):
             raise ValueError(f"version dir for {store} v{version} does not exist")
         if manifest is not None:
@@ -199,9 +223,11 @@ class StoreCatalog:
                 "w",
             ) as f:
                 json.dump({**manifest, "version": version, "committed_at": time.time()}, f, indent=2)
-        meta.current_version = version
-        meta.config["version_committed_at"] = time.time()
-        self._write_meta(meta)
+        with self._locked(store):
+            meta = self.get_store(store)
+            meta.current_version = version
+            meta.config["version_committed_at"] = time.time()
+            self._write_meta(meta)
 
     def version_manifest(self, store: str, version: int | None = None) -> dict | None:
         if version is None:
@@ -224,15 +250,18 @@ class StoreCatalog:
         return sorted(out)
 
     def retire_old_versions(self, store: str, keep: int = 2) -> list[int]:
-        """Drop all but the newest `keep` versions (never the current one)."""
-        meta = self.get_store(store)
-        versions = self.list_versions(store)
-        retired = []
-        for v in versions[:-keep] if keep else versions:
-            if v != meta.current_version:
-                shutil.rmtree(self.version_dir(store, v), ignore_errors=True)
-                retired.append(v)
-        return retired
+        """Drop all but the newest `keep` versions (never the current one).
+        Locked so a concurrent commit's pointer flip can't interleave with
+        the current-version read here."""
+        with self._locked(store):
+            meta = self.get_store(store)
+            versions = self.list_versions(store)
+            retired = []
+            for v in versions[:-keep] if keep else versions:
+                if v != meta.current_version:
+                    shutil.rmtree(self.version_dir(store, v), ignore_errors=True)
+                    retired.append(v)
+            return retired
 
     # ---- delta log (lazy incremental push) ----
     def deltas_dir(self, store: str, version: int) -> str:
