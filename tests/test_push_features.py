@@ -266,3 +266,27 @@ def test_lazy_and_eager_push_sequences_equivalent(spark, tmp_path, seed):
         return state
 
     assert run("eager") == run("lazy")
+
+
+def test_concurrent_lazy_incremental_pushes_get_distinct_slots(engine, spark):
+    """Two lazy incremental pushes racing must each land in their own delta
+    slot (stage-then-rename under the store lock) and the resolved view
+    must contain both deltas' rows."""
+    import concurrent.futures
+
+    d1 = spark.createDataFrame([("a", 100.0, 20)], "key string, val double, _rmd_ts long")
+    d2 = spark.createDataFrame([("b", 200.0, 20)], "key string, val double, _rmd_ts long")
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [
+            ex.submit(engine.incremental_push, "s", d, eager=False) for d in (d1, d2)
+        ]
+        results = [f.result() for f in futs]
+
+    slots = sorted(r.path.rsplit("/", 1)[-1] for r in results)
+    assert slots == ["d1", "d2"], slots
+
+    resolved = {
+        r["key"]: r["val"] for r in engine.catalog.read_current(spark, "s").collect()
+    }
+    assert resolved == {"a": 100.0, "b": 200.0, "c": 3.0}

@@ -350,19 +350,34 @@ def incremental_push(
 
     if not eager:
         import os
+        import uuid
 
         cur = meta.current_version
         if cur <= 0:
             raise ValueError(f"store {store!r} has no current version to delta onto")
-        existing = catalog.list_delta_dirs(store, cur)
-        k = (
-            max(int(os.path.basename(d)[1:]) for d in existing) + 1 if existing else 1
+        # stage-then-rename: write the full delta into a staging dir first,
+        # then atomically rename it to its log slot while holding the store
+        # lock. Readers (list_delta_dirs matches only complete d{K} names)
+        # can never observe a half-written delta, and two concurrent lazy
+        # pushes can never claim the same K — each appends its own slot,
+        # ordered by whoever locks first (the reference serializes
+        # incremental pushes per store through the controller the same way).
+        staging = os.path.join(
+            catalog.deltas_dir(store, cur), f"_staging-{uuid.uuid4().hex}"
         )
-        dpath = os.path.join(catalog.deltas_dir(store, cur), f"d{k}")
         out = repartition_and_sort(delta, key_fields, meta.partition_count, md5p)
-        out.write.mode("overwrite").partitionBy("partition_id").parquet(dpath)
-        _fix_empty_partitioned_dir(out, dpath)
-        rows = spark.read.parquet(dpath).count()
+        out.write.mode("overwrite").partitionBy("partition_id").parquet(staging)
+        _fix_empty_partitioned_dir(out, staging)
+        rows = spark.read.parquet(staging).count()
+        with catalog._locked(store):
+            existing = catalog.list_delta_dirs(store, cur)
+            k = (
+                max(int(os.path.basename(d)[1:]) for d in existing) + 1
+                if existing
+                else 1
+            )
+            dpath = os.path.join(catalog.deltas_dir(store, cur), f"d{k}")
+            os.rename(staging, dpath)
         threshold = int(meta.config.get("delta_compact_threshold", 8))
         if len(existing) + 1 >= threshold:
             return compact_store(spark, catalog, store)
