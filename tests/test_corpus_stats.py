@@ -144,3 +144,19 @@ def test_text_kernels_edge_cases(spark):
     assert out[2]["tbf"] == 0.0
     assert out[4]["tbf"] == 0.0
     assert out[3]["tbf"] == 1.0  # the empty-token artifact described above
+
+
+def test_label_centroids_hand_computed(spark):
+    from venice_spark.functions.vectors import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0]),
+            (0, [3.0, 6.0]),
+            (1, [10.0, 0.0]),
+        ],
+        "label int, embedding array<float>",
+    )
+    rows = {r["label"]: r["centroid"] for r in label_centroids(df, "embedding", "label").collect()}
+    assert rows[0] == [2.0, 4.0]
+    assert rows[1] == [10.0, 0.0]

@@ -82,7 +82,7 @@ def test_driver_window_carries_only_oracle_queries():
         # (x_text_quality, x_minhash_near_dup, x_ngram_counts, w1's
         # WindowGroupLimit shape)
         "x_bpe_token_count", "x_dedup_ngram_jaccard", "x_quality_score",
-        "x_topk_per_group", "x_inverted_index",
+        "x_topk_per_group", "x_inverted_index", "x_embed_centroids",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

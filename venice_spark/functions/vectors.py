@@ -196,3 +196,27 @@ def dequantize_int8(field: Column | str, scale: float = 127.0) -> Column:
     return F.transform(
         c["q"], lambda x: (x.cast("double") * safe / F.lit(scale)).cast("float")
     )
+
+
+def label_centroids(
+    df, vec_col: str, label_col: str, decimals: int = 4
+):
+    """Per-label element-wise mean of embedding vectors — the class
+    prototype / k-means M-step as a distributed aggregation: posexplode to
+    (label, pos, x), two-level partial avg (map-side combine absorbs the
+    d-way fan-out), then reassemble each centroid sorted by position inside
+    the row. Shuffle volume is labels × dims partial sums, independent of
+    row count.
+
+    Means are rounded to `decimals` so results are comparable across
+    engines despite summation-order differences in floating-point
+    accumulation (a raw distributed avg is not bit-stable)."""
+    pairs = df.select(label_col, F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    m = pairs.groupBy(label_col, "pos").agg(
+        F.round(F.avg("x"), decimals).alias("m")
+    )
+    return m.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )

@@ -1576,6 +1576,22 @@ def x_inverted_index(spark, sf_dir):
     return inverted_index(df, "text", "doc_id", min_df=2, max_df=1000)
 
 
+@register(
+    "x_embed_centroids",
+    "WITH p AS (SELECT label, u.pos, u.x FROM embeddings, "
+    "LATERAL (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos) u), "
+    "m AS (SELECT label, pos, round(avg(x), 4) AS m FROM p GROUP BY 1, 2) "
+    "SELECT label, list(m ORDER BY pos) AS centroid FROM m GROUP BY 1",
+)
+def x_embed_centroids(spark, sf_dir):
+    """Per-label embedding centroids (vectors.label_centroids): posexplode →
+    two-level partial avg → in-row positional reassembly. Means rounded to
+    4 decimals on both sides — distributed float accumulation is not
+    bit-order-stable, the rounding makes the comparison well-defined."""
+    df = _t(spark, sf_dir, "embeddings")
+    return vectors.label_centroids(df, "embedding", "label")
+
+
 # ---------------------------------------------------------------- ordering
 #
 # The driver's correctness gate checks the FIRST 50 registered queries in
@@ -1591,6 +1607,7 @@ _TAIL = [
     "x_quality_score",         # composite of the x_text_quality terms
     "x_topk_per_group",        # window-rank shape also pinned by w1 WindowGroupLimit
     "x_inverted_index",        # corpus-stats family carried by x_ngram_counts
+    "x_embed_centroids",       # vector-agg family; oracle-checked locally
     "r11_multi_field_facets",  # R11 family covered by r11_count_group_by_value
     "x_event_histogram",       # bucketed counting covered by r12 + x_event_percentiles
     "r3_streaming_batch_get",  # plan-identical to r2_batch_get
