@@ -345,3 +345,73 @@ def test_simhash_bucket_cap(spark):
     assert capped.count() == 0  # the boilerplate block is the only dup source
     full = simhash_pairs(df, "text", "doc_id")
     assert full.count() >= 40 * 39 / 2
+
+
+def test_kmeans_fit_recovers_separated_clusters(spark):
+    """Distributed Lloyd refinement on three well-separated directions:
+    every point must land with its own cluster's members, and the learned
+    centroids must align (cosine > 0.95) with the true directions."""
+    import random
+
+    from venice_spark.similarity import ivf_assign, kmeans_fit
+
+    rng = random.Random(7)
+    dims = 8
+    axes = [[0.0] * dims for _ in range(3)]
+    for i in range(3):
+        axes[i][i] = 1.0
+    rows = []
+    for gid, ax in enumerate(axes):
+        for j in range(60):
+            v = [a + rng.gauss(0, 0.05) for a in ax]
+            rows.append((gid * 1000 + j, gid, v))
+    df = spark.createDataFrame(rows, "vec_id long, true_c int, embedding array<float>")
+
+    cents = kmeans_fit(df, "embedding", n_clusters=3, iters=4, max_sample=60)
+    assert len(cents) == 3
+
+    got = df.withColumn("c", ivf_assign(df, "embedding", cents)).collect()
+    # every true cluster maps to exactly one learned cluster, bijectively
+    mapping = {}
+    for r in got:
+        mapping.setdefault(r["true_c"], set()).add(r["c"])
+    assert all(len(v) == 1 for v in mapping.values()), mapping
+    assert len({next(iter(v)) for v in mapping.values()}) == 3
+
+    # centroid alignment with the true axes
+    import math
+
+    for ax in axes:
+        best = max(
+            sum(a * c for a, c in zip(ax, cent))
+            / (math.sqrt(sum(c * c for c in cent)) or 1.0)
+            for cent in cents
+        )
+        assert best > 0.95, (ax, cents)
+
+
+def test_kmeans_fit_one_shuffle_per_iteration_mstep(spark):
+    """The M-step aggregation must be a partial-agg shuffle on (cluster,
+    pos), never a collect of vectors: assert the plan of the M-step frame
+    has exactly one hash-partitioning exchange."""
+    import pyspark.sql.functions as F
+
+    from venice_spark.functions import vectors as VX
+    from venice_spark.similarity import ivf_assign, train_ivf_centroids
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = train_ivf_centroids(df, "embedding", 2, 1.0, 50, iters=1)
+    nrm = F.sqrt(VX.squared_l2_norm("embedding"))
+    unit = F.transform(F.col("embedding"), lambda x: x / nrm)
+    mstep = (
+        df.withColumn("__c", ivf_assign(df, "embedding", cents))
+        .select("__c", F.posexplode(unit).alias("pos", "x"))
+        .groupBy("__c", "pos")
+        .agg(F.sum("x").alias("s"))
+    )
+    plan = mstep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "HashAggregate" in plan and "partial_sum" in plan, plan

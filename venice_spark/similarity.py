@@ -244,7 +244,19 @@ def train_ivf_centroids(
     x = np.array([r[0] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
-    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    # farthest-point (maximin) init: after a seeded first pick, each next
+    # centroid is the sample point least similar to any chosen one. Unlike
+    # uniform random init, two initial centroids can't land in the same
+    # tight cluster, which is the classic Lloyd's local optimum (observed:
+    # random init merged two well-separated clusters and split a third)
+    k = min(n_centroids, len(x))
+    chosen = [int(rng.integers(len(x)))]
+    maxsim = x @ x[chosen[0]]
+    for _ in range(1, k):
+        nxt = int(np.argmin(maxsim))
+        chosen.append(nxt)
+        maxsim = np.maximum(maxsim, x @ x[nxt])
+    cents = x[chosen].copy()
     for _ in range(iters):
         sims = x @ cents.T
         assign = sims.argmax(axis=1)
@@ -346,3 +358,61 @@ def ivf_topk_indexed(
         df, query, vec_col, id_col, centroids, k=k, nprobe=nprobe, list_col="ivf_list"
     )
 
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    n_clusters: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    sample_fraction: float = 0.1,
+    max_sample: int = 10_000,
+) -> list[list[float]]:
+    """Fully distributed spherical k-means (Lloyd's): init from the bounded
+    sample trainer, then refine over the WHOLE corpus. Per iteration:
+
+    - E-step: `ivf_assign` — nearest-centroid id as pure JVM expressions
+      (k dot products per row, no Python, no shuffle);
+    - M-step: posexplode the L2-normalized vectors to (cluster, pos, x) and
+      partial-sum — ONE shuffle whose volume is clusters × dims partial
+      aggregates, independent of row count; only k×d sums ever reach the
+      driver (16×64 = 1k scalars), which renormalizes the centroids.
+
+    Unlike train_ivf_centroids (sample-only), every row votes in every
+    iteration — at 100 TB the per-iteration cost is one scan plus a
+    k×d-sized shuffle. Empty clusters keep their previous centroid."""
+    import math as _math
+
+    import pyspark.sql.functions as F
+
+    from venice_spark.functions import vectors as VX
+
+    cents = train_ivf_centroids(
+        df, vec_col, n_clusters, sample_fraction, max_sample, iters=3, seed=seed
+    )
+    nrm = F.sqrt(VX.squared_l2_norm(vec_col))
+    safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
+    unit = F.transform(F.col(vec_col), lambda x: x / safe)
+
+    for _ in range(iters):
+        assigned = df.withColumn("__c", ivf_assign(df, vec_col, cents))
+        rows = (
+            assigned.select("__c", F.posexplode(unit).alias("pos", "x"))
+            .groupBy("__c", "pos")
+            .agg(F.sum("x").alias("s"))
+            .collect()
+        )
+        sums: dict[int, dict[int, float]] = {}
+        for r in rows:
+            sums.setdefault(r["__c"], {})[r["pos"]] = r["s"]
+        new = []
+        for i, c in enumerate(cents):
+            if i in sums:
+                v = [sums[i].get(p, 0.0) for p in range(len(c))]
+                n = _math.sqrt(sum(x * x for x in v)) or 1.0
+                new.append([x / n for x in v])
+            else:
+                new.append(list(c))
+        cents = new
+    return cents
