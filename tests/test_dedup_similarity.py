@@ -415,3 +415,32 @@ def test_kmeans_fit_one_shuffle_per_iteration_mstep(spark):
     plan = mstep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "HashAggregate" in plan and "partial_sum" in plan, plan
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark):
+    """Plant embedding-space near-duplicates (tiny perturbations of base
+    vectors); semantic_dedup must drop exactly the higher-id copies and
+    keep everything else."""
+    import random
+
+    from venice_spark.dedup import semantic_dedup
+
+    rng = random.Random(11)
+    dims = 8
+    rows = []
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(dims)]
+        rows.append((i, base))
+        if i < 5:  # plant a near-dup of the first five
+            rows.append((1000 + i, [x + rng.gauss(0, 1e-3) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", n_clusters=8, threshold=0.999
+        ).collect()
+    }
+    assert kept.issuperset(set(range(40)))
+    assert kept.isdisjoint({1000 + i for i in range(5)})
+    assert len(kept) == 40

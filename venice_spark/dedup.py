@@ -387,3 +387,32 @@ def dup_clusters(
     out = labels.localCheckpoint(eager=True)
     labels.unpersist()
     return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int = 64,
+    threshold: float = 0.97,
+    kmeans_iters: int = 3,
+) -> DataFrame:
+    """Semantic (embedding-space) deduplication, SemDeDup-style: cluster the
+    corpus with distributed k-means, verify cosine similarity ONLY within
+    clusters, and keep the lowest id of each near-duplicate pair. Returns
+    the surviving rows of `df`.
+
+    Scale shape: the E-step assignment is pure JVM expressions; the
+    within-cluster pair join is blocked on the cluster id, so candidate
+    volume is Σ cluster_size² instead of n² — n_clusters is the knob that
+    trades recall (a near-dup pair straddling a cluster boundary is missed,
+    the standard SemDeDup trade) against join fan-out. Losers leave via a
+    broadcast anti-join; the corpus is shuffled only by the pair join's
+    block key."""
+    from venice_spark.similarity import ivf_assign, kmeans_fit
+
+    cents = kmeans_fit(df, vec_col, n_clusters=n_clusters, iters=kmeans_iters)
+    assigned = df.withColumn("__sc", ivf_assign(df, vec_col, cents))
+    pairs = embedding_near_dup_pairs(assigned, vec_col, id_col, "__sc", threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(F.broadcast(losers), id_col, "left_anti").drop("__sc")
