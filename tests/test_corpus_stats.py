@@ -160,3 +160,25 @@ def test_label_centroids_hand_computed(spark):
     rows = {r["label"]: r["centroid"] for r in label_centroids(df, "embedding", "label").collect()}
     assert rows[0] == [2.0, 4.0]
     assert rows[1] == [10.0, 0.0]
+
+
+def test_clean_lines_c4_style(spark):
+    """Line-level cleaning keeps only sentence-like lines (>=3 words,
+    terminal punctuation) — boilerplate lines vanish WITHIN the doc.
+    Pytest-only: the driver corpus is single-line/punctuation-free, so a
+    registry oracle over it would be degenerate."""
+    doc = "\n".join(
+        [
+            "Home | About | Contact",          # no terminal punct
+            "This is a real sentence.",         # kept
+            "Buy now!",                         # < 3 words
+            "Another proper sentence here?",    # kept
+            "",                                  # empty
+            "footer",                            # 1 word, no punct
+        ]
+    )
+    df = spark.createDataFrame([(1, doc), (2, "no structure at all")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", TX.clean_lines("text").alias("c")).collect()}
+    assert out[1] == "This is a real sentence.\nAnother proper sentence here?"
+    assert out[2] == ""

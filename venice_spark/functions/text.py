@@ -256,3 +256,19 @@ def bpe_ish_token_count(col: Column | str, pattern: str = BPE_ISH_PATTERN) -> Co
     single digits, punctuation marks) — the cheap stand-in for a real BPE
     vocabulary when budgeting tokens at corpus scale. Pure expression."""
     return F.size(F.regexp_extract_all(_c(col), F.lit(pattern), F.lit(0)))
+
+
+def clean_lines(
+    col: Column | str, min_words: int = 3, terminal_pattern: str = r"[.!?]$"
+) -> Column:
+    """C4-style line-level cleaning: keep only lines with at least
+    `min_words` whitespace tokens that end in terminal punctuation, and
+    rejoin with newlines — removes nav bars, menu fragments and list
+    boilerplate WITHIN documents instead of dropping whole docs. Pure
+    per-row expression (filter lambda over the split lines)."""
+    kept = F.filter(
+        lines(col),
+        lambda l: (F.size(F.split(l, r"\s+")) >= min_words)
+        & l.rlike(terminal_pattern),
+    )
+    return F.array_join(kept, "\n")
