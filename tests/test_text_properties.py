@@ -78,3 +78,26 @@ def test_prepare_corpus_repetition_gates(spark):
     )
     ids_on = {r["doc_id"] for r in P.prepare_corpus(df, config=cfg_on).collect()}
     assert ids_on == {1}
+
+
+def test_temperature_rates_rebalance(spark):
+    """alpha<1 boosts rare strata relative to common ones; alpha=1 keeps
+    natural proportions (all rates equal); rates always in (0, max_rate]."""
+    from venice_spark.pipeline import stratified_sample, temperature_rates
+
+    rows = [("web",)] * 900 + [("code",)] * 90 + [("rare",)] * 10
+    df = spark.createDataFrame(rows, ["domain"]).withColumn(
+        "id", F.monotonically_increasing_id()
+    )
+
+    flat = temperature_rates(df, "domain", alpha=1.0)
+    assert all(abs(v - 1.0) < 1e-9 for v in flat.values()), flat
+
+    temp = temperature_rates(df, "domain", alpha=0.5)
+    assert temp["rare"] == 1.0  # most-boosted stratum keeps everything
+    assert temp["rare"] > temp["code"] > temp["web"] > 0
+    # composes with the deterministic sampler
+    kept = stratified_sample(df, "domain", temp, "id").groupBy("domain").count()
+    got = {r["domain"]: r["count"] for r in kept.collect()}
+    assert got["rare"] == 10
+    assert got["web"] < 900

@@ -238,3 +238,28 @@ def topk_per_group(
         df.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
     )
+
+
+def temperature_rates(
+    df: DataFrame, stratum_col: str, alpha: float = 0.7, max_rate: float = 1.0
+) -> dict[str, float]:
+    """Temperature-based sampling rates per stratum: p_s ∝ count_s^alpha
+    rescaled so the largest stratum's relative up/down-weight maps to
+    `max_rate` for the most boosted stratum — the standard multilingual /
+    domain rebalancing rule (alpha=1 keeps natural proportions, alpha→0
+    approaches uniform). Collects one row per stratum (bounded by the
+    domain count, never the corpus); feed the result to stratified_sample
+    for the deterministic per-row filter."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).count().collect()
+    }
+    total = sum(counts.values()) or 1
+    # target share ∝ count^alpha; rate = target_share / natural_share
+    powed = {s: c**alpha for s, c in counts.items()}
+    z = sum(powed.values()) or 1.0
+    raw = {
+        s: (powed[s] / z) / (counts[s] / total) for s in counts
+    }
+    top = max(raw.values()) or 1.0
+    return {s: min(max_rate, r * max_rate / top) for s, r in raw.items()}
