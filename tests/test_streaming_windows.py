@@ -205,3 +205,57 @@ def test_session_count_agrees_with_batch_sessionize(spark, dirs):
     # the finalized keys (the batch run, having no watermark, sees them all)
     expect.pop("z")
     assert got == expect == {"a": 2, "b": 1}
+
+
+def test_rollup_into_store_serves_finalized_windows(spark, dirs, tmp_path):
+    """End-to-end: event stream -> watermarked windowed rollup ->
+    incremental push per micro-batch -> versioned store serves every
+    finalized window exactly once; a later stream run appends the newly
+    finalized windows to the same store."""
+    from venice_spark import VeniceSparkEngine
+    from venice_spark.streaming.windows import run_rollup_to_store
+
+    src, _, ckpt = dirs
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("rollups", key_fields=["window_start", "event_type"])
+    seed = spark.createDataFrame(
+        [],
+        "window_start timestamp, window_end timestamp, event_type string, "
+        "n bigint, total double",
+    )
+    eng.push("rollups", seed, allow_duplicate_key=True)
+
+    def _start():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        roll = windowed_rollup(
+            stream, "ts", ["event_type"], {"n": "count(*)", "total": "sum(value)"},
+            "1 hour", watermark_delay="30 minutes",
+        )
+        q = run_rollup_to_store(roll, eng, "rollups", ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        _rows((0.2, "a", 1), (0.5, "a", 2), (1.3, "b", 3), (3.5, "a", 5)), SCHEMA
+    ).write.mode("append").parquet(src)
+    _start()
+    served = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total"])
+        for r in eng.catalog.read_current(spark, "rollups").collect()
+    }
+    assert served == {
+        ("1970-01-01 00:00:00", "a"): (2, 3.0),
+        ("1970-01-01 01:00:00", "b"): (1, 3.0),
+    }
+
+    # advance the stream; the [3,4) window finalizes and lands in the store
+    spark.createDataFrame(_rows((5.9, "z", 0)), SCHEMA).write.mode("append").parquet(src)
+    _start()
+    served2 = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total"])
+        for r in eng.catalog.read_current(spark, "rollups").collect()
+    }
+    assert served2 == {
+        ("1970-01-01 00:00:00", "a"): (2, 3.0),
+        ("1970-01-01 01:00:00", "b"): (1, 3.0),
+        ("1970-01-01 03:00:00", "a"): (1, 5.0),
+    }

@@ -124,3 +124,33 @@ def session_rollup(
         *group_cols,
         *[F.col(n) for n in agg_exprs],
     )
+
+
+def run_rollup_to_store(
+    rollup: DataFrame,
+    engine,
+    store: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Drive a streaming rollup INTO a store: each micro-batch of
+    watermark-finalized windows is applied as an incremental push, so the
+    serving table always holds every closed window exactly once and swaps
+    atomically per batch. Append mode guarantees a window appears in
+    exactly one batch — the push never overwrites a previously-served
+    window with partial data. The store's key fields must equal the
+    rollup's (window/session start + group columns)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.incremental_push(store, batch_df)
+
+    writer = (
+        rollup.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
