@@ -61,6 +61,8 @@ HEADLINE = [
     "x_ngram_counts",
     "x_topk_per_group",
     "x_inverted_index",
+    "x_unigram_logprob",
+    "x_random_projection",
 ]
 
 # round-3 steady-state seconds × 1.5 headroom at sf0.1/local[32]; the
@@ -99,6 +101,8 @@ BUDGET_SEC = {
     "x_ngram_counts": 1.6,
     "x_topk_per_group": 0.8,
     "x_inverted_index": 1.1,
+    "x_unigram_logprob": 1.5,
+    "x_random_projection": 1.3,
 }
 
 

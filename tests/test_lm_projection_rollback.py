@@ -1,0 +1,135 @@
+"""Unit tests for the late-round-3 additions: unigram-LM quality scoring,
+Johnson-Lindenstrauss random projection, and version rollback/set-version.
+Expectations are hand-computed on tiny inline data (the DuckDB oracles check
+the same ops at testdata scale)."""
+
+import math
+
+import pytest
+
+from venice_spark import VeniceSparkEngine
+from venice_spark.functions import vectors as VV
+from venice_spark.pipeline import unigram_logprob
+
+
+# ------------------------------------------------------------- unigram LM
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: "a a b" + "c" -> tf: a=2, b=1, c=1; N=4
+    df = spark.createDataFrame([(1, "a a b"), (2, "c")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob(df, "text", "doc_id").collect()}
+    exp1 = (math.log(2 / 4) + math.log(2 / 4) + math.log(1 / 4)) / 3
+    assert out[1]["lm_logprob"] == pytest.approx(exp1, abs=1e-5)
+    assert out[1]["n_tokens"] == 3
+    assert out[2]["lm_logprob"] == pytest.approx(math.log(1 / 4), abs=1e-5)
+    assert out[2]["n_tokens"] == 1
+
+
+def test_unigram_logprob_ranks_garbage_below_mode(spark):
+    # a document of corpus-common tokens must outscore one of hapaxes
+    common = " ".join(["the quick brown fox"] * 5)
+    rows = [(i, common) for i in range(10)] + [(99, "zxq1 vbn2 plm3 wkj4")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["lm_logprob"] for r in unigram_logprob(df, "text", "doc_id").collect()}
+    assert out[99] < out[0]
+
+
+# ------------------------------------------------------- random projection
+
+
+def test_rademacher_matrix_deterministic_and_pm1():
+    m1 = VV.rademacher_matrix(8, 4, seed=7)
+    m2 = VV.rademacher_matrix(8, 4, seed=7)
+    assert m1 == m2
+    assert len(m1) == 4 and all(len(r) == 8 for r in m1)
+    assert all(v in (-1.0, 1.0) for r in m1 for v in r)
+    assert VV.rademacher_matrix(8, 4, seed=8) != m1
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    mat = VV.rademacher_matrix(16, 4, seed=3)
+    out = {
+        r["vec_id"]: r["proj"]
+        for r in df.select(
+            "vec_id", VV.random_projection("embedding", mat).alias("proj")
+        ).collect()
+    }
+    m = np.asarray(mat)
+    scale = 1.0 / math.sqrt(4)
+    for vid, vec in vecs:
+        exp = (m @ np.asarray(vec)) * scale
+        assert out[vid] == pytest.approx(exp.tolist(), rel=1e-12)
+
+
+def test_random_projection_preserves_distances_statistically(spark):
+    # JL property: squared distances preserved in expectation; with k=32 of
+    # d=64 the empirical distortion over 100 gaussian pairs stays modest
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n, d, k = 100, 64, 32
+    X = rng.normal(size=(n, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)], ["vec_id", "embedding"]
+    )
+    mat = VV.rademacher_matrix(d, k, seed=5)
+    out = df.select("vec_id", VV.random_projection("embedding", mat).alias("p")).collect()
+    P = np.zeros((n, k))
+    for r in out:
+        P[r["vec_id"]] = r["p"]
+    pairs = [(i, (i * 7 + 13) % n) for i in range(0, n, 5) if i != (i * 7 + 13) % n]
+    ratios = []
+    for i, j in pairs:
+        d2 = float(np.sum((X[i] - X[j]) ** 2))
+        p2 = float(np.sum((P[i] - P[j]) ** 2))
+        ratios.append(p2 / d2)
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.8 < mean_ratio < 1.2
+    assert all(0.4 < r < 1.9 for r in ratios)
+
+
+# ------------------------------------------------------------ rollback ops
+
+
+def test_rollback_and_set_version(spark, tmp_path):
+    eng = VeniceSparkEngine(spark, str(tmp_path))
+    eng.create_store("s", key_fields=["k"], partition_count=2)
+    eng.push("s", spark.createDataFrame([(1, "v1")], ["k", "val"]))
+    eng.push("s", spark.createDataFrame([(1, "v2")], ["k", "val"]))
+    st = eng.store("s")
+    assert st.get(1)["val"] == "v2"
+
+    # rollback -> previous version serves, O(1) pointer flip
+    v = eng.rollback("s")
+    assert v == eng.catalog.current_version("s")
+    assert st.get(1)["val"] == "v1"
+
+    # roll forward again via set-version
+    eng.set_version("s", v + 1)
+    assert st.get(1)["val"] == "v2"
+
+
+def test_rollback_errors(spark, tmp_path):
+    eng = VeniceSparkEngine(spark, str(tmp_path))
+    eng.create_store("s", key_fields=["k"], partition_count=2)
+    eng.push("s", spark.createDataFrame([(1, "v1")], ["k", "val"]))
+    with pytest.raises(ValueError, match="no version older"):
+        eng.rollback("s")
+    with pytest.raises(ValueError, match="no version v9"):
+        eng.set_version("s", 9)
+
+
+def test_rollback_explicit_version_after_retire(spark, tmp_path):
+    eng = VeniceSparkEngine(spark, str(tmp_path))
+    eng.create_store("s", key_fields=["k"], partition_count=2)
+    for i in range(1, 4):
+        eng.push("s", spark.createDataFrame([(1, f"v{i}")], ["k", "val"]))
+    assert eng.store("s").get(1)["val"] == "v3"
+    eng.rollback("s", to_version=1)
+    assert eng.store("s").get(1)["val"] == "v1"

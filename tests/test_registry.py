@@ -83,6 +83,10 @@ def test_driver_window_carries_only_oracle_queries():
         # WindowGroupLimit shape)
         "x_bpe_token_count", "x_dedup_ngram_jaccard", "x_quality_score",
         "x_topk_per_group", "x_inverted_index", "x_embed_centroids",
+        # round-3 late demotions making room for x_unigram_logprob and
+        # x_random_projection: r4 is exercised by every query's select,
+        # the salted count is the r11 answer with a skew-safe plan twin
+        "r4_project", "x_skew_salted_count",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

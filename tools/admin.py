@@ -6,6 +6,8 @@ Usage:
   python tools/admin.py <root> list
   python tools/admin.py <root> describe <store>
   python tools/admin.py <root> versions <store>
+  python tools/admin.py <root> rollback <store> [version]
+  python tools/admin.py <root> set-version <store> <version>
   python tools/admin.py <root> retire <store> [--keep N]
   python tools/admin.py <root> delete <store>
 """
@@ -43,6 +45,13 @@ def main(argv: list[str]) -> int:
             man = cat.version_manifest(store, v) or {}
             marker = " *current*" if v == cur else ""
             print(f"v{v}{marker}\trows={man.get('rows', '?')}\ttype={man.get('push_type', '?')}")
+    elif cmd == "rollback":
+        to = int(argv[3]) if len(argv) > 3 else None
+        v = cat.rollback(argv[2], to)
+        print(f"{argv[2]} now serving v{v}")
+    elif cmd == "set-version":
+        cat.set_version(argv[2], int(argv[3]))
+        print(f"{argv[2]} now serving v{argv[3]}")
     elif cmd == "retire":
         keep = int(argv[argv.index("--keep") + 1]) if "--keep" in argv else 2
         gone = cat.retire_old_versions(argv[2], keep=keep)

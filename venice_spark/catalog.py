@@ -249,6 +249,50 @@ class StoreCatalog:
                 out.append(int(name[1:]))
         return sorted(out)
 
+    def set_version(self, store: str, version: int) -> None:
+        """Point the store at an existing version (reference admin-tool
+        `set-version`, Command.java:259 — "Set the version that will be
+        served"). Unlike commit_version this never writes a manifest; it is
+        the operator-facing pointer move for rollback/forward between
+        retained versions."""
+        with self._locked(store):
+            if version not in self.list_versions(store):
+                raise ValueError(
+                    f"store {store} has no version v{version}; "
+                    f"available: {self.list_versions(store)}"
+                )
+            meta = self.get_store(store)
+            meta.current_version = version
+            meta.config["version_committed_at"] = time.time()
+            self._write_meta(meta)
+
+    def rollback(self, store: str, to_version: int | None = None) -> int:
+        """Roll the current-version pointer back to the newest retained
+        version older than current (or an explicit `to_version`) — the
+        bad-push escape hatch the reference serves via set-version to the
+        backup version. Pure pointer flip: the data files of both versions
+        are immutable, so rollback is O(1) regardless of store size and the
+        rolled-back-from version stays on disk for roll-forward."""
+        with self._locked(store):
+            meta = self.get_store(store)
+            versions = self.list_versions(store)
+            if to_version is None:
+                older = [v for v in versions if v < meta.current_version]
+                if not older:
+                    raise ValueError(
+                        f"store {store} has no version older than the current "
+                        f"v{meta.current_version} to roll back to"
+                    )
+                to_version = max(older)
+            if to_version not in versions:
+                raise ValueError(
+                    f"store {store} has no version v{to_version}; available: {versions}"
+                )
+            meta.current_version = to_version
+            meta.config["version_committed_at"] = time.time()
+            self._write_meta(meta)
+            return to_version
+
     def retire_old_versions(self, store: str, keep: int = 2) -> list[int]:
         """Drop all but the newest `keep` versions (never the current one).
         Locked so a concurrent commit's pointer flip can't interleave with

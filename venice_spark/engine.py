@@ -249,5 +249,15 @@ class VeniceSparkEngine:
         """Fold accumulated lazy-push deltas into a new compacted version."""
         return compact_store(self.spark, self.catalog, store)
 
+    def rollback(self, store: str, to_version: int | None = None) -> int:
+        """Roll the serving pointer back to the previous retained version
+        (reference admin-tool `set-version`, Command.java:259). O(1) pointer
+        flip — both versions' files are immutable."""
+        return self.catalog.rollback(store, to_version)
+
+    def set_version(self, store: str, version: int) -> None:
+        """Serve an explicit retained version (roll back or forward)."""
+        self.catalog.set_version(store, version)
+
     def repush(self, store: str, **kwargs) -> PushResult:
         return repush(self.spark, self.catalog, store, **kwargs)

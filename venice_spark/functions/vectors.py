@@ -198,6 +198,61 @@ def dequantize_int8(field: Column | str, scale: float = 127.0) -> Column:
     )
 
 
+def rademacher_matrix(in_dim: int, out_dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 projection matrix (out_dim rows × in_dim cols),
+    seeded so the Spark expression and the DuckDB oracle share literals."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [float(rng.choice((-1.0, 1.0))) for _ in range(in_dim)] for _ in range(out_dim)
+    ]
+
+
+def random_projection(
+    field: Column | str, matrix: Sequence[Sequence[float]]
+) -> Column:
+    """Johnson-Lindenstrauss random projection: embed an in_dim float vector
+    into out_dim dims via a Rademacher (±1) matrix scaled by 1/sqrt(out_dim)
+    — pairwise distances are preserved within (1±ε) w.h.p., so downstream
+    ANN/dedup passes scan out_dim/in_dim of the bytes.  Row-local, no
+    shuffle, no Python — and built as ONE parsed SQL expression rather than
+    out_dim×in_dim Column objects: constructing ~1k literal nodes through
+    py4j costs ~2.5s of driver time PER QUERY, while a single expr() string
+    parses JVM-side in milliseconds and the explicit unrolled sums get
+    whole-stage codegen (the fold form stays interpreted).  The sum order
+    matches oracle_projection_sql term for term (bit-identical IEEE754).
+    Returns array<double>[out_dim].
+    """
+    import math
+
+    out_dim = len(matrix)
+    scale = 1.0 / math.sqrt(out_dim)
+    if isinstance(field, str):
+        comps = []
+        for row in matrix:
+            terms = " + ".join(
+                f"CAST({field}[{i}] AS DOUBLE) * {float(v)!r}D"
+                for i, v in enumerate(row)
+            )
+            comps.append(f"({terms}) * {scale!r}D")
+        return F.expr("array(" + ", ".join(comps) + ")")
+    # Column input: fall back to the fold formulation (same values)
+    return F.array(*[(dot_product(field, row) * F.lit(scale)) for row in matrix])
+
+
+def oracle_projection_sql(
+    array_expr: str, matrix: Sequence[Sequence[float]]
+) -> str:
+    """DuckDB twin of random_projection — explicit per-dim sums via
+    oracle_dot_sql, bit-identical to the Spark fold."""
+    import math
+
+    scale = 1.0 / math.sqrt(len(matrix))
+    comps = [f"{oracle_dot_sql(array_expr, row)} * {scale!r}" for row in matrix]
+    return "[" + ", ".join(comps) + "]"
+
+
 def label_centroids(
     df, vec_col: str, label_col: str, decimals: int = 4
 ):

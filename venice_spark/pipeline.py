@@ -240,6 +240,37 @@ def topk_per_group(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 5,
+) -> DataFrame:
+    """CCNet-style language-model quality score: per-document mean unigram
+    log-probability under a unigram LM estimated from the corpus itself.
+    Documents full of rare/garbage tokens score far below the corpus mode —
+    the cheap stand-in for the KenLM perplexity filter used by CCNet/
+    RefinedWeb pretraining pipelines.
+
+    Plan shape (scales to 100 TB): explode -> partial-agg term frequencies
+    (map-side combine absorbs the token fan-out before the shuffle on
+    token) -> the corpus total is a 1-row broadcast -> score join shuffles
+    on token (AQE broadcasts the vocab side when it fits) -> final per-doc
+    avg shuffles once on the doc id. No Python anywhere; `round()` pins the
+    last double ulp so the score is engine- and order-independent.
+    """
+    toks = df.select(F.col(id_col), F.explode(TX.tokens(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").cast("double").alias("n_total"))
+    scored = toks.join(vocab, "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.round(
+            F.avg(F.log(F.col("tf").cast("double") / F.col("n_total"))), decimals
+        ).alias("lm_logprob"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
 def temperature_rates(
     df: DataFrame, stratum_col: str, alpha: float = 0.7, max_rate: float = 1.0
 ) -> dict[str, float]:

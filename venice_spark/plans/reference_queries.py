@@ -1592,6 +1592,56 @@ def x_embed_centroids(spark, sf_dir):
     return vectors.label_centroids(df, "embedding", "label")
 
 
+_TOKS_CTE = (
+    f"WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents), "
+    "vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok), "
+    "tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n_total FROM vocab)"
+)
+
+
+@register(
+    "x_unigram_logprob",
+    f"{_TOKS_CTE} "
+    "SELECT doc_id, round(avg(ln(CAST(tf AS DOUBLE) / n_total)), 5) AS lm_logprob, "
+    "count(*) AS n_tokens "
+    "FROM toks JOIN vocab USING (tok) CROSS JOIN tot GROUP BY doc_id",
+)
+def x_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram-LM quality score (pipeline.unigram_logprob):
+    per-doc mean token log-probability under the corpus's own unigram LM —
+    the cheap stand-in for the KenLM perplexity filter in pretraining data
+    pipelines. Explode → partial-agg tf (map-side combine) → 1-row
+    broadcast total → token join (AQE broadcasts the vocab when small) →
+    per-doc avg. Scores rounded to 5 decimals on both sides (distributed
+    float accumulation is not bit-order-stable)."""
+    from venice_spark.pipeline import unigram_logprob
+
+    df = _t(spark, sf_dir, "documents")
+    return unigram_logprob(df, "text", "doc_id")
+
+
+_RP_MATRIX = vectors.rademacher_matrix(DIM, 16, seed=7)
+
+
+@register(
+    "x_random_projection",
+    "SELECT vec_id, "
+    + vectors.oracle_projection_sql("embedding", _RP_MATRIX)
+    + " AS proj FROM embeddings",
+)
+def x_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 → 16 dims
+    (vectors.random_projection): Rademacher matrix scaled 1/sqrt(k);
+    pairwise distances preserved within (1±ε) so downstream ANN/dedup scans
+    1/4 of the embedding bytes. Row-local JVM fold per output dim — no
+    shuffle, no Python; oracle is the explicit per-dim sum (bit-identical
+    IEEE754 fold order)."""
+    df = _t(spark, sf_dir, "embeddings")
+    return df.select(
+        "vec_id", vectors.random_projection("embedding", _RP_MATRIX).alias("proj")
+    )
+
+
 # ---------------------------------------------------------------- ordering
 #
 # The driver's correctness gate checks the FIRST 50 registered queries in
@@ -1602,6 +1652,8 @@ def x_embed_centroids(spark, sf_dir):
 DRIVER_WINDOW = 50
 
 _TAIL = [
+    "r4_project",              # pure projection is exercised by every query; scan pruning pinned by r1/r10 plan tests
+    "x_skew_salted_count",     # skew-salted twin of the r11 facet count (same answer; plan pinned in tests)
     "x_bpe_token_count",       # token-budget family covered by x_text_quality
     "x_dedup_ngram_jaccard",   # verify-stage variant; x_minhash_near_dup carries family
     "x_quality_score",         # composite of the x_text_quality terms
