@@ -4,11 +4,13 @@ North-star surface for 100 TB multimodal training pipelines. The Spark-side
 plumbing is real (schemas, Arrow-batched mapInPandas, partitioning), and so
 is the codec path for header+raw formats: PPM/PGM decode, nearest-neighbor
 resize, re-encode and luminance-grid feature extraction are pure numpy
-(decode_ppm/resize_nearest/image_features). Compressed formats (JPEG/PNG/
-video) need PIL/ffmpeg, which are not in this container — those stay gated
-behind a clearly-marked NotImplementedError in `_decode_image`, with a
-deterministic stand-in (`_fake_features`) keeping the pipeline shape
-testable for arbitrary payloads.
+(decode_ppm/resize_nearest/image_features), and PCM WAV audio decodes with
+stdlib wave + numpy (decode_wav/audio_features — duration/RMS/ZCR/spectral
+bands). Compressed formats (JPEG/PNG/MP3/video) need PIL/ffmpeg, which are
+not in this container — those stay gated behind a clearly-marked
+NotImplementedError in `_decode_image`, with a deterministic stand-in
+(`_fake_features`) keeping the pipeline shape testable for arbitrary
+payloads.
 
 Design rules for scale:
   - binary payloads stay opaque until the last possible stage (no decode
@@ -129,6 +131,99 @@ def _decode_image(payload: bytes):
     raise NotImplementedError(
         "only PPM/PGM decode natively; JPEG/PNG require PIL — not in this environment"
     )
+
+
+def decode_wav(payload: bytes):
+    """REAL stdlib+numpy decode of RIFF/WAVE PCM audio (8- or 16-bit):
+    returns (float64 ndarray shape (n_frames, channels) scaled to [-1, 1],
+    sample_rate). WAV-PCM is a header + raw sample array — no external
+    media libraries needed, same rationale as PPM/PGM for images."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        ch, width, rate, n = w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        raw = w.readframes(n)
+    if width == 2:
+        a = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        a = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"only 8/16-bit PCM WAV supported, got sampwidth={width}")
+    return a.reshape(-1, ch), rate
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """Inverse of decode_wav: float array in [-1, 1] → 16-bit PCM WAV."""
+    import io
+    import wave
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    pcm = np.clip(np.round(a * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(a.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def audio_features(samples, rate: int, n_bands: int = 8) -> list[float]:
+    """Real DSP feature vector from decoded audio (channel-mean mono):
+    [duration_s, rms, peak, zero-crossing rate /s] + n_bands normalized
+    spectral band energies (rFFT magnitude binned into equal-width bands up
+    to Nyquist). dim = 4 + n_bands. Pure numpy."""
+    import numpy as np
+
+    mono = np.asarray(samples, dtype=np.float64).mean(axis=1)
+    n = len(mono)
+    duration = n / rate
+    rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+    peak = float(np.max(np.abs(mono))) if n else 0.0
+    zcr = float(np.count_nonzero(np.diff(np.signbit(mono))) / duration) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    bands = np.array_split(spec, n_bands)
+    energies = np.array([b.sum() for b in bands])
+    tot = energies.sum() or 1.0
+    return [duration, rms, peak, zcr] + [float(e / tot) for e in energies]
+
+
+def extract_audio_features(
+    df: DataFrame, payload_col: str = "payload", n_bands: int = 8
+) -> DataFrame:
+    """Audio feature extraction over Arrow batches (mapInPandas) — the REAL
+    path: decode_wav → audio_features, no stub, no shuffle. Output schema:
+    input columns + features array<float> (dim 4 + n_bands). Payloads that
+    are not PCM WAV yield null features (corrupt-file tolerance — a 100 TB
+    crawl always contains undecodable blobs; dropping the task would lose
+    the partition)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def one(p):
+        if p is None:
+            return None
+        try:
+            samples, rate = decode_wav(bytes(p))
+            return audio_features(samples, rate, n_bands)
+        except Exception:
+            return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pdf.assign(features=pdf[payload_col].map(one))
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def _fake_features(payload: bytes, dim: int) -> list[float]:
