@@ -63,6 +63,7 @@ HEADLINE = [
     "x_inverted_index",
     "x_unigram_logprob",
     "x_random_projection",
+    "x_dup_ngram_spans",
 ]
 
 # round-3 steady-state seconds × 1.5 headroom at sf0.1/local[32]; the
@@ -103,6 +104,7 @@ BUDGET_SEC = {
     "x_inverted_index": 1.1,
     "x_unigram_logprob": 1.5,
     "x_random_projection": 1.3,
+    "x_dup_ngram_spans": 4.0,
 }
 
 

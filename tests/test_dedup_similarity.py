@@ -444,3 +444,54 @@ def test_semantic_dedup_drops_planted_near_dups(spark):
     assert kept.issuperset(set(range(40)))
     assert kept.isdisjoint({1000 + i for i in range(5)})
     assert len(kept) == 40
+
+
+def test_dup_ngram_spans_planted(spark):
+    from venice_spark.dedup import dup_ngram_spans
+
+    boiler = "please subscribe to our newsletter for updates every single day"  # 10 tokens
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta epsilon"),
+        (2, f"zeta eta theta iota {boiler} kappa"),
+        (3, "totally unique words nothing repeated here at all"),
+        # in-document repetition also counts (total occurrences >= 2)
+        (4, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dup_ngram_spans(df, window=10, hash_windows=False).collect()
+    }
+    # boilerplate window appears in docs 1 and 2 at the right offsets
+    assert 3 in out[1]["dup_starts"] and out[1]["covered"] >= 10
+    assert 4 in out[2]["dup_starts"] and out[2]["covered"] >= 10
+    assert out[3]["covered"] == 0 and out[3]["dup_starts"] == []
+    # doc 4: "x1..x10" occurs twice -> windows at 0 and 10 both duplicated,
+    # merged coverage is the whole 20-token doc
+    assert out[4]["covered"] == 20
+    assert out[4]["dup_ngram_frac"] == 1.0
+    # hashed fast path gives the identical answer
+    hashed = {
+        r["doc_id"]: r["covered"]
+        for r in dup_ngram_spans(df, window=10, hash_windows=True).collect()
+    }
+    assert hashed == {k: v["covered"] for k, v in out.items()}
+
+
+def test_drop_dup_ngram_spans_cleans_covered_tokens(spark):
+    from venice_spark.dedup import drop_dup_ngram_spans
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        (1, f"keep1 keep2 {boiler} keep3"),
+        (2, f"{boiler} other words"),
+        (3, "all original content stays intact"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in drop_dup_ngram_spans(df, window=10, hash_windows=False).collect()
+    }
+    assert out[1] == "keep1 keep2 keep3"
+    assert out[2] == "other words"
+    assert out[3] == "all original content stays intact"

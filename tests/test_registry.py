@@ -87,6 +87,8 @@ def test_driver_window_carries_only_oracle_queries():
         # x_random_projection: r4 is exercised by every query's select,
         # the salted count is the r11 answer with a skew-safe plan twin
         "r4_project", "x_skew_salted_count",
+        # blocked-cosine family carried in-window by x_knn_join_lsh
+        "x_embedding_near_dup",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

@@ -328,6 +328,124 @@ def simhash_pairs(
     return out
 
 
+def dup_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    min_count: int = 2,
+    hash_windows: bool = True,
+) -> DataFrame:
+    """ExactSubstr-style dedup at token-window granularity (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): find every
+    `window`-token span whose content occurs >= min_count times corpus-wide
+    and report, per document, the merged-interval token coverage of those
+    duplicated spans.
+
+    Returns [id_col, n_tokens, dup_starts (sorted window start positions,
+    0-based), covered (tokens under at least one duplicated span),
+    dup_ngram_frac]. Documents with no duplicated span get covered=0.
+
+    Plan shape for 100 TB: the window explode (≈ tokens/doc rows) is
+    hash-keyed — with hash_windows=True each window shuffles as ONE LONG
+    (xxhash64), not its text, so candidate counting is a partial-agg count
+    on 8-byte keys; the duplicated-key set joins back to the exploded
+    frame, and per-doc interval merging is a row-local sorted fold (no
+    second pass). The paper's suffix array is global state Spark can't
+    shard cheaply; fixed-width windows give the same cross-document
+    repeated-span signal with nothing but groupBy machinery.
+    hash_windows=False keeps the window text as the key (engine-portable,
+    collision-free — what the DuckDB oracle re-derives; 64-bit collisions
+    at corpus scale are ~n²/2^65, acceptable for the hashed fast path)."""
+    w = int(window)
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    ).withColumn("n", F.size("t"))
+    wins = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN n >= {w} THEN transform(sequence(0, n - {w}), "
+                f"i -> concat_ws(' ', slice(t, i + 1, {w}))) "
+                "ELSE array() END"
+            )
+        ).alias("pos", "win"),
+    )
+    if hash_windows:
+        wins = wins.withColumn("win", F.xxhash64("win"))
+    dup = (
+        wins.groupBy("win")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("win")
+    )
+    per_doc = (
+        wins.join(dup, "win")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("dup_starts"))
+    )
+    merged = toks.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n").alias("n_tokens"),
+        F.coalesce(F.col("dup_starts"), F.array().cast("array<int>")).alias("dup_starts"),
+    )
+    # row-local merged-interval length: sorted starts fold carrying the
+    # furthest end seen; each span adds window minus its overlap with the
+    # running end (starts ascend, so the overlap is end - s, never > window)
+    covered = F.aggregate(
+        "dup_starts",
+        F.struct(
+            F.lit(-(10**9)).cast("long").alias("end"), F.lit(0).cast("long").alias("cov")
+        ),
+        lambda acc, s: F.struct(
+            F.greatest(acc["end"], s.cast("long") + w).alias("end"),
+            (
+                acc["cov"]
+                + w
+                - F.greatest(F.lit(0).cast("long"), acc["end"] - s.cast("long"))
+            ).alias("cov"),
+        ),
+        lambda acc: acc["cov"],
+    )
+    return merged.withColumn("covered", covered).withColumn(
+        "dup_ngram_frac",
+        F.round(F.col("covered") / F.greatest(F.col("n_tokens"), F.lit(1)), 5),
+    )
+
+
+def drop_dup_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    min_count: int = 2,
+    hash_windows: bool = True,
+) -> DataFrame:
+    """Cleaning edition of dup_ngram_spans: remove every token covered by a
+    corpus-duplicated window and rebuild the text (the paper's actual
+    intervention). Adds `clean_text` + the coverage metrics; pure
+    expressions after the same single candidate join."""
+    spans = dup_ngram_spans(
+        df, text_col, id_col, window=window, min_count=min_count, hash_windows=hash_windows
+    )
+    out = df.join(spans, id_col)
+    w = int(window)
+    cov_positions = F.array_distinct(
+        F.flatten(
+            F.transform(
+                "dup_starts", lambda s: F.sequence(s, s + F.lit(w - 1))
+            )
+        )
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    cleaned = F.concat_ws(
+        " ",
+        F.filter(toks, lambda tok, i: ~F.array_contains(cov_positions, i)),
+    )
+    return out.withColumn("clean_text", cleaned)
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -1642,6 +1642,48 @@ def x_random_projection(spark, sf_dir):
     )
 
 
+_DNS_W = 20
+
+_DNS_SQL = (
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+    "FROM documents), "
+    "w AS (SELECT doc_id, r.i - 1 AS pos, "
+    f"array_to_string(t[r.i:r.i + {_DNS_W - 1}], ' ') AS win "
+    f"FROM toks, UNNEST(range(1, greatest(len(t) - {_DNS_W} + 2, 1))) AS r(i)), "
+    "dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2), "
+    "m AS (SELECT doc_id, pos FROM w JOIN dup USING (win)), "
+    "g AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos) OVER "
+    "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+    f"-1000000000) + {_DNS_W - 1} THEN 1 ELSE 0 END AS brk FROM m), "
+    "isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g), "
+    f"cov AS (SELECT doc_id, CAST(sum(maxp + {_DNS_W} - minp) AS BIGINT) AS covered FROM "
+    "(SELECT doc_id, grp, min(pos) AS minp, max(pos) AS maxp FROM isl GROUP BY 1, 2) GROUP BY 1), "
+    "st AS (SELECT doc_id, list(pos ORDER BY pos) AS dup_starts FROM m GROUP BY 1) "
+    "SELECT toks.doc_id, len(t) AS n_tokens, coalesce(st.dup_starts, []) AS dup_starts, "
+    "coalesce(cov.covered, 0) AS covered, "
+    "round(coalesce(cov.covered, 0) / greatest(len(t), 1), 5) AS dup_ngram_frac "
+    "FROM toks LEFT JOIN st USING (doc_id) LEFT JOIN cov USING (doc_id)"
+)
+
+
+@register("x_dup_ngram_spans", _DNS_SQL)
+def x_dup_ngram_spans(spark, sf_dir):
+    """ExactSubstr-style dedup signal (dedup.dup_ngram_spans, after Lee et
+    al. "Deduplicating Training Data Makes Language Models Better"): every
+    20-token window occurring >= 2 times corpus-wide, reported per doc as
+    sorted span starts + merged-interval token coverage. The window explode
+    partial-aggs map-side before one shuffle on the window key; interval
+    merging is a row-local sorted fold. Registered with string window keys
+    so the DuckDB oracle re-derives the identical dup set (the library's
+    scale path hashes windows to 8-byte keys, hash_windows=True)."""
+    from venice_spark.dedup import dup_ngram_spans
+
+    df = _t(spark, sf_dir, "documents")
+    return dup_ngram_spans(
+        df, "text", "doc_id", window=_DNS_W, min_count=2, hash_windows=False
+    )
+
+
 # ---------------------------------------------------------------- ordering
 #
 # The driver's correctness gate checks the FIRST 50 registered queries in
@@ -1654,6 +1696,7 @@ DRIVER_WINDOW = 50
 _TAIL = [
     "r4_project",              # pure projection is exercised by every query; scan pruning pinned by r1/r10 plan tests
     "x_skew_salted_count",     # skew-salted twin of the r11 facet count (same answer; plan pinned in tests)
+    "x_embedding_near_dup",    # blocked-cosine family carried by x_knn_join_lsh (exact hyperplane oracle)
     "x_bpe_token_count",       # token-budget family covered by x_text_quality
     "x_dedup_ngram_jaccard",   # verify-stage variant; x_minhash_near_dup carries family
     "x_quality_score",         # composite of the x_text_quality terms
