@@ -133,3 +133,30 @@ def test_rollback_explicit_version_after_retire(spark, tmp_path):
     assert eng.store("s").get(1)["val"] == "v3"
     eng.rollback("s", to_version=1)
     assert eng.store("s").get(1)["val"] == "v1"
+
+
+# ------------------------------------------------------ importance sampling
+
+
+def test_importance_sample_weight_semantics(spark):
+    from venice_spark.pipeline import importance_sample
+
+    rows = [(i, 1.0 if i < 100 else 0.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    kept = {r["doc_id"] for r in importance_sample(df, "w", "doc_id").collect()}
+    # weight 1 always survives, weight 0 never
+    assert kept == set(range(100))
+
+
+def test_importance_sample_monotone_in_weight(spark):
+    from venice_spark.pipeline import importance_sample
+
+    ids = list(range(500))
+    lo = spark.createDataFrame([(i, 0.3) for i in ids], ["doc_id", "w"])
+    hi = spark.createDataFrame([(i, 0.7) for i in ids], ["doc_id", "w"])
+    kept_lo = {r["doc_id"] for r in importance_sample(lo, "w", "doc_id").collect()}
+    kept_hi = {r["doc_id"] for r in importance_sample(hi, "w", "doc_id").collect()}
+    # raising weights only adds rows; rates land near the weights
+    assert kept_lo.issubset(kept_hi)
+    assert 0.2 < len(kept_lo) / 500 < 0.4
+    assert 0.6 < len(kept_hi) / 500 < 0.8

@@ -180,3 +180,33 @@ def test_inverted_index_single_shuffle(spark, sf_dir):
 def test_topk_per_group_has_rank_limit_pushdown(spark, sf_dir):
     plan = _plan(QUERIES["x_topk_per_group"](spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_random_projection_is_pure_codegen(spark, sf_dir):
+    """The JL projection must plan with zero shuffle and zero Python — it is
+    a row-local expression; and the parsed-expr form must stay inside
+    whole-stage codegen (the fold form drops out of it)."""
+    df = QUERIES["x_random_projection"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # "*(1) Project" is executedPlan().toString()'s whole-stage-codegen marker
+    assert "*(1) Project" in plan or "WholeStageCodegen" in plan, plan[:500]
+
+
+def test_unigram_logprob_has_partial_agg_and_no_python(spark, sf_dir):
+    """tf counting must partial-aggregate map-side before its shuffle (the
+    token fan-out never crosses the wire raw), and no Python appears."""
+    df = QUERIES["x_unigram_logprob"](spark, sf_dir)
+    plan = _plan(df)
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_dup_ngram_spans_no_python_no_cartesian(spark, sf_dir):
+    """Window-dedup must stay JVM-side (explode + hash join + fold) and must
+    never plan a cartesian product for the dup-set join-back."""
+    df = QUERIES["x_dup_ngram_spans"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan

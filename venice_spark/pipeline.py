@@ -240,6 +240,34 @@ def topk_per_group(
     )
 
 
+def importance_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Per-row weighted deterministic sampling — the DSIR/CCNet-style
+    quality-weighted resampling primitive: a row survives iff
+    hash64(id) mod precision < weight * precision, where `weight_col` is a
+    per-row acceptance probability in [0, 1] (e.g. a normalized LM-quality
+    score, so high-quality documents are kept preferentially). Generalizes
+    stratified_sample from per-stratum constants to a weight COLUMN.
+
+    Same guarantees: no RNG (identical output every run and engine — the
+    md5-based hash64 re-derives in any SQL dialect), monotone (raising a
+    row's weight can only keep it, never evict others), pure per-row
+    expression — no shuffle, no Python."""
+    bucket = F.pmod(TX.hash64(F.col(id_col).cast("string")), F.lit(precision))
+    thr = F.least(
+        F.lit(precision).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.round(F.col(weight_col) * precision, 0).cast("long"),
+        ),
+    )
+    return df.filter(bucket < thr)
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

@@ -1642,6 +1642,41 @@ def x_random_projection(spark, sf_dir):
     )
 
 
+@register(
+    "x_importance_sample",
+    f"{_TOKS_CTE}, "
+    "lm AS (SELECT doc_id, round(avg(ln(CAST(tf AS DOUBLE) / n_total)), 5) AS lp "
+    "FROM toks JOIN vocab USING (tok) CROSS JOIN tot GROUP BY doc_id), "
+    "w AS (SELECT doc_id, round(least(1.0, greatest(0.0, (lp + 3.6) / 0.3)), 5) AS weight FROM lm) "
+    "SELECT doc_id, weight FROM w "
+    "WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) < "
+    "round(weight * 1000000)",
+)
+def x_importance_sample(spark, sf_dir):
+    """DSIR/CCNet-style quality-weighted resampling
+    (pipeline.importance_sample): per-doc acceptance probability from the
+    normalized unigram-LM score (high-quality docs kept preferentially),
+    thresholded against the deterministic md5 hash — no RNG, identical
+    output on every engine/run, monotone under weight changes. The weight
+    is rounded to 5 decimals BEFORE thresholding so both engines compare
+    the same double."""
+    from venice_spark.pipeline import importance_sample, unigram_logprob
+
+    df = _t(spark, sf_dir, "documents")
+    lm = unigram_logprob(df, "text", "doc_id")
+    weighted = lm.withColumn(
+        "weight",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.greatest(F.lit(0.0), (F.col("lm_logprob") + 3.6) / 0.3),
+            ),
+            5,
+        ),
+    )
+    return importance_sample(weighted, "weight", "doc_id").select("doc_id", "weight")
+
+
 _DNS_W = 20
 
 _DNS_SQL = (
@@ -1697,6 +1732,7 @@ _TAIL = [
     "r4_project",              # pure projection is exercised by every query; scan pruning pinned by r1/r10 plan tests
     "x_skew_salted_count",     # skew-salted twin of the r11 facet count (same answer; plan pinned in tests)
     "x_embedding_near_dup",    # blocked-cosine family carried by x_knn_join_lsh (exact hyperplane oracle)
+    "x_importance_sample",     # hash-threshold sampling family carried by x_stratified_sample
     "x_bpe_token_count",       # token-budget family covered by x_text_quality
     "x_dedup_ngram_jaccard",   # verify-stage variant; x_minhash_near_dup carries family
     "x_quality_score",         # composite of the x_text_quality terms
