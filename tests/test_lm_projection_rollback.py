@@ -160,3 +160,81 @@ def test_importance_sample_monotone_in_weight(spark):
     assert kept_lo.issubset(kept_hi)
     assert 0.2 < len(kept_lo) / 500 < 0.4
     assert 0.6 < len(kept_hi) / 500 < 0.8
+
+
+# ---------------------------------------------------------- update-store
+
+
+def test_update_store_mutable_and_config(spark, tmp_path):
+    from venice_spark.catalog import StoreCatalog
+
+    cat = StoreCatalog(str(tmp_path))
+    cat.create_store("s", key_fields=["k"], partition_count=4)
+    meta = cat.update_store("s", hybrid=True, rewind_seconds=600, compression="gzip")
+    assert meta.hybrid is True and meta.rewind_seconds == 600
+    assert meta.config["compression"] == "gzip"
+    # persisted
+    again = cat.get_store("s")
+    assert again.hybrid is True and again.config["compression"] == "gzip"
+    # partition_count applies from the next push
+    cat.update_store("s", partition_count=8)
+    assert cat.get_store("s").partition_count == 8
+
+
+def test_update_store_rejects_immutable(spark, tmp_path):
+    from venice_spark.catalog import StoreCatalog
+
+    cat = StoreCatalog(str(tmp_path))
+    cat.create_store("s", key_fields=["k"])
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="cannot be changed"):
+        cat.update_store("s", key_fields=["other"])
+    with _pt.raises(ValueError, match="cannot be changed"):
+        cat.update_store("s", current_version=5)
+
+
+# ------------------------------------------------- prepare_corpus new gates
+
+
+def test_prepare_corpus_dup_ngram_gate(spark):
+    from venice_spark.pipeline import CorpusPrepConfig, prepare_corpus
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    filler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        # boilerplate-dominated: duplicated window covers most tokens
+        (1, f"{boiler} x"),
+        (2, f"{boiler} y"),
+        # clean docs
+        (3, f"{filler} one"),
+        (4, f"{filler.replace('quick', 'slow')} two unique ending here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = CorpusPrepConfig(
+        min_tokens=1, min_stopword_ratio=0.0, max_dup_ngram_frac=0.5,
+        dup_ngram_window=12,
+    )
+    kept = {r["doc_id"] for r in prepare_corpus(df, config=cfg).collect()}
+    assert 1 not in kept and 2 not in kept
+    assert 3 in kept and 4 in kept
+
+
+def test_prepare_corpus_lm_weight_sampling(spark):
+    from venice_spark.pipeline import CorpusPrepConfig, prepare_corpus
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(50)] + [(99, "qqq www eee rrr ttt yyy")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # weights: common docs score near the mode -> weight ~1; the hapax doc
+    # scores far below lm_weight_lo -> weight 0, always dropped
+    cfg = CorpusPrepConfig(min_tokens=1, min_stopword_ratio=0.0,
+                           lm_weight_lo=-4.0, lm_weight_hi=-2.0)
+    # note: prepare_corpus dedups exact text first; use distinct suffixes
+    rows = [(i, f"{common} v{i}") for i in range(50)] + [(99, "qqq www eee rrr ttt yyy")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {r["doc_id"] for r in prepare_corpus(df, config=cfg).collect()}
+    assert 99 not in kept
+    # common docs carry high (not full — each has one hapax v{i} token)
+    # weights, so a clear majority survives while the garbage doc never does
+    assert len(kept) >= 25

@@ -6,6 +6,7 @@ Usage:
   python tools/admin.py <root> list
   python tools/admin.py <root> describe <store>
   python tools/admin.py <root> versions <store>
+  python tools/admin.py <root> update-store <store> key=value [...]
   python tools/admin.py <root> rollback <store> [version]
   python tools/admin.py <root> set-version <store> <version>
   python tools/admin.py <root> retire <store> [--keep N]
@@ -45,6 +46,18 @@ def main(argv: list[str]) -> int:
             man = cat.version_manifest(store, v) or {}
             marker = " *current*" if v == cur else ""
             print(f"v{v}{marker}\trows={man.get('rows', '?')}\ttype={man.get('push_type', '?')}")
+    elif cmd == "update-store":
+        changes = {}
+        for kv in argv[3:]:
+            k, _, v = kv.partition("=")
+            if v.lower() in ("true", "false"):
+                changes[k] = v.lower() == "true"
+            elif v.lstrip("-").isdigit():
+                changes[k] = int(v)
+            else:
+                changes[k] = v
+        meta = cat.update_store(argv[2], **changes)
+        print(json.dumps(json.loads(meta.to_json()), indent=2))
     elif cmd == "rollback":
         to = int(argv[3]) if len(argv) > 3 else None
         v = cat.rollback(argv[2], to)

@@ -81,6 +81,10 @@ PROBE_QUERIES = [
     "x_repetition_filter",
     "x_asof_join",
     "x_ngram_counts",
+    # round-3 late additions: corpus-LM scoring (explode + 2-key shuffles)
+    # and window dedup (explode + hash-key shuffle + fold)
+    "x_unigram_logprob",
+    "x_dup_ngram_spans",
 ]
 
 

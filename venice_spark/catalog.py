@@ -149,6 +149,38 @@ class StoreCatalog:
         except FileNotFoundError:
             raise StoreNotFoundError(name) from None
 
+    _MUTABLE_FIELDS = {"partition_count", "hybrid", "rewind_seconds", "active_active"}
+    _IMMUTABLE_FIELDS = {
+        "name",
+        "key_fields",
+        "key_schema_json",
+        "value_schemas",
+        "current_version",
+        "largest_used_version",
+    }
+
+    def update_store(self, name: str, **changes: Any) -> StoreMeta:
+        """Admin-tool `update-store` parity: change store-level settings
+        (hybrid/rewind/partition count/free-form config like compression,
+        quota, schema_compat) under the store lock. Key fields and schemas
+        are immutable (the reference rejects key-schema changes outright;
+        value schemas evolve only through add_value_schema's compat check),
+        and version pointers move only through commit/rollback/set_version.
+        A partition_count change applies from the NEXT push — existing
+        versions keep the layout they were written with (their manifests
+        record it)."""
+        with self._locked(name):
+            meta = self.get_store(name)
+            for k, v in changes.items():
+                if k in self._IMMUTABLE_FIELDS or k == "config":
+                    raise ValueError(f"store field {k!r} cannot be changed via update_store")
+                if k in self._MUTABLE_FIELDS:
+                    setattr(meta, k, v)
+                else:
+                    meta.config[k] = v
+            self._write_meta(meta)
+            return meta
+
     def list_stores(self) -> list[str]:
         out = []
         if os.path.isdir(self.root):

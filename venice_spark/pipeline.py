@@ -32,6 +32,17 @@ class CorpusPrepConfig:
     max_dup_line_frac: float | None = None
     max_top_bigram_frac: float | None = None
     near_dup_jaccard: float | None = None  # None = skip the MinHash stage
+    # ExactSubstr-style gate: drop docs whose corpus-duplicated 20-token
+    # window coverage exceeds the fraction (None = skip; adds one shuffle
+    # on the hashed window key — dedup.dup_ngram_spans)
+    max_dup_ngram_frac: float | None = None
+    dup_ngram_window: int = 20
+    # LM-quality-weighted downsampling: map the corpus unigram-LM score
+    # linearly from lm_weight_lo -> weight 0 to lm_weight_hi -> weight 1
+    # and keep docs by deterministic hash threshold (None = skip;
+    # pipeline.unigram_logprob + importance_sample)
+    lm_weight_lo: float | None = None
+    lm_weight_hi: float | None = None
     pack_budget: int | None = None         # None = skip sequence packing
     n_shards: int = 32
 
@@ -74,6 +85,38 @@ def prepare_corpus(
         )
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         kept = kept.join(losers, on=id_col, how="left_anti")
+
+    # 3b. optional ExactSubstr-style gate: drop boilerplate-dominated docs
+    # (corpus-duplicated window coverage over the threshold) — one shuffle
+    # on the hashed window key, survivors join back by id
+    if cfg.max_dup_ngram_frac is not None:
+        spans = DD.dup_ngram_spans(
+            kept, text_col, id_col, window=cfg.dup_ngram_window
+        )
+        over = spans.filter(
+            F.col("dup_ngram_frac") > cfg.max_dup_ngram_frac
+        ).select(id_col)
+        kept = kept.join(over, on=id_col, how="left_anti")
+
+    # 3c. optional LM-quality-weighted downsampling: deterministic hash
+    # threshold against the normalized corpus unigram-LM score
+    if cfg.lm_weight_lo is not None and cfg.lm_weight_hi is not None:
+        span = cfg.lm_weight_hi - cfg.lm_weight_lo
+        lm = unigram_logprob(kept, text_col, id_col).select(
+            id_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.greatest(
+                        F.lit(0.0),
+                        (F.col("lm_logprob") - cfg.lm_weight_lo) / span,
+                    ),
+                ),
+                5,
+            ).alias("__lm_weight"),
+        )
+        sampled = importance_sample(lm, "__lm_weight", id_col).select(id_col)
+        kept = kept.join(sampled, on=id_col, how="left_semi")
 
     # 4. optional sequence packing
     if cfg.pack_budget is not None:
