@@ -290,3 +290,58 @@ def test_concurrent_lazy_incremental_pushes_get_distinct_slots(engine, spark):
         r["key"]: r["val"] for r in engine.catalog.read_current(spark, "s").collect()
     }
     assert resolved == {"a": 100.0, "b": 200.0, "c": 3.0}
+
+
+def test_bloom_filter_store_config_writes_parquet_blooms(spark, tmp_path):
+    """bloom_filter=True store config writes parquet bloom filters on key
+    columns (the RocksDB point-get bloom parity). This container's pyarrow
+    does not expose bloom offsets in the footer API, so verify by the bytes
+    the bloom bitsets add: identical data pushed with and without the
+    config must differ in on-disk size by the bloom payload."""
+    import glob
+    import os
+
+    from venice_spark import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path))
+    rows = spark.createDataFrame([(i, f"v{i}") for i in range(5000)], ["k", "val"])
+    eng.create_store("plain", key_fields=["k"], partition_count=2)
+    eng.create_store("bloomy", key_fields=["k"], partition_count=2, bloom_filter=True)
+    eng.push("plain", rows)
+    eng.push("bloomy", rows)
+
+    def total_bytes(store):
+        path = eng.catalog.version_dir(store, 1)
+        return sum(
+            os.path.getsize(f) for f in glob.glob(f"{path}/partition_id=*/*.parquet")
+        )
+
+    plain, bloomy = total_bytes("plain"), total_bytes("bloomy")
+    # parquet bloom bitsets default to 1MB NDV sizing per rowgroup column;
+    # anything clearly beyond footer jitter proves the option reached the
+    # writer (observed delta ~2x for this data)
+    assert bloomy > plain + 10_000, (plain, bloomy)
+    # and the bloomed store still serves correctly
+    assert eng.store("bloomy").get(7)["val"] == "v7"
+
+
+def test_repush_applies_updated_partition_count(spark, tmp_path):
+    """update_store(partition_count=N) takes effect on the NEXT push/repush;
+    the old version keeps its layout (manifest records it)."""
+    import glob
+
+    from venice_spark import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path))
+    eng.create_store("r", key_fields=["k"], partition_count=2)
+    eng.push("r", spark.createDataFrame([(i, i * 1.0) for i in range(100)], ["k", "v"]))
+    assert eng.catalog.version_manifest("r", 1)["partition_count"] == 2
+    assert len(glob.glob(f"{eng.catalog.version_dir('r', 1)}/partition_id=*")) == 2
+
+    eng.catalog.update_store("r", partition_count=8)
+    eng.repush("r")
+    assert eng.catalog.current_version("r") == 2
+    assert eng.catalog.version_manifest("r", 2)["partition_count"] == 8
+    assert len(glob.glob(f"{eng.catalog.version_dir('r', 2)}/partition_id=*")) == 8
+    # reads route with the new layout
+    assert eng.store("r").get(42)["v"] == 42.0

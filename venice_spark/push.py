@@ -192,12 +192,17 @@ class BatchPushJob:
         codec = {"no_op": "none", "gzip": "gzip", "zstd": "zstd"}[
             str(meta.config.get("compression", "zstd")).lower()
         ]
-        (
-            out.write.mode("overwrite")
-            .option("compression", codec)
-            .partitionBy("partition_id")
-            .parquet(path)
-        )
+        writer = out.write.mode("overwrite").option("compression", codec)
+        # Store config `bloom_filter=True`: write parquet bloom filters on
+        # the key columns — the RocksDB-bloom parity for point-get-heavy
+        # stores (RocksDBStoragePartition uses block-based bloom filters to
+        # skip SSTs; parquet blooms skip rowgroups the min/max stats can't,
+        # e.g. high-cardinality string keys where sorted ranges still
+        # overlap). Costs ~1 bit-array per rowgroup per key column at write.
+        if meta.config.get("bloom_filter"):
+            for k in key_fields:
+                writer = writer.option(f"parquet.bloom.filter.enabled#{k}", "true")
+        writer.partitionBy("partition_id").parquet(path)
         _fix_empty_partitioned_dir(out, path)
 
         # W15 materialized views are co-written in the same job
