@@ -345,3 +345,40 @@ def test_repush_applies_updated_partition_count(spark, tmp_path):
     assert len(glob.glob(f"{eng.catalog.version_dir('r', 2)}/partition_id=*")) == 8
     # reads route with the new layout
     assert eng.store("r").get(42)["v"] == 42.0
+
+
+def test_view_df_and_get_by_secondary_index(spark, tmp_path):
+    """Materialized views are readable through the engine (W15 consumer
+    side): view_df returns the re-keyed projection, get_by serves
+    secondary-index equality lookups against it."""
+    import pytest as _pt
+
+    from venice_spark import VeniceSparkEngine
+    from venice_spark.push import MaterializedViewDef
+
+    eng = VeniceSparkEngine(spark, str(tmp_path))
+    eng.create_store("m", key_fields=["id"], partition_count=4)
+    rows = spark.createDataFrame(
+        [(i, f"user{i}", i % 7) for i in range(200)], ["id", "name", "team"]
+    )
+    view = MaterializedViewDef(
+        name="by_team", partition_count=2, key_fields=["team"], projection=["name"]
+    )
+    eng.push("m", rows, views=[view])
+
+    st = eng.store("m")
+    vdf = st.view_df("by_team")
+    # views carry their own partition_id (their re-keyed routing column)
+    assert set(vdf.columns) == {"team", "name", "partition_id"}
+    assert vdf.count() == 200
+
+    got = st.get_by("by_team", team=3)
+    names = {r["name"] for r in got.collect()}
+    assert names == {f"user{i}" for i in range(200) if i % 7 == 3}
+
+    with _pt.raises(ValueError, match="no materialized view"):
+        st.view_df("nope")
+
+    # a new push rewrites the view alongside the version; reads follow
+    eng.push("m", rows.filter("id < 50"), views=[view])
+    assert st.view_df("by_team").count() == 50

@@ -113,6 +113,32 @@ class StoreHandle:
         return self.batch_get(keys).toLocalIterator()
 
     # ---- R4-R10 compute ----
+    def view_df(self, view_name: str, version: int | None = None) -> DataFrame:
+        """Read a materialized view co-written with the given (default:
+        current) version — the consumer side of W15 (reference:
+        MaterializedView.java consumers subscribe to the view's re-keyed
+        topics). The view is re-partitioned/projected by its own key fields,
+        so filters on those fields prune like a store's own key."""
+        import os
+
+        v = version if version is not None else self.catalog.current_version(self.name)
+        path = f"{self.catalog.version_dir(self.name, v)}__view_{view_name}"
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"store {self.name} v{v} has no materialized view {view_name!r}"
+            )
+        return self.spark.read.parquet(path)
+
+    def get_by(self, view_name: str, **field_values: Any) -> DataFrame:
+        """Secondary-index lookup: equality filters on a materialized view's
+        key fields (the GSI read the reference serves by routing to the
+        view's partitioning). Filters push down to the view's sorted
+        parquet."""
+        df = self.view_df(view_name)
+        for k, v in field_values.items():
+            df = df.filter(F.col(k) == F.lit(v))
+        return df
+
     def compute(self) -> ComputeRequestBuilder:
         return ComputeRequestBuilder(self.df(), self.key_fields)
 
