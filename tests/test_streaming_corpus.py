@@ -1,0 +1,120 @@
+"""Streaming corpus ingestion: quality gates + watermark-bounded exact
+dedup (streaming/corpus.py) and incremental dedup against a historical
+corpus (dedup.exact_dedup_incremental)."""
+
+import pytest
+
+from venice_spark.dedup import exact_dedup_incremental
+from venice_spark.streaming.corpus import streaming_corpus_prep
+
+HOUR_NS = 3_600 * 1_000_000_000
+SCHEMA = "doc_id long, ts long, text string"
+
+GOOD = "the quick brown fox jumps over the lazy dog and runs away"
+DUP = "all of this boilerplate is exactly the same text in every copy"
+SHORT = "too short"
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    base = str(tmp_path)
+    return f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+
+
+def _write(spark, src, rows):
+    spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(src)
+
+
+def _run(spark, src, sink, ckpt):
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = streaming_corpus_prep(
+        stream, "text", "doc_id", ts_col="ts",
+        watermark_delay="30 minutes", min_tokens=5, min_stopword_ratio=0.0,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_prep_gates_and_dedups(spark, dirs):
+    src, sink, ckpt = dirs
+    rows = [
+        (1, int(0.1 * HOUR_NS), GOOD),
+        (2, int(0.2 * HOUR_NS), DUP),
+        (3, int(0.3 * HOUR_NS), DUP),       # duplicate inside watermark
+        (4, int(0.4 * HOUR_NS), SHORT),     # gated: under min_tokens
+        (5, int(0.5 * HOUR_NS), GOOD + " extra"),
+    ]
+    _write(spark, src, rows)
+    _run(spark, src, sink, ckpt)
+    got = {r["doc_id"]: r["n_tokens"] for r in spark.read.parquet(sink).collect()}
+    assert 4 not in got                      # quality-gated
+    assert (2 in got) != (3 in got)          # exactly one of the dups
+    assert 1 in got and 5 in got
+    assert got[1] == len(GOOD.split())
+
+
+def test_streaming_prep_dedups_across_batches(spark, dirs):
+    """A duplicate arriving in a LATER micro-batch (still inside the
+    watermark horizon) is dropped by cross-batch fingerprint state."""
+    src, sink, ckpt = dirs
+    _write(spark, src, [(1, int(0.1 * HOUR_NS), DUP)])
+    _run(spark, src, sink, ckpt)
+    _write(spark, src, [(2, int(0.2 * HOUR_NS), DUP),
+                        (3, int(0.3 * HOUR_NS), GOOD)])
+    _run(spark, src, sink, ckpt)
+    ids = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert ids == {1, 3}
+
+
+def test_streaming_prep_batch_mode_matches_exact_dedup(spark):
+    """The same call on a batch frame equals batch semantics: one survivor
+    per fingerprint."""
+    rows = [(i, 0, DUP) for i in range(5)] + [(10, 0, GOOD)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = streaming_corpus_prep(df, "text", "doc_id", min_tokens=5, min_stopword_ratio=0.0)
+    texts = [r["text"] for r in out.collect()]
+    assert sorted(texts) == sorted([DUP, GOOD])
+
+
+# --------------------------------------------------- incremental vs history
+
+
+def test_exact_dedup_incremental_against_history(spark):
+    history = spark.createDataFrame(
+        [(100, GOOD), (101, DUP)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (1, GOOD),            # duplicates history -> dropped
+            (2, "fresh content never seen before in the corpus"),
+            (3, "fresh content never seen before in the corpus"),  # in-batch dup
+            (4, DUP),             # duplicates history -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["doc_id"] for r in exact_dedup_incremental(new, history).collect()}
+    assert kept == {2}
+
+
+def test_exact_dedup_incremental_with_fp_table(spark):
+    """The cheap path: history as a precomputed fingerprint table."""
+    from venice_spark.functions import text as TX
+    import pyspark.sql.functions as F
+
+    history = spark.createDataFrame([(100, GOOD)], ["doc_id", "text"]).select(
+        TX.fingerprint(F.col("text")).alias("fp")
+    )
+    new = spark.createDataFrame(
+        [(1, GOOD), (2, "completely novel words here today")], ["doc_id", "text"]
+    )
+    kept = {
+        r["doc_id"]
+        for r in exact_dedup_incremental(new, history, history_fp_col="fp").collect()
+    }
+    assert kept == {2}

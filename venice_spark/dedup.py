@@ -328,6 +328,47 @@ def simhash_pairs(
     return out
 
 
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    history_fp_col: str | None = None,
+) -> DataFrame:
+    """Dedup a new ingest batch against an already-ingested corpus — the
+    daily-crawl shape: today's documents must not duplicate anything in the
+    historical store. Two stages, both bounded by the NEW batch's size on
+    the probe side:
+
+      1. in-batch exact dedup (lowest id wins — same rule as exact_dedup);
+      2. anti-join on the 16-byte content fingerprint against history.
+
+    `history_df` is either the raw historical corpus (fingerprints computed
+    on the fly) or, far cheaper at 100 TB, a precomputed fingerprint table
+    (pass its column name as `history_fp_col`) — one 16-byte digest per
+    historical doc, the moral equivalent of the store's key index; at scale
+    keep it bucketed by fingerprint so this anti-join is co-located and the
+    history is never re-scanned per batch."""
+    fp = TX.fingerprint(F.col(text_col))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fp).orderBy(id_col)
+    in_batch = (
+        new_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if history_fp_col is not None:
+        hist = history_df.select(F.col(history_fp_col).alias("__fp"))
+    else:
+        hist = history_df.select(TX.fingerprint(F.col(text_col)).alias("__fp"))
+    return (
+        in_batch.withColumn("__fp", fp)
+        .join(hist, "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+
 def dup_ngram_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,81 @@
+"""Streaming corpus ingestion — the nearline edition of
+pipeline.prepare_corpus's narrow stages.
+
+A 100 TB training-data pipeline ingests continuously; the quality gates
+(token/stopword/repetition) are pure per-row expressions and therefore
+stream-unchanged, and exact dedup maps to Structured Streaming's
+`dropDuplicatesWithinWatermark` keyed on the content fingerprint: per-key
+state holds one 16-byte md5 per distinct document seen inside the watermark
+horizon, evicted as event time advances — bounded state, no reprocessing.
+
+The reference has no streaming document path (Venice streams KV writes);
+this is north-star surface, built on the same RT-log machinery as
+streaming/hybrid.py. Batch/stream parity: the same gate expressions run in
+pipeline.prepare_corpus, and the dedup semantic (first arrival wins inside
+the horizon) is pinned by tests against the batch exact_dedup of the same
+log.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from venice_spark.functions import text as TX
+
+
+def streaming_corpus_prep(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark_delay: str = "1 hour",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_stopword_ratio: float = 0.0,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Gate + dedup a (streaming or batch) document frame.
+
+    Stage 1 — quality gates: identical expressions to prepare_corpus
+    (narrow, stateless, stream-safe).
+    Stage 2 — exact dedup on the content fingerprint:
+      * streaming with `ts_col`: `dropDuplicatesWithinWatermark` — state is
+        one fingerprint per distinct doc within the watermark horizon,
+        evicted automatically (the ONLY bounded-state streaming dedup;
+        plain dropDuplicates on a stream grows state forever);
+      * streaming without `ts_col`: plain dropDuplicates — documented
+        unbounded state, only for bounded replays;
+      * batch: dropDuplicates (one shuffle), matching exact_dedup's set.
+
+    Adds `n_tokens`. Returns the surviving rows with input columns.
+    """
+    pred = TX.token_count(text_col).between(min_tokens, max_tokens) & (
+        TX.stopword_ratio(text_col) >= min_stopword_ratio
+    )
+    if max_dup_line_frac is not None:
+        pred = pred & (TX.dup_line_fraction(text_col) <= max_dup_line_frac)
+    if max_top_bigram_frac is not None:
+        pred = pred & (TX.top_bigram_fraction(text_col) <= max_top_bigram_frac)
+    out = stream.filter(pred).withColumn("n_tokens", TX.token_count(text_col))
+
+    if not dedup:
+        return out
+
+    out = out.withColumn("__fp", TX.fingerprint(F.col(text_col)))
+    if stream.isStreaming and ts_col is not None:
+        ts = F.col(ts_col)
+        if dict(out.dtypes).get(ts_col) in ("bigint", "long"):
+            # epoch-nanos long (the events-table convention) -> timestamp
+            ts = F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        out = (
+            out.withColumn("_event_time", ts)
+            .withWatermark("_event_time", watermark_delay)
+            .dropDuplicatesWithinWatermark(["__fp"])
+            .drop("_event_time")
+        )
+    else:
+        out = out.dropDuplicates(["__fp"])
+    return out.drop("__fp")
