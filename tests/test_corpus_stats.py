@@ -182,3 +182,34 @@ def test_clean_lines_c4_style(spark):
         "doc_id", TX.clean_lines("text").alias("c")).collect()}
     assert out[1] == "This is a real sentence.\nAnother proper sentence here?"
     assert out[2] == ""
+
+
+def test_drop_common_lines_removes_cross_doc_boilerplate(spark):
+    banner = "accept all cookies to continue reading"
+    rows = [
+        (1, f"{banner}\nunique insight number one here.\nmore real content."),
+        (2, f"{banner}\ncompletely different article body."),
+        (3, "standalone document with no boilerplate at all."),
+        (4, banner),  # boilerplate-only doc -> empty after cleaning
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["clean_text"] for r in P.drop_common_lines(df).collect()}
+    assert out[1] == "unique insight number one here.\nmore real content."
+    assert out[2] == "completely different article body."
+    assert out[3] == "standalone document with no boilerplate at all."
+    assert out[4] == ""
+    # in-doc repetition alone does not trigger removal (distinct-doc count)
+    df2 = spark.createDataFrame(
+        [(1, "same line repeated here\nsame line repeated here"), (2, "other text entirely")],
+        ["doc_id", "text"],
+    )
+    out2 = {r["doc_id"]: r["clean_text"] for r in P.drop_common_lines(df2).collect()}
+    assert out2[1] == "same line repeated here\nsame line repeated here"
+
+
+def test_drop_common_lines_min_chars_guard(spark):
+    # short ubiquitous lines (e.g. "ok") are below min_line_chars and kept
+    rows = [(1, "ok\nreal content sentence here."), (2, "ok\nanother body.")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["clean_text"] for r in P.drop_common_lines(df).collect()}
+    assert out[1].startswith("ok\n") and out[2].startswith("ok\n")

@@ -283,6 +283,53 @@ def topk_per_group(
     )
 
 
+def drop_common_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_count: int = 2,
+    min_line_chars: int = 6,
+) -> DataFrame:
+    """Corpus-level boilerplate-line removal (the cross-document C4 move,
+    complementing the within-document `functions/text.clean_lines`): any
+    line at least `min_line_chars` long that appears in >= `min_doc_count`
+    DISTINCT documents (cookie banners, nav text, license headers) is
+    removed from every document; remaining lines rejoin in original order
+    as `clean_text`.
+
+    Plan: posexplode lines -> countDistinct(doc) per line (partial-agg
+    before one shuffle on the line) -> anti-join survivors -> per-doc
+    positional reassembly (sort_array over (pos, line) structs — row-local).
+    At 100 TB key the join on xxhash64(line) instead of the line text, the
+    same 8-byte-key trade as dup_ngram_spans."""
+    lx = df.select(
+        F.col(id_col), F.posexplode(TX.lines(text_col)).alias("pos", "line")
+    )
+    common = (
+        lx.filter(F.length("line") >= min_line_chars)
+        .groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_doc_count)
+        .select("line")
+    )
+    rebuilt = (
+        lx.join(common, "line", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text")
+        )
+    )
+    return df.join(rebuilt, id_col, "left").withColumn(
+        "clean_text", F.coalesce(F.col("clean_text"), F.lit(""))
+    )
+
+
 def importance_sample(
     df: DataFrame,
     weight_col: str,
