@@ -118,3 +118,46 @@ def test_exact_dedup_incremental_with_fp_table(spark):
         for r in exact_dedup_incremental(new, history, history_fp_col="fp").collect()
     }
     assert kept == {2}
+
+
+# ---------------------------------------------------- ingest-to-store loop
+
+
+def test_corpus_ingest_to_store_end_to_end(spark, tmp_path):
+    """crawl stream -> gates -> in-stream dedup -> history anti-join ->
+    incremental push: the serving store ends up with exactly the clean,
+    distinct documents, across two separate stream runs."""
+    from venice_spark import VeniceSparkEngine
+    from venice_spark.streaming.corpus import run_corpus_ingest_to_store
+
+    src = f"{tmp_path}/src"
+    ckpt = f"{tmp_path}/ckpt"
+    eng = VeniceSparkEngine(spark, f"{tmp_path}/root")
+    eng.create_store("corpus", key_fields=["doc_id"], partition_count=2)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = run_corpus_ingest_to_store(
+            stream, eng, "corpus", ckpt,
+            ts_col="ts", min_tokens=5, min_stopword_ratio=0.0,
+        )
+        q.awaitTermination(120)
+
+    _write(spark, src, [
+        (1, int(0.1 * HOUR_NS), GOOD),
+        (2, int(0.2 * HOUR_NS), DUP),
+        (3, int(0.3 * HOUR_NS), SHORT),      # gated
+    ])
+    run()
+    st = eng.store("corpus")
+    assert {r["doc_id"] for r in st.df().collect()} == {1, 2}
+
+    # second run: new unique doc lands; re-crawled GOOD content under a NEW
+    # id is caught by the history anti-join (not by in-stream state)
+    _write(spark, src, [
+        (4, int(5.0 * HOUR_NS), GOOD),                 # content dup of doc 1
+        (5, int(5.1 * HOUR_NS), GOOD + " brand new"),  # genuinely new
+    ])
+    run()
+    ids = {r["doc_id"] for r in st.df().collect()}
+    assert ids == {1, 2, 5}

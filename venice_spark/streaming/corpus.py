@@ -79,3 +79,59 @@ def streaming_corpus_prep(
     else:
         out = out.dropDuplicates(["__fp"])
     return out.drop("__fp")
+
+
+def run_corpus_ingest_to_store(
+    stream: DataFrame,
+    engine,
+    store: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    dedup_against_store: bool = True,
+    available_now: bool = True,
+    **prep_kwargs,
+):
+    """The full nearline ingest loop: gate + in-stream dedup
+    (streaming_corpus_prep), then per micro-batch dedup AGAINST THE STORE'S
+    OWN HISTORY (exact_dedup_incremental — catches content re-crawled after
+    the watermark horizon closed) and incremental-push the survivors into
+    the serving store. crawl firehose -> cleaned, deduplicated, versioned
+    corpus, exactly-once per checkpointed batch.
+
+    At 100 TB the history side of the anti-join should be the store's
+    fingerprint view rather than the full corpus (a 16-byte digest per doc;
+    pass a MaterializedViewDef projecting the fingerprint at push time) —
+    here the store frame itself is used, which is correct at any scale and
+    cheap below it. The store's key fields must include `id_col`."""
+    from venice_spark.dedup import exact_dedup_incremental
+
+    prepped = streaming_corpus_prep(
+        stream, text_col=text_col, id_col=id_col, ts_col=ts_col, **prep_kwargs
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = batch_df
+        bootstrapped = engine.catalog.current_version(store) > 0
+        if dedup_against_store and bootstrapped:
+            history = engine.store(store).df().select(text_col)
+            out = exact_dedup_incremental(out, history, text_col, id_col)
+        if not out.isEmpty():
+            if bootstrapped:
+                engine.incremental_push(store, out)
+            else:
+                # first batch bootstraps the store (the reference's hybrid
+                # lifecycle: a batch push precedes RT consumption)
+                engine.push(store, out)
+
+    writer = (
+        prepped.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
