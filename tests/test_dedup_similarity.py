@@ -495,3 +495,40 @@ def test_drop_dup_ngram_spans_cleans_covered_tokens(spark):
     assert out[1] == "keep1 keep2 keep3"
     assert out[2] == "other words"
     assert out[3] == "all original content stays intact"
+
+
+def test_knn_classify_blocked_agrees_with_brute_on_clusters(spark):
+    """On well-separated clusters the LSH-blocked classifier reproduces the
+    exact brute-force labels (the scale path loses nothing when structure
+    is real)."""
+    import numpy as np
+
+    from venice_spark.similarity import knn_classify
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(3, 16)) * 5
+    labeled, unlabeled = [], []
+    for i in range(120):
+        c = i % 3
+        v = centers[c] + rng.normal(size=16) * 0.3
+        labeled.append((i, [float(x) for x in v], c))
+    for j in range(30):
+        c = j % 3
+        v = centers[c] + rng.normal(size=16) * 0.3
+        unlabeled.append((1000 + j, [float(x) for x in v]))
+    ldf = spark.createDataFrame(labeled, ["vec_id", "embedding", "label"])
+    udf_ = spark.createDataFrame(unlabeled, ["vec_id", "embedding"])
+
+    brute = {
+        r["vec_id"]: r["predicted"]
+        for r in knn_classify(udf_, ldf, "embedding", "vec_id", "label", k=5, blocked=False).collect()
+    }
+    blocked = {
+        r["vec_id"]: r["predicted"]
+        for r in knn_classify(udf_, ldf, "embedding", "vec_id", "label", k=5, blocked=True, dim=16).collect()
+    }
+    # every point classified to its true cluster by both editions
+    for j in range(30):
+        assert brute[1000 + j] == j % 3
+    agree = sum(1 for v in brute if blocked.get(v) == brute[v])
+    assert agree >= 28  # LSH recall may drop a boundary point, never many

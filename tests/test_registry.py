@@ -91,6 +91,8 @@ def test_driver_window_carries_only_oracle_queries():
         "x_embedding_near_dup",
         # hash-threshold sampling family carried in-window by x_stratified_sample
         "x_importance_sample",
+        # vector-kNN family carried in-window by x_knn_join_lsh
+        "x_knn_classify",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

@@ -1642,6 +1642,44 @@ def x_random_projection(spark, sf_dir):
     )
 
 
+def _knn_classify_oracle_sql(k: int = 5) -> str:
+    dot = " + ".join(
+        f"CAST(lv[{i}] AS DOUBLE) * CAST(rv[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
+    )
+    nl = " + ".join(f"CAST(lv[{i}] AS DOUBLE) * CAST(lv[{i}] AS DOUBLE)" for i in range(1, DIM + 1))
+    nr = " + ".join(f"CAST(rv[{i}] AS DOUBLE) * CAST(rv[{i}] AS DOUBLE)" for i in range(1, DIM + 1))
+    return (
+        "WITH l AS (SELECT vec_id AS lid, embedding AS lv FROM embeddings WHERE vec_id < 50), "
+        "r AS (SELECT vec_id AS rid, embedding AS rv, label FROM embeddings WHERE vec_id >= 50), "
+        f"s AS (SELECT lid, rid, label, ({dot}) / (sqrt({nl}) * sqrt({nr})) AS cos FROM l, r), "
+        "nn AS (SELECT * FROM (SELECT lid, rid, label, "
+        "row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS rank FROM s) "
+        f"WHERE rank <= {k}), "
+        "v AS (SELECT lid, label, count(*) AS votes FROM nn GROUP BY 1, 2) "
+        "SELECT lid AS vec_id, label AS predicted, votes FROM "
+        "(SELECT lid, label, votes, row_number() OVER "
+        "(PARTITION BY lid ORDER BY votes DESC, label ASC) AS rn FROM v) WHERE rn = 1"
+    )
+
+
+@register("x_knn_classify", _knn_classify_oracle_sql())
+def x_knn_classify(spark, sf_dir):
+    """k-NN auto-labeling (similarity.knn_classify): majority label of the
+    5 nearest labeled neighbors, ties to the smallest label — the label-
+    propagation step for growing a training set from a seed set. Registered
+    in the exact brute-force edition the oracle re-derives; the LSH-blocked
+    edition (blocked=True, no cross join) is the scale path, agreement
+    pinned in tests."""
+    from venice_spark.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    unlabeled = emb.filter(F.col("vec_id") < 50).drop("label")
+    labeled = emb.filter(F.col("vec_id") >= 50)
+    return knn_classify(
+        unlabeled, labeled, "embedding", "vec_id", "label", k=5, blocked=False
+    )
+
+
 @register(
     "x_importance_sample",
     f"{_TOKS_CTE}, "
@@ -1733,6 +1771,7 @@ _TAIL = [
     "x_skew_salted_count",     # skew-salted twin of the r11 facet count (same answer; plan pinned in tests)
     "x_embedding_near_dup",    # blocked-cosine family carried by x_knn_join_lsh (exact hyperplane oracle)
     "x_importance_sample",     # hash-threshold sampling family carried by x_stratified_sample
+    "x_knn_classify",          # vector-kNN family carried by x_knn_join_lsh (exact oracle); brute edition oracle-checked locally
     "x_bpe_token_count",       # token-budget family covered by x_text_quality
     "x_dedup_ngram_jaccard",   # verify-stage variant; x_minhash_near_dup carries family
     "x_quality_score",         # composite of the x_text_quality terms

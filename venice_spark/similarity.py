@@ -152,6 +152,54 @@ def knn_join(
     )
 
 
+def knn_classify(
+    unlabeled: DataFrame,
+    labeled: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    blocked: bool = True,
+    dim: int | None = None,
+) -> DataFrame:
+    """Semi-supervised auto-labeling: each unlabeled vector takes the
+    majority label of its k nearest labeled neighbors (cosine), ties broken
+    to the smallest label — the standard label-propagation step for growing
+    a labeled training set from a seed set.
+
+    blocked=True (default) generates candidates through the LSH-blocked
+    k-NN join — the scale path (id-only candidate shuffle, no cross join);
+    blocked=False is the exact brute-force baseline the oracle re-derives.
+    Returns [id_col, predicted label, votes, total among k]."""
+    if blocked:
+        d = dim or len(
+            labeled.select(vec_col).first()[0]
+        )
+        nn = knn_join_lsh(unlabeled, labeled, vec_col, id_col, id_col, k=k, dim=d)
+    else:
+        nn = knn_join(unlabeled, labeled, vec_col, id_col, id_col, k=k)
+    lab = labeled.select(F.col(id_col).alias("rid"), F.col(label_col))
+    votes = (
+        nn.join(lab, "rid")
+        .groupBy("lid", label_col)
+        .agg(F.count("*").alias("votes"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lid").orderBy(
+        F.col("votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("lid").alias(id_col),
+            F.col(label_col).alias("predicted"),
+            "votes",
+        )
+    )
+
+
 def lsh_table_buckets(
     vec_col: str | "F.Column",
     dim: int,
