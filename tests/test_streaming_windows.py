@@ -259,3 +259,33 @@ def test_rollup_into_store_serves_finalized_windows(spark, dirs, tmp_path):
         ("1970-01-01 01:00:00", "b"): (1, 3.0),
         ("1970-01-01 03:00:00", "a"): (1, 5.0),
     }
+
+
+def test_windowed_hll_distinct_count_stream(spark, dirs):
+    """Sketch aggregates run inside the streaming rollup unchanged:
+    approx_count_distinct per window (unique users/hour) matches the exact
+    per-window distinct count on this small log — the bounded-state
+    streaming edition of R16's HLL."""
+    src, sink, ckpt = dirs
+    schema = "ts long, user string, value double"
+    rows = [
+        (int(0.1 * HOUR_NS), "u1", 1.0),
+        (int(0.2 * HOUR_NS), "u2", 1.0),
+        (int(0.3 * HOUR_NS), "u1", 1.0),   # dup user in hour 0
+        (int(1.2 * HOUR_NS), "u3", 1.0),
+        (int(3.5 * HOUR_NS), "u1", 1.0),   # advances watermark past hours 0-1
+    ]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    roll = windowed_rollup(
+        stream, "ts", [], {"uniques": "approx_count_distinct(user)"},
+        "1 hour", watermark_delay="30 minutes",
+    )
+    q = run_rollup_to_sink(roll, ckpt, sink)
+    q.awaitTermination(120)
+    got = {
+        str(r["window_start"]): r["uniques"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got["1970-01-01 00:00:00"] == 2
+    assert got["1970-01-01 01:00:00"] == 1
