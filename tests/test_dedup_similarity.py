@@ -532,3 +532,29 @@ def test_knn_classify_blocked_agrees_with_brute_on_clusters(spark):
         assert brute[1000 + j] == j % 3
     agree = sum(1 for v in brute if blocked.get(v) == brute[v])
     assert agree >= 28  # LSH recall may drop a boundary point, never many
+
+
+def test_chunk_documents_disjoint_and_strided(spark):
+    from venice_spark.dedup import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b c")], ["doc_id", "text"])
+
+    # disjoint: 10 tokens / 4 -> chunks of 4,4,2
+    out = chunk_documents(df, max_tokens=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"], r["chunk_tokens"]))
+    c1 = sorted(by_doc[1])
+    assert [c[1] for c in c1] == ["t0 t1 t2 t3", "t4 t5 t6 t7", "t8 t9"]
+    assert [c[2] for c in c1] == [4, 4, 2]
+    assert by_doc[2] == [(0, "a b c", 3)]
+
+    # strided overlap: window 4, stride 2 -> starts 0,2,4,6,8
+    out2 = chunk_documents(df.filter("doc_id = 1"), max_tokens=4, stride=2).collect()
+    texts = [r["chunk_text"] for r in sorted(out2, key=lambda r: r["chunk_idx"])]
+    assert texts == ["t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9", "t8 t9"]
+
+    # min_chunk_tokens drops the trailing stub
+    out3 = chunk_documents(df.filter("doc_id = 1"), max_tokens=4, min_chunk_tokens=3).collect()
+    assert [r["chunk_tokens"] for r in sorted(out3, key=lambda r: r["chunk_idx"])] == [4, 4]

@@ -93,6 +93,8 @@ def test_driver_window_carries_only_oracle_queries():
         "x_importance_sample",
         # vector-kNN family carried in-window by x_knn_join_lsh
         "x_knn_classify",
+        # sequence-prep family carried in-window by x_sequence_packing
+        "x_chunk_documents",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

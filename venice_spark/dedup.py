@@ -224,6 +224,57 @@ def embedding_near_dup_pairs(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 128,
+    stride: int | None = None,
+    min_chunk_tokens: int = 1,
+) -> DataFrame:
+    """Split long documents into fixed-budget training sequences: token
+    windows of `max_tokens`, advancing by `stride` (default = max_tokens,
+    i.e. disjoint chunks; smaller stride = overlapping context windows).
+    The last partial chunk survives iff it has >= min_chunk_tokens tokens.
+    Output: [id_col, chunk_idx, chunk_text, chunk_tokens] — one row per
+    chunk, ordered by chunk_idx within each doc.
+
+    Pure per-row expressions (sequence → transform → slice → filter →
+    posexplode): zero shuffle, embarrassingly parallel — a 100 TB corpus
+    chunks at scan speed. The complement of pack_sequences (which BATCHES
+    short docs up to a budget; this SPLITS long docs down to one)."""
+    w, s = int(max_tokens), int(stride or max_tokens)
+    if s <= 0 or w <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    toks = df.withColumn("__t", TX.tokens(text_col)).withColumn(
+        "__n", F.size("__t")
+    )
+    # chunk start positions: 0, s, 2s, ... while start < n (at least one)
+    starts = F.expr(f"sequence(0, greatest(__n - 1, 0), {s})")
+    chunks = F.filter(
+        F.transform(
+            starts,
+            lambda st: F.struct(
+                F.slice("__t", st + 1, w).alias("ct"),
+                F.least(F.lit(w), F.col("__n") - st).alias("cn"),
+            ),
+        ),
+        lambda c: c["cn"] >= min_chunk_tokens,
+    )
+    return (
+        toks.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_idx", "__c"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(F.col("__c.ct"), " ").alias("chunk_text"),
+            F.col("__c.cn").alias("chunk_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

@@ -1642,6 +1642,28 @@ def x_random_projection(spark, sf_dir):
     )
 
 
+_CHUNK_W = 32
+
+@register(
+    "x_chunk_documents",
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+    "FROM documents) "
+    "SELECT doc_id, r.i AS chunk_idx, "
+    f"array_to_string(t[r.i * {_CHUNK_W} + 1 : r.i * {_CHUNK_W} + {_CHUNK_W}], ' ') AS chunk_text, "
+    f"least({_CHUNK_W}, len(t) - r.i * {_CHUNK_W}) AS chunk_tokens "
+    f"FROM toks, UNNEST(range(0, ((len(t) - 1) // {_CHUNK_W}) + 1)) AS r(i)",
+)
+def x_chunk_documents(spark, sf_dir):
+    """Document chunking into fixed-budget training sequences
+    (dedup.chunk_documents): disjoint 32-token windows, last partial chunk
+    kept. Pure per-row expressions — zero shuffle, chunks at scan speed;
+    the splitting complement of x_sequence_packing's batching."""
+    from venice_spark.dedup import chunk_documents
+
+    df = _t(spark, sf_dir, "documents")
+    return chunk_documents(df, "text", "doc_id", max_tokens=_CHUNK_W)
+
+
 def _knn_classify_oracle_sql(k: int = 5) -> str:
     dot = " + ".join(
         f"CAST(lv[{i}] AS DOUBLE) * CAST(rv[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
@@ -1772,6 +1794,7 @@ _TAIL = [
     "x_embedding_near_dup",    # blocked-cosine family carried by x_knn_join_lsh (exact hyperplane oracle)
     "x_importance_sample",     # hash-threshold sampling family carried by x_stratified_sample
     "x_knn_classify",          # vector-kNN family carried by x_knn_join_lsh (exact oracle); brute edition oracle-checked locally
+    "x_chunk_documents",       # sequence-prep family carried by x_sequence_packing; oracle-checked locally
     "x_bpe_token_count",       # token-budget family covered by x_text_quality
     "x_dedup_ngram_jaccard",   # verify-stage variant; x_minhash_near_dup carries family
     "x_quality_score",         # composite of the x_text_quality terms
