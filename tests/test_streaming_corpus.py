@@ -161,3 +161,37 @@ def test_corpus_ingest_to_store_end_to_end(spark, tmp_path):
     run()
     ids = {r["doc_id"] for r in st.df().collect()}
     assert ids == {1, 2, 5}
+
+
+def test_corpus_ingest_with_fingerprint_store(spark, tmp_path):
+    """The 100 TB history path: a companion fingerprint store (16 bytes per
+    historical doc) carries the anti-join instead of re-fingerprinting the
+    corpus text every batch; the loop maintains it alongside the corpus."""
+    from venice_spark import VeniceSparkEngine
+    from venice_spark.streaming.corpus import run_corpus_ingest_to_store
+
+    src = f"{tmp_path}/src"
+    ckpt = f"{tmp_path}/ckpt"
+    eng = VeniceSparkEngine(spark, f"{tmp_path}/root")
+    eng.create_store("corpus", key_fields=["doc_id"], partition_count=2)
+    eng.create_store("corpus_fps", key_fields=["fingerprint"], partition_count=2)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = run_corpus_ingest_to_store(
+            stream, eng, "corpus", ckpt, ts_col="ts",
+            fp_store="corpus_fps", min_tokens=5, min_stopword_ratio=0.0,
+        )
+        q.awaitTermination(120)
+
+    _write(spark, src, [(1, int(0.1 * HOUR_NS), GOOD), (2, int(0.2 * HOUR_NS), DUP)])
+    run()
+    assert eng.store("corpus_fps").df().count() == 2
+
+    _write(spark, src, [
+        (3, int(5.0 * HOUR_NS), GOOD),                 # content dup -> fp-store hit
+        (4, int(5.1 * HOUR_NS), GOOD + " brand new"),
+    ])
+    run()
+    assert {r["doc_id"] for r in eng.store("corpus").df().collect()} == {1, 2, 4}
+    assert eng.store("corpus_fps").df().count() == 3

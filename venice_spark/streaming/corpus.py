@@ -90,42 +90,59 @@ def run_corpus_ingest_to_store(
     id_col: str = "doc_id",
     ts_col: str | None = None,
     dedup_against_store: bool = True,
+    fp_store: str | None = None,
     available_now: bool = True,
     **prep_kwargs,
 ):
     """The full nearline ingest loop: gate + in-stream dedup
-    (streaming_corpus_prep), then per micro-batch dedup AGAINST THE STORE'S
-    OWN HISTORY (exact_dedup_incremental — catches content re-crawled after
-    the watermark horizon closed) and incremental-push the survivors into
-    the serving store. crawl firehose -> cleaned, deduplicated, versioned
-    corpus, exactly-once per checkpointed batch.
+    (streaming_corpus_prep), then per micro-batch dedup AGAINST THE
+    CORPUS'S OWN HISTORY (exact_dedup_incremental — catches content
+    re-crawled after the watermark horizon closed) and incremental-push the
+    survivors into the serving store. crawl firehose -> cleaned,
+    deduplicated, versioned corpus, exactly-once per checkpointed batch.
 
-    At 100 TB the history side of the anti-join should be the store's
-    fingerprint view rather than the full corpus (a 16-byte digest per doc;
-    pass a MaterializedViewDef projecting the fingerprint at push time) —
-    here the store frame itself is used, which is correct at any scale and
-    cheap below it. The store's key fields must include `id_col`."""
+    `fp_store` is the 100 TB path for the history side: a companion store
+    keyed by `fingerprint` that this loop maintains alongside the corpus —
+    16 bytes per historical doc, so the anti-join probes a digest table
+    instead of re-fingerprinting the full corpus text every batch (the
+    store's partition-by-fingerprint layout co-locates the anti-join).
+    Without it the corpus frame itself is used — correct at any scale,
+    cheap below it. The corpus store's key fields must include `id_col`;
+    the fp store's must be ["fingerprint"]."""
     from venice_spark.dedup import exact_dedup_incremental
 
     prepped = streaming_corpus_prep(
         stream, text_col=text_col, id_col=id_col, ts_col=ts_col, **prep_kwargs
     )
 
+    def _push(target: str, frame: DataFrame) -> None:
+        if engine.catalog.current_version(target) > 0:
+            engine.incremental_push(target, frame)
+        else:
+            # first batch bootstraps the store (the reference's hybrid
+            # lifecycle: a batch push precedes RT consumption)
+            engine.push(target, frame)
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         out = batch_df
-        bootstrapped = engine.catalog.current_version(store) > 0
-        if dedup_against_store and bootstrapped:
-            history = engine.store(store).df().select(text_col)
-            out = exact_dedup_incremental(out, history, text_col, id_col)
+        if dedup_against_store:
+            if fp_store is not None and engine.catalog.current_version(fp_store) > 0:
+                history = engine.store(fp_store).df()
+                out = exact_dedup_incremental(
+                    out, history, text_col, id_col, history_fp_col="fingerprint"
+                )
+            elif engine.catalog.current_version(store) > 0:
+                history = engine.store(store).df().select(text_col)
+                out = exact_dedup_incremental(out, history, text_col, id_col)
         if not out.isEmpty():
-            if bootstrapped:
-                engine.incremental_push(store, out)
-            else:
-                # first batch bootstraps the store (the reference's hybrid
-                # lifecycle: a batch push precedes RT consumption)
-                engine.push(store, out)
+            _push(store, out)
+            if fp_store is not None:
+                _push(
+                    fp_store,
+                    out.select(TX.fingerprint(F.col(text_col)).alias("fingerprint")),
+                )
 
     writer = (
         prepped.writeStream.outputMode("append")
