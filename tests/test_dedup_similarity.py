@@ -558,3 +558,29 @@ def test_chunk_documents_disjoint_and_strided(spark):
     # min_chunk_tokens drops the trailing stub
     out3 = chunk_documents(df.filter("doc_id = 1"), max_tokens=4, min_chunk_tokens=3).collect()
     assert [r["chunk_tokens"] for r in sorted(out3, key=lambda r: r["chunk_idx"])] == [4, 4]
+
+
+def test_fuzzy_key_pairs_pigeonhole_complete(spark):
+    """Planted typo pairs at every segment position are all found (the
+    pigeonhole must not depend on WHERE the substitution lands), plus a
+    distance-2 pair is excluded at max_subs=1 and found at 2."""
+    from venice_spark.dedup import fuzzy_key_pairs
+
+    rows = [
+        (1, "alphabet"),
+        (2, "alphabex"),   # sub in 2nd half
+        (3, "xlphabet"),   # sub in 1st half (first char!)
+        (4, "alPhabet"),   # sub mid
+        (5, "alphabyx"),   # distance 2 from 1
+        (6, "different"),  # different length: never a candidate
+    ]
+    df = spark.createDataFrame(rows, ["id", "k"])
+    d1 = {(r["id_a"], r["id_b"]): r["dist"]
+          for r in fuzzy_key_pairs(df, "k", "id", max_subs=1).collect()}
+    assert (1, 2) in d1 and (1, 3) in d1 and (1, 4) in d1
+    assert (1, 5) not in d1
+    assert all(v <= 1 for v in d1.values())
+    d2 = {(r["id_a"], r["id_b"]): r["dist"]
+          for r in fuzzy_key_pairs(df, "k", "id", max_subs=2).collect()}
+    assert d2[(1, 5)] == 2
+    assert (2, 5) in d2  # "alphabex" vs "alphabyx" distance 1

@@ -379,6 +379,76 @@ def simhash_pairs(
     return out
 
 
+def fuzzy_key_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_subs: int = 1,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: equal-length keys within
+    `max_subs` character SUBSTITUTIONS (hamming distance) — near-identical
+    identifiers/names differing by typos or digit slips.
+
+    Pigeonhole blocking (the simhash_pairs argument applied to strings):
+    split every key into max_subs+1 contiguous segments at deterministic
+    per-length boundaries; two equal-length keys within distance d must
+    agree EXACTLY on at least one (length, segment_idx, segment_text)
+    block, so a hash join on the block key finds every true pair — the
+    shuffle is O(n·(d+1)) segment rows, never the O(n²) cross join, and
+    the hamming verify runs on candidates only. Returns
+    [id_a, id_b, dist] with id_a < id_b."""
+    d = int(max_subs)
+    nseg = d + 1
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(key_col).alias("__k"),
+        F.length(key_col).alias("__len"),
+    )
+    segs = [
+        F.struct(
+            F.lit(j).alias("seg_idx"),
+            F.expr(
+                f"substring(__k, CAST(__len * {j} / {nseg} AS INT) + 1, "
+                f"CAST(__len * {j + 1} / {nseg} AS INT) - CAST(__len * {j} / {nseg} AS INT))"
+            ).alias("seg"),
+        )
+        for j in range(nseg)
+    ]
+    blocked = base.select(
+        "__id", "__k", "__len", F.explode(F.array(*segs)).alias("__b")
+    ).select(
+        "__id",
+        "__k",
+        F.struct("__len", F.col("__b.seg_idx"), F.col("__b.seg")).alias("__block"),
+    )
+    a = blocked.select(
+        F.col("__id").alias("id_a"), F.col("__k").alias("ka"), "__block"
+    )
+    b = blocked.select(
+        F.col("__id").alias("id_b"), F.col("__k").alias("kb"), "__block"
+    )
+    cand = (
+        a.join(b, "__block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ka", "kb")
+        .distinct()
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.expr("transform(sequence(1, length(ka)), i -> substring(ka, i, 1))"),
+            F.expr("transform(sequence(1, length(kb)), i -> substring(kb, i, 1))"),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= d)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def exact_dedup_incremental(
     new_df: DataFrame,
     history_df: DataFrame,

@@ -1642,6 +1642,25 @@ def x_random_projection(spark, sf_dir):
     )
 
 
+@register(
+    "x_fuzzy_key_pairs",
+    "WITH c AS (SELECT c_custkey AS id, c_name AS k FROM customer) "
+    "SELECT a.id AS id_a, b.id AS id_b, mismatches(a.k, b.k) AS dist "
+    "FROM c a JOIN c b ON a.id < b.id AND len(a.k) = len(b.k) "
+    "AND mismatches(a.k, b.k) <= 1",
+)
+def x_fuzzy_key_pairs(spark, sf_dir):
+    """Entity-resolution pairs (dedup.fuzzy_key_pairs): equal-length keys
+    within 1 character substitution, found via pigeonhole segment blocking
+    (d+1 contiguous segments — a true pair must share one exactly), never
+    the O(n²) cross join the brute-force oracle runs. Completeness is
+    exactly what the oracle checks."""
+    from venice_spark.dedup import fuzzy_key_pairs
+
+    df = _t(spark, sf_dir, "customer")
+    return fuzzy_key_pairs(df, "c_name", "c_custkey", max_subs=1)
+
+
 _CHUNK_W = 32
 
 @register(
@@ -1795,6 +1814,7 @@ _TAIL = [
     "x_importance_sample",     # hash-threshold sampling family carried by x_stratified_sample
     "x_knn_classify",          # vector-kNN family carried by x_knn_join_lsh (exact oracle); brute edition oracle-checked locally
     "x_chunk_documents",       # sequence-prep family carried by x_sequence_packing; oracle-checked locally
+    "x_fuzzy_key_pairs",       # pigeonhole-pairs family carried by x_simhash_pairs; oracle-checked locally
     "x_bpe_token_count",       # token-budget family covered by x_text_quality
     "x_dedup_ngram_jaccard",   # verify-stage variant; x_minhash_near_dup carries family
     "x_quality_score",         # composite of the x_text_quality terms
