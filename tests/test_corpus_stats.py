@@ -213,3 +213,26 @@ def test_drop_common_lines_min_chars_guard(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r["clean_text"] for r in P.drop_common_lines(df).collect()}
     assert out[1].startswith("ok\n") and out[2].startswith("ok\n")
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    # 3 docs; "rare" appears only in doc 1 (twice), "the" in all
+    rows = [
+        (1, "the rare rare word"),
+        (2, "the common text"),
+        (3, "the common stuff"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = P.tfidf_top_terms(df, "text", "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top1 = by_doc[1][0]
+    assert top1["tok"] == "rare" and top1["tf"] == 2 and top1["df"] == 1
+    assert top1["score"] == pytest.approx(2 * math.log(3 / 1), abs=1e-5)
+    # "the" has df=3 -> idf 0 -> score 0, never beats any distinctive term
+    assert all(r["tok"] != "the" or r["score"] == 0.0 for r in out)
+    # ranks are 1..k and deterministic
+    assert [r["rank"] for r in sorted(by_doc[1], key=lambda r: r["rank"])] == [1, 2]

@@ -97,6 +97,8 @@ def test_driver_window_carries_only_oracle_queries():
         "x_chunk_documents",
         # pigeonhole-pairs family carried in-window by x_simhash_pairs
         "x_fuzzy_key_pairs",
+        # corpus-stats family carried in-window by x_ngram_counts
+        "x_tfidf_terms",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

@@ -283,6 +283,49 @@ def topk_per_group(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    decimals: int = 5,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — keyword extraction for corpus
+    exploration/labeling: score(t, d) = tf(t, d) · ln(N / df(t)), ties
+    broken alphabetically for determinism.
+
+    Plan: one explode → (doc, token) partial-agg tf (map-side combine) →
+    token-keyed df agg (input already distinct per doc, so df is a count)
+    → 1-row broadcast N → score join on token → per-doc top-k via a
+    rank-limited window (WindowGroupLimit: per-partition heaps, shuffle
+    volume ≈ k rows per doc per input partition). Scores rounded so the
+    distributed float product is engine/order-independent."""
+    toks = df.select(F.col(id_col), F.explode(TX.tokens(text_col)).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                decimals,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(id_col, "tok", "tf", "df", "score", F.col("__rn").alias("rank"))
+    )
+
+
 def drop_common_lines(
     df: DataFrame,
     text_col: str = "text",

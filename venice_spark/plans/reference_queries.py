@@ -1643,6 +1643,31 @@ def x_random_projection(spark, sf_dir):
 
 
 @register(
+    "x_tfidf_terms",
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), "
+    "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), "
+    "n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents), "
+    "s AS (SELECT doc_id, tok, tf, df, "
+    "round(tf * ln(n_docs / CAST(df AS DOUBLE)), 5) AS score "
+    "FROM tf JOIN dfreq USING (tok) CROSS JOIN n) "
+    "SELECT doc_id, tok, tf, df, score, rank FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank FROM s) "
+    "WHERE rank <= 3",
+)
+def x_tfidf_terms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords (pipeline.tfidf_top_terms): tf
+    partial-agg → df agg → broadcast N → score join → rank-limited window
+    (WindowGroupLimit per-doc heaps). Deterministic ties (alphabetical);
+    scores rounded to 5 decimals on both sides."""
+    from venice_spark.pipeline import tfidf_top_terms
+
+    df = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(df, "text", "doc_id", k=3)
+
+
+@register(
     "x_fuzzy_key_pairs",
     "WITH c AS (SELECT c_custkey AS id, c_name AS k FROM customer) "
     "SELECT a.id AS id_a, b.id AS id_b, mismatches(a.k, b.k) AS dist "
@@ -1815,6 +1840,7 @@ _TAIL = [
     "x_knn_classify",          # vector-kNN family carried by x_knn_join_lsh (exact oracle); brute edition oracle-checked locally
     "x_chunk_documents",       # sequence-prep family carried by x_sequence_packing; oracle-checked locally
     "x_fuzzy_key_pairs",       # pigeonhole-pairs family carried by x_simhash_pairs; oracle-checked locally
+    "x_tfidf_terms",           # corpus-stats family carried by x_ngram_counts; oracle-checked locally
     "x_bpe_token_count",       # token-budget family covered by x_text_quality
     "x_dedup_ngram_jaccard",   # verify-stage variant; x_minhash_near_dup carries family
     "x_quality_score",         # composite of the x_text_quality terms
