@@ -99,6 +99,8 @@ def test_driver_window_carries_only_oracle_queries():
         "x_fuzzy_key_pairs",
         # corpus-stats family carried in-window by x_ngram_counts
         "x_tfidf_terms",
+        # per-row text-kernel family carried in-window by x_text_quality
+        "x_feature_hash",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

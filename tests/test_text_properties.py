@@ -101,3 +101,24 @@ def test_temperature_rates_rebalance(spark):
     got = {r["domain"]: r["count"] for r in kept.collect()}
     assert got["rare"] == 10
     assert got["web"] < 900
+
+
+def test_feature_hash_vector_properties(spark):
+    """Hashing-trick vector: sums to token count, deterministic across
+    calls, identical text -> identical vector, dimension respected."""
+    import pyspark.sql.functions as F
+
+    from venice_spark.functions.text import feature_hash_vector
+
+    rows = [(1, "a b c d e"), (2, "a b c d e"), (3, "z z z"), (4, "")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r["id"]: r["v"]
+        for r in df.select("id", feature_hash_vector("text", dim=16).alias("v")).collect()
+    }
+    assert len(out[1]) == 16
+    assert sum(out[1]) == 5
+    assert out[1] == out[2]               # same text, same vector
+    assert sum(out[3]) == 3
+    assert max(out[3]) == 3               # all three tokens share one bucket
+    assert sum(out[4]) == 1               # empty text -> [""] token (tokenizer quirk)

@@ -258,6 +258,22 @@ def bpe_ish_token_count(col: Column | str, pattern: str = BPE_ISH_PATTERN) -> Co
     return F.size(F.regexp_extract_all(_c(col), F.lit(pattern), F.lit(0)))
 
 
+def feature_hash_vector(col: Column | str, dim: int = 64) -> Column:
+    """Hashing-trick featurization: text -> fixed-dim integer count vector,
+    bucket(t) = hash64(t) mod dim — the fastText/Vowpal-Wabbit input
+    featurization, giving any text a dense vector without a vocabulary.
+    Integer-exact (no float drift) and built on the portable md5 hash64, so
+    the identical vector re-derives in any SQL engine (oracle parity).
+    Pure per-row expressions, O(dim · tokens) comparisons per row — no
+    shuffle, no vocabulary broadcast, no Python. Downstream: feed to
+    knn_classify / embedding ops as a cheap content vector."""
+    buckets = F.transform(tokens(col), lambda t: F.pmod(hash64(t), F.lit(dim)))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(F.filter(buckets, lambda b: b == i.cast("bigint"))),
+    )
+
+
 def clean_lines(
     col: Column | str, min_words: int = 3, terminal_pattern: str = r"[.!?]$"
 ) -> Column:

@@ -1642,6 +1642,30 @@ def x_random_projection(spark, sf_dir):
     )
 
 
+_FH_DIM = 32
+
+@register(
+    "x_feature_hash",
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+    "FROM documents), "
+    "b AS (SELECT doc_id, list_transform(t, tok -> "
+    f"(('0x' || substr(md5(tok), 1, 15))::BIGINT % {_FH_DIM})) AS bk FROM toks) "
+    "SELECT doc_id, list_transform(range(0, " + str(_FH_DIM) + "), "
+    "i -> len(list_filter(bk, x -> x = i))) AS fvec FROM b",
+)
+def x_feature_hash(spark, sf_dir):
+    """Hashing-trick featurization (functions/text.feature_hash_vector):
+    text -> 32-dim integer count vector via the portable md5 hash64 —
+    vocabulary-free content vectors, integer-exact on both engines. Pure
+    per-row expressions, zero shuffle."""
+    from venice_spark.functions.text import feature_hash_vector
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", feature_hash_vector("text", dim=_FH_DIM).alias("fvec")
+    )
+
+
 @register(
     "x_tfidf_terms",
     "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
@@ -1841,6 +1865,7 @@ _TAIL = [
     "x_chunk_documents",       # sequence-prep family carried by x_sequence_packing; oracle-checked locally
     "x_fuzzy_key_pairs",       # pigeonhole-pairs family carried by x_simhash_pairs; oracle-checked locally
     "x_tfidf_terms",           # corpus-stats family carried by x_ngram_counts; oracle-checked locally
+    "x_feature_hash",          # per-row text-kernel family carried by x_text_quality; oracle-checked locally
     "x_bpe_token_count",       # token-budget family covered by x_text_quality
     "x_dedup_ngram_jaccard",   # verify-stage variant; x_minhash_near_dup carries family
     "x_quality_score",         # composite of the x_text_quality terms
