@@ -102,6 +102,7 @@ class BatchPushJob:
         md5_parity: bool | None = None,
         views: list["MaterializedViewDef"] | None = None,
         record_transformer: "RecordTransformer | None" = None,
+        validations: list | None = None,
     ) -> PushResult:
         meta = self.catalog.get_store(store)
         key_fields = meta.key_fields
@@ -118,6 +119,15 @@ class BatchPushJob:
         missing = [k for k in key_fields if k not in df.columns]
         if missing:
             raise ValueError(f"input is missing key fields {missing}")
+
+        # declarative pre-write quality gate (validation.py): all scalar
+        # rules evaluate in ONE aggregation pass; a failed rule aborts the
+        # push before any version bytes land — cheaper than the operational
+        # answer (rollback) after a garbage push
+        if validations:
+            from venice_spark.validation import enforce
+
+            enforce(df, validations)
 
         # I7 storage quota: persist once so the count/size pass is reused by
         # the write; released after the write lands (never leaks into the
