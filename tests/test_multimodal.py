@@ -107,3 +107,35 @@ def test_real_feature_extraction_spark(spark):
     assert all(abs(a - b) < 1e-6 for a, b in zip(feats, expected))
     # all features land in [0,1]
     assert all(0.0 <= f <= 1.0 for f in feats)
+
+
+def test_split_ppm_stream_and_sample_frames(spark):
+    """REAL frame extraction from a concatenated-PPM stream: every frame
+    slices at its exact header-declared size and decodes back to the
+    original pixels; sampling honors stride and cap; corrupt blobs yield
+    zero rows."""
+    import numpy as np
+
+    from venice_spark import multimodal as MM
+
+    frames = []
+    for i in range(5):
+        arr = np.full((4, 3, 3), i * 40, dtype=np.uint8)
+        frames.append(MM.encode_ppm(arr))
+    stream = b"".join(frames)
+
+    parts = MM.split_ppm_stream(stream)
+    assert len(parts) == 5
+    for i, p in enumerate(parts):
+        assert p == frames[i]
+        assert MM.decode_ppm(p)[0, 0, 0] == i * 40
+
+    df = spark.createDataFrame(
+        [(1, bytearray(stream)), (2, bytearray(b"not ppm"))],
+        "media_id long, payload binary",
+    )
+    out = MM.sample_ppm_frames(df, every_n=2, max_frames=2).collect()
+    got = {(r["media_id"], r["frame_idx"]) for r in out}
+    assert got == {(1, 0), (1, 2)}  # stride 2, capped at 2 frames; doc 2 empty
+    by_idx = {r["frame_idx"]: bytes(r["frame"]) for r in out}
+    assert MM.decode_ppm(by_idx[2])[0, 0, 0] == 80

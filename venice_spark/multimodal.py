@@ -304,6 +304,85 @@ def resize_images(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def split_ppm_stream(payload: bytes) -> list[bytes]:
+    """REAL frame splitting for a concatenated-PPM stream (the uncompressed
+    video stand-in — MJPEG's shape with PPM frames): walk the payload,
+    parse each P6/P5 header for its exact pixel size, slice frame by frame.
+    Pure parsing, no media libs."""
+    frames = []
+    i = 0
+    n = len(payload)
+    while i < n - 1 and payload[i : i + 2] in (b"P6", b"P5"):
+        magic = payload[i : i + 2]
+        j = i + 2
+        tokens: list[int] = []
+        while len(tokens) < 3:
+            while j < n and payload[j : j + 1].isspace():
+                j += 1
+            if payload[j : j + 1] == b"#":
+                while j < n and payload[j : j + 1] != b"\n":
+                    j += 1
+                continue
+            k = j
+            while k < n and not payload[k : k + 1].isspace():
+                k += 1
+            tokens.append(int(payload[j:k]))
+            j = k
+        j += 1  # single whitespace byte after maxval
+        w, h, _ = tokens
+        ch = 3 if magic == b"P6" else 1
+        end = j + w * h * ch
+        frames.append(payload[i:end])
+        i = end
+    return frames
+
+
+def sample_ppm_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_n: int = 1,
+    max_frames: int = 8,
+) -> DataFrame:
+    """REAL frame sampling over concatenated-PPM streams: split frames by
+    parsing headers (split_ppm_stream), keep every `every_n`-th up to
+    `max_frames`, one output row per sampled frame with its index and
+    decodable bytes. Arrow-batched mapInPandas, no shuffle — the
+    one-to-many row contract of video frame extraction with a real codec
+    behind it. Undecodable payloads yield zero rows (corrupt-blob
+    tolerance)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    other_cols = [f.name for f in df.schema.fields if f.name != payload_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                p = bytes(r[payload_col]) if r[payload_col] is not None else b""
+                try:
+                    frames = split_ppm_stream(p)
+                except Exception:
+                    frames = []
+                for idx, fb in list(enumerate(frames))[::every_n][:max_frames]:
+                    rows.append(
+                        {
+                            **{c: r[c] for c in other_cols},
+                            "frame_idx": idx,
+                            "frame": fb,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=other_cols + ["frame_idx", "frame"])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame, payload_col: str = "payload", every_n_bytes: int = 1024, max_frames: int = 4
 ) -> DataFrame:
