@@ -143,3 +143,33 @@ def test_compute_dsl_over_delta_resolved_store(spark, tmp_path):
     )
     scores = {r["vec_id"]: r["score"] for r in out.collect()}
     assert scores == {1: 2.0, 2: 1.0}  # vec 1 reflects the delta, not the base
+
+
+def test_create_temp_views_sql_over_stores(spark, tmp_root):
+    """Stores become ordinary Spark SQL tables: cross-store SQL (a join the
+    reference cannot express, SURVEY §2.7) works directly."""
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("members", key_fields=["id"], partition_count=2)
+    eng.create_store("orders2", key_fields=["oid"], partition_count=2)
+    eng.push("members", spark.createDataFrame([(1, "ann"), (2, "bo")], ["id", "name"]))
+    eng.push("orders2", spark.createDataFrame([(10, 1), (11, 1), (12, 2)], ["oid", "member_id"]))
+    views = eng.create_temp_views()
+    assert set(views) >= {"members", "orders2"}
+    out = spark.sql(
+        "SELECT m.name, count(*) AS n FROM members m "
+        "JOIN orders2 o ON m.id = o.member_id GROUP BY m.name ORDER BY n DESC"
+    ).collect()
+    assert [(r["name"], r["n"]) for r in out] == [("ann", 2), ("bo", 1)]
+
+
+def test_store_stats_reports_skew(spark, tmp_root):
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("st", key_fields=["k"], partition_count=4)
+    eng.push("st", spark.createDataFrame([(i, i * 1.0) for i in range(1000)], ["k", "v"]))
+    stats = eng.store_stats("st")
+    assert stats["rows"] == 1000
+    assert stats["partitions"] == 4
+    assert stats["bytes"] > 0
+    assert stats["version"] == 1
+    # uniform keys hash close to evenly; skew stays near 1
+    assert 1.0 <= stats["partition_skew"] < 1.5

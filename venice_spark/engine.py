@@ -275,6 +275,54 @@ class VeniceSparkEngine:
         """Fold accumulated lazy-push deltas into a new compacted version."""
         return compact_store(self.spark, self.catalog, store)
 
+    def create_temp_views(self, prefix: str = "") -> list[str]:
+        """Expose every store's CURRENT version as a Spark SQL temp view
+        (`prefix + store_name`) — the engine's stores become ordinary SQL
+        tables: `spark.sql("SELECT ... FROM members JOIN orders ...")`.
+        Venice has no SQL surface (SURVEY §2.7); on Spark it is free, and
+        the views read through the same delta-resolved, partition-pruned
+        path as the API. Re-call after pushes to pick up new versions."""
+        names = []
+        for s in self.catalog.list_stores():
+            if self.catalog.current_version(s) > 0:
+                name = f"{prefix}{s}"
+                self.catalog.read_current(self.spark, s).createOrReplaceTempView(name)
+                names.append(name)
+        return names
+
+    def store_stats(self, store: str) -> dict:
+        """Operational statistics for the current version: rows, on-disk
+        bytes, partition count, and per-partition row skew (max/mean — the
+        signal that a hot key needs the salting escalation). One scan with
+        a partial-agg groupBy on partition_id."""
+        import os
+
+        df = self.catalog.read_current(self.spark, store)
+        by_part = (
+            df.groupBy("partition_id").count().collect()
+            if "partition_id" in df.columns
+            else []
+        )
+        rows = sum(r["count"] for r in by_part) if by_part else df.count()
+        counts = [r["count"] for r in by_part]
+        v = self.catalog.current_version(store)
+        vdir = self.catalog.version_dir(store, v)
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(vdir)
+            for f in fs
+        )
+        mean = rows / len(counts) if counts else float(rows)
+        return {
+            "store": store,
+            "version": v,
+            "rows": rows,
+            "bytes": size,
+            "partitions": len(counts),
+            "max_partition_rows": max(counts) if counts else rows,
+            "partition_skew": (max(counts) / mean) if counts and mean else 1.0,
+        }
+
     def rollback(self, store: str, to_version: int | None = None) -> int:
         """Roll the serving pointer back to the previous retained version
         (reference admin-tool `set-version`, Command.java:259). O(1) pointer
