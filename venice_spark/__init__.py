@@ -37,5 +37,6 @@ __all__ = [
     #   venice_spark.dedup        dedup + sequence packing
     #   venice_spark.similarity   ANN (brute force / LSH / IVF)
     #   venice_spark.pipeline     corpus-prep composition
-    #   venice_spark.multimodal   binary media columns
+    #   venice_spark.multimodal   binary media columns (real PPM/WAV codecs)
+    #   venice_spark.validation   declarative pre-push data-quality gate
 ]
