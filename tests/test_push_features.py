@@ -382,3 +382,27 @@ def test_view_df_and_get_by_secondary_index(spark, tmp_path):
     # a new push rewrites the view alongside the version; reads follow
     eng.push("m", rows.filter("id < 50"), views=[view])
     assert st.view_df("by_team").count() == 50
+
+
+def test_defer_swap_push_then_activate(spark, tmp_path):
+    """defer_swap lands the new version fully (data + manifest) without
+    flipping the serving pointer (DEFER_VERSION_SWAP parity); set_version
+    activates it later, and rollback still works after activation."""
+    from venice_spark import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path))
+    eng.create_store("d", key_fields=["k"], partition_count=2)
+    eng.push("d", spark.createDataFrame([(1, "old")], ["k", "v"]))
+    res = eng.push(
+        "d", spark.createDataFrame([(1, "new")], ["k", "v"]), defer_swap=True
+    )
+    # still serving v1; v2 exists on disk with its manifest
+    assert eng.catalog.current_version("d") == 1
+    assert eng.store("d").get(1)["v"] == "old"
+    assert res.version == 2
+    assert eng.catalog.version_manifest("d", 2)["rows"] == 1
+
+    eng.set_version("d", 2)
+    assert eng.store("d").get(1)["v"] == "new"
+    eng.rollback("d")
+    assert eng.store("d").get(1)["v"] == "old"

@@ -239,14 +239,22 @@ class StoreCatalog:
             return meta.largest_used_version
 
     def commit_version(
-        self, store: str, version: int, manifest: dict | None = None
+        self, store: str, version: int, manifest: dict | None = None,
+        make_current: bool = True,
     ) -> None:
         """Atomically make `version` current (pointer flip == os.replace).
 
         `manifest` records push metadata alongside the version dir (row
         count, partitioner, push type, timestamps) — the role of the
         reference's Version record (meta/Version.java:1), queryable without
-        touching the data files."""
+        touching the data files.
+
+        make_current=False records the manifest but leaves the pointer
+        alone — the deferred-version-swap push (reference:
+        VenicePushJobConstants.DEFER_VERSION_SWAP, VenicePushJob.java:436):
+        data lands and validates fully, serving flips later via
+        set_version, e.g. on an operator's schedule or after external
+        checks."""
         if not os.path.isdir(self.version_dir(store, version)):
             raise ValueError(f"version dir for {store} v{version} does not exist")
         if manifest is not None:
@@ -255,6 +263,8 @@ class StoreCatalog:
                 "w",
             ) as f:
                 json.dump({**manifest, "version": version, "committed_at": time.time()}, f, indent=2)
+        if not make_current:
+            return
         with self._locked(store):
             meta = self.get_store(store)
             meta.current_version = version

@@ -103,6 +103,7 @@ class BatchPushJob:
         views: list["MaterializedViewDef"] | None = None,
         record_transformer: "RecordTransformer | None" = None,
         validations: list | None = None,
+        defer_swap: bool = False,
     ) -> PushResult:
         meta = self.catalog.get_store(store)
         key_fields = meta.key_fields
@@ -225,7 +226,10 @@ class BatchPushJob:
         written = spark.read.parquet(path)
         rows = written.count()
 
-        # W8 atomic swap (+ Version-record manifest, meta/Version.java:1)
+        # W8 atomic swap (+ Version-record manifest, meta/Version.java:1);
+        # defer_swap lands the version without flipping the pointer
+        # (DEFER_VERSION_SWAP, VenicePushJob.java:436) — activate later via
+        # engine.set_version
         self.catalog.commit_version(
             store,
             version,
@@ -235,6 +239,7 @@ class BatchPushJob:
                 "partitioner": "md5" if md5_parity else "xxhash64",
                 "push_type": "full",
             },
+            make_current=not defer_swap,
         )
         return PushResult(store, version, rows, meta.partition_count, path)
 
