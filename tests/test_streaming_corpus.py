@@ -195,3 +195,52 @@ def test_corpus_ingest_with_fingerprint_store(spark, tmp_path):
     run()
     assert {r["doc_id"] for r in eng.store("corpus").df().collect()} == {1, 2, 4}
     assert eng.store("corpus_fps").df().count() == 3
+
+
+# ------------------------------------------- incremental NEAR-dup vs history
+
+
+def test_minhash_pairs_vs_history(spark):
+    """A new batch probes the stored LSH band table: near-dups of history
+    are found with exact jaccard, fresh content is not, and the pair set
+    equals the full-corpus LSH run restricted to (new x history)."""
+    from venice_spark.dedup import (
+        minhash_band_table,
+        minhash_lsh_pairs,
+        minhash_pairs_vs_history,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight while everyone sleeps")
+    hist_rows = [
+        (100, base),
+        (101, "completely different historical text about databases and storage engines"),
+    ]
+    new_rows = [
+        (1, base),                                  # exact dup of 100
+        (2, base.replace("dark", "misty")),          # near dup of 100
+        (3, "entirely novel content with nothing shared against anything else here"),
+    ]
+    hist = spark.createDataFrame(hist_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    bands = minhash_band_table(hist, "text", "doc_id", bands=8)
+    got = {
+        (r["new_id"], r["hist_id"]): r["jaccard"]
+        for r in minhash_pairs_vs_history(
+            new, bands, hist, "text", "doc_id", bands=8, threshold=0.5
+        ).collect()
+    }
+    assert (1, 100) in got and got[(1, 100)] == 1.0
+    assert (2, 100) in got and 0.5 <= got[(2, 100)] < 1.0
+    assert all(nid != 3 for nid, _ in got)
+
+    # parity with the batch operator over the union corpus
+    both = hist.union(new)
+    full = minhash_lsh_pairs(both, "text", "doc_id", bands=8, threshold=0.5)
+    cross = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in full.collect()
+        if (r["id_a"] < 100) != (r["id_b"] < 100)
+    }
+    assert {(n, h) for (n, h) in got} == cross

@@ -166,6 +166,102 @@ def minhash_lsh_pairs(
     return out
 
 
+def _band_rows(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(":", *[c.cast("string") for c in cols]).alias("h"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.h")
+
+
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persistent LSH index of a corpus: (id, band_idx, band_hash) rows
+    — `bands` small rows per document. Store this once (partitioned or
+    bucketed by (band_idx, h) at scale) and every future ingest batch
+    probes near-duplicates against history WITHOUT recomputing historical
+    signatures: the md5/minhash chain runs once per document ever."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    return _band_rows(sigs, id_col, num_hashes, bands)
+
+
+def minhash_pairs_vs_history(
+    new_df: DataFrame,
+    history_bands: DataFrame,
+    history_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs of a NEW ingest batch against an indexed
+    historical corpus — the incremental edition of minhash_lsh_pairs for
+    daily-crawl pipelines: candidates come from the new batch's band rows
+    joined to the stored band table (shuffle is batch-sized, history is
+    probed not scanned), then exact-jaccard verification re-shingles ONLY
+    the matched historical documents (semi-join on candidate ids), never
+    the whole history. Returns [new_id, hist_id, jaccard]."""
+    new_sh = _spread(new_df, id_col).select(
+        F.col(id_col), TX.shingles(text_col, shingle_n).alias("sh")
+    ).persist()
+    new_sigs = new_sh.select(
+        F.col(id_col),
+        *TX.minhash_from_hashes(
+            TX.shingle_hashes(F.col("sh"), num_hashes), num_hashes
+        ),
+    )
+    new_bands = _band_rows(new_sigs, id_col, num_hashes, bands)
+    hist = history_bands.select(
+        F.col(id_col).alias("hist_id"), "band_idx", "h"
+    )
+    cands = (
+        new_bands.join(hist, ["band_idx", "h"])
+        .select(F.col(id_col).alias("new_id"), "hist_id")
+        .distinct()
+    )
+    hist_matched = history_docs.select(
+        F.col(id_col).alias("hist_id"), F.col(text_col).alias("__ht")
+    ).join(cands.select("hist_id").distinct(), "hist_id")
+    hist_sh = hist_matched.select(
+        "hist_id", TX.shingles(F.col("__ht"), shingle_n).alias("sh_b")
+    )
+    out = (
+        cands.join(
+            new_sh.select(F.col(id_col).alias("new_id"), F.col("sh").alias("sh_a")),
+            "new_id",
+        )
+        .join(hist_sh, "hist_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "hist_id", "jaccard")
+        .localCheckpoint(eager=True)
+    )
+    new_sh.unpersist()
+    return out
+
+
 def ngram_jaccard(
     pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
 ) -> DataFrame:
