@@ -1,0 +1,113 @@
+"""Hypothesis property tests for the late-round-3 operators: invariants on
+arbitrary corpora for duplicate-span coverage, document chunking, and fuzzy
+key matching — each checked against an independent pure-Python model."""
+
+import string
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+# small vocabulary forces real window collisions across random docs
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+keys_strategy = st.lists(
+    st.text(alphabet="abc", min_size=4, max_size=7), min_size=2, max_size=10
+)
+
+
+def _model_spans(texts, w):
+    """Pure-Python model of dup_ngram_spans: window multiset -> dup starts ->
+    merged interval coverage."""
+    toks = {i: t.strip().split() if t.strip() else [""] for i, t in enumerate(texts)}
+    # note: split() on "" differs from Spark's split(trim(x), \s+) => [""]
+    from collections import Counter
+
+    wins = Counter()
+    per_doc = {}
+    for i, ts in toks.items():
+        starts = []
+        for s in range(0, max(len(ts) - w + 1, 0)):
+            key = " ".join(ts[s : s + w])
+            wins[key] += 1
+            starts.append((s, key))
+        per_doc[i] = starts
+    out = {}
+    for i, ts in toks.items():
+        dup_starts = sorted(s for s, key in per_doc[i] if wins[key] >= 2)
+        covered = set()
+        for s in dup_starts:
+            covered.update(range(s, s + w))
+        out[i] = (len(ts), dup_starts, len(covered))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs_strategy)
+def test_dup_ngram_spans_matches_python_model(spark, texts):
+    from venice_spark.dedup import dup_ngram_spans
+
+    w = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], list(r["dup_starts"]), r["covered"])
+        for r in dup_ngram_spans(df, window=w, hash_windows=False).collect()
+    }
+    model = _model_spans(texts, w)
+    for i in range(len(texts)):
+        assert got[i] == model[i], (texts[i], got[i], model[i])
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs_strategy, st.integers(2, 5), st.integers(1, 5))
+def test_chunk_documents_reassembles(spark, texts, w, s):
+    """Disjoint chunks concatenate back to the normalized text; strided
+    chunk starts follow the arithmetic; token counts add up."""
+    from venice_spark.dedup import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, max_tokens=w, stride=w).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        toks = t.strip().split() if t.strip() else [""]
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        rebuilt = " ".join(c["chunk_text"] for c in chunks)
+        assert rebuilt == " ".join(toks)
+        assert sum(c["chunk_tokens"] for c in chunks) == len(toks)
+
+
+def _model_hamming_pairs(keys, d):
+    out = set()
+    for i, a in enumerate(keys):
+        for j in range(i + 1, len(keys)):
+            b = keys[j]
+            if len(a) == len(b):
+                dist = sum(1 for x, y in zip(a, b) if x != y)
+                if dist <= d:
+                    out.add((i, j, dist))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(keys_strategy, st.integers(1, 2))
+def test_fuzzy_key_pairs_matches_brute_force(spark, keys, d):
+    from venice_spark.dedup import fuzzy_key_pairs
+
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "id long, k string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_key_pairs(df, "k", "id", max_subs=d).collect()
+    }
+    assert got == _model_hamming_pairs(keys, d)
