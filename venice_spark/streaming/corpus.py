@@ -120,8 +120,11 @@ def run_corpus_ingest_to_store(
             engine.incremental_push(target, frame)
         else:
             # first batch bootstraps the store (the reference's hybrid
-            # lifecycle: a batch push precedes RT consumption)
-            engine.push(target, frame)
+            # lifecycle: a batch push precedes RT consumption); duplicate
+            # keys keep one row deterministically — the incremental path
+            # resolves key collisions latest-wins, so the bootstrap must
+            # not fail the whole stream on the same input shape
+            engine.push(target, frame, allow_duplicate_key=True)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
