@@ -75,7 +75,7 @@ BUDGET_SEC = {
     "r2_batch_get": 0.8,
     "r5_dot_product": 0.8,
     "r6_cosine_similarity": 0.7,
-    "r8_count_map": 1.1,
+    "r8_count_map": 0.9,
     "r10_filter_compute": 0.4,
     "r11_count_group_by_value": 0.6,
     "r12_count_group_by_bucket": 0.4,
