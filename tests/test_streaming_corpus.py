@@ -244,3 +244,35 @@ def test_minhash_pairs_vs_history(spark):
         if (r["id_a"] < 100) != (r["id_b"] < 100)
     }
     assert {(n, h) for (n, h) in got} == cross
+
+
+def test_corpus_ingest_replay_is_idempotent(spark, tmp_path):
+    """Losing the checkpoint and replaying the same source must leave the
+    store unchanged: per-key latest-wins makes the doc push idempotent and
+    the history anti-join drops re-seen content — exactly-once EFFECTS
+    without exactly-once delivery."""
+    from venice_spark import VeniceSparkEngine
+    from venice_spark.streaming.corpus import run_corpus_ingest_to_store
+
+    src = f"{tmp_path}/src"
+    eng = VeniceSparkEngine(spark, f"{tmp_path}/root")
+    eng.create_store("corpus", key_fields=["doc_id"], partition_count=2)
+    _write(spark, src, [
+        (1, int(0.1 * HOUR_NS), GOOD),
+        (2, int(0.2 * HOUR_NS), DUP),
+    ])
+
+    def run(ckpt):
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = run_corpus_ingest_to_store(
+            stream, eng, "corpus", ckpt,
+            ts_col="ts", min_tokens=5, min_stopword_ratio=0.0,
+        )
+        q.awaitTermination(120)
+
+    run(f"{tmp_path}/ckpt1")
+    before = sorted((r["doc_id"], r["text"]) for r in eng.store("corpus").df().collect())
+    # fresh checkpoint = full replay of the same files
+    run(f"{tmp_path}/ckpt2")
+    after = sorted((r["doc_id"], r["text"]) for r in eng.store("corpus").df().collect())
+    assert before == after == [(1, GOOD), (2, DUP)]
