@@ -139,3 +139,39 @@ def test_split_ppm_stream_and_sample_frames(spark):
     assert got == {(1, 0), (1, 2)}  # stride 2, capped at 2 frames; doc 2 empty
     by_idx = {r["frame_idx"]: bytes(r["frame"]) for r in out}
     assert MM.decode_ppm(by_idx[2])[0, 0, 0] == 80
+
+
+def test_image_near_dup_via_feature_vectors(spark):
+    """End-to-end multimodal dedup composition: decode real PPM payloads ->
+    luminance-grid feature vectors (mapInPandas) -> blocked cosine near-dup
+    pairs. A resized copy of an image is found near-duplicate; a distinct
+    image is not."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from venice_spark import multimodal as MM
+    from venice_spark.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    resized = MM.resize_nearest(base, 8, 8)           # same content, smaller
+    other = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+
+    rows = [
+        (1, bytearray(MM.encode_ppm(base))),
+        (2, bytearray(MM.encode_ppm(resized))),
+        (3, bytearray(MM.encode_ppm(other))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = MM.extract_features(df, use_stub=False).select(
+        "media_id", "features"
+    ).withColumn("blk", F.lit(0))
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_dup_pairs(
+            feats, "features", "media_id", "blk", threshold=0.97
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.97
+    assert (1, 3) not in pairs and (2, 3) not in pairs
