@@ -64,6 +64,13 @@ HEADLINE = [
     "x_unigram_logprob",
     "x_random_projection",
     "x_dup_ngram_spans",
+    "x_importance_sample",
+    "x_tfidf_terms",
+    "x_feature_hash",
+    "x_chunk_documents",
+    "x_fuzzy_key_pairs",
+    "x_knn_classify",
+    "x_drop_common_lines",
 ]
 
 # round-3 steady-state seconds × 1.5 headroom at sf0.1/local[32]; the
@@ -105,6 +112,13 @@ BUDGET_SEC = {
     "x_unigram_logprob": 1.5,
     "x_random_projection": 1.3,
     "x_dup_ngram_spans": 4.0,
+    "x_importance_sample": 2.2,
+    "x_tfidf_terms": 1.7,
+    "x_feature_hash": 1.4,
+    "x_chunk_documents": 0.7,
+    "x_fuzzy_key_pairs": 7.0,
+    "x_knn_classify": 3.8,
+    "x_drop_common_lines": 1.6,
 }
 
 

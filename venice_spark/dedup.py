@@ -485,37 +485,42 @@ def fuzzy_key_pairs(
     `max_subs` character SUBSTITUTIONS (hamming distance) — near-identical
     identifiers/names differing by typos or digit slips.
 
-    Pigeonhole blocking (the simhash_pairs argument applied to strings):
-    split every key into max_subs+1 contiguous segments at deterministic
-    per-length boundaries; two equal-length keys within distance d must
-    agree EXACTLY on at least one (length, segment_idx, segment_text)
-    block, so a hash join on the block key finds every true pair — the
-    shuffle is O(n·(d+1)) segment rows, never the O(n²) cross join, and
-    the hamming verify runs on candidates only. Returns
-    [id_a, id_b, dist] with id_a < id_b."""
+    Blocking is the WILDCARD (position-mask) scheme: every key emits one
+    variant per choice of d positions replaced by a sentinel; two
+    equal-length keys within distance d share the variant that masks
+    exactly their differing positions, so a hash join on the variant finds
+    every true pair. Crucially the bucket sizes are bounded by the number
+    of keys one substitution apart at a FIXED position — tiny on real key
+    distributions — unlike contiguous-segment (PassJoin-style) blocking,
+    which degenerates quadratically when keys share a long common prefix
+    (measured: customer names all share 'Customer#', making one segment
+    bucket hold the entire table). Emission is O(n·len) rows for d=1 and
+    O(n·len²/2) for d=2 (supported depths); the hamming verify runs on
+    candidates only. Returns [id_a, id_b, dist] with id_a < id_b."""
     d = int(max_subs)
-    nseg = d + 1
+    if d not in (1, 2):
+        raise ValueError("fuzzy_key_pairs supports max_subs 1 or 2")
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(key_col).alias("__k"),
         F.length(key_col).alias("__len"),
     )
-    segs = [
-        F.struct(
-            F.lit(j).alias("seg_idx"),
-            F.expr(
-                f"substring(__k, CAST(__len * {j} / {nseg} AS INT) + 1, "
-                f"CAST(__len * {j + 1} / {nseg} AS INT) - CAST(__len * {j} / {nseg} AS INT))"
-            ).alias("seg"),
+    if d == 1:
+        variants = F.expr(
+            "transform(sequence(1, greatest(__len, 1)), i -> "
+            "concat(substring(__k, 1, i - 1), chr(0), substring(__k, i + 1, __len)))"
         )
-        for j in range(nseg)
-    ]
+    else:
+        variants = F.expr(
+            "flatten(transform(sequence(1, greatest(__len, 1)), i -> "
+            "transform(sequence(least(i + 1, __len + 1), __len + 1), j -> "
+            "concat(substring(__k, 1, i - 1), chr(0), substring(__k, i + 1, j - i - 1), "
+            "CASE WHEN j <= __len THEN chr(0) ELSE '' END, substring(__k, j + 1, __len)))))"
+        )
     blocked = base.select(
-        "__id", "__k", "__len", F.explode(F.array(*segs)).alias("__b")
+        "__id", "__k", F.explode(variants).alias("__v"), "__len"
     ).select(
-        "__id",
-        "__k",
-        F.struct("__len", F.col("__b.seg_idx"), F.col("__b.seg")).alias("__block"),
+        "__id", "__k", F.struct("__len", F.col("__v")).alias("__block")
     )
     a = blocked.select(
         F.col("__id").alias("id_a"), F.col("__k").alias("ka"), "__block"

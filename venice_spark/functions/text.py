@@ -264,13 +264,25 @@ def feature_hash_vector(col: Column | str, dim: int = 64) -> Column:
     featurization, giving any text a dense vector without a vocabulary.
     Integer-exact (no float drift) and built on the portable md5 hash64, so
     the identical vector re-derives in any SQL engine (oracle parity).
-    Pure per-row expressions, O(dim · tokens) comparisons per row — no
-    shuffle, no vocabulary broadcast, no Python. Downstream: feed to
-    knn_classify / embedding ops as a cheap content vector."""
+    Pure per-row expressions — no shuffle, no vocabulary broadcast, no
+    Python. Downstream: feed to knn_classify / embedding ops as a cheap
+    content vector.
+
+    Shape matters: a single `aggregate` fold over the bucket array updates
+    the dim-wide accumulator in ONE pass. The transform-per-output-dim
+    formulation (counts[i] = size(filter(buckets, == i))) references the
+    bucket array from inside a lambda, and lambda bodies get no common-
+    subexpression elimination — the whole md5 chain re-evaluates once PER
+    OUTPUT DIM (measured 8.6s vs 0.76s at sf0.1, the same no-CSE-in-lambda
+    trap as the quantize kernel)."""
     buckets = F.transform(tokens(col), lambda t: F.pmod(hash64(t), F.lit(dim)))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.size(F.filter(buckets, lambda b: b == i.cast("bigint"))),
+    init = F.array_repeat(F.lit(0).cast("int"), dim)
+    return F.aggregate(
+        buckets,
+        init,
+        lambda acc, b: F.transform(
+            acc, lambda v, i: F.when(i.cast("bigint") == b, v + 1).otherwise(v)
+        ),
     )
 
 
