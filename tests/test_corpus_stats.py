@@ -236,3 +236,25 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert all(r["tok"] != "the" or r["score"] == 0.0 for r in out)
     # ranks are 1..k and deterministic
     assert [r["rank"] for r in sorted(by_doc[1], key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_prepare_corpus_line_cleaning_stage(spark):
+    """Stage 0: boilerplate lines are removed BEFORE quality gates, so a doc
+    that is boilerplate + thin content gets judged (and dropped) on its real
+    content, while substantive docs survive with cleaned text."""
+    from venice_spark.pipeline import CorpusPrepConfig, prepare_corpus
+
+    banner = "subscribe to our newsletter today please thanks"
+    body = "the quick brown fox jumps over the lazy dog repeatedly all day"
+    rows = [
+        (1, f"{banner}\n{body}"),
+        (2, f"{banner}\nshort"),            # real content under min_tokens
+        (3, f"{banner}\n{body} variation"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = CorpusPrepConfig(
+        min_tokens=5, min_stopword_ratio=0.0, drop_common_lines_min_docs=2
+    )
+    out = {r["doc_id"]: r["text"] for r in prepare_corpus(df, config=cfg).collect()}
+    assert set(out) == {1, 3}
+    assert banner not in out[1] and out[1].startswith("the quick")

@@ -32,6 +32,10 @@ class CorpusPrepConfig:
     max_dup_line_frac: float | None = None
     max_top_bigram_frac: float | None = None
     near_dup_jaccard: float | None = None  # None = skip the MinHash stage
+    # Stage 0: corpus-level boilerplate-line removal BEFORE the gates (None
+    # = skip) — lines in >= this many distinct docs are cut from every doc
+    # (drop_common_lines), so quality metrics score the real content
+    drop_common_lines_min_docs: int | None = None
     # ExactSubstr-style gate: drop docs whose corpus-duplicated 20-token
     # window coverage exceeds the fraction (None = skip; adds one shuffle
     # on the hashed window key — dedup.dup_ngram_spans)
@@ -57,6 +61,17 @@ def prepare_corpus(
     (and `shard`/`pack_id` when packing is enabled). Deterministic: the
     lowest id in each duplicate group survives."""
     cfg = config or CorpusPrepConfig()
+
+    # 0. optional cross-document boilerplate-line removal — rewrite text
+    # first so every downstream gate scores the real content
+    if cfg.drop_common_lines_min_docs is not None:
+        df = (
+            drop_common_lines(
+                df, text_col, id_col, min_doc_count=cfg.drop_common_lines_min_docs
+            )
+            .drop(text_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
 
     # 1. quality filter — narrow, no shuffle
     pred = TX.token_count(text_col).between(cfg.min_tokens, cfg.max_tokens) & (
