@@ -85,6 +85,8 @@ PROBE_QUERIES = [
     # and window dedup (explode + hash-key shuffle + fold)
     "x_unigram_logprob",
     "x_dup_ngram_spans",
+    "x_fuzzy_key_pairs",
+    "x_feature_hash",
 ]
 
 
