@@ -71,6 +71,7 @@ HEADLINE = [
     "x_fuzzy_key_pairs",
     "x_knn_classify",
     "x_drop_common_lines",
+    "x_shard_plan",
 ]
 
 # round-3 steady-state seconds × 1.5 headroom at sf0.1/local[32]; the
@@ -119,6 +120,7 @@ BUDGET_SEC = {
     "x_fuzzy_key_pairs": 7.0,
     "x_knn_classify": 3.8,
     "x_drop_common_lines": 1.6,
+    "x_shard_plan": 0.8,
 }
 
 

@@ -258,3 +258,71 @@ def test_prepare_corpus_line_cleaning_stage(spark):
     out = {r["doc_id"]: r["text"] for r in prepare_corpus(df, config=cfg).collect()}
     assert set(out) == {1, 3}
     assert banner not in out[1] and out[1].startswith("the quick")
+
+
+def test_shard_plan_deterministic_and_uniform(spark):
+    """shard_plan: same seed -> identical assignment; different seed -> a
+    different permutation; shards cover the row set exactly once."""
+    from venice_spark.pipeline import shard_plan
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = shard_plan(df, "doc_id", seed=1, n_shards=8).collect()
+    b = shard_plan(df, "doc_id", seed=1, n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = {r["doc_id"]: r["shuffle_key"] for r in
+         shard_plan(df, "doc_id", seed=2, n_shards=8).collect()}
+    a_keys = {r["doc_id"]: r["shuffle_key"] for r in a}
+    assert any(a_keys[k] != c[k] for k in a_keys)  # new seed reshuffles
+    # every row lands in exactly one shard, shards roughly balanced
+    shards = {}
+    for r in a:
+        shards.setdefault(r["shard"], set()).add(r["doc_id"])
+    assert sum(len(s) for s in shards.values()) == 2000
+    assert set().union(*shards.values()) == set(range(2000))
+    sizes = [len(s) for s in shards.values()]
+    assert min(sizes) > 2000 / 8 * 0.6 and max(sizes) < 2000 / 8 * 1.4
+
+
+def test_export_training_shards_round_trip(spark, tmp_path):
+    """export_training_shards: shard=N dirs, seeded order inside each shard,
+    byte-identical re-run, max_records_per_file honored, no global sort in
+    the plan (the shuffle is a hash repartition on shard)."""
+    import os
+
+    from venice_spark.pipeline import export_training_shards, shard_plan
+
+    df = spark.range(500).selectExpr(
+        "id AS doc_id", "repeat('x', CAST(id % 7 AS INT)) AS text"
+    )
+    out = str(tmp_path / "shards")
+    export_training_shards(
+        df, out, id_col="doc_id", seed=3, n_shards=4, max_records_per_file=40
+    )
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shard_dirs) == 4
+    # a shard's files, read in filename order, yield ascending shuffle_key
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert set(r["doc_id"] for r in back.select("doc_id").collect()) == set(range(500))
+    expected = shard_plan(df, "doc_id", seed=3, n_shards=4)
+    exp_map = {r["doc_id"]: (r["shard"], r["shuffle_key"]) for r in expected.collect()}
+    for r in back.select("doc_id", "shard", "shuffle_key").collect():
+        assert exp_map[r["doc_id"]] == (r["shard"], r["shuffle_key"])
+    # file-size bound: no parquet part exceeds max_records_per_file rows
+    for d in shard_dirs:
+        for f in os.listdir(os.path.join(out, d)):
+            if f.endswith(".parquet"):
+                n = spark.read.parquet(os.path.join(out, d, f)).count()
+                assert n <= 40
+    # intra-shard order is the seeded permutation: per-file key ranges are
+    # disjoint and ascending in filename order (Spark writes the sorted
+    # stream sequentially)
+    d0 = os.path.join(out, shard_dirs[0])
+    files = sorted(f for f in os.listdir(d0) if f.endswith(".parquet"))
+    last_max = -1
+    for f in files:
+        keys = [r["shuffle_key"] for r in
+                spark.read.parquet(os.path.join(d0, f)).collect()]
+        assert keys == sorted(keys)
+        assert keys[0] > last_max
+        last_max = keys[-1]

@@ -103,6 +103,8 @@ def test_driver_window_carries_only_oracle_queries():
         "x_feature_hash",
         # line-boilerplate family; dup-line metric carried by x_repetition_filter
         "x_drop_common_lines",
+        # hash64-threshold family carried in-window by x_stratified_sample
+        "x_shard_plan",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

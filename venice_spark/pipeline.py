@@ -447,6 +447,61 @@ def unigram_logprob(
     )
 
 
+def shard_plan(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Assign every row a deterministic training shard and intra-shard order
+    from a seeded hash — the logical "global shuffle" that precedes writing
+    training shards, expressed as pure per-row expressions.
+
+    `shuffle_key = hash64(seed:id)`; `shard = shuffle_key mod n_shards`.
+    Sorting each shard by `shuffle_key` yields a seeded pseudo-random
+    permutation of the corpus WITHOUT a global sort: at 100 TB a global
+    `orderBy(rand)` is a range-partitioned total sort (sampling pass + skew
+    risk), while hash-sharding + in-shard sort is one hash shuffle and a
+    local sort per shard — the same training-shuffle semantics (any fixed
+    hash of a unique id is order-uniform) at a fraction of the cost. Same
+    md5 construction as stratified_sample, so an oracle re-derives it."""
+    key = TX.hash64(F.col(id_col).cast("string"), seed=seed)
+    return df.withColumn("shuffle_key", key).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+    )
+
+
+def export_training_shards(
+    df: DataFrame,
+    out_path: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int = 32,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write the corpus as seeded-shuffled training shards:
+    `out_path/shard=N/*.parquet`, rows within each shard stored in
+    `shuffle_key` order (parquet preserves intra-file row order, and the
+    single sorted task per shard writes one ordered file sequence).
+
+    Plan: one hash shuffle (`repartition(n_shards, shard)`) + per-partition
+    sort — no global sort, no driver collection, shards written fully in
+    parallel. `max_records_per_file` bounds file sizes for the loader
+    without changing order (Spark splits the sorted stream sequentially).
+    Re-running with the same seed reproduces byte-identical shard contents
+    and order; a new seed is a fresh permutation (epoch reshuffle)."""
+    planned = shard_plan(df, id_col, seed=seed, n_shards=n_shards)
+    writer = (
+        planned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(out_path)
+
+
 def temperature_rates(
     df: DataFrame, stratum_col: str, alpha: float = 0.7, max_rate: float = 1.0
 ) -> dict[str, float]:

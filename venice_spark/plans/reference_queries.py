@@ -1878,6 +1878,29 @@ def x_dup_ngram_spans(spark, sf_dir):
     )
 
 
+@register(
+    "x_shard_plan",
+    "SELECT doc_id, "
+    "('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 "
+    "AS shard, "
+    "('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+    "AS shuffle_key "
+    "FROM documents",
+)
+def x_shard_plan(spark, sf_dir):
+    """Seeded training-shard assignment (pipeline.shard_plan): the logical
+    global shuffle before writing training shards — shuffle_key =
+    hash64(seed:doc_id), shard = key mod n. Pure per-row md5 expressions
+    (the oracle re-derives them); the physical export adds one hash shuffle
+    + per-shard local sort, never a global orderBy(rand())."""
+    from venice_spark.pipeline import shard_plan
+
+    df = _t(spark, sf_dir, "documents")
+    return shard_plan(df, "doc_id", seed=7, n_shards=16).select(
+        "doc_id", "shard", "shuffle_key"
+    )
+
+
 # ---------------------------------------------------------------- ordering
 #
 # The driver's correctness gate checks the FIRST 50 registered queries in
@@ -1917,6 +1940,7 @@ _TAIL = [
     "x_ann_lsh",               # rows-only; recall pinned in tests/test_similarity
     "x_ann_ivf",               # rows-only; recall pinned in tests
     "x_dup_clusters",          # rows-only iterative dataflow
+    "x_shard_plan",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
 ]
 
 
