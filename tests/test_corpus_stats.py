@@ -326,3 +326,74 @@ def test_export_training_shards_round_trip(spark, tmp_path):
         assert keys == sorted(keys)
         assert keys[0] > last_max
         last_max = keys[-1]
+
+
+def test_stratified_resample_copy_counts(spark):
+    """rate 3.0 -> exactly 3 copies of every row; rate 0.0 -> none;
+    fractional rate keeps ~frac of the extra copy, deterministically."""
+    from venice_spark.pipeline import stratified_resample
+
+    rows = [(i, "a" if i < 100 else ("b" if i < 200 else "c"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "dom"])
+    out = stratified_resample(
+        df, "dom", {"a": 3.0, "b": 0.0, "c": 1.5}, "doc_id"
+    ).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["dom"], []).append((r["doc_id"], r["copy"]))
+    assert len(by_dom["a"]) == 300  # 3 full copies
+    assert sorted(c for i, c in by_dom["a"] if i == 0) == [0, 1, 2]
+    assert "b" not in by_dom
+    # c: 800 rows at 1.5 -> 800 full + ~400 fractional
+    n_c = len(by_dom["c"])
+    assert 800 + 250 < n_c < 800 + 550
+    assert all(c in (0, 1) for _, c in by_dom["c"])
+    # determinism
+    again = stratified_resample(
+        df, "dom", {"a": 3.0, "b": 0.0, "c": 1.5}, "doc_id"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # moving ANOTHER stratum's rate never changes c's kept set
+    moved = stratified_resample(
+        df, "dom", {"a": 0.25, "b": 1.0, "c": 1.5}, "doc_id"
+    ).collect()
+    c_before = sorted((i, c) for i, c in by_dom["c"])
+    c_after = sorted((r["doc_id"], r["copy"]) for r in moved if r["dom"] == "c")
+    assert c_before == c_after
+
+
+def test_assign_splits_weights_and_cluster_cohesion(spark):
+    """Splits cover every row with ~weight proportions; keying on a cluster
+    column puts all members of a cluster on the same side (the near-dup
+    leakage guard); assignment is deterministic and seed-sensitive."""
+    from venice_spark.pipeline import assign_splits
+
+    df = spark.range(5000).selectExpr(
+        "id AS doc_id", "CAST(id % 500 AS STRING) AS cluster"
+    )
+    out = assign_splits(
+        df, "doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        by_col="cluster", seed=4,
+    ).collect()
+    assert len(out) == 5000 and all(r["split"] in ("train", "val", "test") for r in out)
+    # cohesion: a cluster never straddles splits
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # proportions at the cluster level ~ 80/10/10
+    from collections import Counter
+    c = Counter(next(iter(s)) for s in by_cluster.values())
+    assert 0.7 < c["train"] / 500 < 0.9
+    # same seed reproduces; another seed moves some clusters
+    again = assign_splits(
+        df, "doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        by_col="cluster", seed=4,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = assign_splits(
+        df, "doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        by_col="cluster", seed=5,
+    ).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))

@@ -13,6 +13,7 @@ one window per shard. No Python in any hot path.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -190,6 +191,88 @@ def stratified_sample(
             F.col(stratum_col) == s, F.lit(int(round(r * precision)))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def stratified_resample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 1.0,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """stratified_sample generalized to rates > 1.0 — the upsampling half of
+    a training-data recipe (e.g. repeat a high-quality rare domain 2.5x
+    while keeping 20% of web crawl). A row with rate r yields floor(r) full
+    copies plus one extra copy kept iff hash64(copy:id) mod precision <
+    frac(r)*precision; output adds `copy` (0-based) so downstream shuffling
+    treats repeats as distinct examples. Deterministic (hash, no RNG; the
+    per-copy seed makes copy decisions independent), and a row's copies for
+    a given stratum never change when OTHER strata's rates move. One narrow
+    explode of at most ceil(max rate) indices — no shuffle, no Python."""
+    max_copies = max(
+        [1] + [int(math.ceil(r)) for r in list(rates.values()) + [default_rate]]
+    )
+    rate_scaled = F.lit(int(round(default_rate * precision)))
+    for s, r in rates.items():
+        rate_scaled = F.when(
+            F.col(stratum_col) == s, F.lit(int(round(r * precision)))
+        ).otherwise(rate_scaled)
+    out = df.withColumn("__rate", rate_scaled).withColumn(
+        "copy", F.explode(F.sequence(F.lit(0), F.lit(max_copies - 1)))
+    )
+    # keep copy c iff (c+1)*precision <= rate (full copy), or c is the
+    # fractional slot and the seeded per-copy hash clears the remainder
+    full = (F.col("copy") + 1) * F.lit(precision) <= F.col("__rate")
+    frac_slot = (F.col("copy") * F.lit(precision) < F.col("__rate")) & ~full
+    bucket = F.pmod(
+        TX.hash64(
+            F.concat(F.col("copy").cast("string"), F.lit(":"), F.col(id_col).cast("string"))
+        ),
+        F.lit(precision),
+    )
+    frac_keep = frac_slot & (
+        bucket < F.pmod(F.col("__rate"), F.lit(precision))
+    )
+    return out.filter(full | frac_keep).drop("__rate")
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    by_col: str | None = None,
+    seed: int = 0,
+    split_col: str = "split",
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash range. `weights` maps
+    split name -> fraction (default 98/1/1); ranges are cumulative in dict
+    order so adding a split never reshuffles earlier ones' low buckets.
+
+    Pass `by_col` (e.g. a near-duplicate cluster id from dedup.dup_clusters,
+    or a domain/url key) to hash THAT instead of the row id: every member of
+    a cluster lands on the same side of the split, closing the train/test
+    leakage path where near-duplicate documents straddle the boundary.
+    Pure per-row expression — no shuffle, no RNG, stable across runs and
+    engines (same md5 hash64 construction the oracle re-derives)."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    key = by_col or id_col
+    bucket = F.pmod(
+        TX.hash64(F.col(key).cast("string"), seed=seed), F.lit(precision)
+    )
+    expr = F.lit(None).cast("string")
+    acc = 0.0
+    # build the when-chain from the last range backward so the first range
+    # is the outermost (otherwise() must be the final fallback)
+    cuts = []
+    for name, w in weights.items():
+        acc += w / total
+        cuts.append((name, int(round(acc * precision))))
+    for name, hi in reversed(cuts):
+        expr = F.when(bucket < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
 
 
 def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -1901,6 +1901,56 @@ def x_shard_plan(spark, sf_dir):
     )
 
 
+@register(
+    "x_oversample",
+    # rates: error -> 2.5x, view -> 0.2x, default 1.0x; precision 1e6.
+    # copy c survives iff (c+1)*1e6 <= rate, or c is the fractional slot and
+    # hash64(c:id) mod 1e6 < rate mod 1e6 — same math as the Spark side.
+    "WITH rated AS (SELECT event_id, event_type, "
+    "CASE WHEN event_type = 'error' THEN 2500000 "
+    "WHEN event_type = 'view' THEN 200000 ELSE 1000000 END AS rate "
+    "FROM events) "
+    "SELECT event_id, event_type, gs.c AS copy FROM rated, "
+    "generate_series(0, 2) AS gs(c) "
+    "WHERE (c + 1) * 1000000 <= rate "
+    "OR (c * 1000000 < rate AND (c + 1) * 1000000 > rate AND "
+    "(('0x' || substr(md5(CAST(c AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT "
+    "% 1000000) < rate % 1000000)",
+)
+def x_oversample(spark, sf_dir):
+    """Deterministic stratified RESAMPLING with rates above 1.0 — the
+    upsampling half of a data recipe (repeat errors 2.5x, keep 20% of
+    views): floor(rate) full copies + a hash-thresholded fractional copy,
+    `copy` index in the output (pipeline.stratified_resample). One narrow
+    explode, no shuffle; the oracle re-derives the identical md5 math."""
+    from venice_spark.pipeline import stratified_resample
+
+    df = _t(spark, sf_dir, "events")
+    out = stratified_resample(
+        df, "event_type", {"error": 2.5, "view": 0.2}, "event_id", default_rate=1.0
+    )
+    return out.select("event_id", "event_type", "copy")
+
+
+@register(
+    "x_split_assign",
+    "SELECT doc_id, source, CASE "
+    "WHEN ('0x' || substr(md5('9:' || source), 1, 15))::BIGINT % 1000000 < 980000 THEN 'train' "
+    "WHEN ('0x' || substr(md5('9:' || source), 1, 15))::BIGINT % 1000000 < 990000 THEN 'val' "
+    "ELSE 'test' END AS split FROM documents",
+)
+def x_split_assign(spark, sf_dir):
+    """Leakage-safe train/val/test assignment (pipeline.assign_splits):
+    hash-range split keyed on `source` (stand-in for a near-dup cluster /
+    domain key), so correlated documents land on the same side of the
+    boundary. Pure per-row expression; 98/1/1 default weights."""
+    from venice_spark.pipeline import assign_splits
+
+    df = _t(spark, sf_dir, "documents")
+    out = assign_splits(df, "doc_id", by_col="source", seed=9)
+    return out.select("doc_id", "source", "split")
+
+
 # ---------------------------------------------------------------- ordering
 #
 # The driver's correctness gate checks the FIRST 50 registered queries in
@@ -1941,6 +1991,8 @@ _TAIL = [
     "x_ann_ivf",               # rows-only; recall pinned in tests
     "x_dup_clusters",          # rows-only iterative dataflow
     "x_shard_plan",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
+    "x_oversample",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
+    "x_split_assign",          # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
 ]
 
 
