@@ -517,20 +517,29 @@ def fuzzy_key_pairs(
             "concat(substring(__k, 1, i - 1), chr(0), substring(__k, i + 1, j - i - 1), "
             "CASE WHEN j <= __len THEN chr(0) ELSE '' END, substring(__k, j + 1, __len)))))"
         )
+    # join on a 64-bit hash of (len, variant), not the variant string: the
+    # exploded side is O(n·len^d) rows, so the join key dominates the
+    # shuffle payload. A hash collision can only ADD a candidate pair, and
+    # the exact hamming verify below keeps a colliding pair iff it is a
+    # true pair (the equal-length guard rides in the hash via __len plus
+    # the verify's length check) — output is identical, the exchange ~10x
+    # smaller than shipping masked key strings.
     blocked = base.select(
         "__id", "__k", F.explode(variants).alias("__v"), "__len"
     ).select(
-        "__id", "__k", F.struct("__len", F.col("__v")).alias("__block")
+        "__id", "__k", "__len", F.xxhash64("__len", "__v").alias("__block")
     )
     a = blocked.select(
-        F.col("__id").alias("id_a"), F.col("__k").alias("ka"), "__block"
+        F.col("__id").alias("id_a"), F.col("__k").alias("ka"),
+        F.col("__len").alias("__la"), "__block",
     )
     b = blocked.select(
-        F.col("__id").alias("id_b"), F.col("__k").alias("kb"), "__block"
+        F.col("__id").alias("id_b"), F.col("__k").alias("kb"),
+        F.col("__len").alias("__lb"), "__block",
     )
     cand = (
         a.join(b, "__block")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("__la") == F.col("__lb")))
         .select("id_a", "id_b", "ka", "kb")
         .distinct()
     )
