@@ -111,3 +111,81 @@ def test_fuzzy_key_pairs_matches_brute_force(spark, keys, d):
         for r in fuzzy_key_pairs(df, "k", "id", max_subs=d).collect()
     }
     assert got == _model_hamming_pairs(keys, d)
+
+
+def _hash64_py(s: str) -> int:
+    """Pure-Python model of functions/text.hash64: first 15 md5 hex digits."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=60, unique=True),
+    st.integers(min_value=0, max_value=99),
+    st.integers(min_value=1, max_value=8),
+)
+def test_shard_plan_matches_python_model(spark, ids, seed, n_shards):
+    from venice_spark.pipeline import shard_plan
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: (r["shard"], r["shuffle_key"])
+        for r in shard_plan(df, "doc_id", seed=seed, n_shards=n_shards).collect()
+    }
+    for i in ids:
+        key = _hash64_py(f"{seed}:{i}")
+        assert got[i] == (key % n_shards, key)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40, unique=True),
+    st.sampled_from([0.0, 0.3, 1.0, 1.5, 2.0, 2.7]),
+)
+def test_stratified_resample_matches_python_model(spark, ids, rate):
+    """Each id independently yields floor(rate) copies + 1 iff the seeded
+    per-copy hash clears the fractional remainder — modeled exactly."""
+    import math as m
+
+    from venice_spark.pipeline import stratified_resample
+
+    df = spark.createDataFrame([(i, "s") for i in ids], "doc_id long, dom string")
+    got = sorted(
+        (r["doc_id"], r["copy"])
+        for r in stratified_resample(df, "dom", {"s": rate}, "doc_id").collect()
+    )
+    precision = 1_000_000
+    scaled = int(round(rate * precision))
+    expect = []
+    for i in ids:
+        for c in range(int(m.ceil(rate)) if rate > 0 else 0):
+            if (c + 1) * precision <= scaled:
+                expect.append((i, c))
+            elif c * precision < scaled:
+                if _hash64_py(f"{c}:{i}") % precision < scaled % precision:
+                    expect.append((i, c))
+    assert got == sorted(expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(alphabet="xyz", min_size=1, max_size=6), min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=50),
+)
+def test_assign_splits_matches_python_model(spark, keys, seed):
+    from venice_spark.pipeline import assign_splits
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    weights = {"train": 0.6, "val": 0.2, "test": 0.2}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(df, "doc_id", weights=weights, by_col="grp", seed=seed).collect()
+    }
+    precision = 1_000_000
+    for i, kkey in rows:
+        b = _hash64_py(f"{seed}:{kkey}") % precision
+        want = "train" if b < 600000 else ("val" if b < 800000 else "test")
+        assert got[i] == want
