@@ -364,20 +364,15 @@ def sample_ppm_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                p = bytes(r[payload_col]) if r[payload_col] is not None else b""
+            for vals in zip(pdf[payload_col], *(pdf[c] for c in other_cols)):
+                p = bytes(vals[0]) if vals[0] is not None else b""
+                others = dict(zip(other_cols, vals[1:]))
                 try:
                     frames = split_ppm_stream(p)
                 except Exception:
                     frames = []
                 for idx, fb in list(enumerate(frames))[::every_n][:max_frames]:
-                    rows.append(
-                        {
-                            **{c: r[c] for c in other_cols},
-                            "frame_idx": idx,
-                            "frame": fb,
-                        }
-                    )
+                    rows.append({**others, "frame_idx": idx, "frame": fb})
             yield pd.DataFrame(rows, columns=other_cols + ["frame_idx", "frame"])
 
     return df.mapInPandas(run, schema=out_schema)
@@ -403,13 +398,14 @@ def sample_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r[payload_col]) if r[payload_col] is not None else b""
+            for vals in zip(pdf[payload_col], *(pdf[c] for c in other_cols)):
+                payload = bytes(vals[0]) if vals[0] is not None else b""
+                others = dict(zip(other_cols, vals[1:]))
                 n = min(max_frames, max(1, len(payload) // every_n_bytes))
                 for i in range(n):
                     rows.append(
                         {
-                            **{c: r[c] for c in other_cols},
+                            **others,
                             "frame_idx": i,
                             "frame": payload[i * every_n_bytes : (i + 1) * every_n_bytes],
                         }
