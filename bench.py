@@ -117,7 +117,7 @@ BUDGET_SEC = {
     "x_tfidf_terms": 1.7,
     "x_feature_hash": 1.4,
     "x_chunk_documents": 0.7,
-    "x_fuzzy_key_pairs": 7.0,
+    "x_fuzzy_key_pairs": 4.1,
     "x_knn_classify": 1.7,
     "x_drop_common_lines": 1.6,
     "x_shard_plan": 0.8,

@@ -87,6 +87,9 @@ PROBE_QUERIES = [
     "x_dup_ngram_spans",
     "x_fuzzy_key_pairs",
     "x_feature_hash",
+    # continuation: broadcast-query vectorized kNN scan, seeded shard assignment
+    "x_knn_classify",
+    "x_shard_plan",
 ]
 
 

@@ -494,16 +494,25 @@ def fuzzy_key_pairs(
     distributions — unlike contiguous-segment (PassJoin-style) blocking,
     which degenerates quadratically when keys share a long common prefix
     (measured: customer names all share 'Customer#', making one segment
-    bucket hold the entire table). Emission is O(n·len) rows for d=1 and
-    O(n·len²/2) for d=2 (supported depths); the hamming verify runs on
-    candidates only. Returns [id_a, id_b, dist] with id_a < id_b."""
+    bucket hold the entire table). Emission is O(u·len) rows for d=1 and
+    O(u·len²/2) for d=2 (supported depths) where u = DISTINCT keys; the
+    hamming verify runs on candidates only.
+
+    Duplicated keys never inflate the candidate stage: blocking runs over
+    the distinct-key table, and id-level pairs are expanded from the
+    key-level matches afterwards — joins sized by the OUTPUT, not by
+    (family size)² × masks. Without this, a corpus where each key repeats
+    f times re-derives every intra-family pair once per mask position
+    (measured on the 16× scale probe: 94 s → the pre-distinct candidate
+    stream was ~69 M rows for 1.8 M true pairs; collapsed: the candidate
+    stream is replication-invariant). Returns [id_a, id_b, dist] with
+    id_a < id_b."""
     d = int(max_subs)
     if d not in (1, 2):
         raise ValueError("fuzzy_key_pairs supports max_subs 1 or 2")
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(key_col).alias("__k"),
-        F.length(key_col).alias("__len"),
+    members = df.select(F.col(id_col).alias("__id"), F.col(key_col).alias("__k"))
+    base = members.select("__k").distinct().select(
+        "__k", F.length("__k").alias("__len")
     )
     if d == 1:
         variants = F.expr(
@@ -525,38 +534,74 @@ def fuzzy_key_pairs(
     # the verify's length check) — output is identical, the exchange ~10x
     # smaller than shipping masked key strings.
     blocked = base.select(
-        "__id", "__k", F.explode(variants).alias("__v"), "__len"
+        "__k", F.explode(variants).alias("__v"), "__len"
     ).select(
-        "__id", "__k", "__len", F.xxhash64("__len", "__v").alias("__block")
+        "__k", "__len", F.xxhash64("__len", "__v").alias("__block")
     )
-    a = blocked.select(
-        F.col("__id").alias("id_a"), F.col("__k").alias("ka"),
-        F.col("__len").alias("__la"), "__block",
-    )
-    b = blocked.select(
-        F.col("__id").alias("id_b"), F.col("__k").alias("kb"),
-        F.col("__len").alias("__lb"), "__block",
-    )
-    cand = (
+    a = blocked.select(F.col("__k").alias("ka"), F.col("__len").alias("__la"), "__block")
+    b = blocked.select(F.col("__k").alias("kb"), F.col("__len").alias("__lb"), "__block")
+    # repartition after the distinct: AQE coalesces the small distinct
+    # output to a couple of partitions, which would run the per-character
+    # hamming verify below nearly serially (measured 8s vs 3.6s on 262k
+    # candidates); one cheap exchange of skinny (ka, kb) rows restores
+    # full parallelism for the expensive expression
+    key_cand = (
         a.join(b, "__block")
-        .filter((F.col("id_a") < F.col("id_b")) & (F.col("__la") == F.col("__lb")))
-        .select("id_a", "id_b", "ka", "kb")
+        .filter((F.col("ka") < F.col("kb")) & (F.col("__la") == F.col("__lb")))
+        .select("ka", "kb")
         .distinct()
     )
-    dist = F.aggregate(
-        F.zip_with(
-            F.expr("transform(sequence(1, length(ka)), i -> substring(ka, i, 1))"),
-            F.expr("transform(sequence(1, length(kb)), i -> substring(kb, i, 1))"),
-            lambda x, y: F.when(x != y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    key_cand = key_cand.repartition(n_shuffle, "ka", "kb")
+    if d == 1:
+        # equal-length strings: hamming <= 1 <=> levenshtein <= 1 (an
+        # insert+delete pair costs 2, so a lev-1 edit must be one
+        # substitution). The builtin runs in codegen with an early-exit
+        # threshold — ~20x the per-character lambda below (which allocates
+        # per element; measured 6s+ on 262k candidates). Threshold form
+        # returns -1 when the distance exceeds 1, which the dist > 0
+        # filter rejects.
+        dist = F.levenshtein(F.col("ka"), F.col("kb"), 1)
+    else:
+        # true hamming: lev <= 2 admits equal-length transposition shapes
+        # with hamming 3, so count differing positions exactly — one
+        # filter lambda (2 substring calls per element), not the
+        # transform+zip_with+aggregate chain (4 allocations per element)
+        dist = F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.length("ka")),
+                lambda i: F.col("ka").substr(i, F.lit(1)) != F.col("kb").substr(i, F.lit(1)),
+            )
+        )
+    key_pairs = (
+        key_cand.withColumn("dist", dist)
+        .filter((F.col("dist") > 0) & (F.col("dist") <= d))
     )
-    return (
-        cand.withColumn("dist", dist)
-        .filter(F.col("dist") <= d)
-        .select("id_a", "id_b", "dist")
+    # expand key-level matches to id-level pairs (joins sized by the
+    # output): cross-key matches take every member combination; same-key
+    # (dist 0) pairs are the within-family self-join
+    ma = members.select(F.col("__k").alias("ka"), F.col("__id").alias("__ida"))
+    mb = members.select(F.col("__k").alias("kb"), F.col("__id").alias("__idb"))
+    cross = (
+        key_pairs.join(ma, "ka")
+        .join(mb, "kb")
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            "dist",
+        )
     )
+    same = (
+        members.alias("x")
+        .join(members.alias("y"), "__k")
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def exact_dedup_incremental(

@@ -1951,6 +1951,23 @@ def x_split_assign(spark, sf_dir):
     return out.select("doc_id", "source", "split")
 
 
+@register("x_bpe_vocab")  # rows-only: iterative merge learning is not SQL
+def x_bpe_vocab(spark, sf_dir):
+    """BPE vocabulary learning (tokenizer.bpe_learn, after Sennrich et al.
+    2016): one distributed explode+count shuffle produces the word-type
+    frequency table; the bounded top types collect to the driver where the
+    merge loop runs — exact BPE over the captured types, deterministic
+    (lexicographic tie-break). Returns the learned merge list with ranks."""
+    from venice_spark.tokenizer import bpe_learn
+
+    df = _t(spark, sf_dir, "documents")
+    merges = bpe_learn(df, "text", num_merges=60, max_word_types=20_000)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
 # ---------------------------------------------------------------- ordering
 #
 # The driver's correctness gate checks the FIRST 50 registered queries in
@@ -1993,6 +2010,7 @@ _TAIL = [
     "x_shard_plan",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
     "x_oversample",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
     "x_split_assign",          # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
+    "x_bpe_vocab",             # rows-only: iterative merge learning (tested vs hand-traced example + invariants)
 ]
 
 
