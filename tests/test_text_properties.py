@@ -122,3 +122,27 @@ def test_feature_hash_vector_properties(spark):
     assert sum(out[3]) == 3
     assert max(out[3]) == 3               # all three tokens share one bucket
     assert sum(out[4]) == 1               # empty text -> [""] token (tokenizer quirk)
+
+
+def test_rebalance_corpus_upsamples_rare_domain(spark):
+    """With max_rate > 1 the rare stratum gets real repetition (copy > 0
+    rows) while the dominant stratum is hash-downsampled — output shares
+    move toward the count^alpha target, deterministically."""
+    from venice_spark.pipeline import rebalance_corpus
+
+    rows = [(i, "web" if i < 9000 else "wiki") for i in range(10_000)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    out = rebalance_corpus(df, "domain", "doc_id", alpha=0.3, max_rate=3.0).collect()
+    from collections import Counter
+
+    n = Counter(r["domain"] for r in out)
+    # natural shares: 90/10 -> rebalanced shares must move toward parity
+    assert n["wiki"] / (n["wiki"] + n["web"]) > 0.25
+    # rare domain actually repeated (upsampling produced copy >= 1)
+    assert any(r["copy"] >= 1 for r in out if r["domain"] == "wiki")
+    # dominant domain downsampled, never repeated
+    assert n["web"] < 9000
+    assert all(r["copy"] == 0 for r in out if r["domain"] == "web")
+    # deterministic
+    again = rebalance_corpus(df, "domain", "doc_id", alpha=0.3, max_rate=3.0).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

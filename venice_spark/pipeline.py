@@ -585,6 +585,23 @@ def export_training_shards(
     writer.parquet(out_path)
 
 
+def rebalance_corpus(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    max_rate: float = 1.0,
+) -> DataFrame:
+    """One-call domain rebalancing: temperature rates (count^alpha) realized
+    through stratified_resample, so rates below 1 downsample by hash
+    threshold and — when `max_rate` allows — rates above 1 upsample with
+    full + fractional copies (the standard multilingual/domain recipe).
+    Output adds `copy`. One bounded per-stratum count collect + one narrow
+    explode; deterministic end to end."""
+    rates = temperature_rates(df, stratum_col, alpha=alpha, max_rate=max_rate)
+    return stratified_resample(df, stratum_col, rates, id_col)
+
+
 def temperature_rates(
     df: DataFrame, stratum_col: str, alpha: float = 0.7, max_rate: float = 1.0
 ) -> dict[str, float]:
