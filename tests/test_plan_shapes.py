@@ -210,3 +210,31 @@ def test_dup_ngram_spans_no_python_no_cartesian(spark, sf_dir):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_brute_knn_join_has_no_cartesian_product(spark, sf_dir):
+    """Even the brute-force baseline no longer plans a cross join: the query
+    side broadcasts into a mapInPandas scan, so the only join machinery left
+    is the final window rank over the partial top-k stream."""
+    df = QUERIES["x_knn_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan or "Window" in plan, plan
+
+
+def test_sampling_ops_are_zero_shuffle_scans(spark, sf_dir):
+    """shard_plan / oversample / split_assign are pure per-row expression
+    queries: no Exchange, no Python stage — the scan is the whole plan."""
+    for q in ("x_shard_plan", "x_oversample", "x_split_assign"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "Exchange" not in plan, (q, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (q, plan)
+
+
+def test_fuzzy_key_pairs_blocks_on_hashed_key(spark, sf_dir):
+    """Candidate generation must hash-join on the 64-bit blocking key over
+    DISTINCT keys — no cartesian/nested-loop stage anywhere."""
+    df = QUERIES["x_fuzzy_key_pairs"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "xxhash64" in plan, plan
