@@ -1327,13 +1327,32 @@ def x_distinct_users(spark, sf_dir):
     )
 
 
-@register("x_dup_clusters")  # rows-only: iterative dataflow, no single-SQL oracle
+def _dup_clusters_oracle_sql() -> str:
+    # the engine's iterative min-label propagation has a DuckDB twin:
+    # transitive closure via WITH RECURSIVE, then min reachable id per node
+    pairs_sql = _minhash_oracle_sql()
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs_sql}), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "reach(id, r) AS ("
+        "  SELECT DISTINCT src, src FROM edges "
+        "  UNION "
+        "  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id"
+        ") "
+        "SELECT id, min(r) AS cluster_id FROM reach GROUP BY id"
+    )
+
+
+@register("x_dup_clusters", _dup_clusters_oracle_sql())
 def x_dup_clusters(spark, sf_dir):
     """Transitive near-dup clusters: MinHash pairs -> connected components
-    by min-label propagation (dedup.dup_clusters). Iterative joins with a
-    convergence check — the one operator here that is genuinely not
-    expressible as one SQL statement; chain semantics are pytest-pinned
-    (planted A~B~C collapses to one cluster)."""
+    by min-label propagation (dedup.dup_clusters), cluster_id = minimum
+    member id. The engine runs an iterative join dataflow with a
+    convergence check (no driver-side graph state); the oracle re-derives
+    the same components as a WITH RECURSIVE transitive closure + min
+    reachable id — exact, so chain semantics (A~B~C collapses to one
+    cluster) are driver-checked, not just pytest-pinned."""
     from venice_spark.dedup import dup_clusters, minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -2006,7 +2025,7 @@ _TAIL = [
     "r16_hll_approx",          # rows-only approximation by design
     "x_ann_lsh",               # rows-only; recall pinned in tests/test_similarity
     "x_ann_ivf",               # rows-only; recall pinned in tests
-    "x_dup_clusters",          # rows-only iterative dataflow
+    "x_dup_clusters",          # components family; exact WITH RECURSIVE oracle, checked locally
     "x_shard_plan",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
     "x_oversample",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
     "x_split_assign",          # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
