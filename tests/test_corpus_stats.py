@@ -397,3 +397,25 @@ def test_assign_splits_weights_and_cluster_cohesion(spark):
         by_col="cluster", seed=5,
     ).collect()
     assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_corpus_report_rollup_totals(spark):
+    """Per-group rows sum to the NULL-group total row; PII docs counted."""
+    from venice_spark.pipeline import corpus_report
+
+    rows = [
+        (1, "the quick brown fox jumps", "en"),
+        (2, "contact me at bob@example.com please thanks", "en"),
+        (3, "uno dos tres cuatro cinco seis", "es"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["grp"]: r for r in corpus_report(df, "text", group_col="lang").collect()}
+    assert set(out) == {"en", "es", None}
+    assert out[None]["n_docs"] == 3
+    assert out["en"]["n_docs"] == 2 and out["es"]["n_docs"] == 1
+    assert out[None]["total_tokens"] == out["en"]["total_tokens"] + out["es"]["total_tokens"]
+    assert out["en"]["pii_docs"] == 1 and out["es"]["pii_docs"] == 0
+    assert out["es"]["p50_tokens"] == 6.0
+    # global single-row report without a group column
+    g = corpus_report(df, "text").collect()
+    assert len(g) == 1 and g[0]["n_docs"] == 3

@@ -107,6 +107,8 @@ def test_driver_window_carries_only_oracle_queries():
         "x_shard_plan", "x_oversample", "x_split_assign",
         # components family: exact WITH RECURSIVE oracle, checked locally
         "x_dup_clusters",
+        # one-pass stats family: exact ROLLUP oracle, checked locally
+        "x_corpus_report",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

@@ -585,6 +585,40 @@ def export_training_shards(
     writer.parquet(out_path)
 
 
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """One-pass corpus "data card": document/token counts, token-count
+    quantiles, average length, and PII-bearing document counts — global
+    plus per-group when `group_col` is given (ROLLUP: the NULL-group row
+    is the corpus total). Single aggregation over one scan, partial-agg
+    shuffle bounded by the group count; the report for 100 TB costs one
+    pass. All inputs are exact integers per row, so the distributed
+    aggregates are order-independent (quantiles interpolate over exact
+    ints; the one true average is rounded)."""
+    nt = TX.token_count(text_col)
+    pii = (
+        (TX.email_count(text_col) + TX.phone_count(text_col)) > 0
+    ).cast("int")
+    metrics = df.select(
+        *( [F.col(group_col).alias("grp")] if group_col else [] ),
+        nt.alias("__nt"),
+        TX.char_count(text_col).alias("__nc"),
+        pii.alias("__pii"),
+    )
+    grouped = metrics.rollup("grp") if group_col else metrics.groupBy()
+    return grouped.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.expr("percentile(__nt, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(__nt, 0.95)").alias("p95_tokens"),
+        F.round(F.avg("__nc"), 4).alias("avg_chars"),
+        F.sum("__pii").alias("pii_docs"),
+    )
+
+
 def rebalance_corpus(
     df: DataFrame,
     stratum_col: str,

@@ -1970,6 +1970,31 @@ def x_split_assign(spark, sf_dir):
     return out.select("doc_id", "source", "split")
 
 
+@register(
+    "x_corpus_report",
+    "WITH m AS (SELECT lang AS grp, "
+    "len(regexp_split_to_array(trim(text), '\\s+')) AS nt, "
+    "length(text) AS nc, "
+    f"CASE WHEN len(regexp_extract_all(text, '{_EMAIL_P}')) "
+    f"+ len(regexp_extract_all(text, '{_PHONE_P}')) > 0 THEN 1 ELSE 0 END AS pii "
+    "FROM documents) "
+    "SELECT grp, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens, "
+    "quantile_cont(nt, 0.5) AS p50_tokens, quantile_cont(nt, 0.95) AS p95_tokens, "
+    "round(avg(nc), 4) AS avg_chars, CAST(sum(pii) AS BIGINT) AS pii_docs "
+    "FROM m GROUP BY ROLLUP(grp)",
+)
+def x_corpus_report(spark, sf_dir):
+    """One-pass corpus data card (pipeline.corpus_report): per-language and
+    corpus-total document/token counts, token quantiles, average length,
+    PII-bearing docs — one scan, one partial-agg shuffle bounded by the
+    group count. Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition over exact ints -> bit-comparable."""
+    from venice_spark.pipeline import corpus_report
+
+    df = _t(spark, sf_dir, "documents")
+    return corpus_report(df, "text", group_col="lang")
+
+
 @register("x_bpe_vocab")  # rows-only: iterative merge learning is not SQL
 def x_bpe_vocab(spark, sf_dir):
     """BPE vocabulary learning (tokenizer.bpe_learn, after Sennrich et al.
@@ -2030,6 +2055,7 @@ _TAIL = [
     "x_oversample",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
     "x_split_assign",          # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
     "x_bpe_vocab",             # rows-only: iterative merge learning (tested vs hand-traced example + invariants)
+    "x_corpus_report",         # one-pass stats family; exact ROLLUP oracle, checked locally
 ]
 
 
