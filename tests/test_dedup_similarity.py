@@ -584,3 +584,27 @@ def test_fuzzy_key_pairs_pigeonhole_complete(spark):
           for r in fuzzy_key_pairs(df, "k", "id", max_subs=2).collect()}
     assert d2[(1, 5)] == 2
     assert (2, 5) in d2  # "alphabex" vs "alphabyx" distance 1
+
+
+def test_knn_join_query_side_guard_and_edges(spark):
+    """The brute join raises past max_query_rows (the answer at that scale
+    is knn_join_lsh), returns empty for an empty query side, and resolves
+    equal-cosine boundary ties by ascending neighbor id — the per-batch
+    partial top-k must keep tied contenders for the global rank to see."""
+    import pytest as _pt
+
+    from venice_spark.similarity import knn_join
+
+    right = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)], "rid long, v array<double>"
+    )
+    left = spark.createDataFrame([(100, [1.0, 0.0])], "lid long, v array<double>")
+    with _pt.raises(ValueError, match="max_query_rows"):
+        knn_join(left, right, "v", "lid", "rid", k=2, max_query_rows=0)
+    empty = left.filter("lid < 0")
+    assert knn_join(empty, right, "v", "lid", "rid", k=2).count() == 0
+    # all 10 right rows tie at cos=1.0 -> top-3 must be rids 0,1,2 in rank order
+    out = knn_join(left, right, "v", "lid", "rid", k=3).collect()
+    assert [(r["rid"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (0, 1), (1, 2), (2, 3)
+    ]
