@@ -112,7 +112,7 @@ BUDGET_SEC = {
     "x_inverted_index": 1.1,
     "x_unigram_logprob": 1.5,
     "x_random_projection": 1.3,
-    "x_dup_ngram_spans": 4.0,
+    "x_dup_ngram_spans": 3.0,
     "x_importance_sample": 2.2,
     "x_tfidf_terms": 1.7,
     "x_feature_hash": 1.4,

@@ -1886,14 +1886,16 @@ def x_dup_ngram_spans(spark, sf_dir):
     20-token window occurring >= 2 times corpus-wide, reported per doc as
     sorted span starts + merged-interval token coverage. The window explode
     partial-aggs map-side before one shuffle on the window key; interval
-    merging is a row-local sorted fold. Registered with string window keys
-    so the DuckDB oracle re-derives the identical dup set (the library's
-    scale path hashes windows to 8-byte keys, hash_windows=True)."""
+    merging is a row-local sorted fold. Registered on the hashed scale
+    path (each window shuffles as ONE xxhash64 long): the oracle groups on
+    window TEXT, which yields identical doc/pos output because the
+    comparison never sees the key — a hash collision would have to occur
+    inside this corpus (~n²/2^65) to differ, and the gate would flag it."""
     from venice_spark.dedup import dup_ngram_spans
 
     df = _t(spark, sf_dir, "documents")
     return dup_ngram_spans(
-        df, "text", "doc_id", window=_DNS_W, min_count=2, hash_windows=False
+        df, "text", "doc_id", window=_DNS_W, min_count=2, hash_windows=True
     )
 
 
