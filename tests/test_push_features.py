@@ -406,3 +406,34 @@ def test_defer_swap_push_then_activate(spark, tmp_path):
     assert eng.store("d").get(1)["v"] == "new"
     eng.rollback("d")
     assert eng.store("d").get(1)["v"] == "old"
+
+
+def test_ttl_repush_start_timestamp_flavor(engine, spark):
+    """repush.ttl.start.timestamp parity: records written BEFORE the given
+    timestamp expire; mutually exclusive with ttl_seconds."""
+    delta = spark.createDataFrame(
+        [("z", 9.0, 100)], "key string, val double, _rmd_ts long"
+    )
+    engine.incremental_push("s", delta)
+    engine.repush("s", ttl_start_timestamp=50)  # base rows (ts=10) expire
+    out = {r["key"] for r in engine.store("s").df().collect()}
+    assert out == {"z"}
+    with pytest.raises(ValueError, match="not both"):
+        engine.repush("s", ttl_seconds=5, now_ts=20, ttl_start_timestamp=50)
+
+
+def test_empty_push_lands_zero_row_version(engine):
+    """Empty-push TTL pattern: a new zero-row version with the same schema
+    swaps in atomically; the previous version stays retained for rollback."""
+    v_before = engine.catalog.current_version("s")
+    res = engine.empty_push("s")
+    assert res.rows == 0
+    assert engine.catalog.current_version("s") == res.version > v_before
+    df = engine.store("s").df()
+    assert df.count() == 0
+    assert {"key", "val", "_rmd_ts"} <= set(df.columns)
+    # schema intact: a follow-up get misses cleanly rather than erroring
+    assert engine.store("s").get("a") is None
+    # rollback restores the data (compliance escape hatch)
+    engine.rollback("s")
+    assert engine.store("s").df().count() == 3

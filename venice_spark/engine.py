@@ -335,3 +335,11 @@ class VeniceSparkEngine:
 
     def repush(self, store: str, **kwargs) -> PushResult:
         return repush(self.spark, self.catalog, store, **kwargs)
+
+    def empty_push(self, store: str) -> PushResult:
+        """Land a zero-row version (empty-push TTL pattern): for hybrid
+        stores, follow with hybrid_serve/aa_serve so the RT replay's rewind
+        window becomes the effective TTL."""
+        from venice_spark.push import empty_push
+
+        return empty_push(self.spark, self.catalog, store)

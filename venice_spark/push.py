@@ -549,19 +549,47 @@ def repush(
     ttl_seconds: int | None = None,
     now_ts: int | None = None,
     ts_col: str = "_rmd_ts",
+    ttl_start_timestamp: int | None = None,
 ) -> PushResult:
     """W10/W11: re-materialize a store from its own current version
-    (compaction / cluster migration), optionally dropping records whose
-    RMD timestamp is older than now - ttl
+    (compaction / cluster migration), optionally dropping expired records
     (hadoop/input/kafka/ttl/VeniceKafkaInputTTLFilter.java,
-    spark/input/kafka/ttl/SparkKafkaInputTTLFilter.java)."""
+    spark/input/kafka/ttl/SparkKafkaInputTTLFilter.java). TTL comes in the
+    reference's two flavors (docs/operations/data-management/ttl.md):
+    `ttl_seconds` (repush.ttl.seconds — records older than now - ttl
+    expire) or `ttl_start_timestamp` (repush.ttl.start.timestamp — records
+    written before the timestamp expire)."""
     meta = catalog.get_store(store)
     df = catalog.read_current(spark, store)
+    if ttl_seconds is not None and ttl_start_timestamp is not None:
+        raise ValueError("set ttl_seconds or ttl_start_timestamp, not both")
+    cutoff = None
     if ttl_seconds is not None:
-        if ts_col not in df.columns:
-            raise ValueError(f"TTL repush requires timestamp column {ts_col!r}")
         if now_ts is None:
             raise ValueError("TTL repush requires explicit now_ts for determinism")
-        df = df.filter(F.col(ts_col) >= F.lit(now_ts - ttl_seconds))
+        cutoff = now_ts - ttl_seconds
+    elif ttl_start_timestamp is not None:
+        cutoff = ttl_start_timestamp
+    if cutoff is not None:
+        if ts_col not in df.columns:
+            raise ValueError(f"TTL repush requires timestamp column {ts_col!r}")
+        df = df.filter(F.col(ts_col) >= F.lit(cutoff))
     job = BatchPushJob(catalog)
     return job.run(spark, store, df.drop("partition_id"), allow_duplicate_key=True)
+
+
+def empty_push(
+    spark: SparkSession,
+    catalog: StoreCatalog,
+    store: str,
+) -> PushResult:
+    """The reference's "empty push" TTL/compliance pattern
+    (docs/operations/data-management/ttl.md: a new version with NO batch
+    data; for hybrid stores the real-time buffer then replays with the
+    store's rewind window, so everything older than the rewind ages out).
+    Lands a zero-row version with the current schema and swaps — O(1)
+    data work; follow with `hybrid_serve`/`aa_serve` to refill from the
+    RT log."""
+    df = catalog.read_current(spark, store).drop("partition_id").limit(0)
+    job = BatchPushJob(catalog)
+    return job.run(spark, store, df, allow_duplicate_key=True)
