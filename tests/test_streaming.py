@@ -310,3 +310,38 @@ def test_version_diff_events(spark, tmp_path):
     assert ev[2]["op"] == "PUT" and ev[2]["before"]["name"] == "b" and ev[2]["after"]["name"] == "B"
     assert ev[3]["op"] == "DELETE" and ev[3]["after"] is None
     assert ev[4]["op"] == "PUT" and ev[4]["before"] is None and ev[4]["after"]["v"] == 4.0
+
+
+def test_seek_to_timestamps_per_partition(spark):
+    from venice_spark.streaming.cdc import seek_to_timestamps
+
+    rows = [(p, t) for p in range(3) for t in (10, 20, 30)]
+    ev = spark.createDataFrame(rows, "part int, ts long")
+    out = seek_to_timestamps(ev, "ts", "part", {0: 25, 1: 15})
+    got = sorted((r["part"], r["ts"]) for r in out.collect())
+    # p0 seeks to >=25, p1 to >=15, p2 untouched
+    assert got == [(0, 30), (1, 20), (1, 30), (2, 10), (2, 20), (2, 30)]
+
+
+def test_seek_to_beginning_of_push(spark, tmp_root):
+    """Events before the current version's swap instant are skipped; a
+    store without any push raises."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.streaming.cdc import seek_to_beginning_of_push
+
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("s", key_fields=["k"], partition_count=2)
+    eng.push("s", spark.createDataFrame([(1, "x")], "k long, v string"))
+    committed = eng.catalog.version_manifest("s")["committed_at"]
+    ev = spark.createDataFrame(
+        [(1, int((committed - 100) * 1000)), (2, int((committed + 100) * 1000))],
+        "k long, ts long",
+    )
+    out = seek_to_beginning_of_push(ev, "ts", eng.catalog, "s", ts_scale=1e3)
+    assert [r["k"] for r in out.collect()] == [2]
+
+    eng.create_store("empty", key_fields=["k"])
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="swap time"):
+        seek_to_beginning_of_push(ev, "ts", eng.catalog, "empty")

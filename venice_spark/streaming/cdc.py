@@ -88,6 +88,54 @@ def seek_to_tail(change_stream: DataFrame, ts_col: str, after_ts: int) -> DataFr
     return change_stream.filter(F.col(ts_col) > F.lit(after_ts))
 
 
+def seek_to_timestamps(
+    change_stream: DataFrame,
+    ts_col: str,
+    partition_col: str,
+    timestamps: dict[int, int],
+) -> DataFrame:
+    """seekToTimestamps(Map<partition, ts>): per-partition resume points —
+    the checkpoint-restart shape (VeniceChangelogConsumer.java:141-149; in
+    this engine the event timestamp IS the changelog coordinate, so
+    seekToCheckpoint and seekToTimestamps coincide). Partitions not in the
+    map are left unfiltered (they continue from wherever the stream is).
+    Pure per-row predicate — with a ts- or partition-laid-out log it
+    becomes partition pruning."""
+    cond = F.lit(True)
+    for p, ts in timestamps.items():
+        cond = F.when(
+            F.col(partition_col) == F.lit(p), F.col(ts_col) >= F.lit(ts)
+        ).otherwise(cond)
+    return change_stream.filter(cond)
+
+
+def seek_to_beginning_of_push(
+    change_stream: DataFrame,
+    ts_col: str,
+    catalog,
+    store: str,
+    ts_scale: float = 1.0,
+) -> DataFrame:
+    """seekToBeginningOfPush: events at/after the current version's swap
+    time — replay everything since the last full push landed
+    (VeniceChangelogConsumer.java:113-116). The swap instant comes from the
+    version manifest (catalog.commit_version records committed_at epoch
+    seconds); `ts_scale` converts to the log's ts unit (1e3 ms, 1e6 µs,
+    1e9 ns)."""
+    manifest = catalog.version_manifest(store) or {}
+    committed = manifest.get("committed_at")
+    if committed is None:
+        committed = catalog.get_store(store).config.get("version_committed_at")
+    if committed is None:
+        raise ValueError(
+            f"store {store!r} has no recorded version swap time "
+            "(no manifest and no version_committed_at config)"
+        )
+    return change_stream.filter(
+        F.col(ts_col) >= F.lit(float(committed) * ts_scale)
+    )
+
+
 class ChangeCaptureStream:
     """Streaming CDC: emits (key, before, after, op, ts) per micro-batch into
     an output dir, maintaining a snapshot for `before` resolution."""
