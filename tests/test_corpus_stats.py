@@ -419,3 +419,41 @@ def test_corpus_report_rollup_totals(spark):
     # global single-row report without a group column
     g = corpus_report(df, "text").collect()
     assert len(g) == 1 and g[0]["n_docs"] == 3
+
+
+def test_url_extraction_and_domain_stats(spark):
+    from venice_spark.pipeline import domain_stats
+
+    rows = [
+        (1, "see https://Example.COM/page?a=1 and http://sub.other.org:8080/x y"),
+        (2, "again https://example.com/else plain text"),
+        (3, "no links here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["domain"]: (r["n_urls"], r["n_docs"]) for r in domain_stats(df).collect()}
+    assert out == {"example.com": (2, 2), "sub.other.org": (1, 1)}
+
+
+def test_blocklist_hits_and_prep_gate(spark):
+    from venice_spark.functions import text as TX
+    from venice_spark.pipeline import CorpusPrepConfig, prepare_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the BADWORD quick brown fox jumps over the badword dog"),
+        (3, "the badword quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hits = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", TX.blocklist_hits("text", ["badword"]).alias("h")
+        ).collect()
+    }
+    assert hits == {1: 0, 2: 2, 3: 1}  # case-insensitive
+    cfg = CorpusPrepConfig(
+        min_tokens=3, min_stopword_ratio=0.0,
+        blocklist_terms=["badword"], blocklist_max_hits=1,
+    )
+    kept = {r["doc_id"] for r in prepare_corpus(df, config=cfg).collect()}
+    assert kept == {1, 3}  # doc 2 over the hit budget

@@ -109,6 +109,8 @@ def test_driver_window_carries_only_oracle_queries():
         "x_dup_clusters",
         # one-pass stats family: exact ROLLUP oracle, checked locally
         "x_corpus_report",
+        # per-row text-kernel family carried in-window by x_text_quality
+        "x_blocklist_hits",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

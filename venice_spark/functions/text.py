@@ -230,6 +230,8 @@ def top_bigram_fraction(col: Column | str) -> Column:
 # pattern strings run verbatim in Spark and the DuckDB oracle
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+# Java-regex ∩ RE2 subset (no lookarounds) so the same string runs in DuckDB
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]*)?"
 
 
 def email_count(col: Column | str) -> Column:
@@ -249,6 +251,32 @@ def redact_pii(col: Column | str) -> Column:
 
 
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def extract_urls(col: Column | str) -> Column:
+    """All http(s) URLs in the text (array<string>). Pure expression."""
+    return F.regexp_extract_all(_c(col), F.lit(URL_PATTERN), F.lit(0))
+
+
+def extract_domains(col: Column | str) -> Column:
+    """Lower-cased registrable hosts of every URL in the text — the key for
+    URL/domain-level dedup and domain rebalancing. Pure expressions: extract
+    URLs, strip scheme/port/path with one more regexp per element."""
+    host = lambda u: F.lower(  # noqa: E731
+        F.regexp_extract(u, r"https?://([A-Za-z0-9.-]+)", 1)
+    )
+    return F.transform(extract_urls(col), host)
+
+
+def blocklist_hits(col: Column | str, terms: list[str]) -> Column:
+    """How many tokens (lower-cased) fall in `terms` — the C4-style
+    bad-words gate. The list broadcasts as an array literal and the check
+    is one filter lambda over the token array: no shuffle, no Python, no
+    N-way regex alternation (which is what makes naive blocklists slow).
+    For very large blocklists prefer an explode + broadcast join; this
+    literal form is right for the typical few-hundred-term list."""
+    tset = F.array(*[F.lit(t.lower()) for t in terms])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(tset, F.lower(t))))
 
 
 def bpe_ish_token_count(col: Column | str, pattern: str = BPE_ISH_PATTERN) -> Column:

@@ -33,6 +33,11 @@ class CorpusPrepConfig:
     max_dup_line_frac: float | None = None
     max_top_bigram_frac: float | None = None
     near_dup_jaccard: float | None = None  # None = skip the MinHash stage
+    # C4-style bad-words gate: drop docs with more than blocklist_max_hits
+    # lower-cased token matches against the list (None/empty = skip) — a
+    # per-row expression folded into the stage-1 quality predicate
+    blocklist_terms: list[str] | None = None
+    blocklist_max_hits: int = 0
     # Stage 0: corpus-level boilerplate-line removal BEFORE the gates (None
     # = skip) — lines in >= this many distinct docs are cut from every doc
     # (drop_common_lines), so quality metrics score the real content
@@ -82,6 +87,10 @@ def prepare_corpus(
         pred = pred & (TX.dup_line_fraction(text_col) <= cfg.max_dup_line_frac)
     if cfg.max_top_bigram_frac is not None:
         pred = pred & (TX.top_bigram_fraction(text_col) <= cfg.max_top_bigram_frac)
+    if cfg.blocklist_terms:
+        pred = pred & (
+            TX.blocklist_hits(text_col, cfg.blocklist_terms) <= cfg.blocklist_max_hits
+        )
     qual = df.filter(pred).withColumn("n_tokens", TX.token_count(text_col))
 
     # 2. exact dedup — keep lowest id per fingerprint (one shuffle)
@@ -583,6 +592,24 @@ def export_training_shards(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(out_path)
+
+
+def domain_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain URL and document counts from in-text URLs — the signal
+    for URL/domain-level curation (dedupe by URL, rebalance by domain).
+    One narrow explode of extracted hosts, then a partial-agg count: the
+    shuffle carries (domain, partial counts), bounded by distinct domains."""
+    d = df.select(
+        F.col(id_col), F.explode(TX.extract_domains(text_col)).alias("domain")
+    )
+    return d.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
 
 
 def corpus_report(

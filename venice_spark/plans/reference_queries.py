@@ -1997,6 +1997,28 @@ def x_corpus_report(spark, sf_dir):
     return corpus_report(df, "text", group_col="lang")
 
 
+_BLOCK_TERMS = ["slow", "legacy", "error"]
+
+@register(
+    "x_blocklist_hits",
+    "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    f"t -> list_contains({_BLOCK_TERMS!r}, lower(t)))) AS INT) AS hits "
+    "FROM documents",
+)
+def x_blocklist_hits(spark, sf_dir):
+    """C4-style bad-words gate signal (functions/text.blocklist_hits): per
+    document, how many lower-cased tokens fall in the blocklist. One filter
+    lambda over the token array — no shuffle, no Python, no N-way regex
+    alternation; the prep pipeline folds `hits <= max` into its stage-1
+    narrow predicate (CorpusPrepConfig.blocklist_terms)."""
+    from venice_spark.functions import text as TX
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", TX.blocklist_hits("text", _BLOCK_TERMS).alias("hits")
+    )
+
+
 @register("x_bpe_vocab")  # rows-only: iterative merge learning is not SQL
 def x_bpe_vocab(spark, sf_dir):
     """BPE vocabulary learning (tokenizer.bpe_learn, after Sennrich et al.
@@ -2058,6 +2080,7 @@ _TAIL = [
     "x_split_assign",          # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
     "x_bpe_vocab",             # rows-only: iterative merge learning (tested vs hand-traced example + invariants)
     "x_corpus_report",         # one-pass stats family; exact ROLLUP oracle, checked locally
+    "x_blocklist_hits",        # per-row text-kernel family carried by x_text_quality; oracle-checked locally
 ]
 
 
