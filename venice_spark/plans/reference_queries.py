@@ -2019,6 +2019,24 @@ def x_blocklist_hits(spark, sf_dir):
     )
 
 
+@register("x_quality_classifier")  # rows-only: LBFGS training is iterative
+def x_quality_classifier(spark, sf_dir):
+    """FastText-style seed quality classifier (quality.py, the GPT-3/LLaMA
+    crawl-filtering recipe): train LogisticRegression on hashed token
+    features over a high/low-quality split, then score every document with
+    a pure zip_with dot-product + sigmoid expression (no Python, no MLlib
+    in the scoring pass — plan-pinned in test_quality_classifier)."""
+    from venice_spark.quality import score_quality, train_quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("doc_id") % 10 < 5)
+    neg = docs.filter(F.col("doc_id") % 10 >= 5).withColumn(
+        "text", F.upper(F.col("text"))
+    )
+    model = train_quality_classifier(pos, neg, dim=64, max_iter=10)
+    return score_quality(docs, model).select("doc_id", "quality_prob")
+
+
 @register("x_bpe_vocab")  # rows-only: iterative merge learning is not SQL
 def x_bpe_vocab(spark, sf_dir):
     """BPE vocabulary learning (tokenizer.bpe_learn, after Sennrich et al.
@@ -2081,6 +2099,7 @@ _TAIL = [
     "x_bpe_vocab",             # rows-only: iterative merge learning (tested vs hand-traced example + invariants)
     "x_corpus_report",         # one-pass stats family; exact ROLLUP oracle, checked locally
     "x_blocklist_hits",        # per-row text-kernel family carried by x_text_quality; oracle-checked locally
+    "x_quality_classifier",    # rows-only: iterative LBFGS training; scoring plan-pinned Python-free
 ]
 
 
