@@ -72,6 +72,10 @@ HEADLINE = [
     "x_knn_classify",
     "x_drop_common_lines",
     "x_shard_plan",
+    "x_oversample",
+    "x_split_assign",
+    "x_corpus_report",
+    "x_blocklist_hits",
 ]
 
 # round-3 steady-state seconds × 1.5 headroom at sf0.1/local[32]; the
@@ -121,6 +125,10 @@ BUDGET_SEC = {
     "x_knn_classify": 1.7,
     "x_drop_common_lines": 1.6,
     "x_shard_plan": 0.8,
+    "x_oversample": 0.8,
+    "x_split_assign": 0.8,
+    "x_corpus_report": 1.0,
+    "x_blocklist_hits": 0.9,
 }
 
 
