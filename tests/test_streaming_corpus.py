@@ -276,3 +276,51 @@ def test_corpus_ingest_replay_is_idempotent(spark, tmp_path):
     run(f"{tmp_path}/ckpt2")
     after = sorted((r["doc_id"], r["text"]) for r in eng.store("corpus").df().collect())
     assert before == after == [(1, GOOD), (2, DUP)]
+
+
+def test_streaming_prep_extra_gate_with_classifier_and_blocklist(spark, tmp_path):
+    """A seed-classifier score and a blocklist budget fold into the stage-1
+    gate of the STREAMING prep path — both are pure expressions, so the
+    stream accepts them (no stateful op, no Python)."""
+    import pyspark.sql.functions as F
+
+    from venice_spark.functions import text as TX
+    from venice_spark.quality import quality_prob_col, train_quality_classifier
+    from venice_spark.streaming.corpus import streaming_corpus_prep
+
+    eng_rows = [
+        (i, f"the quick brown fox number {i} jumps over the lazy dog today")
+        for i in range(4)
+    ]
+    junk_rows = [(10 + i, "zxq wvv kjh qqpz mnx bbv hjkl zzz xxy qwe") for i in range(4)]
+    pos = spark.createDataFrame(eng_rows, ["doc_id", "text"])
+    neg = spark.createDataFrame(junk_rows, ["doc_id", "text"])
+    model = train_quality_classifier(pos, neg, dim=64, max_iter=20)
+
+    src = str(tmp_path / "src")
+    all_rows = pos.unionByName(neg).withColumn(
+        "text",
+        F.when(F.col("doc_id") == 2, F.concat(F.col("text"), F.lit(" badword"))).otherwise(
+            F.col("text")
+        ),
+    )
+    all_rows.write.parquet(src)
+    stream = spark.readStream.schema(all_rows.schema).parquet(src)
+
+    gate = (quality_prob_col(model) >= 0.5) & (
+        TX.blocklist_hits("text", ["badword"]) == 0
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        streaming_corpus_prep(
+            stream, min_tokens=3, min_stopword_ratio=0.0, extra_gate=gate, dedup=False
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {0, 1, 3}  # junk cut by the classifier, doc 2 by the blocklist

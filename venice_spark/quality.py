@@ -69,6 +69,20 @@ def train_quality_classifier(
     }
 
 
+def quality_prob_col(model: dict, text_col: str = "text"):
+    """P(high quality) as a standalone Column expression — usable directly
+    in any filter/select, including streaming stage-1 gates
+    (streaming_corpus_prep(extra_gate=quality_prob_col(m) >= 0.9))."""
+    w = F.array(*[F.lit(float(x)) for x in model["weights"]])
+    feats = _features(text_col, model["dim"])
+    margin = F.aggregate(
+        F.zip_with(feats, w, lambda a, b: a * b),
+        F.lit(float(model["intercept"])),
+        lambda acc, x: acc + x,
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+
+
 def score_quality(
     df: DataFrame,
     model: dict,
@@ -78,14 +92,7 @@ def score_quality(
     """Append P(high quality) per document. The linear model evaluates as a
     zip_with dot product + sigmoid — one pure expression chain, no Python,
     no shuffle; at 100 TB this is a narrow map over the scan."""
-    w = F.array(*[F.lit(float(x)) for x in model["weights"]])
-    feats = _features(text_col, model["dim"])
-    margin = F.aggregate(
-        F.zip_with(feats, w, lambda a, b: a * b),
-        F.lit(float(model["intercept"])),
-        lambda acc, x: acc + x,
-    )
-    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)))
+    return df.withColumn(out_col, quality_prob_col(model, text_col))
 
 
 def quality_filter(

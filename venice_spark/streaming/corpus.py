@@ -36,11 +36,15 @@ def streaming_corpus_prep(
     max_dup_line_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
     dedup: bool = True,
+    extra_gate=None,
 ) -> DataFrame:
     """Gate + dedup a (streaming or batch) document frame.
 
     Stage 1 — quality gates: identical expressions to prepare_corpus
-    (narrow, stateless, stream-safe).
+    (narrow, stateless, stream-safe). `extra_gate` folds any caller-built
+    per-row boolean Column into the same stage — e.g. a seed-classifier
+    score (quality.score_quality is pure expressions, so it is
+    stream-safe) or a blocklist budget (text.blocklist_hits).
     Stage 2 — exact dedup on the content fingerprint:
       * streaming with `ts_col`: `dropDuplicatesWithinWatermark` — state is
         one fingerprint per distinct doc within the watermark horizon,
@@ -59,6 +63,8 @@ def streaming_corpus_prep(
         pred = pred & (TX.dup_line_fraction(text_col) <= max_dup_line_frac)
     if max_top_bigram_frac is not None:
         pred = pred & (TX.top_bigram_fraction(text_col) <= max_top_bigram_frac)
+    if extra_gate is not None:
+        pred = pred & extra_gate
     out = stream.filter(pred).withColumn("n_tokens", TX.token_count(text_col))
 
     if not dedup:
