@@ -253,6 +253,28 @@ def redact_pii(col: Column | str) -> Column:
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
+def strip_markup(col: Column | str) -> Column:
+    """Remove HTML/XML tags and entities, collapse the leftover whitespace —
+    the C4-style markup-stripping pass before any quality gate. Three
+    regexp_replace expressions (Java-regex ∩ RE2, oracle-portable), no
+    Python, no shuffle. Not a parser: malformed/nested-bracket documents
+    degrade to over-stripping, the standard corpus-prep trade."""
+    c = F.regexp_replace(_c(col), r"<[^>]*>", " ")
+    c = F.regexp_replace(c, r"&[A-Za-z]{2,8};|&#[0-9]{1,6};", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def split_sentences(col: Column | str) -> Column:
+    """Sentence-ish segments (array<string>): split after runs of .!? that
+    are followed by whitespace, drop empties. The cheap boundary source for
+    sentence-aligned chunking (dedup.chunk_documents works on tokens; this
+    gives chunkers natural boundaries instead). Pure expressions."""
+    parts = F.split(_c(col), r"(?<=[.!?])\s+")
+    return F.filter(
+        F.transform(parts, F.trim), lambda s: F.length(s) > 0
+    )
+
+
 def extract_urls(col: Column | str) -> Column:
     """All http(s) URLs in the text (array<string>). Pure expression."""
     return F.regexp_extract_all(_c(col), F.lit(URL_PATTERN), F.lit(0))
