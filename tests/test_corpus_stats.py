@@ -463,19 +463,19 @@ def test_strip_markup_and_split_sentences(spark):
     from venice_spark.functions import text as TX
 
     rows = [
-        (1, "<html><b>Hello</b> world &amp; friends.<br/>Next &#39;line&#39; here!</html>"),
+        (1, "<html><b>Hello</b> world &amp; friends.<br/>Next &#39;line&#x27;s&#39; here!</html>"),
         (2, "no markup. just two sentences? yes!"),
         (3, "<p></p>"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r["clean"] for r in
            df.select("doc_id", TX.strip_markup("text").alias("clean")).collect()}
-    assert out[1] == "Hello world friends. Next line here!"
+    assert out[1] == "Hello world friends. Next line s here!"  # hex entity &#x27; stripped too
     assert out[2] == "no markup. just two sentences? yes!"
     assert out[3] == ""
     sents = {r["doc_id"]: r["s"] for r in
              df.select("doc_id", TX.split_sentences(TX.strip_markup("text")).alias("s")).collect()}
-    assert sents[1] == ["Hello world friends.", "Next line here!"]
+    assert sents[1] == ["Hello world friends.", "Next line s here!"]
     assert sents[2] == ["no markup.", "just two sentences?", "yes!"]
     assert sents[3] == []
     # plan purity: no Python stage

@@ -608,3 +608,46 @@ def test_knn_join_query_side_guard_and_edges(spark):
     assert [(r["rid"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])] == [
         (0, 1), (1, 2), (2, 3)
     ]
+
+
+def test_knn_join_zero_norm_vectors_never_displace_candidates(spark):
+    """A zero-norm vector yields NaN cosine; the partial top-k must exclude
+    it WITHOUT losing real candidates (np.partition ranks NaN largest, which
+    would silently displace true neighbors)."""
+    from venice_spark.similarity import knn_join
+
+    right = spark.createDataFrame(
+        [(0, [0.9, 0.1]), (1, [0.8, 0.2]), (2, [0.0, 0.0]),  # zero-norm
+         (3, [0.7, 0.3]), (4, [0.6, 0.4])],
+        "rid long, v array<double>",
+    )
+    left = spark.createDataFrame([(100, [1.0, 0.0])], "lid long, v array<double>")
+    out = sorted(
+        (r["rank"], r["rid"]) for r in knn_join(left, right, "v", "lid", "rid", k=3).collect()
+    )
+    assert [rid for _, rid in out] == [0, 1, 3]  # 0.7-vec kept, zero-norm absent
+    # zero-norm QUERY returns no rows rather than NaN garbage
+    zq = spark.createDataFrame([(200, [0.0, 0.0])], "lid long, v array<double>")
+    assert knn_join(zq, right, "v", "lid", "rid", k=3).count() == 0
+    # ragged query vectors: minority-length rows are excluded, not a crash
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5]), (3, [1.0, 0.0, 0.0])],
+        "lid long, v array<double>",
+    )
+    got = {r["lid"] for r in knn_join(ragged, right, "v", "lid", "rid", k=1).collect()}
+    assert got == {1, 2}
+
+
+def test_fuzzy_key_pairs_nonunique_ids_and_duplicate_rows(spark):
+    """Self-pairs (one id holding both keys of a fuzzy pair) are excluded
+    and exact duplicate input rows do not duplicate output pairs."""
+    from venice_spark.dedup import fuzzy_key_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (1, "alphb"),       # same id, fuzzy-matching keys
+         (2, "gamma"), (2, "gamma"),       # exact duplicate row
+         (3, "gamme")],
+        "id long, k string",
+    )
+    out = sorted(tuple(r) for r in fuzzy_key_pairs(df, "k", "id", max_subs=1).collect())
+    assert out == [(2, 3, 1)]  # no (1,1) self-pair; (2,3) emitted exactly once

@@ -510,7 +510,9 @@ def fuzzy_key_pairs(
     d = int(max_subs)
     if d not in (1, 2):
         raise ValueError("fuzzy_key_pairs supports max_subs 1 or 2")
-    members = df.select(F.col(id_col).alias("__id"), F.col(key_col).alias("__k"))
+    members = df.select(
+        F.col(id_col).alias("__id"), F.col(key_col).alias("__k")
+    ).distinct()  # exact duplicate (id, key) rows must not duplicate pairs
     base = members.select("__k").distinct().select(
         "__k", F.length("__k").alias("__len")
     )
@@ -585,11 +587,15 @@ def fuzzy_key_pairs(
     cross = (
         key_pairs.join(ma, "ka")
         .join(mb, "kb")
+        # an id can hold BOTH keys of a fuzzy pair (non-unique id column);
+        # least/greatest would emit it as a self-pair — keep strict pairs
+        .filter(F.col("__ida") != F.col("__idb"))
         .select(
             F.least("__ida", "__idb").alias("id_a"),
             F.greatest("__ida", "__idb").alias("id_b"),
             "dist",
         )
+        .distinct()
     )
     same = (
         members.alias("x")

@@ -260,7 +260,7 @@ def strip_markup(col: Column | str) -> Column:
     Python, no shuffle. Not a parser: malformed/nested-bracket documents
     degrade to over-stripping, the standard corpus-prep trade."""
     c = F.regexp_replace(_c(col), r"<[^>]*>", " ")
-    c = F.regexp_replace(c, r"&[A-Za-z]{2,8};|&#[0-9]{1,6};", " ")
+    c = F.regexp_replace(c, r"&[A-Za-z]{2,8};|&#[0-9]{1,6};|&#[Xx][0-9A-Fa-f]{1,6};", " ")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 

@@ -21,8 +21,6 @@ Spark-first:
 
 from __future__ import annotations
 
-import math
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -107,9 +105,11 @@ def quality_filter(
     """Keep documents the classifier likes. threshold mode keeps
     quality_prob >= threshold; with `pareto_alpha` set, keep instead by the
     GPT-3 paper's probabilistic rule — keep iff
-    hash_uniform(id) < exp(-alpha * (1 - quality_prob)) — which retains a
-    long tail of lower-scored documents for diversity. Deterministic: the
-    uniform draw is the md5 hash of the id, never an RNG."""
+    Pareto(alpha) > 1 - quality_prob, i.e. with probability
+    (2 - quality_prob)^(-alpha) — which retains a long tail of
+    lower-scored documents for diversity (alpha=9 in the paper). The
+    Pareto draw is inverted deterministically from the md5 hash of the id
+    (keep iff hash_uniform(id) < (2 - prob)^(-alpha)), never an RNG."""
     scored = score_quality(df, model, text_col)
     if pareto_alpha is None:
         return scored.filter(F.col("quality_prob") >= threshold)
@@ -118,9 +118,6 @@ def quality_filter(
         .cast("double")
         / precision
     )
-    keep_p = F.exp(F.lit(-float(pareto_alpha)) * (1.0 - F.col("quality_prob")))
+    # P(Pareto(alpha) > x) = (1 + x)^(-alpha) for x >= 0, with x = 1 - prob
+    keep_p = F.pow(F.lit(2.0) - F.col("quality_prob"), F.lit(-float(pareto_alpha)))
     return scored.filter(u < keep_p)
-
-
-def _sigmoid(x: float) -> float:
-    return 1.0 / (1.0 + math.exp(-x))

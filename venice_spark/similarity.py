@@ -151,7 +151,11 @@ def knn_join(
     rank's rid-asc tiebreak sees every contender); the shuffle into the
     final window rank carries ~batches*queries*k rows, never n_left *
     n_right. Raises when the query side exceeds `max_query_rows` — at that
-    scale brute force is the wrong tool; use knn_join_lsh."""
+    scale brute force is the wrong tool; use knn_join_lsh.
+
+    Malformed vectors are excluded symmetrically: null/ragged-length rows
+    on either side, and zero-norm vectors (cosine undefined), never appear
+    as queries or candidates."""
     from pyspark.sql import Window
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -169,6 +173,15 @@ def knn_join(
             "brute force is the oracle baseline — use knn_join_lsh at scale"
         )
     lids = [r["lid"] for r in lrows]
+    if lrows:
+        # ragged query vectors (mixed embedding versions) would crash
+        # np.array; keep only rows matching the dominant dimension —
+        # mirrors the right side's len(v) == d filter
+        from collections import Counter
+
+        dim0 = Counter(len(r["lv"]) for r in lrows).most_common(1)[0][0]
+        lrows = [r for r in lrows if len(r["lv"]) == dim0]
+        lids = [r["lid"] for r in lrows]
     L = (
         np.array([np.asarray(r["lv"], dtype=np.float64) for r in lrows])
         if lrows
@@ -221,19 +234,30 @@ def knn_join(
                 dot += R[:, j : j + 1] * L_[:, j][None, :]
                 rnorm2 += R[:, j] * R[:, j]
             cos = dot / (lnorm[None, :] * _np.sqrt(rnorm2)[:, None])
-            kk = min(k, n)
             out_lid, out_rid, out_cos = [], [], []
             for col in range(m):
                 c = cos[:, col]
-                if n > kk:
-                    thresh = _np.partition(c, n - kk)[n - kk]
-                    sel = _np.nonzero(c >= thresh)[0]
+                # zero-norm vectors yield NaN cosine; np.partition ranks
+                # NaN as largest, which would silently displace REAL
+                # candidates from the partial top-k — exclude non-finite
+                # rows before selecting (cosine is undefined for them, so
+                # they can never be a legitimate neighbor)
+                finite = _np.nonzero(_np.isfinite(c))[0]
+                nf = len(finite)
+                if nf == 0:
+                    continue
+                kk = min(k, nf)
+                cf = c[finite]
+                if nf > kk:
+                    thresh = _np.partition(cf, nf - kk)[nf - kk]
+                    sel = finite[_np.nonzero(cf >= thresh)[0]]
                 else:
-                    sel = _np.arange(n)
+                    sel = finite
                 out_lid.extend([lids_[col]] * len(sel))
                 out_rid.extend(rids[sel])
                 out_cos.extend(c[sel])
-            yield _pd.DataFrame({"lid": out_lid, "rid": out_rid, "cos": out_cos})
+            if out_lid:
+                yield _pd.DataFrame({"lid": out_lid, "rid": out_rid, "cos": out_cos})
 
     r_ = right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv"))
     partial = r_.mapInPandas(_scan, schema=out_schema)
@@ -254,6 +278,7 @@ def knn_classify(
     k: int = 5,
     blocked: bool = True,
     dim: int | None = None,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Semi-supervised auto-labeling: each unlabeled vector takes the
     majority label of its k nearest labeled neighbors (cosine), ties broken
@@ -270,7 +295,10 @@ def knn_classify(
         )
         nn = knn_join_lsh(unlabeled, labeled, vec_col, id_col, id_col, k=k, dim=d)
     else:
-        nn = knn_join(unlabeled, labeled, vec_col, id_col, id_col, k=k)
+        nn = knn_join(
+            unlabeled, labeled, vec_col, id_col, id_col, k=k,
+            max_query_rows=max_query_rows,
+        )
     lab = labeled.select(F.col(id_col).alias("rid"), F.col(label_col))
     votes = (
         nn.join(lab, "rid")

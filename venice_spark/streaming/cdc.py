@@ -131,8 +131,10 @@ def seek_to_beginning_of_push(
             f"store {store!r} has no recorded version swap time "
             "(no manifest and no version_committed_at config)"
         )
+    # compare in LONG space: a float cutoff at nanosecond scale has ~256 ns
+    # ulp and would promote the whole ts column to double
     return change_stream.filter(
-        F.col(ts_col) >= F.lit(float(committed) * ts_scale)
+        F.col(ts_col) >= F.lit(int(float(committed) * ts_scale))
     )
 
 
