@@ -437,3 +437,63 @@ def test_empty_push_lands_zero_row_version(engine):
     # rollback restores the data (compliance escape hatch)
     engine.rollback("s")
     assert engine.store("s").df().count() == 3
+
+
+def test_lazy_delta_survives_concurrent_compaction(engine, spark):
+    """Review regression: a lazy delta staged against version V must land on
+    whatever version is CURRENT when it claims its slot (a compact/eager
+    push in between must not strand it on the retired version), and
+    compact_store sweeps any not-yet-resolved delta slots onto the new
+    version instead of dropping them."""
+    import os
+
+    from venice_spark.push import compact_store
+
+    # delta 1 lands lazily on v1
+    d1 = spark.createDataFrame([("x", 50.0, 30)], "key string, val double, _rmd_ts long")
+    engine.incremental_push("s", d1, eager=False)
+    v_before = engine.catalog.current_version("s")
+    # compaction folds it and commits v2
+    compact_store(spark, engine.catalog, "s")
+    v_after = engine.catalog.current_version("s")
+    assert v_after > v_before
+    # a second lazy delta written AFTER the compaction: must target v_after
+    d2 = spark.createDataFrame([("y", 60.0, 40)], "key string, val double, _rmd_ts long")
+    engine.incremental_push("s", d2, eager=False)
+    assert engine.catalog.list_delta_dirs("s", v_after), "delta landed on retired version"
+    # the retired version keeps the deltas it already resolved (rollback to
+    # it must still see them) — exactly one, never the new one
+    assert len(engine.catalog.list_delta_dirs("s", v_before)) == 1
+    out = {r["key"]: r["val"] for r in engine.store("s").df().collect()}
+    assert out["x"] == 50.0 and out["y"] == 60.0
+    # compact again: d2 folds into the new base and the new version starts
+    # with an empty delta log
+    compact_store(spark, engine.catalog, "s")
+    v3 = engine.catalog.current_version("s")
+    assert not engine.catalog.list_delta_dirs("s", v3)
+    out = {r["key"]: r["val"] for r in engine.store("s").df().collect()}
+    assert out["x"] == 50.0 and out["y"] == 60.0
+    # one more lazy-push + compact cycle end-to-end
+    d3 = spark.createDataFrame([("z", 70.0, 50)], "key string, val double, _rmd_ts long")
+    engine.incremental_push("s", d3, eager=False)
+    compact_store(spark, engine.catalog, "s")
+    v4 = engine.catalog.current_version("s")
+    out = {r["key"]: r["val"] for r in engine.store("s").df().collect()}
+    assert out == {"a": 1.0, "b": 2.0, "c": 3.0, "x": 50.0, "y": 60.0, "z": 70.0}
+
+
+def test_quota_persist_released_on_duplicate_key_abort(engine, spark):
+    """Review regression: a push aborted by DuplicateKeyError must not leave
+    the quota-persisted input pinned in the session cache."""
+    import pytest as _pt
+
+    from venice_spark.push import DuplicateKeyError
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before = cm.cachedData().size()
+    bad = spark.createDataFrame(
+        [("k1", 1.0, 1), ("k1", 2.0, 1)], "key string, val double, _rmd_ts long"
+    )
+    with _pt.raises(DuplicateKeyError):
+        engine.push("s", bad, storage_quota_bytes=10**9)
+    assert cm.cachedData().size() == before

@@ -345,3 +345,52 @@ def test_seek_to_beginning_of_push(spark, tmp_root):
 
     with _pt.raises(ValueError, match="swap time"):
         seek_to_beginning_of_push(ev, "ts", eng.catalog, "empty")
+
+
+def test_cdc_null_op_rows_are_puts_and_delete_then_put_before(spark, tmp_path):
+    """Two review regressions: (1) NULL-op rows must be PUTs everywhere —
+    in the snapshot advance AND the event emission; (2) a PUT following a
+    DELETE of the same key within one batch has before=NULL, never the
+    resurrected pre-delete value."""
+    snap_dir = str(tmp_path / "snap")
+    out_dir = str(tmp_path / "events")
+    ccs = ChangeCaptureStream(spark, snap_dir, out_dir, ["k"], "v", "ts")
+    seed = spark.createDataFrame([(1, "v0", 0), (2, "w0", 0)], "k long, v string, ts long")
+    ccs._process_batch(seed.withColumn("op", F.lit("PUT")), 0)
+    batch = spark.createDataFrame(
+        [(1, None, 10, "DELETE"), (1, "v2", 20, None),  # NULL op = PUT
+         (2, "w1", 10, None)],
+        "k long, v string, ts long, op string",
+    )
+    ccs._process_batch(batch, 1)
+    snap = {r["k"]: r["v"] for r in spark.read.parquet(snap_dir).collect()}
+    # k=1's NULL-op PUT must survive the snapshot advance; k=2 updated
+    assert snap == {1: "v2", 2: "w1"}
+    ev = {(r["k"], r["ts"]): (r["op"], r["before"], r["after"])
+          for r in spark.read.parquet(out_dir).collect() if r["ts"] >= 10}
+    assert ev[(1, 10)] == ("DELETE", "v0", None)
+    # the PUT after the in-batch DELETE: key was absent -> before is NULL
+    assert ev[(1, 20)] == ("PUT", None, "v2")
+    assert ev[(2, 10)] == ("PUT", "w0", "w1")
+
+
+def test_rollup_to_store_bootstraps_fresh_store(spark, tmp_path):
+    """run_rollup_to_store's first batch into a never-pushed store must
+    bootstrap with a full push instead of crashing in incremental_push."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.streaming.windows import run_rollup_to_store, windowed_rollup
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("roll", key_fields=["window_start", "user_id"], partition_count=2)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 1_700_000_000_000_000_000 + i * 10**9, 1.0) for i in range(10)],
+        "user_id long, ts long, value double",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts long, value double").parquet(src)
+    roll = windowed_rollup(stream, "ts", ["user_id"], {"n": "count(*)"},
+                           window_duration="5 seconds", watermark_delay="0 seconds")
+    q = run_rollup_to_store(roll, eng, "roll", str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert eng.catalog.current_version("roll") >= 1
+    assert eng.store("roll").df().count() > 0

@@ -183,6 +183,8 @@ class BatchPushJob:
                     .collect()
                 )
                 if conflict:
+                    if quota_persisted is not None:
+                        quota_persisted.unpersist()
                     raise DuplicateKeyError(
                         f"key {tuple(conflict[0])} has conflicting values"
                     )
@@ -213,18 +215,25 @@ class BatchPushJob:
         if meta.config.get("bloom_filter"):
             for k in key_fields:
                 writer = writer.option(f"parquet.bloom.filter.enabled#{k}", "true")
-        writer.partitionBy("partition_id").parquet(path)
-        _fix_empty_partitioned_dir(out, path)
+        try:
+            writer.partitionBy("partition_id").parquet(path)
+            _fix_empty_partitioned_dir(out, path)
 
-        # W15 materialized views are co-written in the same job
-        for view in views or []:
-            view.write(self.catalog, store, version, out)
+            written = spark.read.parquet(path)
+            # W15 materialized views are co-written in the same job — from
+            # the FILES just written, not the push plan: handing views the
+            # in-flight `out` would re-run the repartition + dedup
+            # aggregation once per view before the view's own shuffle
+            for view in views or []:
+                view.write(self.catalog, store, version, written)
 
-        if quota_persisted is not None:
-            quota_persisted.unpersist()
-
-        written = spark.read.parquet(path)
-        rows = written.count()
+            rows = written.count()
+        finally:
+            # the quota persist must never outlive the push — a
+            # DuplicateKeyError/validation/write failure above would
+            # otherwise pin the full input in the caller's session
+            if quota_persisted is not None:
+                quota_persisted.unpersist()
 
         # W8 atomic swap (+ Version-record manifest, meta/Version.java:1);
         # defer_swap lands the version without flipping the pointer
@@ -463,19 +472,28 @@ def incremental_push(
         # ordered by whoever locks first (the reference serializes
         # incremental pushes per store through the controller the same way).
         staging = os.path.join(
-            catalog.deltas_dir(store, cur), f"_staging-{uuid.uuid4().hex}"
+            catalog.store_dir(store), f"_delta_staging-{uuid.uuid4().hex}"
         )
         out = repartition_and_sort(delta, key_fields, meta.partition_count, md5p)
         out.write.mode("overwrite").partitionBy("partition_id").parquet(staging)
         _fix_empty_partitioned_dir(out, staging)
         rows = spark.read.parquet(staging).count()
         with catalog._locked(store):
+            # re-resolve the CURRENT version under the lock: the staging
+            # write can take minutes, and a concurrent compact/eager/batch
+            # push may have committed a new version since `cur` was read —
+            # renaming into the old version's delta log would silently lose
+            # this push (retired versions are never read again). A delta is
+            # pure upsert data, so landing it on whatever is current now
+            # preserves the caller's intent exactly.
+            cur = catalog.get_store(store).current_version
             existing = catalog.list_delta_dirs(store, cur)
             k = (
                 max(int(os.path.basename(d)[1:]) for d in existing) + 1
                 if existing
                 else 1
             )
+            os.makedirs(catalog.deltas_dir(store, cur), exist_ok=True)
             dpath = os.path.join(catalog.deltas_dir(store, cur), f"d{k}")
             os.rename(staging, dpath)
         threshold = int(meta.config.get("delta_compact_threshold", 8))
@@ -518,7 +536,11 @@ def compact_store(spark: SparkSession, catalog: StoreCatalog, store: str) -> Pus
     RocksDB compaction's role in the reference's storage tier). Resolution
     happens through the same _resolve_delta_view readers use, so compaction
     never changes observable content, only read cost."""
+    import os
+
     meta = catalog.get_store(store)
+    old_version = meta.current_version
+    resolved_deltas = set(catalog.list_delta_dirs(store, old_version))
     resolved = catalog.read_current(spark, store)  # delta-resolved view
     if "partition_id" in resolved.columns:
         resolved = resolved.drop("partition_id")
@@ -539,6 +561,31 @@ def compact_store(spark: SparkSession, catalog: StoreCatalog, store: str) -> Pus
             "push_type": "compaction",
         },
     )
+    # Late-delta sweep: a lazy push that targeted the OLD version between
+    # our resolve snapshot and the commit would otherwise vanish (the old
+    # version is never read again). Under the store lock, carry any delta
+    # slot we did not resolve over to the new version's log, preserving
+    # arrival order. New lazy pushes already re-target the new version
+    # under the same lock, so after this sweep no slot can be stranded.
+    with catalog._locked(store):
+        late = [
+            d
+            for d in catalog.list_delta_dirs(store, old_version)
+            if d not in resolved_deltas
+        ]
+        if late:
+            os.makedirs(catalog.deltas_dir(store, version), exist_ok=True)
+            existing = catalog.list_delta_dirs(store, version)
+            k = (
+                max(int(os.path.basename(d)[1:]) for d in existing) + 1
+                if existing
+                else 1
+            )
+            for d in sorted(late, key=lambda p: int(os.path.basename(p)[1:])):
+                os.rename(
+                    d, os.path.join(catalog.deltas_dir(store, version), f"d{k}")
+                )
+                k += 1
     return PushResult(store, version, rows, meta.partition_count, path)
 
 

@@ -70,10 +70,22 @@ class ActiveActiveReplay:
         from pyspark.sql import types as T
 
         key_schema = ops.select(*self.key_fields).schema
+        # a value column absent from THIS micro-batch (e.g. an UPDATE-only
+        # batch carrying set_<field> columns) must keep the serving
+        # snapshot's real type — a StringType default would Arrow-error or
+        # silently widen the serving column on the union-back
+        snap_types = {}
+        try:
+            snap = self.spark.read.parquet(self.serving_dir)
+            snap_types = {f.name: f.dataType for f in snap.schema.fields}
+        except Exception:
+            pass
         value_types = {}
         for c in self.value_cols:
             if c in ops.columns:
                 value_types[c] = ops.schema[c].dataType
+            elif c in snap_types:
+                value_types[c] = snap_types[c]
             else:
                 value_types[c] = T.StringType()
         return T.StructType(

@@ -23,9 +23,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 def change_events_batch(
     op_log: DataFrame, key_fields: list[str], value_col: str, ts_col: str
 ) -> DataFrame:
-    """Batch CDC: before = previous op's value per key (None for first)."""
+    """Batch CDC: before = previous op's value per key (None for first).
+    NULL-op rows are PUTs (hybrid._is_delete convention)."""
     w = Window.partitionBy(*key_fields).orderBy(ts_col)
-    op = F.col("op") if "op" in op_log.columns else F.lit("PUT")
+    if "op" in op_log.columns:
+        from venice_spark.streaming.hybrid import _is_delete
+
+        op = F.when(_is_delete(), F.lit("DELETE")).otherwise(F.lit("PUT"))
+    else:
+        op = F.lit("PUT")
     return op_log.select(
         *key_fields,
         F.col(ts_col),
@@ -171,13 +177,24 @@ class ChangeCaptureStream:
             snap = spark.read.parquet(self.snapshot_dir)
         except Exception:
             snap = None
+        from venice_spark.streaming.hybrid import _is_delete
+
         batch = batch_df
         if "op" not in batch.columns:
             batch = batch.withColumn("op", F.lit("PUT"))
+        # NULL-op rows are PUTs (project convention; a bare op != 'DELETE'
+        # filter silently treats them as deletes — hybrid._is_delete)
+        batch = batch.withColumn(
+            "op", F.when(_is_delete(), F.lit("DELETE")).otherwise(F.lit("PUT"))
+        )
 
-        # within-batch ordering: apply ops per key in ts order
+        # within-batch ordering: apply ops per key in ts order. `before` is
+        # the PREVIOUS row's post-op state: NULL when the previous op was a
+        # delete (the key was absent then — a bare lag(value) would fall
+        # through to the snapshot and resurrect the pre-delete value), the
+        # snapshot value when there is no previous row at all.
         w = Window.partitionBy(*kf).orderBy(tc)
-        seq = batch.withColumn(
+        seq = batch.withColumn("__prev_op", F.lag("op").over(w)).withColumn(
             "__prev_in_batch", F.lag(vc).over(w)
         )
         if snap is not None:
@@ -186,12 +203,17 @@ class ChangeCaptureStream:
         else:
             seq = seq.withColumn("__snap_val", F.lit(None).cast(seq.schema[vc].dataType))
 
+        before = (
+            F.when(F.col("__prev_op").isNull(), F.col("__snap_val"))
+            .when(F.col("__prev_op") == "DELETE", F.lit(None).cast(seq.schema[vc].dataType))
+            .otherwise(F.col("__prev_in_batch"))
+        )
         events = seq.select(
             *kf,
             F.col(tc),
             F.col("op"),
             F.when(F.col("op") != "DELETE", F.col(vc)).alias("after"),
-            F.coalesce(F.col("__prev_in_batch"), F.col("__snap_val")).alias("before"),
+            before.alias("before"),
         )
         events.write.mode("append").parquet(self.out_dir)
 
@@ -201,18 +223,23 @@ class ChangeCaptureStream:
             batch.withColumn("__rn", F.row_number().over(wd))
             .filter(F.col("__rn") == 1)
         )
-        new_rows = latest.filter(F.col("op") != "DELETE").select(*kf, vc, tc)
+        new_rows = latest.filter(~_is_delete()).select(*kf, vc, tc)
         if snap is not None:
             touched = latest.select(*kf)
             kept = snap.join(touched, on=kf, how="left_anti")
             new_snap = kept.unionByName(new_rows)
         else:
             new_snap = new_rows
+        # move-aside-then-delete (hybrid._swap_in pattern): a crash between
+        # steps leaves either the old or the new snapshot readable — never
+        # neither (rmtree-first lost the whole history on a mid-swap crash)
         tmp = f"{self.snapshot_dir}__tmp"
         new_snap.write.mode("overwrite").parquet(tmp)
+        old = f"{self.snapshot_dir}__old"
         if os.path.exists(self.snapshot_dir):
-            shutil.rmtree(self.snapshot_dir)
+            shutil.move(self.snapshot_dir, old)
         shutil.move(tmp, self.snapshot_dir)
+        shutil.rmtree(old, ignore_errors=True)
 
     def start(self, update_stream: DataFrame, checkpoint_dir: str):
         return (

@@ -72,12 +72,10 @@ def streaming_corpus_prep(
 
     out = out.withColumn("__fp", TX.fingerprint(F.col(text_col)))
     if stream.isStreaming and ts_col is not None:
-        ts = F.col(ts_col)
-        if dict(out.dtypes).get(ts_col) in ("bigint", "long"):
-            # epoch-nanos long (the events-table convention) -> timestamp
-            ts = F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        from venice_spark.streaming.joins import _event_time
+
         out = (
-            out.withColumn("_event_time", ts)
+            _event_time(out, ts_col, "_event_time")
             .withWatermark("_event_time", watermark_delay)
             .dropDuplicatesWithinWatermark(["__fp"])
             .drop("_event_time")

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 
 
 def _event_time(df: DataFrame, ts_col: str, out: str) -> DataFrame:
+    """Shared epoch-nanos-long -> timestamp convention (also used by
+    windows.py and corpus.py — keep the conversion in ONE place)."""
     ts = F.col(ts_col)
     if dict(df.dtypes).get(ts_col) in ("bigint", "long"):
         # epoch-nanos long (the events-table convention) -> timestamp

@@ -48,11 +48,9 @@ def windowed_rollup(
 
     Returns window_start, window_end, *group_cols, *agg outputs.
     """
-    ts = F.col(ts_col)
-    if dict(events.dtypes)[ts_col] in ("bigint", "long"):
-        # epoch-nanos long (the events-table convention) -> timestamp
-        ts = F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
-    with_ts = events.withColumn("_event_time", ts)
+    from venice_spark.streaming.joins import _event_time
+
+    with_ts = _event_time(events, ts_col, "_event_time")
     if events.isStreaming:
         with_ts = with_ts.withWatermark("_event_time", watermark_delay)
     win = (
@@ -108,10 +106,9 @@ def session_rollup(
 
     Returns session_start, session_end, *group_cols, *agg outputs.
     """
-    ts = F.col(ts_col)
-    if dict(events.dtypes)[ts_col] in ("bigint", "long"):
-        ts = F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
-    with_ts = events.withColumn("_event_time", ts)
+    from venice_spark.streaming.joins import _event_time
+
+    with_ts = _event_time(events, ts_col, "_event_time")
     if events.isStreaming:
         with_ts = with_ts.withWatermark("_event_time", watermark_delay)
     aggs = [F.expr(sql).alias(name) for name, sql in agg_exprs.items()]
@@ -144,7 +141,13 @@ def run_rollup_to_store(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        engine.incremental_push(store, batch_df)
+        # a fresh store has no current version yet — incremental_push
+        # requires one, so the first non-empty batch bootstraps with a
+        # full push (same guard as corpus.run_corpus_ingest_to_store)
+        if engine.catalog.current_version(store) == 0:
+            engine.push(store, batch_df, allow_duplicate_key=True)
+        else:
+            engine.incremental_push(store, batch_df)
 
     writer = (
         rollup.writeStream.outputMode("append")

@@ -81,6 +81,13 @@ def validate(df: DataFrame, rules: list) -> list[dict]:
     """Evaluate every rule in ONE aggregation job (plus one distinct-count
     job per Unique rule — those need a shuffle the scalar aggregates
     don't). Returns one dict per rule: {rule, target, ok, detail}."""
+    # reject unknown rule types BEFORE the scan: the aggregation loop below
+    # skips anything it doesn't recognize, and discovering the typo only in
+    # the report loop would waste the full (100 TB) validation pass
+    known = (NotNull, Unique, InRange, Matches, RowCountBetween)
+    for r in rules:
+        if not isinstance(r, known):
+            raise TypeError(f"unknown validation rule: {r!r}")
     aggs = [F.count("*").alias("__n")]
     for i, r in enumerate(rules):
         if isinstance(r, NotNull):
