@@ -481,3 +481,24 @@ def test_strip_markup_and_split_sentences(spark):
     # plan purity: no Python stage
     plan = df.select(TX.split_sentences("text"))._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_prepare_corpus_equal_lm_bounds_is_hard_threshold(spark):
+    """lm_weight_lo == lm_weight_hi must act as a hard threshold, not a
+    0/0 division that silently empties the corpus."""
+    from venice_spark.pipeline import CorpusPrepConfig, prepare_corpus, unigram_logprob
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    lp = unigram_logprob(df, "text", "doc_id").first()["lm_logprob"]
+    cfg = CorpusPrepConfig(
+        min_tokens=3, min_stopword_ratio=0.0,
+        lm_weight_lo=lp - 0.1, lm_weight_hi=lp - 0.1,  # all docs above bound
+    )
+    kept = prepare_corpus(df, config=cfg)
+    assert kept.count() == 1  # identical texts dedup to one survivor, kept
+    cfg2 = CorpusPrepConfig(
+        min_tokens=3, min_stopword_ratio=0.0,
+        lm_weight_lo=lp + 0.1, lm_weight_hi=lp + 0.1,  # all docs below bound
+    )
+    assert prepare_corpus(df, config=cfg2).count() == 0

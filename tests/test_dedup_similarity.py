@@ -177,9 +177,25 @@ def test_pack_sequences_budget_semantics(spark):
     )
     out = pack_sequences(df, "n", "doc_id", budget=10, n_shards=1).collect()
     packs = {r["doc_id"]: r["pack_id"] for r in out}
-    # cumsums: 4,8,12,37,40 -> buckets 0,0,1,3,3
-    assert packs == {0: 0, 1: 0, 2: 1, 3: 3, 4: 3}
+    # greedy close-on-overflow: [4,4] fills pack 0 (adding the next 4 would
+    # hit 12 > 10), [4] alone in pack 1 (25 won't fit), the oversized 25 is
+    # pack 2 BY ITSELF, and 3 starts pack 3 — no pack over budget except
+    # the lone oversized document
+    assert packs == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3}
     assert all(r["shard"] == out[0]["shard"] for r in out)
+    # budget invariant on a random-ish mix: no multi-doc pack exceeds budget
+    import random
+    rng = random.Random(5)
+    big = spark.createDataFrame(
+        [(i, rng.randint(1, 12)) for i in range(200)], "doc_id long, n long"
+    )
+    rows = pack_sequences(big, "n", "doc_id", budget=16, n_shards=4).collect()
+    fills = {}
+    for r in rows:
+        key = (r["shard"], r["pack_id"])
+        fills.setdefault(key, []).append(r["n"])
+    for key, ns in fills.items():
+        assert sum(ns) <= 16 or len(ns) == 1, (key, ns)
 
 
 def test_bpe_ish_token_count(spark):
@@ -651,3 +667,25 @@ def test_fuzzy_key_pairs_nonunique_ids_and_duplicate_rows(spark):
     )
     out = sorted(tuple(r) for r in fuzzy_key_pairs(df, "k", "id", max_subs=1).collect())
     assert out == [(2, 3, 1)]  # no (1,1) self-pair; (2,3) emitted exactly once
+
+
+def test_minhash_rejects_bad_band_config(spark):
+    from venice_spark.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands must divide"):
+        minhash_lsh_pairs(df, "text", "doc_id", num_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="bands must divide"):
+        minhash_lsh_pairs(df, "text", "doc_id", num_hashes=10, bands=4)
+
+
+def test_embedding_near_dup_nan_vectors_do_not_pair(spark):
+    """NaN components make cos NaN, which Spark orders above every number —
+    the filter must exclude it instead of pairing the bad row with its
+    whole block."""
+    rows = [(0, [1.0, 0.0], 1), (1, [1.0, 0.001], 1),
+            (2, [float("nan"), 1.0], 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pairs = embedding_near_dup_pairs(df, "embedding", "vec_id", "label", threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 1)}  # the NaN row pairs with nothing

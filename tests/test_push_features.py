@@ -497,3 +497,45 @@ def test_quota_persist_released_on_duplicate_key_abort(engine, spark):
     with _pt.raises(DuplicateKeyError):
         engine.push("s", bad, storage_quota_bytes=10**9)
     assert cm.cachedData().size() == before
+
+
+def test_reads_route_with_served_layout_after_partition_count_change(engine, spark):
+    """update_store(partition_count=...) applies from the NEXT push; reads
+    against the still-serving version must route with the layout it was
+    written with (the manifest), or every get silently misses."""
+    engine.catalog.update_store("s", partition_count=7)
+    st = engine.store("s")
+    assert st.get("a") is not None and st.get("a")["val"] == 1.0
+    got = {r["key"] for r in st.batch_get(["a", "b", "c"]).collect()}
+    assert got == {"a", "b", "c"}
+    # a lazy delta against the old-layout base must stamp with the OLD
+    # modulus so the resolve view groups base+delta rows of one key
+    delta = spark.createDataFrame([("a", 9.0, 99)], "key string, val double, _rmd_ts long")
+    engine.incremental_push("s", delta, eager=False)
+    out = {r["key"]: r["val"] for r in st.df().collect()}
+    assert out == {"a": 9.0, "b": 2.0, "c": 3.0}  # no duplicate 'a' rows
+    # the next full push adopts the new layout and reads follow it
+    engine.push("s", spark.createDataFrame(
+        [("z", 1.0, 1)], "key string, val double, _rmd_ts long"))
+    assert engine.store("s").get("z")["val"] == 1.0
+
+
+def test_retire_removes_view_dirs(spark, tmp_root):
+    """Retiring a version must also remove its sibling __view_* dirs."""
+    import os
+
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.push import MaterializedViewDef
+
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("v", key_fields=["k"], partition_count=2)
+    view = MaterializedViewDef(name="byv", partition_count=2, key_fields=["x"])
+    df = spark.createDataFrame([(1, 10.0)], "k long, x double")
+    eng.push("v", df, views=[view])
+    eng.push("v", df, views=[view])
+    eng.push("v", df, views=[view])
+    eng.catalog.retire_old_versions("v", keep=1)
+    sdir = eng.catalog.store_dir("v")
+    leftovers = [d for d in os.listdir(sdir) if "__view_" in d]
+    # only the kept (current) version's view remains
+    assert len(leftovers) == 1, leftovers

@@ -345,7 +345,18 @@ class StoreCatalog:
             retired = []
             for v in versions[:-keep] if keep else versions:
                 if v != meta.current_version:
-                    shutil.rmtree(self.version_dir(store, v), ignore_errors=True)
+                    vdir = self.version_dir(store, v)
+                    shutil.rmtree(vdir, ignore_errors=True)
+                    # materialized views live in SIBLING dirs
+                    # (v{N}__view_* — push.MaterializedViewDef.view_dir);
+                    # retire them with their base or they leak forever
+                    base = os.path.basename(vdir)
+                    parent = os.path.dirname(vdir)
+                    for name in os.listdir(parent):
+                        if name.startswith(f"{base}__"):
+                            shutil.rmtree(
+                                os.path.join(parent, name), ignore_errors=True
+                            )
                     retired.append(v)
             return retired
 
@@ -415,9 +426,6 @@ class StoreCatalog:
         if "__del" in out.columns:
             out = out.filter(~F.coalesce(F.col("__del"), F.lit(False))).drop("__del")
         return out
-
-    def read_version(self, spark: SparkSession, store: str, version: int) -> DataFrame:
-        return spark.read.parquet(self.version_dir(store, version))
 
     def read_version(self, spark: SparkSession, store: str, version: int) -> DataFrame:
         return spark.read.parquet(self.version_dir(store, version))

@@ -9,7 +9,7 @@ Strategies, all partition-parallel and shuffle-minimal:
   ngram_jaccard      exact jaccard between candidate pairs
   embedding_near_dup blocked cosine near-duplicate pairs over vectors
   dup_clusters       transitive dup groups (min-label connected components)
-  pack_sequences     token-budget batch assignment (sharded cumsum)
+  pack_sequences     token-budget batch assignment (sharded greedy fold)
 
 Scale design: every candidate-generation step is a hash join on a derived
 bucket key (band hash / simhash / blocking key), so the shuffle volume is
@@ -89,6 +89,14 @@ def minhash_lsh_pairs(
     construction (identical on a full band) and belong to exact/fingerprint
     dedup, the standard split in production near-dup pipelines. Default None
     keeps the exhaustive behavior the oracle checks."""
+    if not (1 <= bands <= num_hashes) or num_hashes % bands != 0:
+        # bands > num_hashes would make every band hash the empty string —
+        # ALL docs collide and the join degenerates to the O(n²) cross
+        # product the banding exists to avoid; a non-divisor silently
+        # ignores trailing hashes (quietly lower recall)
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, num_hashes={num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     # Materialize shingles + signatures once: without a barrier the band
     # self-join and the verify joins each re-derive the full md5/minhash
@@ -311,7 +319,11 @@ def embedding_near_dup_pairs(
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .withColumn("cos", dot / (F.col("a.nrm") * F.col("b.nrm")))
-        .filter(F.col("cos") >= threshold)
+        # NaN guard: a NaN vector component makes cos NaN, and Spark orders
+        # NaN ABOVE every number, so `cos >= threshold` would pair the bad
+        # row with its whole block (and semantic_dedup would then delete
+        # those docs as losers) — cosine is undefined there, exclude it
+        .filter(~F.isnan(F.col("cos")) & (F.col("cos") >= threshold))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -379,15 +391,21 @@ def pack_sequences(
     n_shards: int = 32,
 ) -> DataFrame:
     """Sequence packing for training batches: assign documents to packs of
-    ~`budget` total tokens. Greedy packing is inherently sequential, so the
-    scale-safe formulation shards first (hash of id), then packs within each
-    shard by running token total over a deterministic order — one window
-    per shard, fully parallel across shards. Output adds `shard` and
-    `pack_id`; (shard, pack_id) is the batch key.
+    at most `budget` total tokens (greedy close-on-overflow in (shard, id)
+    order — a pack NEVER exceeds the budget unless a single document alone
+    does, in which case that document gets a pack of its own). Output adds
+    `shard` and `pack_id`; (shard, pack_id) is the batch key.
 
-    Documents longer than the budget get a pack of their own (the running
-    total still advances past them)."""
-    from pyspark.sql import Window
+    Greedy packing is a data-dependent recurrence (each close decision
+    depends on the previous fill), which no window fold expresses — a
+    prefix-sum bucketing looks close but lets packs overshoot the budget
+    whenever a document straddles a boundary, breaking loaders that size
+    buffers to `budget`. So: shard first (hash of id — the ONE shuffle),
+    then run the trivial per-shard fold in an Arrow-batched applyInPandas;
+    shards are independent, so parallelism is n_shards regardless of
+    corpus size. The DuckDB oracle re-derives the identical recurrence
+    with a recursive CTE."""
+    from pyspark.sql import types as T
 
     # md5-based shard (portable construction — same math runs in any SQL
     # engine for oracle parity; xxhash64 would be marginally cheaper)
@@ -395,16 +413,27 @@ def pack_sequences(
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint"),
         F.lit(n_shards),
     ).cast("int")
-    w = Window.partitionBy("shard").orderBy(id_col)
-    return (
-        df.withColumn("shard", shard)
-        .withColumn("__cum", F.sum(F.col(token_col)).over(w))
-        .withColumn(
-            "pack_id",
-            ((F.col("__cum") - F.lit(1)) / F.lit(budget)).cast("bigint"),
-        )
-        .drop("__cum")
+    with_shard = df.withColumn("shard", shard)
+    out_schema = T.StructType(
+        list(with_shard.schema.fields) + [T.StructField("pack_id", T.LongType())]
     )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        packs = []
+        pack, fill = 0, 0
+        for n in pdf[token_col]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                pack += 1
+                fill = 0
+            fill += n
+            packs.append(pack)
+        pdf = pdf.copy()
+        pdf["pack_id"] = packs
+        return pdf
+
+    return with_shard.groupBy("shard").applyInPandas(_pack, schema=out_schema)
 
 
 def simhash_pairs(
@@ -754,17 +783,23 @@ def drop_dup_ngram_spans(
     )
     out = df.join(spans, id_col)
     w = int(window)
-    cov_positions = F.array_distinct(
-        F.flatten(
-            F.transform(
-                "dup_starts", lambda s: F.sequence(s, s + F.lit(w - 1))
-            )
-        )
-    )
+    # interval-membership test per token: exists over the (small) sorted
+    # dup_starts array — no materialized covered-position array. The
+    # tempting flatten/distinct position-set cannot be hoisted out of the
+    # filter lambda (CollapseProject inlines single-use aliases back into
+    # lambda bodies, where there is no CSE — verified in the optimized
+    # plan), which made it O(n_tokens * coverage * alloc) per row; the
+    # exists form is the same asymptotics with NO array construction and
+    # a tiny constant (two comparisons per (token, span)).
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     cleaned = F.concat_ws(
         " ",
-        F.filter(toks, lambda tok, i: ~F.array_contains(cov_positions, i)),
+        F.filter(
+            toks,
+            lambda tok, i: ~F.exists(
+                F.col("dup_starts"), lambda s: (i >= s) & (i < s + F.lit(w))
+            ),
+        ),
     )
     return out.withColumn("clean_text", cleaned)
 

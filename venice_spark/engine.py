@@ -53,6 +53,15 @@ class StoreHandle:
     def key_fields(self) -> list[str]:
         return self.catalog.get_key_fields(self.name)
 
+    def _served_partition_count(self) -> int:
+        """Partition count of the version BEING SERVED (its manifest), not
+        the live store config: update_store(partition_count=...) applies
+        from the next push, so routing reads with the new modulus against
+        data stamped with the old one would silently miss every key."""
+        meta = self.engine.catalog.get_store(self.name)
+        m = self.engine.catalog.version_manifest(self.name) or {}
+        return int(m.get("partition_count", meta.partition_count))
+
     def _keys_with_pid(self, keys: Sequence[Any]) -> tuple[DataFrame, list[int]]:
         """Key DataFrame stamped with each key's partition id — the router's
         key→partition math (VeniceDelegateMode.java:191), computed DRIVER-side
@@ -63,11 +72,12 @@ class StoreHandle:
 
         meta = self.engine.catalog.get_store(self.name)
         md5p = bool(meta.config.get("md5_parity", False))
+        n_parts = self._served_partition_count()
         kf = self.key_fields
         rows = []
         for k in keys:
             kt = (k,) if len(kf) == 1 else tuple(k)
-            rows.append((*kt, partition_id_py(kt, meta.partition_count, md5p)))
+            rows.append((*kt, partition_id_py(kt, n_parts, md5p)))
         import pyspark.sql.types as T
 
         schema = self.df().select(*kf).schema.add("partition_id", T.IntegerType(), False)
@@ -82,7 +92,9 @@ class StoreHandle:
         kf = self.key_fields
         key_tuple = (key,) if len(kf) == 1 else tuple(key)
         pid = partition_id_py(
-            key_tuple, meta.partition_count, bool(meta.config.get("md5_parity", False))
+            key_tuple,
+            self._served_partition_count(),
+            bool(meta.config.get("md5_parity", False)),
         )
         cond = F.col("partition_id") == F.lit(pid)
         for k, v in zip(kf, key_tuple):

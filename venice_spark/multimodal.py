@@ -329,7 +329,14 @@ def split_ppm_stream(payload: bytes) -> list[bytes]:
             tokens.append(int(payload[j:k]))
             j = k
         j += 1  # single whitespace byte after maxval
-        w, h, _ = tokens
+        w, h, maxval = tokens
+        if maxval > 255:
+            # 2-byte samples would make the 1-byte size math slice frames
+            # mid-pixel and silently corrupt the rest of the stream —
+            # reject loudly, matching decode_ppm's 8-bit-only contract
+            raise ValueError(
+                f"split_ppm_stream supports 8-bit frames only (maxval={maxval})"
+            )
         ch = 3 if magic == b"P6" else 1
         end = j + w * h * ch
         frames.append(payload[i:end])

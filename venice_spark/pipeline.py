@@ -127,9 +127,8 @@ def prepare_corpus(
     # threshold against the normalized corpus unigram-LM score
     if cfg.lm_weight_lo is not None and cfg.lm_weight_hi is not None:
         span = cfg.lm_weight_hi - cfg.lm_weight_lo
-        lm = unigram_logprob(kept, text_col, id_col).select(
-            id_col,
-            F.round(
+        if span > 0:
+            weight = F.round(
                 F.least(
                     F.lit(1.0),
                     F.greatest(
@@ -138,7 +137,15 @@ def prepare_corpus(
                     ),
                 ),
                 5,
-            ).alias("__lm_weight"),
+            )
+        else:
+            # lo == hi degenerates to a hard threshold; the division form
+            # would be 0/0 -> NULL -> weight 0 for EVERY doc (empty corpus)
+            weight = F.when(
+                F.col("lm_logprob") >= cfg.lm_weight_hi, F.lit(1.0)
+            ).otherwise(F.lit(0.0))
+        lm = unigram_logprob(kept, text_col, id_col).select(
+            id_col, weight.alias("__lm_weight")
         )
         sampled = importance_sample(lm, "__lm_weight", id_col).select(id_col)
         kept = kept.join(sampled, on=id_col, how="left_semi")
@@ -348,19 +355,28 @@ def inverted_index(
 ) -> DataFrame:
     """Token -> sorted posting-list index over the corpus, keeping terms
     whose document frequency lies in [min_df, max_df] (drops hapaxes and
-    stopword-scale terms whose lists would be unbounded). One shuffle on
-    token; postings are collected per token and sorted inside the row, so
-    output order inside a list is deterministic. The df band is the scale
-    guard: posting lists are capped at max_df entries by construction."""
+    stopword-scale terms whose lists would be unbounded).
+
+    The df band must be enforced BEFORE any posting list materializes: a
+    count aggregate first (cheap partial-agg longs), then collect_set only
+    for tokens inside the band — collecting first and filtering after
+    would buffer a stopword-scale token's full doc-id list in one reducer
+    row (the exact OOM the band exists to prevent). Two shuffles on the
+    token key instead of one, both bounded."""
     pairs = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(TX.tokens(text_col))).alias("token"),
     )
-    agg = pairs.groupBy("token").agg(
-        F.size(F.collect_set("doc_id")).cast("bigint").alias("df"),
+    dfreq = (
+        pairs.groupBy("token")
+        .agg(F.count("*").alias("df"))  # tokens are distinct per doc already
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    kept = pairs.join(dfreq, "token")
+    return kept.groupBy("token").agg(
+        F.first("df").cast("bigint").alias("df"),
         F.sort_array(F.collect_set("doc_id")).alias("postings"),
     )
-    return agg.filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
 
 
 def topk_per_group(

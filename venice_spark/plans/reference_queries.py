@@ -1113,19 +1113,32 @@ def x_bpe_token_count(spark, sf_dir):
 
 @register(
     "x_sequence_packing",
-    "WITH t AS (SELECT doc_id, "
+    "WITH RECURSIVE t AS (SELECT doc_id, "
     f"  len({_TOKS}) AS n, "
     "  (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32) AS shard "
     "  FROM documents), "
-    "p AS (SELECT shard, CAST((sum(n) OVER (PARTITION BY shard ORDER BY doc_id) - 1) "
-    "  // 512 AS BIGINT) AS pack_id, n FROM t) "
+    "seq AS (SELECT shard, n, "
+    "  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS i FROM t), "
+    # the greedy close-on-overflow recurrence, identical to the engine's
+    # per-shard fold: a pack closes when the next doc would push it past
+    # the 512-token budget
+    "walk(shard, i, n, pack_id, fill) AS ("
+    "  SELECT shard, i, n, CAST(0 AS BIGINT), n FROM seq WHERE i = 1 "
+    "  UNION ALL "
+    "  SELECT s.shard, s.i, s.n, "
+    "    CASE WHEN w.fill + s.n > 512 THEN w.pack_id + 1 ELSE w.pack_id END, "
+    "    CASE WHEN w.fill + s.n > 512 THEN s.n ELSE w.fill + s.n END "
+    "  FROM walk w JOIN seq s ON s.shard = w.shard AND s.i = w.i + 1"
+    ") "
     "SELECT shard, pack_id, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens "
-    "FROM p GROUP BY shard, pack_id",
+    "FROM walk GROUP BY shard, pack_id",
 )
 def x_sequence_packing(spark, sf_dir):
-    """Sequence packing: shard by id hash, running token total per shard,
-    pack = cumsum bucket of 512 tokens. Greedy packing made parallel —
-    one window per shard, shards independent (the 100 TB formulation)."""
+    """Sequence packing: shard by id hash, then the greedy
+    close-on-overflow fold per shard (packs never exceed 512 tokens unless
+    one document alone does). The recurrence is data-dependent — not a
+    window fold — so the engine runs it in an Arrow-batched applyInPandas
+    per shard and the oracle re-derives it with a recursive CTE."""
     from venice_spark.dedup import pack_sequences
     from venice_spark.functions import text as TX
 

@@ -471,12 +471,26 @@ def incremental_push(
         # pushes can never claim the same K — each appends its own slot,
         # ordered by whoever locks first (the reference serializes
         # incremental pushes per store through the controller the same way).
-        staging = os.path.join(
-            catalog.store_dir(store), f"_delta_staging-{uuid.uuid4().hex}"
-        )
-        out = repartition_and_sort(delta, key_fields, meta.partition_count, md5p)
-        out.write.mode("overwrite").partitionBy("partition_id").parquet(staging)
-        _fix_empty_partitioned_dir(out, staging)
+        def _base_partition_count(version: int) -> int:
+            # the delta MUST share the BASE version's layout: the resolve
+            # view groups on (partition_id, key), so stamping with a
+            # different modulus would split a key's base and delta rows
+            # into different groups (duplicate rows per key after an
+            # update_store partition_count change)
+            m = catalog.version_manifest(store, version) or {}
+            return int(m.get("partition_count", meta.partition_count))
+
+        def _stage(n_parts: int) -> str:
+            s = os.path.join(
+                catalog.store_dir(store), f"_delta_staging-{uuid.uuid4().hex}"
+            )
+            o = repartition_and_sort(delta, key_fields, n_parts, md5p)
+            o.write.mode("overwrite").partitionBy("partition_id").parquet(s)
+            _fix_empty_partitioned_dir(o, s)
+            return s
+
+        staged_parts = _base_partition_count(cur)
+        staging = _stage(staged_parts)
         rows = spark.read.parquet(staging).count()
         with catalog._locked(store):
             # re-resolve the CURRENT version under the lock: the staging
@@ -487,6 +501,14 @@ def incremental_push(
             # pure upsert data, so landing it on whatever is current now
             # preserves the caller's intent exactly.
             cur = catalog.get_store(store).current_version
+            target_parts = _base_partition_count(cur)
+            if target_parts != staged_parts:
+                # rare: the new current version was written with a
+                # different layout — restage with the matching modulus
+                import shutil as _sh
+
+                _sh.rmtree(staging, ignore_errors=True)
+                staging = _stage(target_parts)
             existing = catalog.list_delta_dirs(store, cur)
             k = (
                 max(int(os.path.basename(d)[1:]) for d in existing) + 1
