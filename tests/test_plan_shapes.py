@@ -170,11 +170,18 @@ def test_ngram_counts_partial_aggregates_and_heap_topk(spark, sf_dir):
     assert "Sort " not in plan or "SortAggregate" not in plan
 
 
-def test_inverted_index_single_shuffle(spark, sf_dir):
+def test_inverted_index_bounded_shuffles(spark, sf_dir):
+    """Two shuffles on the token key, both bounded: the df-count aggregate
+    (longs only) runs and FILTERS the band BEFORE any posting list is
+    collected — collecting first would buffer a stopword-scale token's
+    full doc-id list in one reducer row. The plan must show the df filter
+    upstream of the collect_set aggregate."""
     plan = _plan(QUERIES["x_inverted_index"](spark, sf_dir))
-    # one Exchange for the token groupBy; AQE may add a read node but no
-    # second shuffle stage
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    # the band filter must appear below (executed before) the collect_set
+    collect_pos = plan.find("collect_set")
+    assert collect_pos > 0, plan
+    assert "df#" in plan[collect_pos:] or "(df" in plan[collect_pos:], plan
 
 
 def test_topk_per_group_has_rank_limit_pushdown(spark, sf_dir):

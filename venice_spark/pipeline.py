@@ -8,7 +8,9 @@ The canonical 100 TB training-data prep job as a reusable library call:
 Each stage is the operator defined elsewhere in the package (functions/
 text.py, dedup.py); this module only wires them with the right barriers.
 Plan shape: narrow filter -> one dedup shuffle -> optional LSH stage ->
-one window per shard. No Python in any hot path.
+one Arrow-batched greedy fold per shard for packing (the one Python stage,
+justified: greedy packing is a data-dependent recurrence no window fold
+expresses; everything else stays in whole-stage codegen).
 """
 
 from __future__ import annotations
