@@ -147,7 +147,7 @@ def test_ivf_topk_recall(spark, sf_dir):
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.7, f"IVF recall too low: {recall}"
     # precomputed list column path (the at-scale layout) gives identical results
-    with_list = emb.withColumn("ivf_list", ivf_assign(emb, "embedding", cents))
+    with_list = emb.withColumn("ivf_list", ivf_assign("embedding", cents))
     approx2 = [r["vec_id"] for r in ivf_topk(with_list, W64, "embedding", "vec_id", cents, 10, nprobe=4, list_col="ivf_list").collect()]
     assert approx2 == approx
 
@@ -386,7 +386,7 @@ def test_kmeans_fit_recovers_separated_clusters(spark):
     cents = kmeans_fit(df, "embedding", n_clusters=3, iters=4, max_sample=60)
     assert len(cents) == 3
 
-    got = df.withColumn("c", ivf_assign(df, "embedding", cents)).collect()
+    got = df.withColumn("c", ivf_assign("embedding", cents)).collect()
     # every true cluster maps to exactly one learned cluster, bijectively
     mapping = {}
     for r in got:
@@ -423,7 +423,7 @@ def test_kmeans_fit_one_shuffle_per_iteration_mstep(spark):
     nrm = F.sqrt(VX.squared_l2_norm("embedding"))
     unit = F.transform(F.col("embedding"), lambda x: x / nrm)
     mstep = (
-        df.withColumn("__c", ivf_assign(df, "embedding", cents))
+        df.withColumn("__c", ivf_assign("embedding", cents))
         .select("__c", F.posexplode(unit).alias("pos", "x"))
         .groupBy("__c", "pos")
         .agg(F.sum("x").alias("s"))

@@ -173,3 +173,26 @@ def test_store_stats_reports_skew(spark, tmp_root):
     assert stats["version"] == 1
     # uniform keys hash close to evenly; skew stays near 1
     assert 1.0 <= stats["partition_skew"] < 1.5
+
+
+def test_error_channel_two_ops_same_field(spark, sf_dir):
+    """Review regression: two compute ops on the SAME input field must not
+    produce duplicate error-map keys (DUPLICATED_MAP_KEY abort) — entries
+    are keyed by the computed result name."""
+    from venice_spark.compute import ERROR_FIELD, ComputeRequestBuilder
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    out = (
+        ComputeRequestBuilder(df, ["vec_id"])
+        .dot_product("embedding", [1.0, 2.0], "score")
+        .cosine_similarity("embedding", [1.0, 2.0], "cos")
+        .error_channel()
+        .plan()
+    ).collect()
+    rows = {r["vec_id"]: r for r in out}
+    assert rows[1][ERROR_FIELD] == {}
+    errs = rows[2][ERROR_FIELD]
+    assert set(errs) == {"score", "cos"}  # one entry per computed field
+    assert "embedding is null" in errs["score"]

@@ -229,3 +229,23 @@ def test_record_transformer_side_sink_parquet(spark, tmp_root, tmp_path):
     df = spark.createDataFrame([("a", 1.0)], "key string, val double")
     eng.push("s", df, record_transformer=PqSink())
     assert spark.read.parquet(side_dir).count() == 1
+
+
+def test_rt_log_read_merges_flush_schemas(spark, tmp_root):
+    """Review regression: each flush writes only the columns its buffered
+    ops carried; reading the log must merge footers or value columns from
+    other flushes silently vanish."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import read_rt_log
+
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("r", key_fields=["id"], hybrid=True)
+    p = eng.store("r").producer()
+    p.delete(1, ts=5)
+    p.flush()              # delete-only flush: no value columns in footer
+    p.put(2, {"x": 7.0}, ts=6)
+    p.flush()
+    log = read_rt_log(spark, eng.catalog, "r")
+    assert "x" in log.columns
+    vals = {r["id"]: (r["op"], r["x"]) for r in log.collect()}
+    assert vals[2][1] == 7.0 and vals[1][0] == "DELETE"

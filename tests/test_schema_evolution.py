@@ -37,7 +37,9 @@ def test_missing_field_compute_null_plus_error(spark, tmp_path):
     rows = {r["id"]: r for r in out.collect()}
     assert rows["a"]["score"] is not None
     assert rows["b"]["score"] is None  # missing field -> NULL result, no crash
-    assert "member_feature" in (rows["b"][ERROR_FIELD] or {})
+    errs = rows["b"][ERROR_FIELD] or {}
+    assert "score" in errs  # keyed by the COMPUTED field (no dup-key abort)
+    assert "member_feature" in errs["score"]  # message names the input field
     assert rows["b"]["name"] == "n2"  # swapped order resolved by name
 
 
@@ -68,4 +70,5 @@ def test_length_mismatch_error_entry(spark):
         .plan()
     ).first()
     assert out["score"] is None
-    assert "member_feature" in out[ERROR_FIELD]
+    assert "score" in out[ERROR_FIELD]
+    assert "member_feature" in out[ERROR_FIELD]["score"]

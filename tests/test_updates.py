@@ -144,3 +144,31 @@ def test_merge_op_log_pre_combine_matches_direct(spark):
         f = {r["key"]: (r["first"], r["tags"]) for r in fast.collect()}
         assert d == c == f
         assert "k0" not in d  # deleted keys emit no row on any path
+
+
+def test_equal_ts_add_rem_tie_matches_dcr_kernel(spark):
+    """Review regression: add and remove of the same element at the SAME
+    timestamp must resolve identically in apply_update_log and the DCR
+    kernel — Venice's delete-wins-ties convention (Merge.java:27-38)."""
+    from venice_spark.merge.dcr import merge_ops
+    from venice_spark.updates import FieldSpec, apply_update_log
+
+    base = spark.createDataFrame([("k1", [])], "key string, tags array<string>")
+    log = spark.createDataFrame(
+        [("k1", 5, ["x"], None), ("k1", 5, None, ["x"]), ("k1", 1, ["keep"], None)],
+        "key string, ts long, add_tags array<string>, rem_tags array<string>",
+    )
+    out = apply_update_log(
+        base, log, ["key"], [FieldSpec("tags", "list")], ts_col="ts"
+    ).collect()
+    got = sorted(out[0]["tags"])
+    assert got == ["keep"]  # 'x' removed: delete wins the tie
+    dcr = merge_ops(
+        [
+            {"op": "UPDATE", "ts": 5, "update": {"add_tags": ["x"]}},
+            {"op": "UPDATE", "ts": 5, "update": {"rem_tags": ["x"]}},
+            {"op": "UPDATE", "ts": 1, "update": {"add_tags": ["keep"]}},
+        ],
+        list_fields={"tags"},
+    )
+    assert sorted(dcr["tags"]) == got

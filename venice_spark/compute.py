@@ -99,7 +99,10 @@ class ComputeRequestBuilder:
             for op in self.ops:
                 if op.kind in ("dot_product", "cosine_similarity", "hadamard_product"):
                     entry = vectors.compute_error_entries(
-                        op.field, op.field, len(op.param) if op.param else None
+                        op.field,
+                        op.field,
+                        len(op.param) if op.param else None,
+                        key_name=op.result_name,
                     )
                     err = F.map_concat(err, entry)
             cols.append(err.alias(ERROR_FIELD))

@@ -888,7 +888,7 @@ def semantic_dedup(
     from venice_spark.similarity import ivf_assign, kmeans_fit
 
     cents = kmeans_fit(df, vec_col, n_clusters=n_clusters, iters=kmeans_iters)
-    assigned = df.withColumn("__sc", ivf_assign(df, vec_col, cents))
+    assigned = df.withColumn("__sc", ivf_assign(vec_col, cents))
     pairs = embedding_near_dup_pairs(assigned, vec_col, id_col, "__sc", threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return assigned.join(F.broadcast(losers), id_col, "left_anti").drop("__sc")

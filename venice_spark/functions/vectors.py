@@ -101,11 +101,18 @@ def collection_count(field: Column | str) -> Column:
 
 
 def compute_error_entries(
-    field_name: str, field: Column | str, param_len: int | None
+    field_name: str,
+    field: Column | str,
+    param_len: int | None,
+    key_name: str | None = None,
 ) -> Column:
     """R9. Error-channel map for one computed field: entries only for actual
     errors, mirroring __veniceComputationError__
-    (ComputeUtils.java:69-143)."""
+    (ComputeUtils.java:69-143). The map is keyed by `key_name` (the
+    COMPUTED field's result name — two ops over the same input field must
+    not collide into a duplicate map key, which aborts the query); the
+    message text still names the input field."""
+    key = key_name or field_name
     c = F.col(field) if isinstance(field, str) else field
     err = F.when(
         c.isNull(), F.lit(f"field {field_name} is null")
@@ -119,7 +126,7 @@ def compute_error_entries(
                 F.lit(f" != param length {param_len}"),
             ),
         )
-    return F.when(err.isNotNull(), F.create_map(F.lit(field_name), err)).otherwise(
+    return F.when(err.isNotNull(), F.create_map(F.lit(key), err)).otherwise(
         F.create_map().cast("map<string,string>")
     )
 

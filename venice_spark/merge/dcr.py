@@ -210,8 +210,14 @@ class RecordState:
             if tomb_t is not None and (cs.whole.t is None or cs.whole.t < tomb_t):
                 cs.delete_whole(tomb_t[0], tomb_t[3])
             present = cs.has_elements()
+            # an un-tombstoned whole-collection PUT keeps the record alive
+            # even when its surviving element set is empty: PUT {'tags':[]}
+            # or removing the last element must leave an empty-collection
+            # record, never silently delete it (only an explicit DELETE op
+            # kills the record)
+            put_alive = cs.whole.is_put and cs.whole.t is not None
             out[name] = cs.as_map() if (cs.is_map or name in map_fields) else cs.as_list()
-            alive = alive or present
+            alive = alive or present or put_alive
         return out if alive else None
 
 

@@ -204,7 +204,7 @@ def r9_error_channel(spark, sf_dir):
         .plan()
     )
     return out.select(
-        "vec_id", "score", F.element_at(F.col(ERROR_FIELD), "embedding").alias("err")
+        "vec_id", "score", F.element_at(F.col(ERROR_FIELD), "score").alias("err")
     )
 
 

@@ -96,4 +96,10 @@ class ProducerUpdateBuilder(UpdateBuilder):
 
 
 def read_rt_log(spark: SparkSession, catalog: StoreCatalog, store: str) -> DataFrame:
-    return spark.read.parquet(catalog.update_log_dir(store))
+    """Read the append-only RT log. mergeSchema is REQUIRED: each flush
+    writes only the columns its buffered ops carried (a delete-only flush
+    has no value columns), and a single-footer read would silently drop
+    every other flush's value/update columns."""
+    return spark.read.option("mergeSchema", "true").parquet(
+        catalog.update_log_dir(store)
+    )

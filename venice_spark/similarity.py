@@ -290,9 +290,19 @@ def knn_classify(
     blocked=False is the exact brute-force baseline the oracle re-derives.
     Returns [id_col, predicted label, votes, total among k]."""
     if blocked:
-        d = dim or len(
-            labeled.select(vec_col).first()[0]
-        )
+        if dim is None:
+            first = (
+                labeled.select(vec_col)
+                .filter(F.col(vec_col).isNotNull())
+                .first()
+            )
+            if first is None:
+                raise ValueError(
+                    "knn_classify: labeled seed set has no non-null vectors "
+                    "(pass dim= explicitly or provide labeled rows)"
+                )
+            dim = len(first[0])
+        d = dim
         nn = knn_join_lsh(unlabeled, labeled, vec_col, id_col, id_col, k=k, dim=d)
     else:
         nn = knn_join(
@@ -410,6 +420,12 @@ def train_ivf_centroids(
         .limit(max_sample)
         .collect()
     )
+    sample = [r for r in sample if r[0] is not None]
+    if not sample:
+        raise ValueError(
+            "train_ivf_centroids: no non-null vectors in the sample "
+            "(empty corpus or sample_fraction too small)"
+        )
     x = np.array([r[0] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -437,10 +453,11 @@ def train_ivf_centroids(
     return cents.tolist()
 
 
-def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]):
+def ivf_assign(vec_col: str, centroids: list[list[float]]):
     """Column: index of the nearest (max-cosine) centroid — the IVF list id.
-    Pure JVM expressions (one dot product per centroid, greatest() select);
-    write the corpus partitioned by this column and probes become partition
+    A free Column over `vec_col` (not bound to any frame). Pure JVM
+    expressions (one dot product per centroid, greatest() select); write
+    the corpus partitioned by this column and probes become partition
     pruning."""
     nrm = F.sqrt(VX.squared_l2_norm(vec_col))
     sims = [VX.dot_product(vec_col, c) / nrm for c in ivf_normalized(centroids)]
@@ -482,7 +499,7 @@ def ivf_topk(
         key=lambda i: -sum(a * b for a, b in zip(q, cents[i])),
     )
     probe = ranked[:nprobe]
-    lc = F.col(list_col) if list_col else ivf_assign(df, vec_col, centroids)
+    lc = F.col(list_col) if list_col else ivf_assign(vec_col, centroids)
     cos = VX.cosine_similarity(vec_col, list(query))
     return (
         df.filter(lc.isin(probe))
@@ -505,7 +522,7 @@ def ivf_build_index(
     a single row is read (the claim SCALE.md makes; the plan-shape test
     asserts PartitionFilters on the probe scan). One shuffle-free pass:
     ivf_assign is pure JVM expressions."""
-    out = df.withColumn("ivf_list", ivf_assign(df, vec_col, centroids))
+    out = df.withColumn("ivf_list", ivf_assign(vec_col, centroids))
     out.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
 
 
@@ -565,7 +582,7 @@ def kmeans_fit(
     unit = F.transform(F.col(vec_col), lambda x: x / safe)
 
     for _ in range(iters):
-        assigned = df.withColumn("__c", ivf_assign(df, vec_col, cents))
+        assigned = df.withColumn("__c", ivf_assign(vec_col, cents))
         rows = (
             assigned.select("__c", F.posexplode(unit).alias("pos", "x"))
             .groupBy("__c", "pos")

@@ -46,7 +46,9 @@ def read_input(
     cols = []
     if key_field:
         cols.append(key_field)
-    cols.extend(value_fields or [c for c in df.columns if c != key_field])
+    if value_fields is None:
+        value_fields = [c for c in df.columns if c != key_field]
+    cols.extend(value_fields)  # [] is a deliberate key-only projection
     return df.select(*cols)
 
 
@@ -130,9 +132,8 @@ def decode_kafka_updates(
     payload = F.from_json(F.col("value").cast("string"), value_schema)
     out = wire.select(
         F.col("timestamp").alias("__broker_ts"),
-        F.col("offset").alias("__offset"),
         payload.alias("__p"),
-    ).select("__p.*", "__broker_ts", "__offset")
+    ).select("__p.*", "__broker_ts")
     ts_col = ts_from_payload or "ts"
     if ts_col in out.columns:
         out = out.withColumn(
@@ -141,4 +142,4 @@ def decode_kafka_updates(
         )
     else:
         out = out.withColumn(ts_col, F.unix_millis(F.col("__broker_ts")))
-    return out.drop("__broker_ts", "__offset")
+    return out.drop("__broker_ts")

@@ -199,9 +199,10 @@ def apply_update_log(
         """Last-op-per-element fold shared by list and map fields: one
         shuffle on (key, element), then per-key collect of survivors.
         Element ops older than the field's winning whole-collection set are
-        dropped (the set wiped them); add wins add/rem ties at equal ts
-        (deterministic, matches DCR's put-beats-delete-at-equal-ts inverse
-        documented in merge/dcr.py)."""
+        dropped (the set wiped them); REMOVE wins add/rem ties at equal ts
+        — the Venice delete-wins-ties convention (Merge.java:27-38), and
+        the same rule the DCR kernel applies, so both consumers of one
+        update log converge on identical state."""
         all_ops = ops[0]
         for o in ops[1:]:
             all_ops = all_ops.unionByName(o, allowMissingColumns=True)
@@ -212,7 +213,7 @@ def apply_update_log(
                 F.col(setts_c).isNull() | (F.col(ts_col) >= F.col(setts_c))
             )
         we = Window.partitionBy(*key_fields, elem_col).orderBy(
-            F.col(ts_col).desc(), F.col("op").asc()
+            F.col(ts_col).desc(), F.col("op").desc()  # 'rem' > 'add': remove wins ties
         )
         last = (
             all_ops.filter(F.col(elem_col).isNotNull())
