@@ -151,9 +151,15 @@ def main():
     # query that touches them), and spin up the Arrow/Python worker pool —
     # otherwise the first mapInPandas query pays ~2.5s of worker startup and
     # the JIT churn bleeds multi-second jitter into the queries after it
-    try:
-        for t in ("lineitem", "documents", "embeddings", "events"):
+    # per-stage try blocks: one missing table must not skip the Arrow
+    # worker-pool spin-up or the push warm (those costs would then land
+    # inside timed queries as spurious over-budget noise)
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        try:
             spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+        except Exception:
+            errors.setdefault("_warmup", f"missing table {t}")
+    try:
         spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
             "md5(text)", "split(text, ' ')"
         ).write.format("noop").mode("overwrite").save()
@@ -222,7 +228,16 @@ def main():
             dt = round(time.monotonic() - t0, 3)
             timings["r2_store_batch_get"] = min(timings.get("r2_store_batch_get", dt), dt)
         except Exception:
-            errors["w8_batch_push"] = traceback.format_exc(limit=2)
+            # label the error by what actually failed: the push populates
+            # its timing before the serving section runs
+            section = (
+                "w8_batch_push"
+                if "w8_batch_push" not in timings
+                else "r2_store_batch_get"
+                if "r1_store_point_get" in timings
+                else "r1_store_point_get"
+            )
+            errors[section] = traceback.format_exc(limit=2)
             break
         finally:
             shutil.rmtree(root, ignore_errors=True)
@@ -288,13 +303,16 @@ def main():
         print(f"WARN query error: {n}: {msg.splitlines()[-1] if msg else ''}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = None  # non-standard dir name; never drop the JSON line over it
     out = {
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": sf,
     }
     if errors:
         out["errors"] = {n: m.splitlines()[-1][:300] for n, m in errors.items()}

@@ -156,3 +156,25 @@ def test_concurrent_schema_registration_serializes(tmp_root):
     # every registration got a unique, dense schema id
     assert ids == list(range(1, 13))
     assert len(StoreCatalog(tmp_root).get_store("sreg").value_schemas) == 12
+
+
+def test_float_keys_route_via_expression_fallback(spark, tmp_root):
+    """Review regression: Python str(float) differs from Spark's
+    cast-to-string (1e8 -> '1.0E8' in Java), so float keys must route
+    through the column-expression fallback — gets would otherwise silently
+    miss existing rows."""
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("f", key_fields=["k"], partition_count=8)
+    df = spark.createDataFrame(
+        [(1e8, "big"), (0.5, "half"), (1.0e-4, "tiny"), (3.0, "three")],
+        "k double, v string",
+    )
+    eng.push("f", df)
+    st = eng.store("f")
+    for k, v in [(1e8, "big"), (0.5, "half"), (1.0e-4, "tiny"), (3.0, "three")]:
+        row = st.get(k)
+        assert row is not None and row["v"] == v, k
+    got = {r["k"]: r["v"] for r in st.batch_get([1e8, 0.5, 123.0]).collect()}
+    assert got == {1e8: "big", 0.5: "half"}

@@ -62,27 +62,49 @@ class StoreHandle:
         m = self.engine.catalog.version_manifest(self.name) or {}
         return int(m.get("partition_count", meta.partition_count))
 
+    @staticmethod
+    def _py_routable(key_tuples) -> bool:
+        """True when every key component is int/str/bool — the types whose
+        Python str() is byte-identical to Spark's cast-to-string, so the
+        driver-side hash twin is exact. Floats (Java '1.0E8' vs Python
+        '100000000.0') and nulls (concat_ws skips them) must route through
+        the real column expression instead."""
+        return all(
+            isinstance(c, (int, str)) and not isinstance(c, float)
+            for kt in key_tuples
+            for c in kt
+        )
+
     def _keys_with_pid(self, keys: Sequence[Any]) -> tuple[DataFrame, list[int]]:
         """Key DataFrame stamped with each key's partition id — the router's
-        key→partition math (VeniceDelegateMode.java:191), computed DRIVER-side
-        with the pure-Python twin of the partitioner (partition_id_py parity-
-        tested against the column expression) so no Spark job is spent on
-        routing; the ids drive directory pruning."""
-        from venice_spark.partitioner import partition_id_py
+        key→partition math (VeniceDelegateMode.java:191). For int/str keys
+        this is computed DRIVER-side with the pure-Python twin of the
+        partitioner (partition_id_py, parity-tested against the column
+        expression) so no Spark job is spent on routing; other key types
+        fall back to stamping with the actual column expression (one tiny
+        local job over the key rows). The ids drive directory pruning."""
+        from venice_spark.partitioner import partition_id_py, with_partition_id
 
         meta = self.engine.catalog.get_store(self.name)
         md5p = bool(meta.config.get("md5_parity", False))
         n_parts = self._served_partition_count()
         kf = self.key_fields
-        rows = []
-        for k in keys:
-            kt = (k,) if len(kf) == 1 else tuple(k)
-            rows.append((*kt, partition_id_py(kt, n_parts, md5p)))
+        kts = [((k,) if len(kf) == 1 else tuple(k)) for k in keys]
         import pyspark.sql.types as T
 
-        schema = self.df().select(*kf).schema.add("partition_id", T.IntegerType(), False)
-        kdf = self.spark.createDataFrame(rows, schema=schema)
-        return kdf, sorted({r[-1] for r in rows})
+        if self._py_routable(kts):
+            rows = [(*kt, partition_id_py(kt, n_parts, md5p)) for kt in kts]
+            schema = self.df().select(*kf).schema.add(
+                "partition_id", T.IntegerType(), False
+            )
+            kdf = self.spark.createDataFrame(rows, schema=schema)
+            return kdf, sorted({r[-1] for r in rows})
+        base = self.spark.createDataFrame(kts, schema=self.df().select(*kf).schema)
+        kdf = with_partition_id(base, kf, n_parts, md5p)
+        pids = sorted(
+            r[0] for r in kdf.select("partition_id").distinct().collect()
+        )
+        return kdf, pids
 
     # ---- R1 single get ----
     def get(self, key: Any) -> Row | None:
@@ -91,11 +113,15 @@ class StoreHandle:
         meta = self.engine.catalog.get_store(self.name)
         kf = self.key_fields
         key_tuple = (key,) if len(kf) == 1 else tuple(key)
-        pid = partition_id_py(
-            key_tuple,
-            self._served_partition_count(),
-            bool(meta.config.get("md5_parity", False)),
-        )
+        if self._py_routable([key_tuple]):
+            pid = partition_id_py(
+                key_tuple,
+                self._served_partition_count(),
+                bool(meta.config.get("md5_parity", False)),
+            )
+        else:
+            _, pids = self._keys_with_pid([key])
+            pid = pids[0]
         cond = F.col("partition_id") == F.lit(pid)
         for k, v in zip(kf, key_tuple):
             cond = cond & (F.col(k) == F.lit(v))

@@ -161,6 +161,15 @@ def partition_id_py(key_values, num_partitions: int, md5_parity: bool = False) -
 def _str_form(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, float) and v == int(v):
-        return str(v)
+    if v is None or isinstance(v, float):
+        # Python str() of a float does not match Spark's cast-to-string
+        # (1e8 -> '100000000.0' vs Java '1.0E8'), and concat_ws SKIPS null
+        # components while a driver-side 'None' would hash them — either
+        # would silently route to the wrong partition. The engine detects
+        # these types and falls back to stamping with the actual column
+        # expression instead.
+        raise TypeError(
+            "partition_id_py supports int/str/bool key components; "
+            "float/null keys route via the column expression"
+        )
     return str(v)

@@ -16,6 +16,10 @@ from pyspark.sql import Column
 
 
 def and_(*preds: Column) -> Column:
+    """Conjunction; empty input is the identity TRUE (matches
+    Predicate.and() over zero predicates — select everything)."""
+    if not preds:
+        return F.lit(True)
     out = preds[0]
     for p in preds[1:]:
         out = out & p
@@ -23,6 +27,9 @@ def and_(*preds: Column) -> Column:
 
 
 def or_(*preds: Column) -> Column:
+    """Disjunction; empty input is the identity FALSE (select nothing)."""
+    if not preds:
+        return F.lit(False)
     out = preds[0]
     for p in preds[1:]:
         out = out | p

@@ -41,8 +41,14 @@ def get_spark(app_name: str = "venice_spark", master: str | None = None) -> Spar
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/venice_spark_warehouse"),
         )
     )
+    env_master = os.environ.get("SPARK_MASTER")
     if master is not None:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
+    elif env_master:
+        # honor the env var's VALUE — Spark itself does not read
+        # SPARK_MASTER outside spark-submit, so merely skipping the local
+        # default would fail with 'A master URL must be set'
+        builder = builder.master(env_master)
+    else:
         builder = builder.master(f"local[{_DEFAULT_LOCAL_CPUS}]")
     return builder.getOrCreate()

@@ -26,18 +26,32 @@ partitionings, and cluster sizes.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from venice_spark.functions import text as TX
+
 END = "</w>"
+
+
+# ONE whitespace regime for learning AND encoding: Java \s (the Spark
+# split below) is ASCII-only, so the Python-side encoder must split on the
+# same class — str.split() would also break on Unicode whitespace (\xa0 in
+# HTML-derived text), making encode disagree with the learned word stats.
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _split_words(text: str) -> list[str]:
+    return [w for w in _WS.split(text.strip()) if w]
 
 
 def _word_counts(df: DataFrame, text_col: str, max_word_types: int):
     """Distributed (word, count), top types by count (ties: lexicographic)."""
     wc = (
-        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        df.select(F.explode(TX.tokens(text_col)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("c"))
@@ -135,15 +149,18 @@ def bpe_encode(
         import pandas as pd
 
         ranks = bc.value
-        memo: dict[str, list[str]] = {}
         for pdf in batches:
+            # per-batch memo (bounded by the batch's distinct word types;
+            # a task-lifetime memo grows without bound on high-cardinality
+            # text like URLs/IDs)
+            memo: dict[str, list[str]] = {}
             toks = []
             for text in pdf[text_col]:
                 if text is None:
                     toks.append(None)
                     continue
                 out: list[str] = []
-                for w in str(text).split():
+                for w in _split_words(str(text)):
                     got = memo.get(w)
                     if got is None:
                         got = encode_word(w, ranks)
