@@ -403,3 +403,51 @@ def test_merge_op_log_scalar_fast_path_spark(spark):
     # ts-tie semantics: key 1 deleted (DELETE ties PUT@20 and wins); key 2
     # survives (delete older); key 3 deleted (tie); key 4 = NULL-value put
     assert set(f) == {2, 4} and f[2] == 9.0 and f[4] is None
+
+
+def test_record_liveness_property():
+    """Liveness law (review regression): a merged record is None iff the
+    dominating operation at the record level is a DELETE — collection
+    emptiness never deletes a record on its own. Checked over randomized
+    op logs in shuffled arrival order."""
+    import random
+
+    from venice_spark.merge.dcr import merge_ops
+
+    rng = random.Random(11)
+    for trial in range(60):
+        n_ops = rng.randint(1, 6)
+        ops = []
+        for i in range(n_ops):
+            ts = rng.randint(1, 5)
+            kind = rng.choice(["PUT", "DELETE", "UPDATE"])
+            if kind == "PUT":
+                val = {"tags": rng.sample(["a", "b", "c"], rng.randint(0, 2))}
+                ops.append({"op": "PUT", "ts": ts, "value": val})
+            elif kind == "DELETE":
+                ops.append({"op": "DELETE", "ts": ts})
+            else:
+                upd = {}
+                if rng.random() < 0.7:
+                    upd["add_tags"] = rng.sample(["a", "b", "c"], 1)
+                else:
+                    upd["rem_tags"] = rng.sample(["a", "b", "c"], 1)
+                ops.append({"op": "UPDATE", "ts": ts, "update": upd})
+        shuffled = ops[:]
+        rng.shuffle(shuffled)
+        out = merge_ops(shuffled, list_fields={"tags"})
+        # model: record dead iff a DELETE dominates every PUT (higher ts,
+        # or equal ts — delete wins ties) AND no UPDATE creates state that
+        # outlives it. A PUT at ts > all deletes => alive, whatever its
+        # content (including empty tags).
+        max_del = max((o["ts"] for o in ops if o["op"] == "DELETE"), default=None)
+        put_alive = any(
+            o["op"] == "PUT" and (max_del is None or o["ts"] > max_del)
+            for o in ops
+        )
+        if put_alive:
+            assert out is not None, (trial, ops)
+        if out is None:
+            assert not put_alive, (trial, ops)
+        # determinism across arrival orders
+        assert out == merge_ops(ops, list_fields={"tags"}), (trial, ops)
