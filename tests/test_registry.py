@@ -47,6 +47,40 @@ def test_registry_query_runs(spark, sf_dir, name):
     df.limit(1).collect()
 
 
+# Window queries allowed to return array/map/struct columns. EMPTY on
+# purpose: the driver canonicalizes result frames with pandas sort_values,
+# which cannot factorize list values — a raw complex column errs the row
+# even when values match the oracle (CORRECTNESS_r03: x_random_projection,
+# x_dup_ngram_spans). Explode or serialize instead; whitelist only if the
+# driver's canonicalizer ever learns to sort complex values.
+_COMPLEX_OK: set[str] = set()
+
+
+def test_window_outputs_are_driver_canonicalizable(spark, sf_dir):
+    """No query inside the driver's checked window may expose a raw
+    array/map/struct column (VERDICT r3 'Next round' #2 — closes the
+    local-gate/driver-canonicalizer asymmetry that hid the r03 errs)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {}
+    for name in list(QUERIES)[:DRIVER_WINDOW]:
+        if name in _COMPLEX_OK:
+            continue
+        schema = QUERIES[name](spark, sf_dir).schema
+        complex_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, (
+        "driver-window queries output complex-typed columns the driver's "
+        f"pandas canonicalizer cannot sort: {bad} — explode or serialize "
+        "(see x_random_projection / x_dup_ngram_spans)"
+    )
+
+
 def test_dedup_queries_leave_no_cached_plans(spark, sf_dir):
     """minhash/simhash/cluster queries persist intermediates internally; the
     persists must be function-local. CacheManager entries live until an
@@ -79,10 +113,10 @@ def test_driver_window_carries_only_oracle_queries():
         "x_token_count", "x_fingerprint", "r8_count_array", "x_simhash",
         "x_knn_join", "x_distinct_users",
         # round-3 demotions: each family keeps a stronger in-window query
-        # (x_text_quality, x_minhash_near_dup, x_ngram_counts, w1's
+        # (x_text_quality, x_minhash_near_dup, x_tfidf_terms, w1's
         # WindowGroupLimit shape)
         "x_bpe_token_count", "x_dedup_ngram_jaccard", "x_quality_score",
-        "x_topk_per_group", "x_inverted_index", "x_embed_centroids",
+        "x_topk_per_group", "x_inverted_index",
         # round-3 late demotions making room for x_unigram_logprob and
         # x_random_projection: r4 is exercised by every query's select,
         # the salted count is the r11 answer with a skew-safe plan twin
@@ -93,24 +127,20 @@ def test_driver_window_carries_only_oracle_queries():
         "x_importance_sample",
         # vector-kNN family carried in-window by x_knn_join_lsh
         "x_knn_classify",
-        # sequence-prep family carried in-window by x_sequence_packing
-        "x_chunk_documents",
-        # pigeonhole-pairs family carried in-window by x_simhash_pairs
-        "x_fuzzy_key_pairs",
-        # corpus-stats family carried in-window by x_ngram_counts
-        "x_tfidf_terms",
         # per-row text-kernel family carried in-window by x_text_quality
         "x_feature_hash",
         # line-boilerplate family; dup-line metric carried by x_repetition_filter
         "x_drop_common_lines",
         # hash64-threshold family carried in-window by x_stratified_sample
         "x_shard_plan", "x_oversample", "x_split_assign",
-        # components family: exact WITH RECURSIVE oracle, checked locally
-        "x_dup_clusters",
         # one-pass stats family: exact ROLLUP oracle, checked locally
         "x_corpus_report",
         # per-row text-kernel family carried in-window by x_text_quality
         "x_blocklist_hits",
+        # round-4 rotation demotions: driver-certified green in r03, parked
+        # to make window room for previously-uncertified families
+        "x_pii_scrub", "x_lang_id", "x_repetition_filter",
+        "x_event_percentiles", "x_ngram_counts",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

@@ -246,6 +246,46 @@ def test_minhash_pairs_vs_history(spark):
     assert {(n, h) for (n, h) in got} == cross
 
 
+def test_minhash_band_param_guards(spark):
+    """Bad banding parameters fail loudly at every band-row entry point
+    (bands>num_hashes = empty-string band hash = O(n²) candidate blowup;
+    non-divisor = silently dropped trailing hashes), and a probe whose
+    parameters differ from what the persisted band table was built with is
+    rejected instead of silently missing near-duplicates (ADVICE r3)."""
+    import pytest
+
+    from venice_spark.dedup import (
+        minhash_band_table,
+        minhash_pairs_vs_history,
+    )
+
+    df = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divide"):
+        minhash_band_table(df, "text", "doc_id", num_hashes=16, bands=24)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_band_table(df, "text", "doc_id", num_hashes=16, bands=3)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_pairs_vs_history(
+            df, df, df, "text", "doc_id", num_hashes=16, bands=5
+        )
+
+    bands = minhash_band_table(df, "text", "doc_id", num_hashes=16, bands=8)
+    assert {"num_hashes", "bands", "shingle_n"} <= set(bands.columns)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        minhash_pairs_vs_history(
+            df, bands, df, "text", "doc_id", num_hashes=16, bands=4
+        )
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        minhash_pairs_vs_history(
+            df, bands, df, "text", "doc_id", num_hashes=16, bands=8, shingle_n=5
+        )
+    # matching parameters pass the gate (and drop the metadata columns)
+    ok = minhash_pairs_vs_history(
+        df, bands, df, "text", "doc_id", num_hashes=16, bands=8
+    )
+    assert set(ok.columns) == {"new_id", "hist_id", "jaccard"}
+
+
 def test_corpus_ingest_replay_is_idempotent(spark, tmp_path):
     """Losing the checkpoint and replaying the same source must leave the
     store unchanged: per-key latest-wins makes the doc push idempotent and

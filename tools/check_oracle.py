@@ -73,6 +73,9 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    from venice_spark.plans.reference_queries import DRIVER_WINDOW
+
+    window_names = set(list(queries)[:DRIVER_WINDOW])
     results = {}
     for name, fn in queries.items():
         if only and name not in only:
@@ -83,6 +86,25 @@ def main():
         except Exception as e:
             results[name] = f"SPARK ERROR: {e}"
             continue
+        # Mirror the driver's canonicalizer limitation: it sorts result
+        # frames with pandas, which cannot factorize list/dict values. A
+        # window query with a complex-typed column errs there even when the
+        # values match (CORRECTNESS_r03) — flag it here too instead of
+        # normalizing it away.
+        if name in window_names:
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if complex_cols:
+                results[name] = (
+                    f"DRIVER-UNSORTABLE OUTPUT: complex columns {complex_cols} "
+                    "inside the driver window (explode or serialize them)"
+                )
+                continue
         if name not in oracles:
             results[name] = f"rows-only ({len(spdf)} rows)"
             continue

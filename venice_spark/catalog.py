@@ -335,10 +335,19 @@ class StoreCatalog:
             self._write_meta(meta)
             return to_version
 
-    def retire_old_versions(self, store: str, keep: int = 2) -> list[int]:
+    def retire_old_versions(
+        self, store: str, keep: int = 2, spark: "SparkSession | None" = None
+    ) -> list[int]:
         """Drop all but the newest `keep` versions (never the current one).
         Locked so a concurrent commit's pointer flip can't interleave with
-        the current-version read here."""
+        the current-version read here.
+
+        Pass `spark` to also DROP the session-catalog tables that
+        BucketedViewDef.write registered for retired versions — without it
+        the metastore keeps entries pointing at deleted LOCATIONs (ADVICE
+        r3). read_bucketed_view additionally verifies the location exists,
+        so a sparkless retirement still fails loudly rather than serving a
+        broken table."""
         with self._locked(store):
             meta = self.get_store(store)
             versions = self.list_versions(store)
@@ -354,6 +363,14 @@ class StoreCatalog:
                     parent = os.path.dirname(vdir)
                     for name in os.listdir(parent):
                         if name.startswith(f"{base}__"):
+                            if spark is not None and name.startswith(
+                                f"{base}__bucketed_"
+                            ):
+                                # push.BucketedViewDef.table_name(store, v)
+                                view = name[len(f"{base}__bucketed_"):]
+                                spark.sql(
+                                    f"DROP TABLE IF EXISTS {store}__{view}_v{v}"
+                                )
                             shutil.rmtree(
                                 os.path.join(parent, name), ignore_errors=True
                             )

@@ -89,14 +89,7 @@ def minhash_lsh_pairs(
     construction (identical on a full band) and belong to exact/fingerprint
     dedup, the standard split in production near-dup pipelines. Default None
     keeps the exhaustive behavior the oracle checks."""
-    if not (1 <= bands <= num_hashes) or num_hashes % bands != 0:
-        # bands > num_hashes would make every band hash the empty string —
-        # ALL docs collide and the join degenerates to the O(n²) cross
-        # product the banding exists to avoid; a non-divisor silently
-        # ignores trailing hashes (quietly lower recall)
-        raise ValueError(
-            f"bands must divide num_hashes (got bands={bands}, num_hashes={num_hashes})"
-        )
+    _check_band_params(num_hashes, bands)
     rows_per_band = num_hashes // bands
     # Materialize shingles + signatures once: without a barrier the band
     # self-join and the verify joins each re-derive the full md5/minhash
@@ -174,9 +167,26 @@ def minhash_lsh_pairs(
     return out
 
 
+def _check_band_params(num_hashes: int, bands: int) -> None:
+    """bands > num_hashes would make every band hash the empty string — ALL
+    docs collide and the band join degenerates to the O(n²) cross product the
+    banding exists to avoid; a non-divisor silently ignores trailing hashes
+    (quietly lower recall). Every band-row entry point shares this guard."""
+    if not (1 <= bands <= num_hashes) or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, num_hashes={num_hashes})"
+        )
+
+
+# band-table metadata columns carrying the index parameters; probes assert
+# parity against them before joining (a silent mismatch = silent recall loss)
+_BAND_PARAM_COLS = ("num_hashes", "bands", "shingle_n")
+
+
 def _band_rows(
     sigs: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
+    _check_band_params(num_hashes, bands)
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -204,9 +214,20 @@ def minhash_band_table(
     — `bands` small rows per document. Store this once (partitioned or
     bucketed by (band_idx, h) at scale) and every future ingest batch
     probes near-duplicates against history WITHOUT recomputing historical
-    signatures: the md5/minhash chain runs once per document ever."""
+    signatures: the md5/minhash chain runs once per document ever.
+
+    The index parameters (num_hashes, bands, shingle_n) ride along as
+    constant columns — parquet dictionary/RLE encodes them to nothing, and
+    minhash_pairs_vs_history asserts probe/index parity against them before
+    joining (a probe built with different parameters silently misses
+    near-duplicates otherwise)."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    return _band_rows(sigs, id_col, num_hashes, bands)
+    rows = _band_rows(sigs, id_col, num_hashes, bands)
+    return (
+        rows.withColumn("num_hashes", F.lit(num_hashes))
+        .withColumn("bands", F.lit(bands))
+        .withColumn("shingle_n", F.lit(shingle_n))
+    )
 
 
 def minhash_pairs_vs_history(
@@ -226,7 +247,29 @@ def minhash_pairs_vs_history(
     joined to the stored band table (shuffle is batch-sized, history is
     probed not scanned), then exact-jaccard verification re-shingles ONLY
     the matched historical documents (semi-join on candidate ids), never
-    the whole history. Returns [new_id, hist_id, jaccard]."""
+    the whole history. Returns [new_id, hist_id, jaccard].
+
+    If `history_bands` carries the index-parameter columns written by
+    minhash_band_table, the probe's (num_hashes, bands, shingle_n) are
+    asserted against them — different parameters yield disjoint band hashes,
+    so a mismatch would silently report zero near-duplicates."""
+    _check_band_params(num_hashes, bands)
+    expected = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
+    param_cols = [c for c in _BAND_PARAM_COLS if c in history_bands.columns]
+    if param_cols:
+        # constant columns: one row (a single row-group read) settles parity
+        row = history_bands.select(*param_cols).first()
+        if row is not None:
+            mismatch = {
+                c: (row[c], expected[c]) for c in param_cols if row[c] != expected[c]
+            }
+            if mismatch:
+                raise ValueError(
+                    "minhash index/probe parameter mismatch (index, probe): "
+                    f"{mismatch} — probe with the parameters the band table "
+                    "was built with, or rebuild the index"
+                )
+        history_bands = history_bands.drop(*param_cols)
     new_sh = _spread(new_df, id_col).select(
         F.col(id_col), TX.shingles(text_col, shingle_n).alias("sh")
     ).persist()

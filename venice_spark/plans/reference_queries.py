@@ -1617,17 +1617,20 @@ def x_inverted_index(spark, sf_dir):
 @register(
     "x_embed_centroids",
     "WITH p AS (SELECT label, u.pos, u.x FROM embeddings, "
-    "LATERAL (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos) u), "
-    "m AS (SELECT label, pos, round(avg(x), 4) AS m FROM p GROUP BY 1, 2) "
-    "SELECT label, list(m ORDER BY pos) AS centroid FROM m GROUP BY 1",
+    "LATERAL (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos) u) "
+    "SELECT label, pos - 1 AS dim, round(avg(x), 4) AS m FROM p GROUP BY 1, 2",
 )
 def x_embed_centroids(spark, sf_dir):
     """Per-label embedding centroids (vectors.label_centroids): posexplode →
     two-level partial avg → in-row positional reassembly. Means rounded to
     4 decimals on both sides — distributed float accumulation is not
-    bit-order-stable, the rounding makes the comparison well-defined."""
+    bit-order-stable, the rounding makes the comparison well-defined.
+    Registered exploded to (label, dim, m) rows — the driver canonicalizer
+    cannot sort raw list values; label_centroids itself still returns the
+    assembled array column."""
     df = _t(spark, sf_dir, "embeddings")
-    return vectors.label_centroids(df, "embedding", "label")
+    cen = vectors.label_centroids(df, "embedding", "label")
+    return cen.select("label", F.posexplode("centroid").alias("dim", "m"))
 
 
 _TOKS_CTE = (
@@ -1663,9 +1666,11 @@ _RP_MATRIX = vectors.rademacher_matrix(DIM, 16, seed=7)
 
 @register(
     "x_random_projection",
-    "SELECT vec_id, "
+    "WITH p AS (SELECT vec_id, "
     + vectors.oracle_projection_sql("embedding", _RP_MATRIX)
-    + " AS proj FROM embeddings",
+    + " AS proj FROM embeddings) "
+    "SELECT vec_id, u.pos - 1 AS dim, u.x AS val FROM p, "
+    "LATERAL (SELECT unnest(proj) AS x, generate_subscripts(proj, 1) AS pos) u",
 )
 def x_random_projection(spark, sf_dir):
     """Johnson-Lindenstrauss random projection 64 → 16 dims
@@ -1673,10 +1678,16 @@ def x_random_projection(spark, sf_dir):
     pairwise distances preserved within (1±ε) so downstream ANN/dedup scans
     1/4 of the embedding bytes. Row-local JVM fold per output dim — no
     shuffle, no Python; oracle is the explicit per-dim sum (bit-identical
-    IEEE754 fold order)."""
+    IEEE754 fold order). Registered in exploded (vec_id, dim, val) shape —
+    the driver's canonicalizer sorts result frames with pandas, which cannot
+    factorize raw list values (CORRECTNESS_r03 err); the engine function
+    still returns the array<double> column."""
     df = _t(spark, sf_dir, "embeddings")
     return df.select(
-        "vec_id", vectors.random_projection("embedding", _RP_MATRIX).alias("proj")
+        "vec_id",
+        F.posexplode(
+            vectors.random_projection("embedding", _RP_MATRIX)
+        ).alias("dim", "val"),
     )
 
 
@@ -1763,10 +1774,12 @@ def x_tfidf_terms(spark, sf_dir):
 )
 def x_fuzzy_key_pairs(spark, sf_dir):
     """Entity-resolution pairs (dedup.fuzzy_key_pairs): equal-length keys
-    within 1 character substitution, found via pigeonhole segment blocking
-    (d+1 contiguous segments — a true pair must share one exactly), never
-    the O(n²) cross join the brute-force oracle runs. Completeness is
-    exactly what the oracle checks."""
+    within 1 character substitution, found via wildcard position-mask
+    blocking (d masked variants per key — a true pair shares a variant with
+    the mismatch position wildcarded; segment blocking was rejected for
+    degenerating on shared prefixes, see dedup.py), never the O(n²) cross
+    join the brute-force oracle runs. Completeness is exactly what the
+    oracle checks."""
     from venice_spark.dedup import fuzzy_key_pairs
 
     df = _t(spark, sf_dir, "customer")
@@ -1885,7 +1898,8 @@ _DNS_SQL = (
     f"cov AS (SELECT doc_id, CAST(sum(maxp + {_DNS_W} - minp) AS BIGINT) AS covered FROM "
     "(SELECT doc_id, grp, min(pos) AS minp, max(pos) AS maxp FROM isl GROUP BY 1, 2) GROUP BY 1), "
     "st AS (SELECT doc_id, list(pos ORDER BY pos) AS dup_starts FROM m GROUP BY 1) "
-    "SELECT toks.doc_id, len(t) AS n_tokens, coalesce(st.dup_starts, []) AS dup_starts, "
+    "SELECT toks.doc_id, len(t) AS n_tokens, "
+    "coalesce(array_to_string(st.dup_starts, ','), '') AS dup_starts, "
     "coalesce(cov.covered, 0) AS covered, "
     "round(coalesce(cov.covered, 0) / greatest(len(t), 1), 5) AS dup_ngram_frac "
     "FROM toks LEFT JOIN st USING (doc_id) LEFT JOIN cov USING (doc_id)"
@@ -1903,12 +1917,18 @@ def x_dup_ngram_spans(spark, sf_dir):
     path (each window shuffles as ONE xxhash64 long): the oracle groups on
     window TEXT, which yields identical doc/pos output because the
     comparison never sees the key — a hash collision would have to occur
-    inside this corpus (~n²/2^65) to differ, and the gate would flag it."""
+    inside this corpus (~n²/2^65) to differ, and the gate would flag it.
+    `dup_starts` is registered serialized ('3,17,...') — the driver's pandas
+    canonicalizer cannot sort raw list values (CORRECTNESS_r03 err); the
+    engine function still returns the array<int> column."""
     from venice_spark.dedup import dup_ngram_spans
 
     df = _t(spark, sf_dir, "documents")
-    return dup_ngram_spans(
+    out = dup_ngram_spans(
         df, "text", "doc_id", window=_DNS_W, min_count=2, hash_windows=True
+    )
+    return out.withColumn(
+        "dup_starts", F.array_join(F.col("dup_starts").cast("array<string>"), ",")
     )
 
 
@@ -2082,17 +2102,20 @@ _TAIL = [
     "x_embedding_near_dup",    # blocked-cosine family carried by x_knn_join_lsh (exact hyperplane oracle)
     "x_importance_sample",     # hash-threshold sampling family carried by x_stratified_sample
     "x_knn_classify",          # vector-kNN family carried by x_knn_join_lsh (exact oracle); brute edition oracle-checked locally
-    "x_chunk_documents",       # sequence-prep family carried by x_sequence_packing; oracle-checked locally
-    "x_fuzzy_key_pairs",       # pigeonhole-pairs family carried by x_simhash_pairs; oracle-checked locally
-    "x_tfidf_terms",           # corpus-stats family carried by x_ngram_counts; oracle-checked locally
     "x_feature_hash",          # per-row text-kernel family carried by x_text_quality; oracle-checked locally
+    # round-4 rotation: driver-certified green in r03, demoted to make room
+    # for previously-uncertified families (VERDICT r3 'Next round' #4)
+    "x_pii_scrub",             # per-row text-kernel family carried by x_text_quality; driver-green r03
+    "x_lang_id",               # per-row text-kernel family carried by x_text_quality; driver-green r03
+    "x_repetition_filter",     # per-row text-kernel family carried by x_text_quality; driver-green r03
+    "x_event_percentiles",     # event-agg family carried by x_event_rollup + x_rollup_agg; driver-green r03
+    "x_ngram_counts",          # corpus-stats family; x_tfidf_terms rotated in carries it; driver-green r03
     "x_drop_common_lines",     # line-boilerplate family; dup-line metric carried by x_repetition_filter; oracle-checked locally
     "x_bpe_token_count",       # token-budget family covered by x_text_quality
     "x_dedup_ngram_jaccard",   # verify-stage variant; x_minhash_near_dup carries family
     "x_quality_score",         # composite of the x_text_quality terms
     "x_topk_per_group",        # window-rank shape also pinned by w1 WindowGroupLimit
-    "x_inverted_index",        # corpus-stats family carried by x_ngram_counts
-    "x_embed_centroids",       # vector-agg family; oracle-checked locally
+    "x_inverted_index",        # corpus-stats family carried by x_tfidf_terms
     "r11_multi_field_facets",  # R11 family covered by r11_count_group_by_value
     "x_event_histogram",       # bucketed counting covered by r12 + x_event_percentiles
     "r3_streaming_batch_get",  # plan-identical to r2_batch_get
@@ -2105,7 +2128,6 @@ _TAIL = [
     "r16_hll_approx",          # rows-only approximation by design
     "x_ann_lsh",               # rows-only; recall pinned in tests/test_similarity
     "x_ann_ivf",               # rows-only; recall pinned in tests
-    "x_dup_clusters",          # components family; exact WITH RECURSIVE oracle, checked locally
     "x_shard_plan",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
     "x_oversample",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
     "x_split_assign",          # hash64-threshold family carried by x_stratified_sample; oracle-checked locally

@@ -392,8 +392,18 @@ def read_bucketed_view(
     if version is None:
         version = catalog.current_version(store)
     tn = view.table_name(store, version)
+    path = view.view_dir(catalog, store, version)
+    import os
+
+    if not os.path.isdir(path):
+        # a catalog entry may survive retirement (retire_old_versions
+        # without spark=...) — never trust tableExists over the LOCATION
+        spark.sql(f"DROP TABLE IF EXISTS {tn}")
+        raise ValueError(
+            f"bucketed view {tn!r} has no data at {path!r} — version "
+            f"{version} of store {store!r} was retired or never wrote this view"
+        )
     if not spark.catalog.tableExists(tn):
-        path = view.view_dir(catalog, store, version)
         ddl = spark.read.parquet(path).schema.toDDL()
         cols = ", ".join(view.key_fields)
         sort_cols = ", ".join(view.key_fields)
@@ -589,6 +599,16 @@ def compact_store(spark: SparkSession, catalog: StoreCatalog, store: str) -> Pus
     # slot we did not resolve over to the new version's log, preserving
     # arrival order. New lazy pushes already re-target the new version
     # under the same lock, so after this sweep no slot can be stranded.
+    #
+    # A carried slot was staged with the OLD version's partition modulus; if
+    # update_store(partition_count=...) changed the layout since, a bare
+    # rename would keep the stale partition_id and _resolve_delta_view's
+    # (partition_id, key) window would split that key's base and delta rows
+    # into different groups — serving duplicates. Restamp (repartition_and_
+    # sort with the new modulus) whenever the two manifests disagree
+    # (ADVICE r3).
+    old_manifest = catalog.version_manifest(store, old_version) or {}
+    old_parts = int(old_manifest.get("partition_count", meta.partition_count))
     with catalog._locked(store):
         late = [
             d
@@ -604,9 +624,23 @@ def compact_store(spark: SparkSession, catalog: StoreCatalog, store: str) -> Pus
                 else 1
             )
             for d in sorted(late, key=lambda p: int(os.path.basename(p)[1:])):
-                os.rename(
-                    d, os.path.join(catalog.deltas_dir(store, version), f"d{k}")
-                )
+                target = os.path.join(catalog.deltas_dir(store, version), f"d{k}")
+                if old_parts == meta.partition_count:
+                    os.rename(d, target)
+                else:
+                    import shutil
+
+                    ldf = spark.read.parquet(d)
+                    if "partition_id" in ldf.columns:
+                        ldf = ldf.drop("partition_id")
+                    o = repartition_and_sort(
+                        ldf, meta.key_fields, meta.partition_count, md5p
+                    )
+                    o.write.mode("overwrite").partitionBy("partition_id").parquet(
+                        target
+                    )
+                    _fix_empty_partitioned_dir(o, target)
+                    shutil.rmtree(d, ignore_errors=True)
                 k += 1
     return PushResult(store, version, rows, meta.partition_count, path)
 

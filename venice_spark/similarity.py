@@ -288,7 +288,8 @@ def knn_classify(
     blocked=True (default) generates candidates through the LSH-blocked
     k-NN join — the scale path (id-only candidate shuffle, no cross join);
     blocked=False is the exact brute-force baseline the oracle re-derives.
-    Returns [id_col, predicted label, votes, total among k]."""
+    Returns [id_col, predicted, votes] — the winning label and how many of
+    the k neighbors voted for it."""
     if blocked:
         if dim is None:
             first = (
