@@ -140,6 +140,37 @@ def test_bucketed_view_reregisters_across_sessions(spark, bucketed_stores):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_retirement_drops_bucketed_view_tables(spark, bucketed_stores):
+    """ADVICE r3: retiring a version must drop its bucketed-view catalog
+    tables (spark=...), and even without that, read_bucketed_view must
+    verify the LOCATION exists instead of trusting a stale tableExists."""
+    import pytest as _pt
+
+    eng, bv = bucketed_stores
+    facts2 = spark.createDataFrame([(i, float(i)) for i in range(50)], ["k", "v"])
+    eng.push("facts", facts2, views=[bv])  # v2 becomes current
+    tn1 = bv.table_name("facts", 1)
+    assert spark.catalog.tableExists(tn1)
+
+    # sparkless retirement: table entry survives, but the read fails loudly
+    # (and cleans the stale entry) instead of serving a deleted LOCATION
+    eng.catalog.retire_old_versions("facts", keep=1)
+    assert spark.catalog.tableExists(tn1)
+    with _pt.raises(ValueError, match="retired or never wrote"):
+        read_bucketed_view(spark, eng.catalog, "facts", bv, version=1)
+    assert not spark.catalog.tableExists(tn1)  # stale entry dropped
+
+    # spark-aware retirement drops the catalog table with the data
+    facts3 = spark.createDataFrame([(1, 1.0)], ["k", "v"])
+    eng.push("facts", facts3, views=[bv])  # v3
+    tn2 = bv.table_name("facts", 2)
+    assert spark.catalog.tableExists(tn2)
+    eng.catalog.retire_old_versions("facts", keep=1, spark=spark)
+    assert not spark.catalog.tableExists(tn2)
+    # the current version's view still reads fine
+    assert read_bucketed_view(spark, eng.catalog, "facts", bv).count() == 1
+
+
 def test_bucketed_view_matches_plain_read(spark, bucketed_stores):
     eng, bv = bucketed_stores
     a = read_bucketed_view(spark, eng.catalog, "facts", bv)

@@ -37,9 +37,42 @@ def test_frame_sampling_shape(media):
     assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == list(range(len(rows)))
 
 
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL installed: compressed decode is real")
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         _decode_image(b"\x89PNG...")
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not installed in this container")
+def test_compressed_decode_via_pil():
+    """Where Pillow exists, JPEG/PNG payloads decode to the same (h, w, ch)
+    uint8 contract as decode_ppm."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    arr = np.zeros((5, 7, 3), dtype=np.uint8)
+    arr[:, :, 0] = 200
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    out = _decode_image(buf.getvalue())
+    assert out.shape == (5, 7, 3) and out.dtype == np.uint8
+    assert np.array_equal(out, arr)  # PNG is lossless
+    # grayscale keeps the (h, w, 1) shape decode_ppm uses
+    g = np.arange(35, dtype=np.uint8).reshape(5, 7)
+    buf = io.BytesIO()
+    Image.fromarray(g, mode="L").save(buf, format="PNG")
+    assert _decode_image(buf.getvalue()).shape == (5, 7, 1)
 
 
 # ---- real codec path: PPM/PGM in pure numpy ----
@@ -70,9 +103,8 @@ def test_ppm_round_trip_and_comments():
     assert np.array_equal(decode_ppm(encode_ppm(g)), g)
 
 
+@pytest.mark.skipif(_has_pil(), reason="PIL installed: compressed decode is real")
 def test_decode_rejects_unknown_format():
-    import pytest
-
     from venice_spark.multimodal import _decode_image
 
     with pytest.raises(NotImplementedError, match="PIL"):

@@ -482,6 +482,56 @@ def test_lazy_delta_survives_concurrent_compaction(engine, spark):
     assert out == {"a": 1.0, "b": 2.0, "c": 3.0, "x": 50.0, "y": 60.0, "z": 70.0}
 
 
+def test_compact_restamps_late_delta_after_layout_change(engine, spark, monkeypatch):
+    """ADVICE r3: a late delta carried across a compaction must be restamped
+    when update_store changed the partition modulus between the old and new
+    versions — a bare rename keeps the old partition_id, and the resolve
+    view's (partition_id, key) grouping then serves BOTH the stale base row
+    and the delta row for any key whose routing differs between moduli."""
+    from venice_spark.push import compact_store
+
+    cat = engine.catalog
+    delta = spark.createDataFrame(
+        [("a", 9.0, 99), ("b", 8.0, 99), ("c", 7.0, 99)],
+        "key string, val double, _rmd_ts long",
+    )
+    engine.incremental_push("s", delta, eager=False)
+    old_v = cat.current_version("s")
+    cat.update_store("s", partition_count=5)  # layout change before compaction
+
+    # Simulate the race: the delta lands between compaction's resolve
+    # snapshot and its sweep. Hide the slot from the first two lookups
+    # (snapshot + read_current's resolve) so the sweep sees it as late.
+    real = cat.list_delta_dirs
+    hidden = {"left": 2}
+    def fake(store, version):
+        out = real(store, version)
+        if version == old_v and hidden["left"] > 0:
+            hidden["left"] -= 1
+            return []
+        return out
+    monkeypatch.setattr(cat, "list_delta_dirs", fake)
+    compact_store(spark, cat, "s")
+    monkeypatch.setattr(cat, "list_delta_dirs", real)
+
+    new_v = cat.current_version("s")
+    carried = cat.list_delta_dirs("s", new_v)
+    assert len(carried) == 1, "late delta was dropped by the sweep"
+    # carried slot must be stamped with the NEW modulus
+    pids = {
+        r["partition_id"] for r in spark.read.parquet(carried[0]).select("partition_id").collect()
+    }
+    assert pids <= set(range(5))
+    from venice_spark.partitioner import partition_id_py
+
+    for r in spark.read.parquet(carried[0]).collect():
+        assert r["partition_id"] == partition_id_py([r["key"]], 5)
+    # and the resolve view serves exactly one (updated) row per key
+    rows = engine.store("s").df().collect()
+    out = {r["key"]: r["val"] for r in rows}
+    assert len(rows) == 3 and out == {"a": 9.0, "b": 8.0, "c": 7.0}
+
+
 def test_quota_persist_released_on_duplicate_key_abort(engine, spark):
     """Review regression: a push aborted by DuplicateKeyError must not leave
     the quota-persisted input pinned in the session cache."""

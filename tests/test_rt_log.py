@@ -43,6 +43,92 @@ def _wire_rows(spark, msgs, topic="rt"):
 # ---------------------------------------------------------------- I2 wiring
 
 
+def test_kafka_option_construction_all_variants():
+    """The exact option dict format("kafka") receives, per rewind/seek
+    variant — the residual untested sliver of I2/W12 (no broker in env) is
+    confined to these strings, so pin them (VERDICT r3 'Next round' #7)."""
+    import json
+
+    import pytest
+
+    from venice_spark.sources.inputs import kafka_source_options as K
+
+    assert K("h:9092", "rt") == {
+        "kafka.bootstrap.servers": "h:9092",
+        "subscribe": "rt",
+    }
+    assert K("h:9092", "rt", starting_timestamp_ms=12_345)["startingTimestamp"] == "12345"
+    assert K("h:9092", subscribe_pattern="store_v.*")["subscribePattern"] == "store_v.*"
+    got = K("h:9092", "rt", starting_offsets_by_timestamp={1: 200, 0: 100})
+    assert json.loads(got["startingOffsetsByTimestamp"]) == {
+        "rt": {"0": 100, "1": 200}
+    }
+    assert K("h:9092", "rt", starting_offsets="earliest")["startingOffsets"] == "earliest"
+
+    with pytest.raises(ValueError, match="exactly one"):
+        K("h:9092")  # no subscription
+    with pytest.raises(ValueError, match="exactly one"):
+        K("h:9092", "rt", subscribe_pattern="rt.*")  # both
+    with pytest.raises(ValueError, match="at most one"):
+        K("h:9092", "rt", starting_timestamp_ms=1, starting_offsets="latest")
+    with pytest.raises(ValueError, match="concrete topic"):
+        K("h:9092", subscribe_pattern="rt.*", starting_offsets_by_timestamp={0: 1})
+    with pytest.raises(ValueError, match="earliest"):
+        K("h:9092", "rt", starting_offsets="beginning")
+
+
+class _RecordingReader:
+    """DataFrameReader stub capturing what read_kafka_topic configures."""
+
+    def __init__(self):
+        self.fmt = None
+        self.opts = {}
+
+    def format(self, f):
+        self.fmt = f
+        return self
+
+    def options(self, **kw):
+        self.opts.update(kw)
+        return self
+
+    def load(self):
+        return "LOADED"
+
+
+class _RecordingSpark:
+    def __init__(self):
+        self.read = _RecordingReader()
+        self.readStream = _RecordingReader()
+
+
+def test_read_kafka_topic_wires_options_into_reader():
+    """read_kafka_topic must pass kafka_source_options verbatim into a
+    format('kafka') reader — batch uses spark.read, streaming spark.readStream."""
+    fake = _RecordingSpark()
+    out = read_kafka_topic(
+        fake, "h:9092", "rt", starting_timestamp_ms=777, source_format="kafka"
+    )
+    assert out == "LOADED" and fake.read.fmt == "kafka"
+    assert fake.read.opts == {
+        "kafka.bootstrap.servers": "h:9092",
+        "subscribe": "rt",
+        "startingTimestamp": "777",
+    }
+    fake = _RecordingSpark()
+    read_kafka_topic(
+        fake,
+        "h:9092",
+        "rt",
+        streaming=True,
+        source_format="kafka",
+        starting_offsets_by_timestamp={0: 5, 2: 9},
+    )
+    assert fake.readStream.fmt == "kafka"
+    assert "startingOffsetsByTimestamp" in fake.readStream.opts
+    assert fake.read.fmt is None  # batch reader untouched in streaming mode
+
+
 def test_kafka_batch_read_through_standin(spark, tmp_path):
     wire_dir = str(tmp_path / "wire")
     _wire_rows(

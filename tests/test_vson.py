@@ -1,0 +1,138 @@
+"""VSON legacy-schema adapter (sources/vson.py) vs the reference's
+VsonAvroSchemaAdapter semantics (schema/vson/VsonAvroSchemaAdapter.java)."""
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+)
+
+from venice_spark.sources.vson import (
+    VsonSchemaError,
+    read_vson_input,
+    vson_struct,
+    vson_to_spark_type,
+)
+
+
+def test_primitive_mapping():
+    expect = {
+        "boolean": BooleanType(),
+        "string": StringType(),
+        "int8": ByteType(),
+        "int16": ShortType(),
+        "int32": IntegerType(),
+        "int64": LongType(),
+        "float32": FloatType(),
+        "float64": DoubleType(),
+        "bytes": BinaryType(),
+    }
+    for vson, spark_t in expect.items():
+        assert vson_to_spark_type(f'"{vson}"') == spark_t
+
+
+def test_record_list_and_nesting():
+    t = vson_to_spark_type(
+        '{"member_id": "int32", "name": "string", '
+        '"scores": ["float32"], '
+        '"address": {"city": "string", "zip": "int32"}}'
+    )
+    assert isinstance(t, StructType)
+    assert [f.name for f in t.fields] == ["member_id", "name", "scores", "address"]
+    assert all(f.nullable for f in t.fields)  # every VSON field is optional
+    scores = t["scores"].dataType
+    assert isinstance(scores, ArrayType) and scores.elementType == FloatType()
+    assert scores.containsNull
+    addr = t["address"].dataType
+    assert isinstance(addr, StructType) and addr["zip"].dataType == IntegerType()
+
+
+def test_single_quoted_schema_strings():
+    # the common wild form: VsonReader accepts single quotes
+    t = vson_to_spark_type("{'member_id':'int32', 'name':'string'}")
+    assert isinstance(t, StructType) and t["member_id"].dataType == IntegerType()
+    assert vson_to_spark_type("'string'") == StringType()
+
+
+def test_rejections_match_reference():
+    with pytest.raises(VsonSchemaError, match="single entry"):
+        vson_to_spark_type('["int32", "int64"]')  # multi-entry list
+    with pytest.raises(VsonSchemaError, match="date"):
+        vson_to_spark_type('"date"')  # reference throws for DATE too
+    with pytest.raises(VsonSchemaError, match="not a valid Vson type"):
+        vson_to_spark_type('"int128"')
+    with pytest.raises(VsonSchemaError, match="not a parseable"):
+        vson_to_spark_type("{{{{")
+    with pytest.raises(VsonSchemaError, match="record"):
+        vson_struct('"int32"')  # value schemas must be records
+
+
+def test_read_vson_input_json(spark, tmp_path):
+    p = str(tmp_path / "in")
+    with open(tmp_path / "rows.json", "w") as f:
+        f.write('{"id": 1, "name": "a", "score": 1.5}\n')
+        f.write('{"id": 2, "name": "b"}\n')  # missing field -> null, not error
+    import shutil
+
+    import os
+    os.makedirs(p)
+    shutil.move(str(tmp_path / "rows.json"), os.path.join(p, "rows.json"))
+    df = read_vson_input(
+        spark, p, '{"id": "int64", "name": "string", "score": "float64"}'
+    )
+    assert df.schema["id"].dataType == LongType()
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", 1.5), 2: ("b", None)}
+
+
+def test_read_vson_input_parquet_casts_and_projects(spark, tmp_path):
+    p = str(tmp_path / "pq")
+    src = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, name string, v long"
+    )
+    src.write.parquet(p)
+    # declared int32 narrows the stored long via explicit cast
+    df = read_vson_input(
+        spark,
+        p,
+        '{"id": "int64", "name": "string", "v": "int32"}',
+        fmt="parquet",
+        key_field="id",
+        value_fields=["v"],
+    )
+    assert df.columns == ["id", "v"]
+    assert df.schema["v"].dataType == IntegerType()
+    assert {r["id"]: r["v"] for r in df.collect()} == {1: 10, 2: 20}
+    # a declared field absent from the files fails loudly
+    with pytest.raises(VsonSchemaError, match="lacks declared"):
+        read_vson_input(spark, p, '{"id": "int64", "ghost": "string"}', fmt="parquet")
+
+
+def test_vson_store_end_to_end(spark, tmp_path):
+    """A legacy VSON-declared input pushes into a store and serves reads —
+    the switch-over path a reference user with VSON stores needs."""
+    from venice_spark.engine import VeniceSparkEngine
+
+    p = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0)], "member_id long, name string, score double"
+    ).write.parquet(p)
+    df = read_vson_input(
+        spark,
+        p,
+        "{'member_id':'int64','name':'string','score':'float64'}",
+        fmt="parquet",
+    )
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("legacy", key_fields=["member_id"], partition_count=2)
+    eng.push("legacy", df)
+    assert eng.store("legacy").get(2)["name"] == "y"

@@ -248,6 +248,28 @@ def random_projection(
     return F.array(*[(dot_product(field, row) * F.lit(scale)) for row in matrix])
 
 
+def random_projection_cols(
+    field: str, matrix: Sequence[Sequence[float]], prefix: str = "p"
+) -> "list[Column]":
+    """random_projection unrolled to one SCALAR column per output dim
+    ({prefix}0..{prefix}{k-1}) instead of an array — same bit-identical
+    per-dim sums, but the plan stays a pure whole-stage-codegen Project
+    (an explode of the k-term array runs the 64k-literal expression through
+    an interpreted Generate, measured 4x slower at sf0.1), and the scalar
+    shape is what the driver's canonicalizer can sort."""
+    import math
+
+    out_dim = len(matrix)
+    scale = 1.0 / math.sqrt(out_dim)
+    cols = []
+    for j, row in enumerate(matrix):
+        terms = " + ".join(
+            f"CAST({field}[{i}] AS DOUBLE) * {float(v)!r}D" for i, v in enumerate(row)
+        )
+        cols.append(F.expr(f"({terms}) * {scale!r}D").alias(f"{prefix}{j}"))
+    return cols
+
+
 def oracle_projection_sql(
     array_expr: str, matrix: Sequence[Sequence[float]]
 ) -> str:
@@ -258,6 +280,19 @@ def oracle_projection_sql(
     scale = 1.0 / math.sqrt(len(matrix))
     comps = [f"{oracle_dot_sql(array_expr, row)} * {scale!r}" for row in matrix]
     return "[" + ", ".join(comps) + "]"
+
+
+def oracle_projection_cols_sql(
+    array_expr: str, matrix: Sequence[Sequence[float]], prefix: str = "p"
+) -> str:
+    """DuckDB twin of random_projection_cols: 'sum0 AS p0, sum1 AS p1, ...'."""
+    import math
+
+    scale = 1.0 / math.sqrt(len(matrix))
+    return ", ".join(
+        f"{oracle_dot_sql(array_expr, row)} * {scale!r} AS {prefix}{j}"
+        for j, row in enumerate(matrix)
+    )
 
 
 def label_centroids(

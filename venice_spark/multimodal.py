@@ -123,14 +123,28 @@ def image_features(arr, grid: int = 4) -> list[float]:
 
 
 def _decode_image(payload: bytes):
-    """Decode an image payload to an ndarray. PPM/PGM decode natively
-    (decode_ppm — pure numpy); compressed formats (JPEG/PNG/...) need PIL,
-    which is not in this container, and stay explicitly gated."""
+    """Decode an image payload to an uint8 (h, w, ch) ndarray. PPM/PGM
+    decode natively (decode_ppm — pure numpy); compressed formats
+    (JPEG/PNG/...) decode through PIL when it is installed — the production
+    path on clusters that ship Pillow — and stay a LOUD NotImplementedError
+    where it is not (this container), never a silent skip."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
-    raise NotImplementedError(
-        "only PPM/PGM decode natively; JPEG/PNG require PIL — not in this environment"
-    )
+    try:
+        from PIL import Image  # optional dependency, absent in this container
+    except ImportError:
+        raise NotImplementedError(
+            "only PPM/PGM decode natively; JPEG/PNG require PIL — not installed"
+        ) from None
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(payload)) as im:
+        arr = np.asarray(im.convert("RGB") if im.mode not in ("L", "RGB") else im)
+    if arr.ndim == 2:  # grayscale → (h, w, 1), matching decode_ppm's shape
+        arr = arr[:, :, None]
+    return arr.astype(np.uint8)
 
 
 def decode_wav(payload: bytes):

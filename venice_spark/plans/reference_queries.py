@@ -1666,11 +1666,9 @@ _RP_MATRIX = vectors.rademacher_matrix(DIM, 16, seed=7)
 
 @register(
     "x_random_projection",
-    "WITH p AS (SELECT vec_id, "
-    + vectors.oracle_projection_sql("embedding", _RP_MATRIX)
-    + " AS proj FROM embeddings) "
-    "SELECT vec_id, u.pos - 1 AS dim, u.x AS val FROM p, "
-    "LATERAL (SELECT unnest(proj) AS x, generate_subscripts(proj, 1) AS pos) u",
+    "SELECT vec_id, "
+    + vectors.oracle_projection_cols_sql("embedding", _RP_MATRIX)
+    + " FROM embeddings",
 )
 def x_random_projection(spark, sf_dir):
     """Johnson-Lindenstrauss random projection 64 → 16 dims
@@ -1678,16 +1676,14 @@ def x_random_projection(spark, sf_dir):
     pairwise distances preserved within (1±ε) so downstream ANN/dedup scans
     1/4 of the embedding bytes. Row-local JVM fold per output dim — no
     shuffle, no Python; oracle is the explicit per-dim sum (bit-identical
-    IEEE754 fold order). Registered in exploded (vec_id, dim, val) shape —
-    the driver's canonicalizer sorts result frames with pandas, which cannot
-    factorize raw list values (CORRECTNESS_r03 err); the engine function
-    still returns the array<double> column."""
+    IEEE754 fold order). Registered with one SCALAR column per dim
+    (p0..p15) — the driver's pandas canonicalizer cannot sort raw list
+    values (CORRECTNESS_r03 err), and an exploded shape pushes the
+    unrolled expression into an interpreted Generate (4x slower); the
+    engine function still returns the array<double> column."""
     df = _t(spark, sf_dir, "embeddings")
     return df.select(
-        "vec_id",
-        F.posexplode(
-            vectors.random_projection("embedding", _RP_MATRIX)
-        ).alias("dim", "val"),
+        "vec_id", *vectors.random_projection_cols("embedding", _RP_MATRIX)
     )
 
 

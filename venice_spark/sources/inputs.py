@@ -60,17 +60,82 @@ KAFKA_WIRE_SCHEMA = (
 )
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str | None = None,
+    subscribe_pattern: str | None = None,
+    starting_timestamp_ms: int | None = None,
+    starting_offsets_by_timestamp: "dict[int, int] | None" = None,
+    starting_offsets: str | None = None,
+) -> dict[str, str]:
+    """The exact option dict `format("kafka")` receives, as a pure function
+    so rewind/seek construction is testable without a broker (the one
+    untestable sliver of I2/W12 in this environment is the broker itself).
+
+    Rewind variants, in reference terms (HybridStoreConfigImpl.
+    rewindTimeInSeconds; VeniceChangelogConsumer per-partition seeks):
+    - starting_timestamp_ms → `startingTimestamp` (all partitions rewind to
+      one wall-clock point — the hybrid-store rewind window);
+    - starting_offsets_by_timestamp {partition: ts_ms} →
+      `startingOffsetsByTimestamp` JSON keyed by topic then partition
+      (per-partition resume, seekToTimestamps);
+    - starting_offsets "earliest"/"latest" → `startingOffsets`
+      (seekToBeginningOfPush/seekToTail analogue).
+    Exactly one subscription form: `subscribe` (one topic) or
+    `subscribePattern` (version-rollover topic families like store_v.*).
+    """
+    if (topic is None) == (subscribe_pattern is None):
+        raise ValueError("exactly one of topic / subscribe_pattern is required")
+    starts = [
+        starting_timestamp_ms is not None,
+        starting_offsets_by_timestamp is not None,
+        starting_offsets is not None,
+    ]
+    if sum(starts) > 1:
+        raise ValueError(
+            "at most one of starting_timestamp_ms / "
+            "starting_offsets_by_timestamp / starting_offsets"
+        )
+    opts = {"kafka.bootstrap.servers": bootstrap_servers}
+    if topic is not None:
+        opts["subscribe"] = topic
+    else:
+        opts["subscribePattern"] = subscribe_pattern
+    if starting_timestamp_ms is not None:
+        opts["startingTimestamp"] = str(starting_timestamp_ms)
+    elif starting_offsets_by_timestamp is not None:
+        if topic is None:
+            raise ValueError(
+                "per-partition timestamps need a concrete topic, not a pattern"
+            )
+        import json
+
+        opts["startingOffsetsByTimestamp"] = json.dumps(
+            {topic: {str(p): int(ts) for p, ts in sorted(starting_offsets_by_timestamp.items())}}
+        )
+    elif starting_offsets is not None:
+        if starting_offsets not in ("earliest", "latest"):
+            raise ValueError("starting_offsets must be 'earliest' or 'latest'")
+        opts["startingOffsets"] = starting_offsets
+    return opts
+
+
 def read_kafka_topic(
     spark: SparkSession,
     bootstrap_servers: str,
-    topic: str,
+    topic: str | None = None,
     starting_timestamp_ms: int | None = None,
     streaming: bool = False,
     source_format: str = "kafka",
     source_path: str | None = None,
+    subscribe_pattern: str | None = None,
+    starting_offsets_by_timestamp: "dict[int, int] | None" = None,
+    starting_offsets: str | None = None,
 ) -> DataFrame:
     """I2 / RT source: Kafka topic as batch (repush) or stream (hybrid).
-    Rewind maps to startingTimestamp (HybridStoreConfigImpl.rewindTimeInSeconds).
+    Rewind maps to startingTimestamp (HybridStoreConfigImpl.rewindTimeInSeconds);
+    see kafka_source_options for the per-partition and earliest/latest
+    variants.
 
     Production (`source_format="kafka"`) requires a broker + the
     spark-sql-kafka package. Tests run the SAME code path against a
@@ -82,13 +147,15 @@ def read_kafka_topic(
     """
     reader = spark.readStream if streaming else spark.read
     if source_format == "kafka":
-        r = (
-            reader.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("subscribe", topic)
+        opts = kafka_source_options(
+            bootstrap_servers,
+            topic,
+            subscribe_pattern,
+            starting_timestamp_ms,
+            starting_offsets_by_timestamp,
+            starting_offsets,
         )
-        if starting_timestamp_ms is not None:
-            r = r.option("startingTimestamp", str(starting_timestamp_ms))
+        r = reader.format("kafka").options(**opts)
         try:
             return r.load()
         except Exception as e:  # pragma: no cover - env-dependent

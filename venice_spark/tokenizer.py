@@ -48,9 +48,13 @@ def _split_words(text: str) -> list[str]:
     return [w for w in _WS.split(text.strip()) if w]
 
 
-def _word_counts(df: DataFrame, text_col: str, max_word_types: int):
-    """Distributed (word, count), top types by count (ties: lexicographic)."""
-    wc = (
+def _word_counts_df(df: DataFrame, text_col: str, max_word_types: int) -> DataFrame:
+    """Distributed (word, count) top-K plan: explode → partial-agg count →
+    orderBy+limit. The orderBy+limit pair MUST plan as TakeOrderedAndProject
+    (per-partition heaps, driver merges K items) — a global Sort here would
+    be the only driver-side scale risk in the tokenizer (plan-pinned in
+    test_plan_shapes)."""
+    return (
         df.select(F.explode(TX.tokens(text_col)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
@@ -58,6 +62,11 @@ def _word_counts(df: DataFrame, text_col: str, max_word_types: int):
         .orderBy(F.col("c").desc(), F.col("w").asc())
         .limit(max_word_types)
     )
+
+
+def _word_counts(df: DataFrame, text_col: str, max_word_types: int):
+    """Top word types by count (ties: lexicographic), collected bounded."""
+    wc = _word_counts_df(df, text_col, max_word_types)
     return [(r["w"], r["c"]) for r in wc.collect()]
 
 
