@@ -170,6 +170,24 @@ def test_ngram_counts_partial_aggregates_and_heap_topk(spark, sf_dir):
     assert "Sort " not in plan or "SortAggregate" not in plan
 
 
+def test_pq_adc_search_is_python_free_heap_topk(spark, sf_dir):
+    """PQ's query path must stay JVM-only: the ADC distance is m table
+    lookups over literal arrays (no Python, no join) and the top-k is
+    TakeOrderedAndProject. Only the ingest-time encode is an Arrow UDF."""
+    from venice_spark.similarity import pq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, "embedding", m=8, k=16, sample_fraction=1.0, seed=7)
+    # stand-in coded frame: any array<int> column works for the plan shape
+    coded = emb.selectExpr(
+        "vec_id", "transform(sequence(1, 8), i -> 0) AS code"
+    )
+    plan = _plan(pq_topk(coded, [0.0] * 64, "code", "vec_id", books, k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_tokenizer_word_counts_is_heap_topk(spark, sf_dir):
     """bpe_learn's word-frequency table is the tokenizer's one bounded
     collect; its orderBy+limit must plan as TakeOrderedAndProject

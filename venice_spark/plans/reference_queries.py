@@ -2048,6 +2048,25 @@ def x_blocklist_hits(spark, sf_dir):
     )
 
 
+@register("x_pq_topk")  # rows-only: k-means codebook training is iterative
+def x_pq_topk(spark, sf_dir):
+    """Product-quantized ANN (similarity.pq_train/pq_encode/pq_topk, after
+    Jégou et al. 2011): 64-dim float embeddings compress to 16 one-byte
+    codes (16x), search is ADC table lookups + exact L2 re-rank over the
+    candidate set. Arrow-batched encode at ingest, pure-JVM heap top-k at
+    query time (plan-pinned in test_plan_shapes). Exactness of the ADC
+    math and recall vs brute force are pytest-pinned — the codebooks come
+    from iterative k-means, so no single-SQL oracle exists."""
+    from venice_spark.similarity import pq_encode, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, "embedding", m=16, k=16, sample_fraction=1.0, seed=7)
+    coded = emb.withColumn("code", pq_encode("embedding", books))
+    return pq_topk(
+        coded, W64, "code", "vec_id", books, k=10, refine=50, vec_col="embedding"
+    )
+
+
 @register("x_quality_classifier")  # rows-only: LBFGS training is iterative
 def x_quality_classifier(spark, sf_dir):
     """FastText-style seed quality classifier (quality.py, the GPT-3/LLaMA
@@ -2124,6 +2143,7 @@ _TAIL = [
     "r16_hll_approx",          # rows-only approximation by design
     "x_ann_lsh",               # rows-only; recall pinned in tests/test_similarity
     "x_ann_ivf",               # rows-only; recall pinned in tests
+    "x_pq_topk",               # rows-only; ADC exactness + recall pinned in tests
     "x_shard_plan",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
     "x_oversample",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
     "x_split_assign",          # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
