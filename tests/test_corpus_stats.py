@@ -502,3 +502,21 @@ def test_prepare_corpus_equal_lm_bounds_is_hard_threshold(spark):
         lm_weight_lo=lp + 0.1, lm_weight_hi=lp + 0.1,  # all docs below bound
     )
     assert prepare_corpus(df, config=cfg2).count() == 0
+
+
+def test_bigram_logprob_ranks_order_salad_low(spark):
+    """Docs sharing the corpus-common word ORDER outscore a doc with the
+    same unigrams scrambled — the signal unigram LM cannot see — and
+    sub-2-token docs get a null score with n_bigrams=0."""
+    from venice_spark.pipeline import bigram_logprob
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(5)]
+    rows.append((10, "dog lazy the over jumps fox brown quick the"))  # scrambled
+    rows.append((11, "single"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob(df, "text", "doc_id").collect()}
+    for i in range(5):
+        assert out[i]["lm2_logprob"] > out[10]["lm2_logprob"]
+    assert out[11]["lm2_logprob"] is None and out[11]["n_bigrams"] == 0
+    assert out[0]["n_bigrams"] == 8

@@ -838,3 +838,35 @@ def test_ivf_pq_topk_prunes_and_recalls(spark, sf_dir, tmp_path):
     l2 = ((x - np.array(q)) ** 2).sum(axis=1)
     exact = set(ids[np.argsort(l2, kind="stable")[:10]].tolist())
     assert len(exact & got) / 10 >= 0.9
+
+
+def test_cdc_chunk_dedup_is_shift_robust(spark):
+    """The CDC property fixed windows lack: inserting one token at the
+    FRONT of a copied document must still leave most chunk content shared
+    (boundaries depend on local token content, not offsets); exact copies
+    share everything; unique docs share nothing."""
+    from venice_spark.dedup import cdc_chunk_stats
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two "
+        "three four five six seven eight nine ten eleven twelve"
+    )
+    rows = [
+        (1, base),
+        (2, base),                      # exact copy
+        (3, "INSERTED " + base),        # shifted copy
+        (4, "totally different words with no shared passages whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cdc_chunk_stats(df, "text", "doc_id").collect()}
+    assert out[1]["dup_chunk_frac"] == 1.0 and out[2]["dup_chunk_frac"] == 1.0
+    # the shifted copy still shares all chunks after its first boundary
+    assert out[3]["dup_chunks"] >= out[3]["n_chunks"] - 1 > 0
+    assert out[4]["dup_chunks"] == 0 and out[4]["n_chunks"] >= 1
+    # degenerate rows never error: empty text yields >= 0 chunks, 0 dups
+    e = cdc_chunk_stats(
+        spark.createDataFrame([(9, "")], "doc_id long, text string"),
+        "text", "doc_id",
+    ).collect()[0]
+    assert e["dup_chunks"] == 0

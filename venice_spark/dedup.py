@@ -935,3 +935,88 @@ def semantic_dedup(
     pairs = embedding_near_dup_pairs(assigned, vec_col, id_col, "__sc", threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return assigned.join(F.broadcast(losers), id_col, "left_anti").drop("__sc")
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    divisor: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Content-defined chunking dedup signal: token-level CDC (the Rabin/
+    rsync idea at token granularity — cut after any token whose hash ≡ 0
+    mod `divisor`), then count chunks whose CONTENT repeats corpus-wide.
+
+    Why not fixed windows (dup_ngram_spans)? Fixed windows are offset-
+    sensitive: insert one token and every later window's content changes.
+    CDC boundaries depend only on local token content, so an insertion
+    only perturbs the chunk it lands in — the standard dedup trick for
+    shift-robust detection of shared passages (storage dedup, rsync, LLM
+    corpus near-dup at passage level).
+
+    Plan shape for 100 TB: chunking is 100%% ROW-LOCAL (boundary positions,
+    starts/ends, and chunk texts are array expressions over the token
+    array — zero shuffle, no window function, no Python); the only shuffle
+    is the duplicate count, which moves one 60-bit portable hash
+    (functions/text.hash64 — md5-derived, so any SQL oracle re-derives it)
+    per chunk with map-side partial aggregation.
+
+    Returns [id_col, n_chunks, dup_chunks, dup_chunk_frac]."""
+    d = int(divisor)
+    toks = df.select(
+        F.col(id_col), TX.tokens(text_col).alias("t")
+    ).withColumn("n", F.size("t"))
+    # boundary AFTER position i (1-based) where hash64(token) % divisor == 0;
+    # chunk ranges derive row-locally from the boundary position list
+    hash_expr = (
+        "CAST(conv(substring(md5(element_at(t, i)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    chunks = toks.withColumn(
+        "bp",
+        # CASE guard: Spark's sequence(1, 0) yields the DESCENDING [1, 0]
+        F.expr(
+            f"CASE WHEN n >= 1 THEN "
+            f"filter(sequence(1, n), i -> pmod({hash_expr}, {d}) = 0) "
+            "ELSE array() END"
+        ),
+    ).withColumn(
+        "chunk",
+        F.expr(
+            "filter(zip_with("
+            "  concat(array(1), transform(bp, x -> x + 1)),"
+            "  concat(bp, array(n)),"
+            "  (s, e) -> IF(s <= e, concat_ws(' ', slice(t, s, e - s + 1)), NULL)"
+            "), c -> c IS NOT NULL)"
+        ),
+    )
+    exploded = chunks.select(
+        F.col(id_col), F.posexplode("chunk").alias("chunk_idx", "chunk_text")
+    ).withColumn("h", TX.hash64(F.col("chunk_text")))
+    dup = (
+        exploded.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    per_doc = (
+        exploded.join(dup, "h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("dup_chunks"))
+    )
+    totals = exploded.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    return (
+        toks.select(id_col)
+        .join(totals, id_col, "left")
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("dup_chunks", F.lit(0)).alias("dup_chunks"),
+            F.round(
+                F.coalesce("dup_chunks", F.lit(0))
+                / F.greatest(F.coalesce("n_chunks", F.lit(0)), F.lit(1)),
+                5,
+            ).alias("dup_chunk_frac"),
+        )
+    )

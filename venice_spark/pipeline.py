@@ -557,6 +557,80 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+    decimals: int = 5,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-k-smoothed bigram LM — one conditioning order up from
+    unigram_logprob, so templated/boilerplate word SEQUENCES score high and
+    shuffled-word salad scores low even when its unigram mix looks normal
+    (the signal KenLM-style filters actually use).
+
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V): c(w1·) is w1's count as a
+    bigram context and V the corpus unigram vocabulary size.
+
+    Plan shape (scales to 100 TB): bigrams form ROW-LOCALLY from the token
+    array (no window shuffle) → explode → partial-agg pair counts
+    (map-side combine) → context counts aggregate FROM the pair table
+    (never a second corpus pass) → V is a 1-row broadcast → score join on
+    the pair key (AQE broadcasts the count side when it fits) → per-doc
+    avg, rounded so distributed float accumulation is order-independent.
+    Documents with fewer than 2 tokens return a null score (no bigrams).
+
+    Returns [id_col, lm2_logprob, n_bigrams]."""
+    toks = df.select(
+        F.col(id_col), TX.tokens(text_col).alias("t")
+    ).withColumn("n", F.size("t"))
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(
+            # CASE guard: Spark's sequence(1, 0) yields the DESCENDING [1, 0]
+            F.expr(
+                "CASE WHEN n >= 2 THEN transform(sequence(1, n - 1), "
+                "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    ).select(id_col, "b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        toks.select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("v"))
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c12").cast("double") + F.lit(add_k))
+                        / (F.col("c1").cast("double") + F.lit(add_k) * F.col("v"))
+                    )
+                ),
+                decimals,
+            ).alias("lm2_logprob"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+    return (
+        toks.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            "lm2_logprob",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        )
+    )
+
+
 def shard_plan(
     df: DataFrame,
     id_col: str,

@@ -2048,6 +2048,76 @@ def x_blocklist_hits(spark, sf_dir):
     )
 
 
+@register(
+    "x_bigram_logprob",
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+    "FROM documents), "
+    "bg AS (SELECT doc_id, t[r.i] AS w1, t[r.i + 1] AS w2 "
+    "FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS r(i)), "
+    "c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), "
+    "c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1), "
+    "v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM "
+    "(SELECT unnest(t) AS tok FROM toks)), "
+    "s AS (SELECT doc_id, "
+    "round(avg(ln((c12 + 1.0) / (c1 + 1.0 * v))), 5) AS lm2_logprob, "
+    "count(*) AS n_bigrams "
+    "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v "
+    "GROUP BY doc_id) "
+    "SELECT toks.doc_id, s.lm2_logprob, coalesce(s.n_bigrams, 0) AS n_bigrams "
+    "FROM toks LEFT JOIN s USING (doc_id)",
+)
+def x_bigram_logprob(spark, sf_dir):
+    """Add-1-smoothed bigram-LM quality score (pipeline.bigram_logprob):
+    one conditioning order above x_unigram_logprob — word-ORDER salad now
+    scores low even with a normal unigram mix. Bigrams form row-locally
+    from the token array (no window shuffle); counts partial-agg map-side;
+    V broadcasts as one row. Scores rounded to 5 decimals on both sides."""
+    from venice_spark.pipeline import bigram_logprob
+
+    df = _t(spark, sf_dir, "documents")
+    return bigram_logprob(df, "text", "doc_id")
+
+
+_CDC_D = 8
+
+@register(
+    "x_cdc_chunk_dedup",
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+    "FROM documents), "
+    "b AS (SELECT doc_id, t, list_filter(range(1, len(t) + 1), "
+    f"i -> ('0x' || substr(md5(t[i]), 1, 15))::BIGINT % {_CDC_D} = 0) AS bp FROM toks), "
+    "c AS (SELECT doc_id, list_filter(list_transform("
+    "range(1, len(bp) + 2), j -> CASE WHEN "
+    "(CASE WHEN j = 1 THEN 1 ELSE bp[j - 1] + 1 END) <= "
+    "(CASE WHEN j = len(bp) + 1 THEN len(t) ELSE bp[j] END) THEN "
+    "array_to_string(t[(CASE WHEN j = 1 THEN 1 ELSE bp[j - 1] + 1 END):"
+    "(CASE WHEN j = len(bp) + 1 THEN len(t) ELSE bp[j] END)], ' ') END), "
+    "x -> x IS NOT NULL) AS chunks FROM b), "
+    "h AS (SELECT doc_id, ('0x' || substr(md5(unnest(chunks)), 1, 15))::BIGINT AS h FROM c), "
+    "dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2), "
+    "tot AS (SELECT doc_id, count(*) AS n_chunks FROM h GROUP BY 1), "
+    "dd AS (SELECT doc_id, count(*) AS dup_chunks FROM h JOIN dup USING (h) GROUP BY 1) "
+    "SELECT toks.doc_id, coalesce(tot.n_chunks, 0) AS n_chunks, "
+    "coalesce(dd.dup_chunks, 0) AS dup_chunks, "
+    "round(coalesce(dd.dup_chunks, 0) / greatest(coalesce(tot.n_chunks, 0), 1), 5) "
+    "AS dup_chunk_frac "
+    "FROM toks LEFT JOIN tot USING (doc_id) LEFT JOIN dd USING (doc_id)",
+)
+def x_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking dedup (dedup.cdc_chunk_stats): token-level
+    CDC boundaries (cut after tokens whose portable md5-hash64 ≡ 0 mod 8),
+    duplicate chunk CONTENT counted corpus-wide — the shift-robust
+    complement of x_dup_ngram_spans (an insertion only perturbs its own
+    chunk, not every later window). Chunking is fully row-local array
+    expressions; the only shuffle moves one 60-bit hash per chunk. The
+    oracle re-derives boundaries, chunks, and hashes from the same md5
+    construction."""
+    from venice_spark.dedup import cdc_chunk_stats
+
+    df = _t(spark, sf_dir, "documents")
+    return cdc_chunk_stats(df, "text", "doc_id", divisor=_CDC_D, min_count=2)
+
+
 @register("x_pq_topk")  # rows-only: k-means codebook training is iterative
 def x_pq_topk(spark, sf_dir):
     """Product-quantized ANN (similarity.pq_train/pq_encode/pq_topk, after
@@ -2144,6 +2214,8 @@ _TAIL = [
     "x_ann_lsh",               # rows-only; recall pinned in tests/test_similarity
     "x_ann_ivf",               # rows-only; recall pinned in tests
     "x_pq_topk",               # rows-only; ADC exactness + recall pinned in tests
+    "x_bigram_logprob",        # new r4; oracle-checked locally, rotate into the window next round
+    "x_cdc_chunk_dedup",       # new r4; oracle-checked locally, rotate into the window next round
     "x_shard_plan",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
     "x_oversample",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
     "x_split_assign",          # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
