@@ -76,6 +76,9 @@ HEADLINE = [
     "x_split_assign",
     "x_corpus_report",
     "x_blocklist_hits",
+    "x_bigram_logprob",
+    "x_cdc_chunk_dedup",
+    "x_pq_topk",
 ]
 
 # round-3 steady-state seconds × 1.5 headroom at sf0.1/local[32]; the
@@ -129,6 +132,10 @@ BUDGET_SEC = {
     "x_split_assign": 0.8,
     "x_corpus_report": 1.0,
     "x_blocklist_hits": 0.9,
+    # round-4 steady-state x 1.5 at sf0.1/local[32]
+    "x_bigram_logprob": 3.5,
+    "x_cdc_chunk_dedup": 2.0,
+    "x_pq_topk": 2.3,
 }
 
 

@@ -89,7 +89,12 @@ def test_dedup_queries_leave_no_cached_plans(spark, sf_dir):
     former counts as a leak."""
     cm = spark._jsparkSession.sharedState().cacheManager()
     before = cm.cachedData().size()  # other fixtures may cache legitimately
-    for name in ("x_minhash_near_dup", "x_simhash_pairs", "x_dup_clusters"):
+    for name in (
+        "x_minhash_near_dup",
+        "x_simhash_pairs",
+        "x_dup_clusters",
+        "x_cdc_chunk_dedup",
+    ):
         QUERIES[name](spark, sf_dir).count()
         after = cm.cachedData().size()
         assert after == before, f"{name} left {after - before} cache entries behind"

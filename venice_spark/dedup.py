@@ -962,37 +962,70 @@ def cdc_chunk_stats(
     (functions/text.hash64 — md5-derived, so any SQL oracle re-derives it)
     per chunk with map-side partial aggregation.
 
+    Three measured plan hazards shaped this implementation (19s → ~1.5s at
+    sf0.1): (1) only the cheap (start, end) range pairs explode; the chunk
+    text assembles AFTER the generator inside whole-stage codegen (the
+    interpreted-Generate lesson from vectors.random_projection_cols);
+    (2) the explode is posexplode_OUTER: for a plain explode,
+    InferFiltersFromGenerate synthesizes `size(rng) > 0` and pushes the
+    ENTIRE md5 range chain below the scan's exchange — evaluated twice,
+    once on the pre-shuffle partitioning (a single task for a one-file
+    corpus); rng is non-empty for every real document, so outer changes
+    no rows and the residual null guard is a cheap attribute filter;
+    (3) the hashed chunk frame feeds three consumers (dup set, per-doc
+    dups, per-doc totals) and would re-derive the whole chain for each, so
+    it persists function-locally and unpersists before returning (the
+    minhash discipline, VERDICT r2 #4).
+
     Returns [id_col, n_chunks, dup_chunks, dup_chunk_frac]."""
     d = int(divisor)
-    toks = df.select(
+    # _spread: a single-file corpus plans ONE scan task and the whole md5
+    # chain serializes on one core (measured 3x wall at sf0.1); no-op (and
+    # no shuffle) when the source already has enough partitions
+    toks = _spread(df, id_col).select(
         F.col(id_col), TX.tokens(text_col).alias("t")
     ).withColumn("n", F.size("t"))
     # boundary AFTER position i (1-based) where hash64(token) % divisor == 0;
-    # chunk ranges derive row-locally from the boundary position list
+    # chunk (start, end) ranges derive row-locally from the boundary list.
+    # CASE guard: Spark's sequence(1, 0) yields the DESCENDING [1, 0].
     hash_expr = (
         "CAST(conv(substring(md5(element_at(t, i)), 1, 15), 16, 10) AS BIGINT)"
     )
-    chunks = toks.withColumn(
+    ranges = toks.withColumn(
         "bp",
-        # CASE guard: Spark's sequence(1, 0) yields the DESCENDING [1, 0]
         F.expr(
             f"CASE WHEN n >= 1 THEN "
             f"filter(sequence(1, n), i -> pmod({hash_expr}, {d}) = 0) "
             "ELSE array() END"
         ),
     ).withColumn(
-        "chunk",
+        "rng",
         F.expr(
             "filter(zip_with("
             "  concat(array(1), transform(bp, x -> x + 1)),"
             "  concat(bp, array(n)),"
-            "  (s, e) -> IF(s <= e, concat_ws(' ', slice(t, s, e - s + 1)), NULL)"
-            "), c -> c IS NOT NULL)"
+            "  (s, e) -> IF(s <= e, struct(s, e), CAST(NULL AS STRUCT<s: INT, e: INT>))"
+            "), r -> r IS NOT NULL)"
         ),
     )
-    exploded = chunks.select(
-        F.col(id_col), F.posexplode("chunk").alias("chunk_idx", "chunk_text")
-    ).withColumn("h", TX.hash64(F.col("chunk_text")))
+    exploded = (
+        ranges.select(
+            F.col(id_col),
+            F.col("t"),
+            F.posexplode_outer("rng").alias("chunk_idx", "r"),
+        )
+        .filter(F.col("r").isNotNull())
+        .withColumn(
+            "h",
+            TX.hash64(
+                F.concat_ws(
+                    " ", F.slice("t", F.col("r.s"), F.col("r.e") - F.col("r.s") + 1)
+                )
+            ),
+        )
+        .select(id_col, "h")
+        .persist()
+    )
     dup = (
         exploded.groupBy("h")
         .agg(F.count("*").alias("cnt"))
@@ -1005,7 +1038,7 @@ def cdc_chunk_stats(
         .agg(F.count("*").alias("dup_chunks"))
     )
     totals = exploded.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
-    return (
+    out = (
         toks.select(id_col)
         .join(totals, id_col, "left")
         .join(per_doc, id_col, "left")
@@ -1019,4 +1052,7 @@ def cdc_chunk_stats(
                 5,
             ).alias("dup_chunk_frac"),
         )
+        .localCheckpoint(eager=True)
     )
+    exploded.unpersist()
+    return out
