@@ -870,3 +870,30 @@ def test_cdc_chunk_dedup_is_shift_robust(spark):
         "text", "doc_id",
     ).collect()[0]
     assert e["dup_chunks"] == 0
+
+
+def test_pq_topk_never_returns_null_coded_rows(spark, sf_dir):
+    """Null embeddings encode to null codes and NULL ADC distances;
+    ascending sort is NULLS FIRST in Spark, so without the explicit guard
+    the junk rows would BE the top-k (code-review r4)."""
+    from venice_spark.similarity import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, "embedding", m=8, k=16, sample_fraction=1.0, seed=7)
+    nulls = spark.createDataFrame(
+        [(900000 + i, None, 0) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    coded = emb.unionByName(nulls).withColumn(
+        "code", pq_encode("embedding", books)
+    )
+    q = [0.1] * 64
+    got = {r["vec_id"] for r in pq_topk(coded, q, "code", "vec_id", books, k=10).collect()}
+    assert got and all(v < 900000 for v in got)
+    refined = {
+        r["vec_id"]
+        for r in pq_topk(
+            coded, q, "code", "vec_id", books, k=10, refine=50, vec_col="embedding"
+        ).collect()
+    }
+    assert refined and all(v < 900000 for v in refined)

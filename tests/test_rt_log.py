@@ -335,3 +335,65 @@ def test_rt_log_read_merges_flush_schemas(spark, tmp_root):
     assert "x" in log.columns
     vals = {r["id"]: (r["op"], r["x"]) for r in log.collect()}
     assert vals[2][1] == 7.0 and vals[1][0] == "DELETE"
+
+
+def test_standin_applies_seek_semantics(spark, tmp_path):
+    """The file-backed stand-in must honor every seek/subscription variant
+    the kafka path would, as filters on the wire columns — and reject the
+    same invalid combinations (code-review r4)."""
+    import pytest
+
+    wire_dir = str(tmp_path / "wire2")
+    a = _wire_rows(
+        spark,
+        [("a", "{}", 1000, 0), ("b", "{}", 5000, 1)],
+        topic="rt",
+    )
+    b = _wire_rows(spark, [("c", "{}", 3000, 2)], topic="other_v7")
+    # move c to partition 1 so per-partition seeks are distinguishable
+    b = b.withColumn("partition", F.lit(1))
+    a.union(b).write.parquet(wire_dir)
+    std = dict(source_format="parquet", source_path=wire_dir)
+
+    def keys(df):
+        return {bytes(r["key"]).decode() for r in df.collect()}
+
+    # topic filter
+    assert keys(read_kafka_topic(spark, "u:9", "rt", **std)) == {"a", "b"}
+    # full-match pattern subscription
+    assert keys(
+        read_kafka_topic(spark, "u:9", subscribe_pattern="other_v.*", **std)
+    ) == {"c"}
+    assert keys(read_kafka_topic(spark, "u:9", subscribe_pattern=".*", **std)) == {
+        "a", "b", "c",
+    }
+    # global timestamp rewind
+    assert keys(
+        read_kafka_topic(spark, "u:9", "rt", starting_timestamp_ms=2000, **std)
+    ) == {"b"}
+    # per-partition rewind: p0 from 5000, unlisted partitions from beginning
+    assert keys(
+        read_kafka_topic(
+            spark, "u:9", subscribe_pattern=".*",
+            starting_offsets_by_timestamp=None, **std,
+        )
+    ) == {"a", "b", "c"}
+    assert keys(
+        read_kafka_topic(
+            spark, "u:9", "rt", starting_offsets_by_timestamp={0: 5000}, **std
+        )
+    ) == {"b"}
+    # earliest = everything; latest = empty batch
+    assert keys(
+        read_kafka_topic(spark, "u:9", "rt", starting_offsets="earliest", **std)
+    ) == {"a", "b"}
+    assert keys(
+        read_kafka_topic(spark, "u:9", "rt", starting_offsets="latest", **std)
+    ) == set()
+    # invalid combos rejected exactly like the kafka path
+    with pytest.raises(ValueError, match="exactly one"):
+        read_kafka_topic(spark, "u:9", **std)
+    with pytest.raises(ValueError, match="at most one"):
+        read_kafka_topic(
+            spark, "u:9", "rt", starting_timestamp_ms=1, starting_offsets="latest", **std
+        )

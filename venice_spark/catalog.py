@@ -67,6 +67,21 @@ class StoreMeta:
         return StoreMeta(**d)
 
 
+# Bucketed-view naming, shared by push.BucketedViewDef (writes) and
+# retire_old_versions (drops): ONE encoding of dir suffix and table name,
+# so retirement can never silently stop matching what write registered
+# (code-review r4).
+BUCKETED_VIEW_INFIX = "__bucketed_"
+
+
+def bucketed_view_table_name(store: str, view_name: str, version: int) -> str:
+    return f"{store}__{view_name}_v{version}"
+
+
+def bucketed_view_dir(version_dir: str, view_name: str) -> str:
+    return f"{version_dir}{BUCKETED_VIEW_INFIX}{view_name}"
+
+
 def _struct_from_json(s: str) -> T.StructType:
     return T.StructType.fromJson(json.loads(s))
 
@@ -363,13 +378,12 @@ class StoreCatalog:
                     parent = os.path.dirname(vdir)
                     for name in os.listdir(parent):
                         if name.startswith(f"{base}__"):
-                            if spark is not None and name.startswith(
-                                f"{base}__bucketed_"
-                            ):
-                                # push.BucketedViewDef.table_name(store, v)
-                                view = name[len(f"{base}__bucketed_"):]
+                            bucket_prefix = f"{base}{BUCKETED_VIEW_INFIX}"
+                            if spark is not None and name.startswith(bucket_prefix):
+                                view = name[len(bucket_prefix):]
                                 spark.sql(
-                                    f"DROP TABLE IF EXISTS {store}__{view}_v{v}"
+                                    "DROP TABLE IF EXISTS "
+                                    + bucketed_view_table_name(store, view, v)
                                 )
                             shutil.rmtree(
                                 os.path.join(parent, name), ignore_errors=True

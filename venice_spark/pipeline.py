@@ -581,10 +581,16 @@ def bigram_logprob(
     avg, rounded so distributed float accumulation is order-independent.
     Documents with fewer than 2 tokens return a null score (no bigrams).
 
+    The tokenized and bigram frames each feed multiple consumers (toks →
+    bigrams + vocab + final join; bigrams → pair counts + score probe), so
+    both persist function-locally and unpersist after the small per-doc
+    result is eagerly checkpointed — without the barrier every consumer
+    re-tokenizes the corpus (the minhash persist discipline).
+
     Returns [id_col, lm2_logprob, n_bigrams]."""
     toks = df.select(
         F.col(id_col), TX.tokens(text_col).alias("t")
-    ).withColumn("n", F.size("t"))
+    ).withColumn("n", F.size("t")).persist()
     bg = toks.select(
         F.col(id_col),
         F.explode(
@@ -595,7 +601,7 @@ def bigram_logprob(
                 "ELSE array() END"
             )
         ).alias("b"),
-    ).select(id_col, "b.w1", "b.w2")
+    ).select(id_col, "b.w1", "b.w2").persist()
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
@@ -620,7 +626,7 @@ def bigram_logprob(
             F.count("*").alias("n_bigrams"),
         )
     )
-    return (
+    out = (
         toks.select(id_col)
         .join(scored, id_col, "left")
         .select(
@@ -628,7 +634,11 @@ def bigram_logprob(
             "lm2_logprob",
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         )
+        .localCheckpoint(eager=True)
     )
+    bg.unpersist()
+    toks.unpersist()
+    return out
 
 
 def shard_plan(

@@ -355,10 +355,14 @@ class BucketedViewDef:
     projection: list[str] | None = None
 
     def table_name(self, store: str, version: int) -> str:
-        return f"{store}__{self.name}_v{version}"
+        from venice_spark.catalog import bucketed_view_table_name
+
+        return bucketed_view_table_name(store, self.name, version)
 
     def view_dir(self, catalog: StoreCatalog, store: str, version: int) -> str:
-        return f"{catalog.version_dir(store, version)}__bucketed_{self.name}"
+        from venice_spark.catalog import bucketed_view_dir
+
+        return bucketed_view_dir(catalog.version_dir(store, version), self.name)
 
     def write(self, catalog: StoreCatalog, store: str, version: int, df: DataFrame) -> None:
         out = df.drop("partition_id")

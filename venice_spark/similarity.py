@@ -754,6 +754,10 @@ def pq_topk(
     dist = pq_adc_dist(code_col, query, codebooks)
     ranked = (
         df.select(F.col(id_col), dist.alias("dist"), *([vec_col] if refine else []))
+        # null codes (pq_encode of a null vector) yield NULL distances, and
+        # ascending order is NULLS FIRST — without the filter the junk rows
+        # would BE the top-k (code-review r4)
+        .filter(F.col("dist").isNotNull())
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(max(k, refine))
     )
@@ -765,7 +769,7 @@ def pq_topk(
         cos = VX.cosine_similarity(vec_col, list(query))
         return (
             ranked.select(F.col(id_col), cos.alias("cos"))
-            .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+            .orderBy(F.col("cos").desc_nulls_last(), F.col(id_col).asc())
             .limit(k)
         )
     if refine_metric != "l2":
@@ -779,7 +783,7 @@ def pq_topk(
     )
     return (
         ranked.select(F.col(id_col), exact.alias("dist"))
-        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 

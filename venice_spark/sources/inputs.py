@@ -19,6 +19,24 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+def project_key_value(
+    df: DataFrame, key_field: str | None, value_fields: list[str] | None
+) -> DataFrame:
+    """The shared key/value projection contract for every batch-input
+    reader (read_input, vson.read_vson_input): no-op when nothing is
+    specified; value_fields=None defaults to all non-key columns;
+    value_fields=[] is a deliberate key-only projection."""
+    if key_field is None and value_fields is None:
+        return df
+    cols = []
+    if key_field:
+        cols.append(key_field)
+    if value_fields is None:
+        value_fields = [c for c in df.columns if c != key_field]
+    cols.extend(value_fields)
+    return df.select(*cols)
+
+
 def read_input(
     spark: SparkSession,
     path: str,
@@ -41,15 +59,7 @@ def read_input(
             ) from e
     else:
         df = spark.read.format(fmt).options(**options).load(path)
-    if key_field is None and value_fields is None:
-        return df
-    cols = []
-    if key_field:
-        cols.append(key_field)
-    if value_fields is None:
-        value_fields = [c for c in df.columns if c != key_field]
-    cols.extend(value_fields)  # [] is a deliberate key-only projection
-    return df.select(*cols)
+    return project_key_value(df, key_field, value_fields)
 
 
 # Kafka's fixed wire schema: what `format("kafka")` (and our file-based
@@ -146,15 +156,18 @@ def read_kafka_topic(
     pipeline.
     """
     reader = spark.readStream if streaming else spark.read
+    # option construction doubles as argument validation for BOTH paths:
+    # the stand-in must reject exactly what the kafka path rejects, or
+    # pipelines validated against it diverge in production (code-review r4)
+    opts = kafka_source_options(
+        bootstrap_servers,
+        topic,
+        subscribe_pattern,
+        starting_timestamp_ms,
+        starting_offsets_by_timestamp,
+        starting_offsets,
+    )
     if source_format == "kafka":
-        opts = kafka_source_options(
-            bootstrap_servers,
-            topic,
-            subscribe_pattern,
-            starting_timestamp_ms,
-            starting_offsets_by_timestamp,
-            starting_offsets,
-        )
         r = reader.format("kafka").options(**opts)
         try:
             return r.load()
@@ -162,17 +175,41 @@ def read_kafka_topic(
             raise RuntimeError(
                 "kafka source requires a broker and the spark-sql-kafka package"
             ) from e
-    # file-backed stand-in: same wire schema, same downstream pipeline
+    # File-backed stand-in: same wire schema, same downstream pipeline, and
+    # the same seek semantics applied as filters on the wire columns:
+    # - subscribe -> topic equality; subscribePattern -> Java-regex match
+    #   (full-match, like Kafka's pattern subscription);
+    # - startingTimestamp -> broker-timestamp lower bound on ALL partitions;
+    # - startingOffsetsByTimestamp -> per-partition lower bounds (partitions
+    #   absent from the map replay from the beginning);
+    # - startingOffsets earliest -> everything; latest -> empty batch (a
+    #   batch read strictly after the log's tail sees no rows).
     if source_path is None:
         raise ValueError("non-kafka source_format requires source_path")
     if streaming:
         df = reader.schema(KAFKA_WIRE_SCHEMA).format(source_format).load(source_path)
     else:
         df = reader.format(source_format).load(source_path)
+    if topic is not None:
+        df = df.filter(F.col("topic") == F.lit(topic))
+    else:
+        df = df.filter(F.col("topic").rlike(f"^(?:{subscribe_pattern})$"))
     if starting_timestamp_ms is not None:
         df = df.filter(
             F.unix_millis(F.col("timestamp")) >= F.lit(starting_timestamp_ms)
         )
+    elif starting_offsets_by_timestamp is not None:
+        cond = None
+        for p, ts in starting_offsets_by_timestamp.items():
+            c = (F.col("partition") == F.lit(int(p))) & (
+                F.unix_millis(F.col("timestamp")) >= F.lit(int(ts))
+            )
+            cond = c if cond is None else (cond | c)
+        listed = [int(p) for p in starting_offsets_by_timestamp]
+        cond = cond | ~F.col("partition").isin(listed)
+        df = df.filter(cond)
+    elif starting_offsets == "latest" and not streaming:
+        df = df.filter(F.lit(False))
     return df
 
 

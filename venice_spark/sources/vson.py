@@ -162,13 +162,6 @@ def read_vson_input(
         df = df.select(
             *[df[f.name].cast(f.dataType).alias(f.name) for f in struct.fields]
         )
-    if key_field is None and value_fields is None:
-        return df
-    # reuse read_input's projection contract via a temp view-free select
-    cols = []
-    if key_field:
-        cols.append(key_field)
-    if value_fields is None:
-        value_fields = [c for c in df.columns if c != key_field]
-    cols.extend(value_fields)
-    return df.select(*cols)
+    from venice_spark.sources.inputs import project_key_value
+
+    return project_key_value(df, key_field, value_fields)
