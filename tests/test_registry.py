@@ -146,9 +146,10 @@ def test_driver_window_carries_only_oracle_queries():
         # to make window room for previously-uncertified families
         "x_pii_scrub", "x_lang_id", "x_repetition_filter",
         "x_event_percentiles", "x_ngram_counts",
-        # new in r4 (window already at 50): oracle-checked by the local gate,
-        # rotate into the window next round
-        "x_bigram_logprob", "x_cdc_chunk_dedup",
+        # late r4 rotation: the new bigram-LM and CDC families took these
+        # driver-green r03 slots (x_event_rollup carries event aggs,
+        # x_bigram_logprob carries the LM family)
+        "x_rollup_agg", "x_unigram_logprob",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

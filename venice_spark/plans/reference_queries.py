@@ -2214,8 +2214,8 @@ _TAIL = [
     "x_ann_lsh",               # rows-only; recall pinned in tests/test_similarity
     "x_ann_ivf",               # rows-only; recall pinned in tests
     "x_pq_topk",               # rows-only; ADC exactness + recall pinned in tests
-    "x_bigram_logprob",        # new r4; oracle-checked locally, rotate into the window next round
-    "x_cdc_chunk_dedup",       # new r4; oracle-checked locally, rotate into the window next round
+    "x_rollup_agg",            # event-agg family carried by x_event_rollup; driver-green r03
+    "x_unigram_logprob",       # LM family carried by x_bigram_logprob (order-2 ed.); driver-green r03
     "x_shard_plan",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
     "x_oversample",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
     "x_split_assign",          # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
