@@ -136,3 +136,61 @@ def test_vson_store_end_to_end(spark, tmp_path):
     eng.create_store("legacy", key_fields=["member_id"], partition_count=2)
     eng.push("legacy", df)
     assert eng.store("legacy").get(2)["name"] == "y"
+
+
+# ------------------------------------------------------- property testing
+
+
+def test_vson_property_arbitrary_schema_trees():
+    """Hypothesis: any well-formed VSON schema tree (primitives, records,
+    single-entry lists, arbitrary nesting) maps to a Spark type with the
+    reference invariants — every struct field nullable, every array
+    containsNull, structure preserved — and both JSON quote styles parse
+    to the identical type."""
+    import json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql.types import ArrayType, StructType
+
+    prims = st.sampled_from(
+        ["boolean", "string", "int8", "int16", "int32", "int64",
+         "float32", "float64", "bytes"]
+    )
+    names = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8
+    )
+    trees = st.recursive(
+        prims,
+        lambda kids: st.one_of(
+            st.lists(kids, min_size=1, max_size=1),  # VSON list: single entry
+            st.dictionaries(names, kids, min_size=1, max_size=4),
+        ),
+        max_leaves=12,
+    )
+
+    def check(node, spark_t):
+        if isinstance(node, dict):
+            assert isinstance(spark_t, StructType)
+            assert [f.name for f in spark_t.fields] == list(node.keys())
+            for f in spark_t.fields:
+                assert f.nullable
+                check(node[f.name], f.dataType)
+        elif isinstance(node, list):
+            assert isinstance(spark_t, ArrayType) and spark_t.containsNull
+            check(node[0], spark_t.elementType)
+        else:
+            from venice_spark.sources.vson import _PRIMITIVES
+
+            assert spark_t == _PRIMITIVES[node]
+
+    @settings(max_examples=200, deadline=None)
+    @given(trees)
+    def run(tree):
+        s = json.dumps(tree)
+        t = vson_to_spark_type(s)
+        check(tree, t)
+        # single-quote edition parses identically
+        assert vson_to_spark_type(s.replace('"', "'")) == t
+
+    run()

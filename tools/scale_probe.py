@@ -90,6 +90,11 @@ PROBE_QUERIES = [
     # continuation: broadcast-query vectorized kNN scan, seeded shard assignment
     "x_knn_classify",
     "x_shard_plan",
+    # round 4: order-2 LM (pair-key shuffle), CDC chunk dedup (row-local
+    # chunking + 8-byte-hash shuffle), PQ (Arrow encode + ADC heap top-k)
+    "x_bigram_logprob",
+    "x_cdc_chunk_dedup",
+    "x_pq_topk",
 ]
 
 
