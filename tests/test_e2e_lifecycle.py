@@ -167,3 +167,87 @@ def test_engine_hybrid_serve_one_call(spark, tmp_path):
     # lag gate: serving has caught up with the log
     rt = spark.read.parquet(eng.catalog.update_log_dir("h"))
     assert replay2.ready_to_serve(rt, lag_threshold_seconds=0)
+
+
+def test_hybrid_serve_reseeds_on_new_batch_version(spark, tmp_path):
+    """code-review r4: a batch push AFTER the serve loop started must be
+    served — the serving table re-seeds from the new version (checkpoint
+    reset included) and the RT log replays on top, reference per-version
+    buffer-replay semantics."""
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("h2", key_fields=["k"], partition_count=2, hybrid=True)
+    eng.push("h2", spark.createDataFrame([(1, "v1")], "k long, v string"))
+    st = eng.store("h2")
+
+    p = st.producer()
+    p.put(2, {"v": "rt"}, ts=100)
+    p.flush(schema="k long, op string, ts long, colo int, v string")
+    out1 = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
+    assert out1 == {1: "v1", 2: "rt"}
+
+    # new batch version: key 1 updated, key 3 added — without the re-seed
+    # the old serving table keeps serving v1 forever
+    eng.push("h2", spark.createDataFrame([(1, "v2"), (3, "new")], "k long, v string"))
+    out2 = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
+    assert out2 == {1: "v2", 2: "rt", 3: "new"}  # RT replayed onto the new base
+
+
+def test_hybrid_serve_merges_heterogeneous_flush_schemas(spark, tmp_path):
+    """code-review r4: a delete-only flush writes no value columns; the
+    stream schema must merge ALL flush footers or PUT values from other
+    flushes silently replay as nulls."""
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("h3", key_fields=["k"], partition_count=2, hybrid=True)
+    eng.push("h3", spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    st = eng.store("h3")
+
+    p = st.producer()
+    p.delete(2, ts=100)
+    p.flush()  # delete-only: columns (k, op, ts, colo) — no v
+    p.put(3, {"v": "c"}, ts=200)
+    p.flush()  # put flush: carries v
+    out = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
+    assert out == {1: "a", 3: "c"}  # v survives; 2 deleted
+
+
+def test_hybrid_serve_rewind_is_seconds_against_ms_timestamps(spark, tmp_path):
+    """code-review r4: the producer stamps epoch MILLISECONDS; store
+    rewind_seconds is seconds — the engine path must scale by 1000 (a raw
+    subtraction rewound 1/1000th of the window)."""
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store(
+        "h4", key_fields=["k"], partition_count=2, hybrid=True, rewind_seconds=600
+    )
+    eng.push("h4", spark.createDataFrame([(1, "a")], "k long, v string"))
+    st = eng.store("h4")
+
+    now_ms = 1_000_000_000_000
+    p = st.producer()
+    # 300s old: inside the 600s rewind; 900s old: outside it
+    p.put(2, {"v": "inside"}, ts=now_ms - 300_000)
+    p.put(3, {"v": "outside"}, ts=now_ms - 900_000)
+    p.flush(schema="k long, op string, ts long, colo int, v string")
+    out = {
+        r["k"]: r["v"]
+        for r in st.hybrid_serve(now_ts=now_ms).read().collect()
+    }
+    assert out == {1: "a", 2: "inside"}  # 3 rewound away; with raw units
+    # both rows would have survived (cutoff would be now - 600 ms)
+
+
+def test_producer_flush_with_all_null_field(spark, tmp_path):
+    """code-review r4: a field that is None in every buffered op has no
+    inferable type; flush must fall back to an explicit schema instead of
+    failing and leaving the buffer stuck."""
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("p1", key_fields=["k"], partition_count=2, hybrid=True)
+    st = eng.store("p1")
+    p = st.producer()
+    p.put(1, {"name": None, "score": 1.5}, ts=10)
+    p.put(2, {"name": None, "score": 2.5}, ts=10)
+    rt_dir = p.flush()
+    df = spark.read.option("mergeSchema", "true").parquet(rt_dir)
+    rows = {r["k"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows == {"1": (None, 1.5), "2": (None, 2.5)} or rows == {
+        1: (None, 1.5), 2: (None, 2.5)
+    }

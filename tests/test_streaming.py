@@ -394,3 +394,53 @@ def test_rollup_to_store_bootstraps_fresh_store(spark, tmp_path):
     q.awaitTermination(120)
     assert eng.catalog.current_version("roll") >= 1
     assert eng.store("roll").df().count() > 0
+
+
+def test_resolve_latest_put_put_tie_is_order_independent(spark):
+    """code-review r4: two PUTs for one key with identical ts (cross-colo
+    writes in one micro-batch) must resolve identically regardless of
+    arrival/shuffle order — the value-hash tiebreak, mirroring the DCR
+    kernel's value comparison."""
+    from venice_spark.streaming.hybrid import resolve_latest
+
+    rows = [("k", "alpha", 10), ("k", "beta", 10), ("k", "gamma", 5)]
+    winners = set()
+    for perm in ([0, 1, 2], [1, 0, 2], [2, 1, 0], [1, 2, 0]):
+        df = spark.createDataFrame(
+            [rows[i] for i in perm], "key string, val string, ts long"
+        ).repartition(4)
+        out = resolve_latest(df, ["key"], "ts").collect()
+        assert len(out) == 1
+        winners.add(out[0]["val"])
+    assert len(winners) == 1 and winners <= {"alpha", "beta"}
+
+
+def test_cdc_snapshot_equal_ts_delete_wins(spark, tmp_path):
+    """code-review r4: an equal-ts PUT/DELETE pair in one micro-batch must
+    resolve delete-wins (the resolve_latest rule) in the CDC snapshot, not
+    by shuffle order."""
+    import os
+
+    from venice_spark.streaming.cdc import ChangeCaptureStream
+
+    for perm in (0, 1):
+        out_dir = str(tmp_path / f"out{perm}")
+        snap_dir = str(tmp_path / f"snap{perm}")
+        src = str(tmp_path / f"src{perm}")
+        rows = [("k", 1.0, 10, "PUT"), ("k", None, 10, "DELETE")]
+        if perm:
+            rows = rows[::-1]
+        spark.createDataFrame(
+            rows, "key string, val double, ts long, op string"
+        ).write.parquet(src)
+        stream = spark.readStream.schema(
+            "key string, val double, ts long, op string"
+        ).parquet(src)
+        cc = ChangeCaptureStream(
+            spark, snap_dir, out_dir, key_fields=["key"], value_col="val", ts_col="ts"
+        )
+        q = cc.start(stream, str(tmp_path / f"ckpt{perm}"))
+        q.awaitTermination(120)
+        assert not os.path.isdir(snap_dir) or spark.read.parquet(
+            snap_dir
+        ).count() == 0, "equal-ts DELETE must win over the PUT"

@@ -28,7 +28,7 @@ def _write(spark, src, rows):
 def _run(spark, src, sink, ckpt):
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     out = streaming_corpus_prep(
-        stream, "text", "doc_id", ts_col="ts",
+        stream, "text", ts_col="ts",
         watermark_delay="30 minutes", min_tokens=5, min_stopword_ratio=0.0,
     )
     q = (
@@ -77,7 +77,7 @@ def test_streaming_prep_batch_mode_matches_exact_dedup(spark):
     per fingerprint."""
     rows = [(i, 0, DUP) for i in range(5)] + [(10, 0, GOOD)]
     df = spark.createDataFrame(rows, SCHEMA)
-    out = streaming_corpus_prep(df, "text", "doc_id", min_tokens=5, min_stopword_ratio=0.0)
+    out = streaming_corpus_prep(df, "text", min_tokens=5, min_stopword_ratio=0.0)
     texts = [r["text"] for r in out.collect()]
     assert sorted(texts) == sorted([DUP, GOOD])
 

@@ -217,18 +217,34 @@ class StoreHandle:
         Streaming with a persistent checkpoint (each call resumes where the
         last stopped — only NEW log files are processed), and return the
         HybridReplay handle (.read() for the live view, .ready_to_serve()
-        for the lag gate, .compact() in append mode)."""
+        for the lag gate, .compact() in append mode).
+
+        A NEW batch push re-seeds: the serving table remembers which
+        version seeded it, and a version change drops table + checkpoint so
+        the new base replays the RT window on top (the reference's
+        per-version buffer replay; code-review r4). `ts` is the producer's
+        epoch-millisecond stamp, so rewind/lag seconds scale accordingly
+        (ts_unit='ms'); pass now_ts in ms."""
         import os
 
-        from venice_spark.streaming.hybrid import HybridReplay
+        from venice_spark.producer import read_rt_log
+        from venice_spark.streaming.hybrid import (
+            HybridReplay,
+            mark_seeded_version,
+            reset_serving_if_stale,
+        )
 
         store_dir = self.catalog.store_dir(self.name)
         serving = os.path.join(store_dir, "serving")
+        ckpt = os.path.join(store_dir, "_rt_checkpoint")
+        cur = self.catalog.current_version(self.name)
+        reset_serving_if_stale(serving, ckpt, cur)
         if not os.path.isdir(serving):
             base = self.df().drop("partition_id")
             if ts_col not in base.columns:
                 base = base.withColumn(ts_col, F.lit(0).cast("long"))
             base.write.parquet(serving)
+            mark_seeded_version(serving, cur)
         replay = HybridReplay(
             self.spark,
             self.catalog,
@@ -239,14 +255,18 @@ class StoreHandle:
             now_ts=now_ts,
             mode=mode,
             compact_every=compact_every,
+            ts_unit="ms",
         )
         rt_dir = self.catalog.update_log_dir(self.name)
         if os.path.isdir(rt_dir) and any(
             f.endswith(".parquet") for f in os.listdir(rt_dir)
         ):
-            schema = self.spark.read.parquet(rt_dir).schema
+            # mergeSchema: each flush writes only the columns its ops
+            # carried; a bare read samples one footer and would silently
+            # drop the other flushes' value columns from the replay
+            schema = read_rt_log(self.spark, self.catalog, self.name).schema
             stream = self.spark.readStream.schema(schema).parquet(rt_dir)
-            q = replay.start(stream, os.path.join(store_dir, "_rt_checkpoint"))
+            q = replay.start(stream, ckpt)
             q.awaitTermination()
         return replay
 

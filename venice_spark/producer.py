@@ -59,13 +59,71 @@ class VeniceProducer:
         rt_dir = self.catalog.update_log_dir(self.store)
         if not self._buffer:
             return rt_dir
+        rows = self._normalize_rows()
         if schema is not None:
-            df = self.spark.createDataFrame(self._normalize_rows(), schema=schema)
+            df = self.spark.createDataFrame(rows, schema=schema)
         else:
-            df = self.spark.createDataFrame(self._normalize_rows())
+            try:
+                df = self.spark.createDataFrame(rows)
+            except ValueError:
+                # a field None in EVERY buffered op has no inferable type
+                # and Spark's inference raises, failing the whole flush and
+                # leaving the buffer stuck (code-review r4) — type such
+                # columns from the store's registered value schema, else
+                # string, and infer the rest from the first non-None value
+                df = self.spark.createDataFrame(
+                    rows, schema=self._flush_schema(rows)
+                )
         df.write.mode("append").parquet(rt_dir)
         self._buffer.clear()
         return rt_dir
+
+    def _flush_schema(self, rows: list[dict]):
+        """Explicit flush schema for the all-None-column fallback."""
+        import datetime
+
+        from pyspark.sql import types as T
+
+        declared = {}
+        try:
+            vs = self.catalog.get_value_schema(self.store)
+            if vs is not None:
+                declared = {f.name: f.dataType for f in vs.fields}
+        except Exception:
+            pass
+
+        def infer(v):
+            if isinstance(v, bool):
+                return T.BooleanType()
+            if isinstance(v, int):
+                return T.LongType()
+            if isinstance(v, float):
+                return T.DoubleType()
+            if isinstance(v, bytes):
+                return T.BinaryType()
+            if isinstance(v, str):
+                return T.StringType()
+            if isinstance(v, datetime.datetime):
+                return T.TimestampType()
+            if isinstance(v, list):
+                inner = next((x for x in v if x is not None), None)
+                return T.ArrayType(infer(inner) if inner is not None else T.StringType())
+            if isinstance(v, dict):
+                inner = next((x for x in v.values() if x is not None), None)
+                return T.MapType(
+                    T.StringType(), infer(inner) if inner is not None else T.StringType()
+                )
+            return T.StringType()
+
+        fields = []
+        for c in rows[0]:
+            sample = next((r[c] for r in rows if r[c] is not None), None)
+            if sample is not None:
+                t = infer(sample)
+            else:
+                t = declared.get(c, T.StringType())
+            fields.append(T.StructField(c, t, True))
+        return T.StructType(fields)
 
     def _normalize_rows(self) -> list[dict]:
         # every row must carry every column (sparse ops -> None fill)

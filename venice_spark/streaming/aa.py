@@ -66,17 +66,20 @@ class ActiveActiveReplay:
         self.ts_col = ts_col
 
     # ---- serving-table schema helpers ----
-    def _fold_schema(self, ops: DataFrame) -> "object":
+    def _fold_schema(self, ops: DataFrame, snap: DataFrame | None = None) -> "object":
         from pyspark.sql import types as T
 
         key_schema = ops.select(*self.key_fields).schema
         # a value column absent from THIS micro-batch (e.g. an UPDATE-only
         # batch carrying set_<field> columns) must keep the serving
         # snapshot's real type — a StringType default would Arrow-error or
-        # silently widen the serving column on the union-back
+        # silently widen the serving column on the union-back. _merge_batch
+        # passes its already-read snapshot so the footers are not re-listed
+        # every trigger (code-review r4).
         snap_types = {}
         try:
-            snap = self.spark.read.parquet(self.serving_dir)
+            if snap is None:
+                snap = self.spark.read.parquet(self.serving_dir)
             snap_types = {f.name: f.dataType for f in snap.schema.fields}
         except Exception:
             pass
@@ -110,7 +113,12 @@ class ActiveActiveReplay:
         folded = self._fold_new(ops)
         folded.write.mode("overwrite").parquet(self.serving_dir)
 
-    def _fold_new(self, ops: DataFrame, prior: DataFrame | None = None) -> DataFrame:
+    def _fold_new(
+        self,
+        ops: DataFrame,
+        prior: DataFrame | None = None,
+        snap: DataFrame | None = None,
+    ) -> DataFrame:
         """Fold op rows (optionally carrying a prior __state__ per key) into
         one serving row per key."""
         import pandas as pd
@@ -137,7 +145,7 @@ class ActiveActiveReplay:
             )
         elif "__state__" not in ops.columns:
             ops = ops.withColumn("__state__", F.lit(None).cast("string"))
-        out_schema = self._fold_schema(ops)
+        out_schema = self._fold_schema(ops, snap=snap)
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
             keys = {k: pdf[k].iloc[0] for k in kf}
@@ -160,18 +168,15 @@ class ActiveActiveReplay:
         return ops.groupBy(*kf).applyInPandas(fold, schema=out_schema)
 
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from venice_spark.streaming.hybrid import atomic_swap_dir
+
         snap = self.spark.read.parquet(self.serving_dir)
         touched = batch_df.select(*self.key_fields).distinct()
         prior = snap.join(touched, on=self.key_fields, how="left_semi")
-        refreshed = self._fold_new(batch_df, prior=prior)
+        refreshed = self._fold_new(batch_df, prior=prior, snap=snap)
         kept = snap.join(touched, on=self.key_fields, how="left_anti")
         new_snap = kept.unionByName(refreshed)
-        tmp = f"{self.serving_dir}__aa_tmp"
-        new_snap.write.mode("overwrite").parquet(tmp)
-        old = f"{self.serving_dir}__aa_old"
-        shutil.move(self.serving_dir, old)
-        shutil.move(tmp, self.serving_dir)
-        shutil.rmtree(old)
+        atomic_swap_dir(new_snap, self.serving_dir, tag="aa")
 
     def start(self, rt_stream: DataFrame, checkpoint_dir: str):
         return (
@@ -198,21 +203,34 @@ def aa_serve(
     """One-call AA serving loop (the facade twin of hybrid_serve for
     active-active stores): seed from the current version if needed, replay
     the RT log through the DCR kernel with a persistent checkpoint, return
-    the replay handle."""
+    the replay handle. Like hybrid_serve: a NEW batch version drops the
+    serving table + checkpoint and re-seeds (per-version buffer replay),
+    and the stream schema merges ALL flush footers — a bare read would
+    silently drop columns absent from the sampled flush (code-review r4)."""
+    from venice_spark.producer import read_rt_log
+    from venice_spark.streaming.hybrid import (
+        mark_seeded_version,
+        reset_serving_if_stale,
+    )
+
     spark = engine_store.spark
     catalog = engine_store.catalog
     name = engine_store.name
     store_dir = catalog.store_dir(name)
     serving = os.path.join(store_dir, "aa_serving")
+    ckpt = os.path.join(store_dir, "_aa_checkpoint")
+    cur = catalog.current_version(name)
+    reset_serving_if_stale(serving, ckpt, cur)
     replay = ActiveActiveReplay(
         spark, catalog, name, serving, value_cols, list_fields, map_fields, ts_col
     )
     if not os.path.isdir(serving):
         replay.seed(engine_store.df().drop("partition_id"))
+        mark_seeded_version(serving, cur)
     rt_dir = catalog.update_log_dir(name)
     if os.path.isdir(rt_dir) and any(f.endswith(".parquet") for f in os.listdir(rt_dir)):
-        schema = spark.read.parquet(rt_dir).schema
+        schema = read_rt_log(spark, catalog, name).schema
         stream = spark.readStream.schema(schema).parquet(rt_dir)
-        q = replay.start(stream, os.path.join(store_dir, "_aa_checkpoint"))
+        q = replay.start(stream, ckpt)
         q.awaitTermination()
     return replay

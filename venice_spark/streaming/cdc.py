@@ -217,8 +217,17 @@ class ChangeCaptureStream:
         )
         events.write.mode("append").parquet(self.out_dir)
 
-        # advance the snapshot: latest op per key, deletes drop the key
-        wd = Window.partitionBy(*kf).orderBy(F.col(tc).desc())
+        # advance the snapshot: latest op per key, deletes drop the key.
+        # Tie ordering matches resolve_latest: DELETE beats PUT on an equal
+        # ts, then a value-payload hash — a ts-only order resolved an
+        # equal-ts PUT/DELETE pair by shuffle order, so the snapshot (and
+        # later batches' `before` values) was nondeterministic across runs
+        # (code-review r4).
+        wd = Window.partitionBy(*kf).orderBy(
+            F.col(tc).desc(),
+            _is_delete().desc(),
+            F.xxhash64(F.to_json(F.struct("op", vc))).desc(),
+        )
         latest = (
             batch.withColumn("__rn", F.row_number().over(wd))
             .filter(F.col("__rn") == 1)
@@ -230,16 +239,9 @@ class ChangeCaptureStream:
             new_snap = kept.unionByName(new_rows)
         else:
             new_snap = new_rows
-        # move-aside-then-delete (hybrid._swap_in pattern): a crash between
-        # steps leaves either the old or the new snapshot readable — never
-        # neither (rmtree-first lost the whole history on a mid-swap crash)
-        tmp = f"{self.snapshot_dir}__tmp"
-        new_snap.write.mode("overwrite").parquet(tmp)
-        old = f"{self.snapshot_dir}__old"
-        if os.path.exists(self.snapshot_dir):
-            shutil.move(self.snapshot_dir, old)
-        shutil.move(tmp, self.snapshot_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        from venice_spark.streaming.hybrid import atomic_swap_dir
+
+        atomic_swap_dir(new_snap, self.snapshot_dir, tag="cdc")
 
     def start(self, update_stream: DataFrame, checkpoint_dir: str):
         return (

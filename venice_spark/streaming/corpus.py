@@ -27,7 +27,6 @@ from venice_spark.functions import text as TX
 def streaming_corpus_prep(
     stream: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     ts_col: str | None = None,
     watermark_delay: str = "1 hour",
     min_tokens: int = 5,
@@ -116,7 +115,7 @@ def run_corpus_ingest_to_store(
     from venice_spark.dedup import exact_dedup_incremental
 
     prepped = streaming_corpus_prep(
-        stream, text_col=text_col, id_col=id_col, ts_col=ts_col, **prep_kwargs
+        stream, text_col=text_col, ts_col=ts_col, **prep_kwargs
     )
 
     def _push(target: str, frame: DataFrame) -> None:

@@ -39,12 +39,23 @@ def resolve_latest(
     Tombstone rows are KEPT (op='DELETE') so callers can persist them —
     required so a stale PUT arriving later cannot resurrect a deleted key
     (reference: AbstractMerge.java:48-66 delete-wins-ties + determinism
-    contract Merge.java:27-31). Rows without an op column count as PUTs."""
+    contract Merge.java:27-31). Rows without an op column count as PUTs.
+
+    The FINAL order key is a hash of the full value payload: two PUTs for
+    one key with identical ts (cross-colo writes in one micro-batch) would
+    otherwise resolve by shuffle order — replaying the same log twice could
+    serve different values, violating the determinism contract the module
+    docstring promises (the value-compare tiebreak AbstractMerge applies;
+    code-review r4). Fully identical rows still tie, harmlessly."""
     has_op = "op" in df.columns
     order = [F.col(ts_col).desc()]
     if has_op:
         order.append(_is_delete().desc())  # DELETE beats PUT on a ts tie
     order += [F.col(c).desc() for c in (tiebreak or [])]
+    payload = [c for c in df.columns if c not in set(key_fields) | {ts_col}]
+    if payload:
+        # via to_json: xxhash64 cannot hash MapType columns directly
+        order.append(F.xxhash64(F.to_json(F.struct(*payload))).desc())
     w = Window.partitionBy(*key_fields).orderBy(*order)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
@@ -56,6 +67,66 @@ def latest_wins(df: DataFrame, key_fields: list[str], ts_col: str, tiebreak: lis
     if "op" in df.columns:
         out = out.filter(~_is_delete()).drop("op")
     return out
+
+
+def atomic_swap_dir(df: DataFrame, target: str, tag: str = "swap") -> None:
+    """Write `df` to a tmp sibling, move the old dir aside, move the new one
+    in, then drop the old — readers always see either the full old or full
+    new dir. Leftovers from a crashed previous swap are cleared first. ONE
+    implementation shared by the hybrid/AA/CDC serving swaps (three copies
+    had already drifted on crash-leftover handling; code-review r4)."""
+    import os
+    import shutil
+
+    tmp = f"{target}__{tag}_tmp"
+    old = f"{target}__{tag}_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(target):
+        shutil.move(target, old)
+    shutil.move(tmp, target)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def seeded_version(serving_dir: str) -> int | None:
+    """Which batch version a serving table was seeded from (underscore
+    marker file — invisible to parquet reads). None: pre-marker table."""
+    import os
+
+    p = os.path.join(serving_dir, "_seeded_version")
+    try:
+        with open(p) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def mark_seeded_version(serving_dir: str, version: int) -> None:
+    import os
+
+    with open(os.path.join(serving_dir, "_seeded_version"), "w") as f:
+        f.write(str(int(version)))
+
+
+def reset_serving_if_stale(
+    serving_dir: str, checkpoint_dir: str, current_version: int
+) -> bool:
+    """Reference semantics: each NEW batch version re-seeds serving and
+    replays the RT window on top of it (HybridStoreConfigImpl rewind —
+    module docstring). Without this, a serve loop started before a push
+    keeps serving the OLD version's rows forever (code-review r4). Drops
+    the serving table AND the stream checkpoint when the seed is stale (the
+    checkpoint must restart so the rewind window re-applies to the new
+    base). Returns True if a reset happened."""
+    import os
+    import shutil
+
+    if os.path.isdir(serving_dir) and seeded_version(serving_dir) != current_version:
+        shutil.rmtree(serving_dir, ignore_errors=True)
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        return True
+    return False
 
 
 def read_serving(spark: SparkSession, serving_dir: str) -> DataFrame:
@@ -98,9 +169,19 @@ class HybridReplay:
         now_ts: int | None = None,
         mode: str = "rewrite",
         compact_every: int = 16,
+        ts_unit: str = "raw",
     ):
         if mode not in ("rewrite", "append"):
             raise ValueError(f"unknown merge mode {mode!r}")
+        # ts_unit: what ONE unit of the ts column is worth in seconds-land.
+        # "raw" (default): rewind_seconds / lag_threshold_seconds are in the
+        # same unit as ts (historical behavior); "ms": ts is epoch millis —
+        # the engine producer's stamp (producer.py time.time()*1000) — so
+        # seconds-denominated config scales by 1000 before comparison. A
+        # raw comparison against ms timestamps rewound 1/1000th of the
+        # configured window and never passed the lag gate (code-review r4).
+        if ts_unit not in ("raw", "s", "ms"):
+            raise ValueError(f"unknown ts_unit {ts_unit!r}")
         self.spark = spark
         self.catalog = catalog
         self.store = store
@@ -112,6 +193,7 @@ class HybridReplay:
         self.now_ts = now_ts
         self.mode = mode
         self.compact_every = compact_every
+        self.ts_scale = 1000 if ts_unit == "ms" else 1
         self._appends = 0
 
     @staticmethod
@@ -162,14 +244,7 @@ class HybridReplay:
         self._swap_in(merged)
 
     def _swap_in(self, merged: DataFrame) -> None:
-        tmp = f"{self.serving_dir}__stream_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        old = f"{self.serving_dir}__stream_old"
-        shutil.move(self.serving_dir, old)  # keep old aside until new is in place
-        shutil.move(tmp, self.serving_dir)
-        shutil.rmtree(old)
+        atomic_swap_dir(merged, self.serving_dir, tag="stream")
 
     def _raw(self) -> DataFrame:
         # append mode accumulates files whose column sets may differ (the
@@ -205,7 +280,7 @@ class HybridReplay:
         than now - rewind."""
         stream = rt_stream
         if self.rewind_seconds and self.now_ts is not None:
-            cutoff = self.now_ts - self.rewind_seconds
+            cutoff = self.now_ts - self.rewind_seconds * self.ts_scale
             stream = stream.filter(F.col(self.ts_col) >= F.lit(cutoff))
         writer = (
             stream.writeStream.foreachBatch(self._merge_batch)
@@ -227,4 +302,4 @@ class HybridReplay:
         srv_max = serving.agg(F.max(self.ts_col)).collect()[0][0]
         if srv_max is None:
             return False
-        return (src_max - srv_max) <= lag_threshold_seconds
+        return (src_max - srv_max) <= lag_threshold_seconds * self.ts_scale
