@@ -143,7 +143,7 @@ def test_text_kernels_edge_cases(spark):
     assert out[1]["tbf"] == 0.0
     assert out[2]["tbf"] == 0.0
     assert out[4]["tbf"] == 0.0
-    assert out[3]["tbf"] == 1.0  # the empty-token artifact described above
+    assert out[3]["tbf"] == 0.0  # token-less doc: no bigrams at all (r4 fix)
 
 
 def test_label_centroids_hand_computed(spark):

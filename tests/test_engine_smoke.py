@@ -196,3 +196,96 @@ def test_error_channel_two_ops_same_field(spark, sf_dir):
     errs = rows[2][ERROR_FIELD]
     assert set(errs) == {"score", "cos"}  # one entry per computed field
     assert "embedding is null" in errs["score"]
+
+
+# -------------------------------------------- r4 review regressions
+
+
+def test_count_feeds_error_channel(spark, sf_dir):
+    """code-review r4: the reference's CountOperator emits an error entry
+    for a null collection; the error loop skipped count ops so a count of
+    null was indistinguishable from a clean result."""
+    from venice_spark.compute import ERROR_FIELD, ComputeRequestBuilder
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "k long, arr array<double>"
+    )
+    out = {
+        r["k"]: (r["n"], dict(r[ERROR_FIELD]))
+        for r in ComputeRequestBuilder(df, ["k"])
+        .count("arr", "n")
+        .error_channel()
+        .plan()
+        .collect()
+    }
+    assert out[1] == (2, {})
+    assert out[2][0] is None and "null" in out[2][1]["n"]
+
+
+def test_execute_with_empty_key_batch(spark, sf_dir):
+    """code-review r4: an empty batchGet must return an empty frame, not
+    crash with CANNOT_INFER_EMPTY_SCHEMA."""
+    from venice_spark.compute import ComputeRequestBuilder
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = (
+        ComputeRequestBuilder(df, ["c_custkey"])
+        .project("c_name")
+        .execute(spark, [])
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"c_custkey", "c_name"}
+
+
+def test_partial_key_lookup_accepts_any_kwargs_order(spark, sf_dir):
+    """code-review r4: the prefix contract is about WHICH fields are
+    constrained, not Python kwargs ordering."""
+    from venice_spark.compute import ComputeRequestBuilder
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = ComputeRequestBuilder(df, ["l_orderkey", "l_linenumber"]).project("l_quantity")
+    fwd = b.partial_key_lookup(l_orderkey=1, l_linenumber=1).collect()
+    rev = b.partial_key_lookup(l_linenumber=1, l_orderkey=1).collect()
+    assert fwd == rev
+    import pytest
+
+    with pytest.raises(ValueError, match="leading prefix"):
+        b.partial_key_lookup(l_linenumber=1)  # non-leading field alone
+
+
+def test_sampling_stages_compose_independently(spark):
+    """code-review r4: importance_sample, stratified_sample, and the
+    Pareto quality rule each salt their hash — composed stages must retain
+    ~p1*p2, not min(p1,p2) (an unsalted shared hash made every survivor of
+    the stricter stage deterministically survive the looser one)."""
+    import pyspark.sql.functions as F
+
+    from venice_spark.pipeline import importance_sample, stratified_sample
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), F.lit("web").alias("domain"),
+        F.lit(0.5).alias("w"),
+    )
+    a = importance_sample(df, "w", "doc_id")
+    b = stratified_sample(df, "domain", {"web": 0.5}, "doc_id")
+    na, nb = a.count(), b.count()
+    nboth = a.select("doc_id").join(b.select("doc_id"), "doc_id").count()
+    assert abs(na - 10_000) < 600 and abs(nb - 10_000) < 600
+    # independent composition: ~5000; correlated would be ~10000
+    assert abs(nboth - 5_000) < 600, f"correlated sampling stages: {nboth}"
+
+
+def test_stratified_sample_null_stratum_rate(spark):
+    """code-review r4: a None-keyed rate must match NULL-stratum rows
+    (plain == evaluates NULL and fell through to default_rate)."""
+    import pyspark.sql.functions as F
+
+    from venice_spark.pipeline import stratified_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("web")).alias("domain"),
+    )
+    kept = stratified_sample(df, "domain", {None: 1.0, "web": 0.0}, "doc_id")
+    rows = kept.collect()
+    assert len(rows) == 500 and all(r["domain"] is None for r in rows)

@@ -23,8 +23,9 @@ keys_strategy = st.lists(
 def _model_spans(texts, w):
     """Pure-Python model of dup_ngram_spans: window multiset -> dup starts ->
     merged interval coverage."""
-    toks = {i: t.strip().split() if t.strip() else [""] for i, t in enumerate(texts)}
-    # note: split() on "" differs from Spark's split(trim(x), \s+) => [""]
+    # Python str.split() drops all empties — matching TX.tokens after the
+    # r4 boundary-empty fix (token-less text has ZERO tokens, not [""])
+    toks = {i: t.split() for i, t in enumerate(texts)}
     from collections import Counter
 
     wins = Counter()
@@ -79,7 +80,10 @@ def test_chunk_documents_reassembles(spark, texts, w, s):
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append(r)
     for i, t in enumerate(texts):
-        toks = t.strip().split() if t.strip() else [""]
+        toks = t.split()  # r4 fix: token-less docs chunk to NOTHING
+        if not toks:
+            assert i not in by_doc
+            continue
         chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
         rebuilt = " ".join(c["chunk_text"] for c in chunks)
         assert rebuilt == " ".join(toks)

@@ -121,7 +121,7 @@ def test_feature_hash_vector_properties(spark):
     assert out[1] == out[2]               # same text, same vector
     assert sum(out[3]) == 3
     assert max(out[3]) == 3               # all three tokens share one bucket
-    assert sum(out[4]) == 1               # empty text -> [""] token (tokenizer quirk)
+    assert sum(out[4]) == 0               # empty text -> no tokens (r4 fix)
 
 
 def test_rebalance_corpus_upsamples_rare_domain(spark):
@@ -146,3 +146,75 @@ def test_rebalance_corpus_upsamples_rare_domain(spark):
     # deterministic
     again = rebalance_corpus(df, "domain", "doc_id", alpha=0.3, max_rate=3.0).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# -------------------------------------------- r4 review regressions
+
+
+def test_tokens_drop_boundary_whitespace_empties(spark):
+    """code-review r4: F.trim strips only spaces, so 'hello world\\n' used
+    to tokenize with a phantom '' third token, poisoning every
+    token-derived metric."""
+    from venice_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "hello world\n"), (2, "\n\n"), (3, ""), (4, "\xa0a b\t"),
+         (5, "plain text")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["t"], r["n"])
+        for r in df.select(
+            "id", TX.tokens("text").alias("t"), TX.token_count("text").alias("n")
+        ).collect()
+    }
+    assert out[1] == (["hello", "world"], 2)
+    assert out[2] == ([], 0) and out[3] == ([], 0)
+    # Java \s is ASCII-only, so the NBSP glues to its token — consistent
+    # with the tokenizer module's documented ASCII whitespace regime
+    assert out[4] == (["\xa0a", "b"], 2)
+    assert out[5] == (["plain", "text"], 2)
+
+
+def test_ratio_kernels_survive_degenerate_docs(spark):
+    """code-review r4: under default ANSI mode the unguarded 0/0 in
+    punct/stopword/avg-len ratios was a job-aborting DIVIDE_BY_ZERO for
+    empty or whitespace-only documents."""
+    from venice_spark.functions import text as TX
+
+    df = spark.createDataFrame([(1, ""), (2, "\n"), (3, "  ")], "id long, text string")
+    rows = df.select(
+        TX.punct_ratio("text").alias("p"),
+        TX.stopword_ratio("text").alias("s"),
+        TX.avg_token_len("text").alias("a"),
+        TX.quality_score("text").alias("q"),
+    ).collect()
+    for r in rows:
+        assert r["p"] == 0.0 and r["s"] == 0.0 and r["a"] == 0.0
+        assert r["q"] is not None
+
+
+def test_cosine_zero_norm_is_null_not_crash(spark):
+    """code-review r4: a zero-norm vector made cosine 0/0 — ANSI
+    DIVIDE_BY_ZERO aborts the job; it must degrade to NULL."""
+    from venice_spark.functions import vectors as VX
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "id long, v array<double>"
+    )
+    out = {r["id"]: r["c"] for r in df.select(
+        "id", VX.cosine_similarity("v", [1.0, 1.0]).alias("c")
+    ).collect()}
+    assert out[1] is None
+    assert abs(out[2] - (1.0 / (2 ** 0.5))) < 1e-12
+    # zero-norm PARAM likewise
+    assert df.select(VX.cosine_similarity("v", [0.0, 0.0]).alias("c")).collect()[0]["c"] is None
+
+
+def test_nbsp_word_split_matches_spark_regime():
+    """code-review r4: the BPE encoder's Python splitter must not strip
+    Unicode whitespace the Spark-side word counter keeps attached."""
+    from venice_spark.tokenizer import _split_words
+
+    assert _split_words("\xa0hello world") == ["\xa0hello", "world"]
+    assert _split_words("  hello\tworld\n") == ["hello", "world"]

@@ -97,14 +97,20 @@ class ComputeRequestBuilder:
         if self.with_error_channel:
             err = F.create_map().cast("map<string,string>")
             for op in self.ops:
-                if op.kind in ("dot_product", "cosine_similarity", "hadamard_product"):
-                    entry = vectors.compute_error_entries(
-                        op.field,
-                        op.field,
-                        len(op.param) if op.param else None,
-                        key_name=op.result_name,
-                    )
-                    err = F.map_concat(err, entry)
+                # EVERY computed field feeds the error channel, count
+                # included — the reference's CountOperator emits -1 + an
+                # error entry for a null collection (code-review r4: the
+                # old vector-ops-only loop made count-of-null silently
+                # indistinguishable from a clean 0). `is not None` not
+                # truthiness: an explicit empty param list must still
+                # produce the null-field entry.
+                entry = vectors.compute_error_entries(
+                    op.field,
+                    op.field,
+                    len(op.param) if op.param is not None else None,
+                    key_name=op.result_name,
+                )
+                err = F.map_concat(err, entry)
             cols.append(err.alias(ERROR_FIELD))
         return cols
 
@@ -116,12 +122,15 @@ class ComputeRequestBuilder:
         """Compute over a batch of keys (R2 join + compute). Missing keys are
         absent from the result, matching batchGet semantics
         (AvroGenericStoreClient.java:58)."""
+        # explicit schema from the store frame: with only field NAMES an
+        # empty key batch has nothing to infer types from and createDataFrame
+        # raises CANNOT_INFER_EMPTY_SCHEMA — batchGet semantics say an empty
+        # batch is an empty result, not a crash (code-review r4)
+        key_schema = self.df.select(*self.key_fields).schema
         if len(self.key_fields) == 1:
-            kdf = spark.createDataFrame(
-                [(k,) for k in keys], schema=self.key_fields
-            )
+            kdf = spark.createDataFrame([(k,) for k in keys], schema=key_schema)
         else:
-            kdf = spark.createDataFrame(list(keys), schema=self.key_fields)
+            kdf = spark.createDataFrame(list(keys), schema=key_schema)
         joined = self.df.join(F.broadcast(kdf), on=self.key_fields, how="inner")
         return ComputeRequestBuilder(
             joined, self.key_fields, self.projections, self.ops, self.with_error_channel
@@ -147,12 +156,16 @@ class ComputeRequestBuilder:
         works for leading fields; DaVinciComputeTest exercises the failure).
         Leading-prefix equality + key-sorted rowgroups = the RocksDB prefix
         iteration access path."""
-        given = list(field_values)
+        # set comparison: the prefix contract is about WHICH fields are
+        # constrained, not Python kwargs ordering — passing a complete key
+        # as (second=, first=) is still a valid leading prefix
+        # (code-review r4)
+        given = set(field_values)
         prefix = self.key_fields[: len(given)]
-        if given != prefix:
+        if given != set(prefix):
             raise ValueError(
                 f"partial-key lookup must specify a leading prefix of the key "
-                f"fields {self.key_fields}; got {given}"
+                f"fields {self.key_fields}; got {sorted(given)}"
             )
         pred = F.lit(True)
         for name, v in field_values.items():

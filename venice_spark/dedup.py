@@ -755,7 +755,7 @@ def dup_ngram_spans(
     w = int(window)
     toks = df.select(
         F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+        TX.tokens(text_col).alias("t"),
     ).withColumn("n", F.size("t"))
     wins = toks.select(
         F.col(id_col),
@@ -834,7 +834,7 @@ def drop_dup_ngram_spans(
     # plan), which made it O(n_tokens * coverage * alloc) per row; the
     # exists form is the same asymptotics with NO array construction and
     # a tiny constant (two comparisons per (token, span)).
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = TX.tokens(text_col)
     cleaned = F.concat_ws(
         " ",
         F.filter(

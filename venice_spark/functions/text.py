@@ -21,8 +21,14 @@ def _c(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization of trimmed text."""
-    return F.split(F.trim(_c(col)), r"\s+")
+    """Whitespace tokenization. Boundary empties are FILTERED: F.trim only
+    strips spaces, so text with leading/trailing non-space whitespace
+    ('hello world\\n' — virtually every real document) used to emit phantom
+    \'\' tokens that poisoned every token-derived metric (counts, ratios, LM
+    vocabularies, shingles — code-review r4). Splitting the untrimmed text
+    and dropping empties handles every whitespace class symmetrically; the
+    empty string now tokenizes to [] (was [\'\'])."""
+    return F.filter(F.split(_c(col), r"\s+"), lambda t: t != F.lit(""))
 
 
 def token_count(col: Column | str) -> Column:
@@ -34,24 +40,34 @@ def char_count(col: Column | str) -> Column:
 
 
 def avg_token_len(col: Column | str) -> Column:
-    """Mean token length in doubles (total non-space chars / token count)."""
+    """Mean token length in doubles (total non-space chars / token count);
+    0.0 for token-less text (ANSI divide-by-zero guard)."""
     toks = tokens(col)
     total = F.aggregate(toks, F.lit(0).cast("int"), lambda acc, t: acc + F.length(t))
-    return total.cast("double") / F.size(toks).cast("double")
+    return F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
     sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
     toks = tokens(col)
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
-    return hits.cast("double") / F.size(toks).cast("double")
+    return F.when(
+        F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Punctuation chars / total chars."""
+    """Punctuation chars / total chars; 0.0 for the empty string (under
+    default ANSI mode the unguarded 0/0 is a job-aborting DIVIDE_BY_ZERO,
+    not NaN — code-review r4)."""
     c = _c(col)
     stripped = F.regexp_replace(c, r"[^\p{Punct}]", "")
-    return F.length(stripped).cast("double") / F.length(c).cast("double")
+    return F.when(
+        F.length(c) > 0,
+        F.length(stripped).cast("double") / F.length(c).cast("double"),
+    ).otherwise(F.lit(0.0))
 
 
 def quality_score(col: Column | str) -> Column:

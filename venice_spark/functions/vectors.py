@@ -72,8 +72,20 @@ def cosine_similarity(field: Column | str, param: Sequence[float] | Column) -> C
     else:
         b = _lit_array(param)
         b_norm = F.lit(param_l2_norm(param))
-    raw = _fold_sum(F.zip_with(a, b, lambda x, y: x * y)) / (F.sqrt(squared_l2_norm(a)) * b_norm)
-    ok = a.isNotNull() & b.isNotNull() & (F.size(a) > 0) & (F.size(b) > 0) & (F.size(a) == F.size(b))
+    denom = F.sqrt(squared_l2_norm(a)) * b_norm
+    raw = _fold_sum(F.zip_with(a, b, lambda x, y: x * y)) / denom
+    # denom > 0: a zero-norm vector (padding row, empty doc) makes 0/0,
+    # which under Spark 4's default ANSI mode is not NaN but a
+    # DIVIDE_BY_ZERO that aborts the whole job (code-review r4); cosine is
+    # undefined there, so it degrades to NULL like every other bad input
+    ok = (
+        a.isNotNull()
+        & b.isNotNull()
+        & (F.size(a) > 0)
+        & (F.size(b) > 0)
+        & (F.size(a) == F.size(b))
+        & (denom > 0)
+    )
     return F.when(ok, raw)
 
 

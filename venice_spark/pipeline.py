@@ -201,12 +201,22 @@ def stratified_sample(
     output on every run and engine (md5-based hash64 reruns in any SQL
     dialect — the oracle re-derives it), and rows never move between strata
     samples when rates change, only in or out. Pure per-row expression: no
-    shuffle, no Python."""
-    bucket = F.pmod(TX.hash64(F.col(id_col).cast("string")), F.lit(precision))
+    shuffle, no Python.
+
+    The hash carries a per-purpose salt (seed=12): an unsalted hash64(id)
+    would be the SAME uniform every hash-threshold stage uses, making
+    composed sampling stages perfectly correlated — combined retention
+    min(p1, p2) instead of p1*p2 (code-review r4)."""
+    bucket = F.pmod(
+        TX.hash64(F.col(id_col).cast("string"), seed=12), F.lit(precision)
+    )
     threshold = F.lit(int(round(default_rate * precision)))
+    # eqNullSafe: a plain == with a None-keyed rate (or a NULL stratum row)
+    # evaluates NULL and silently falls through to default_rate
+    # (code-review r4)
     for s, r in rates.items():
         threshold = F.when(
-            F.col(stratum_col) == s, F.lit(int(round(r * precision)))
+            F.col(stratum_col).eqNullSafe(F.lit(s)), F.lit(int(round(r * precision)))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
 
@@ -234,7 +244,7 @@ def stratified_resample(
     rate_scaled = F.lit(int(round(default_rate * precision)))
     for s, r in rates.items():
         rate_scaled = F.when(
-            F.col(stratum_col) == s, F.lit(int(round(r * precision)))
+            F.col(stratum_col).eqNullSafe(F.lit(s)), F.lit(int(round(r * precision)))
         ).otherwise(rate_scaled)
     out = df.withColumn("__rate", rate_scaled).withColumn(
         "copy", F.explode(F.sequence(F.lit(0), F.lit(max_copies - 1)))
@@ -514,8 +524,11 @@ def importance_sample(
     Same guarantees: no RNG (identical output every run and engine — the
     md5-based hash64 re-derives in any SQL dialect), monotone (raising a
     row's weight can only keep it, never evict others), pure per-row
-    expression — no shuffle, no Python."""
-    bucket = F.pmod(TX.hash64(F.col(id_col).cast("string")), F.lit(precision))
+    expression — no shuffle, no Python. Salted (seed=11) so it composes
+    independently with the other hash-threshold stages (code-review r4)."""
+    bucket = F.pmod(
+        TX.hash64(F.col(id_col).cast("string"), seed=11), F.lit(precision)
+    )
     thr = F.least(
         F.lit(precision).cast("long"),
         F.greatest(
@@ -544,6 +557,13 @@ def unigram_logprob(
     on token (AQE broadcasts the vocab side when it fits) -> final per-doc
     avg shuffles once on the doc id. No Python anywhere; `round()` pins the
     last double ulp so the score is engine- and order-independent.
+
+    Deliberately NOT persisted (unlike bigram_logprob): the multi-consumer
+    frame here is a cheap split/explode straight off the scan — caching a
+    token-exploded frame materializes MORE than the corpus, while the
+    recompute costs one extra narrow scan; bigram's frames sit behind a
+    join and earn the barrier. A plan-shape test also pins this query's
+    live (non-checkpointed) physical plan.
     """
     toks = df.select(F.col(id_col), F.explode(TX.tokens(text_col)).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("tf"))

@@ -504,7 +504,10 @@ def w7_dcr_merge(spark, sf_dir):
 # Training-data pipeline operators over documents/embeddings (BASELINE.json
 # north_star). Oracles re-derive the same math independently in DuckDB.
 
-_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+# matches functions/text.tokens after the r4 empty-token fix: split the
+# UNtrimmed text and drop boundary empties (trim() only strips spaces, so
+# non-space boundary whitespace used to emit phantom '' tokens)
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), __t -> __t <> '')"
 _SHINGLES_CTE = (
     f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
     "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), "
@@ -1177,7 +1180,7 @@ def x_decontaminate(spark, sf_dir):
 @register(
     "x_stratified_sample",
     "SELECT event_id, event_type FROM events "
-    "WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) < "
+    "WHERE (('0x' || substr(md5('12:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) < "
     "CASE WHEN event_type = 'error' THEN 1000000 "
     "WHEN event_type = 'view' THEN 200000 ELSE 500000 END",
 )
@@ -1716,7 +1719,7 @@ _FH_DIM = 32
 
 @register(
     "x_feature_hash",
-    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+    "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), __t -> __t <> '') AS t "
     "FROM documents), "
     "b AS (SELECT doc_id, list_transform(t, tok -> "
     f"(('0x' || substr(md5(tok), 1, 15))::BIGINT % {_FH_DIM})) AS bk FROM toks) "
@@ -1738,7 +1741,7 @@ def x_feature_hash(spark, sf_dir):
 
 @register(
     "x_tfidf_terms",
-    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+    "WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), __t -> __t <> '')) AS tok "
     "FROM documents), "
     "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), "
     "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), "
@@ -1786,7 +1789,7 @@ _CHUNK_W = 32
 
 @register(
     "x_chunk_documents",
-    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+    "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), __t -> __t <> '') AS t "
     "FROM documents) "
     "SELECT doc_id, r.i AS chunk_idx, "
     f"array_to_string(t[r.i * {_CHUNK_W} + 1 : r.i * {_CHUNK_W} + {_CHUNK_W}], ' ') AS chunk_text, "
@@ -1849,7 +1852,7 @@ def x_knn_classify(spark, sf_dir):
     "FROM toks JOIN vocab USING (tok) CROSS JOIN tot GROUP BY doc_id), "
     "w AS (SELECT doc_id, round(least(1.0, greatest(0.0, (lp + 3.6) / 0.3)), 5) AS weight FROM lm) "
     "SELECT doc_id, weight FROM w "
-    "WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) < "
+    "WHERE (('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) < "
     "round(weight * 1000000)",
 )
 def x_importance_sample(spark, sf_dir):
@@ -1880,7 +1883,7 @@ def x_importance_sample(spark, sf_dir):
 _DNS_W = 20
 
 _DNS_SQL = (
-    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+    "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), __t -> __t <> '') AS t "
     "FROM documents), "
     "w AS (SELECT doc_id, r.i - 1 AS pos, "
     f"array_to_string(t[r.i:r.i + {_DNS_W - 1}], ' ') AS win "
@@ -2004,7 +2007,7 @@ def x_split_assign(spark, sf_dir):
 @register(
     "x_corpus_report",
     "WITH m AS (SELECT lang AS grp, "
-    "len(regexp_split_to_array(trim(text), '\\s+')) AS nt, "
+    "len(list_filter(regexp_split_to_array(text, '\\s+'), __t -> __t <> '')) AS nt, "
     "length(text) AS nc, "
     f"CASE WHEN len(regexp_extract_all(text, '{_EMAIL_P}')) "
     f"+ len(regexp_extract_all(text, '{_PHONE_P}')) > 0 THEN 1 ELSE 0 END AS pii "
@@ -2030,7 +2033,7 @@ _BLOCK_TERMS = ["slow", "legacy", "error"]
 
 @register(
     "x_blocklist_hits",
-    "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "SELECT doc_id, CAST(len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), __t -> __t <> ''), "
     f"t -> list_contains({_BLOCK_TERMS!r}, lower(t)))) AS INT) AS hits "
     "FROM documents",
 )
@@ -2050,7 +2053,7 @@ def x_blocklist_hits(spark, sf_dir):
 
 @register(
     "x_bigram_logprob",
-    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+    "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), __t -> __t <> '') AS t "
     "FROM documents), "
     "bg AS (SELECT doc_id, t[r.i] AS w1, t[r.i + 1] AS w2 "
     "FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS r(i)), "
@@ -2082,7 +2085,7 @@ _CDC_D = 8
 
 @register(
     "x_cdc_chunk_dedup",
-    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+    "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), __t -> __t <> '') AS t "
     "FROM documents), "
     "b AS (SELECT doc_id, t, list_filter(range(1, len(t) + 1), "
     f"i -> ('0x' || substr(md5(t[i]), 1, 15))::BIGINT % {_CDC_D} = 0) AS bp FROM toks), "

@@ -114,7 +114,7 @@ def quality_filter(
     if pareto_alpha is None:
         return scored.filter(F.col("quality_prob") >= threshold)
     u = (
-        F.pmod(TX.hash64(F.col(id_col).cast("string")), F.lit(precision))
+        F.pmod(TX.hash64(F.col(id_col).cast("string"), seed=13), F.lit(precision))
         .cast("double")
         / precision
     )

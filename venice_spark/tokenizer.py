@@ -45,7 +45,11 @@ _WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _split_words(text: str) -> list[str]:
-    return [w for w in _WS.split(text.strip()) if w]
+    # strip ONLY the ASCII class: str.strip() also removes Unicode
+    # whitespace (\xa0 etc.) the _WS regime keeps attached, so learn and
+    # encode would disagree on word boundaries for NBSP-prefixed text —
+    # the exact invariant the module header states (code-review r4)
+    return [w for w in _WS.split(text.strip(" \t\n\x0b\f\r")) if w]
 
 
 def _word_counts_df(df: DataFrame, text_col: str, max_word_types: int) -> DataFrame:
