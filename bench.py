@@ -79,6 +79,7 @@ HEADLINE = [
     "x_bigram_logprob",
     "x_cdc_chunk_dedup",
     "x_pq_topk",
+    "x_knn_join_lsh",
 ]
 
 # round-3 steady-state seconds × 1.5 headroom at sf0.1/local[32]; the
@@ -136,6 +137,7 @@ BUDGET_SEC = {
     "x_bigram_logprob": 3.5,
     "x_cdc_chunk_dedup": 2.0,
     "x_pq_topk": 2.3,
+    "x_knn_join_lsh": 3.8,
 }
 
 

@@ -897,3 +897,79 @@ def test_pq_topk_never_returns_null_coded_rows(spark, sf_dir):
         ).collect()
     }
     assert refined and all(v < 900000 for v in refined)
+
+
+# -------------------------------------------- r4 review regressions (batch 2)
+
+
+def test_zero_norm_vectors_never_crash_similarity_paths(spark):
+    """code-review r4: under default ANSI mode, a zero-norm vector made
+    0/0 a job-aborting DIVIDE_BY_ZERO in embedding_near_dup_pairs,
+    ivf_assign (hence kmeans/semantic_dedup), and knn_join_lsh."""
+    from venice_spark.dedup import embedding_near_dup_pairs
+    from venice_spark.similarity import ivf_assign, knn_join_lsh
+
+    rows = [(0, [0.0] * 8, 0), (1, [1.0] + [0.0] * 7, 0), (2, [1.0] + [0.0] * 7, 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pairs = embedding_near_dup_pairs(df, "embedding", "vec_id", "label", threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}  # zero vector pairs with nothing, job survives
+
+    assigned = df.withColumn(
+        "c", ivf_assign("embedding", [[1.0] + [0.0] * 7, [0.0] * 7 + [1.0]])
+    ).collect()
+    # all-tie sims resolve to the HIGHEST index (the when-chain's
+    # pre-existing order) — deterministic is what matters here
+    assert {r["vec_id"]: r["c"] for r in assigned}[0] == 1
+
+    out = knn_join_lsh(df, df, "embedding", "vec_id", "vec_id", k=2, dim=8).collect()
+    assert out  # completes; no crash
+
+
+def test_dup_clusters_raises_on_non_convergence(spark):
+    """code-review r4: a component wider than max_iter hops must FAIL
+    loudly, not silently report split clusters."""
+    import pytest
+
+    from venice_spark.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, max_iter=3)
+    out = {r["id"]: r["cluster_id"] for r in dup_clusters(chain, max_iter=20).collect()}
+    assert set(out.values()) == {0}  # one component once iterations suffice
+
+
+def test_fuzzy_key_pairs_unique_pairs_with_shared_ids(spark):
+    """code-review r4: with a non-unique id column one (id_a, id_b) pair
+    could surface from several key pairs at different distances; the output
+    must carry ONE row per pair at the minimum distance."""
+    from venice_spark.dedup import fuzzy_key_pairs
+
+    rows = [(1, "ab"), (2, "ab"), (2, "ac")]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = fuzzy_key_pairs(df, "k", "id", max_subs=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"], r["dist"]) == (1, 2, 0)  # min over {0, 1}
+
+
+def test_pq_encode_rejects_mismatched_dims(spark, sf_dir):
+    """code-review r4: a vector shorter than the trained dim crashed the
+    encode task; a longer one silently truncated — both must yield null
+    codes like null vectors do."""
+    from venice_spark.similarity import pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, "embedding", m=8, k=16, sample_fraction=1.0, seed=7)
+    odd = spark.createDataFrame(
+        [(1, [0.1] * 48), (2, [0.1] * 80), (3, [0.1] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["c"] for r in odd.select(
+        "vec_id", pq_encode("embedding", books).alias("c")
+    ).collect()}
+    assert out[1] is None and out[2] is None
+    assert out[3] is not None and len(out[3]) == 8

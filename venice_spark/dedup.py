@@ -90,7 +90,6 @@ def minhash_lsh_pairs(
     dedup, the standard split in production near-dup pipelines. Default None
     keeps the exhaustive behavior the oracle checks."""
     _check_band_params(num_hashes, bands)
-    rows_per_band = num_hashes // bands
     # Materialize shingles + signatures once: without a barrier the band
     # self-join and the verify joins each re-derive the full md5/minhash
     # expression chain (measured 20x slower at sf0.1). At cluster scale these
@@ -108,17 +107,11 @@ def minhash_lsh_pairs(
         F.col(id_col), TX.shingle_hashes(F.col("sh"), num_hashes).alias("__hs")
     ).persist()
     sigs = hs.select(F.col(id_col), *TX.minhash_from_hashes(F.col("__hs"), num_hashes))
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_idx"), F.concat_ws(":", *[c.cast("string") for c in cols]).alias("h"))
-        )
-    exploded = (
-        sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
-        .select(id_col, "band.band_idx", "band.h")
-        .persist()
-    )
+    # the SHARED band-row derivation (_band_rows, also behind
+    # minhash_band_table / minhash_pairs_vs_history): batch and incremental
+    # LSH must hash bands identically or they silently stop finding each
+    # other's near-duplicates (code-review r4 deduplicated an inline copy)
+    exploded = _band_rows(sigs, id_col, num_hashes, bands).persist()
     all_bands = exploded
     if max_bucket_size is not None:
         # one aggregate over the band rows; the anti-join side (oversized
@@ -361,7 +354,16 @@ def embedding_near_dup_pairs(
     dot = VX.dot_product(F.col("a.v"), F.col("b.v"))
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .withColumn("cos", dot / (F.col("a.nrm") * F.col("b.nrm")))
+        # zero-norm guard: 0/0 under default ANSI mode is a job-aborting
+        # DIVIDE_BY_ZERO, not NaN (code-review r4); undefined cosine -> NULL,
+        # which the threshold filter below drops
+        .withColumn(
+            "cos",
+            F.when(
+                (F.col("a.nrm") > 0) & (F.col("b.nrm") > 0),
+                dot / (F.col("a.nrm") * F.col("b.nrm")),
+            ),
+        )
         # NaN guard: a NaN vector component makes cos NaN, and Spark orders
         # NaN ABOVE every number, so `cos >= threshold` would pair the bad
         # row with its whole block (and semantic_dedup would then delete
@@ -456,7 +458,10 @@ def pack_sequences(
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint"),
         F.lit(n_shards),
     ).cast("int")
-    with_shard = df.withColumn("shard", shard)
+    # a NULL token count surfaces as NaN in the Arrow batch and int(NaN)
+    # would abort the whole packing job (code-review r4); a doc with no
+    # token accounting cannot be budgeted, so it is excluded up front
+    with_shard = df.filter(F.col(token_col).isNotNull()).withColumn("shard", shard)
     out_schema = T.StructType(
         list(with_shard.schema.fields) + [T.StructField("pack_id", T.LongType())]
     )
@@ -679,7 +684,16 @@ def fuzzy_key_pairs(
             F.lit(0).alias("dist"),
         )
     )
-    return cross.unionByName(same)
+    # ONE row per unordered pair at its MINIMUM distance: with a non-unique
+    # id column one id can hold several keys, so the same (id_a, id_b) can
+    # surface from both branches (dist 0 via a shared key AND dist 1 via a
+    # fuzzy one) or twice within `cross` at different distances — the
+    # per-branch distincts cannot see across (code-review r4)
+    return (
+        cross.unionByName(same)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("dist").alias("dist"))
+    )
 
 
 def exact_dedup_incremental(
@@ -903,6 +917,19 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # never converged: labels are WRONG (a component wider than
+        # max_iter hops reports as several clusters) — silent truncation
+        # here means a downstream survivor pass keeps extra duplicates
+        # with no signal (code-review r4). Fail loudly; deep chains are
+        # rare in dedup graphs (unions of near-cliques), so a raise means
+        # either a pathological graph or a too-small max_iter.
+        labels.unpersist()
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} "
+            "rounds — the duplicate graph has a component wider than "
+            "max_iter hops; raise max_iter"
+        )
     out = labels.localCheckpoint(eager=True)
     labels.unpersist()
     return out

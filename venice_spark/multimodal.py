@@ -272,14 +272,25 @@ def extract_features(
                     )
                 )
             else:
-                # real path: decode (native for PPM/PGM) → image_features
-                pdf = pdf.assign(
-                    features=pdf[payload_col].map(
-                        lambda p: image_features(_decode_image(bytes(p)))
-                        if p is not None
-                        else None
-                    )
-                )
+                # real path: decode (native for PPM/PGM) → image_features.
+                # Corrupt payloads yield null features, never a task
+                # failure — a 100 TB crawl always contains undecodable
+                # blobs, and one of them must not abort the job (the same
+                # tolerance rule extract_audio_features applies;
+                # code-review r4). NotImplementedError (compressed format
+                # without PIL) still propagates: that is a config gap, not
+                # bad data.
+                def one(p):
+                    if p is None:
+                        return None
+                    try:
+                        return image_features(_decode_image(bytes(p)))
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        return None
+
+                pdf = pdf.assign(features=pdf[payload_col].map(one))
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
@@ -304,12 +315,19 @@ def resize_images(
     other = [f.name for f in df.schema.fields if f.name != payload_col]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(p):
+            # corrupt-blob tolerance (see extract_features; code-review r4)
+            if p is None:
+                return None
+            try:
+                return encode_ppm(resize_nearest(_decode_image(bytes(p)), out_w, out_h))
+            except NotImplementedError:
+                raise
+            except Exception:
+                return None
+
         for pdf in batches:
-            resized = pdf[payload_col].map(
-                lambda p: encode_ppm(resize_nearest(_decode_image(bytes(p)), out_w, out_h))
-                if p is not None
-                else None
-            )
+            resized = pdf[payload_col].map(one)
             out = pdf[other].assign(**{payload_col: resized})
             out["width"] = out_w
             out["height"] = out_h

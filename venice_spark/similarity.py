@@ -53,14 +53,35 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _plane_dot_sql(vec_col: str, plane: "Sequence[float]") -> str:
+    """SQL-string dot product against a literal plane: zip_with + aggregate
+    (the HOF form codegen handles at any width), left-to-right fold order
+    matching _query_bucket."""
+    lits = ", ".join(f"{float(v)!r}D" for v in plane)
+    return (
+        f"aggregate(zip_with({vec_col}, array({lits}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def lsh_bucket_col(vec_col: str, dim: int, n_planes: int = 8, seed: int = 42):
     """Random-hyperplane signature: bit b = sign(v · plane_b). 2^n_planes
-    buckets; cosine-similar vectors land in the same/nearby buckets."""
-    out = F.lit(0)
-    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
-        d = VX.dot_product(vec_col, plane)
-        out = out + F.when(d > 0, F.lit(2**i)).otherwise(F.lit(0))
-    return out.alias("lsh_bucket")
+    buckets; cosine-similar vectors land in the same/nearby buckets.
+
+    Built as ONE parsed SQL string of HOF folds, not thousands of literal
+    Column nodes: py4j-built literals cost ~10s of driver time per search
+    (measured — the random_projection lesson), while the string parses
+    JVM-side in milliseconds. The dot products stay zip_with/aggregate
+    folds rather than fully unrolled element_at sums: at tables×planes×dim
+    terms the unrolled tree exceeds codegen's method limits and falls back
+    to interpreted evaluation (measured 13.4s vs 0.9s at sf0.1 —
+    code-review r4). Fold order matches _query_bucket's driver-side loop,
+    so the query's own bucket is bit-identical."""
+    comps = [
+        f"IF({_plane_dot_sql(vec_col, plane)} > 0, {2 ** i}, 0)"
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed))
+    ]
+    return F.expr(" + ".join(comps)).alias("lsh_bucket")
 
 
 def _query_bucket(query: Sequence[float], planes: list[list[float]]) -> int:
@@ -262,7 +283,9 @@ def knn_join(
 
     r_ = right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv"))
     partial = r_.mapInPandas(_scan, schema=out_schema)
-    w = Window.partitionBy("lid").orderBy(F.col("cos").desc(), F.col("rid").asc())
+    w = Window.partitionBy("lid").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("rid").asc()
+    )
     return (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -342,7 +365,21 @@ def lsh_table_buckets(
 ):
     """Array column of per-table hyperplane bucket ids (one entry per LSH
     table). Same plane derivation as lsh_bucket_col/_hyperplanes, so buckets
-    are reproducible anywhere — including in oracle SQL."""
+    are reproducible anywhere — including in oracle SQL.
+
+    String-named columns take the single-parsed-expr HOF fast path (see
+    lsh_bucket_col — string construction beats py4j literals by ~400x and
+    the fold form beats the unrolled tree by ~15x at execution); Column
+    inputs keep the object formulation."""
+    if isinstance(vec_col, str):
+        tbl_exprs = []
+        for t in range(tables):
+            comps = [
+                f"IF({_plane_dot_sql(vec_col, plane)} > 0, {2 ** i}, 0)"
+                for i, plane in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t))
+            ]
+            tbl_exprs.append(" + ".join(comps))
+        return F.expr("array(" + ", ".join(tbl_exprs) + ")")
     entries = []
     for t in range(tables):
         b = F.lit(0)
@@ -390,8 +427,14 @@ def knn_join_lsh(
     rv = right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv"))
     dot = VX.dot_product(F.col("lv"), F.col("rv"))
     nrm = F.sqrt(VX.squared_l2_norm(F.col("lv"))) * F.sqrt(VX.squared_l2_norm(F.col("rv")))
-    scored = cand.join(lv, "lid").join(rv, "rid").withColumn("cos", dot / nrm)
-    w = Window.partitionBy("lid").orderBy(F.col("cos").desc(), F.col("rid").asc())
+    # zero-norm guard (ANSI DIVIDE_BY_ZERO, code-review r4): undefined
+    # cosine -> NULL, ranked last by desc_nulls_last below
+    scored = cand.join(lv, "lid").join(rv, "rid").withColumn(
+        "cos", F.when(nrm > 0, dot / nrm)
+    )
+    w = Window.partitionBy("lid").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("rid").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -462,7 +505,11 @@ def ivf_assign(vec_col: str, centroids: list[list[float]]):
     the corpus partitioned by this column and probes become partition
     pruning."""
     nrm = F.sqrt(VX.squared_l2_norm(vec_col))
-    sims = [VX.dot_product(vec_col, c) / nrm for c in ivf_normalized(centroids)]
+    # zero-norm guard (ANSI DIVIDE_BY_ZERO aborts the job, code-review r4):
+    # a zero vector gets sims=0 everywhere and lands deterministically in
+    # the last list (the tie order of the when-chain below)
+    safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
+    sims = [VX.dot_product(vec_col, c) / safe for c in ivf_normalized(centroids)]
     best = F.greatest(*sims) if len(sims) > 1 else sims[0]
     out = F.lit(0)
     for i in range(len(sims) - 1, 0, -1):
@@ -685,12 +732,20 @@ def pq_encode(vec_col: str, codebooks: list[list[list[float]]]):
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
 
+    expected_dim = len(books) * sub
+
     @pandas_udf("array<int>")
     def enc(v: pd.Series) -> pd.Series:
         def one(vec):
             if vec is None:
                 return None
             a = np.asarray(vec, dtype=np.float64)
+            if a.shape[0] != expected_dim:
+                # mixed embedding versions: a short vector would crash the
+                # matmul (killing the ingest job) and a long one would
+                # silently truncate to wrong codes — both degrade to a null
+                # code like null vectors do (code-review r4)
+                return None
             codes = []
             for s, cb in enumerate(books):
                 xs = a[s * sub : (s + 1) * sub]
