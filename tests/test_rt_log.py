@@ -397,3 +397,58 @@ def test_standin_applies_seek_semantics(spark, tmp_path):
         read_kafka_topic(
             spark, "u:9", "rt", starting_timestamp_ms=1, starting_offsets="latest", **std
         )
+
+
+def test_div_check_detects_head_loss(spark):
+    """code-review r4: segments number from 0, so losing the HEAD of a
+    segment (first_seq > 0) is data loss; the interior-gap-only formula
+    reported it clean."""
+    log = spark.createDataFrame(
+        [("p1", 0, s, "k", 1.0, 10) for s in range(5, 11)], DIV_SCHEMA
+    )
+    r = div_check(log).collect()[0]
+    assert r["first_seq"] == 5 and r["missing"] == 5 and r["duplicates"] == 0
+
+
+def test_standin_rejects_streaming_latest(spark, tmp_path):
+    """code-review r4: a file stream replays existing files, so streaming
+    startingOffsets='latest' has no faithful stand-in emulation — it must
+    fail loudly instead of silently replaying history production would skip."""
+    import pytest
+
+    wire_dir = str(tmp_path / "wire3")
+    _wire_rows(spark, [("a", "{}", 1000, 0)]).write.parquet(wire_dir)
+    with pytest.raises(ValueError, match="cannot emulate"):
+        read_kafka_topic(
+            spark, "u:9", "rt", streaming=True, starting_offsets="latest",
+            source_format="parquet", source_path=wire_dir,
+        )
+
+
+def test_producer_flush_types_all_null_columns_merge_compatibly(spark, tmp_path):
+    """code-review r4: an all-None update column typed from the fallback
+    must merge with what later inference-typed flushes write, or the whole
+    RT log becomes unreadable under the mandatory mergeSchema read."""
+    from pyspark.sql import types as T
+
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import read_rt_log
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.catalog.create_store(
+        "p2",
+        key_fields=["k"],
+        hybrid=True,
+        value_schema=T.StructType(
+            [T.StructField("k", T.StringType()), T.StructField("x", T.IntegerType())]
+        ),
+    )
+    st = eng.store("p2")
+    p = st.producer()
+    p.update("1").set_field("x", None).produce()
+    p.flush()  # all-None set_x: typed from declared x (WIDENED to long)
+    p.update("2").set_field("x", 5).produce()
+    p.flush()  # inference types set_x as long
+    merged = read_rt_log(spark, eng.catalog, "p2")
+    vals = {r["k"]: r["set_x"] for r in merged.collect()}
+    assert vals == {"1": None, "2": 5}

@@ -181,3 +181,101 @@ def test_dcr_stateful_cross_trigger(spark, tmp_path):
     expected = merge_ops(ops, list_fields={"tags"})
     assert last["val"] == expected["val"] == 1.0
     assert sorted(last["tags"]) == sorted(expected["tags"]) == ["y"]
+
+
+# -------------------------------------------- r4 review regressions
+
+
+def _run_batches(spark, tmp_path, batches, ttl=None):
+    """Run latest_wins_stateful across several availableNow restarts,
+    returning the per-batch emitted frames."""
+    rt_dir = str(tmp_path / "rt2")
+    out_dir = str(tmp_path / "out2")
+    os.makedirs(rt_dir, exist_ok=True)
+    emitted = []
+    for rows in batches:
+        spark.createDataFrame(rows, schema=SRC).coalesce(1).write.mode(
+            "append"
+        ).parquet(rt_dir)
+        stream = spark.readStream.schema(SRC).parquet(rt_dir)
+        resolved = latest_wins_stateful(
+            stream, ["key"], VALUE, state_ttl_minutes=ttl
+        )
+        batch_rows = []
+        q = (
+            resolved.writeStream.foreachBatch(
+                lambda b, _i: batch_rows.extend(b.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted.append(batch_rows)
+    return emitted
+
+
+def test_stateful_stale_replay_emits_nothing(spark, tmp_path):
+    """code-review r4 (dcr twin of the same contract): a later batch of
+    purely-stale ops must emit NO rows — re-emitting unchanged keys turns
+    replays into spurious downstream writes."""
+    emitted = _run_batches(
+        spark,
+        tmp_path,
+        [
+            [("a", 2.0, 20, "PUT")],
+            [("a", 1.0, 10, "PUT")],  # stale: state unchanged
+        ],
+    )
+    assert len(emitted[0]) == 1
+    assert emitted[1] == []
+
+
+def test_stateful_ttl_parameter_runs(spark, tmp_path):
+    """state_ttl_minutes plumbs through ProcessingTimeTimeout; within-run
+    results are identical (expiry only affects idle keys much later)."""
+    emitted = _run_batches(
+        spark,
+        tmp_path,
+        [[("a", 2.0, 20, "PUT"), ("b", 1.0, 5, "PUT")]],
+        ttl=60,
+    )
+    assert {r["key"] for r in emitted[0]} == {"a", "b"}
+
+
+def test_batch_and_stateful_pick_same_tie_winner(spark, tmp_path):
+    """code-review r4: resolve_latest (batch/foreachBatch path) and
+    latest_wins_stateful (state path) must agree on equal-ts PUT/PUT
+    ties — both use the larger-canonical-JSON value rule."""
+    from venice_spark.merge.dcr import _rank
+    from venice_spark.streaming.hybrid import resolve_latest
+
+    rows = [("k", "aa", 10, "PUT"), ("k", "b", 10, "PUT")]
+    batch = spark.createDataFrame(rows, SRC.replace("val double", "val string"))
+    batch_winner = resolve_latest(batch, ["key"], "ts").collect()[0]["val"]
+    expected = max(({"val": "aa"}, {"val": "b"}), key=_rank)["val"]
+    assert batch_winner == expected == "b"
+
+    val_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), False),
+            T.StructField("val", T.StringType(), True),
+        ]
+    )
+    rt_dir = str(tmp_path / "rt3")
+    spark.createDataFrame(rows, SRC.replace("val double", "val string")).coalesce(
+        1
+    ).write.mode("append").parquet(rt_dir)
+    stream = spark.readStream.schema(SRC.replace("val double", "val string")).parquet(rt_dir)
+    got = []
+    q = (
+        latest_wins_stateful(stream, ["key"], val_schema)
+        .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [r["val"] for r in got] == [expected]

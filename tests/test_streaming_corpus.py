@@ -364,3 +364,43 @@ def test_streaming_prep_extra_gate_with_classifier_and_blocklist(spark, tmp_path
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert got == {0, 1, 3}  # junk cut by the classifier, doc 2 by the blocklist
+
+
+def test_fp_store_enabled_on_existing_corpus_bootstraps_history(spark, tmp_path):
+    """code-review r4: enabling fp_store on a corpus that ALREADY has
+    content must bootstrap the digest table from the existing corpus —
+    otherwise re-crawls of pre-existing documents sail through the
+    anti-join forever."""
+    from venice_spark import VeniceSparkEngine
+    from venice_spark.streaming.corpus import run_corpus_ingest_to_store
+
+    src = f"{tmp_path}/src"
+    ckpt = f"{tmp_path}/ckpt"
+    eng = VeniceSparkEngine(spark, f"{tmp_path}/root")
+    eng.create_store("corpus", key_fields=["doc_id"], partition_count=2)
+    # pre-existing corpus content pushed OUTSIDE the ingest loop
+    eng.push(
+        "corpus",
+        spark.createDataFrame([(100, 0, GOOD)], SCHEMA).select("doc_id", "text", "ts"),
+    )
+    # fp_store created (empty) only now
+    eng.create_store("corpus_fps", key_fields=["fingerprint"], partition_count=2)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = run_corpus_ingest_to_store(
+            stream, eng, "corpus", ckpt, ts_col="ts",
+            fp_store="corpus_fps", min_tokens=5, min_stopword_ratio=0.0,
+        )
+        q.awaitTermination(120)
+
+    # batch 1: a re-crawl of the PRE-EXISTING doc under a new id + one new doc
+    _write(spark, src, [
+        (1, int(0.1 * HOUR_NS), GOOD),               # content dup of doc 100
+        (2, int(0.2 * HOUR_NS), GOOD + " brand new"),
+    ])
+    run()
+    ids = {r["doc_id"] for r in eng.store("corpus").df().collect()}
+    assert ids == {100, 2}, f"pre-existing content re-ingested: {ids}"
+    # digest store now covers pre-existing + new content
+    assert eng.store("corpus_fps").df().count() == 2

@@ -100,3 +100,34 @@ def test_attribution_join_agrees_with_range_join_on_events(spark, sf_dir):
     rj = range_join(evu, iv, ["user_id"], "tus", "s", "e", bucket_width=HOUR_US)
     expected = {(r["event_id"], r["iv_id"]) for r in rj.collect()}
     assert got == expected and len(got) > 0
+
+
+def test_event_time_nanos_integer_division(spark):
+    """code-review r4: `/ 1000` on bigint is DOUBLE division; modern nano
+    timestamps exceed double's 53-bit mantissa so the microsecond value
+    could be off by ±1, moving boundary events across windows."""
+    from venice_spark.streaming.joins import _event_time
+
+    # values chosen so double(ns)/1000 rounds to a DIFFERENT integer than
+    # ns div 1000
+    bad = []
+    for base in (10**18, 1_700_000_000_000_000_000):
+        for off in range(0, 4000, 7):
+            n = base + off
+            if int(float(n) / 1000.0) != n // 1000:
+                bad.append(n)
+            if len(bad) >= 5:
+                break
+        if len(bad) >= 5:
+            break
+    assert bad, "no adversarial values found (unexpected)"
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(bad)], "id long, ts long")
+    out = _event_time(df, "ts", "_t")
+    import pyspark.sql.functions as F
+
+    got = {
+        r["id"]: r["us"]
+        for r in out.select("id", F.unix_micros(F.col("_t")).alias("us")).collect()
+    }
+    for i, n in enumerate(bad):
+        assert got[i] == n // 1000, (n, got[i], n // 1000)

@@ -194,3 +194,13 @@ def test_vson_property_arbitrary_schema_trees():
         assert vson_to_spark_type(s.replace('"', "'")) == t
 
     run()
+
+
+def test_mixed_quote_schema_with_apostrophe():
+    """code-review r4: a double-quoted field name containing an apostrophe
+    must survive single-quote tolerance (the old quote-swap regex corrupted
+    it)."""
+    t = vson_to_spark_type('{"it\'s": \'string\', \'n\': \'int32\'}')
+    assert isinstance(t, StructType)
+    assert t["it's"].dataType == StringType()
+    assert t["n"].dataType == IntegerType()

@@ -79,8 +79,20 @@ class VeniceProducer:
         return rt_dir
 
     def _flush_schema(self, rows: list[dict]):
-        """Explicit flush schema for the all-None-column fallback."""
+        """Explicit flush schema for the all-None-column fallback.
+
+        Type resolution for a column that is None in EVERY buffered op, in
+        priority order (code-review r4 — a type that disagrees with what
+        OTHER flushes wrote makes the whole RT log unreadable under the
+        mandatory mergeSchema read):
+        1. the RT log's existing parquet schema (what earlier flushes
+           actually wrote — by construction merge-compatible);
+        2. the store's declared value schema, including update-op columns
+           (set_x/add_x/... resolve to field x's declared type);
+        3. StringType (a genuinely never-seen field — the first writer of
+           a real value for it should flush with an explicit schema)."""
         import datetime
+        import os
 
         from pyspark.sql import types as T
 
@@ -89,6 +101,24 @@ class VeniceProducer:
             vs = self.catalog.get_value_schema(self.store)
             if vs is not None:
                 declared = {f.name: f.dataType for f in vs.fields}
+                # update-op columns carry the base field's type
+                for pre in ("set_", "add_", "rem_", "mapadd_", "maprem_"):
+                    for name, t in list(declared.items()):
+                        declared.setdefault(f"{pre}{name}", t)
+        except Exception:
+            pass
+        existing: dict = {}
+        try:
+            rt_dir = self.catalog.update_log_dir(self.store)
+            if os.path.isdir(rt_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(rt_dir)
+            ):
+                log_schema = (
+                    self.spark.read.option("mergeSchema", "true").parquet(rt_dir).schema
+                )
+                # earlier flushes win over the declared schema and are used
+                # EXACTLY: the new files must merge against them as-is
+                existing = {f.name: f.dataType for f in log_schema.fields}
         except Exception:
             pass
 
@@ -115,13 +145,24 @@ class VeniceProducer:
                 )
             return T.StringType()
 
+        def widen(t):
+            # future flushes INFER types (int -> long, float -> double); a
+            # narrow declared type would collide with them under mergeSchema
+            if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType)):
+                return T.LongType()
+            if isinstance(t, T.FloatType):
+                return T.DoubleType()
+            return t
+
         fields = []
         for c in rows[0]:
             sample = next((r[c] for r in rows if r[c] is not None), None)
             if sample is not None:
                 t = infer(sample)
+            elif c in existing:
+                t = existing[c]  # exact: merges against past flushes
             else:
-                t = declared.get(c, T.StringType())
+                t = widen(declared.get(c, T.StringType()))
             fields.append(T.StructField(c, t, True))
         return T.StructType(fields)
 

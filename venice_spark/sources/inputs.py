@@ -208,7 +208,18 @@ def read_kafka_topic(
         listed = [int(p) for p in starting_offsets_by_timestamp]
         cond = cond | ~F.col("partition").isin(listed)
         df = df.filter(cond)
-    elif starting_offsets == "latest" and not streaming:
+    elif starting_offsets == "latest":
+        if streaming:
+            # real Kafka streaming 'latest' starts at the tail and sees only
+            # NEW messages; a file stream replays every existing file as its
+            # first batch — silently emitting the whole history would make a
+            # locally-validated pipeline double-apply data production skips
+            # (code-review r4). No faithful emulation exists: fail loudly.
+            raise ValueError(
+                "the file-backed stand-in cannot emulate streaming "
+                "startingOffsets='latest' (a file stream always replays "
+                "existing files); rewind to a timestamp instead"
+            )
         df = df.filter(F.lit(False))
     return df
 

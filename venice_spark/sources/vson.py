@@ -33,7 +33,6 @@ schema language needs an adapter, not the row codec (SURVEY §2.7).
 from __future__ import annotations
 
 import json
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -69,13 +68,14 @@ _PRIMITIVES: dict[str, DataType] = {
     "bytes": BinaryType(),
 }
 
-# single-quoted JSON tolerance: swap quote style outside double-quoted spans
-_SQ = re.compile(r"'([^']*)'")
-
-
 def parse_vson_schema_str(vson_schema_str: str):
     """Parse the JSON-shaped schema text (both quote styles) to Python
-    objects — the VsonReader stage."""
+    objects — the VsonReader stage. Single-quoted (and mixed-quote) text
+    goes through ast.literal_eval, which handles quoting properly — the
+    naive quote-swap regex corrupted double-quoted names containing
+    apostrophes (code-review r4)."""
+    import ast
+
     if vson_schema_str is None:
         raise VsonSchemaError("Vson schema string cannot be null")
     s = vson_schema_str.strip()
@@ -84,9 +84,12 @@ def parse_vson_schema_str(vson_schema_str: str):
     except json.JSONDecodeError:
         pass
     try:
-        return json.loads(_SQ.sub(lambda m: '"' + m.group(1) + '"', s))
-    except json.JSONDecodeError as e:
+        obj = ast.literal_eval(s)
+    except (ValueError, SyntaxError) as e:
         raise VsonSchemaError(f"not a parseable VSON schema: {s!r}") from e
+    if not isinstance(obj, (dict, list, str)):
+        raise VsonSchemaError(f"not a parseable VSON schema: {s!r}")
+    return obj
 
 
 def _from_vson(obj) -> DataType:

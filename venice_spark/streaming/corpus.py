@@ -132,23 +132,52 @@ def run_corpus_ingest_to_store(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = batch_df
+        # fp_store enabled on a corpus that ALREADY has content: bootstrap
+        # the digest table from the EXISTING corpus first, or every
+        # pre-existing document's fingerprint is simply absent and re-crawls
+        # of old content sail through the anti-join forever (code-review
+        # r4). One full-corpus fingerprint pass, once.
+        if (
+            fp_store is not None
+            and engine.catalog.current_version(fp_store) <= 0
+            and engine.catalog.current_version(store) > 0
+        ):
+            _push(
+                fp_store,
+                engine.store(store)
+                .df()
+                .select(TX.fingerprint(F.col(text_col)).alias("fingerprint")),
+            )
+        # fingerprint the batch ONCE and reuse it for the anti-join probe
+        # and the fp_store push (it was being recomputed over full text up
+        # to three times per batch — code-review r4)
+        out = batch_df.withColumn("__fp", TX.fingerprint(F.col(text_col)))
         if dedup_against_store:
             if fp_store is not None and engine.catalog.current_version(fp_store) > 0:
-                history = engine.store(fp_store).df()
-                out = exact_dedup_incremental(
-                    out, history, text_col, id_col, history_fp_col="fingerprint"
+                # same two stages as exact_dedup_incremental, reusing the
+                # already-computed __fp: in-batch lowest-id-per-fingerprint,
+                # then the anti-join against the digest store
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("__fp").orderBy(id_col)
+                out = (
+                    out.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+                history = engine.store(fp_store).df().select(
+                    F.col("fingerprint").alias("__hfp")
+                )
+                out = out.join(
+                    history, out["__fp"] == history["__hfp"], "left_anti"
                 )
             elif engine.catalog.current_version(store) > 0:
                 history = engine.store(store).df().select(text_col)
                 out = exact_dedup_incremental(out, history, text_col, id_col)
         if not out.isEmpty():
-            _push(store, out)
+            _push(store, out.drop("__fp"))
             if fp_store is not None:
-                _push(
-                    fp_store,
-                    out.select(TX.fingerprint(F.col(text_col)).alias("fingerprint")),
-                )
+                _push(fp_store, out.select(F.col("__fp").alias("fingerprint")))
 
     writer = (
         prepped.writeStream.outputMode("append")

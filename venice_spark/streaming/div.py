@@ -56,6 +56,11 @@ def div_check(df: DataFrame, cols: tuple[str, str, str] = DIV_COLS) -> DataFrame
     duplicates, missing) where `missing` > 0 flags lost messages (the
     MISSING fault) and `duplicates` counts re-deliveries. Empty
     missing/duplicates everywhere == clean log.
+
+    `missing` counts from sequence 0, not from first_seq: the reference's
+    Segment numbering always starts a segment at 0, so losing the HEAD of
+    a segment (first_seq > 0) is itself data loss — an interior-gap-only
+    formula reported such a log as clean (code-review r4).
     """
     guid, seg, seq = cols
     return (
@@ -73,8 +78,6 @@ def div_check(df: DataFrame, cols: tuple[str, str, str] = DIV_COLS) -> DataFrame
             "last_seq",
             "messages",
             (F.col("messages") - F.col("distinct_seqs")).alias("duplicates"),
-            (
-                F.col("last_seq") - F.col("first_seq") + 1 - F.col("distinct_seqs")
-            ).alias("missing"),
+            (F.col("last_seq") + 1 - F.col("distinct_seqs")).alias("missing"),
         )
     )

@@ -41,21 +41,32 @@ def resolve_latest(
     (reference: AbstractMerge.java:48-66 delete-wins-ties + determinism
     contract Merge.java:27-31). Rows without an op column count as PUTs.
 
-    The FINAL order key is a hash of the full value payload: two PUTs for
-    one key with identical ts (cross-colo writes in one micro-batch) would
-    otherwise resolve by shuffle order — replaying the same log twice could
-    serve different values, violating the determinism contract the module
-    docstring promises (the value-compare tiebreak AbstractMerge applies;
-    code-review r4). Fully identical rows still tie, harmlessly."""
+    The FINAL order keys mirror the DCR kernel's op tuple
+    (merge/dcr._tuple: ts, kind, value_rank, colo): after ts and
+    delete-wins, ties resolve by the canonical JSON of the VALUE columns
+    (name-sorted struct, larger string wins — the same larger-canonical-
+    JSON rule dcr._rank applies, so the stateful change stream and this
+    batch path pick the SAME winner), then by colo. Two PUTs for one key
+    with identical ts would otherwise resolve by shuffle order — replaying
+    the same log twice could serve different values (code-review r4).
+    Fully identical rows still tie, harmlessly."""
     has_op = "op" in df.columns
     order = [F.col(ts_col).desc()]
     if has_op:
         order.append(_is_delete().desc())  # DELETE beats PUT on a ts tie
     order += [F.col(c).desc() for c in (tiebreak or [])]
-    payload = [c for c in df.columns if c not in set(key_fields) | {ts_col}]
-    if payload:
-        # via to_json: xxhash64 cannot hash MapType columns directly
-        order.append(F.xxhash64(F.to_json(F.struct(*payload))).desc())
+    meta = {"op", "colo"} | set(tiebreak or [])
+    value_cols = sorted(
+        c for c in df.columns if c not in set(key_fields) | {ts_col} | meta
+    )
+    if value_cols:
+        order.append(
+            F.to_json(
+                F.struct(*value_cols), {"ignoreNullFields": "false"}
+            ).desc()
+        )
+    if "colo" in df.columns:
+        order.append(F.col("colo").desc())
     w = Window.partitionBy(*key_fields).orderBy(*order)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 

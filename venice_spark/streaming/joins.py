@@ -26,8 +26,12 @@ def _event_time(df: DataFrame, ts_col: str, out: str) -> DataFrame:
     windows.py and corpus.py — keep the conversion in ONE place)."""
     ts = F.col(ts_col)
     if dict(df.dtypes).get(ts_col) in ("bigint", "long"):
-        # epoch-nanos long (the events-table convention) -> timestamp
-        ts = F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        # epoch-nanos long (the events-table convention) -> timestamp.
+        # INTEGER division: `/` on bigints is double division, and nano
+        # timestamps (~1.7e18) exceed double's 53-bit mantissa — the
+        # rounded quotient can be off by ±1 µs, moving boundary events
+        # across windows/join edges (code-review r4)
+        ts = F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
     return df.withColumn(out, ts)
 
 

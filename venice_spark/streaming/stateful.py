@@ -12,7 +12,14 @@ records in RocksDB while producing deltas downstream
 Semantics match hybrid.latest_wins / merge.dcr: per-key highest (ts,
 tiebreak) wins, DELETE tombstones drop the key (kept in state so a stale
 put can't resurrect it), and arrival order is irrelevant by design
-(Merge.java:27-31 determinism contract) — watermarks only bound state.
+(Merge.java:27-31 determinism contract).
+
+State bounding: by default state (including DELETE tombstones, which are
+deliberately retained so stale puts cannot resurrect keys) lives forever —
+correct, but unbounded on key-churning streams. Pass `state_ttl_minutes`
+to expire idle keys via a processing-time timeout (code-review r4): an
+expired key forgets its tombstone, so choose a TTL beyond the maximum
+expected op lateness — the same trade a watermark makes.
 """
 
 from __future__ import annotations
@@ -30,6 +37,7 @@ def latest_wins_stateful(
     value_schema: T.StructType,
     ts_col: str = "ts",
     op_col: str = "op",
+    state_ttl_minutes: int | None = None,
 ):
     """Streaming latest-wins resolution with per-key state.
 
@@ -55,6 +63,11 @@ def latest_wins_stateful(
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state_ttl_minutes is not None:
+            if state.hasTimedOut:
+                state.remove()
+                return
+            state.setTimeoutDuration(state_ttl_minutes * 60_000)
         if state.exists:
             st = dict(zip([f.name for f in state_schema.fields], state.get))
         else:
@@ -110,7 +123,11 @@ def latest_wins_stateful(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -122,6 +139,7 @@ def dcr_stateful(
     map_fields: set | None = None,
     ts_col: str = "ts",
     op_col: str = "op",
+    state_ttl_minutes: int | None = None,
 ):
     """Streaming active-active DCR: the full field-level merge kernel
     (merge/dcr.py — per-field timestamps, collection element registers,
@@ -151,11 +169,13 @@ def dcr_stateful(
     state_schema = T.StructType([T.StructField("state_json", T.StringType(), True)])
 
     def fold(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        st = (
-            record_state_from_json(state.get[0])
-            if state.exists and state.get[0]
-            else RecordState()
-        )
+        if state_ttl_minutes is not None:
+            if state.hasTimedOut:
+                state.remove()
+                return
+            state.setTimeoutDuration(state_ttl_minutes * 60_000)
+        before_json = state.get[0] if state.exists and state.get[0] else None
+        st = record_state_from_json(before_json) if before_json else RecordState()
         saw = False
         for pdf in pdfs:
             if len(pdf) == 0:
@@ -165,7 +185,14 @@ def dcr_stateful(
             ucols = [c for c in pdf.columns if _is_update_col(c)]
             apply_pdf(st, pdf, vcols, ucols, lf, mf, op_col=op_col, ts_col=ts_col)
         if saw:
-            state.update((record_state_to_json(st),))
+            after_json = record_state_to_json(st)
+            # emit (and rewrite state) only when the resolved state actually
+            # CHANGED — the documented contract. A replay of stale ops used
+            # to re-emit every touched key each trigger, turning N stale
+            # rows into N spurious downstream store writes (code-review r4).
+            if after_json == before_json:
+                return
+            state.update((after_json,))
             merged = st.finalize(lf, mf)
             if merged is not None:
                 yield pd.DataFrame(
@@ -177,5 +204,9 @@ def dcr_stateful(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
