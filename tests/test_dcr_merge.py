@@ -451,3 +451,75 @@ def test_record_liveness_property():
             assert not put_alive, (trial, ops)
         # determinism across arrival orders
         assert out == merge_ops(ops, list_fields={"tags"}), (trial, ops)
+
+
+# -------------------------------------------- r4 review regressions
+
+
+def test_merge_op_log_null_numeric_key_single_row(spark):
+    """code-review r4: the num_partitions fast path keyed states on raw
+    pandas group keys — each Arrow batch makes a FRESH NaN for a null
+    numeric key (NaN != NaN), splitting one key's ops across states."""
+    from venice_spark.merge.dcr import merge_op_log
+
+    rows = []
+    # enough rows that the partition folds across several Arrow batches
+    for i in range(50):
+        rows.append((None, "PUT", 10 + i, 0, f"v{i}"))
+    rows.append((7, "PUT", 5, 0, "seven"))
+    log = spark.createDataFrame(
+        rows, "k long, op string, ts long, colo int, name string"
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+        out = merge_op_log(
+            log, ["k"], "k long, name string", num_partitions=1
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r["name"])
+    assert len(by_key.get(None, [])) == 1, f"null key split: {by_key}"
+    assert by_key[None] == ["v49"]  # highest ts wins across ALL batches
+    assert by_key[7] == ["seven"]
+
+
+def test_collection_merge_with_struct_elements(spark):
+    """code-review r4: list elements that are structs (array<struct>) made
+    CollectionState._present raise TypeError: unhashable type — a plain
+    whole-collection PUT of such a field must merge fine."""
+    from venice_spark.merge.dcr import merge_op_log
+
+    log = spark.createDataFrame(
+        [
+            ("k1", "PUT", 10, 0, [{"t": "a", "n": 1}]),
+            ("k1", "PUT", 20, 1, [{"t": "b", "n": 2}, {"t": "c", "n": 3}]),
+        ],
+        "k string, op string, ts long, colo int, events array<struct<t string, n long>>",
+    )
+    out = merge_op_log(
+        log, ["k"], "k string, events array<struct<t string, n long>>",
+        list_fields={"events"},
+    ).collect()
+    assert len(out) == 1
+    got = sorted((e["t"], e["n"]) for e in out[0]["events"])
+    assert got == [("b", 2), ("c", 3)]  # ts=20 whole-put wins
+
+
+def test_record_state_json_roundtrip_with_struct_elements():
+    """Struct elements survive the state-JSON round trip (the stateful DCR
+    operator persists RecordState between triggers)."""
+    from venice_spark.merge.dcr import (
+        RecordState,
+        record_state_from_json,
+        record_state_to_json,
+    )
+
+    st = RecordState()
+    cs = st._coll("events", is_map=False)
+    cs.add({"t": "a", "n": 1}, None, ts=5, colo=0)
+    cs.put_whole([{"t": "b", "n": 2}], ts=3, colo=0)
+    rt = record_state_from_json(record_state_to_json(st))
+    assert rt.finalize({"events"}, set()) == st.finalize({"events"}, set())

@@ -589,3 +589,120 @@ def test_retire_removes_view_dirs(spark, tmp_root):
     leftovers = [d for d in os.listdir(sdir) if "__view_" in d]
     # only the kept (current) version's view remains
     assert len(leftovers) == 1, leftovers
+
+
+# -------------------------------------------- r4 review regressions (push/catalog)
+
+
+def test_partitioner_flip_never_splits_keys(engine, spark):
+    """code-review r4: changing md5_parity via update_store must not mix
+    partitioner hashes — deltas stamp with the BASE version's manifest
+    partitioner and reads route with the served manifest, so gets hit and
+    the resolve view never serves duplicate rows."""
+    engine.catalog.update_store("s", md5_parity=True)  # applies NEXT push
+    st = engine.store("s")
+    # served version was written with xxhash64: reads must still route
+    assert st.get("a")["val"] == 1.0
+    # a lazy delta against the xxhash64 base must stamp xxhash64 too
+    delta = spark.createDataFrame([("a", 7.0, 99)], "key string, val double, _rmd_ts long")
+    engine.incremental_push("s", delta, eager=False)
+    rows = st.df().collect()
+    out = {r["key"]: r["val"] for r in rows}
+    assert len(rows) == 3 and out["a"] == 7.0  # no duplicate 'a'
+    # next full push adopts md5 and reads follow the new manifest
+    engine.push("s", spark.createDataFrame(
+        [("z", 1.0, 1)], "key string, val double, _rmd_ts long"))
+    assert engine.store("s").get("z")["val"] == 1.0
+
+
+def test_eager_push_carries_concurrent_lazy_delta(engine, spark, monkeypatch):
+    """code-review r4: a lazy delta landing between an eager push's
+    read_current snapshot and its commit must be swept onto the new
+    version, not silently dropped with the retired one."""
+    cat = engine.catalog
+    lazy = spark.createDataFrame([("late", 5.0, 50)], "key string, val double, _rmd_ts long")
+    engine.incremental_push("s", lazy, eager=False)
+    old_v = cat.current_version("s")
+
+    # hide the slot from the eager push's snapshot + resolve (it "lands"
+    # after them), then reveal it to the sweep
+    real = cat.list_delta_dirs
+    hidden = {"left": 2}
+    def fake(store, version):
+        out = real(store, version)
+        if version == old_v and hidden["left"] > 0:
+            hidden["left"] -= 1
+            return []
+        return out
+    monkeypatch.setattr(cat, "list_delta_dirs", fake)
+    eager = spark.createDataFrame([("b", 99.0, 60)], "key string, val double, _rmd_ts long")
+    engine.incremental_push("s", eager)  # eager path
+    monkeypatch.setattr(cat, "list_delta_dirs", real)
+
+    new_v = cat.current_version("s")
+    assert cat.list_delta_dirs("s", new_v), "concurrent lazy delta dropped"
+    out = {r["key"]: r["val"] for r in engine.store("s").df().collect()}
+    assert out["late"] == 5.0 and out["b"] == 99.0
+
+
+def test_batch_push_accepts_partition_id_input(engine, spark):
+    """code-review r4: re-pushing store-read data (which carries the
+    partition_id directory column) must not fail on ambiguous references."""
+    current = engine.store("s").df()  # includes partition_id
+    res = engine.push("s", current, allow_duplicate_key=True)
+    assert res.rows == 3
+    assert engine.store("s").get("a")["val"] == 1.0
+
+
+def test_commit_version_never_regresses_pointer(engine, spark):
+    """code-review r4: a slower push that reserved an earlier version
+    number must not flip the pointer backward when it finishes last."""
+    cat = engine.catalog
+    v_lo = cat.begin_version("s")
+    v_hi = cat.begin_version("s")
+    df = spark.createDataFrame([("x", 1.0, 1)], "key string, val double, _rmd_ts long")
+    from venice_spark.partitioner import repartition_and_sort
+
+    for v in (v_hi, v_lo):  # hi commits FIRST, lo finishes last
+        out = repartition_and_sort(df, ["key"], 2, False)
+        out.write.mode("overwrite").partitionBy("partition_id").parquet(
+            cat.version_dir("s", v)
+        )
+        cat.commit_version("s", v, manifest={"partition_count": 2, "partitioner": "xxhash64"})
+    assert cat.current_version("s") == v_hi
+
+
+def test_check_duplicate_keys_standalone(spark):
+    """code-review r4: the standalone checker crashed on key-only tables
+    (F.struct with zero columns)."""
+    from venice_spark.push import check_duplicate_keys
+
+    dup = spark.createDataFrame(
+        [("k1", 1.0), ("k1", 2.0), ("k2", 3.0)], "key string, val double"
+    )
+    assert [r["key"] for r in check_duplicate_keys(dup, ["key"]).collect()] == ["k1"]
+    key_only = spark.createDataFrame([("k1",), ("k1",)], "key string")
+    assert check_duplicate_keys(key_only, ["key"]).count() == 0
+
+
+def test_bucketed_view_read_uses_written_spec(spark, tmp_path):
+    """code-review r4: re-registration must trust the spec the files were
+    WRITTEN with, not a drifted definition — wrong bucket metadata silently
+    drops join matches."""
+    import warnings
+
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.push import BucketedViewDef, read_bucketed_view
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("b1", key_fields=["k"], partition_count=2)
+    bv4 = BucketedViewDef(name="bk", n_buckets=4, key_fields=["k"])
+    eng.push("b1", spark.createDataFrame([(i, float(i)) for i in range(50)], ["k", "v"]),
+             views=[bv4])
+    spark.sql(f"DROP TABLE IF EXISTS {bv4.table_name('b1', 1)}")  # fresh session
+    drifted = BucketedViewDef(name="bk", n_buckets=8, key_fields=["k"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = read_bucketed_view(spark, eng.catalog, "b1", drifted)
+        assert any("written with" in str(x.message) for x in w)
+    assert df.count() == 50  # correct data under the written 4-bucket spec

@@ -282,6 +282,14 @@ class StoreCatalog:
             return
         with self._locked(store):
             meta = self.get_store(store)
+            if version < meta.current_version:
+                # a slower concurrent push finishing LAST with an earlier
+                # reserved version number must not regress the pointer to
+                # the older snapshot (code-review r4) — its data stays
+                # landed and addressable via set_version, but serving keeps
+                # the newest committed version (explicit rollback remains
+                # set_version's job)
+                return
             meta.current_version = version
             meta.config["version_committed_at"] = time.time()
             self._write_meta(meta)

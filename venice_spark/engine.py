@@ -54,13 +54,22 @@ class StoreHandle:
         return self.catalog.get_key_fields(self.name)
 
     def _served_partition_count(self) -> int:
-        """Partition count of the version BEING SERVED (its manifest), not
-        the live store config: update_store(partition_count=...) applies
-        from the next push, so routing reads with the new modulus against
-        data stamped with the old one would silently miss every key."""
+        return self._served_layout()[0]
+
+    def _served_layout(self) -> tuple[int, bool]:
+        """(partition_count, md5_parity) of the version BEING SERVED (its
+        manifest), not the live store config: update_store changes apply
+        from the next push, so routing reads with the new modulus — or the
+        new partitioner hash (code-review r4) — against data stamped with
+        the old one would silently miss every key."""
         meta = self.engine.catalog.get_store(self.name)
         m = self.engine.catalog.version_manifest(self.name) or {}
-        return int(m.get("partition_count", meta.partition_count))
+        count = int(m.get("partition_count", meta.partition_count))
+        if "partitioner" in m:
+            md5p = m["partitioner"] == "md5"
+        else:
+            md5p = bool(meta.config.get("md5_parity", False))
+        return count, md5p
 
     @staticmethod
     def _py_routable(key_tuples) -> bool:
@@ -85,9 +94,7 @@ class StoreHandle:
         local job over the key rows). The ids drive directory pruning."""
         from venice_spark.partitioner import partition_id_py, with_partition_id
 
-        meta = self.engine.catalog.get_store(self.name)
-        md5p = bool(meta.config.get("md5_parity", False))
-        n_parts = self._served_partition_count()
+        n_parts, md5p = self._served_layout()
         kf = self.key_fields
         kts = [((k,) if len(kf) == 1 else tuple(k)) for k in keys]
         import pyspark.sql.types as T
@@ -110,15 +117,11 @@ class StoreHandle:
     def get(self, key: Any) -> Row | None:
         from venice_spark.partitioner import partition_id_py
 
-        meta = self.engine.catalog.get_store(self.name)
         kf = self.key_fields
         key_tuple = (key,) if len(kf) == 1 else tuple(key)
         if self._py_routable([key_tuple]):
-            pid = partition_id_py(
-                key_tuple,
-                self._served_partition_count(),
-                bool(meta.config.get("md5_parity", False)),
-            )
+            n_parts, md5p = self._served_layout()
+            pid = partition_id_py(key_tuple, n_parts, md5p)
         else:
             _, pids = self._keys_with_pid([key])
             pid = pids[0]

@@ -54,6 +54,18 @@ def _tuple(ts: int, kind: int, value: Any, colo: int) -> tuple:
     return (ts, kind, _rank(value), colo)
 
 
+def _freeze(e: Any):
+    """Hashable identity for a collection element. Scalars pass through;
+    lists/tuples and dicts (array<struct>/map-valued elements) freeze to
+    nested tuples — keying registers on the raw element raised
+    TypeError: unhashable type for struct elements (code-review r4)."""
+    if isinstance(e, dict):
+        return ("__map__", tuple(sorted((k, _freeze(v)) for k, v in e.items())))
+    if isinstance(e, (list, tuple)):
+        return ("__list__", tuple(_freeze(x) for x in e))
+    return e
+
+
 @dataclass
 class _Reg:
     """Last-writer-wins register: keeps the max op tuple + its payload."""
@@ -86,8 +98,11 @@ class CollectionState:
     """Whole-collection LWW register + per-element LWW registers."""
 
     whole: _Reg = dc_field(default_factory=_Reg)  # value: list | dict
-    elems: dict = dc_field(default_factory=dict)  # elem identity -> _Reg(value=entry val)
+    elems: dict = dc_field(default_factory=dict)  # _freeze(elem) -> _Reg(value=entry val)
     is_map: bool = False
+    # frozen identity -> the original element, so outputs/serialization
+    # carry real values while registers key on hashables
+    originals: dict = dc_field(default_factory=dict)
 
     def put_whole(self, collection, ts: int, colo: int) -> None:
         self.whole.offer(_tuple(ts, PUT_KIND, collection, colo), collection)
@@ -96,14 +111,29 @@ class CollectionState:
         self.whole.offer(_tuple(ts, DELETE_KIND, None, colo), None)
 
     def add(self, elem, val, ts: int, colo: int) -> None:
-        self.elems.setdefault(elem, _Reg()).offer(_tuple(ts, PUT_KIND, val, colo), val)
+        fz = _freeze(elem)
+        self.originals.setdefault(fz, elem)
+        self.elems.setdefault(fz, _Reg()).offer(_tuple(ts, PUT_KIND, val, colo), val)
 
     def remove(self, elem, ts: int, colo: int) -> None:
-        self.elems.setdefault(elem, _Reg()).offer(_tuple(ts, DELETE_KIND, None, colo), None)
+        fz = _freeze(elem)
+        self.originals.setdefault(fz, elem)
+        self.elems.setdefault(fz, _Reg()).offer(_tuple(ts, DELETE_KIND, None, colo), None)
 
     def _present(self) -> dict:
         base = self.whole.value if self.whole.is_put else ([] if not self.is_map else {})
-        base_items = dict(base) if self.is_map else {e: None for e in (base or [])}
+        if self.is_map:
+            base_items = {}
+            for k, v in dict(base).items():
+                fz = _freeze(k)
+                self.originals.setdefault(fz, k)
+                base_items[fz] = v
+        else:
+            base_items = {}
+            for e in base or []:
+                fz = _freeze(e)
+                self.originals.setdefault(fz, e)
+                base_items[fz] = None
         whole_t = self.whole.t
         out = {}
         for e, v in base_items.items():
@@ -124,10 +154,20 @@ class CollectionState:
         return out
 
     def as_list(self) -> list:
-        return sorted(self._present().keys(), key=_rank)
+        return sorted(
+            (self.originals.get(k, k) for k in self._present()), key=_rank
+        )
 
     def as_map(self) -> dict:
-        return dict(sorted(self._present().items(), key=lambda kv: _rank(kv[0])))
+        return dict(
+            sorted(
+                (
+                    (self.originals.get(k, k), v)
+                    for k, v in self._present().items()
+                ),
+                key=lambda kv: _rank(kv[0]),
+            )
+        )
 
     def has_elements(self) -> bool:
         return bool(self._present())
@@ -352,6 +392,13 @@ def merge_op_log(
             for key, grp in pdf.groupby(key_fields, dropna=False, sort=False):
                 if not isinstance(key, tuple):
                     key = (key,)
+                # pandas surfaces a null numeric key as NaN, and each Arrow
+                # batch makes a FRESH NaN (NaN != NaN) — keying raw would
+                # fold one null key into several states (code-review r4)
+                key = tuple(
+                    None if (c is None or (isinstance(c, float) and c != c)) else c
+                    for c in key
+                )
                 st = states.get(key)
                 if st is None:
                     states[key] = st = RecordState()
@@ -536,7 +583,10 @@ def record_state_to_json(st: RecordState) -> str:
             "collections": {
                 k: {
                     "whole": _reg_to_dict(cs.whole),
-                    "elems": [[e, _reg_to_dict(r)] for e, r in cs.elems.items()],
+                    "elems": [
+                        [cs.originals.get(e, e), _reg_to_dict(r)]
+                        for e, r in cs.elems.items()
+                    ],
                     "is_map": cs.is_map,
                 }
                 for k, cs in st.collections.items()
@@ -553,8 +603,11 @@ def record_state_from_json(s: str) -> RecordState:
     for k, cd in d["collections"].items():
         cs = CollectionState(is_map=cd["is_map"])
         cs.whole = _reg_from_dict(cd["whole"])
-        # JSON turns list elements into lists; element identities are
-        # scalars in practice (strings/numbers) so this round-trips exactly
-        cs.elems = {e if not isinstance(e, list) else tuple(e): _reg_from_dict(r) for e, r in cd["elems"]}
+        # elements are stored as their ORIGINAL values; re-freeze on load
+        # (lists/tuples unify under _freeze, so the round trip is exact)
+        for e, r in cd["elems"]:
+            fz = _freeze(e)
+            cs.originals.setdefault(fz, e)
+            cs.elems[fz] = _reg_from_dict(r)
         st.collections[k] = cs
     return st

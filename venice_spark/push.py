@@ -76,13 +76,85 @@ def _dedup_latest_wins(df: DataFrame, key_fields: list[str], order_col: str | No
 
 def check_duplicate_keys(df: DataFrame, key_fields: list[str]) -> DataFrame:
     """Return keys that appear with >1 distinct value row (stage I6 conflict
-    check). Empty result == clean input."""
+    check; the standalone consistency-checker surface — MIGRATION.md). Empty
+    result == clean input. Key-only tables can never conflict (code-review
+    r4: F.struct() with zero columns raised instead)."""
     value_cols = [c for c in df.columns if c not in key_fields]
+    if not value_cols:
+        return df.groupBy(*key_fields).count().filter(F.lit(False)).drop("count")
     return (
         df.groupBy(*key_fields)
         .agg(F.countDistinct(F.struct(*value_cols)).alias("distinct_values"))
         .filter(F.col("distinct_values") > 1)
     )
+
+
+def _version_layout(catalog, store: str, version: int, meta) -> tuple[int, bool]:
+    """(partition_count, md5_parity) a version was WRITTEN with, from its
+    manifest — never the live config: update_store can change either between
+    pushes, and mixing layouts silently splits/misses keys (code-review r4
+    extended the ADVICE-r3 count check to the partitioner hash)."""
+    m = catalog.version_manifest(store, version) or {}
+    count = int(m.get("partition_count", meta.partition_count))
+    if "partitioner" in m:
+        md5p = m["partitioner"] == "md5"
+    else:
+        md5p = bool(meta.config.get("md5_parity", False))
+    return count, md5p
+
+
+def sweep_late_deltas(
+    spark: SparkSession,
+    catalog: StoreCatalog,
+    store: str,
+    old_version: int,
+    resolved_deltas: set,
+    new_version: int,
+    key_fields: list[str],
+    new_parts: int,
+    new_md5p: bool,
+) -> None:
+    """Carry delta slots that landed on `old_version` after our resolve
+    snapshot over to `new_version`'s log (arrival order preserved) — a lazy
+    push racing ANY version-producing operation (compaction, eager
+    incremental, full batch push) would otherwise be silently lost, because
+    retired versions are never read again (code-review r4 generalized
+    compact_store's private sweep to every committer). A carried slot is
+    restamped when the old and new layouts disagree on EITHER the modulus
+    or the partitioner hash; a bare rename is used only when both match."""
+    import os
+    import shutil
+
+    meta = catalog.get_store(store)
+    old_parts, old_md5p = _version_layout(catalog, store, old_version, meta)
+    with catalog._locked(store):
+        late = [
+            d
+            for d in catalog.list_delta_dirs(store, old_version)
+            if d not in resolved_deltas
+        ]
+        if not late:
+            return
+        os.makedirs(catalog.deltas_dir(store, new_version), exist_ok=True)
+        existing = catalog.list_delta_dirs(store, new_version)
+        k = (
+            max(int(os.path.basename(d)[1:]) for d in existing) + 1
+            if existing
+            else 1
+        )
+        for d in sorted(late, key=lambda p: int(os.path.basename(p)[1:])):
+            target = os.path.join(catalog.deltas_dir(store, new_version), f"d{k}")
+            if (old_parts, old_md5p) == (new_parts, new_md5p):
+                os.rename(d, target)
+            else:
+                ldf = spark.read.parquet(d)
+                if "partition_id" in ldf.columns:
+                    ldf = ldf.drop("partition_id")
+                o = repartition_and_sort(ldf, key_fields, new_parts, new_md5p)
+                o.write.mode("overwrite").partitionBy("partition_id").parquet(target)
+                _fix_empty_partitioned_dir(o, target)
+                shutil.rmtree(d, ignore_errors=True)
+            k += 1
 
 
 class BatchPushJob:
@@ -117,9 +189,25 @@ class BatchPushJob:
         if record_transformer is not None:
             df = record_transformer.apply(df)
 
+        if "partition_id" in df.columns:
+            # a re-push of store-read data carries the directory column;
+            # keeping it would both clobber and duplicate the stamped id
+            # (ambiguous-reference failure at the sort — code-review r4)
+            df = df.drop("partition_id")
+
         missing = [k for k in key_fields if k not in df.columns]
         if missing:
             raise ValueError(f"input is missing key fields {missing}")
+
+        # snapshot the serving version's delta log: a lazy push landing a
+        # NEW slot while this push runs must be carried onto the new
+        # version after the swap, or it is silently lost (code-review r4)
+        pre_version = meta.current_version
+        pre_deltas = (
+            set(self.catalog.list_delta_dirs(store, pre_version))
+            if pre_version > 0
+            else set()
+        )
 
         # declarative pre-write quality gate (validation.py): all scalar
         # rules evaluate in ONE aggregation pass; a failed rule aborts the
@@ -134,6 +222,7 @@ class BatchPushJob:
         # the write; released after the write lands (never leaks into the
         # caller's long-lived session)
         quota_persisted = None
+        conflict_persisted = None
         if storage_quota_bytes is not None:
             df = quota_persisted = df.persist()
             rows = df.count()
@@ -176,6 +265,11 @@ class BatchPushJob:
                 )
             grouped = parted.groupBy("partition_id", *key_fields).agg(*aggs)
             if not allow_duplicate_key and dedup_order_col is None:
+                # persist: the conflict check EXECUTES the shuffle+dedup
+                # aggregation; without the barrier the write re-runs the
+                # same heaviest stage from scratch (code-review r4 —
+                # measured below in w8). Released in the finally.
+                grouped = conflict_persisted = grouped.persist()
                 conflict = (
                     grouped.filter(F.col("__distinct_values") > 1)
                     .select(*key_fields)
@@ -183,6 +277,7 @@ class BatchPushJob:
                     .collect()
                 )
                 if conflict:
+                    grouped.unpersist()
                     if quota_persisted is not None:
                         quota_persisted.unpersist()
                     raise DuplicateKeyError(
@@ -229,11 +324,13 @@ class BatchPushJob:
 
             rows = written.count()
         finally:
-            # the quota persist must never outlive the push — a
+            # the quota/conflict persists must never outlive the push — a
             # DuplicateKeyError/validation/write failure above would
-            # otherwise pin the full input in the caller's session
+            # otherwise pin data in the caller's session
             if quota_persisted is not None:
                 quota_persisted.unpersist()
+            if conflict_persisted is not None:
+                conflict_persisted.unpersist()
 
         # W8 atomic swap (+ Version-record manifest, meta/Version.java:1);
         # defer_swap lands the version without flipping the pointer
@@ -250,6 +347,11 @@ class BatchPushJob:
             },
             make_current=not defer_swap,
         )
+        if not defer_swap and pre_version > 0:
+            sweep_late_deltas(
+                spark, self.catalog, store, pre_version, pre_deltas,
+                version, key_fields, meta.partition_count, md5_parity,
+            )
         return PushResult(store, version, rows, meta.partition_count, path)
 
 
@@ -365,6 +467,9 @@ class BucketedViewDef:
         return bucketed_view_dir(catalog.version_dir(store, version), self.name)
 
     def write(self, catalog: StoreCatalog, store: str, version: int, df: DataFrame) -> None:
+        import json as _json
+        import os as _os
+
         out = df.drop("partition_id")
         if self.projection is not None:
             keep = list(dict.fromkeys(self.key_fields + self.projection))
@@ -381,6 +486,18 @@ class BucketedViewDef:
             .option("path", self.view_dir(catalog, store, version))
             .saveAsTable(tn)
         )
+        # record the WRITTEN bucket spec: re-registration in a fresh session
+        # must use the layout the files actually have, not whatever the
+        # caller's (possibly drifted) def now says — Spark trusts the
+        # metadata and a mismatch silently drops join matches
+        # (code-review r4)
+        with open(
+            _os.path.join(self.view_dir(catalog, store, version), "_bucket_spec.json"),
+            "w",
+        ) as f:
+            _json.dump(
+                {"n_buckets": self.n_buckets, "key_fields": self.key_fields}, f
+            )
 
 
 def read_bucketed_view(
@@ -407,14 +524,35 @@ def read_bucketed_view(
             f"bucketed view {tn!r} has no data at {path!r} — version "
             f"{version} of store {store!r} was retired or never wrote this view"
         )
+    # validate (and prefer) the WRITTEN spec over the caller's def: a def
+    # that drifted since the write would register wrong bucket metadata and
+    # silently break co-located joins (code-review r4)
+    n_buckets, key_fields = view.n_buckets, view.key_fields
+    spec_path = os.path.join(path, "_bucket_spec.json")
+    if os.path.exists(spec_path):
+        import json as _json
+
+        with open(spec_path) as f:
+            spec = _json.load(f)
+        n_buckets, key_fields = spec["n_buckets"], spec["key_fields"]
+        if (n_buckets, key_fields) != (view.n_buckets, view.key_fields):
+            import warnings
+
+            warnings.warn(
+                f"bucketed view {tn!r}: definition says "
+                f"({view.n_buckets}, {view.key_fields}) but the files were "
+                f"written with ({n_buckets}, {key_fields}); using the "
+                "written spec",
+                stacklevel=2,
+            )
     if not spark.catalog.tableExists(tn):
         ddl = spark.read.parquet(path).schema.toDDL()
-        cols = ", ".join(view.key_fields)
-        sort_cols = ", ".join(view.key_fields)
+        cols = ", ".join(key_fields)
+        sort_cols = ", ".join(key_fields)
         spark.sql(
             f"CREATE TABLE {tn} ({ddl}) USING parquet "
             f"CLUSTERED BY ({cols}) SORTED BY ({sort_cols}) "
-            f"INTO {view.n_buckets} BUCKETS LOCATION '{path}'"
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
         )
     return spark.table(tn)
 
@@ -485,26 +623,23 @@ def incremental_push(
         # pushes can never claim the same K — each appends its own slot,
         # ordered by whoever locks first (the reference serializes
         # incremental pushes per store through the controller the same way).
-        def _base_partition_count(version: int) -> int:
-            # the delta MUST share the BASE version's layout: the resolve
-            # view groups on (partition_id, key), so stamping with a
-            # different modulus would split a key's base and delta rows
-            # into different groups (duplicate rows per key after an
-            # update_store partition_count change)
-            m = catalog.version_manifest(store, version) or {}
-            return int(m.get("partition_count", meta.partition_count))
-
-        def _stage(n_parts: int) -> str:
+        def _stage(layout: tuple) -> str:
+            # the delta MUST share the BASE version's full layout (modulus
+            # AND partitioner hash — code-review r4 extended ADVICE r3's
+            # count check): the resolve view groups on (partition_id, key),
+            # so a mismatched stamp splits a key's base and delta rows into
+            # different groups (duplicate served rows)
+            n_parts, base_md5p = layout
             s = os.path.join(
                 catalog.store_dir(store), f"_delta_staging-{uuid.uuid4().hex}"
             )
-            o = repartition_and_sort(delta, key_fields, n_parts, md5p)
+            o = repartition_and_sort(delta, key_fields, n_parts, base_md5p)
             o.write.mode("overwrite").partitionBy("partition_id").parquet(s)
             _fix_empty_partitioned_dir(o, s)
             return s
 
-        staged_parts = _base_partition_count(cur)
-        staging = _stage(staged_parts)
+        staged_layout = _version_layout(catalog, store, cur, meta)
+        staging = _stage(staged_layout)
         rows = spark.read.parquet(staging).count()
         with catalog._locked(store):
             # re-resolve the CURRENT version under the lock: the staging
@@ -515,14 +650,14 @@ def incremental_push(
             # pure upsert data, so landing it on whatever is current now
             # preserves the caller's intent exactly.
             cur = catalog.get_store(store).current_version
-            target_parts = _base_partition_count(cur)
-            if target_parts != staged_parts:
+            target_layout = _version_layout(catalog, store, cur, meta)
+            if target_layout != staged_layout:
                 # rare: the new current version was written with a
-                # different layout — restage with the matching modulus
+                # different layout — restage to match it
                 import shutil as _sh
 
                 _sh.rmtree(staging, ignore_errors=True)
-                staging = _stage(target_parts)
+                staging = _stage(target_layout)
             existing = catalog.list_delta_dirs(store, cur)
             k = (
                 max(int(os.path.basename(d)[1:]) for d in existing) + 1
@@ -537,6 +672,10 @@ def incremental_push(
             return compact_store(spark, catalog, store)
         return PushResult(store, cur, rows, meta.partition_count, dpath)
 
+    old_version = meta.current_version
+    resolved_deltas = (
+        set(catalog.list_delta_dirs(store, old_version)) if old_version > 0 else set()
+    )
     base = catalog.read_current(spark, store)
     if "partition_id" in base.columns:
         base = base.drop("partition_id")
@@ -563,6 +702,14 @@ def incremental_push(
             "push_type": "incremental",
         },
     )
+    # a lazy delta that landed on the old version between our read_current
+    # snapshot and the commit must be carried forward (code-review r4 —
+    # compact_store's race, present here identically)
+    if old_version > 0:
+        sweep_late_deltas(
+            spark, catalog, store, old_version, resolved_deltas,
+            version, key_fields, meta.partition_count, md5p,
+        )
     return PushResult(store, version, rows, meta.partition_count, path)
 
 
@@ -597,55 +744,13 @@ def compact_store(spark: SparkSession, catalog: StoreCatalog, store: str) -> Pus
             "push_type": "compaction",
         },
     )
-    # Late-delta sweep: a lazy push that targeted the OLD version between
-    # our resolve snapshot and the commit would otherwise vanish (the old
-    # version is never read again). Under the store lock, carry any delta
-    # slot we did not resolve over to the new version's log, preserving
-    # arrival order. New lazy pushes already re-target the new version
-    # under the same lock, so after this sweep no slot can be stranded.
-    #
-    # A carried slot was staged with the OLD version's partition modulus; if
-    # update_store(partition_count=...) changed the layout since, a bare
-    # rename would keep the stale partition_id and _resolve_delta_view's
-    # (partition_id, key) window would split that key's base and delta rows
-    # into different groups — serving duplicates. Restamp (repartition_and_
-    # sort with the new modulus) whenever the two manifests disagree
-    # (ADVICE r3).
-    old_manifest = catalog.version_manifest(store, old_version) or {}
-    old_parts = int(old_manifest.get("partition_count", meta.partition_count))
-    with catalog._locked(store):
-        late = [
-            d
-            for d in catalog.list_delta_dirs(store, old_version)
-            if d not in resolved_deltas
-        ]
-        if late:
-            os.makedirs(catalog.deltas_dir(store, version), exist_ok=True)
-            existing = catalog.list_delta_dirs(store, version)
-            k = (
-                max(int(os.path.basename(d)[1:]) for d in existing) + 1
-                if existing
-                else 1
-            )
-            for d in sorted(late, key=lambda p: int(os.path.basename(p)[1:])):
-                target = os.path.join(catalog.deltas_dir(store, version), f"d{k}")
-                if old_parts == meta.partition_count:
-                    os.rename(d, target)
-                else:
-                    import shutil
-
-                    ldf = spark.read.parquet(d)
-                    if "partition_id" in ldf.columns:
-                        ldf = ldf.drop("partition_id")
-                    o = repartition_and_sort(
-                        ldf, meta.key_fields, meta.partition_count, md5p
-                    )
-                    o.write.mode("overwrite").partitionBy("partition_id").parquet(
-                        target
-                    )
-                    _fix_empty_partitioned_dir(o, target)
-                    shutil.rmtree(d, ignore_errors=True)
-                k += 1
+    # Late-delta sweep (shared with eager incremental and batch push):
+    # carry slots that landed after our resolve snapshot onto the new
+    # version, restamping on any layout mismatch.
+    sweep_late_deltas(
+        spark, catalog, store, old_version, resolved_deltas,
+        version, meta.key_fields, meta.partition_count, md5p,
+    )
     return PushResult(store, version, rows, meta.partition_count, path)
 
 
