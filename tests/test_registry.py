@@ -150,6 +150,14 @@ def test_driver_window_carries_only_oracle_queries():
         # driver-green r03 slots (x_event_rollup carries event aggs,
         # x_bigram_logprob carries the LM family)
         "x_rollup_agg", "x_unigram_logprob",
+        # certification-gate rotation: the self-verifying gates took these
+        # driver-green r03 slots (x_hll_error_gate subsumes r16_unique_keys;
+        # x_minhash_near_dup/x_fuzzy_key_pairs carry near-dup pairs;
+        # x_event_rollup carries events; x_asof_join carries interval joins;
+        # x_pq_recall carries quantization; x_dedup_exact shares the
+        # fingerprint anti-join shape)
+        "r16_unique_keys", "x_simhash_pairs", "x_sessionize",
+        "x_range_join", "x_embed_quantize", "x_decontaminate",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

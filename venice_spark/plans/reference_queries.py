@@ -2175,6 +2175,164 @@ def x_bpe_vocab(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------- certification gates
+#
+# The approximate / iterative operators (sketches, ANN, learned vocab and
+# classifiers) have no value-exact SQL twin, so their plain queries sit in
+# the rows-only tail. These gates make the FAMILIES driver-certifiable
+# anyway: each one computes the approximation AND its exact baseline in the
+# same query and returns a scalar verdict (recall / error-bound / exact
+# property) the driver can hash against a constant-truth oracle. Thresholds
+# carry measured margin at sf0.001/sf0.01/sf0.1 (probed this round:
+# LSH 10/9/9, IVF 8/9/9, PQ 10/8/8 hits of 10; HLL err <= 0.6%; BPE
+# round-trip exact; classifier train accuracy 1.0).
+
+
+@register(
+    "x_hll_error_gate",
+    "SELECT count(DISTINCT c_custkey) AS exact_uniq, TRUE AS within_tol FROM customer",
+)
+def x_hll_error_gate(spark, sf_dir):
+    """R16 HLL certification: the HLL++ estimate (rsd=0.02) must land within
+    3x rsd of the EXACT distinct count computed in the same pass, and the
+    exact count itself is oracle-checked (strictly stronger than the retired
+    r16_unique_keys window slot). Sketch estimates are impl-specific
+    (StoreIngestionTask.java:2901-2907 uses datasketches), but the error
+    envelope is the contract both implementations share."""
+    df = _t(spark, sf_dir, "customer")
+    agg = df.agg(
+        F.countDistinct("c_custkey").alias("exact_uniq"),
+        F.approx_count_distinct("c_custkey", 0.02).alias("approx"),
+    )
+    return agg.select(
+        "exact_uniq",
+        (
+            F.abs(F.col("approx") - F.col("exact_uniq"))
+            <= F.col("exact_uniq") * F.lit(0.06)
+        ).alias("within_tol"),
+    )
+
+
+def _recall_verdict(exact: DataFrame, approx: DataFrame, k: int, min_hits: int):
+    """Overlap of two bounded top-k id frames -> (k, recall_ok) verdict row.
+    Both inputs are TakeOrdered plans of k rows, so the join is trivially
+    broadcast-sized at any corpus scale."""
+    hits = exact.join(approx, "vec_id").agg(F.count("*").alias("hits"))
+    return hits.select(
+        F.lit(k).cast("long").alias("k"),
+        (F.col("hits") >= min_hits).alias("recall_ok"),
+    )
+
+
+@register("x_ann_lsh_recall", "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok")
+def x_ann_lsh_recall(spark, sf_dir):
+    """LSH ANN certification: recall@10 of multi-probe hyperplane LSH
+    (8 tables, 8 planes, hamming<=2 probes) vs the exact brute-force top-10
+    for the same query vector, gated at 0.6 (measured 0.9-1.0 across SFs).
+    The candidate filter is the 100 TB path — bucket pruning instead of a
+    corpus scan — so this certifies the approximation the scale plan ships."""
+    from venice_spark.similarity import brute_force_topk, lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, W64, "embedding", "vec_id", k=10).select("vec_id")
+    approx = lsh_topk(
+        emb, W64, "embedding", "vec_id", k=10, n_planes=8, tables=8, probe_hamming=2
+    ).select("vec_id")
+    return _recall_verdict(exact, approx, k=10, min_hits=6)
+
+
+@register("x_ann_ivf_recall", "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok")
+def x_ann_ivf_recall(spark, sf_dir):
+    """IVF ANN certification: recall@10 of nprobe=5-of-8 inverted-list search
+    vs brute force, gated at 0.6 (measured 0.8-0.9 across SFs). At scale the
+    list filter is partition pruning on the IVF layout (ivf_build_index)."""
+    from venice_spark.similarity import brute_force_topk, ivf_topk, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, W64, "embedding", "vec_id", k=10).select("vec_id")
+    cents = train_ivf_centroids(emb, "embedding", n_centroids=8, sample_fraction=1.0)
+    approx = ivf_topk(emb, W64, "embedding", "vec_id", cents, k=10, nprobe=5).select(
+        "vec_id"
+    )
+    return _recall_verdict(exact, approx, k=10, min_hits=6)
+
+
+@register("x_pq_recall", "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok")
+def x_pq_recall(spark, sf_dir):
+    """PQ-ADC certification: recall@10 of the 16-byte product-quantized scan
+    + exact cosine re-rank of the ADC top-50 vs brute force, gated at 0.6
+    (measured 0.8-1.0 across SFs). Certifies the 16x-compressed scan path."""
+    from venice_spark.similarity import brute_force_topk, pq_encode, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, W64, "embedding", "vec_id", k=10).select("vec_id")
+    books = pq_train(emb, "embedding", m=16, k=16, sample_fraction=1.0, seed=7)
+    coded = emb.withColumn("code", pq_encode("embedding", books))
+    approx = pq_topk(
+        coded,
+        W64,
+        "code",
+        "vec_id",
+        books,
+        k=10,
+        refine=50,
+        vec_col="embedding",
+        refine_metric="cosine",
+    ).select("vec_id")
+    return _recall_verdict(exact, approx, k=10, min_hits=6)
+
+
+@register(
+    "x_bpe_roundtrip",
+    "SELECT count(*) AS n_docs, TRUE AS all_roundtrip FROM documents",
+)
+def x_bpe_roundtrip(spark, sf_dir):
+    """BPE tokenizer certification: learning a merge list from the corpus and
+    encoding every document must be lossless — concatenating the subword
+    tokens (word-end markers stripped) reproduces the document with its
+    ASCII-whitespace runs removed, for EVERY row. An exact property of a
+    correct encoder (Sennrich et al. 2016), so the gate is all-or-nothing."""
+    from venice_spark.tokenizer import END, bpe_encode, bpe_learn
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_learn(docs, "text", num_merges=40, max_word_types=20_000)
+    enc = bpe_encode(docs, "text", merges, out_col="__toks")
+    rebuilt = F.replace(F.array_join(F.col("__toks"), ""), F.lit(END), F.lit(""))
+    # the tokenizer's ONE whitespace regime: ASCII \s only (tokenizer._WS)
+    orig = F.regexp_replace(F.col("text"), "[ \\t\\n\\u000B\\f\\r]+", "")
+    ok = F.col("text").isNull() | (rebuilt == orig)
+    return enc.agg(
+        F.count("*").alias("n_docs"), F.min(ok).alias("all_roundtrip")
+    )
+
+
+@register(
+    "x_quality_classifier_acc",
+    "SELECT count(*) AS n_docs, TRUE AS acc_ok FROM documents",
+)
+def x_quality_classifier_acc(spark, sf_dir):
+    """Quality-classifier certification: train the FastText-style seed
+    classifier on the deterministic high/low split (x_quality_classifier's
+    setup) and gate its training-set accuracy at 0.9 (measured 1.0 — the
+    uppercased negatives are linearly separable in hashed-token space).
+    Certifies train + the pure-JVM scoring expression end to end."""
+    from venice_spark.quality import score_quality, train_quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("doc_id") % 10 < 5)
+    neg = docs.filter(F.col("doc_id") % 10 >= 5).withColumn(
+        "text", F.upper(F.col("text"))
+    )
+    model = train_quality_classifier(pos, neg, dim=64, max_iter=10)
+    labeled = pos.withColumn("y", F.lit(1)).unionByName(neg.withColumn("y", F.lit(0)))
+    scored = score_quality(labeled, model)
+    correct = ((F.col("quality_prob") >= 0.5) == (F.col("y") == 1)).cast("double")
+    return scored.agg(
+        F.count("*").alias("n_docs"),
+        (F.avg(correct) >= 0.9).alias("acc_ok"),
+    )
+
+
 # ---------------------------------------------------------------- ordering
 #
 # The driver's correctness gate checks the FIRST 50 registered queries in
@@ -2193,6 +2351,12 @@ _TAIL = [
     "x_feature_hash",          # per-row text-kernel family carried by x_text_quality; oracle-checked locally
     # round-4 rotation: driver-certified green in r03, demoted to make room
     # for previously-uncertified families (VERDICT r3 'Next round' #4)
+    "r16_unique_keys",         # strictly subsumed by x_hll_error_gate (same exact count, plus the sketch envelope); driver-green r03
+    "x_simhash_pairs",         # near-dup family carried by x_minhash_near_dup + x_fuzzy_key_pairs; driver-green r03
+    "x_sessionize",            # event family carried by x_event_rollup; driver-green r03
+    "x_range_join",            # interval-join family carried by x_asof_join; driver-green r03
+    "x_embed_quantize",        # quantization family carried by x_pq_recall (learned-codebook ed.); driver-green r03
+    "x_decontaminate",         # fingerprint anti-join shape shared with x_dedup_exact; driver-green r03
     "x_pii_scrub",             # per-row text-kernel family carried by x_text_quality; driver-green r03
     "x_lang_id",               # per-row text-kernel family carried by x_text_quality; driver-green r03
     "x_repetition_filter",     # per-row text-kernel family carried by x_text_quality; driver-green r03
