@@ -277,3 +277,23 @@ def test_fuzzy_key_pairs_blocks_on_hashed_key(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert "xxhash64" in plan, plan
+
+
+def test_recall_gates_join_bounded_topk_without_cartesian(spark, sf_dir):
+    """The certification gates overlap two k-row TakeOrdered frames; the
+    verdict join must stay a hash/broadcast join of bounded inputs — no
+    cartesian stage, no global sort, and the exact side's top-k must plan
+    as TakeOrderedAndProject (per-partition heaps), the shape that keeps
+    the gate runnable at any corpus scale."""
+    for q in ("x_ann_lsh_recall", "x_ann_ivf_recall", "x_pq_recall"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (q, plan)
+        assert "TakeOrderedAndProject" in plan, (q, plan)
+
+
+def test_hll_gate_is_single_pass_single_scan(spark, sf_dir):
+    """Exact count + HLL estimate compute in ONE aggregation over ONE scan
+    (expand for the distinct), never two reads of the store."""
+    plan = _plan(QUERIES["x_hll_error_gate"](spark, sf_dir))
+    assert plan.count("FileScan") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
