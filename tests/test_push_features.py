@@ -369,7 +369,9 @@ def test_view_df_and_get_by_secondary_index(spark, tmp_path):
     st = eng.store("m")
     vdf = st.view_df("by_team")
     # views carry their own partition_id (their re-keyed routing column)
-    assert set(vdf.columns) == {"team", "name", "partition_id"}
+    # AND the store key (view records stay addressable by original key —
+    # what incremental maintenance and delta-aware reads key on)
+    assert set(vdf.columns) == {"team", "name", "partition_id", "id"}
     assert vdf.count() == 200
 
     got = st.get_by("by_team", team=3)

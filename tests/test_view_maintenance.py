@@ -1,0 +1,164 @@
+"""W15 view lifecycle: declared views must survive EVERY write path.
+
+The reference registers views on the Store (ZKStore viewConfigs) and
+maintains them on every write — batch push, incremental push, repush.
+Before this round a view existed only on the version whose push happened
+to pass `views=[...]`; the next incremental push / compaction / repush
+created a version with no view dirs and `view_df` raised. These tests pin
+the full lifecycle: registration, eager incremental maintenance, lazy
+delta-aware reads, compaction, repush, and store-key retention under
+projections."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from venice_spark.engine import VeniceSparkEngine
+from venice_spark.push import (
+    BucketedViewDef,
+    MaterializedViewDef,
+    declared_views,
+    view_from_spec,
+)
+
+
+@pytest.fixture()
+def engine(spark, tmp_root):
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("s", key_fields=["key"], partition_count=2)
+    base = spark.createDataFrame(
+        [("a", 1.0, "US", 10), ("b", 2.0, "DE", 10), ("c", 3.0, "US", 10)],
+        "key string, val double, region string, _rmd_ts long",
+    )
+    view = MaterializedViewDef(
+        "by_region", partition_count=2, key_fields=["region"], projection=["val"]
+    )
+    eng.push("s", base, views=[view])
+    return eng
+
+
+def _view_rows(engine, name="by_region"):
+    return {
+        (r["key"], r["region"], r["val"])
+        for r in engine.store("s").view_df(name).collect()
+    }
+
+
+def test_push_registers_views_on_store(engine):
+    meta = engine.catalog.get_store("s")
+    specs = meta.config.get("views")
+    assert specs and specs[0]["name"] == "by_region"
+    # round-trips through the spec codec
+    v = view_from_spec(specs[0])
+    assert isinstance(v, MaterializedViewDef)
+    assert v.key_fields == ["region"] and v.projection == ["val"]
+    assert [d.name for d in declared_views(meta)] == ["by_region"]
+
+
+def test_view_retains_store_keys_under_projection(engine):
+    vdf = engine.store("s").view_df("by_region")
+    # projection was ["val"] but the store key must ride along
+    assert {"key", "region", "val"} <= set(vdf.columns)
+    assert _view_rows(engine) == {("a", "US", 1.0), ("b", "DE", 2.0), ("c", "US", 3.0)}
+
+
+def test_next_batch_push_maintains_declared_views(engine, spark):
+    df2 = spark.createDataFrame(
+        [("a", 5.0, "FR", 20)], "key string, val double, region string, _rmd_ts long"
+    )
+    engine.push("s", df2, allow_duplicate_key=True)  # no views arg
+    assert _view_rows(engine) == {("a", "FR", 5.0)}
+
+
+def test_eager_incremental_push_maintains_view(engine, spark):
+    delta = spark.createDataFrame(
+        [("b", 99.0, "JP", 20), ("d", 4.0, "BR", 20)],
+        "key string, val double, region string, _rmd_ts long",
+    )
+    engine.incremental_push("s", delta)
+    # b moved region DE -> JP: the old view row must be REMOVED, not joined
+    assert _view_rows(engine) == {
+        ("a", "US", 1.0),
+        ("b", "JP", 99.0),
+        ("c", "US", 3.0),
+        ("d", "BR", 4.0),
+    }
+    # get_by routes through the maintained view
+    got = engine.store("s").get_by("by_region", region="JP").collect()
+    assert [(r["key"], r["val"]) for r in got] == [("b", 99.0)]
+
+
+def test_eager_incremental_deletes_remove_view_rows(engine, spark):
+    delta = spark.createDataFrame(
+        [("c", None, None, 30)], "key string, val double, region string, _rmd_ts long"
+    )
+    engine.incremental_push("s", delta, nulls_as_deletes=True, order_col="_rmd_ts")
+    assert _view_rows(engine) == {("a", "US", 1.0), ("b", "DE", 2.0)}
+
+
+def test_lazy_incremental_push_resolves_view_through_delta_log(engine, spark):
+    delta = spark.createDataFrame(
+        [("b", 99.0, "JP", 20), ("d", 4.0, "BR", 20)],
+        "key string, val double, region string, _rmd_ts long",
+    )
+    res = engine.incremental_push("s", delta, eager=False)
+    # no new version: the view files are stale, the READ resolves the log
+    assert engine.catalog.current_version("s") == res.version
+    assert _view_rows(engine) == {
+        ("a", "US", 1.0),
+        ("b", "JP", 99.0),
+        ("c", "US", 3.0),
+        ("d", "BR", 4.0),
+    }
+    # a second lazy delta overriding the first: latest slot wins in the view
+    d2 = spark.createDataFrame(
+        [("b", 7.0, "CN", 25)], "key string, val double, region string, _rmd_ts long"
+    )
+    engine.incremental_push("s", d2, eager=False)
+    assert ("b", "CN", 7.0) in _view_rows(engine)
+    assert not any(k == "b" and r != "CN" for k, r, _ in _view_rows(engine))
+
+
+def test_compaction_rematerializes_view(engine, spark):
+    delta = spark.createDataFrame(
+        [("b", 99.0, "JP", 20)], "key string, val double, region string, _rmd_ts long"
+    )
+    engine.incremental_push("s", delta, eager=False)
+    engine.compact("s")
+    # post-compaction: no deltas left, view files themselves are current
+    assert engine.catalog.list_delta_dirs("s", engine.catalog.current_version("s")) == []
+    assert _view_rows(engine) == {("a", "US", 1.0), ("b", "JP", 99.0), ("c", "US", 3.0)}
+
+
+def test_repush_carries_views(engine):
+    engine.repush("s", ttl_seconds=1000, now_ts=20)  # keeps everything
+    assert _view_rows(engine) == {("a", "US", 1.0), ("b", "DE", 2.0), ("c", "US", 3.0)}
+
+
+def test_bucketed_view_rebuilt_on_incremental_push(spark, tmp_root):
+    from venice_spark.push import read_bucketed_view
+
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("t", key_fields=["k"], partition_count=2)
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, n int")
+    bv = BucketedViewDef(name="bk", n_buckets=2, key_fields=["k"])
+    eng.push("t", df, views=[bv])
+    delta = spark.createDataFrame([("c", 3)], "k string, n int")
+    res = eng.incremental_push("t", delta)
+    out = read_bucketed_view(spark, eng.catalog, "t", bv, version=res.version)
+    assert {(r["k"], r["n"]) for r in out.collect()} == {("a", 1), ("b", 2), ("c", 3)}
+
+
+def test_view_incremental_matches_full_rebuild(engine, spark):
+    """Property: incremental maintenance must equal re-projecting the new
+    base version through the view (the full-rebuild oracle)."""
+    delta = spark.createDataFrame(
+        [("a", 8.0, "MX", 40), ("e", 5.0, "IN", 40)],
+        "key string, val double, region string, _rmd_ts long",
+    )
+    engine.incremental_push("s", delta)
+    store_df = engine.store("s").df()
+    expected = {
+        (r["key"], r["region"], r["val"])
+        for r in store_df.select("key", "region", "val").collect()
+    }
+    assert _view_rows(engine) == expected

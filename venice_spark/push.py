@@ -184,6 +184,16 @@ class BatchPushJob:
             # configured per store) so reads recompute the same ids
             md5_parity = bool(meta.config.get("md5_parity", False))
 
+        # W15 view lifecycle: views passed to a push are REGISTERED on the
+        # store (the reference keeps viewConfigs on the Store itself), and
+        # a push without an explicit list maintains whatever is declared —
+        # so incremental pushes, compactions and repushes carry the views
+        # forward instead of dropping them with the version swap.
+        if views is None:
+            views = declared_views(meta)
+        elif views:
+            self.catalog.update_store(store, views=[v.spec() for v in views])
+
         # W14: per-record transform/filter during ingestion
         # (DaVinciRecordTransformer.java:44-154)
         if record_transformer is not None:
@@ -408,23 +418,95 @@ class RecordTransformer:
 class MaterializedViewDef:
     """W15: re-partitioned / projected copy maintained at write time
     (internal/venice-common/.../views/MaterializedView.java:22-70,
-    projection fields meta/MaterializedViewParameters.java:34)."""
+    projection fields meta/MaterializedViewParameters.java:34).
+
+    View rows always retain the STORE key columns, even under a projection
+    — the reference's view records are still full Venice records addressed
+    by their original key (the view only re-partitions/projects the value),
+    and store-key addressability is what makes incremental maintenance and
+    delta-aware view reads possible."""
 
     name: str
     partition_count: int
     key_fields: list[str]
     projection: list[str] | None = None  # None = all columns
 
+    def spec(self) -> dict:
+        """JSON-serializable registration record for the store catalog
+        (the reference keeps viewConfigs on the Store — ZKStore)."""
+        return {
+            "kind": "repartition",
+            "name": self.name,
+            "partition_count": self.partition_count,
+            "key_fields": list(self.key_fields),
+            "projection": list(self.projection) if self.projection is not None else None,
+        }
+
     def view_dir(self, catalog: StoreCatalog, store: str, version: int) -> str:
         return f"{catalog.version_dir(store, version)}__view_{self.name}"
 
-    def write(self, catalog: StoreCatalog, store: str, version: int, df: DataFrame) -> None:
-        out = df.drop("partition_id")
+    def project(self, df: DataFrame, store_key_fields: list[str]) -> DataFrame:
+        """Store-shaped rows -> view-shaped rows (store keys retained)."""
+        out = df.drop("partition_id") if "partition_id" in df.columns else df
         if self.projection is not None:
-            keep = list(dict.fromkeys(self.key_fields + self.projection))
+            keep = list(
+                dict.fromkeys(
+                    self.key_fields + list(store_key_fields) + self.projection
+                )
+            )
             out = out.select(*keep)
-        out = repartition_and_sort(out, self.key_fields, self.partition_count)
+        return out
+
+    def _write_frame(
+        self, catalog: StoreCatalog, store: str, version: int, frame: DataFrame
+    ) -> None:
+        out = repartition_and_sort(frame, self.key_fields, self.partition_count)
         out.write.mode("overwrite").parquet(self.view_dir(catalog, store, version))
+
+    def write(self, catalog: StoreCatalog, store: str, version: int, df: DataFrame) -> None:
+        store_keys = catalog.get_store(store).key_fields
+        self._write_frame(catalog, store, version, self.project(df, store_keys))
+
+    def maintain_incremental(
+        self,
+        spark: SparkSession,
+        catalog: StoreCatalog,
+        store: str,
+        new_version: int,
+        old_version: int,
+        delta_keys: DataFrame,
+        inserts: DataFrame,
+        store_key_fields: list[str],
+    ) -> bool:
+        """Incremental maintenance for an eager incremental push: the new
+        view = old view minus rows whose STORE key is touched by the delta,
+        plus the projected surviving delta rows. The old-view scan replaces
+        a re-projection of the full new base version — the view (usually a
+        narrow projection) is much smaller than the store, and the key
+        removal is a broadcast anti-join (the delta is the small side by
+        definition of an incremental push). Returns False when the old view
+        predates store-key retention (no store key columns) — caller falls
+        back to a full rebuild."""
+        import os as _os
+
+        old_dir = self.view_dir(catalog, store, old_version)
+        if not _os.path.isdir(old_dir):
+            return False
+        old = spark.read.parquet(old_dir)
+        if any(k not in old.columns for k in store_key_fields):
+            return False  # legacy view without store keys: full rebuild
+        if "partition_id" in old.columns:
+            old = old.drop("partition_id")
+        survivors = old.join(
+            F.broadcast(delta_keys.dropDuplicates(list(store_key_fields))),
+            on=list(store_key_fields),
+            how="left_anti",
+        )
+        merged = survivors.unionByName(
+            self.project(inserts, store_key_fields), allowMissingColumns=True
+        )
+        self._write_frame(catalog, store, new_version, merged)
+        return True
 
 
 @dataclass
@@ -456,6 +538,15 @@ class BucketedViewDef:
     key_fields: list[str]
     projection: list[str] | None = None
 
+    def spec(self) -> dict:
+        return {
+            "kind": "bucketed",
+            "name": self.name,
+            "n_buckets": self.n_buckets,
+            "key_fields": list(self.key_fields),
+            "projection": list(self.projection) if self.projection is not None else None,
+        }
+
     def table_name(self, store: str, version: int) -> str:
         from venice_spark.catalog import bucketed_view_table_name
 
@@ -472,7 +563,12 @@ class BucketedViewDef:
 
         out = df.drop("partition_id")
         if self.projection is not None:
-            keep = list(dict.fromkeys(self.key_fields + self.projection))
+            # store keys retained for the same addressability reason as
+            # MaterializedViewDef.project
+            store_keys = catalog.get_store(store).key_fields
+            keep = list(
+                dict.fromkeys(self.key_fields + list(store_keys) + self.projection)
+            )
             out = out.select(*keep)
         spark = out.sparkSession
         tn = self.table_name(store, version)
@@ -555,6 +651,70 @@ def read_bucketed_view(
             f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
         )
     return spark.table(tn)
+
+
+def view_from_spec(spec: dict) -> "MaterializedViewDef | BucketedViewDef":
+    """Inverse of MaterializedViewDef.spec / BucketedViewDef.spec."""
+    kind = spec.get("kind", "repartition")
+    if kind == "repartition":
+        return MaterializedViewDef(
+            name=spec["name"],
+            partition_count=int(spec["partition_count"]),
+            key_fields=list(spec["key_fields"]),
+            projection=list(spec["projection"]) if spec.get("projection") is not None else None,
+        )
+    if kind == "bucketed":
+        return BucketedViewDef(
+            name=spec["name"],
+            n_buckets=int(spec["n_buckets"]),
+            key_fields=list(spec["key_fields"]),
+            projection=list(spec["projection"]) if spec.get("projection") is not None else None,
+        )
+    raise ValueError(f"unknown view kind {kind!r}")
+
+
+def declared_views(meta) -> "list[MaterializedViewDef | BucketedViewDef]":
+    """Views registered on the store (config['views'] — the Spark twin of
+    the reference's store-level viewConfigs, ZKStore). Every write path
+    that lands a version maintains these, so views survive incremental
+    pushes, compactions and repushes instead of silently vanishing with
+    the version swap."""
+    return [view_from_spec(s) for s in meta.config.get("views", [])]
+
+
+def maintain_views(
+    spark: SparkSession,
+    catalog: StoreCatalog,
+    store: str,
+    version: int,
+    written: DataFrame,
+    delta_keys: DataFrame | None = None,
+    inserts: DataFrame | None = None,
+    old_version: int | None = None,
+) -> None:
+    """Bring every DECLARED view up to date for a freshly written version.
+
+    Full rebuild from the written version files by default (compaction,
+    repush, any path where the delta is not small). When the caller has a
+    small keyed delta (eager incremental push), repartition views maintain
+    incrementally — old view minus touched store keys plus projected
+    inserts — and only fall back to the rebuild when no usable old view
+    exists. Bucketed views always rebuild: bucketBy output must be written
+    whole for the bucket metadata to be truthful."""
+    meta = catalog.get_store(store)
+    for view in declared_views(meta):
+        if (
+            delta_keys is not None
+            and inserts is not None
+            and old_version
+            and isinstance(view, MaterializedViewDef)
+            and view.maintain_incremental(
+                spark, catalog, store, version, old_version,
+                delta_keys, inserts, meta.key_fields,
+            )
+        ):
+            continue
+        view.write(catalog, store, version, written)
 
 
 def _prepare_delta(
@@ -691,7 +851,18 @@ def incremental_push(
     out = repartition_and_sort(merged, key_fields, meta.partition_count, md5p)
     out.write.mode("overwrite").partitionBy("partition_id").parquet(path)
     _fix_empty_partitioned_dir(out, path)
-    rows = spark.read.parquet(path).count()
+    written = spark.read.parquet(path)
+    rows = written.count()
+    # declared views ride every write path; the eager delta is small by
+    # definition, so repartition views maintain incrementally (old view
+    # minus touched keys plus projected inserts) instead of re-projecting
+    # the full new base
+    maintain_views(
+        spark, catalog, store, version, written,
+        delta_keys=delta.select(*key_fields),
+        inserts=inserts,
+        old_version=old_version,
+    )
     catalog.commit_version(
         store,
         version,
@@ -733,7 +904,11 @@ def compact_store(spark: SparkSession, catalog: StoreCatalog, store: str) -> Pus
     out = repartition_and_sort(resolved, meta.key_fields, meta.partition_count, md5p)
     out.write.mode("overwrite").partitionBy("partition_id").parquet(path)
     _fix_empty_partitioned_dir(out, path)
-    rows = spark.read.parquet(path).count()
+    written = spark.read.parquet(path)
+    rows = written.count()
+    # compaction folds an unbounded delta log, so declared views rebuild
+    # from the compacted files (no small-delta assumption to exploit)
+    maintain_views(spark, catalog, store, version, written)
     catalog.commit_version(
         store,
         version,
