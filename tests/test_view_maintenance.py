@@ -162,3 +162,31 @@ def test_view_incremental_matches_full_rebuild(engine, spark):
         for r in store_df.select("key", "region", "val").collect()
     }
     assert _view_rows(engine) == expected
+
+
+def test_hybrid_view_df_projects_live_state(engine, spark, tmp_path):
+    """Views over hybrid stores: the live replay state projected through
+    the declared spec (the reference maintains views on nearline writes;
+    here the projection rides the already-resolved serving table)."""
+    import os
+
+    from venice_spark.streaming.hybrid import HybridReplay
+
+    serving = str(tmp_path / "serving")
+    engine.store("s").df().drop("partition_id").withColumn(
+        "ts", F.lit(0).cast("long")
+    ).write.parquet(serving)
+    rt_dir = str(tmp_path / "rt")
+    os.makedirs(rt_dir)
+    schema = "key string, val double, region string, _rmd_ts long, ts long"
+    spark.createDataFrame([("b", 99.0, "JP", 20, 20)], schema).write.mode(
+        "append"
+    ).parquet(rt_dir)
+    replay = HybridReplay(engine.spark, engine.catalog, "s", serving)
+    q = replay.start(spark.readStream.schema(schema).parquet(rt_dir), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    vdf = engine.store("s").hybrid_view_df("by_region", replay)
+    got = {(r["key"], r["region"], r["val"]) for r in vdf.collect()}
+    assert ("b", "JP", 99.0) in got and ("a", "US", 1.0) in got
+    with pytest.raises(ValueError, match="declares no repartition view"):
+        engine.store("s").hybrid_view_df("nope", replay)

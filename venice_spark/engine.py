@@ -218,6 +218,24 @@ class StoreHandle:
             df = df.filter(F.col(k) == F.lit(v))
         return df
 
+    def hybrid_view_df(self, view_name: str, replay) -> DataFrame:
+        """Materialized view over LIVE hybrid state: the reference maintains
+        views on nearline writes too (the leader's view writers wrap every
+        RT produce — MaterializedView.java consumers see hybrid stores).
+        Spark twin: project the hybrid replay's resolved serving table
+        (batch base + RT log, latest-wins already applied by HybridReplay)
+        through the declared view spec — a narrow projection Catalyst
+        prunes, no second maintenance pipeline to keep consistent."""
+        from venice_spark.push import MaterializedViewDef, declared_views
+
+        meta = self.catalog.get_store(self.name)
+        for view in declared_views(meta):
+            if view.name == view_name and isinstance(view, MaterializedViewDef):
+                return view.project(replay.read(), meta.key_fields)
+        raise ValueError(
+            f"store {self.name} declares no repartition view {view_name!r}"
+        )
+
     def compute(self) -> ComputeRequestBuilder:
         return ComputeRequestBuilder(self.df(), self.key_fields)
 
