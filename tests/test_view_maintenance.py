@@ -148,9 +148,9 @@ def test_bucketed_view_rebuilt_on_incremental_push(spark, tmp_root):
     assert {(r["k"], r["n"]) for r in out.collect()} == {("a", 1), ("b", 2), ("c", 3)}
 
 
-def test_view_incremental_matches_full_rebuild(engine, spark):
-    """Property: incremental maintenance must equal re-projecting the new
-    base version through the view (the full-rebuild oracle)."""
+def test_view_after_incremental_push_matches_base_projection(engine, spark):
+    """Property: after any eager incremental push the view must equal the
+    new base version projected through the view spec."""
     delta = spark.createDataFrame(
         [("a", 8.0, "MX", 40), ("e", 5.0, "IN", 40)],
         "key string, val double, region string, _rmd_ts long",

@@ -467,47 +467,6 @@ class MaterializedViewDef:
         store_keys = catalog.get_store(store).key_fields
         self._write_frame(catalog, store, version, self.project(df, store_keys))
 
-    def maintain_incremental(
-        self,
-        spark: SparkSession,
-        catalog: StoreCatalog,
-        store: str,
-        new_version: int,
-        old_version: int,
-        delta_keys: DataFrame,
-        inserts: DataFrame,
-        store_key_fields: list[str],
-    ) -> bool:
-        """Incremental maintenance for an eager incremental push: the new
-        view = old view minus rows whose STORE key is touched by the delta,
-        plus the projected surviving delta rows. The old-view scan replaces
-        a re-projection of the full new base version — the view (usually a
-        narrow projection) is much smaller than the store, and the key
-        removal is a broadcast anti-join (the delta is the small side by
-        definition of an incremental push). Returns False when the old view
-        predates store-key retention (no store key columns) — caller falls
-        back to a full rebuild."""
-        import os as _os
-
-        old_dir = self.view_dir(catalog, store, old_version)
-        if not _os.path.isdir(old_dir):
-            return False
-        old = spark.read.parquet(old_dir)
-        if any(k not in old.columns for k in store_key_fields):
-            return False  # legacy view without store keys: full rebuild
-        if "partition_id" in old.columns:
-            old = old.drop("partition_id")
-        survivors = old.join(
-            F.broadcast(delta_keys.dropDuplicates(list(store_key_fields))),
-            on=list(store_key_fields),
-            how="left_anti",
-        )
-        merged = survivors.unionByName(
-            self.project(inserts, store_key_fields), allowMissingColumns=True
-        )
-        self._write_frame(catalog, store, new_version, merged)
-        return True
-
 
 @dataclass
 class BucketedViewDef:
@@ -688,32 +647,21 @@ def maintain_views(
     store: str,
     version: int,
     written: DataFrame,
-    delta_keys: DataFrame | None = None,
-    inserts: DataFrame | None = None,
-    old_version: int | None = None,
 ) -> None:
-    """Bring every DECLARED view up to date for a freshly written version.
+    """Bring every DECLARED view up to date for a freshly written version:
+    full rebuild from the written version files.
 
-    Full rebuild from the written version files by default (compaction,
-    repush, any path where the delta is not small). When the caller has a
-    small keyed delta (eager incremental push), repartition views maintain
-    incrementally — old view minus touched store keys plus projected
-    inserts — and only fall back to the rebuild when no usable old view
-    exists. Bucketed views always rebuild: bucketBy output must be written
-    whole for the bucket metadata to be truthful."""
+    Measured (SCALE.md, 2M rows / 1k delta): an "incremental" variant —
+    old view minus delta-touched store keys plus projected inserts — was
+    2x SLOWER than this rebuild, because both must rewrite the complete
+    view file set and the rebuild's base re-projection is already free
+    (column pruning reads only the view's columns from the new version,
+    which is view-sized), while the anti-join adds a join stage. The true
+    no-rewrite scale path for small deltas is the LAZY push mode
+    (eager=False): views stay untouched and view_df resolves the store's
+    delta log through the view projection at read time."""
     meta = catalog.get_store(store)
     for view in declared_views(meta):
-        if (
-            delta_keys is not None
-            and inserts is not None
-            and old_version
-            and isinstance(view, MaterializedViewDef)
-            and view.maintain_incremental(
-                spark, catalog, store, version, old_version,
-                delta_keys, inserts, meta.key_fields,
-            )
-        ):
-            continue
         view.write(catalog, store, version, written)
 
 
@@ -853,16 +801,11 @@ def incremental_push(
     _fix_empty_partitioned_dir(out, path)
     written = spark.read.parquet(path)
     rows = written.count()
-    # declared views ride every write path; the eager delta is small by
-    # definition, so repartition views maintain incrementally (old view
-    # minus touched keys plus projected inserts) instead of re-projecting
-    # the full new base
-    maintain_views(
-        spark, catalog, store, version, written,
-        delta_keys=delta.select(*key_fields),
-        inserts=inserts,
-        old_version=old_version,
-    )
+    # declared views ride every write path (rebuilt from the files just
+    # written — see maintain_views for why a delta-incremental variant
+    # loses; a delta that should not pay a view rewrite belongs in the
+    # lazy eager=False mode, where view_df resolves the log at read time)
+    maintain_views(spark, catalog, store, version, written)
     catalog.commit_version(
         store,
         version,
