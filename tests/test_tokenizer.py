@@ -111,3 +111,28 @@ def test_learning_compresses_real_corpus(spark, sf_dir):
     assert sum(r["n_bpe_tokens"] for r in joined) < 0.8 * sum(
         r["n_chars_toks"] for r in joined
     )
+
+
+def test_roundtrip_gate_formula_survives_literal_end_marker(spark):
+    """The certification gate compares token-join WITH sentinels against the
+    expected words+sentinel string; a document containing the literal text
+    '</w>' must not false-fail (stripping END from the join would also
+    delete the text's own '</w>' — code-review r4 continuation)."""
+    import pyspark.sql.functions as F
+
+    from venice_spark.tokenizer import END, bpe_encode, bpe_learn
+
+    df = spark.createDataFrame(
+        [(1, "a</w>b c"), (2, "plain words"), (3, None), (4, "   ")],
+        "doc_id int, text string",
+    )
+    merges = bpe_learn(df, "text", num_merges=10, max_word_types=100)
+    enc = bpe_encode(df, "text", merges, out_col="__toks")
+    ws = "[ \\t\\n\\u000B\\f\\r]"
+    joined = F.array_join(F.col("__toks"), "")
+    trimmed = F.regexp_replace(F.col("text"), f"^{ws}+|{ws}+$", "")
+    expected = F.when(F.length(trimmed) == 0, F.lit("")).otherwise(
+        F.concat(F.regexp_replace(trimmed, f"{ws}+", END), F.lit(END))
+    )
+    ok = F.col("text").isNull() | (joined == expected)
+    assert enc.filter(~ok).count() == 0

@@ -190,3 +190,63 @@ def test_hybrid_view_df_projects_live_state(engine, spark, tmp_path):
     assert ("b", "JP", 99.0) in got and ("a", "US", 1.0) in got
     with pytest.raises(ValueError, match="declares no repartition view"):
         engine.store("s").hybrid_view_df("nope", replay)
+
+
+def test_empty_views_list_deregisters(engine, spark):
+    """views=[] is an explicit deregistration: the new version has no view
+    dirs AND the declaration is cleared, so later pushes stay view-free."""
+    df2 = spark.createDataFrame(
+        [("z", 1.0, "XX", 50)], "key string, val double, region string, _rmd_ts long"
+    )
+    engine.push("s", df2, views=[], allow_duplicate_key=True)
+    assert engine.catalog.get_store("s").config.get("views") == []
+    with pytest.raises(ValueError, match="no materialized view"):
+        engine.store("s").view_df("by_region")
+    # next default push maintains the (now empty) declaration
+    engine.push("s", df2, allow_duplicate_key=True)
+    with pytest.raises(ValueError, match="no materialized view"):
+        engine.store("s").view_df("by_region")
+
+
+def test_failed_push_does_not_register_views(engine, spark):
+    """Registration is deferred past validation/dedup: a failed push must
+    not mutate the store's view declaration."""
+    from venice_spark.push import DuplicateKeyError
+
+    dup = spark.createDataFrame(
+        [("k", 1.0, "US", 1), ("k", 2.0, "DE", 1)],
+        "key string, val double, region string, _rmd_ts long",
+    )
+    new_view = MaterializedViewDef("by_val", partition_count=1, key_fields=["val"])
+    with pytest.raises(DuplicateKeyError):
+        engine.push("s", dup, views=[new_view])
+    specs = engine.catalog.get_store("s").config.get("views")
+    assert [s["name"] for s in specs] == ["by_region"]  # unchanged
+
+
+def test_view_df_schema_stable_across_delta_state(engine, spark):
+    """The delta-resolved path must expose the same columns (incl. the
+    view's partition_id routing column) as the plain-parquet path."""
+    before = set(engine.store("s").view_df("by_region").columns)
+    delta = spark.createDataFrame(
+        [("d", 4.0, "BR", 20)], "key string, val double, region string, _rmd_ts long"
+    )
+    engine.incremental_push("s", delta, eager=False)
+    after = set(engine.store("s").view_df("by_region").columns)
+    assert before == after and "partition_id" in after
+
+
+def test_bucketed_view_resolves_lazy_delta_log(spark, tmp_root):
+    """read_bucketed_view must serve delta-resolved data, not silently
+    stale files, when a lazy push has appended to the version's log."""
+    from venice_spark.push import read_bucketed_view
+
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("t", key_fields=["k"], partition_count=2)
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, n int")
+    bv = BucketedViewDef(name="bk", n_buckets=2, key_fields=["k"])
+    eng.push("t", df, views=[bv])
+    delta = spark.createDataFrame([("b", 9), ("c", 3)], "k string, n int")
+    eng.incremental_push("t", delta, eager=False)
+    out = read_bucketed_view(spark, eng.catalog, "t", bv)
+    assert {(r["k"], r["n"]) for r in out.collect()} == {("a", 1), ("b", 9), ("c", 3)}

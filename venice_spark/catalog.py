@@ -435,28 +435,47 @@ class StoreCatalog:
 
     @staticmethod
     def _resolve_delta_view(
-        spark: SparkSession, base: DataFrame, delta_dirs: list[str], key_fields: list[str]
+        spark: SparkSession,
+        base: DataFrame,
+        delta_dirs: list[str],
+        key_fields: list[str],
+        window_keys: list[str] | None = None,
+        delta_columns: list[str] | None = None,
     ) -> DataFrame:
         """base ∪ d1 ∪ ... ∪ dk with per-key precedence dk > ... > d1 > base.
 
         Each delta is already one-row-per-key (deduped at push time), so
-        precedence is purely the delta index. The window partitions by
-        (partition_id, *key) — partition_id is a pure function of the key,
-        so the grouping is identical to per-key, and crucially a reader's
-        `partition_id = P` filter now pushes THROUGH the window to both
-        scans: point gets on a delta-backed store still prune directories.
-        Tombstones (`__del` from nulls_as_deletes) survive resolution until
-        filtered at the end, so a delete in d2 hides a put in d1."""
+        precedence is purely the delta index. By default the window
+        partitions by (partition_id, *key) — partition_id is a pure
+        function of the key, so the grouping is identical to per-key, and
+        crucially a reader's `partition_id = P` filter now pushes THROUGH
+        the window to both scans: point gets on a delta-backed store still
+        prune directories. Tombstones (`__del` from nulls_as_deletes)
+        survive resolution until filtered at the end, so a delete in d2
+        hides a put in d1.
+
+        This is the ONE latest-wins LSM kernel: view/bucketed-view readers
+        reuse it with `window_keys` (their bases carry no store
+        partition_id, or a differently-keyed one) and `delta_columns`
+        (project the store-shaped delta rows down to the view's columns
+        before the union)."""
         import pyspark.sql.functions as F
         from pyspark.sql import Window
 
+        wkeys = window_keys if window_keys is not None else ["partition_id"] + list(key_fields)
         parts = [base.withColumn("__src", F.lit(0))]
         for i, d in enumerate(delta_dirs, start=1):
-            parts.append(spark.read.parquet(d).withColumn("__src", F.lit(i)))
+            dd = spark.read.parquet(d)
+            if delta_columns is not None:
+                keep = [c for c in delta_columns if c in dd.columns]
+                if "__del" in dd.columns:
+                    keep = keep + ["__del"]
+                dd = dd.select(*keep)
+            parts.append(dd.withColumn("__src", F.lit(i)))
         allp = parts[0]
         for p in parts[1:]:
             allp = allp.unionByName(p, allowMissingColumns=True)
-        w = Window.partitionBy("partition_id", *key_fields).orderBy(F.col("__src").desc())
+        w = Window.partitionBy(*wkeys).orderBy(F.col("__src").desc())
         out = (
             allp.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

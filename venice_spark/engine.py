@@ -23,7 +23,6 @@ from typing import Any
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Row, SparkSession
-from pyspark.sql import Window as PW
 
 from venice_spark.catalog import StoreCatalog
 from venice_spark.compute import ComputeAggregationBuilder, ComputeRequestBuilder
@@ -172,41 +171,45 @@ class StoreHandle:
         base = self.spark.read.parquet(path)
         # Lazy incremental pushes (eager=False) append to the version's
         # delta log without touching the materialized view files. Resolve
-        # the view the same way store reads resolve the base: project each
-        # delta through the view and take latest-wins per STORE key (view
-        # rows retain the store keys precisely for this). Without deltas
-        # this is the plain parquet read.
+        # the view the same way store reads resolve the base — the shared
+        # latest-wins kernel, windowed per STORE key (view rows retain the
+        # store keys precisely for this) with deltas projected down to the
+        # view's columns. Without deltas this is the plain parquet read.
         deltas = self.catalog.list_delta_dirs(self.name, v)
         if not deltas:
             return base
+        from venice_spark.push import MaterializedViewDef, declared_views
+
         meta = self.catalog.get_store(self.name)
         store_keys = meta.key_fields
-        if any(k not in base.columns for k in store_keys):
+        spec = next(
+            (
+                d
+                for d in declared_views(meta)
+                if d.name == view_name and isinstance(d, MaterializedViewDef)
+            ),
+            None,
+        )
+        if spec is None or any(k not in base.columns for k in store_keys):
             raise ValueError(
-                f"view {view_name!r} of store {self.name} predates store-key "
-                "retention and cannot resolve a delta log — run "
+                f"view {view_name!r} of store {self.name} is not declared with "
+                "store-key retention and cannot resolve a delta log — run "
                 "push.compact_store to fold the deltas and rewrite the view"
             )
         vcols = [c for c in base.columns if c != "partition_id"]
-        parts = [base.select(*vcols).withColumn("__src", F.lit(0))]
-        for i, d in enumerate(deltas, start=1):
-            dd = self.spark.read.parquet(d)
-            keep = [c for c in vcols if c in dd.columns]
-            if "__del" in dd.columns:
-                keep = keep + ["__del"]
-            parts.append(dd.select(*keep).withColumn("__src", F.lit(i)))
-        allp = parts[0]
-        for p in parts[1:]:
-            allp = allp.unionByName(p, allowMissingColumns=True)
-        w = PW.partitionBy(*store_keys).orderBy(F.col("__src").desc())
-        out = (
-            allp.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "__src")
+        out = self.catalog._resolve_delta_view(
+            self.spark,
+            base.select(*vcols),
+            deltas,
+            store_keys,
+            window_keys=store_keys,
+            delta_columns=vcols,
         )
-        if "__del" in out.columns:
-            out = out.filter(~F.coalesce(F.col("__del"), F.lit(False))).drop("__del")
-        return out
+        # re-stamp the VIEW's routing column so the schema never flaps with
+        # delta-log state (the plain-parquet path carries partition_id)
+        from venice_spark.partitioner import with_partition_id
+
+        return with_partition_id(out, spec.key_fields, spec.partition_count)
 
     def get_by(self, view_name: str, **field_values: Any) -> DataFrame:
         """Secondary-index lookup: equality filters on a materialized view's

@@ -2297,10 +2297,19 @@ def x_bpe_roundtrip(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_learn(docs, "text", num_merges=40, max_word_types=20_000)
     enc = bpe_encode(docs, "text", merges, out_col="__toks")
-    rebuilt = F.replace(F.array_join(F.col("__toks"), ""), F.lit(END), F.lit(""))
-    # the tokenizer's ONE whitespace regime: ASCII \s only (tokenizer._WS)
-    orig = F.regexp_replace(F.col("text"), "[ \\t\\n\\u000B\\f\\r]+", "")
-    ok = F.col("text").isNull() | (rebuilt == orig)
+    # Compare WITH the word-end sentinels in place (each word contributes
+    # its characters + one END): stripping END from the joined tokens would
+    # also delete a literal '</w>' occurring in the text itself and
+    # false-fail the gate on HTML-ish corpora (code-review r4 continuation).
+    # The whitespace class is the tokenizer's ONE regime: ASCII \s only
+    # (tokenizer._WS).
+    ws = "[ \\t\\n\\u000B\\f\\r]"
+    joined = F.array_join(F.col("__toks"), "")
+    trimmed = F.regexp_replace(F.col("text"), f"^{ws}+|{ws}+$", "")
+    expected = F.when(F.length(trimmed) == 0, F.lit("")).otherwise(
+        F.concat(F.regexp_replace(trimmed, f"{ws}+", END), F.lit(END))
+    )
+    ok = F.col("text").isNull() | (joined == expected)
     return enc.agg(
         F.count("*").alias("n_docs"), F.min(ok).alias("all_roundtrip")
     )

@@ -188,11 +188,16 @@ class BatchPushJob:
         # store (the reference keeps viewConfigs on the Store itself), and
         # a push without an explicit list maintains whatever is declared —
         # so incremental pushes, compactions and repushes carry the views
-        # forward instead of dropping them with the version swap.
+        # forward instead of dropping them with the version swap. An
+        # explicit EMPTY list deregisters every view. Registration is
+        # deferred until the version's data and view files have landed: a
+        # push that fails validation/quota/duplicate-key must not mutate
+        # the store's declaration (code-review r4 continuation).
+        register_views: list | None = None
         if views is None:
             views = declared_views(meta)
-        elif views:
-            self.catalog.update_store(store, views=[v.spec() for v in views])
+        else:
+            register_views = list(views)
 
         # W14: per-record transform/filter during ingestion
         # (DaVinciRecordTransformer.java:44-154)
@@ -331,6 +336,10 @@ class BatchPushJob:
             # aggregation once per view before the view's own shuffle
             for view in views or []:
                 view.write(self.catalog, store, version, written)
+            if register_views is not None:
+                self.catalog.update_store(
+                    store, views=[v.spec() for v in register_views]
+                )
 
             rows = written.count()
         finally:
@@ -609,7 +618,29 @@ def read_bucketed_view(
             f"CLUSTERED BY ({cols}) SORTED BY ({sort_cols}) "
             f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
         )
-    return spark.table(tn)
+    out = spark.table(tn)
+    # Lazy incremental pushes leave bucketed view files stale exactly like
+    # materialized views. Resolve the delta log through the view so the
+    # data is CORRECT; the union necessarily forfeits the zero-exchange
+    # bucketed-join property until compact_store folds the log (documented
+    # trade: correctness always, co-location when compacted).
+    deltas = catalog.list_delta_dirs(store, version)
+    if not deltas:
+        return out
+    meta = catalog.get_store(store)
+    if any(k not in out.columns for k in meta.key_fields):
+        raise ValueError(
+            f"bucketed view {tn!r} predates store-key retention and cannot "
+            "resolve a delta log — run push.compact_store first"
+        )
+    return StoreCatalog._resolve_delta_view(
+        spark,
+        out,
+        deltas,
+        meta.key_fields,
+        window_keys=list(meta.key_fields),
+        delta_columns=list(out.columns),
+    )
 
 
 def view_from_spec(spec: dict) -> "MaterializedViewDef | BucketedViewDef":
