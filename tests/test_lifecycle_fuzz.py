@@ -84,3 +84,105 @@ def test_lifecycle_fuzz_matches_model(spark, tmp_root, seed):
             assert row is not None and (row["v"], row["_rmd_ts"]) == state[probe]
         else:
             assert row is None
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_view_lifecycle_fuzz_matches_model(spark, tmp_root, seed):
+    """Same model-based fuzz, now with a declared materialized view in the
+    loop: after every operation the view must equal the store projected
+    through the spec whenever the current version carries view files, and
+    raise cleanly when it does not (versions landed while deregistered).
+    Exercises the interactions no single-feature test hits: lazy deltas
+    resolved through the view, deregistration mid-history, rollback onto
+    versions with and without view files, empty-push with declared views."""
+    from venice_spark.push import MaterializedViewDef
+
+    rng = random.Random(seed)
+    eng = VeniceSparkEngine(spark, tmp_root + f"_vfuzz{seed}")
+    eng.create_store("sv", key_fields=["k"], partition_count=2)
+    view = MaterializedViewDef("by_g", partition_count=2, key_fields=["g"], projection=["v"])
+
+    def mkdf(kvs):
+        return spark.createDataFrame(
+            [(k, g, v, ts) for k, (g, v, ts) in kvs.items()],
+            "k long, g string, v double, _rmd_ts long",
+        )
+
+    def rand_kvs(now, nmax=6):
+        return {
+            k: (f"g{k % 3}", rng.random(), now)
+            for k in rng.sample(range(20), rng.randint(1, nmax))
+        }
+
+    now = 1000
+    state = {k: (f"g{k % 3}", float(k), now) for k in range(8)}
+    eng.push("sv", mkdf(state), views=[view])
+    declared = True
+    has_view = {eng.catalog.current_version("sv"): True}
+    history = {eng.catalog.current_version("sv"): dict(state)}
+
+    for step in range(16):
+        now += 10
+        op = rng.choice(
+            ["full", "full_dereg", "full_redeclare", "incr_eager", "incr_lazy",
+             "compact", "repush", "rollback", "empty"]
+        )
+        if op in ("full", "full_dereg", "full_redeclare"):
+            state = rand_kvs(now)
+            kwargs = {}
+            if op == "full_dereg":
+                kwargs["views"] = []
+            elif op == "full_redeclare":
+                kwargs["views"] = [view]
+            eng.push("sv", mkdf(state), **kwargs)
+            if op == "full_dereg":
+                declared = False
+            elif op == "full_redeclare":
+                declared = True
+            has_view[eng.catalog.current_version("sv")] = declared
+        elif op == "incr_eager":
+            delta = rand_kvs(now, 4)
+            eng.incremental_push("sv", mkdf(delta))
+            state = {**state, **delta}
+            has_view[eng.catalog.current_version("sv")] = declared
+        elif op == "incr_lazy":
+            delta = rand_kvs(now, 4)
+            eng.incremental_push("sv", mkdf(delta), eager=False)
+            state = {**state, **delta}
+            # same version: view-files presence unchanged
+        elif op == "compact":
+            eng.compact("sv")
+            has_view[eng.catalog.current_version("sv")] = declared
+        elif op == "repush":
+            eng.repush("sv")
+            has_view[eng.catalog.current_version("sv")] = declared
+        elif op == "empty":
+            eng.empty_push("sv")
+            state = {}
+            has_view[eng.catalog.current_version("sv")] = declared
+        elif op == "rollback":
+            versions = sorted(history)
+            cur = eng.catalog.current_version("sv")
+            prior = [v for v in versions if v < cur]
+            if not prior:
+                continue
+            eng.rollback("sv", prior[-1])
+            state = dict(history[prior[-1]])
+
+        cur = eng.catalog.current_version("sv")
+        got = {
+            r["k"]: (r["g"], r["v"], r["_rmd_ts"])
+            for r in eng.store("sv").df().select("k", "g", "v", "_rmd_ts").collect()
+        }
+        assert got == state, f"step {step} op {op}: store {got} != {state}"
+        if has_view.get(cur, False):
+            vrows = {
+                (r["k"], r["g"], r["v"])
+                for r in eng.store("sv").view_df("by_g").collect()
+            }
+            expected = {(k, g, v) for k, (g, v, _) in state.items()}
+            assert vrows == expected, f"step {step} op {op}: view {vrows} != {expected}"
+        else:
+            with pytest.raises(ValueError, match="no materialized view"):
+                eng.store("sv").view_df("by_g")
+        history[cur] = dict(state)

@@ -178,18 +178,29 @@ class StoreHandle:
         deltas = self.catalog.list_delta_dirs(self.name, v)
         if not deltas:
             return base
-        from venice_spark.push import MaterializedViewDef, declared_views
+        from venice_spark.push import MaterializedViewDef, declared_views, view_from_spec
 
         meta = self.catalog.get_store(self.name)
         store_keys = meta.key_fields
-        spec = next(
-            (
-                d
-                for d in declared_views(meta)
-                if d.name == view_name and isinstance(d, MaterializedViewDef)
-            ),
-            None,
-        )
+        # the WRITTEN spec sidecar beats the store-level declaration: the
+        # declaration can change after this version landed (deregistration
+        # or re-declare) without its files being rewritten
+        spec = None
+        sidecar = os.path.join(path, "_view_spec.json")
+        if os.path.exists(sidecar):
+            import json as _json
+
+            with open(sidecar) as f:
+                spec = view_from_spec(_json.load(f))
+        if spec is None:
+            spec = next(
+                (
+                    d
+                    for d in declared_views(meta)
+                    if d.name == view_name and isinstance(d, MaterializedViewDef)
+                ),
+                None,
+            )
         if spec is None or any(k not in base.columns for k in store_keys):
             raise ValueError(
                 f"view {view_name!r} of store {self.name} is not declared with "

@@ -469,8 +469,19 @@ class MaterializedViewDef:
     def _write_frame(
         self, catalog: StoreCatalog, store: str, version: int, frame: DataFrame
     ) -> None:
+        import json as _json
+        import os as _os
+
+        path = self.view_dir(catalog, store, version)
         out = repartition_and_sort(frame, self.key_fields, self.partition_count)
-        out.write.mode("overwrite").parquet(self.view_dir(catalog, store, version))
+        out.write.mode("overwrite").parquet(path)
+        # sidecar with the WRITTEN spec (underscore-prefixed: invisible to
+        # Spark's data discovery, like _SUCCESS): delta-aware readers need
+        # the layout the files actually have, and the store-level
+        # declaration can change after this version lands (deregistration,
+        # re-declare with different keys) without rewriting old versions
+        with open(_os.path.join(path, "_view_spec.json"), "w") as f:
+            _json.dump(self.spec(), f)
 
     def write(self, catalog: StoreCatalog, store: str, version: int, df: DataFrame) -> None:
         store_keys = catalog.get_store(store).key_fields
