@@ -147,9 +147,14 @@ def test_view_lifecycle_fuzz_matches_model(spark, tmp_root, seed):
             has_view[eng.catalog.current_version("sv")] = declared
         elif op == "incr_lazy":
             delta = rand_kvs(now, 4)
-            eng.incremental_push("sv", mkdf(delta), eager=False)
+            before = eng.catalog.current_version("sv")
+            res = eng.incremental_push("sv", mkdf(delta), eager=False)
             state = {**state, **delta}
-            # same version: view-files presence unchanged
+            if res.version != before:
+                # the delta log hit delta_compact_threshold and the push
+                # auto-compacted into a NEW version with fresh view files
+                has_view[res.version] = declared
+            # else: same version, view-files presence unchanged
         elif op == "compact":
             eng.compact("sv")
             has_view[eng.catalog.current_version("sv")] = declared

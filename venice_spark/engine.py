@@ -178,21 +178,21 @@ class StoreHandle:
         deltas = self.catalog.list_delta_dirs(self.name, v)
         if not deltas:
             return base
-        from venice_spark.push import MaterializedViewDef, declared_views, view_from_spec
+        from venice_spark.push import MaterializedViewDef, declared_views, read_view_spec
 
         meta = self.catalog.get_store(self.name)
         store_keys = meta.key_fields
+        if any(k not in base.columns for k in store_keys):
+            raise ValueError(
+                f"view {view_name!r} of store {self.name} predates store-key "
+                "retention and cannot resolve a delta log — run "
+                "push.compact_store to fold the deltas and rewrite the view"
+            )
         # the WRITTEN spec sidecar beats the store-level declaration: the
         # declaration can change after this version landed (deregistration
         # or re-declare) without its files being rewritten
-        spec = None
-        sidecar = os.path.join(path, "_view_spec.json")
-        if os.path.exists(sidecar):
-            import json as _json
-
-            with open(sidecar) as f:
-                spec = view_from_spec(_json.load(f))
-        if spec is None:
+        spec = read_view_spec(path)
+        if not isinstance(spec, MaterializedViewDef):
             spec = next(
                 (
                     d
@@ -200,12 +200,6 @@ class StoreHandle:
                     if d.name == view_name and isinstance(d, MaterializedViewDef)
                 ),
                 None,
-            )
-        if spec is None or any(k not in base.columns for k in store_keys):
-            raise ValueError(
-                f"view {view_name!r} of store {self.name} is not declared with "
-                "store-key retention and cannot resolve a delta log — run "
-                "push.compact_store to fold the deltas and rewrite the view"
             )
         vcols = [c for c in base.columns if c != "partition_id"]
         out = self.catalog._resolve_delta_view(
@@ -216,6 +210,12 @@ class StoreHandle:
             window_keys=store_keys,
             delta_columns=vcols,
         )
+        if spec is None:
+            # pre-sidecar version whose view was since deregistered: the
+            # data still resolves correctly (store keys are in the files);
+            # only the partition_id re-stamp needs a spec, so return the
+            # resolved rows without it rather than refusing the read
+            return out
         # re-stamp the VIEW's routing column so the schema never flaps with
         # delta-log state (the plain-parquet path carries partition_id)
         from venice_spark.partitioner import with_partition_id

@@ -336,10 +336,6 @@ class BatchPushJob:
             # aggregation once per view before the view's own shuffle
             for view in views or []:
                 view.write(self.catalog, store, version, written)
-            if register_views is not None:
-                self.catalog.update_store(
-                    store, views=[v.spec() for v in register_views]
-                )
 
             rows = written.count()
         finally:
@@ -366,6 +362,14 @@ class BatchPushJob:
             },
             make_current=not defer_swap,
         )
+        # registration lands only after the version COMMITTED: a failure in
+        # the count/commit steps above must leave the declaration untouched
+        # (code-review r4 continuation — the pre-commit placement still had
+        # a mutation window)
+        if register_views is not None:
+            self.catalog.update_store(
+                store, views=[v.spec() for v in register_views]
+            )
         if not defer_swap and pre_version > 0:
             sweep_late_deltas(
                 spark, self.catalog, store, pre_version, pre_deltas,
@@ -423,6 +427,45 @@ class RecordTransformer:
         return out
 
 
+VIEW_SPEC_FILE = "_view_spec.json"
+
+
+def _write_view_spec(view_dir: str, spec: dict) -> None:
+    """Atomic sidecar write (tmp + os.replace — catalog._write_meta's
+    pattern): a crash mid-write must never leave truncated JSON that
+    poisons every later spec read of the version. Underscore/dot-prefixed
+    names are invisible to Spark's data discovery (like _SUCCESS)."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    fd, tmp = _tempfile.mkstemp(dir=view_dir, prefix="._spec", suffix=".tmp")
+    try:
+        with _os.fdopen(fd, "w") as f:
+            _json.dump(spec, f)
+        _os.replace(tmp, _os.path.join(view_dir, VIEW_SPEC_FILE))
+    except BaseException:
+        try:
+            _os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def read_view_spec(view_dir: str):
+    """The WRITTEN view spec of a version's view dir (beats the store-level
+    declaration, which can drift after the files land), or None for
+    pre-sidecar versions."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(view_dir, VIEW_SPEC_FILE)
+    if not _os.path.exists(p):
+        return None
+    with open(p) as f:
+        return view_from_spec(_json.load(f))
+
+
 @dataclass
 class MaterializedViewDef:
     """W15: re-partitioned / projected copy maintained at write time
@@ -469,19 +512,13 @@ class MaterializedViewDef:
     def _write_frame(
         self, catalog: StoreCatalog, store: str, version: int, frame: DataFrame
     ) -> None:
-        import json as _json
-        import os as _os
-
         path = self.view_dir(catalog, store, version)
         out = repartition_and_sort(frame, self.key_fields, self.partition_count)
         out.write.mode("overwrite").parquet(path)
-        # sidecar with the WRITTEN spec (underscore-prefixed: invisible to
-        # Spark's data discovery, like _SUCCESS): delta-aware readers need
-        # the layout the files actually have, and the store-level
-        # declaration can change after this version lands (deregistration,
-        # re-declare with different keys) without rewriting old versions
-        with open(_os.path.join(path, "_view_spec.json"), "w") as f:
-            _json.dump(self.spec(), f)
+        # delta-aware readers need the layout the files ACTUALLY have; the
+        # store-level declaration can change after this version lands
+        # (deregistration, re-declare) without old versions being rewritten
+        _write_view_spec(path, self.spec())
 
     def write(self, catalog: StoreCatalog, store: str, version: int, df: DataFrame) -> None:
         store_keys = catalog.get_store(store).key_fields
@@ -537,9 +574,6 @@ class BucketedViewDef:
         return bucketed_view_dir(catalog.version_dir(store, version), self.name)
 
     def write(self, catalog: StoreCatalog, store: str, version: int, df: DataFrame) -> None:
-        import json as _json
-        import os as _os
-
         out = df.drop("partition_id")
         if self.projection is not None:
             # store keys retained for the same addressability reason as
@@ -565,14 +599,8 @@ class BucketedViewDef:
         # must use the layout the files actually have, not whatever the
         # caller's (possibly drifted) def now says — Spark trusts the
         # metadata and a mismatch silently drops join matches
-        # (code-review r4)
-        with open(
-            _os.path.join(self.view_dir(catalog, store, version), "_bucket_spec.json"),
-            "w",
-        ) as f:
-            _json.dump(
-                {"n_buckets": self.n_buckets, "key_fields": self.key_fields}, f
-            )
+        # (code-review r4). Same sidecar format/codec as repartition views.
+        _write_view_spec(self.view_dir(catalog, store, version), self.spec())
 
 
 def read_bucketed_view(
@@ -603,13 +631,22 @@ def read_bucketed_view(
     # that drifted since the write would register wrong bucket metadata and
     # silently break co-located joins (code-review r4)
     n_buckets, key_fields = view.n_buckets, view.key_fields
-    spec_path = os.path.join(path, "_bucket_spec.json")
-    if os.path.exists(spec_path):
+    written_spec = read_view_spec(path)
+    if not isinstance(written_spec, BucketedViewDef):
+        written_spec = None
+    if written_spec is None and os.path.exists(os.path.join(path, "_bucket_spec.json")):
+        # legacy pre-unification sidecar
         import json as _json
 
-        with open(spec_path) as f:
-            spec = _json.load(f)
-        n_buckets, key_fields = spec["n_buckets"], spec["key_fields"]
+        with open(os.path.join(path, "_bucket_spec.json")) as f:
+            legacy = _json.load(f)
+        written_spec = BucketedViewDef(
+            name=view.name,
+            n_buckets=legacy["n_buckets"],
+            key_fields=legacy["key_fields"],
+        )
+    if written_spec is not None:
+        n_buckets, key_fields = written_spec.n_buckets, written_spec.key_fields
         if (n_buckets, key_fields) != (view.n_buckets, view.key_fields):
             import warnings
 
