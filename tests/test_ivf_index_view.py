@@ -1,0 +1,122 @@
+"""Declared IVF index views: the ANN layout maintained at write time like
+any W15 view — partition-pruned probes, a codebook pinned at first write
+so list assignment never shifts under serving readers, and delta-aware
+search after lazy pushes."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from venice_spark.engine import VeniceSparkEngine
+from venice_spark.push import IvfIndexViewDef, view_from_spec
+
+DIM = 8
+
+
+def _vec(i, shift=0.0):
+    # deterministic spread-out unit-ish vectors
+    import math
+
+    return [math.sin(0.7 * i + d + shift) for d in range(DIM)]
+
+
+@pytest.fixture()
+def engine(spark, tmp_root):
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("emb", key_fields=["vid"], partition_count=2)
+    rows = [(i, _vec(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+    eng.push(
+        "emb",
+        df,
+        views=[IvfIndexViewDef("ann", vec_col="vec", n_centroids=8, sample_fraction=1.0)],
+    )
+    return eng
+
+
+def _brute(eng, spark, query, k=10):
+    from venice_spark.functions import vectors as VX
+
+    df = eng.store("emb").df()
+    cos = VX.cosine_similarity("vec", list(query))
+    return [
+        r["vid"]
+        for r in df.select("vid", cos.alias("c"))
+        .orderBy(F.col("c").desc(), F.col("vid"))
+        .limit(k)
+        .collect()
+    ]
+
+
+def test_ann_topk_recall_and_codebook_registration(engine, spark):
+    q = _vec(42)
+    exact = _brute(engine, spark, q)
+    got = [r["vid"] for r in engine.store("emb").ann_topk("ann", q, k=10, nprobe=4).collect()]
+    assert len(set(exact) & set(got)) >= 6  # nprobe=4 of 8 lists
+    # full probe = exact
+    full = [r["vid"] for r in engine.store("emb").ann_topk("ann", q, k=10, nprobe=8).collect()]
+    assert full == exact
+    # the learned codebook was registered on the store declaration
+    specs = engine.catalog.get_store("emb").config["views"]
+    assert specs[0]["kind"] == "ivf" and specs[0]["centroids"]
+
+
+def test_codebook_stable_across_incremental_push(engine, spark):
+    v1 = engine.catalog.current_version("emb")
+    p1 = f"{engine.catalog.version_dir('emb', v1)}__view_ann"
+    with open(os.path.join(p1, "_view_spec.json")) as f:
+        cents1 = json.load(f)["centroids"]
+    delta = spark.createDataFrame([(500, _vec(500))], "vid long, vec array<double>")
+    engine.incremental_push("emb", delta)
+    v2 = engine.catalog.current_version("emb")
+    assert v2 != v1
+    p2 = f"{engine.catalog.version_dir('emb', v2)}__view_ann"
+    with open(os.path.join(p2, "_view_spec.json")) as f:
+        cents2 = json.load(f)["centroids"]
+    assert cents1 == cents2  # assignment layout never shifts
+    # and the new vector is searchable
+    got = [r["vid"] for r in engine.store("emb").ann_topk("ann", _vec(500), k=3, nprobe=8).collect()]
+    assert got[0] == 500
+
+
+def test_lazy_delta_vectors_are_searchable_and_override(engine, spark):
+    q = _vec(77)
+    # a brand-new vector exactly at the query + an existing key moved AWAY
+    delta = spark.createDataFrame(
+        [(900, q), (77, _vec(77, shift=2.5))], "vid long, vec array<double>"
+    )
+    engine.incremental_push("emb", delta, eager=False)
+    got = engine.store("emb").ann_topk("ann", q, k=3, nprobe=8).collect()
+    ids = [r["vid"] for r in got]
+    assert ids[0] == 900  # the lazy-pushed vector wins
+    # key 77's OLD vector (cos=1 with q) must not serve from its stale list
+    row77 = [r for r in got if r["vid"] == 77]
+    assert not row77 or row77[0]["cos"] < 0.999
+
+
+def test_probe_scan_prunes_partitions(engine, spark):
+    q = _vec(5)
+    df = engine.store("emb").ann_topk("ann", q, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_list" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_spec_roundtrip():
+    v = IvfIndexViewDef("a", vec_col="v", n_centroids=4, centroids=[[1.0, 0.0]])
+    w = view_from_spec(v.spec())
+    assert isinstance(w, IvfIndexViewDef)
+    assert (w.name, w.vec_col, w.n_centroids, w.centroids) == ("a", "v", 4, [[1.0, 0.0]])
+
+
+def test_compaction_folds_deltas_into_index(engine, spark):
+    q = _vec(33, shift=1.3)  # not an existing corpus vector
+    delta = spark.createDataFrame([(901, q)], "vid long, vec array<double>")
+    engine.incremental_push("emb", delta, eager=False)
+    engine.compact("emb")
+    assert engine.catalog.list_delta_dirs("emb", engine.catalog.current_version("emb")) == []
+    got = [r["vid"] for r in engine.store("emb").ann_topk("ann", q, k=3, nprobe=8).collect()]
+    assert got[0] == 901
+    # full-probe search still equals brute force post-compaction
+    assert got == _brute(engine, spark, q, k=3)

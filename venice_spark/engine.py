@@ -232,6 +232,87 @@ class StoreHandle:
             df = df.filter(F.col(k) == F.lit(v))
         return df
 
+    def ann_topk(
+        self,
+        view_name: str,
+        query: "Sequence[float]",
+        k: int = 10,
+        nprobe: int | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Partition-pruned ANN search against a declared IVF index view
+        (push.IvfIndexViewDef): rank the persisted codebook's centroids
+        against the query driver-side, scan ONLY the nprobe nearest lists'
+        directories (PartitionFilters on ivf_list), exact cosine within
+        them, bounded top-k. Lazy-push deltas are folded in: delta rows are
+        assigned on the fly and rows whose store key a delta touches are
+        anti-joined out of the index scan, so an overridden vector can
+        never serve from its stale list."""
+        import math as _math
+        import os
+
+        from venice_spark.push import IvfIndexViewDef, declared_views, read_view_spec
+        from venice_spark.similarity import ivf_assign, ivf_normalized
+
+        v = version if version is not None else self.catalog.current_version(self.name)
+        path = f"{self.catalog.version_dir(self.name, v)}__view_{view_name}"
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"store {self.name} v{v} has no IVF index view {view_name!r}"
+            )
+        # the sidecar's codebook matches the FILES (the declaration may
+        # have been re-declared for retraining since this version landed)
+        spec = read_view_spec(path)
+        if not isinstance(spec, IvfIndexViewDef):
+            meta0 = self.catalog.get_store(self.name)
+            spec = next(
+                (
+                    d
+                    for d in declared_views(meta0)
+                    if d.name == view_name and isinstance(d, IvfIndexViewDef)
+                ),
+                None,
+            )
+        if spec is None or not spec.centroids:
+            raise ValueError(
+                f"view {view_name!r} of store {self.name} carries no IVF codebook"
+            )
+        cents = ivf_normalized(spec.centroids)
+        qn = _math.sqrt(sum(x * x for x in query)) or 1.0
+        q = [x / qn for x in query]
+        ranked = sorted(
+            range(len(cents)), key=lambda i: -sum(a * b for a, b in zip(q, cents[i]))
+        )
+        nprobe = nprobe if nprobe is not None else max(1, len(cents) // 4)
+        probe = ranked[:nprobe]
+
+        meta = self.catalog.get_store(self.name)
+        keys = meta.key_fields
+        base = self.spark.read.parquet(path).filter(F.col("ivf_list").isin(probe))
+        deltas = self.catalog.list_delta_dirs(self.name, v)
+        if deltas:
+            # latest-wins among the delta slots themselves, tombstones out
+            d0 = self.spark.read.parquet(deltas[0]).limit(0)
+            resolved = self.catalog._resolve_delta_view(
+                self.spark, d0, deltas, keys, window_keys=list(keys)
+            )
+            touched = None
+            for d in deltas:
+                kd = self.spark.read.parquet(d).select(*keys)
+                touched = kd if touched is None else touched.unionByName(kd)
+            base = base.join(F.broadcast(touched.dropDuplicates(list(keys))), on=list(keys), how="left_anti")
+            dd = resolved.withColumn("ivf_list", ivf_assign(spec.vec_col, spec.centroids))
+            dd = dd.filter(F.col("ivf_list").isin(probe)).select(*base.columns)
+            base = base.unionByName(dd)
+        from venice_spark.functions import vectors as VX
+
+        cos = VX.cosine_similarity(spec.vec_col, list(query))
+        return (
+            base.select(*keys, cos.alias("cos"))
+            .orderBy(F.col("cos").desc_nulls_last(), *[F.col(c).asc() for c in keys])
+            .limit(k)
+        )
+
     def hybrid_view_df(self, view_name: str, replay) -> DataFrame:
         """Materialized view over LIVE hybrid state: the reference maintains
         views on nearline writes too (the leader's view writers wrap every

@@ -691,9 +691,72 @@ def read_bucketed_view(
     )
 
 
-def view_from_spec(spec: dict) -> "MaterializedViewDef | BucketedViewDef":
-    """Inverse of MaterializedViewDef.spec / BucketedViewDef.spec."""
+@dataclass
+class IvfIndexViewDef:
+    """ANN-index edition of a materialized view (W15 shape, north-star
+    content): the store's vector column written PARTITIONED BY its IVF
+    list id, maintained on every write path like any declared view — the
+    100 TB vector-store recipe, where a probe with nprobe lists opens
+    nprobe/n_centroids of the directories before reading a single row.
+
+    The coarse quantizer is trained ONCE (on the first write) and then
+    persisted inside the spec, so list assignment is STABLE across
+    versions: an incremental push or repush re-partitions new data into
+    the same lists instead of shifting the layout under serving readers.
+    Retrain by re-declaring the view (push with views=[...] and
+    centroids=None) when corpus drift degrades recall."""
+
+    name: str
+    vec_col: str
+    n_centroids: int = 16
+    sample_fraction: float = 0.25
+    seed: int = 42
+    centroids: list | None = None  # learned at first write, then pinned
+
+    def spec(self) -> dict:
+        return {
+            "kind": "ivf",
+            "name": self.name,
+            "vec_col": self.vec_col,
+            "n_centroids": self.n_centroids,
+            "sample_fraction": self.sample_fraction,
+            "seed": self.seed,
+            "centroids": self.centroids,
+        }
+
+    def view_dir(self, catalog: StoreCatalog, store: str, version: int) -> str:
+        return f"{catalog.version_dir(store, version)}__view_{self.name}"
+
+    def write(self, catalog: StoreCatalog, store: str, version: int, df: DataFrame) -> None:
+        from venice_spark.similarity import ivf_assign, train_ivf_centroids
+
+        out = df.drop("partition_id") if "partition_id" in df.columns else df
+        if self.centroids is None:
+            self.centroids = train_ivf_centroids(
+                out,
+                self.vec_col,
+                n_centroids=self.n_centroids,
+                sample_fraction=self.sample_fraction,
+                seed=self.seed,
+            )
+        out = out.withColumn("ivf_list", ivf_assign(self.vec_col, self.centroids))
+        path = self.view_dir(catalog, store, version)
+        out.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+        _write_view_spec(path, self.spec())
+
+
+def view_from_spec(spec: dict) -> "MaterializedViewDef | BucketedViewDef | IvfIndexViewDef":
+    """Inverse of the view defs' spec() methods."""
     kind = spec.get("kind", "repartition")
+    if kind == "ivf":
+        return IvfIndexViewDef(
+            name=spec["name"],
+            vec_col=spec["vec_col"],
+            n_centroids=int(spec["n_centroids"]),
+            sample_fraction=float(spec["sample_fraction"]),
+            seed=int(spec["seed"]),
+            centroids=spec.get("centroids"),
+        )
     if kind == "repartition":
         return MaterializedViewDef(
             name=spec["name"],
