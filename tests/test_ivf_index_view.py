@@ -120,3 +120,38 @@ def test_compaction_folds_deltas_into_index(engine, spark):
     assert got[0] == 901
     # full-probe search still equals brute force post-compaction
     assert got == _brute(engine, spark, q, k=3)
+
+
+def test_empty_push_keeps_index_readable(engine, spark):
+    engine.empty_push("emb")
+    out = engine.store("emb").ann_topk("ann", _vec(1), k=5, nprobe=8).collect()
+    assert out == []
+
+
+def test_def_object_not_mutated_and_reusable_across_stores(spark, tmp_root):
+    ivf = IvfIndexViewDef("ann", vec_col="vec", n_centroids=4, sample_fraction=1.0)
+    eng = VeniceSparkEngine(spark, tmp_root)
+    for store, base in (("sa", 0), ("sb", 1000)):
+        eng.create_store(store, key_fields=["vid"], partition_count=2)
+        df = spark.createDataFrame(
+            [(base + i, _vec(base + i)) for i in range(50)], "vid long, vec array<double>"
+        )
+        eng.push(store, df, views=[ivf])
+    assert ivf.centroids is None  # caller's def untouched
+    ca = eng.catalog.get_store("sa").config["views"][0]["centroids"]
+    cb = eng.catalog.get_store("sb").config["views"][0]["centroids"]
+    assert ca and cb and ca != cb  # each store trained on its own corpus
+
+
+def test_schema_narrow_lazy_delta_does_not_crash_search(engine, spark):
+    # delta updates only the key (vector column absent): full-value upsert
+    # semantics -> the key's vector becomes NULL and it leaves the results
+    delta = spark.createDataFrame([(5,)], "vid long")
+    engine.incremental_push("emb", delta, eager=False)
+    got = [r["vid"] for r in engine.store("emb").ann_topk("ann", _vec(5), k=5, nprobe=8).collect()]
+    assert 5 not in got
+
+
+def test_view_df_rejects_ivf_views(engine):
+    with pytest.raises(ValueError, match="ann_topk"):
+        engine.store("emb").view_df("ann")

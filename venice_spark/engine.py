@@ -168,6 +168,17 @@ class StoreHandle:
             raise ValueError(
                 f"store {self.name} v{v} has no materialized view {view_name!r}"
             )
+        from venice_spark.push import IvfIndexViewDef as _Ivf
+        from venice_spark.push import read_view_spec as _rvs
+
+        if isinstance(_rvs(path), _Ivf):
+            # same __view_ dir pattern, different contract: serving an IVF
+            # layout through the generic reader would hand out delta rows
+            # with a NULL/stale ivf_list — use the search endpoint instead
+            raise ValueError(
+                f"view {view_name!r} of store {self.name} is an IVF index "
+                "view — query it with store.ann_topk(...)"
+            )
         base = self.spark.read.parquet(path)
         # Lazy incremental pushes (eager=False) append to the version's
         # delta log without touching the materialized view files. Resolve
@@ -248,11 +259,10 @@ class StoreHandle:
         assigned on the fly and rows whose store key a delta touches are
         anti-joined out of the index scan, so an overridden vector can
         never serve from its stale list."""
-        import math as _math
         import os
 
         from venice_spark.push import IvfIndexViewDef, declared_views, read_view_spec
-        from venice_spark.similarity import ivf_assign, ivf_normalized
+        from venice_spark.similarity import ivf_assign, ivf_probe_lists
 
         v = version if version is not None else self.catalog.current_version(self.name)
         path = f"{self.catalog.version_dir(self.name, v)}__view_{view_name}"
@@ -277,33 +287,44 @@ class StoreHandle:
             raise ValueError(
                 f"view {view_name!r} of store {self.name} carries no IVF codebook"
             )
-        cents = ivf_normalized(spec.centroids)
-        qn = _math.sqrt(sum(x * x for x in query)) or 1.0
-        q = [x / qn for x in query]
-        ranked = sorted(
-            range(len(cents)), key=lambda i: -sum(a * b for a, b in zip(q, cents[i]))
-        )
-        nprobe = nprobe if nprobe is not None else max(1, len(cents) // 4)
-        probe = ranked[:nprobe]
+        nprobe = nprobe if nprobe is not None else max(1, len(spec.centroids) // 4)
+        # probe selection shares ivf_assign's normalization (similarity.py)
+        probe = ivf_probe_lists(list(query), spec.centroids, nprobe)
 
         meta = self.catalog.get_store(self.name)
         keys = meta.key_fields
         base = self.spark.read.parquet(path).filter(F.col("ivf_list").isin(probe))
         deltas = self.catalog.list_delta_dirs(self.name, v)
         if deltas:
-            # latest-wins among the delta slots themselves, tombstones out
+            # every delta-touched key leaves the index scan (its vector may
+            # have moved lists — a stale row must never serve); ONE
+            # multi-path read builds the touched set, the shared kernel
+            # resolves latest-wins among the slots themselves
+            touched = (
+                self.spark.read.parquet(*deltas)
+                .select(*keys)
+                .dropDuplicates(list(keys))
+            )
+            base = base.join(F.broadcast(touched), on=list(keys), how="left_anti")
             d0 = self.spark.read.parquet(deltas[0]).limit(0)
             resolved = self.catalog._resolve_delta_view(
                 self.spark, d0, deltas, keys, window_keys=list(keys)
             )
-            touched = None
-            for d in deltas:
-                kd = self.spark.read.parquet(d).select(*keys)
-                touched = kd if touched is None else touched.unionByName(kd)
-            base = base.join(F.broadcast(touched.dropDuplicates(list(keys))), on=list(keys), how="left_anti")
-            dd = resolved.withColumn("ivf_list", ivf_assign(spec.vec_col, spec.centroids))
-            dd = dd.filter(F.col("ivf_list").isin(probe)).select(*base.columns)
-            base = base.unionByName(dd)
+            # schema-narrow deltas are full-value upserts: a missing column
+            # is NULL on the upserted row (view_df/df() behave identically).
+            # A null/absent vector can never rank, so such rows only mask
+            # their base rows (the anti-join above) and contribute nothing.
+            if spec.vec_col in resolved.columns:
+                dd = resolved.filter(F.col(spec.vec_col).isNotNull())
+                dd = dd.withColumn("ivf_list", ivf_assign(spec.vec_col, spec.centroids))
+                dd = dd.filter(F.col("ivf_list").isin(probe))
+                dd = dd.select(
+                    *[
+                        F.col(c) if c in dd.columns else F.lit(None).cast(t.dataType).alias(c)
+                        for c, t in zip(base.columns, base.schema.fields)
+                    ]
+                )
+                base = base.unionByName(dd)
         from venice_spark.functions import vectors as VX
 
         cos = VX.cosine_similarity(spec.vec_col, list(query))

@@ -50,14 +50,14 @@ class PushResult:
     path: str
 
 
-def _fix_empty_partitioned_dir(out: DataFrame, path: str) -> None:
+def _fix_empty_partitioned_dir(out: DataFrame, path: str, col: str = "partition_id") -> None:
     """A partitionBy write of an empty frame leaves a dir with no partition
     subdirs (unreadable — no schema anywhere); rewrite plain so the parquet
     footer carries the schema. Post-write directory check instead of a
     pre-write take(1), which would recompute the pipeline's first partition."""
     import os
 
-    if not any(e.startswith("partition_id=") for e in os.listdir(path)):
+    if not any(e.startswith(f"{col}=") for e in os.listdir(path)):
         out.write.mode("overwrite").parquet(path)
 
 
@@ -365,11 +365,15 @@ class BatchPushJob:
         # registration lands only after the version COMMITTED: a failure in
         # the count/commit steps above must leave the declaration untouched
         # (code-review r4 continuation — the pre-commit placement still had
-        # a mutation window)
+        # a mutation window). Each spec is read back from the WRITTEN
+        # sidecar so write-time state (e.g. a freshly trained IVF codebook)
+        # registers exactly as materialized, without def-object mutation.
         if register_views is not None:
-            self.catalog.update_store(
-                store, views=[v.spec() for v in register_views]
-            )
+            specs = []
+            for v in register_views:
+                written_spec = read_view_spec(v.view_dir(self.catalog, store, version))
+                specs.append((written_spec or v).spec())
+            self.catalog.update_store(store, views=specs)
         if not defer_swap and pre_version > 0:
             sweep_late_deltas(
                 spark, self.catalog, store, pre_version, pre_deltas,
@@ -731,18 +735,28 @@ class IvfIndexViewDef:
         from venice_spark.similarity import ivf_assign, train_ivf_centroids
 
         out = df.drop("partition_id") if "partition_id" in df.columns else df
-        if self.centroids is None:
-            self.centroids = train_ivf_centroids(
+        # codebook resolution WITHOUT mutating the caller's def (one def
+        # object reused across stores must not pin store A's codebook on
+        # store B — code-review r4 continuation): train locally, persist
+        # through the sidecar; registration reads the sidecar back.
+        cents = self.centroids
+        if cents is None:
+            cents = train_ivf_centroids(
                 out,
                 self.vec_col,
                 n_centroids=self.n_centroids,
                 sample_fraction=self.sample_fraction,
                 seed=self.seed,
             )
-        out = out.withColumn("ivf_list", ivf_assign(self.vec_col, self.centroids))
+        out = out.withColumn("ivf_list", ivf_assign(self.vec_col, cents))
         path = self.view_dir(catalog, store, version)
         out.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
-        _write_view_spec(path, self.spec())
+        # zero-row write (empty push / TTL repush dropping everything) must
+        # stay readable — same guard the base version write uses
+        _fix_empty_partitioned_dir(out, path, col="ivf_list")
+        spec = self.spec()
+        spec["centroids"] = cents
+        _write_view_spec(path, spec)
 
 
 def view_from_spec(spec: dict) -> "MaterializedViewDef | BucketedViewDef | IvfIndexViewDef":

@@ -525,6 +525,24 @@ def ivf_normalized(centroids: list[list[float]]) -> list[list[float]]:
     return out
 
 
+def ivf_probe_lists(
+    query: Sequence[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Driver-side probe selection: the nprobe list ids whose (normalized)
+    centroids are most cosine-similar to the query. The ONE shared
+    implementation — search sides (ivf_topk, engine.ann_topk) must rank
+    with the same normalization the assignment side (ivf_assign) uses, or
+    probing silently targets the wrong lists."""
+    cents = ivf_normalized(centroids)
+    qn = math.sqrt(sum(v * v for v in query)) or 1.0
+    q = [v / qn for v in query]
+    ranked = sorted(
+        range(len(cents)),
+        key=lambda i: -sum(a * b for a, b in zip(q, cents[i])),
+    )
+    return ranked[:nprobe]
+
+
 def ivf_topk(
     df: DataFrame,
     query: Sequence[float],
@@ -540,14 +558,7 @@ def ivf_topk(
     corpus already carries a precomputed list id column (`list_col`,
     written at ingest — the scale path), filter on it (partition pruning);
     otherwise assign on the fly."""
-    cents = ivf_normalized(centroids)
-    qn = math.sqrt(sum(v * v for v in query)) or 1.0
-    q = [v / qn for v in query]
-    ranked = sorted(
-        range(len(cents)),
-        key=lambda i: -sum(a * b for a, b in zip(q, cents[i])),
-    )
-    probe = ranked[:nprobe]
+    probe = ivf_probe_lists(query, centroids, nprobe)
     lc = F.col(list_col) if list_col else ivf_assign(vec_col, centroids)
     cos = VX.cosine_similarity(vec_col, list(query))
     return (
@@ -863,14 +874,7 @@ def ivf_pq_topk(
     within the probed lists only. At 100 TB: scan nprobe/n_lists of the
     directories × m bytes per vector — both axes of the search cost cut by
     an order of magnitude, all JVM-side."""
-    cents = ivf_normalized(centroids)
-    qn = math.sqrt(sum(v * v for v in query)) or 1.0
-    q = [v / qn for v in query]
-    ranked = sorted(
-        range(len(cents)),
-        key=lambda i: -sum(a * b for a, b in zip(q, cents[i])),
-    )
-    probed = df.filter(F.col(list_col).isin(ranked[:nprobe]))
+    probed = df.filter(F.col(list_col).isin(ivf_probe_lists(query, centroids, nprobe)))
     return pq_topk(
         probed, query, code_col, id_col, codebooks, k=k, refine=refine, vec_col=vec_col
     )
