@@ -918,9 +918,9 @@ def test_zero_norm_vectors_never_crash_similarity_paths(spark):
     assigned = df.withColumn(
         "c", ivf_assign("embedding", [[1.0] + [0.0] * 7, [0.0] * 7 + [1.0]])
     ).collect()
-    # all-tie sims resolve to the HIGHEST index (the when-chain's
-    # pre-existing order) — deterministic is what matters here
-    assert {r["vec_id"]: r["c"] for r in assigned}[0] == 1
+    # all-tie sims resolve to the FIRST index (array_position returns the
+    # first occurrence of the max) — deterministic is what matters here
+    assert {r["vec_id"]: r["c"] for r in assigned}[0] == 0
 
     out = knn_join_lsh(df, df, "embedding", "vec_id", "vec_id", k=2, dim=8).collect()
     assert out  # completes; no crash
