@@ -250,3 +250,14 @@ def test_bucketed_view_resolves_lazy_delta_log(spark, tmp_root):
     eng.incremental_push("t", delta, eager=False)
     out = read_bucketed_view(spark, eng.catalog, "t", bv)
     assert {(r["k"], r["n"]) for r in out.collect()} == {("a", 1), ("b", 9), ("c", 3)}
+
+
+def test_get_by_pushes_filter_to_view_scan(engine):
+    """The GSI claim: an equality lookup on the view's key reaches the
+    parquet scan as a pushed filter (the view is sorted by its key, so
+    rowgroup min/max pruning applies — the re-keyed routing the reference
+    serves by partition)."""
+    df = engine.store("s").get_by("by_region", region="US")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "region" in plan.split("PushedFilters")[1][:200], plan
