@@ -341,7 +341,9 @@ class StoreHandle:
         Spark twin: project the hybrid replay's resolved serving table
         (batch base + RT log, latest-wins already applied by HybridReplay)
         through the declared view spec — a narrow projection Catalyst
-        prunes, no second maintenance pipeline to keep consistent."""
+        prunes, no second maintenance pipeline to keep consistent. Any
+        handle with .read() works, so aa_serve's DCR-resolved replay
+        serves views the same way."""
         from venice_spark.push import MaterializedViewDef, declared_views
 
         meta = self.catalog.get_store(self.name)
