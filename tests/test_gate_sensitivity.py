@@ -1,0 +1,57 @@
+"""Certification-gate sensitivity: a gate that cannot fail certifies
+nothing. These tests run the gates' verdict formulas against deliberately
+broken implementations/configurations and assert the verdict flips — so a
+regression in the underlying operator family would turn the driver row
+red instead of passing vacuously."""
+
+import pyspark.sql.functions as F
+
+from venice_spark.plans.reference_queries import W64
+from venice_spark.similarity import brute_force_topk, lsh_topk
+
+
+def test_lsh_recall_gate_fails_on_broken_index(spark, sf_dir):
+    """Probing with a wrong plane seed / no multi-probe yields (near-)zero
+    candidate overlap — the recall verdict must flip to False."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {r.vec_id for r in brute_force_topk(emb, W64, "embedding", "vec_id", k=10).collect()}
+    broken = {
+        r.vec_id
+        for r in lsh_topk(
+            emb, W64, "embedding", "vec_id", k=10,
+            n_planes=8, tables=1, probe_hamming=0, seed=999_999,
+        ).collect()
+    }
+    hits = len(exact & broken)
+    assert hits < 6, f"broken index still clears the gate ({hits}/10)"
+
+
+def test_hll_gate_envelope_is_tight_but_nonvacuous(spark):
+    """At half a million distinct keys the HLL++ estimate is genuinely
+    approximate: the shipped 3x-rsd (6%) envelope holds, but a 1% envelope
+    would fail — i.e. the within_tol verdict measures something real and
+    would catch a sketch regression that inflates error past the rsd
+    contract."""
+    df = spark.range(500_000)
+    row = df.agg(
+        F.countDistinct("id").alias("e"),
+        F.approx_count_distinct("id", 0.02).alias("a"),
+    ).collect()[0]
+    err = abs(row.a - row.e) / row.e
+    assert 0.01 < err <= 0.06, err
+
+
+def test_quality_gate_fails_on_untrained_model(spark, sf_dir):
+    """Scoring with a zeroed weight vector predicts 0.5 everywhere — the
+    0.9 training-accuracy verdict must flip to False."""
+    from venice_spark.quality import score_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = docs.filter(F.col("doc_id") % 10 < 5)
+    neg = docs.filter(F.col("doc_id") % 10 >= 5).withColumn("text", F.upper(F.col("text")))
+    zero = {"weights": [0.0] * 64, "intercept": 0.0, "dim": 64}
+    labeled = pos.withColumn("y", F.lit(1)).unionByName(neg.withColumn("y", F.lit(0)))
+    scored = score_quality(labeled, zero)
+    correct = ((F.col("quality_prob") >= 0.5) == (F.col("y") == 1)).cast("double")
+    acc = scored.agg(F.avg(correct)).collect()[0][0]
+    assert acc < 0.9, acc
