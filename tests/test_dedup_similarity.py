@@ -973,3 +973,48 @@ def test_pq_encode_rejects_mismatched_dims(spark, sf_dir):
     ).collect()}
     assert out[1] is None and out[2] is None
     assert out[3] is not None and len(out[3]) == 8
+
+
+def test_ivf_knn_join_recall_and_exactness_at_full_probe(spark):
+    """IVF-blocked kNN join: at nprobe == n_centroids every candidate pair
+    exists, so the result must EQUAL the brute-force join; at partial
+    probe, recall on a clustered corpus stays high."""
+    import math
+
+    from venice_spark.similarity import ivf_knn_join, knn_join, train_ivf_centroids
+
+    rows = []
+    for c in range(4):  # 4 well-separated clusters
+        for i in range(30):
+            base = [1.0 if d == 2 * c else 0.0 for d in range(8)]
+            rows.append((c * 100 + i, [b + 0.01 * math.sin(i + d) for d, b in enumerate(base)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(df, "embedding", n_centroids=4, sample_fraction=1.0)
+    left = df.filter(F.col("vec_id") % 100 < 3)
+
+    exact = {
+        (r["lid"], r["rid"])
+        for r in knn_join(left, df, "embedding", "vec_id", "vec_id", k=3).collect()
+    }
+    full = {
+        (r["lid"], r["rid"])
+        for r in ivf_knn_join(
+            left, df, "embedding", "vec_id", "vec_id", cents, k=3, nprobe=4
+        ).collect()
+    }
+    assert full == exact
+    part = {
+        (r["lid"], r["rid"])
+        for r in ivf_knn_join(
+            left, df, "embedding", "vec_id", "vec_id", cents, k=3, nprobe=1
+        ).collect()
+    }
+    recall = len(part & exact) / len(exact)
+    assert recall >= 0.9, recall  # clustered corpus: the home list has the neighbors
+
+
+def test_ivf_knn_join_plans_without_cartesian(spark, sf_dir):
+    from venice_spark.plans.reference_queries import QUERIES
+
+    plan = QUERIES["x_ivf_knn_join"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan

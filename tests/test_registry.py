@@ -128,6 +128,9 @@ def test_driver_window_carries_only_oracle_queries():
         "r4_project", "x_skew_salted_count",
         # blocked-cosine family carried in-window by x_knn_join_lsh
         "x_embedding_near_dup",
+        # kNN-join family carried in-window by x_knn_join_lsh; the IVF
+        # edition's exact blocking oracle is checked by the local gate
+        "x_ivf_knn_join",
         # hash-threshold sampling family carried in-window by x_stratified_sample
         "x_importance_sample",
         # vector-kNN family carried in-window by x_knn_join_lsh

@@ -793,6 +793,71 @@ def x_knn_join_lsh(spark, sf_dir):
     return knn_join_lsh(left, emb, "embedding", "vec_id", "vec_id", k=3, dim=DIM)
 
 
+def _ivf_knn_oracle_sql(k: int = 3, nprobe: int = 3, n_lists: int = 8, seed: int = 4242) -> str:
+    """Re-derive the full IVF-blocked k-NN join in DuckDB: list assignment
+    is argmax over explicit dot-product sums against the SAME normalized
+    literal centroids (first-max tie = row_number ORDER BY sim DESC, i ASC,
+    matching Spark's array_position), per-left probe ranking mirrors
+    sort_array desc on (sim, i) structs (ties: higher i first), and the
+    rescore uses the element-chain cosine the other kNN oracles use — the
+    candidate generation, assignment, probing, rescoring and ranking are
+    all checked EXACTLY."""
+    from venice_spark.functions.vectors import oracle_dot_sql, oracle_sq_norm_sql
+    from venice_spark.similarity import _hyperplanes, ivf_normalized
+
+    cents = ivf_normalized(_hyperplanes(DIM, n_lists, seed))
+    sq = oracle_sq_norm_sql("embedding", DIM)
+    branches = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS i, {oracle_dot_sql('embedding', c)} / nv AS sim FROM nrm"
+        for i, c in enumerate(cents)
+    )
+    dotlr = " + ".join(
+        f"CAST(lv[{i}] AS DOUBLE) * CAST(rv[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
+    )
+    nl = oracle_sq_norm_sql("lv", DIM)
+    nr = oracle_sq_norm_sql("rv", DIM)
+    return (
+        "WITH nrm AS (SELECT vec_id, embedding, "
+        f"CASE WHEN sqrt({sq}) > 0 THEN sqrt({sq}) ELSE 1.0 END AS nv FROM embeddings), "
+        f"s AS ({branches}), "
+        "ra AS (SELECT vec_id AS rid, i AS list FROM ("
+        "  SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, i ASC) AS rn FROM s"
+        ") WHERE rn = 1), "
+        "lp AS (SELECT vec_id AS lid, i AS list FROM ("
+        "  SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, i DESC) AS rn "
+        "  FROM s WHERE vec_id < 30"
+        f") WHERE rn <= {nprobe}), "
+        "l AS (SELECT vec_id AS lid, embedding AS lv FROM embeddings WHERE vec_id < 30), "
+        "r AS (SELECT vec_id AS rid, embedding AS rv FROM embeddings), "
+        "cand AS (SELECT lp.lid, ra.rid FROM lp JOIN ra ON lp.list = ra.list), "
+        "sc AS (SELECT c.lid, c.rid, "
+        f"CASE WHEN sqrt({nl}) * sqrt({nr}) > 0 "
+        f"THEN ({dotlr}) / (sqrt({nl}) * sqrt({nr})) END AS cos "
+        "FROM cand c JOIN l ON c.lid = l.lid JOIN r ON c.rid = r.rid) "
+        "SELECT lid, rid, cos, rank FROM ("
+        "  SELECT lid, rid, cos, row_number() OVER (PARTITION BY lid ORDER BY cos DESC NULLS LAST, rid ASC) AS rank FROM sc"
+        f") WHERE rank <= {k}"
+    )
+
+
+@register("x_ivf_knn_join", _ivf_knn_oracle_sql())
+def x_ivf_knn_join(spark, sf_dir):
+    """IVF-blocked k-NN join (similarity.ivf_knn_join): each left row
+    probes its nprobe nearest inverted lists and competes only against
+    right rows assigned there — the coarse-quantizer twin of
+    x_knn_join_lsh, and the batch-join use of the IvfIndexViewDef layout.
+    Registered with FIXED deterministic centroids (the LCG generator, no
+    k-means training) so the oracle can re-derive assignment and probing
+    exactly; production uses trained centroids for recall, which changes
+    none of the plan shapes being certified."""
+    from venice_spark.similarity import _hyperplanes, ivf_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _hyperplanes(DIM, 8, 4242)
+    left = emb.filter(F.col("vec_id") < 30)
+    return ivf_knn_join(left, emb, "embedding", "vec_id", "vec_id", cents, k=3, nprobe=3)
+
+
 @register(
     "x_embedding_near_dup",
     "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
@@ -2355,6 +2420,7 @@ _TAIL = [
     "r4_project",              # pure projection is exercised by every query; scan pruning pinned by r1/r10 plan tests
     "x_skew_salted_count",     # skew-salted twin of the r11 facet count (same answer; plan pinned in tests)
     "x_embedding_near_dup",    # blocked-cosine family carried by x_knn_join_lsh (exact hyperplane oracle)
+    "x_ivf_knn_join",          # kNN-join family carried by x_knn_join_lsh; exact IVF-blocking oracle checked locally
     "x_importance_sample",     # hash-threshold sampling family carried by x_stratified_sample
     "x_knn_classify",          # vector-kNN family carried by x_knn_join_lsh (exact oracle); brute edition oracle-checked locally
     "x_feature_hash",          # per-row text-kernel family carried by x_text_quality; oracle-checked locally

@@ -571,6 +571,74 @@ def ivf_topk(
     )
 
 
+def ivf_probe_lists_col(vec_col: str, centroids: list[list[float]], nprobe: int):
+    """Column: the nprobe list ids nearest to THIS ROW's vector, ranked by
+    cosine descending (ties: higher list id first — sort_array desc on
+    (sim, id) structs). The per-row twin of ivf_probe_lists for corpus-to-
+    corpus joins; pure JVM expressions, linear in n_centroids."""
+    nrm = F.sqrt(VX.squared_l2_norm(vec_col))
+    safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
+    sims = [VX.dot_product(vec_col, c) / safe for c in ivf_normalized(centroids)]
+    arr = F.array(
+        *[F.struct(s.alias("s"), F.lit(i).alias("i")) for i, s in enumerate(sims)]
+    )
+    return F.transform(
+        F.slice(F.sort_array(arr, False), 1, nprobe), lambda x: x["i"]
+    )
+
+
+def ivf_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str,
+    left_id: str,
+    right_id: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    right_list_col: str | None = None,
+) -> DataFrame:
+    """IVF-blocked k-NN join — the coarse-quantizer twin of knn_join_lsh:
+    each left row probes its `nprobe` nearest inverted lists and competes
+    only against right rows ASSIGNED to those lists, exact-rescored by
+    cosine and window-ranked top-k.
+
+    Plan shape (no cartesian): left explodes to nprobe (id, vec, list)
+    rows; right carries its single list id (precomputed `right_list_col`
+    when right IS an IVF index layout — ivf_build_index / IvfIndexViewDef
+    — else assigned on the fly); one hash join on the list id. Candidate
+    volume = Σ_left (sizes of its nprobe lists): tunable via
+    (n_centroids, nprobe), never O(n²). Each right row lives in exactly
+    one list, so a (left, right) pair joins at most once — no dedup
+    stage. Returns [lid, rid, cos, rank]."""
+    from pyspark.sql import Window
+
+    lb = left.select(
+        F.col(left_id).alias("lid"),
+        F.col(vec_col).alias("lv"),
+        F.explode(ivf_probe_lists_col(vec_col, centroids, nprobe)).alias("__list"),
+    )
+    rl = (
+        F.col(right_list_col)
+        if right_list_col
+        else ivf_assign(vec_col, centroids)
+    )
+    rb = right.select(
+        F.col(right_id).alias("rid"), F.col(vec_col).alias("rv"), rl.alias("__list")
+    )
+    dot = VX.dot_product(F.col("lv"), F.col("rv"))
+    nrm = F.sqrt(VX.squared_l2_norm(F.col("lv"))) * F.sqrt(
+        VX.squared_l2_norm(F.col("rv"))
+    )
+    scored = lb.join(rb, "__list").withColumn("cos", F.when(nrm > 0, dot / nrm))
+    w = Window.partitionBy("lid").orderBy(F.col("cos").desc_nulls_last(), F.col("rid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lid", "rid", "cos", "rank")
+    )
+
+
 def ivf_build_index(
     df: DataFrame,
     vec_col: str,
