@@ -1018,3 +1018,24 @@ def test_ivf_knn_join_plans_without_cartesian(spark, sf_dir):
 
     plan = QUERIES["x_ivf_knn_join"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_probe_first_list_is_assigned_list_on_ties(spark):
+    """code-review r4 continuation (reproduced): a vector equidistant from
+    two centroids must probe its ASSIGNED list first — the original
+    desc-sort tie order picked the highest id and, at nprobe=1, an exact
+    duplicate of the query could be missed entirely."""
+    from venice_spark.similarity import ivf_assign, ivf_knn_join, ivf_probe_lists_col
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame([(1, [0.5, 0.5]), (2, [0.5, 0.5])], "vec_id long, embedding array<double>")
+    row = df.select(
+        ivf_assign("embedding", cents).alias("a"),
+        ivf_probe_lists_col("embedding", cents, 1).alias("p"),
+    ).first()
+    assert row["p"][0] == row["a"] == 0
+    out = ivf_knn_join(
+        df.filter(F.col("vec_id") == 1), df, "embedding", "vec_id", "vec_id",
+        cents, k=2, nprobe=1,
+    ).collect()
+    assert {r["rid"] for r in out} == {1, 2}  # the identical twin is found

@@ -38,7 +38,10 @@ def test_hll_gate_envelope_is_tight_but_nonvacuous(spark):
         F.approx_count_distinct("id", 0.02).alias("a"),
     ).collect()[0]
     err = abs(row.a - row.e) / row.e
-    assert 0.01 < err <= 0.06, err
+    # the floor only asserts NON-vacuity (a 0.1% envelope would fail) —
+    # kept far below any plausible HLL++ accuracy at rsd=0.02 so a Spark
+    # upgrade improving the sketch cannot spuriously redden this test
+    assert 0.001 < err <= 0.06, err
 
 
 def test_quality_gate_fails_on_untrained_model(spark, sf_dir):

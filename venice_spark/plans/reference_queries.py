@@ -797,8 +797,9 @@ def _ivf_knn_oracle_sql(k: int = 3, nprobe: int = 3, n_lists: int = 8, seed: int
     """Re-derive the full IVF-blocked k-NN join in DuckDB: list assignment
     is argmax over explicit dot-product sums against the SAME normalized
     literal centroids (first-max tie = row_number ORDER BY sim DESC, i ASC,
-    matching Spark's array_position), per-left probe ranking mirrors
-    sort_array desc on (sim, i) structs (ties: higher i first), and the
+    matching Spark's array_position), per-left probe ranking uses the SAME
+    lowest-id tie order (so a row's first probed list is its assigned
+    list), null-sim rows are excluded from blocking on both sides, and the
     rescore uses the element-chain cosine the other kNN oracles use — the
     candidate generation, assignment, probing, rescoring and ranking are
     all checked EXACTLY."""
@@ -821,11 +822,12 @@ def _ivf_knn_oracle_sql(k: int = 3, nprobe: int = 3, n_lists: int = 8, seed: int
         f"CASE WHEN sqrt({sq}) > 0 THEN sqrt({sq}) ELSE 1.0 END AS nv FROM embeddings), "
         f"s AS ({branches}), "
         "ra AS (SELECT vec_id AS rid, i AS list FROM ("
-        "  SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, i ASC) AS rn FROM s"
+        "  SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, i ASC) AS rn "
+        "  FROM s WHERE sim IS NOT NULL"
         ") WHERE rn = 1), "
         "lp AS (SELECT vec_id AS lid, i AS list FROM ("
-        "  SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, i DESC) AS rn "
-        "  FROM s WHERE vec_id < 30"
+        "  SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, i ASC) AS rn "
+        "  FROM s WHERE vec_id < 30 AND sim IS NOT NULL"
         f") WHERE rn <= {nprobe}), "
         "l AS (SELECT vec_id AS lid, embedding AS lv FROM embeddings WHERE vec_id < 30), "
         "r AS (SELECT vec_id AS rid, embedding AS rv FROM embeddings), "

@@ -423,12 +423,29 @@ def knn_join_lsh(
     lb = left.select(F.col(left_id).alias("lid"), F.posexplode(bks).alias("t", "b"))
     rb = right.select(F.col(right_id).alias("rid"), F.posexplode(bks).alias("t", "b"))
     cand = lb.join(rb, ["t", "b"]).select("lid", "rid").dropDuplicates(["lid", "rid"])
+    return _rescore_topk(cand, left, right, vec_col, left_id, right_id, k)
+
+
+def _rescore_topk(
+    cand: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str,
+    left_id: str,
+    right_id: str,
+    k: int,
+) -> DataFrame:
+    """Shared tail of every blocked k-NN join: join the vectors back onto
+    the id-only candidate pairs, exact cosine (zero-norm guard: undefined
+    cosine -> NULL, ranked last — ANSI DIVIDE_BY_ZERO, code-review r4),
+    window-rank top-k per left id. ONE implementation so the guard and
+    tie-break discipline cannot drift between blocking schemes."""
+    from pyspark.sql import Window
+
     lv = left.select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv"))
     rv = right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv"))
     dot = VX.dot_product(F.col("lv"), F.col("rv"))
     nrm = F.sqrt(VX.squared_l2_norm(F.col("lv"))) * F.sqrt(VX.squared_l2_norm(F.col("rv")))
-    # zero-norm guard (ANSI DIVIDE_BY_ZERO, code-review r4): undefined
-    # cosine -> NULL, ranked last by desc_nulls_last below
     scored = cand.join(lv, "lid").join(rv, "rid").withColumn(
         "cos", F.when(nrm > 0, dot / nrm)
     )
@@ -507,7 +524,10 @@ def ivf_assign(vec_col: str, centroids: list[list[float]]):
     nrm = F.sqrt(VX.squared_l2_norm(vec_col))
     # zero-norm guard (ANSI DIVIDE_BY_ZERO aborts the job, code-review r4):
     # a zero vector gets sims=0 everywhere and ties resolve to the FIRST
-    # list (array_position returns the first occurrence of the max)
+    # list (array_position returns the first occurrence of the max). A
+    # NULL vector yields a NULL list id (previously the when-chain said 0):
+    # an unindexable vector has no meaningful list, and writers route it
+    # to the default partition where probes never look
     safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
     sims = [VX.dot_product(vec_col, c) / safe for c in ivf_normalized(centroids)]
     # argmax via array_position(arr, array_max(arr)): the array of sims is
@@ -573,18 +593,21 @@ def ivf_topk(
 
 def ivf_probe_lists_col(vec_col: str, centroids: list[list[float]], nprobe: int):
     """Column: the nprobe list ids nearest to THIS ROW's vector, ranked by
-    cosine descending (ties: higher list id first — sort_array desc on
-    (sim, id) structs). The per-row twin of ivf_probe_lists for corpus-to-
-    corpus joins; pure JVM expressions, linear in n_centroids."""
+    cosine descending with ties to the LOWEST list id — the same tie order
+    as ivf_assign (first occurrence of the max) and the driver-side
+    ivf_probe_lists (stable sort), so a row's first probed list is always
+    its own assigned list. (The original sort_array-desc form tie-broke to
+    the HIGHEST id, which at nprobe=1 could miss the row's home list and
+    silently lose exact-duplicate pairs — code-review r4 continuation,
+    reproduced.) Implemented as ascending sort on (-sim, id) structs; pure
+    JVM expressions, linear in n_centroids."""
     nrm = F.sqrt(VX.squared_l2_norm(vec_col))
     safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
     sims = [VX.dot_product(vec_col, c) / safe for c in ivf_normalized(centroids)]
     arr = F.array(
-        *[F.struct(s.alias("s"), F.lit(i).alias("i")) for i, s in enumerate(sims)]
+        *[F.struct((-s).alias("s"), F.lit(i).alias("i")) for i, s in enumerate(sims)]
     )
-    return F.transform(
-        F.slice(F.sort_array(arr, False), 1, nprobe), lambda x: x["i"]
-    )
+    return F.transform(F.slice(F.sort_array(arr), 1, nprobe), lambda x: x["i"])
 
 
 def ivf_knn_join(
@@ -603,19 +626,22 @@ def ivf_knn_join(
     only against right rows ASSIGNED to those lists, exact-rescored by
     cosine and window-ranked top-k.
 
-    Plan shape (no cartesian): left explodes to nprobe (id, vec, list)
-    rows; right carries its single list id (precomputed `right_list_col`
-    when right IS an IVF index layout — ivf_build_index / IvfIndexViewDef
-    — else assigned on the fly); one hash join on the list id. Candidate
-    volume = Σ_left (sizes of its nprobe lists): tunable via
-    (n_centroids, nprobe), never O(n²). Each right row lives in exactly
-    one list, so a (left, right) pair joins at most once — no dedup
-    stage. Returns [lid, rid, cos, rank]."""
-    from pyspark.sql import Window
-
+    Plan shape (no cartesian): left explodes to nprobe (id, list) rows —
+    ids ONLY, vectors never ride the candidate shuffle (knn_join_lsh's
+    discipline); right carries its single list id (precomputed
+    `right_list_col` when right IS an IVF index layout — ivf_build_index /
+    IvfIndexViewDef — else assigned on the fly); one hash join on the list
+    id, then the shared rescore joins vectors back by lid/rid. Candidate
+    volume = Σ_left (sizes of its nprobe lists): tunable via (n_centroids,
+    nprobe), never O(n²). Each right row lives in exactly one list, so a
+    (left, right) pair joins at most once — no dedup stage. The candidate
+    join has only n_centroids distinct keys — at scale use enough lists
+    (1k-4k, SCALE.md) for parallelism and let AQE split skewed inverted
+    lists. Rows whose vector is NULL (null list assignment) are excluded
+    from blocking on both sides — an unindexable vector has no defined
+    neighbors. Returns [lid, rid, cos, rank]."""
     lb = left.select(
         F.col(left_id).alias("lid"),
-        F.col(vec_col).alias("lv"),
         F.explode(ivf_probe_lists_col(vec_col, centroids, nprobe)).alias("__list"),
     )
     rl = (
@@ -623,20 +649,11 @@ def ivf_knn_join(
         if right_list_col
         else ivf_assign(vec_col, centroids)
     )
-    rb = right.select(
-        F.col(right_id).alias("rid"), F.col(vec_col).alias("rv"), rl.alias("__list")
+    rb = right.select(F.col(right_id).alias("rid"), rl.alias("__list")).filter(
+        F.col("__list").isNotNull()
     )
-    dot = VX.dot_product(F.col("lv"), F.col("rv"))
-    nrm = F.sqrt(VX.squared_l2_norm(F.col("lv"))) * F.sqrt(
-        VX.squared_l2_norm(F.col("rv"))
-    )
-    scored = lb.join(rb, "__list").withColumn("cos", F.when(nrm > 0, dot / nrm))
-    w = Window.partitionBy("lid").orderBy(F.col("cos").desc_nulls_last(), F.col("rid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("lid", "rid", "cos", "rank")
-    )
+    cand = lb.join(rb, "__list").select("lid", "rid")
+    return _rescore_topk(cand, left, right, vec_col, left_id, right_id, k)
 
 
 def ivf_build_index(
