@@ -80,6 +80,7 @@ HEADLINE = [
     "x_cdc_chunk_dedup",
     "x_pq_topk",
     "x_knn_join_lsh",
+    "x_ivf_knn_join",
 ]
 
 # round-3 steady-state seconds × 1.5 headroom at sf0.1/local[32]; the
@@ -138,6 +139,7 @@ BUDGET_SEC = {
     "x_cdc_chunk_dedup": 2.0,
     "x_pq_topk": 2.3,
     "x_knn_join_lsh": 3.8,
+    "x_ivf_knn_join": 3.0,
 }
 
 

@@ -515,28 +515,40 @@ def train_ivf_centroids(
     return cents.tolist()
 
 
+def _ivf_sims_sql(vec_col: str, centroids: list[list[float]]) -> list[str]:
+    """SQL-string cosine sims against the normalized centroids — ONE parsed
+    string instead of thousands of py4j-built literal Column nodes (the
+    lsh_bucket_col lesson: literal trees cost seconds of driver time per
+    query; strings parse JVM-side in milliseconds). Arithmetic is the
+    strict left-to-right fold of functions/vectors._fold_sum, so sims are
+    bit-identical to the Column form and the DuckDB oracles. Zero-norm
+    guard: IF(norm > 0, norm, 1.0) — sims all 0.0 for a zero vector; a
+    NULL/ragged vector folds to NULL sims (NULL list id — writers route it
+    to the default partition where probes never look)."""
+    sq = (
+        f"aggregate(zip_with({vec_col}, {vec_col}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    safe = f"IF(sqrt({sq}) > 0, sqrt({sq}), CAST(1.0 AS DOUBLE))"
+    return [
+        f"(({_plane_dot_sql(vec_col, c)}) / {safe})" for c in ivf_normalized(centroids)
+    ]
+
+
 def ivf_assign(vec_col: str, centroids: list[list[float]]):
     """Column: index of the nearest (max-cosine) centroid — the IVF list id.
-    A free Column over `vec_col` (not bound to any frame). Pure JVM
-    expressions (one dot product per centroid, greatest() select); write
-    the corpus partitioned by this column and probes become partition
-    pruning."""
-    nrm = F.sqrt(VX.squared_l2_norm(vec_col))
-    # zero-norm guard (ANSI DIVIDE_BY_ZERO aborts the job, code-review r4):
-    # a zero vector gets sims=0 everywhere and ties resolve to the FIRST
-    # list (array_position returns the first occurrence of the max). A
-    # NULL vector yields a NULL list id (previously the when-chain said 0):
-    # an unindexable vector has no meaningful list, and writers route it
-    # to the default partition where probes never look
-    safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
-    sims = [VX.dot_product(vec_col, c) / safe for c in ivf_normalized(centroids)]
-    # argmax via array_position(arr, array_max(arr)): the array of sims is
-    # built twice (CSE-able), giving an expression LINEAR in n_centroids.
-    # The previous when-chain embedded greatest(*sims) inside every branch
-    # — O(n²) expression nodes, which OOMed codegen at a realistic 64-list
-    # quantizer (measured at 2M rows; 100 TB corpora want 1k-4k lists).
-    arr = F.array(*sims)
-    return (F.array_position(arr, F.array_max(arr)) - F.lit(1)).cast("int")
+    A free Column over `vec_col` (not bound to any frame); write the
+    corpus partitioned by this column and probes become partition pruning.
+
+    Argmax via array_position(arr, array_max(arr)): expression LINEAR in
+    n_centroids (a when-chain embedding greatest(*sims) per branch is
+    O(n²) nodes and OOMed codegen at a realistic 64-list quantizer on 2M
+    rows; 100 TB corpora want 1k-4k lists). Ties resolve to the FIRST
+    list (first occurrence of the max); a NULL vector yields a NULL list
+    id — an unindexable vector has no meaningful list."""
+    arr = "array(" + ", ".join(_ivf_sims_sql(vec_col, centroids)) + ")"
+    return F.expr(f"CAST(array_position({arr}, array_max({arr})) - 1 AS INT)")
 
 
 def ivf_normalized(centroids: list[list[float]]) -> list[list[float]]:
@@ -599,15 +611,15 @@ def ivf_probe_lists_col(vec_col: str, centroids: list[list[float]], nprobe: int)
     its own assigned list. (The original sort_array-desc form tie-broke to
     the HIGHEST id, which at nprobe=1 could miss the row's home list and
     silently lose exact-duplicate pairs — code-review r4 continuation,
-    reproduced.) Implemented as ascending sort on (-sim, id) structs; pure
-    JVM expressions, linear in n_centroids."""
-    nrm = F.sqrt(VX.squared_l2_norm(vec_col))
-    safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
-    sims = [VX.dot_product(vec_col, c) / safe for c in ivf_normalized(centroids)]
-    arr = F.array(
-        *[F.struct((-s).alias("s"), F.lit(i).alias("i")) for i, s in enumerate(sims)]
+    reproduced.) Implemented as ascending sort on (-sim, id) structs; one
+    parsed SQL string (see _ivf_sims_sql), linear in n_centroids."""
+    structs = ", ".join(
+        f"named_struct('s', -{s}, 'i', {i})"
+        for i, s in enumerate(_ivf_sims_sql(vec_col, centroids))
     )
-    return F.transform(F.slice(F.sort_array(arr), 1, nprobe), lambda x: x["i"])
+    return F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {int(nprobe)}), x -> x.i)"
+    )
 
 
 def ivf_knn_join(
