@@ -1039,3 +1039,38 @@ def test_ivf_probe_first_list_is_assigned_list_on_ties(spark):
         cents, k=2, nprobe=1,
     ).collect()
     assert {r["rid"] for r in out} == {1, 2}  # the identical twin is found
+
+
+def test_ivf_join_excludes_unindexable_left_rows(spark):
+    """code-review r4 continuation (reproduced): a NULL/ragged left vector
+    has all-NULL sims; it must be excluded from blocking (NULL probe array
+    -> explode emits nothing), never fabricate phantom NULL-cos neighbors
+    fanned onto lists 0..nprobe-1."""
+    from venice_spark.similarity import ivf_knn_join
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, None), (2, [0.9, 0.1]), (3, [0.1, 0.9]), (4, [0.5, 0.4, 0.3])],
+        "vec_id long, embedding array<double>",
+    )
+    out = ivf_knn_join(df, df, "embedding", "vec_id", "vec_id", cents, k=2, nprobe=1)
+    lids = {r["lid"] for r in out.collect()}
+    assert 1 not in lids and 4 not in lids  # null + ragged excluded
+    assert {2, 3} <= lids
+
+
+def test_sql_string_builders_accept_reserved_and_spaced_names(spark):
+    """The SQL-string expression builders quote the column NAME, so a
+    vector column called 'order' (reserved) or 'my vec' (spaced) works the
+    same as 'embedding' (code-review r4 continuation)."""
+    from venice_spark.similarity import ivf_assign, ivf_probe_lists_col, lsh_bucket_col
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    for name in ("order", "my vec"):
+        df = spark.createDataFrame([(1, [0.9, 0.1])], ["vec_id", name])
+        got = df.select(
+            ivf_assign(name, cents).alias("a"),
+            ivf_probe_lists_col(name, cents, 1).alias("p"),
+            lsh_bucket_col(name, 2, n_planes=2),
+        ).first()
+        assert got["a"] == 0 and got["p"] == [0]

@@ -53,13 +53,21 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _qident(col_name: str) -> str:
+    """Backtick-quote a COLUMN NAME for interpolation into a SQL string —
+    without this, a user-configured vector column named 'order' or 'my vec'
+    parses as a keyword / two tokens inside F.expr (code-review r4
+    continuation). The SQL-string builders take names, not expressions."""
+    return "`" + col_name.replace("`", "``") + "`"
+
+
 def _plane_dot_sql(vec_col: str, plane: "Sequence[float]") -> str:
     """SQL-string dot product against a literal plane: zip_with + aggregate
     (the HOF form codegen handles at any width), left-to-right fold order
-    matching _query_bucket."""
+    matching _query_bucket. `vec_col` is a column NAME (quoted here)."""
     lits = ", ".join(f"{float(v)!r}D" for v in plane)
     return (
-        f"aggregate(zip_with({vec_col}, array({lits}), "
+        f"aggregate(zip_with({_qident(vec_col)}, array({lits}), "
         "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
 
@@ -525,8 +533,9 @@ def _ivf_sims_sql(vec_col: str, centroids: list[list[float]]) -> list[str]:
     guard: IF(norm > 0, norm, 1.0) — sims all 0.0 for a zero vector; a
     NULL/ragged vector folds to NULL sims (NULL list id — writers route it
     to the default partition where probes never look)."""
+    q = _qident(vec_col)
     sq = (
-        f"aggregate(zip_with({vec_col}, {vec_col}, "
+        f"aggregate(zip_with({q}, {q}, "
         "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
@@ -613,12 +622,19 @@ def ivf_probe_lists_col(vec_col: str, centroids: list[list[float]], nprobe: int)
     silently lose exact-duplicate pairs — code-review r4 continuation,
     reproduced.) Implemented as ascending sort on (-sim, id) structs; one
     parsed SQL string (see _ivf_sims_sql), linear in n_centroids."""
+    sims = _ivf_sims_sql(vec_col, centroids)
     structs = ", ".join(
-        f"named_struct('s', -{s}, 'i', {i})"
-        for i, s in enumerate(_ivf_sims_sql(vec_col, centroids))
+        f"named_struct('s', -{s}, 'i', {i})" for i, s in enumerate(sims)
     )
+    # NULL/ragged vector -> all sims NULL; without the guard the all-tie
+    # sort would fabricate probe lists [0..nprobe-1] and the join would
+    # emit phantom NULL-cos neighbors for unindexable rows (code-review r4
+    # continuation, reproduced). A NULL array explodes to no rows, which
+    # excludes the row from blocking — matching the right side's
+    # ivf_assign NULL filter and the oracle's sim IS NOT NULL.
     return F.expr(
-        f"transform(slice(array_sort(array({structs})), 1, {int(nprobe)}), x -> x.i)"
+        f"IF({sims[0]} IS NULL, CAST(NULL AS ARRAY<INT>), "
+        f"transform(slice(array_sort(array({structs})), 1, {int(nprobe)}), x -> CAST(x.i AS INT)))"
     )
 
 
