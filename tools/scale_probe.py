@@ -95,6 +95,8 @@ PROBE_QUERIES = [
     "x_bigram_logprob",
     "x_cdc_chunk_dedup",
     "x_pq_topk",
+    # round-4 continuation: IVF-blocked kNN join (list-id candidate shuffle)
+    "x_ivf_knn_join",
 ]
 
 
