@@ -245,6 +245,34 @@ def test_dup_clusters_transitive(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_canonical_docs_keeps_best_quality_per_cluster(spark):
+    from venice_spark.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [(1, 0.2, "a"), (2, 0.9, "b"), (3, 0.9, "c"), (10, 0.1, "d"),
+         (11, 0.5, "e"), (42, 0.0, "singleton")],
+        "doc_id long, quality double, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in canonical_docs(docs, pairs, "doc_id", "quality").collect()}
+    # chain 1~2~3: quality tie 2 vs 3 -> lowest id (2) survives
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    assert all(out[i]["cluster_id"] == 1 for i in (1, 2, 3))
+    # pair 10~11: 11 wins on quality
+    assert (out[10]["keep"], out[11]["keep"]) == (False, True)
+    # singleton: own cluster, kept, payload columns intact
+    assert out[42]["keep"] and out[42]["cluster_id"] == 42 and out[42]["text"] == "singleton"
+
+
+def test_canonical_docs_no_quality_keeps_min_id(spark):
+    from venice_spark.dedup import canonical_docs
+
+    docs = spark.createDataFrame([(5,), (6,), (7,)], "doc_id long")
+    pairs = spark.createDataFrame([(6, 7)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["keep"] for r in canonical_docs(docs, pairs, "doc_id").collect()}
+    assert out == {5: True, 6: True, 7: False}
+
+
 def test_decontaminate_removes_ngram_overlap(spark):
     from venice_spark.pipeline import decontaminate
 

@@ -161,6 +161,9 @@ def test_driver_window_carries_only_oracle_queries():
         # fingerprint anti-join shape)
         "r16_unique_keys", "x_simhash_pairs", "x_sessionize",
         "x_range_join", "x_embed_quantize", "x_decontaminate",
+        # r4 continuation: x_canonical_docs subsumes the cluster query
+        # (same recursive-closure oracle, plus survivor ranking)
+        "x_dup_clusters",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

@@ -935,6 +935,55 @@ def dup_clusters(
     return out
 
 
+def canonical_docs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Survivor selection — the step that turns near-dup PAIRS into a
+    deduplicated CORPUS: cluster the pairs transitively (dup_clusters) and
+    keep exactly one representative per cluster. Representative = highest
+    `quality_col` (ties → lowest id), or lowest id when quality_col is None
+    (matching dup_clusters' cluster_id convention). Docs in no pair are
+    singleton clusters and always kept.
+
+    Returns all df columns + [cluster_id, keep]; `filter("keep")` is the
+    deduplicated corpus, `filter(NOT keep)` the dropped duplicates.
+
+    Scale: the ranking window runs over a NARROW (id, cluster, quality)
+    projection of only the in-cluster docs — typically a small fraction of
+    the corpus — and the keep flags join back on id, so document payloads
+    never pass through the rank shuffle. Singletons take the no-match arm
+    of one left join; no corpus-wide window."""
+    labels = dup_clusters(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter).select(
+        F.col("id").alias(id_col), "cluster_id"
+    )
+    from pyspark.sql import Window
+
+    narrow_cols = [id_col] + ([quality_col] if quality_col is not None else [])
+    clustered = df.select(*narrow_cols).join(labels, id_col)
+    order = (
+        [F.col(quality_col).desc(), F.col(id_col).asc()]
+        if quality_col is not None
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    flags = clustered.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    return (
+        df.join(flags, id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .withColumn("keep", F.coalesce(F.col("keep"), F.lit(True)))
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str,

@@ -1315,13 +1315,17 @@ _Q_AVG = (
     f"/ CAST(len({_TOKS}) AS DOUBLE)"
 )
 
-@register(
-    "x_quality_score",
-    "SELECT doc_id, ("
+_Q_SCORE = (
+    "("
     f"  (CASE WHEN {_Q_N} >= 20 THEN 1.0 ELSE CAST({_Q_N} AS DOUBLE) / 20.0 END) * 0.4"
     f"  + least({_Q_SW} * 4.0, 1.0) * 0.4"
     f"  + (CASE WHEN {_Q_AVG} >= 2.0 AND {_Q_AVG} <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2"
-    ") AS quality FROM documents",
+    ")"
+)
+
+@register(
+    "x_quality_score",
+    f"SELECT doc_id, {_Q_SCORE} AS quality FROM documents",
 )
 def x_quality_score(spark, sf_dir):
     """Composite quality heuristic in [0,1] (functions/text.quality_score):
@@ -1441,6 +1445,53 @@ def x_dup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.02)
     return dup_clusters(pairs)
+
+
+def _canonical_docs_oracle_sql() -> str:
+    # clusters via the same recursive closure as x_dup_clusters, then keep
+    # the highest-quality member per cluster (ties -> lowest id); singleton
+    # docs are their own cluster and always kept
+    pairs_sql = _minhash_oracle_sql()
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs_sql}), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "reach(id, r) AS ("
+        "  SELECT DISTINCT src, src FROM edges "
+        "  UNION "
+        "  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id"
+        "), "
+        "clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id), "
+        f"scored AS (SELECT doc_id, round({_Q_SCORE}, 5) AS quality FROM documents), "
+        "lab AS (SELECT s.doc_id, coalesce(c.cluster_id, s.doc_id) AS cluster_id, "
+        "  s.quality FROM scored s LEFT JOIN clusters c ON s.doc_id = c.id) "
+        "SELECT doc_id, cluster_id, quality, "
+        "row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) = 1 "
+        "AS keep FROM lab"
+    )
+
+
+@register("x_canonical_docs", _canonical_docs_oracle_sql())
+def x_canonical_docs(spark, sf_dir):
+    """Survivor selection (dedup.canonical_docs): MinHash near-dup pairs →
+    transitive clusters → keep the highest-quality member per cluster
+    (ties → lowest doc_id); singletons always kept. The step that turns
+    pair detection into an actual deduplicated corpus — filter("keep") is
+    the output a curation pipeline ships. The rank window runs over a
+    narrow (id, cluster, quality) frame of in-cluster docs only; payloads
+    join the keep flag back by id. Quality is rounded to 5 decimals BEFORE
+    ranking so both engines order the same doubles (the
+    importance-sample discipline). Oracle: recursive transitive closure +
+    the same window rank."""
+    from venice_spark.dedup import canonical_docs, minhash_lsh_pairs
+    from venice_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.02)
+    scored = docs.select(
+        "doc_id", F.round(TX.quality_score("text"), 5).alias("quality")
+    )
+    return canonical_docs(scored, pairs, "doc_id", "quality")
 
 
 @register(
@@ -2420,6 +2471,7 @@ DRIVER_WINDOW = 50
 
 _TAIL = [
     "r4_project",              # pure projection is exercised by every query; scan pruning pinned by r1/r10 plan tests
+    "x_dup_clusters",          # strictly subsumed by x_canonical_docs (same recursive-closure oracle, plus survivor ranking on top)
     "x_skew_salted_count",     # skew-salted twin of the r11 facet count (same answer; plan pinned in tests)
     "x_embedding_near_dup",    # blocked-cosine family carried by x_knn_join_lsh (exact hyperplane oracle)
     "x_ivf_knn_join",          # kNN-join family carried by x_knn_join_lsh; exact IVF-blocking oracle checked locally
