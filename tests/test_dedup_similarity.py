@@ -293,6 +293,52 @@ def test_decontaminate_removes_ngram_overlap(spark):
     assert out == {2, 3}
 
 
+def test_decontaminate_spans_cuts_only_the_overlap(spark):
+    from venice_spark.pipeline import decontaminate_spans
+
+    train = spark.createDataFrame(
+        [
+            # tokens 2-5 ("alpha beta gamma delta") appear in the eval doc;
+            # the prefix and suffix must survive the cut
+            (1, "keep this alpha beta gamma delta and keep that"),
+            (2, "totally clean document nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(9, "benchmark question alpha beta gamma delta answer choice")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_spans(train, ev, window=4).collect()
+    }
+    r1 = out[1]
+    assert list(r1["contam_starts"]) == [2]
+    assert r1["covered"] == 4 and r1["n_tokens"] == 9
+    assert r1["clean_text"] == "keep this and keep that"
+    r2 = out[2]
+    assert r2["covered"] == 0 and list(r2["contam_starts"]) == []
+    assert r2["clean_text"] == r2["text"]
+
+
+def test_decontaminate_spans_merges_overlapping_windows(spark):
+    from venice_spark.pipeline import decontaminate_spans
+
+    # eval contains a 5-token run -> two overlapping 4-token train windows
+    # (starts 1 and 2) must merge into one 5-token covered interval
+    train = spark.createDataFrame(
+        [(1, "x a b c d e y")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(9, "a b c d e")], "doc_id long, text string"
+    )
+    r = decontaminate_spans(train, ev, window=4).collect()[0]
+    assert list(r["contam_starts"]) == [1, 2]
+    assert r["covered"] == 5
+    assert r["clean_text"] == "x y"
+
+
 def test_decontaminate_no_overlap_keeps_all(spark):
     from venice_spark.pipeline import decontaminate
 

@@ -162,8 +162,10 @@ def test_driver_window_carries_only_oracle_queries():
         "r16_unique_keys", "x_simhash_pairs", "x_sessionize",
         "x_range_join", "x_embed_quantize", "x_decontaminate",
         # r4 continuation: x_canonical_docs subsumes the cluster query
-        # (same recursive-closure oracle, plus survivor ranking)
-        "x_dup_clusters",
+        # (same recursive-closure oracle, plus survivor ranking);
+        # x_asof_join was driver-green r03 twice over (asof + range_join),
+        # slot given to the new span-decontamination family
+        "x_dup_clusters", "x_asof_join",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

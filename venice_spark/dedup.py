@@ -767,6 +767,24 @@ def dup_ngram_spans(
     collision-free — what the DuckDB oracle re-derives; 64-bit collisions
     at corpus scale are ~n²/2^65, acceptable for the hashed fast path)."""
     w = int(window)
+    toks, wins = _token_windows(df, text_col, id_col, w, hash_windows)
+    dup = (
+        wins.groupBy("win")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("win")
+    )
+    hits = wins.join(dup, "win")
+    return _span_report(toks, hits, id_col, w, "dup_starts", "dup_ngram_frac")
+
+
+def _token_windows(
+    df: DataFrame, text_col: str, id_col: str, w: int, hash_windows: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Shared window-explode for span operators: returns (toks, wins) with
+    toks = [id, t (token array), n] and wins = [id, pos, win] — one row per
+    w-token window, keyed by window text or (hash_windows) its xxhash64,
+    so candidate counting shuffles 8-byte longs instead of span text."""
     toks = df.select(
         F.col(id_col),
         TX.tokens(text_col).alias("t"),
@@ -783,27 +801,33 @@ def dup_ngram_spans(
     )
     if hash_windows:
         wins = wins.withColumn("win", F.xxhash64("win"))
-    dup = (
-        wins.groupBy("win")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
-        .select("win")
-    )
-    per_doc = (
-        wins.join(dup, "win")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("pos")).alias("dup_starts"))
+    return toks, wins
+
+
+def _span_report(
+    toks: DataFrame,
+    hits: DataFrame,
+    id_col: str,
+    w: int,
+    starts_name: str,
+    frac_name: str,
+) -> DataFrame:
+    """Per-doc span rollup shared by dup_ngram_spans/decontaminate_spans:
+    collect the flagged window starts sorted, then compute merged-interval
+    coverage as a row-local fold (no second shuffle)."""
+    per_doc = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias(starts_name)
     )
     merged = toks.join(per_doc, id_col, "left").select(
         F.col(id_col),
         F.col("n").alias("n_tokens"),
-        F.coalesce(F.col("dup_starts"), F.array().cast("array<int>")).alias("dup_starts"),
+        F.coalesce(F.col(starts_name), F.array().cast("array<int>")).alias(starts_name),
     )
     # row-local merged-interval length: sorted starts fold carrying the
     # furthest end seen; each span adds window minus its overlap with the
     # running end (starts ascend, so the overlap is end - s, never > window)
     covered = F.aggregate(
-        "dup_starts",
+        starts_name,
         F.struct(
             F.lit(-(10**9)).cast("long").alias("end"), F.lit(0).cast("long").alias("cov")
         ),
@@ -818,8 +842,25 @@ def dup_ngram_spans(
         lambda acc: acc["cov"],
     )
     return merged.withColumn("covered", covered).withColumn(
-        "dup_ngram_frac",
+        frac_name,
         F.round(F.col("covered") / F.greatest(F.col("n_tokens"), F.lit(1)), 5),
+    )
+
+
+def _cut_spans(text_col: str, starts_name: str, w: int):
+    """Column: the text with every token under a flagged span removed,
+    rebuilt space-joined. Interval-membership is an exists over the (small)
+    sorted starts array — no materialized position set (see
+    drop_dup_ngram_spans for why the flatten/distinct variant is slower)."""
+    toks = TX.tokens(text_col)
+    return F.concat_ws(
+        " ",
+        F.filter(
+            toks,
+            lambda tok, i: ~F.exists(
+                F.col(starts_name), lambda s: (i >= s) & (i < s + F.lit(w))
+            ),
+        ),
     )
 
 
@@ -848,17 +889,7 @@ def drop_dup_ngram_spans(
     # plan), which made it O(n_tokens * coverage * alloc) per row; the
     # exists form is the same asymptotics with NO array construction and
     # a tiny constant (two comparisons per (token, span)).
-    toks = TX.tokens(text_col)
-    cleaned = F.concat_ws(
-        " ",
-        F.filter(
-            toks,
-            lambda tok, i: ~F.exists(
-                F.col("dup_starts"), lambda s: (i >= s) & (i < s + F.lit(w))
-            ),
-        ),
-    )
-    return out.withColumn("clean_text", cleaned)
+    return out.withColumn("clean_text", _cut_spans(text_col, "dup_starts", w))
 
 
 def dup_clusters(

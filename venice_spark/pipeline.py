@@ -187,6 +187,46 @@ def decontaminate(
     return train.join(F.broadcast(contaminated), id_col, "left_anti")
 
 
+def decontaminate_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    window: int = 13,
+    hash_windows: bool = True,
+) -> DataFrame:
+    """Span-level decontamination (the GPT-3 appendix-C / PaLM treatment):
+    instead of dropping every training document that shares an n-gram with
+    the benchmark (`decontaminate` — which at window=13 can delete most of
+    a corpus over boilerplate), CUT only the overlapping token spans and
+    keep the rest of the document.
+
+    A training doc's `window`-token span is contaminated when its content
+    appears as any window of any eval doc. Returns per train doc:
+    [id_col, n_tokens, contam_starts (sorted 0-based window starts),
+    covered, contam_frac, clean_text (the doc with covered tokens removed,
+    space-rejoined)]. Docs with no overlap keep all tokens (clean_text is
+    the whitespace-normalized original).
+
+    Scale shape: both sides explode to (pos, window) rows keyed by xxhash64
+    of the window text (8-byte shuffle keys); the eval window set is
+    distinct-collapsed and typically broadcast-small (benchmarks are
+    thousands of docs), so the train side joins without shuffling payloads;
+    coverage merging and span cutting are row-local folds — same kernels as
+    dup_ngram_spans (dedup._span_report/_cut_spans)."""
+    w = int(window)
+    toks, wins = DD._token_windows(train, text_col, id_col, w, hash_windows)
+    _, ewins = DD._token_windows(
+        eval_df, eval_text_col or text_col, id_col, w, hash_windows
+    )
+    bad = ewins.select("win").distinct()
+    hits = wins.join(bad, "win", "left_semi")
+    report = DD._span_report(toks, hits, id_col, w, "contam_starts", "contam_frac")
+    out = train.join(report, id_col)
+    return out.withColumn("clean_text", DD._cut_spans(text_col, "contam_starts", w))
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

@@ -2049,6 +2049,73 @@ def x_dup_ngram_spans(spark, sf_dir):
     )
 
 
+_DCS_W = 13  # GPT-3's decontamination n-gram length
+
+_DCS_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), __t -> __t <> '')"
+
+_DCS_SQL = (
+    f"WITH toks AS (SELECT doc_id, {_DCS_TOKS} AS t FROM documents WHERE doc_id % 20 <> 0), "
+    f"etoks AS (SELECT doc_id, {_DCS_TOKS} AS t FROM documents WHERE doc_id % 20 = 0), "
+    "w AS (SELECT doc_id, r.i - 1 AS pos, "
+    f"array_to_string(t[r.i:r.i + {_DCS_W - 1}], ' ') AS win "
+    f"FROM toks, UNNEST(range(1, greatest(len(t) - {_DCS_W} + 2, 1))) AS r(i)), "
+    "ew AS (SELECT DISTINCT "
+    f"array_to_string(t[r.i:r.i + {_DCS_W - 1}], ' ') AS win "
+    f"FROM etoks, UNNEST(range(1, greatest(len(t) - {_DCS_W} + 2, 1))) AS r(i)), "
+    "m AS (SELECT doc_id, pos FROM w JOIN ew USING (win)), "
+    "g AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos) OVER "
+    "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+    f"-1000000000) + {_DCS_W - 1} THEN 1 ELSE 0 END AS brk FROM m), "
+    "isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g), "
+    f"cov AS (SELECT doc_id, CAST(sum(maxp + {_DCS_W} - minp) AS BIGINT) AS covered FROM "
+    "(SELECT doc_id, grp, min(pos) AS minp, max(pos) AS maxp FROM isl GROUP BY 1, 2) GROUP BY 1), "
+    "st AS (SELECT doc_id, list(pos ORDER BY pos) AS starts FROM m GROUP BY 1), "
+    "tokpos AS (SELECT doc_id, r.i - 1 AS p, t[r.i] AS tok "
+    "FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)), "
+    f"covpos AS (SELECT DISTINCT m.doc_id, r2.x AS p FROM m, UNNEST(range(m.pos, m.pos + {_DCS_W})) AS r2(x)), "
+    "cl AS (SELECT tp.doc_id, string_agg(CASE WHEN cp.p IS NULL THEN tp.tok END, ' ' ORDER BY tp.p) "
+    "AS clean_text FROM tokpos tp LEFT JOIN covpos cp ON tp.doc_id = cp.doc_id AND tp.p = cp.p "
+    "GROUP BY 1) "
+    "SELECT toks.doc_id, len(t) AS n_tokens, "
+    "coalesce(array_to_string(st.starts, ','), '') AS contam_starts, "
+    "coalesce(cov.covered, 0) AS covered, "
+    "round(coalesce(cov.covered, 0) / greatest(len(t), 1), 5) AS contam_frac, "
+    "coalesce(cl.clean_text, '') AS clean_text "
+    "FROM toks LEFT JOIN st USING (doc_id) LEFT JOIN cov USING (doc_id) "
+    "LEFT JOIN cl USING (doc_id)"
+)
+
+
+@register("x_decontaminate_spans", _DCS_SQL)
+def x_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination (pipeline.decontaminate_spans, the GPT-3
+    appendix-C treatment): training docs sharing a 13-token window with the
+    benchmark split keep the document but lose the overlapping span —
+    contrast x_decontaminate, which drops whole docs. Benchmark = every
+    20th doc_id of the same corpus (deterministic, oracle-expressible);
+    both sides window-explode on xxhash64 keys, the eval window set
+    distinct-collapses, coverage merge and span cutting are row-local
+    folds. The oracle re-derives spans on window TEXT (hash-free) plus the
+    cleaned text via a position anti-join — value-exact including the
+    rebuilt strings."""
+    from venice_spark.pipeline import decontaminate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    out = decontaminate_spans(train, ev, "text", "doc_id", window=_DCS_W)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.col("contam_starts").cast("array<string>"), ",").alias(
+            "contam_starts"
+        ),
+        "covered",
+        "contam_frac",
+        "clean_text",
+    )
+
+
 @register(
     "x_shard_plan",
     "SELECT doc_id, "
@@ -2472,6 +2539,7 @@ DRIVER_WINDOW = 50
 _TAIL = [
     "r4_project",              # pure projection is exercised by every query; scan pruning pinned by r1/r10 plan tests
     "x_dup_clusters",          # strictly subsumed by x_canonical_docs (same recursive-closure oracle, plus survivor ranking on top)
+    "x_asof_join",             # interval-join family driver-green r03 (twice: asof + range); slot given to x_decontaminate_spans
     "x_skew_salted_count",     # skew-salted twin of the r11 facet count (same answer; plan pinned in tests)
     "x_embedding_near_dup",    # blocked-cosine family carried by x_knn_join_lsh (exact hyperplane oracle)
     "x_ivf_knn_join",          # kNN-join family carried by x_knn_join_lsh; exact IVF-blocking oracle checked locally
