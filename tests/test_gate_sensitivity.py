@@ -58,3 +58,31 @@ def test_quality_gate_fails_on_untrained_model(spark, sf_dir):
     correct = ((F.col("quality_prob") >= 0.5) == (F.col("y") == 1)).cast("double")
     acc = scored.agg(F.avg(correct)).collect()[0][0]
     assert acc < 0.9, acc
+
+
+def test_frame_gate_fails_on_degenerate_hash():
+    """x_frame_dedup_gate's n_hashes == n_groups verdict is non-vacuous: a
+    degenerate hash config (grid=1 -> a single self-compared bit, always 0)
+    collapses every planted group to one hash, so the data-derived oracle
+    equality would go red. The real grid=8 keeps all 16 planted patterns
+    distinct."""
+    import hashlib
+
+    import numpy as np
+
+    from venice_spark import multimodal as MM
+
+    imgs = []
+    for g in range(8):
+        for fi in range(2):
+            dig = hashlib.md5(f"frame:{g}:{fi}".encode()).digest()
+            bits = np.unpackbits(np.frombuffer(dig[:8], dtype=np.uint8)).reshape(8, 8)
+            imgs.append(
+                np.kron((bits * 255).astype(np.uint8), np.ones((4, 4), dtype=np.uint8))[
+                    :, :, None
+                ]
+            )
+    real = {MM.ahash(im, grid=8) for im in imgs}
+    assert len(real) == 16, "the 16 planted patterns must stay separated"
+    broken = {MM.ahash(im, grid=1) for im in imgs}
+    assert len(broken) == 1, "grid=1 must collapse (the verdict then flips)"

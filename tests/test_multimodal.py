@@ -207,3 +207,51 @@ def test_image_near_dup_via_feature_vectors(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.97
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ahash_brightness_invariant_and_distinct():
+    import numpy as np
+
+    from venice_spark import multimodal as MM
+
+    rng = np.random.default_rng(7)
+    img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    h1 = MM.ahash(img)
+    # mean-threshold hashing is invariant to affine brightness scaling
+    dimmed = (img.astype(np.float64) * 0.5).astype(np.uint8)
+    assert MM.ahash(dimmed) == h1
+    # and to nearest-upscaling (the downsample recovers the same grid)
+    up = np.kron(img, np.ones((2, 2, 1), dtype=np.uint8))
+    assert MM.ahash(up) == h1
+    # a genuinely different image hashes differently
+    other = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    assert MM.ahash(other) != h1
+    # fits signed 64-bit (LongType contract)
+    assert -(1 << 63) <= h1 < (1 << 63)
+
+
+def test_frame_ahash_spark(spark):
+    import numpy as np
+
+    from venice_spark import multimodal as MM
+
+    rng = np.random.default_rng(11)
+    a = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    b = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    stream1 = MM.encode_ppm(a) + MM.encode_ppm(b)
+    stream2 = MM.encode_ppm(b) + MM.encode_ppm(a)  # same frames, reordered
+    rows = [
+        (1, bytearray(stream1)),
+        (2, bytearray(stream2)),
+        (3, bytearray(b"not a ppm stream")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = MM.frame_ahash(df, "payload", "media_id")
+    got = {(r["media_id"], r["frame_idx"]): r for r in out.collect()}
+    # corrupt payload yields zero rows; the two streams yield 2 frames each
+    assert set(got) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    assert all(r["width"] == 16 and r["height"] == 16 for r in got.values())
+    # frame identity survives stream position: cross-stream dedup by hash
+    assert got[(1, 0)]["ahash"] == got[(2, 1)]["ahash"]
+    assert got[(1, 1)]["ahash"] == got[(2, 0)]["ahash"]
+    assert got[(1, 0)]["ahash"] != got[(1, 1)]["ahash"]

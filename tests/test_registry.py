@@ -166,6 +166,9 @@ def test_driver_window_carries_only_oracle_queries():
         # x_asof_join was driver-green r03 twice over (asof + range_join),
         # slot given to the new span-decontamination family
         "x_dup_clusters", "x_asof_join",
+        # x_ann_topk was driver-green r03 and the ANN family still holds
+        # four window slots; slot given to the frame-dedup gate
+        "x_ann_topk",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

@@ -336,6 +336,84 @@ def resize_images(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def ahash(arr, grid: int = 8) -> int:
+    """Perceptual average-hash of a decoded frame: grid×grid downsampled
+    luminance thresholded at its own mean, packed row-major into a signed
+    64-bit int (grid ≤ 8). Identical content hashes identically regardless
+    of payload-level differences (comments, channel layout); the classic
+    cheap near-dup signal for images/video frames."""
+    import numpy as np
+
+    if grid * grid > 64:
+        raise ValueError(f"ahash packs into 64 bits: grid {grid} > 8")
+    a = arr.astype(np.float64)
+    lum = a @ [0.299, 0.587, 0.114] if a.shape[2] == 3 else a[:, :, 0]
+    small = resize_nearest(lum[:, :, None], grid, grid)[:, :, 0]
+    bits = (small > small.mean()).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def frame_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    grid: int = 8,
+) -> DataFrame:
+    """Per-frame perceptual hashes over concatenated-PPM video streams:
+    split (split_ppm_stream) → decode (decode_ppm) → aHash, Arrow-batched
+    mapInPandas, ZERO shuffle — each stream hashes where it lies. Returns
+    [id_col, frame_idx, width, height, ahash (long)].
+
+    This is the 100 TB video-dedup recipe's map stage: frame-level dedup
+    afterwards is ONE hash shuffle — groupBy("ahash") for exact perceptual
+    dups (certified by x_frame_dedup_gate), or hamming-radius pairs via
+    the same pigeonhole bit-group blocking dedup.simhash_pairs uses (the
+    frame hash is 64 bits, so that machinery applies unchanged).
+    Undecodable payloads yield zero rows (corrupt-blob tolerance)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    frames = split_ppm_stream(p)
+                except Exception:
+                    frames = []
+                for idx, fb in enumerate(frames):
+                    arr = decode_ppm(fb)
+                    rows.append(
+                        {
+                            id_col: mid,
+                            "frame_idx": idx,
+                            "width": int(arr.shape[1]),
+                            "height": int(arr.shape[0]),
+                            "ahash": ahash(arr, grid),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "width", "height", "ahash"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def split_ppm_stream(payload: bytes) -> list[bytes]:
     """REAL frame splitting for a concatenated-PPM stream (the uncompressed
     video stand-in — MJPEG's shape with PPM frames): walk the payload,

@@ -2398,6 +2398,76 @@ def x_hll_error_gate(spark, sf_dir):
     )
 
 
+@register(
+    "x_frame_dedup_gate",
+    # data-derived truth: 2 frames per doc, frame content keyed by
+    # (doc_id % 8, frame_idx) -> per-group hash collision and cross-group
+    # separation are both certified when n_hashes == n_groups
+    "SELECT count(*) * 2 AS n_frames, "
+    "count(DISTINCT doc_id % 8) * 2 AS n_groups, "
+    "count(DISTINCT doc_id % 8) * 2 AS n_hashes, "
+    "TRUE AS one_hash_per_group FROM documents",
+)
+def x_frame_dedup_gate(spark, sf_dir):
+    """Frame-level video dedup certification (multimodal.frame_ahash):
+    synthesize a 2-frame concatenated-PPM stream per document whose frame
+    content is a deterministic md5-derived 8x8 bit pattern keyed by
+    (doc_id % 8, frame_idx) — upscaled 4x so the decode → downsample →
+    mean-threshold aHash pipeline must recover the planted pattern
+    exactly. The gate certifies both dedup directions in one query:
+    every content group collapses to ONE hash (one_hash_per_group — the
+    recall side: identical frames are found) and distinct groups stay
+    distinct (n_hashes == n_groups — the precision side: no false
+    merges). The hash extraction is Arrow-batched mapInPandas with zero
+    shuffle; dedup itself is the one groupBy("ahash") hash shuffle."""
+    from venice_spark.multimodal import frame_ahash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from venice_spark.multimodal import encode_ppm
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                stream = b""
+                for fi in range(2):
+                    g = int(did) % 8
+                    dig = hashlib.md5(f"frame:{g}:{fi}".encode()).digest()
+                    bits = np.unpackbits(
+                        np.frombuffer(dig[:8], dtype=np.uint8)
+                    ).reshape(8, 8)
+                    img = np.kron(
+                        (bits * 255).astype(np.uint8), np.ones((4, 4), dtype=np.uint8)
+                    )[:, :, None]
+                    stream += encode_ppm(img)
+                rows.append({"media_id": int(did), "payload": stream})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    hashes = frame_ahash(media, "payload", "media_id")
+    per_group = hashes.groupBy(
+        (F.col("media_id") % 8).alias("g"), "frame_idx"
+    ).agg(F.countDistinct("ahash").alias("nh"), F.count("*").alias("nf"))
+    totals = hashes.agg(
+        F.count("*").alias("n_frames"), F.countDistinct("ahash").alias("n_hashes")
+    )
+    groups = per_group.agg(
+        F.count("*").alias("n_groups"), F.max("nh").alias("max_per_group")
+    )
+    return totals.crossJoin(groups).select(
+        "n_frames",
+        "n_groups",
+        "n_hashes",
+        (F.col("max_per_group") == 1).alias("one_hash_per_group"),
+    )
+
+
 def _recall_verdict(exact: DataFrame, approx: DataFrame, k: int, min_hits: int):
     """Overlap of two bounded top-k id frames -> (k, recall_ok) verdict row.
     Both inputs are TakeOrdered plans of k rows, so the join is trivially
@@ -2540,6 +2610,7 @@ _TAIL = [
     "r4_project",              # pure projection is exercised by every query; scan pruning pinned by r1/r10 plan tests
     "x_dup_clusters",          # strictly subsumed by x_canonical_docs (same recursive-closure oracle, plus survivor ranking on top)
     "x_asof_join",             # interval-join family driver-green r03 (twice: asof + range); slot given to x_decontaminate_spans
+    "x_ann_topk",              # ANN family driver-green r03 and still holds 4 window slots (knn_join_lsh + 3 recall/PQ gates); slot given to x_frame_dedup_gate
     "x_skew_salted_count",     # skew-salted twin of the r11 facet count (same answer; plan pinned in tests)
     "x_embedding_near_dup",    # blocked-cosine family carried by x_knn_join_lsh (exact hyperplane oracle)
     "x_ivf_knn_join",          # kNN-join family carried by x_knn_join_lsh; exact IVF-blocking oracle checked locally
