@@ -305,9 +305,11 @@ def test_decontaminate_spans_cuts_only_the_overlap(spark):
         ],
         "doc_id long, text string",
     )
+    # text-only benchmark frame (no id column) must work — only the eval
+    # window set is used (code-review r4-continuation finding)
     ev = spark.createDataFrame(
-        [(9, "benchmark question alpha beta gamma delta answer choice")],
-        "doc_id long, text string",
+        [("benchmark question alpha beta gamma delta answer choice",)],
+        "text string",
     )
     out = {
         r["doc_id"]: r

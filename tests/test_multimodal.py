@@ -244,12 +244,20 @@ def test_frame_ahash_spark(spark):
         (1, bytearray(stream1)),
         (2, bytearray(stream2)),
         (3, bytearray(b"not a ppm stream")),
+        # valid first frame followed by a truncated one: the good frame
+        # must survive, the corrupt one must be skipped, the task must
+        # not fail (corrupt-blob tolerance, per-frame)
+        (4, bytearray(MM.encode_ppm(a) + b"P6\n4 4\n255\n" + b"\x00" * 10)),
+        # zero-size frame: decodes to (0,0,3), hashing must not crash
+        (5, bytearray(b"P6\n0 0\n255\n")),
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = MM.frame_ahash(df, "payload", "media_id")
     got = {(r["media_id"], r["frame_idx"]): r for r in out.collect()}
-    # corrupt payload yields zero rows; the two streams yield 2 frames each
-    assert set(got) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    # corrupt payloads/frames yield zero rows for the bad bytes only: the
+    # two streams yield 2 frames each, stream 4 keeps its one good frame
+    assert set(got) == {(1, 0), (1, 1), (2, 0), (2, 1), (4, 0)}
+    got = {k: v for k, v in got.items() if k[0] < 3}
     assert all(r["width"] == 16 and r["height"] == 16 for r in got.values())
     # frame identity survives stream position: cross-stream dedup by hash
     assert got[(1, 0)]["ahash"] == got[(2, 1)]["ahash"]

@@ -251,6 +251,18 @@ def test_dup_ngram_spans_no_python_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_decontaminate_spans_broadcasts_eval_windows(spark, sf_dir):
+    """The eval window set must BROADCAST into the train-side semi join —
+    a SortMergeJoin here would shuffle ~one row per corpus token at scale
+    (code-review r4-continuation finding). Python stays out of the span
+    math; the only Arrow stage would be none at all."""
+    df = QUERIES["x_decontaminate_spans"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_brute_knn_join_has_no_cartesian_product(spark, sf_dir):
     """Even the brute-force baseline no longer plans a cross join: the query
     side broadcasts into a mapInPandas scan, so the only join machinery left

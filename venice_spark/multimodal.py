@@ -397,14 +397,21 @@ def frame_ahash(
                 except Exception:
                     frames = []
                 for idx, fb in enumerate(frames):
-                    arr = decode_ppm(fb)
+                    # per-frame tolerance too: a truncated or zero-size
+                    # frame inside an otherwise-valid stream must not fail
+                    # the task (one corrupt blob would abort a 100 TB job)
+                    try:
+                        arr = decode_ppm(fb)
+                        h = ahash(arr, grid)
+                    except Exception:
+                        continue
                     rows.append(
                         {
                             id_col: mid,
                             "frame_idx": idx,
                             "width": int(arr.shape[1]),
                             "height": int(arr.shape[0]),
-                            "ahash": ahash(arr, grid),
+                            "ahash": h,
                         }
                     )
             yield pd.DataFrame(

@@ -217,11 +217,14 @@ def decontaminate_spans(
     dup_ngram_spans (dedup._span_report/_cut_spans)."""
     w = int(window)
     toks, wins = DD._token_windows(train, text_col, id_col, w, hash_windows)
-    _, ewins = DD._token_windows(
-        eval_df, eval_text_col or text_col, id_col, w, hash_windows
-    )
+    # the eval id is never used (only its window set) — synthesize one so
+    # text-only benchmark frames work, like sibling decontaminate
+    ev = eval_df.select(
+        F.col(eval_text_col or text_col).alias("__etext")
+    ).withColumn("__eid", F.monotonically_increasing_id())
+    _, ewins = DD._token_windows(ev, "__etext", "__eid", w, hash_windows)
     bad = ewins.select("win").distinct()
-    hits = wins.join(bad, "win", "left_semi")
+    hits = wins.join(F.broadcast(bad), "win", "left_semi")
     report = DD._span_report(toks, hits, id_col, w, "contam_starts", "contam_frac")
     out = train.join(report, id_col)
     return out.withColumn("clean_text", DD._cut_spans(text_col, "contam_starts", w))

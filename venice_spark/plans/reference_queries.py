@@ -2453,7 +2453,7 @@ def x_frame_dedup_gate(spark, sf_dir):
     hashes = frame_ahash(media, "payload", "media_id")
     per_group = hashes.groupBy(
         (F.col("media_id") % 8).alias("g"), "frame_idx"
-    ).agg(F.countDistinct("ahash").alias("nh"), F.count("*").alias("nf"))
+    ).agg(F.countDistinct("ahash").alias("nh"))
     totals = hashes.agg(
         F.count("*").alias("n_frames"), F.countDistinct("ahash").alias("n_hashes")
     )
