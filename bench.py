@@ -81,6 +81,9 @@ HEADLINE = [
     "x_pq_topk",
     "x_knn_join_lsh",
     "x_ivf_knn_join",
+    "x_canonical_docs",
+    "x_decontaminate_spans",
+    "x_frame_dedup_gate",
 ]
 
 # round-3 steady-state seconds × 1.5 headroom at sf0.1/local[32]; the
@@ -140,6 +143,10 @@ BUDGET_SEC = {
     "x_pq_topk": 2.3,
     "x_knn_join_lsh": 3.8,
     "x_ivf_knn_join": 3.0,
+    # r4 continuation: steady-state x 1.5 at sf0.1/local[32]
+    "x_canonical_docs": 4.1,
+    "x_decontaminate_spans": 2.0,
+    "x_frame_dedup_gate": 2.5,
 }
 
 

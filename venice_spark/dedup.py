@@ -9,6 +9,7 @@ Strategies, all partition-parallel and shuffle-minimal:
   ngram_jaccard      exact jaccard between candidate pairs
   embedding_near_dup blocked cosine near-duplicate pairs over vectors
   dup_clusters       transitive dup groups (min-label connected components)
+  canonical_docs     survivor selection: keep the best-quality member per cluster
   pack_sequences     token-budget batch assignment (sharded greedy fold)
 
 Scale design: every candidate-generation step is a hash join on a derived
