@@ -263,3 +263,47 @@ def test_frame_ahash_spark(spark):
     assert got[(1, 0)]["ahash"] == got[(2, 1)]["ahash"]
     assert got[(1, 1)]["ahash"] == got[(2, 0)]["ahash"]
     assert got[(1, 0)]["ahash"] != got[(1, 1)]["ahash"]
+
+
+def test_frame_near_dup_pairs_blocked_hamming(spark):
+    import hashlib
+
+    import numpy as np
+
+    from venice_spark import multimodal as MM
+
+    def pattern(tag):
+        dig = hashlib.md5(tag.encode()).digest()
+        bits = np.unpackbits(np.frombuffer(dig[:8], dtype=np.uint8)).reshape(8, 8)
+        return bits
+
+    base = pattern("base")
+    near = base.copy()
+    near[3, 5] ^= 1  # one flipped cell -> hamming 1 on the 64-bit hash
+    far = pattern("unrelated")
+
+    def img(bits):
+        return np.kron((bits * 255).astype(np.uint8), np.ones((4, 4), dtype=np.uint8))[
+            :, :, None
+        ]
+
+    rows = [
+        (1, bytearray(MM.encode_ppm(img(base)) + MM.encode_ppm(img(far)))),
+        (2, bytearray(MM.encode_ppm(img(near)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in MM.frame_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs == {("1:0", "2:0"): 1}
+
+
+def test_hash_hamming_pairs_rejects_non_dividing_groups(spark):
+    import pytest
+
+    from venice_spark.dedup import hash_hamming_pairs
+
+    df = spark.createDataFrame([(1, 5)], "id long, h long")
+    with pytest.raises(ValueError, match="divide"):
+        hash_hamming_pairs(df, "h", "id", bits=64, groups=5, max_hamming=2)

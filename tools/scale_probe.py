@@ -97,6 +97,10 @@ PROBE_QUERIES = [
     "x_pq_topk",
     # round-4 continuation: IVF-blocked kNN join (list-id candidate shuffle)
     "x_ivf_knn_join",
+    # survivor selection (iterative label propagation + narrow rank) and
+    # span decontamination (broadcast window-set semi join)
+    "x_canonical_docs",
+    "x_decontaminate_spans",
 ]
 
 

@@ -503,12 +503,42 @@ def simhash_pairs(
     max_bucket_size drops oversized bit-group buckets from candidate
     generation (see minhash_lsh_pairs — same degenerate-corpus bound, same
     exact-dedup escape hatch for the dropped members)."""
-    if max_hamming >= groups:
-        raise ValueError("pigeonhole blocking needs max_hamming < groups")
-    width = bits // groups
     sh = _spread(df, id_col).select(
         F.col(id_col), TX.simhash(text_col, bits).alias("sh")
-    ).persist()
+    )
+    return hash_hamming_pairs(
+        sh, "sh", id_col,
+        bits=bits, max_hamming=max_hamming, groups=groups,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hash_hamming_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str,
+    bits: int = 64,
+    max_hamming: int = 3,
+    groups: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs within a hamming radius over a PRECOMPUTED integer
+    signature column (simhash, frame aHash, any ≤64-bit hash) — the
+    pigeonhole bit-group blocking core shared by simhash_pairs and
+    frame-level dedup. Split the signature into `groups` bit-groups; any
+    pair within hamming ≤ groups-1 shares at least one exact group, so
+    candidates come from `groups` hash-joins on (group_idx, group_bits) —
+    never a cross join. Verify = bit_count(xor) ≤ max_hamming. Returns
+    [id_a, id_b, hamming] with id_a < id_b."""
+    if max_hamming >= groups:
+        raise ValueError("pigeonhole blocking needs max_hamming < groups")
+    if bits % groups != 0:
+        # a remainder would leave the top bits outside every group — pairs
+        # differing only there would silently share all groups' bits yet
+        # never be guaranteed a common block; demand clean division
+        raise ValueError(f"groups must divide bits (got bits={bits}, groups={groups})")
+    width = bits // groups
+    sh = hashes.select(F.col(id_col), F.col(hash_col).alias("sh")).persist()
     gcols = []
     for g in range(groups):
         gcols.append(
@@ -546,7 +576,7 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
-    # materialize candidates, then drop the cached simhash table (see
+    # materialize candidates, then drop the cached signature table (see
     # minhash_lsh_pairs for the lifecycle rationale)
     out = pairs.localCheckpoint(eager=True)
     sh.unpersist()

@@ -421,6 +421,35 @@ def frame_ahash(
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def frame_near_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    groups: int = 4,
+    grid: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-stream NEAR-duplicate frame pairs: frame_ahash (zero-shuffle
+    Arrow extraction) → pigeonhole bit-group blocking on the 64-bit
+    perceptual hash (dedup.hash_hamming_pairs) — re-encoded or lightly
+    perturbed copies of a frame pair up without any cross join. Frame
+    identity is the string key '<id>:<frame_idx>'; returns
+    [id_a, id_b, hamming] with id_a < id_b lexicographically."""
+    from venice_spark.dedup import hash_hamming_pairs
+
+    hashes = frame_ahash(df, payload_col, id_col, grid)
+    keyed = hashes.select(
+        F.concat_ws(":", F.col(id_col), F.col("frame_idx")).alias("frame_key"),
+        "ahash",
+    )
+    return hash_hamming_pairs(
+        keyed, "ahash", "frame_key",
+        bits=grid * grid, max_hamming=max_hamming, groups=groups,
+        max_bucket_size=max_bucket_size,
+    )
+
+
 def split_ppm_stream(payload: bytes) -> list[bytes]:
     """REAL frame splitting for a concatenated-PPM stream (the uncompressed
     video stand-in — MJPEG's shape with PPM frames): walk the payload,
