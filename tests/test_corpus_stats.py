@@ -520,3 +520,52 @@ def test_bigram_logprob_ranks_order_salad_low(spark):
         assert out[i]["lm2_logprob"] > out[10]["lm2_logprob"]
     assert out[11]["lm2_logprob"] is None and out[11]["n_bigrams"] == 0
     assert out[0]["n_bigrams"] == 8
+
+
+def test_prepare_corpus_best_quality_survivor(spark):
+    from venice_spark.functions import text as TX
+    from venice_spark.pipeline import CorpusPrepConfig, prepare_corpus
+
+    # two docs differing in ONE mid-text word (J≈0.85, LSH-paired
+    # deterministically); doc 11's variant word is a stopword, so its
+    # stopword-ratio quality term is higher — best_quality must keep the
+    # HIGHER id, while the default min_id policy keeps doc 10
+    words = (
+        "granite river maple falcon copper meadow lantern harbor violet "
+        "thunder orchid saddle timber quartz willow ember canyon marble "
+        "juniper beacon cedar raven summit prairie garnet hollow bramble "
+        "drift anchor crystal forge pebble twilight mesa ridge cobalt "
+        "aspen flint harvest sable"
+    ).split()
+    w10, w11 = list(words), list(words)
+    w10[20], w11[20] = "purple", "the"
+    rows = [
+        (10, " ".join(w10)),
+        (11, " ".join(w11)),
+        (20, "a completely different text about spark plans and shuffles here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = {
+        r["doc_id"]: r["q"]
+        for r in df.select("doc_id", TX.quality_score("text").alias("q")).collect()
+    }
+    assert q[11] > q[10]  # precondition for the policy to differ
+
+    base = dict(min_tokens=3, min_stopword_ratio=0.0, near_dup_jaccard=0.5)
+    kept_min = {
+        r["doc_id"]
+        for r in prepare_corpus(df, config=CorpusPrepConfig(**base)).collect()
+    }
+    assert kept_min == {10, 20}
+    kept_best = {
+        r["doc_id"]
+        for r in prepare_corpus(
+            df, config=CorpusPrepConfig(**base, near_dup_keep="best_quality")
+        ).collect()
+    }
+    assert kept_best == {11, 20}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="near_dup_keep"):
+        prepare_corpus(df, config=CorpusPrepConfig(**base, near_dup_keep="oops"))

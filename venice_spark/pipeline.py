@@ -35,6 +35,11 @@ class CorpusPrepConfig:
     max_dup_line_frac: float | None = None
     max_top_bigram_frac: float | None = None
     near_dup_jaccard: float | None = None  # None = skip the MinHash stage
+    # which member of a near-dup group survives: "min_id" drops the higher
+    # id of every LSH pair (cheap, deterministic); "best_quality" clusters
+    # the pairs transitively and keeps the highest-quality member
+    # (dedup.canonical_docs — adds the label-propagation rounds)
+    near_dup_keep: str = "min_id"
     # C4-style bad-words gate: drop docs with more than blocklist_max_hits
     # lower-cased token matches against the list (None/empty = skip) — a
     # per-row expression folded into the stage-1 quality predicate
@@ -105,13 +110,33 @@ def prepare_corpus(
         .drop("__rn")
     )
 
-    # 3. optional near-dup removal: drop the higher id of each LSH pair
+    # 3. optional near-dup removal
     if cfg.near_dup_jaccard is not None:
         pairs = DD.minhash_lsh_pairs(
             kept, text_col, id_col, threshold=cfg.near_dup_jaccard
         )
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        kept = kept.join(losers, on=id_col, how="left_anti")
+        if cfg.near_dup_keep == "best_quality":
+            # transitive clusters -> keep the highest-quality member
+            # (ties -> lowest id); the rank runs over a narrow
+            # (id, quality) frame, payloads semi-join the survivors
+            scored = kept.select(
+                F.col(id_col), F.round(TX.quality_score(text_col), 5).alias("__q")
+            )
+            survivors = (
+                DD.canonical_docs(scored, pairs, id_col, "__q")
+                .filter("keep")
+                .select(id_col)
+            )
+            kept = kept.join(survivors, on=id_col, how="left_semi")
+        elif cfg.near_dup_keep == "min_id":
+            # drop the higher id of each LSH pair (cheap, deterministic)
+            losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+            kept = kept.join(losers, on=id_col, how="left_anti")
+        else:
+            raise ValueError(
+                f"near_dup_keep must be 'min_id' or 'best_quality', "
+                f"got {cfg.near_dup_keep!r}"
+            )
 
     # 3b. optional ExactSubstr-style gate: drop boilerplate-dominated docs
     # (corpus-duplicated window coverage over the threshold) — one shuffle
