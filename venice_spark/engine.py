@@ -168,16 +168,26 @@ class StoreHandle:
             raise ValueError(
                 f"store {self.name} v{v} has no materialized view {view_name!r}"
             )
+        from venice_spark.push import BandIndexViewDef as _Band
         from venice_spark.push import IvfIndexViewDef as _Ivf
         from venice_spark.push import read_view_spec as _rvs
 
-        if isinstance(_rvs(path), _Ivf):
+        written = _rvs(path)
+        if isinstance(written, _Ivf):
             # same __view_ dir pattern, different contract: serving an IVF
             # layout through the generic reader would hand out delta rows
             # with a NULL/stale ivf_list — use the search endpoint instead
             raise ValueError(
                 f"view {view_name!r} of store {self.name} is an IVF index "
                 "view — query it with store.ann_topk(...)"
+            )
+        if isinstance(written, _Band):
+            # band tables have `bands` rows per key; the generic reader's
+            # latest-wins delta resolution (one row per store key) would
+            # silently collapse them — use the probe endpoint instead
+            raise ValueError(
+                f"view {view_name!r} of store {self.name} is a MinHash band "
+                "index view — probe it with store.near_dups_vs(...)"
             )
         base = self.spark.read.parquet(path)
         # Lazy incremental pushes (eager=False) append to the version's
@@ -332,6 +342,114 @@ class StoreHandle:
             base.select(*keys, cos.alias("cos"))
             .orderBy(F.col("cos").desc_nulls_last(), *[F.col(c).asc() for c in keys])
             .limit(k)
+        )
+
+    def near_dups_vs(
+        self,
+        view_name: str,
+        new_df: DataFrame,
+        id_col: str,
+        text_col: str | None = None,
+        threshold: float = 0.5,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Near-duplicate pairs of an ingest batch against this store's
+        indexed corpus (push.BandIndexViewDef): candidates come from the
+        batch's band rows joined to the PERSISTED band table — history is
+        probed, never re-shingled — then exact-jaccard verification
+        touches only the matched store docs
+        (dedup.minhash_pairs_vs_history, probe/index parameter parity
+        asserted from the sidecar spec). Lazy-push deltas fold in:
+        delta-touched keys leave the index (their text may have changed;
+        deleted keys simply vanish) and their CURRENT resolved rows
+        re-band on the fly — a batch-sized digest, never a corpus rescan.
+
+        Returns [new_id, hist_id, jaccard]. If the batch shares the
+        store's id space (a re-ingest), identical docs pair with
+        themselves — filter new_id != hist_id when that is noise."""
+        import os
+
+        from venice_spark.dedup import minhash_band_table, minhash_pairs_vs_history
+        from venice_spark.push import BandIndexViewDef, declared_views, read_view_spec
+
+        v = version if version is not None else self.catalog.current_version(self.name)
+        path = f"{self.catalog.version_dir(self.name, v)}__view_{view_name}"
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"store {self.name} v{v} has no band index view {view_name!r}"
+            )
+        # the sidecar's parameters match the FILES (the declaration may
+        # have been re-declared since this version landed)
+        spec = read_view_spec(path)
+        if not isinstance(spec, BandIndexViewDef):
+            meta0 = self.catalog.get_store(self.name)
+            spec = next(
+                (
+                    d
+                    for d in declared_views(meta0)
+                    if d.name == view_name and isinstance(d, BandIndexViewDef)
+                ),
+                None,
+            )
+        if spec is None:
+            raise ValueError(
+                f"view {view_name!r} of store {self.name} is not a MinHash "
+                "band index view"
+            )
+        meta = self.catalog.get_store(self.name)
+        kid = meta.key_fields[0]
+        hist_bands = self.spark.read.parquet(path)
+
+        base_docs = self.catalog.read_version(self.spark, self.name, v)
+        vcols = [c for c in base_docs.columns if c != "partition_id"]
+        deltas = self.catalog.list_delta_dirs(self.name, v)
+        if deltas:
+            hist_docs = self.catalog._resolve_delta_view(
+                self.spark,
+                base_docs.select(*vcols),
+                deltas,
+                [kid],
+                window_keys=[kid],
+                delta_columns=vcols,
+            )
+            # every delta-touched key leaves the index (stale bands must
+            # never produce candidates for changed/deleted text) ...
+            touched = (
+                self.spark.read.parquet(*deltas).select(kid).dropDuplicates([kid])
+            )
+            hist_bands = hist_bands.join(
+                F.broadcast(touched), on=kid, how="left_anti"
+            )
+            # ... and the survivors' CURRENT rows re-band on the fly
+            # (schema-narrow deltas leave text NULL — nothing to index)
+            cur = (
+                hist_docs.join(F.broadcast(touched), on=kid, how="left_semi")
+                .filter(F.col(spec.text_col).isNotNull())
+                .select(kid, spec.text_col)
+            )
+            fresh = minhash_band_table(
+                cur, spec.text_col, kid,
+                num_hashes=spec.num_hashes, bands=spec.bands,
+                shingle_n=spec.shingle_n,
+            )
+            hist_bands = hist_bands.unionByName(fresh)
+        else:
+            hist_docs = base_docs.select(*vcols)
+
+        probe = new_df.select(
+            F.col(id_col).alias(kid),
+            F.col(text_col or spec.text_col).alias(spec.text_col),
+        )
+        return minhash_pairs_vs_history(
+            probe,
+            hist_bands,
+            hist_docs.select(kid, spec.text_col),
+            spec.text_col,
+            kid,
+            num_hashes=spec.num_hashes,
+            bands=spec.bands,
+            threshold=threshold,
+            shingle_n=spec.shingle_n,
         )
 
     def hybrid_view_df(self, view_name: str, replay) -> DataFrame:

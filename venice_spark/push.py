@@ -759,9 +759,80 @@ class IvfIndexViewDef:
         _write_view_spec(path, spec)
 
 
-def view_from_spec(spec: dict) -> "MaterializedViewDef | BucketedViewDef | IvfIndexViewDef":
+@dataclass
+class BandIndexViewDef:
+    """Near-dup-index edition of a materialized view (W15 shape, dedup
+    content): the store's text column digested to the persistent MinHash
+    LSH band table (dedup.minhash_band_table — (key, band_idx, band_hash)
+    rows, `bands` per document) and maintained on every write path. An
+    ingest batch then probes the CURRENT version's index
+    (store.near_dups_vs) without re-shingling history: the md5/minhash
+    chain runs once per document EVER, and the candidate join shuffles
+    batch-sized band rows while the index is probed in place — the 100 TB
+    incremental-dedup recipe as a first-class store feature.
+
+    Index parameters are pinned in the spec AND written as constant
+    columns (minhash_band_table), so probes assert parity before joining —
+    a probe digested with different parameters yields disjoint band hashes
+    and would otherwise silently report zero near-duplicates. Rows carry
+    the store key, which keeps the index delta-resolvable (near_dups_vs
+    drops delta-touched keys and re-bands their current text on the fly)."""
+
+    name: str
+    text_col: str
+    num_hashes: int = 16
+    bands: int = 4
+    shingle_n: int = 3
+
+    def spec(self) -> dict:
+        return {
+            "kind": "band_index",
+            "name": self.name,
+            "text_col": self.text_col,
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "shingle_n": self.shingle_n,
+        }
+
+    def view_dir(self, catalog: StoreCatalog, store: str, version: int) -> str:
+        return f"{catalog.version_dir(store, version)}__view_{self.name}"
+
+    def write(self, catalog: StoreCatalog, store: str, version: int, df: DataFrame) -> None:
+        from venice_spark.dedup import minhash_band_table
+
+        meta = catalog.get_store(store)
+        if len(meta.key_fields) != 1:
+            raise ValueError(
+                "band index views need a single-field store key "
+                f"(store {store!r} has {meta.key_fields})"
+            )
+        kid = meta.key_fields[0]
+        out = df.drop("partition_id") if "partition_id" in df.columns else df
+        if self.text_col not in out.columns:
+            raise ValueError(
+                f"band index view {self.name!r}: store {store!r} has no "
+                f"column {self.text_col!r}"
+            )
+        bands_df = minhash_band_table(
+            out, self.text_col, kid,
+            num_hashes=self.num_hashes, bands=self.bands, shingle_n=self.shingle_n,
+        )
+        path = self.view_dir(catalog, store, version)
+        bands_df.write.mode("overwrite").parquet(path)
+        _write_view_spec(path, self.spec())
+
+
+def view_from_spec(spec: dict) -> "MaterializedViewDef | BucketedViewDef | IvfIndexViewDef | BandIndexViewDef":
     """Inverse of the view defs' spec() methods."""
     kind = spec.get("kind", "repartition")
+    if kind == "band_index":
+        return BandIndexViewDef(
+            name=spec["name"],
+            text_col=spec["text_col"],
+            num_hashes=int(spec["num_hashes"]),
+            bands=int(spec["bands"]),
+            shingle_n=int(spec["shingle_n"]),
+        )
     if kind == "ivf":
         return IvfIndexViewDef(
             name=spec["name"],
