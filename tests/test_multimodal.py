@@ -299,11 +299,28 @@ def test_frame_near_dup_pairs_blocked_hamming(spark):
     assert pairs == {("1:0", "2:0"): 1}
 
 
-def test_hash_hamming_pairs_rejects_non_dividing_groups(spark):
+def test_hash_hamming_pairs_non_dividing_groups_keep_recall(spark):
     import pytest
 
     from venice_spark.dedup import hash_hamming_pairs
 
-    df = spark.createDataFrame([(1, 5)], "id long, h long")
-    with pytest.raises(ValueError, match="divide"):
-        hash_hamming_pairs(df, "h", "id", bits=64, groups=5, max_hamming=2)
+    # bits=64, groups=5: width 12, last group widens to bits 48..63 so every
+    # bit stays covered — pairs differing ONLY in the remainder (top) bits
+    # must still block together (they share groups 0..3 exactly)
+    rows = [
+        ("a", 0),
+        ("b", -(1 << 63)),       # only bit 63 set (signed long): hamming 1,
+                                 # the diff inside the widened last group
+        ("c", (1 << 62) | 7),    # hamming 4 vs a -> over the radius, excluded
+    ]
+    df = spark.createDataFrame(rows, "id string, h long")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hash_hamming_pairs(
+            df, "h", "id", bits=64, groups=5, max_hamming=2
+        ).collect()
+    }
+    assert pairs == {("a", "b"): 1}
+
+    with pytest.raises(ValueError, match="groups must be <= bits"):
+        hash_hamming_pairs(df, "h", "id", bits=8, groups=9, max_hamming=2)

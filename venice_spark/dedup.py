@@ -532,23 +532,20 @@ def hash_hamming_pairs(
     [id_a, id_b, hamming] with id_a < id_b."""
     if max_hamming >= groups:
         raise ValueError("pigeonhole blocking needs max_hamming < groups")
-    if bits % groups != 0:
-        # a remainder would leave the top bits outside every group — pairs
-        # differing only there would silently share all groups' bits yet
-        # never be guaranteed a common block; demand clean division
-        raise ValueError(f"groups must divide bits (got bits={bits}, groups={groups})")
+    if groups > bits:
+        raise ValueError(f"groups must be <= bits (got bits={bits}, groups={groups})")
+    # the groups must partition ALL `bits` (pigeonhole only counts covered
+    # positions), so a non-dividing remainder widens the LAST group rather
+    # than leaving top bits outside every block
     width = bits // groups
     sh = hashes.select(F.col(id_col), F.col(hash_col).alias("sh")).persist()
     gcols = []
     for g in range(groups):
-        gcols.append(
-            F.struct(
-                F.lit(g).alias("g"),
-                F.shiftright(F.col("sh"), g * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("gb"),
-            )
-        )
+        gwidth = width if g < groups - 1 else bits - (groups - 1) * width
+        gb = F.shiftright(F.col("sh"), g * width)
+        if gwidth < 64:  # a 64-wide mask overflows a signed long; it's a no-op
+            gb = gb.bitwiseAND(F.lit((1 << gwidth) - 1))
+        gcols.append(F.struct(F.lit(g).alias("g"), gb.alias("gb")))
     blocks = sh.select(
         F.col(id_col), F.col("sh"), F.explode(F.array(*gcols)).alias("blk")
     ).select(id_col, "sh", "blk.g", "blk.gb")

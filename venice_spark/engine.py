@@ -154,6 +154,27 @@ class StoreHandle:
         return self.batch_get(keys).toLocalIterator()
 
     # ---- R4-R10 compute ----
+    def _spec_or_declared(self, written, view_name: str, kind):
+        """Resolve a view's effective spec: the WRITTEN sidecar (already
+        read from the view dir) beats the store-level declaration — the
+        declaration can change after a version landed (deregistration or
+        re-declare) without its files being rewritten. Falls back to the
+        declared view of the wanted kind; None when neither exists (a
+        pre-sidecar version whose view was since deregistered)."""
+        if isinstance(written, kind):
+            return written
+        from venice_spark.push import declared_views
+
+        meta = self.catalog.get_store(self.name)
+        return next(
+            (
+                d
+                for d in declared_views(meta)
+                if d.name == view_name and isinstance(d, kind)
+            ),
+            None,
+        )
+
     def view_df(self, view_name: str, version: int | None = None) -> DataFrame:
         """Read a materialized view co-written with the given (default:
         current) version — the consumer side of W15 (reference:
@@ -199,7 +220,7 @@ class StoreHandle:
         deltas = self.catalog.list_delta_dirs(self.name, v)
         if not deltas:
             return base
-        from venice_spark.push import MaterializedViewDef, declared_views, read_view_spec
+        from venice_spark.push import MaterializedViewDef
 
         meta = self.catalog.get_store(self.name)
         store_keys = meta.key_fields
@@ -209,19 +230,7 @@ class StoreHandle:
                 "retention and cannot resolve a delta log — run "
                 "push.compact_store to fold the deltas and rewrite the view"
             )
-        # the WRITTEN spec sidecar beats the store-level declaration: the
-        # declaration can change after this version landed (deregistration
-        # or re-declare) without its files being rewritten
-        spec = read_view_spec(path)
-        if not isinstance(spec, MaterializedViewDef):
-            spec = next(
-                (
-                    d
-                    for d in declared_views(meta)
-                    if d.name == view_name and isinstance(d, MaterializedViewDef)
-                ),
-                None,
-            )
+        spec = self._spec_or_declared(written, view_name, MaterializedViewDef)
         vcols = [c for c in base.columns if c != "partition_id"]
         out = self.catalog._resolve_delta_view(
             self.spark,
@@ -271,7 +280,7 @@ class StoreHandle:
         never serve from its stale list."""
         import os
 
-        from venice_spark.push import IvfIndexViewDef, declared_views, read_view_spec
+        from venice_spark.push import IvfIndexViewDef, read_view_spec
         from venice_spark.similarity import ivf_assign, ivf_probe_lists
 
         v = version if version is not None else self.catalog.current_version(self.name)
@@ -282,17 +291,7 @@ class StoreHandle:
             )
         # the sidecar's codebook matches the FILES (the declaration may
         # have been re-declared for retraining since this version landed)
-        spec = read_view_spec(path)
-        if not isinstance(spec, IvfIndexViewDef):
-            meta0 = self.catalog.get_store(self.name)
-            spec = next(
-                (
-                    d
-                    for d in declared_views(meta0)
-                    if d.name == view_name and isinstance(d, IvfIndexViewDef)
-                ),
-                None,
-            )
+        spec = self._spec_or_declared(read_view_spec(path), view_name, IvfIndexViewDef)
         if spec is None or not spec.centroids:
             raise ValueError(
                 f"view {view_name!r} of store {self.name} carries no IVF codebook"
@@ -370,7 +369,7 @@ class StoreHandle:
         import os
 
         from venice_spark.dedup import minhash_band_table, minhash_pairs_vs_history
-        from venice_spark.push import BandIndexViewDef, declared_views, read_view_spec
+        from venice_spark.push import BandIndexViewDef, read_view_spec
 
         v = version if version is not None else self.catalog.current_version(self.name)
         path = f"{self.catalog.version_dir(self.name, v)}__view_{view_name}"
@@ -380,17 +379,7 @@ class StoreHandle:
             )
         # the sidecar's parameters match the FILES (the declaration may
         # have been re-declared since this version landed)
-        spec = read_view_spec(path)
-        if not isinstance(spec, BandIndexViewDef):
-            meta0 = self.catalog.get_store(self.name)
-            spec = next(
-                (
-                    d
-                    for d in declared_views(meta0)
-                    if d.name == view_name and isinstance(d, BandIndexViewDef)
-                ),
-                None,
-            )
+        spec = self._spec_or_declared(read_view_spec(path), view_name, BandIndexViewDef)
         if spec is None:
             raise ValueError(
                 f"view {view_name!r} of store {self.name} is not a MinHash "
@@ -401,17 +390,9 @@ class StoreHandle:
         hist_bands = self.spark.read.parquet(path)
 
         base_docs = self.catalog.read_version(self.spark, self.name, v)
-        vcols = [c for c in base_docs.columns if c != "partition_id"]
         deltas = self.catalog.list_delta_dirs(self.name, v)
+        hist_docs = base_docs.select(kid, spec.text_col)
         if deltas:
-            hist_docs = self.catalog._resolve_delta_view(
-                self.spark,
-                base_docs.select(*vcols),
-                deltas,
-                [kid],
-                window_keys=[kid],
-                delta_columns=vcols,
-            )
             # every delta-touched key leaves the index (stale bands must
             # never produce candidates for changed/deleted text) ...
             touched = (
@@ -420,21 +401,34 @@ class StoreHandle:
             hist_bands = hist_bands.join(
                 F.broadcast(touched), on=kid, how="left_anti"
             )
-            # ... and the survivors' CURRENT rows re-band on the fly
-            # (schema-narrow deltas leave text NULL — nothing to index)
-            cur = (
-                hist_docs.join(F.broadcast(touched), on=kid, how="left_semi")
-                .filter(F.col(spec.text_col).isNotNull())
-                .select(kid, spec.text_col)
+            # ... and the survivors' CURRENT rows re-band on the fly. For a
+            # touched key the latest delta row IS the current row (deltas
+            # outrank the base), so latest-wins resolves among the deltas
+            # alone over an empty base — the window is delta-sized, never a
+            # corpus rescan (same shape as ann_topk's delta fold)
+            d0 = self.spark.read.parquet(deltas[0]).limit(0)
+            resolved = self.catalog._resolve_delta_view(
+                self.spark, d0, deltas, [kid], window_keys=[kid]
             )
+            if spec.text_col in resolved.columns:
+                # schema-narrow deltas leave text NULL — nothing to index
+                cur = resolved.filter(
+                    F.col(spec.text_col).isNotNull()
+                ).select(kid, spec.text_col)
+            else:
+                cur = hist_docs.limit(0)
             fresh = minhash_band_table(
                 cur, spec.text_col, kid,
                 num_hashes=spec.num_hashes, bands=spec.bands,
                 shingle_n=spec.shingle_n,
             )
             hist_bands = hist_bands.unionByName(fresh)
-        else:
-            hist_docs = base_docs.select(*vcols)
+            # verification texts: untouched keys read straight from the
+            # base files (broadcast anti — no corpus-wide window), touched
+            # keys read their resolved current rows
+            hist_docs = hist_docs.join(
+                F.broadcast(touched), on=kid, how="left_anti"
+            ).unionByName(cur)
 
         probe = new_df.select(
             F.col(id_col).alias(kid),
@@ -443,7 +437,7 @@ class StoreHandle:
         return minhash_pairs_vs_history(
             probe,
             hist_bands,
-            hist_docs.select(kid, spec.text_col),
+            hist_docs,
             spec.text_col,
             kid,
             num_hashes=spec.num_hashes,

@@ -429,13 +429,20 @@ def frame_near_dup_pairs(
     groups: int = 4,
     grid: int = 8,
     max_bucket_size: int | None = None,
+    include_within_stream: bool = False,
 ) -> DataFrame:
     """Cross-stream NEAR-duplicate frame pairs: frame_ahash (zero-shuffle
     Arrow extraction) → pigeonhole bit-group blocking on the 64-bit
     perceptual hash (dedup.hash_hamming_pairs) — re-encoded or lightly
     perturbed copies of a frame pair up without any cross join. Frame
     identity is the string key '<id>:<frame_idx>'; returns
-    [id_a, id_b, hamming] with id_a < id_b lexicographically."""
+    [id_a, id_b, hamming] with id_a < id_b lexicographically.
+
+    By default pairs WITHIN one media stream are dropped: real video is
+    near-identical frame to frame, so a 1000-frame clip would otherwise
+    drown the output in ~500k self-pairs that a cross-video dedup must
+    not treat as deletions. Pass include_within_stream=True to keep them
+    (e.g. for intra-clip keyframe selection)."""
     from venice_spark.dedup import hash_hamming_pairs
 
     hashes = frame_ahash(df, payload_col, id_col, grid)
@@ -443,11 +450,17 @@ def frame_near_dup_pairs(
         F.concat_ws(":", F.col(id_col), F.col("frame_idx")).alias("frame_key"),
         "ahash",
     )
-    return hash_hamming_pairs(
+    pairs = hash_hamming_pairs(
         keyed, "ahash", "frame_key",
         bits=grid * grid, max_hamming=max_hamming, groups=groups,
         max_bucket_size=max_bucket_size,
     )
+    if not include_within_stream:
+        # media id = everything before the trailing ':<frame_idx>' (ids may
+        # themselves contain ':'), so strip the final numeric segment
+        strip = lambda c: F.regexp_replace(F.col(c), ":[0-9]+$", "")  # noqa: E731
+        pairs = pairs.filter(strip("id_a") != strip("id_b"))
+    return pairs
 
 
 def split_ppm_stream(payload: bytes) -> list[bytes]:

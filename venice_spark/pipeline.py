@@ -40,6 +40,10 @@ class CorpusPrepConfig:
     # the pairs transitively and keeps the highest-quality member
     # (dedup.canonical_docs — adds the label-propagation rounds)
     near_dup_keep: str = "min_id"
+    # label-propagation rounds for best_quality's transitive clustering —
+    # raise for dup graphs with chains deeper than 10 hops (templated web
+    # pages) instead of abandoning the policy when dup_clusters gives up
+    near_dup_max_iter: int = 10
     # C4-style bad-words gate: drop docs with more than blocklist_max_hits
     # lower-cased token matches against the list (None/empty = skip) — a
     # per-row expression folded into the stage-1 quality predicate
@@ -74,6 +78,12 @@ def prepare_corpus(
     (and `shard`/`pack_id` when packing is enabled). Deterministic: the
     lowest id in each duplicate group survives."""
     cfg = config or CorpusPrepConfig()
+    # fail a misconfig in milliseconds, not after the corpus-wide LSH job
+    if cfg.near_dup_keep not in ("min_id", "best_quality"):
+        raise ValueError(
+            f"near_dup_keep must be 'min_id' or 'best_quality', "
+            f"got {cfg.near_dup_keep!r}"
+        )
 
     # 0. optional cross-document boilerplate-line removal — rewrite text
     # first so every downstream gate scores the real content
@@ -123,20 +133,18 @@ def prepare_corpus(
                 F.col(id_col), F.round(TX.quality_score(text_col), 5).alias("__q")
             )
             survivors = (
-                DD.canonical_docs(scored, pairs, id_col, "__q")
+                DD.canonical_docs(
+                    scored, pairs, id_col, "__q", max_iter=cfg.near_dup_max_iter
+                )
                 .filter("keep")
                 .select(id_col)
             )
             kept = kept.join(survivors, on=id_col, how="left_semi")
-        elif cfg.near_dup_keep == "min_id":
-            # drop the higher id of each LSH pair (cheap, deterministic)
+        else:
+            # drop the higher id of each LSH pair (cheap, deterministic);
+            # the config was validated to 'min_id'/'best_quality' at entry
             losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
             kept = kept.join(losers, on=id_col, how="left_anti")
-        else:
-            raise ValueError(
-                f"near_dup_keep must be 'min_id' or 'best_quality', "
-                f"got {cfg.near_dup_keep!r}"
-            )
 
     # 3b. optional ExactSubstr-style gate: drop boilerplate-dominated docs
     # (corpus-duplicated window coverage over the threshold) — one shuffle
