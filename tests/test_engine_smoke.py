@@ -83,7 +83,7 @@ def test_compute_over_keys(spark, tmp_root, sf_dir):
         .cosine_similarity("embedding", w, "cos")
         .count("embedding", "dim")
         .error_channel()
-        .execute(spark, keys)
+        .execute(keys)  # documented shape; spark derived, batch routed
     )
     rows = out.collect()
     assert len(rows) == len(keys)
@@ -289,3 +289,53 @@ def test_stratified_sample_null_stratum_rate(spark):
     kept = stratified_sample(df, "domain", {None: 1.0, "web": 0.0}, "doc_id")
     rows = kept.collect()
     assert len(rows) == 500 and all(r["domain"] is None for r in rows)
+
+
+def test_predicates_match_null_fields(spark):
+    """equal_to(f, None) and any_of(f, ..., None) select NULL rows —
+    Objects.equals-style semantics from the reference predicate tree, not
+    Spark three-valued logic (which silently returns zero rows)."""
+    from venice_spark import predicates as P
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", None), ("c", "y")], "k string, region string"
+    )
+    assert [r["k"] for r in df.filter(P.equal_to("region", None)).collect()] == ["b"]
+    got = sorted(r["k"] for r in df.filter(P.any_of("region", "x", None)).collect())
+    assert got == ["a", "b"]
+    # non-null comparisons unchanged
+    assert [r["k"] for r in df.filter(P.equal_to("region", "y")).collect()] == ["c"]
+
+
+def test_compute_execute_routes_through_partition_pruning(spark, tmp_root, sf_dir):
+    """StoreHandle.compute().execute(keys) rides batch_get's routing: the
+    scan is filtered to the key batch's partition ids instead of reading
+    every directory of the store."""
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("emb", key_fields=["vec_id"], partition_count=8)
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng.push("emb", df)
+    h = eng.store("emb")
+    keys = [r[0] for r in df.select("vec_id").limit(3).collect()]
+    out = h.compute().project("label").execute(keys)
+    assert out.count() == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # directory pruning is visible as a partition_id partition filter
+    assert "partition_id" in plan
+
+
+def test_store_stats_skew_uses_layout_partition_count(spark, tmp_root):
+    """A hot key that lands every row in one directory must read as maximal
+    skew, not as 'one partition, perfectly balanced'."""
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, tmp_root)
+    eng.create_store("hot", key_fields=["k"], partition_count=8)
+    df = spark.createDataFrame([("same", i) for i in range(64)], "k string, v long")
+    eng.push("hot", df, allow_duplicate_key=True, dedup_order_col="v")
+    stats = eng.store_stats("hot")
+    assert stats["partitions"] == 8
+    assert stats["nonempty_partitions"] == 1
+    assert stats["partition_skew"] == 8.0

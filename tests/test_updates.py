@@ -172,3 +172,27 @@ def test_equal_ts_add_rem_tie_matches_dcr_kernel(spark):
         list_fields={"tags"},
     )
     assert sorted(dcr["tags"]) == got
+
+
+def test_untouched_list_rows_pass_through_verbatim(spark):
+    """apply_update_columns contract: base rows with no update keep their
+    list fields byte-identical — order and duplicates included (the
+    sorted-set canonicalization is scoped to touched rows)."""
+    from venice_spark.updates import FieldSpec, apply_update_columns
+
+    base = spark.createDataFrame(
+        [("k1", ["b", "a", "a"]), ("k2", ["z", "y"])],
+        "key string, tags array<string>",
+    )
+    ups = spark.createDataFrame(
+        [("k2", ["new"], None)],
+        "key string, add_tags array<string>, rem_tags array<string>",
+    )
+    out = {
+        r["key"]: r["tags"]
+        for r in apply_update_columns(
+            base, ups, ["key"], [FieldSpec("tags", "list")]
+        ).collect()
+    }
+    assert out["k1"] == ["b", "a", "a"]        # untouched: verbatim
+    assert out["k2"] == ["new", "y", "z"]      # touched: sorted set

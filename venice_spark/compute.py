@@ -52,6 +52,10 @@ class ComputeRequestBuilder:
     projections: list[str] = dc_field(default_factory=list)
     ops: list[_Op] = dc_field(default_factory=list)
     with_error_channel: bool = False
+    # StoreHandle.compute() plugs in batch_get here so execute(keys) rides
+    # the store's (partition_id, key) routing — directory pruning instead of
+    # a full-store scan for a bounded key batch
+    key_batch_source: Any = None
 
     # ---- builder surface (ComputeRequestBuilder.java:22-106) ----
     def project(self, *fields: str) -> "ComputeRequestBuilder":
@@ -118,20 +122,38 @@ class ComputeRequestBuilder:
         """Lower to a DataFrame over the whole store (no key restriction)."""
         return self.df.select(*self._result_columns())
 
-    def execute(self, spark: SparkSession, keys: Sequence[Any]) -> DataFrame:
+    def execute(
+        self,
+        spark_or_keys: "SparkSession | Sequence[Any] | None" = None,
+        keys: Sequence[Any] | None = None,
+    ) -> DataFrame:
         """Compute over a batch of keys (R2 join + compute). Missing keys are
         absent from the result, matching batchGet semantics
-        (AvroGenericStoreClient.java:58)."""
-        # explicit schema from the store frame: with only field NAMES an
-        # empty key batch has nothing to infer types from and createDataFrame
-        # raises CANNOT_INFER_EMPTY_SCHEMA — batchGet semantics say an empty
-        # batch is an empty result, not a crash (code-review r4)
-        key_schema = self.df.select(*self.key_fields).schema
-        if len(self.key_fields) == 1:
-            kdf = spark.createDataFrame([(k,) for k in keys], schema=key_schema)
+        (AvroGenericStoreClient.java:58).
+
+        Call as .execute(keys) — the documented builder shape; the session
+        comes from the frame. The legacy .execute(spark, keys) still works.
+
+        Built via StoreHandle.compute(), the key batch routes through
+        batch_get so partition ids prune version directories; a builder
+        constructed over a bare frame falls back to a broadcast key join."""
+        if keys is None:
+            keys = spark_or_keys  # .execute(keys) shape
+        if self.key_batch_source is not None:
+            joined = self.key_batch_source(keys)
         else:
-            kdf = spark.createDataFrame(list(keys), schema=key_schema)
-        joined = self.df.join(F.broadcast(kdf), on=self.key_fields, how="inner")
+            spark = self.df.sparkSession
+            # explicit schema from the store frame: with only field NAMES an
+            # empty key batch has nothing to infer types from and
+            # createDataFrame raises CANNOT_INFER_EMPTY_SCHEMA — batchGet
+            # semantics say an empty batch is an empty result, not a crash
+            # (code-review r4)
+            key_schema = self.df.select(*self.key_fields).schema
+            if len(self.key_fields) == 1:
+                kdf = spark.createDataFrame([(k,) for k in keys], schema=key_schema)
+            else:
+                kdf = spark.createDataFrame(list(keys), schema=key_schema)
+            joined = self.df.join(F.broadcast(kdf), on=self.key_fields, how="inner")
         return ComputeRequestBuilder(
             joined, self.key_fields, self.projections, self.ops, self.with_error_channel
         ).plan()

@@ -62,14 +62,15 @@ class StoreHandle:
         from the next push, so routing reads with the new modulus — or the
         new partitioner hash (code-review r4) — against data stamped with
         the old one would silently miss every key."""
+        from venice_spark.push import _version_layout
+
         meta = self.engine.catalog.get_store(self.name)
-        m = self.engine.catalog.version_manifest(self.name) or {}
-        count = int(m.get("partition_count", meta.partition_count))
-        if "partitioner" in m:
-            md5p = m["partitioner"] == "md5"
-        else:
-            md5p = bool(meta.config.get("md5_parity", False))
-        return count, md5p
+        return _version_layout(
+            self.engine.catalog,
+            self.name,
+            self.engine.catalog.current_version(self.name),
+            meta,
+        )
 
     @staticmethod
     def _py_routable(key_tuples) -> bool:
@@ -79,9 +80,7 @@ class StoreHandle:
         '100000000.0') and nulls (concat_ws skips them) must route through
         the real column expression instead."""
         return all(
-            isinstance(c, (int, str)) and not isinstance(c, float)
-            for kt in key_tuples
-            for c in kt
+            isinstance(c, (int, str)) for kt in key_tuples for c in kt
         )
 
     def _keys_with_pid(self, keys: Sequence[Any]) -> tuple[DataFrame, list[int]]:
@@ -467,7 +466,12 @@ class StoreHandle:
         )
 
     def compute(self) -> ComputeRequestBuilder:
-        return ComputeRequestBuilder(self.df(), self.key_fields)
+        # R4-R8 key batches ride R2's routing: execute(keys) goes through
+        # batch_get, so partition ids prune version directories instead of
+        # the compute join scanning every partition for a handful of keys
+        return ComputeRequestBuilder(
+            self.df(), self.key_fields, key_batch_source=self.batch_get
+        )
 
     # ---- R11/R12 ----
     def aggregate(self) -> ComputeAggregationBuilder:
@@ -659,13 +663,21 @@ class VeniceSparkEngine:
             for dp, _, fs in os.walk(vdir)
             for f in fs
         )
-        mean = rows / len(counts) if counts else float(rows)
+        # skew denominator is the LAYOUT's partition count, not the count of
+        # non-empty partitions — a hot key that lands everything in one
+        # directory must read as skew = n_parts, not as perfectly balanced
+        from venice_spark.push import _version_layout
+
+        meta = self.catalog.get_store(store)
+        n_parts = _version_layout(self.catalog, store, v, meta)[0]
+        mean = rows / n_parts if n_parts else float(rows)
         return {
             "store": store,
             "version": v,
             "rows": rows,
             "bytes": size,
-            "partitions": len(counts),
+            "partitions": n_parts,
+            "nonempty_partitions": len(counts),
             "max_partition_rows": max(counts) if counts else rows,
             "partition_skew": (max(counts) / mean) if counts and mean else 1.0,
         }

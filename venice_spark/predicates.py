@@ -37,13 +37,23 @@ def or_(*preds: Column) -> Column:
 
 
 def any_of(field: str | Column, *values: Any) -> Column:
+    """A None among the values matches NULL fields (the reference's
+    predicate tree compares with Objects.equals-style null handling);
+    Spark's bare isin would never match NULL under three-valued logic."""
     c = F.col(field) if isinstance(field, str) else field
-    return c.isin(list(values))
+    nonnull = [v for v in values if v is not None]
+    out = c.isin(nonnull) if nonnull else F.lit(False)
+    if len(nonnull) != len(values):
+        out = out | c.isNull()
+    return out
 
 
 def equal_to(field: str | Column, value: Any) -> Column:
+    """Null-safe equality (<=>): equal_to(f, None) selects NULL fields,
+    matching Objects.equals semantics; still pushes down to the scan
+    (EqualNullSafe is a supported parquet filter)."""
     c = F.col(field) if isinstance(field, str) else field
-    return c == F.lit(value)
+    return c.eqNullSafe(F.lit(value))
 
 
 def greater_than(field: str | Column, value: Any) -> Column:

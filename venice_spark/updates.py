@@ -82,17 +82,26 @@ def merged_scalar(old: Column, set_col: Column | None) -> Column:
 def merged_list(old: Column, add_col: Column | None, rem_col: Column | None) -> Column:
     """W4 setUnion + W5 setDiff as a sorted set.
 
+    The sorted-set canonicalization applies only to rows an element op
+    actually touched (per-row NULL add+rem = untouched): base rows with no
+    update must pass through verbatim, order and duplicates included.
+
     Typed empty arrays are built as array_except(x, x) so the expression works
     for any element type without schema introspection."""
+    if add_col is None and rem_col is None:
+        return old
     cands = [c for c in (old, add_col, rem_col) if c is not None]
     any_arr = F.coalesce(*cands) if len(cands) > 1 else cands[0]
     empty = F.array_except(any_arr, any_arr)
     out = F.coalesce(old, empty)
+    touched = F.lit(False)
     if add_col is not None:
         out = F.concat(out, F.coalesce(add_col, empty))
+        touched = touched | add_col.isNotNull()
     if rem_col is not None:
         out = F.array_except(out, F.coalesce(rem_col, empty))
-    return F.array_sort(F.array_distinct(out))
+        touched = touched | rem_col.isNotNull()
+    return F.when(touched, F.array_sort(F.array_distinct(out))).otherwise(old)
 
 
 def merged_map(old: Column, mapadd: Column | None, maprem: Column | None) -> Column:
