@@ -569,3 +569,115 @@ def test_prepare_corpus_best_quality_survivor(spark):
 
     with pytest.raises(ValueError, match="near_dup_keep"):
         prepare_corpus(df, config=CorpusPrepConfig(**base, near_dup_keep="oops"))
+
+
+def test_resample_survivors_decorrelated_from_splits(spark):
+    """Purpose-salt regression: stratified_resample's copy-0 hash must NOT
+    equal assign_splits' seed=0 hash, or every survivor of a downsampled
+    stratum lands in 'train' and val/test drain to empty."""
+    from venice_spark.pipeline import assign_splits, stratified_resample
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "web") for i in range(4000)], "doc_id string, dom string"
+    )
+    kept = stratified_resample(df, "dom", {"web": 0.5}, "doc_id")
+    split = assign_splits(kept, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    by = {r["split"]: r["n"] for r in split.groupBy("split").agg(
+        F.count("*").alias("n")
+    ).collect()}
+    assert by.get("val", 0) > 0 and by.get("test", 0) > 0, by
+
+
+def test_resample_explode_is_per_row_rate_bounded(spark):
+    """A 0.2x stratum next to a 10x stratum must not materialize 10 copies
+    per low-rate row: the explode is sized by each row's own rate."""
+    import pyspark.sql.functions as F
+
+    from venice_spark.pipeline import stratified_resample
+
+    df = spark.createDataFrame(
+        [(f"r{i}", "rare") for i in range(20)]
+        + [(f"w{i}", "web") for i in range(2000)],
+        "doc_id string, dom string",
+    )
+    out = stratified_resample(df, "dom", {"rare": 10.0, "web": 0.2}, "doc_id")
+    copies = out.filter(F.col("dom") == "web").select("copy").distinct().collect()
+    assert {r["copy"] for r in copies} == {0}
+    n_rare = out.filter(F.col("dom") == "rare").count()
+    assert n_rare == 200  # exactly 10 full copies of 20 rows
+    n_web = out.filter(F.col("dom") == "web").count()
+    assert 300 < n_web < 500  # ~20% of 2000
+
+
+def test_corpus_report_total_flag_distinguishes_null_group(spark):
+    """A genuine NULL-valued group and the rollup grand total both show
+    grp=NULL; is_total tells them apart."""
+    from venice_spark.pipeline import corpus_report
+
+    df = spark.createDataFrame(
+        [("a", "short text here ok", "en"), ("b", "more text here too", None)],
+        "doc_id string, text string, lang string",
+    )
+    rows = corpus_report(df, "text", group_col="lang").collect()
+    nulls = [r for r in rows if r["grp"] is None]
+    assert len(nulls) == 2
+    flags = sorted(r["is_total"] for r in nulls)
+    assert flags == [0, 1]
+    total = next(r for r in nulls if r["is_total"] == 1)
+    assert total["n_docs"] == 2
+
+
+def test_decontaminate_spans_composes_with_prepare_corpus(spark):
+    """prepare_corpus output carries n_tokens; the span report must not
+    duplicate it (AMBIGUOUS_REFERENCE on any later select)."""
+    from venice_spark.pipeline import CorpusPrepConfig, decontaminate_spans, prepare_corpus
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "tok" + " tok".join(str(j) for j in range(i, i + 40))) for i in range(8)],
+        "doc_id string, text string",
+    )
+    train = prepare_corpus(docs, config=CorpusPrepConfig(min_tokens=1))
+    ev = spark.createDataFrame([(docs.first()["text"],)], "text string")
+    out = decontaminate_spans(train, ev, window=10)
+    assert out.columns.count("n_tokens") == 1
+    out.select("n_tokens").collect()  # would raise on a duplicate
+
+
+def test_temperature_rates_empty_corpus(spark):
+    from venice_spark.pipeline import temperature_rates
+
+    df = spark.createDataFrame([], "doc_id string, dom string")
+    assert temperature_rates(df, "dom") == {}
+
+
+def test_prepare_corpus_validates_lm_bounds_eagerly(spark):
+    import pytest
+
+    from venice_spark.pipeline import CorpusPrepConfig, prepare_corpus
+
+    df = spark.createDataFrame([("a", "hello world")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="set together"):
+        prepare_corpus(df, config=CorpusPrepConfig(lm_weight_lo=-7.0))
+    with pytest.raises(ValueError, match="lm_weight_lo must be <="):
+        prepare_corpus(
+            df, config=CorpusPrepConfig(lm_weight_lo=-5.0, lm_weight_hi=-7.0)
+        )
+
+
+def test_random_projection_null_on_short_vector(spark):
+    """A truncated/empty embedding NULLs its row instead of aborting the
+    job with ANSI INVALID_ARRAY_INDEX."""
+    from venice_spark.functions.vectors import random_projection, random_projection_cols
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0]), (3, [])],
+        "id long, vec array<double>",
+    )
+    m = [[1.0, 0.0, 1.0], [0.0, 1.0, 0.0]]
+    rows = {r["id"]: r for r in df.select(
+        "id", random_projection("vec", m).alias("proj"),
+        *random_projection_cols("vec", m)
+    ).collect()}
+    assert rows[1]["proj"][0] is not None and rows[1]["p0"] is not None
+    assert rows[2]["proj"][0] is None and rows[2]["p0"] is None
+    assert rows[3]["proj"][0] is None

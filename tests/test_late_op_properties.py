@@ -168,7 +168,9 @@ def test_stratified_resample_matches_python_model(spark, ids, rate):
             if (c + 1) * precision <= scaled:
                 expect.append((i, c))
             elif c * precision < scaled:
-                if _hash64_py(f"{c}:{i}") % precision < scaled % precision:
+                # seed=14: the resample purpose salt (decorrelates copy-0
+                # survival from assign_splits/shard_plan seed-0 hashes)
+                if _hash64_py(f"14:{c}:{i}") % precision < scaled % precision:
                     expect.append((i, c))
     assert got == sorted(expect)
 

@@ -99,8 +99,10 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(norm)
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Token n-gram shingles (distinct), the MinHash input unit.
+def ngrams(col: Column | str, n: int) -> Column:
+    """Token n-grams in document order (NOT distinct; empty array when the
+    doc has fewer than n tokens) — the one shifted-slice kernel behind
+    shingles/bigrams/pipeline.ngram_counts.
 
     Built from n shifted slices zipped together, NOT per-index element_at —
     an element_at lambda re-evaluates the tokenizer expression per element
@@ -111,7 +113,16 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     for j in range(1, n):
         shifted = F.slice(toks, 1 + j, cnt)
         grams = F.zip_with(grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles (distinct), the MinHash input unit; a doc
+    shorter than n tokens contributes its whole text as one shingle."""
+    toks = tokens(col)
+    return F.when(F.size(toks) >= n, F.array_distinct(ngrams(col, n))).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
 
@@ -205,14 +216,7 @@ def dup_line_fraction(col: Column | str) -> Column:
 
 def bigrams(col: Column | str) -> Column:
     """Token bigrams (NOT distinct — repetition analysis needs duplicates)."""
-    toks = tokens(col)
-    cnt = F.greatest(F.size(toks) - 1, F.lit(0))
-    grams = F.zip_with(
-        F.slice(toks, 1, cnt),
-        F.slice(toks, 2, cnt),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    return F.when(F.size(toks) >= 2, grams).otherwise(F.array().cast("array<string>"))
+    return ngrams(col, 2)
 
 
 def top_bigram_fraction(col: Column | str) -> Column:

@@ -248,10 +248,14 @@ def random_projection(
     out_dim = len(matrix)
     scale = 1.0 / math.sqrt(out_dim)
     if isinstance(field, str):
+        # try_element_at (1-indexed): NULL past the end instead of Spark 4
+        # ANSI's INVALID_ARRAY_INDEX — one truncated embedding must NULL its
+        # row, not abort a 100 TB projection pass; matches DuckDB's
+        # NULL-on-out-of-bounds in oracle_projection_sql
         comps = []
         for row in matrix:
             terms = " + ".join(
-                f"CAST({field}[{i}] AS DOUBLE) * {float(v)!r}D"
+                f"CAST(try_element_at({field}, {i + 1}) AS DOUBLE) * {float(v)!r}D"
                 for i, v in enumerate(row)
             )
             comps.append(f"({terms}) * {scale!r}D")
@@ -275,8 +279,11 @@ def random_projection_cols(
     scale = 1.0 / math.sqrt(out_dim)
     cols = []
     for j, row in enumerate(matrix):
+        # try_element_at: NULL-on-short-vector, not an ANSI abort (see
+        # random_projection)
         terms = " + ".join(
-            f"CAST({field}[{i}] AS DOUBLE) * {float(v)!r}D" for i, v in enumerate(row)
+            f"CAST(try_element_at({field}, {i + 1}) AS DOUBLE) * {float(v)!r}D"
+            for i, v in enumerate(row)
         )
         cols.append(F.expr(f"({terms}) * {scale!r}D").alias(f"{prefix}{j}"))
     return cols

@@ -15,7 +15,6 @@ expresses; everything else stays in whole-stage codegen).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -78,11 +77,24 @@ def prepare_corpus(
     (and `shard`/`pack_id` when packing is enabled). Deterministic: the
     lowest id in each duplicate group survives."""
     cfg = config or CorpusPrepConfig()
-    # fail a misconfig in milliseconds, not after the corpus-wide LSH job
+    # fail a misconfig in milliseconds, not after the corpus-wide jobs
     if cfg.near_dup_keep not in ("min_id", "best_quality"):
         raise ValueError(
             f"near_dup_keep must be 'min_id' or 'best_quality', "
             f"got {cfg.near_dup_keep!r}"
+        )
+    if (cfg.lm_weight_lo is None) != (cfg.lm_weight_hi is None):
+        raise ValueError(
+            "lm_weight_lo and lm_weight_hi must be set together "
+            f"(got lo={cfg.lm_weight_lo!r}, hi={cfg.lm_weight_hi!r}) — "
+            "one alone silently skips the LM-downsampling stage"
+        )
+    if cfg.lm_weight_lo is not None and cfg.lm_weight_lo > cfg.lm_weight_hi:
+        # lo == hi is legal (documented hard-threshold degenerate); swapped
+        # bounds are always a mistake
+        raise ValueError(
+            f"lm_weight_lo must be <= lm_weight_hi "
+            f"(got {cfg.lm_weight_lo!r} > {cfg.lm_weight_hi!r})"
         )
 
     # 0. optional cross-document boilerplate-line removal — rewrite text
@@ -259,7 +271,11 @@ def decontaminate_spans(
     bad = ewins.select("win").distinct()
     hits = wins.join(F.broadcast(bad), "win", "left_semi")
     report = DD._span_report(toks, hits, id_col, w, "contam_starts", "contam_frac")
-    out = train.join(report, id_col)
+    # the report carries n_tokens/covered for standalone use; when train
+    # already has same-named columns (prepare_corpus output), keep train's —
+    # a duplicate column would make every later select AMBIGUOUS_REFERENCE
+    rep_cols = [c for c in report.columns if c == id_col or c not in train.columns]
+    out = train.join(report.select(*rep_cols), id_col)
     return out.withColumn("clean_text", DD._cut_spans(text_col, "contam_starts", w))
 
 
@@ -308,22 +324,31 @@ def stratified_resample(
     """stratified_sample generalized to rates > 1.0 — the upsampling half of
     a training-data recipe (e.g. repeat a high-quality rare domain 2.5x
     while keeping 20% of web crawl). A row with rate r yields floor(r) full
-    copies plus one extra copy kept iff hash64(copy:id) mod precision <
+    copies plus one extra copy kept iff hash64(14:copy:id) mod precision <
     frac(r)*precision; output adds `copy` (0-based) so downstream shuffling
     treats repeats as distinct examples. Deterministic (hash, no RNG; the
     per-copy seed makes copy decisions independent), and a row's copies for
     a given stratum never change when OTHER strata's rates move. One narrow
-    explode of at most ceil(max rate) indices — no shuffle, no Python."""
-    max_copies = max(
-        [1] + [int(math.ceil(r)) for r in list(rates.values()) + [default_rate]]
-    )
+    explode sized to each ROW's own ceil(rate) — no shuffle, no Python.
+
+    The hash carries the purpose salt seed=14: unsalted, copy 0's hash
+    md5('0:'+id) is bit-identical to assign_splits/shard_plan at their
+    default seed=0, which would perfectly correlate survival with split
+    assignment (downsampled strata would drain val/test entirely)."""
     rate_scaled = F.lit(int(round(default_rate * precision)))
     for s, r in rates.items():
         rate_scaled = F.when(
             F.col(stratum_col).eqNullSafe(F.lit(s)), F.lit(int(round(r * precision)))
         ).otherwise(rate_scaled)
+    # explode only the copies each row's own rate needs (ceil(rate)), not
+    # the global max: a 0.2x stratum next to a 10x stratum must not
+    # materialize 10 copies per row just to filter 9 away
+    n_copies = F.greatest(
+        F.floor((F.col("__rate") + F.lit(precision - 1)) / F.lit(precision)).cast("int"),
+        F.lit(1),
+    )
     out = df.withColumn("__rate", rate_scaled).withColumn(
-        "copy", F.explode(F.sequence(F.lit(0), F.lit(max_copies - 1)))
+        "copy", F.explode(F.sequence(F.lit(0), n_copies - F.lit(1)))
     )
     # keep copy c iff (c+1)*precision <= rate (full copy), or c is the
     # fractional slot and the seeded per-copy hash clears the remainder
@@ -331,7 +356,8 @@ def stratified_resample(
     frac_slot = (F.col("copy") * F.lit(precision) < F.col("__rate")) & ~full
     bucket = F.pmod(
         TX.hash64(
-            F.concat(F.col("copy").cast("string"), F.lit(":"), F.col(id_col).cast("string"))
+            F.concat(F.col("copy").cast("string"), F.lit(":"), F.col(id_col).cast("string")),
+            seed=14,
         ),
         F.lit(precision),
     )
@@ -414,22 +440,7 @@ def ngram_counts(
     corpus audit. Explode -> partial-agg count -> TakeOrderedAndProject:
     the map-side combine absorbs the explode fan-out and the top-K never
     performs a global sort."""
-    if n == 2:
-        grams = TX.bigrams(text_col)
-    else:
-        toks = TX.tokens(text_col)
-        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-        grams = F.slice(toks, 1, cnt)
-        for j in range(1, n):
-            grams = F.zip_with(
-                grams,
-                F.slice(toks, 1 + j, cnt),
-                lambda g, t: F.concat(g, F.lit(" "), t),
-            )
-        grams = F.when(F.size(toks) >= n, grams).otherwise(
-            F.array().cast("array<string>")
-        )
-    exploded = df.select(F.explode(grams).alias("gram"))
+    exploded = df.select(F.explode(TX.ngrams(text_col, n)).alias("gram"))
     counted = exploded.groupBy("gram").agg(F.count("*").alias("n"))
     return counted.orderBy(F.desc("n"), F.asc("gram")).limit(top_k)
 
@@ -817,12 +828,13 @@ def corpus_report(
 ) -> DataFrame:
     """One-pass corpus "data card": document/token counts, token-count
     quantiles, average length, and PII-bearing document counts — global
-    plus per-group when `group_col` is given (ROLLUP: the NULL-group row
-    is the corpus total). Single aggregation over one scan, partial-agg
-    shuffle bounded by the group count; the report for 100 TB costs one
-    pass. All inputs are exact integers per row, so the distributed
-    aggregates are order-independent (quantiles interpolate over exact
-    ints; the one true average is rounded)."""
+    plus per-group when `group_col` is given (ROLLUP; the corpus-total row
+    is flagged is_total=1, because a grp of NULL alone cannot distinguish
+    the total from a genuine NULL-valued group). Single aggregation over
+    one scan, partial-agg shuffle bounded by the group count; the report
+    for 100 TB costs one pass. All inputs are exact integers per row, so
+    the distributed aggregates are order-independent (quantiles
+    interpolate over exact ints; the one true average is rounded)."""
     nt = TX.token_count(text_col)
     pii = (
         (TX.email_count(text_col) + TX.phone_count(text_col)) > 0
@@ -834,7 +846,9 @@ def corpus_report(
         pii.alias("__pii"),
     )
     grouped = metrics.rollup("grp") if group_col else metrics.groupBy()
+    flag = [F.grouping("grp").cast("int").alias("is_total")] if group_col else []
     return grouped.agg(
+        *flag,
         F.count("*").alias("n_docs"),
         F.sum("__nt").alias("total_tokens"),
         F.expr("percentile(__nt, 0.5)").alias("p50_tokens"),
@@ -882,5 +896,7 @@ def temperature_rates(
     raw = {
         s: (powed[s] / z) / (counts[s] / total) for s in counts
     }
+    if not raw:  # empty corpus: no strata, no rates (max() would raise)
+        return {}
     top = max(raw.values()) or 1.0
     return {s: min(max_rate, r * max_rate / top) for s, r in raw.items()}

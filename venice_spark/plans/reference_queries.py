@@ -2143,7 +2143,8 @@ def x_shard_plan(spark, sf_dir):
     "x_oversample",
     # rates: error -> 2.5x, view -> 0.2x, default 1.0x; precision 1e6.
     # copy c survives iff (c+1)*1e6 <= rate, or c is the fractional slot and
-    # hash64(c:id) mod 1e6 < rate mod 1e6 — same math as the Spark side.
+    # hash64(14:c:id) mod 1e6 < rate mod 1e6 — same math as the Spark side
+    # (seed=14 is the resample purpose salt; see stratified_resample).
     "WITH rated AS (SELECT event_id, event_type, "
     "CASE WHEN event_type = 'error' THEN 2500000 "
     "WHEN event_type = 'view' THEN 200000 ELSE 1000000 END AS rate "
@@ -2152,7 +2153,7 @@ def x_shard_plan(spark, sf_dir):
     "generate_series(0, 2) AS gs(c) "
     "WHERE (c + 1) * 1000000 <= rate "
     "OR (c * 1000000 < rate AND (c + 1) * 1000000 > rate AND "
-    "(('0x' || substr(md5(CAST(c AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT "
+    "(('0x' || substr(md5('14:' || CAST(c AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT "
     "% 1000000) < rate % 1000000)",
 )
 def x_oversample(spark, sf_dir):
@@ -2197,7 +2198,8 @@ def x_split_assign(spark, sf_dir):
     f"CASE WHEN len(regexp_extract_all(text, '{_EMAIL_P}')) "
     f"+ len(regexp_extract_all(text, '{_PHONE_P}')) > 0 THEN 1 ELSE 0 END AS pii "
     "FROM documents) "
-    "SELECT grp, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens, "
+    "SELECT grp, CAST(GROUPING(grp) AS INT) AS is_total, "
+    "count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens, "
     "quantile_cont(nt, 0.5) AS p50_tokens, quantile_cont(nt, 0.95) AS p95_tokens, "
     "round(avg(nc), 4) AS avg_chars, CAST(sum(pii) AS BIGINT) AS pii_docs "
     "FROM m GROUP BY ROLLUP(grp)",

@@ -28,10 +28,17 @@ from venice_spark.functions import text as TX
 
 
 def _features(text_col: str, dim: int):
-    """L1-normalized hashed count vector (array<double>)."""
+    """L1-normalized hashed count vector (array<double>).
+
+    The token count is bound ONCE via array_repeat/zip_with: Spark does no
+    CSE inside lambda bodies, so referencing the tokenize chain in a
+    transform() lambda re-evaluates it per output dim — the measured
+    O(dim^2) trap quantize_int8/feature_hash_vector document."""
     counts = TX.feature_hash_vector(text_col, dim=dim)
-    n = F.greatest(TX.token_count(text_col), F.lit(1))
-    return F.transform(counts, lambda c: c.cast("double") / n.cast("double"))
+    n = F.greatest(TX.token_count(text_col), F.lit(1)).cast("double")
+    return F.zip_with(
+        counts, F.array_repeat(n, dim), lambda c, nn: c.cast("double") / nn
+    )
 
 
 def train_quality_classifier(
