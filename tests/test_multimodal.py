@@ -324,3 +324,81 @@ def test_hash_hamming_pairs_non_dividing_groups_keep_recall(spark):
 
     with pytest.raises(ValueError, match="groups must be <= bits"):
         hash_hamming_pairs(df, "h", "id", bits=8, groups=9, max_hamming=2)
+
+
+def test_resize_images_replaces_existing_geometry_columns(spark):
+    """Input width/height describe pre-resize geometry; resize must REPLACE
+    them, not append duplicate StructFields (which kills the Python worker
+    with a column-count mismatch)."""
+    import numpy as np
+
+    from venice_spark import multimodal as MM
+
+    img = (np.arange(8 * 8 * 3) % 251).astype(np.uint8).reshape(8, 8, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(MM.encode_ppm(img)), "image/x-portable-pixmap", 8, 8, None)],
+        "media_id long, payload binary, mime string, width int, height int, duration_ms int",
+    )
+    out = MM.resize_images(df, 4, 2)
+    assert out.columns.count("width") == 1 and out.columns.count("height") == 1
+    row = out.first()
+    assert (row["width"], row["height"]) == (4, 2)
+    assert MM.decode_ppm(bytes(row["payload"])).shape == (2, 4, 3)
+
+
+def test_encode_ppm_rejects_non_uint8(spark):
+    import numpy as np
+    import pytest
+
+    from venice_spark import multimodal as MM
+
+    wide = (np.ones((2, 2, 3)) * 300).astype(np.uint16)
+    with pytest.raises(ValueError, match="uint8"):
+        MM.encode_ppm(wide)
+
+
+def test_audio_features_zero_frames_is_silence_not_corrupt(spark):
+    import numpy as np
+
+    from venice_spark import multimodal as MM
+
+    feats = MM.audio_features(np.zeros((0, 1)), 16000)
+    assert feats == [0.0] * len(feats)
+    # and through the Arrow path: a valid 0-frame WAV gets real features
+    wav = MM.encode_wav(np.zeros((0, 1)), 16000)
+    df = spark.createDataFrame([(1, bytearray(wav))], "media_id long, payload binary")
+    row = MM.extract_audio_features(df).first()
+    assert row["features"] is not None
+
+
+def test_split_ppm_stream_strict_vs_salvage(spark):
+    import numpy as np
+    import pytest
+
+    from venice_spark import multimodal as MM
+
+    img = (np.arange(4 * 4 * 3) % 251).astype(np.uint8).reshape(4, 4, 3)
+    good = MM.encode_ppm(img)
+    stream = good + good[: len(good) - 5]  # truncated tail
+    with pytest.raises(ValueError, match="truncated"):
+        MM.split_ppm_stream(stream)
+    assert MM.split_ppm_stream(stream, strict=False) == [good]
+    with pytest.raises(ValueError):
+        MM.split_ppm_stream(good + b"garbage")
+    assert MM.split_ppm_stream(good + good) == [good, good]
+
+
+def test_frame_near_dup_pairs_excludes_null_media_ids(spark):
+    import numpy as np
+
+    from venice_spark import multimodal as MM
+
+    img = (np.arange(32 * 32 * 3) % 251).astype(np.uint8).reshape(32, 32, 3)
+    p = bytearray(MM.encode_ppm(img))
+    df = spark.createDataFrame(
+        [(None, p), (None, p), (7, p)], "media_id string, payload binary"
+    )
+    pairs = {(r.id_a, r.id_b) for r in MM.frame_near_dup_pairs(df).collect()}
+    # the two null-id streams would otherwise collapse onto frame key '0'
+    # and pair with media 7 under a pseudo-identity
+    assert pairs == set()

@@ -178,3 +178,63 @@ def test_float_keys_route_via_expression_fallback(spark, tmp_root):
         assert row is not None and row["v"] == v, k
     got = {r["k"]: r["v"] for r in st.batch_get([1e8, 0.5, 123.0]).collect()}
     assert got == {1e8: "big", 0.5: "half"}
+
+
+def test_producer_flush_merges_mixed_numeric_types(spark, tmp_root):
+    """A buffer mixing int and float in one column must flush (Spark's row
+    inference raises CANNOT_MERGE_TYPE, a TypeError the old fallback never
+    caught) and type the column double across all rows."""
+    catalog = StoreCatalog(tmp_root)
+    catalog.create_store("mx", key_fields=["key"])
+    prod = VeniceProducer(spark, catalog, "mx")
+    prod.put("a", {"x": 1}, ts=1)
+    prod.put("b", {"x": 2.5}, ts=2)
+    prod.flush()
+    log = read_rt_log(spark, catalog, "mx")
+    got = {r["key"]: r["x"] for r in log.collect()}
+    assert got == {"a": 1.0, "b": 2.5}
+    assert dict(log.dtypes)["x"] == "double"
+
+
+def test_producer_rejects_reserved_value_fields(spark, tmp_root):
+    """A value field named ts/op/colo or a key field would silently
+    overwrite op metadata (breaking latest-wins replay) — reject loudly."""
+    import pytest
+
+    catalog = StoreCatalog(tmp_root)
+    catalog.create_store("rs", key_fields=["key"])
+    prod = VeniceProducer(spark, catalog, "rs")
+    with pytest.raises(ValueError, match="reserved"):
+        prod.put("a", {"ts": 0, "v": 1})
+    with pytest.raises(ValueError, match="reserved"):
+        prod.put("a", {"op": "DELETE"})
+    with pytest.raises(ValueError, match="reserved"):
+        prod.put("a", {"key": "b", "v": 1})
+
+
+def test_flush_schema_types_update_op_columns_as_collections(spark, tmp_root):
+    """An all-None add_<list-field> column in a first flush must type as the
+    list's ARRAY type, not the scalar base type — a scalar parquet column
+    would make every later real element-op flush unmergeable."""
+    catalog = StoreCatalog(tmp_root)
+    catalog.create_store("oc", key_fields=["key"])
+    import pyspark.sql.types as T
+
+    catalog.add_value_schema(
+        "oc",
+        T.StructType.fromDDL("key string, tags array<string>, meta map<string,string>"),
+    )
+    prod = VeniceProducer(spark, catalog, "oc")
+    prod._buffer.append(
+        {"key": "a", "op": "UPDATE", "ts": 1, "colo": 0,
+         "add_tags": None, "mapadd_meta": None, "maprem_meta": None}
+    )
+    prod.flush()
+    dt = dict(read_rt_log(spark, catalog, "oc").dtypes)
+    assert dt["add_tags"] == "array<string>"
+    assert dt["mapadd_meta"] == "map<string,string>"
+    assert dt["maprem_meta"] == "array<string>"
+    # and a later REAL element op merges cleanly
+    prod.update("a", ts=2).add_to_list("tags", "t1").produce()
+    prod.flush()
+    assert read_rt_log(spark, catalog, "oc").count() == 2

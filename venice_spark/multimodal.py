@@ -30,14 +30,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+# the shape attach_media_columns produces (and every operator here accepts)
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("payload", T.BinaryType()),
         T.StructField("mime", T.StringType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("payload_bytes", T.IntegerType()),
     ]
 )
 
@@ -52,6 +51,39 @@ def attach_media_columns(df: DataFrame, id_col: str, payload_col: str, mime: str
     )
 
 
+def _parse_ppm_header(payload: bytes, offset: int = 0) -> tuple[int, int, int, int, int]:
+    """The one PPM/PGM header grammar (magic, width, height, maxval, with
+    # comments), shared by decode_ppm and split_ppm_stream so the two can
+    never drift. Returns (w, h, maxval, channels, data_start). Raises
+    ValueError on a bad magic, truncated header, or 16-bit samples."""
+    magic = payload[offset : offset + 2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM payload (magic {magic!r})")
+    n = len(payload)
+    tokens: list[int] = []
+    i = offset + 2
+    while len(tokens) < 3:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM/PGM header")
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte after maxval, then raw samples
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError(f"16-bit PPM not supported (maxval={maxval})")
+    ch = 3 if magic == b"P6" else 1
+    return w, h, maxval, ch, i
+
+
 def decode_ppm(payload: bytes):
     """REAL pure-numpy decode of binary PPM (P6, RGB) / PGM (P5, grayscale):
     ASCII header (magic, width, height, maxval; # comments allowed) followed
@@ -59,35 +91,23 @@ def decode_ppm(payload: bytes):
     media libraries needed — these formats are just a header + pixel array."""
     import numpy as np
 
-    magic = payload[:2]
-    if magic not in (b"P6", b"P5"):
-        raise ValueError(f"not a binary PPM/PGM payload (magic {magic!r})")
-    tokens: list[int] = []
-    i = 2
-    while len(tokens) < 3:
-        while i < len(payload) and payload[i : i + 1].isspace():
-            i += 1
-        if payload[i : i + 1] == b"#":
-            while i < len(payload) and payload[i : i + 1] != b"\n":
-                i += 1
-            continue
-        j = i
-        while j < len(payload) and not payload[j : j + 1].isspace():
-            j += 1
-        tokens.append(int(payload[i:j]))
-        i = j
-    i += 1  # exactly one whitespace byte after maxval, then raw samples
-    w, h, maxval = tokens
-    if maxval > 255:
-        raise ValueError("16-bit PPM not supported")
-    ch = 3 if magic == b"P6" else 1
+    w, h, _, ch, i = _parse_ppm_header(payload)
     return np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i).reshape(
         h, w, ch
     )
 
 
 def encode_ppm(arr) -> bytes:
-    """Inverse of decode_ppm: uint8 (h, w, 1|3) ndarray → binary PGM/PPM."""
+    """Inverse of decode_ppm: uint8 (h, w, 1|3) ndarray → binary PGM/PPM.
+
+    Non-uint8 input is rejected loudly: the header promises maxval-255
+    one-byte samples, so tobytes() of a wider dtype would silently write a
+    corrupt payload and desync every later frame of a concatenated stream."""
+    import numpy as np
+
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError(f"encode_ppm requires uint8 samples (got {arr.dtype})")
     h, w, ch = arr.shape
     magic = b"P6" if ch == 3 else b"P5"
     return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
@@ -198,6 +218,10 @@ def audio_features(samples, rate: int, n_bands: int = 8) -> list[float]:
 
     mono = np.asarray(samples, dtype=np.float64).mean(axis=1)
     n = len(mono)
+    if n == 0:
+        # a structurally valid zero-frame WAV is silence, not corruption —
+        # rfft(0 points) would raise and misreport it as undecodable
+        return [0.0, 0.0, 0.0, 0.0] + [0.0] * n_bands
     duration = n / rate
     rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
     peak = float(np.max(np.abs(mono))) if n else 0.0
@@ -300,19 +324,22 @@ def resize_images(
     df: DataFrame, out_w: int, out_h: int, payload_col: str = "payload"
 ) -> DataFrame:
     """Resize PPM/PGM payloads to (out_w, out_h) — decode → nearest-neighbor
-    resize → re-encode, per Arrow batch, no shuffle. Adds width/height
-    columns for metadata-first filtering downstream."""
+    resize → re-encode, per Arrow batch, no shuffle. Adds (or REPLACES —
+    input width/height columns describe the pre-resize geometry and keeping
+    both would duplicate the field names) width/height columns for
+    metadata-first filtering downstream."""
     import pandas as pd
 
+    replaced = (payload_col, "width", "height")
     out_schema = T.StructType(
-        [f for f in df.schema.fields if f.name != payload_col]
+        [f for f in df.schema.fields if f.name not in replaced]
         + [
             T.StructField(payload_col, T.BinaryType()),
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
         ]
     )
-    other = [f.name for f in df.schema.fields if f.name != payload_col]
+    other = [f.name for f in df.schema.fields if f.name not in replaced]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(p):
@@ -393,7 +420,7 @@ def frame_ahash(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 p = bytes(payload) if payload is not None else b""
                 try:
-                    frames = split_ppm_stream(p)
+                    frames = split_ppm_stream(p, strict=False)
                 except Exception:
                     frames = []
                 for idx, fb in enumerate(frames):
@@ -446,7 +473,10 @@ def frame_near_dup_pairs(
     from venice_spark.dedup import hash_hamming_pairs
 
     hashes = frame_ahash(df, payload_col, id_col, grid)
-    keyed = hashes.select(
+    # a NULL media id is unidentifiable — concat_ws would silently collapse
+    # every null-id stream onto the same frame keys ('0','1',...), merging
+    # distinct videos; such rows are excluded rather than mis-keyed
+    keyed = hashes.filter(F.col(id_col).isNotNull()).select(
         F.concat_ws(":", F.col(id_col), F.col("frame_idx")).alias("frame_key"),
         "ahash",
     )
@@ -463,41 +493,35 @@ def frame_near_dup_pairs(
     return pairs
 
 
-def split_ppm_stream(payload: bytes) -> list[bytes]:
+def split_ppm_stream(payload: bytes, strict: bool = True) -> list[bytes]:
     """REAL frame splitting for a concatenated-PPM stream (the uncompressed
     video stand-in — MJPEG's shape with PPM frames): walk the payload,
-    parse each P6/P5 header for its exact pixel size, slice frame by frame.
-    Pure parsing, no media libs."""
+    parse each P6/P5 header (the shared _parse_ppm_header grammar) for its
+    exact pixel size, slice frame by frame. Pure parsing, no media libs.
+
+    strict=True (the default): a malformed boundary, trailing garbage, or a
+    truncated final frame raises ValueError rather than silently returning
+    a partial frame list — an unreported partial split would let
+    frame-level dedup certify a stream on a partial hash set.
+    strict=False salvages the valid PREFIX (complete frames before the
+    first corruption) — the per-frame tolerance frame_ahash and
+    sample_ppm_frames use so one corrupt tail doesn't discard a stream's
+    good frames. Neither mode ever emits undecodable bytes."""
     frames = []
     i = 0
     n = len(payload)
-    while i < n - 1 and payload[i : i + 2] in (b"P6", b"P5"):
-        magic = payload[i : i + 2]
-        j = i + 2
-        tokens: list[int] = []
-        while len(tokens) < 3:
-            while j < n and payload[j : j + 1].isspace():
-                j += 1
-            if payload[j : j + 1] == b"#":
-                while j < n and payload[j : j + 1] != b"\n":
-                    j += 1
-                continue
-            k = j
-            while k < n and not payload[k : k + 1].isspace():
-                k += 1
-            tokens.append(int(payload[j:k]))
-            j = k
-        j += 1  # single whitespace byte after maxval
-        w, h, maxval = tokens
-        if maxval > 255:
-            # 2-byte samples would make the 1-byte size math slice frames
-            # mid-pixel and silently corrupt the rest of the stream —
-            # reject loudly, matching decode_ppm's 8-bit-only contract
-            raise ValueError(
-                f"split_ppm_stream supports 8-bit frames only (maxval={maxval})"
-            )
-        ch = 3 if magic == b"P6" else 1
-        end = j + w * h * ch
+    while i < n:
+        try:
+            w, h, _, ch, data = _parse_ppm_header(payload, i)
+            end = data + w * h * ch
+            if end > n:
+                raise ValueError(
+                    f"truncated PPM frame: needs {end - i} bytes, {n - i} left"
+                )
+        except ValueError:
+            if strict:
+                raise
+            return frames
         frames.append(payload[i:end])
         i = end
     return frames
@@ -534,7 +558,7 @@ def sample_ppm_frames(
                 p = bytes(vals[0]) if vals[0] is not None else b""
                 others = dict(zip(other_cols, vals[1:]))
                 try:
-                    frames = split_ppm_stream(p)
+                    frames = split_ppm_stream(p, strict=False)
                 except Exception:
                     frames = []
                 for idx, fb in list(enumerate(frames))[::every_n][:max_frames]:

@@ -42,6 +42,16 @@ class VeniceProducer:
         return dict(zip(self.key_fields, key))
 
     def put(self, key: Any, value: dict, ts: int | None = None) -> None:
+        # reserved metadata / key names must not ride in as value fields: a
+        # value named 'ts' would silently override the op timestamp and
+        # break latest-wins replay ordering; one named after a key field
+        # would rewrite the key
+        bad = set(value) & ({"op", "ts", "colo"} | set(self.key_fields))
+        if bad:
+            raise ValueError(
+                f"value fields {sorted(bad)} collide with reserved op "
+                "metadata / key fields — rename them in the value schema"
+            )
         self._buffer.append(
             {**self._key_dict(key), "op": "PUT", "ts": self._ts(ts), "colo": self.colo, **value}
         )
@@ -65,14 +75,18 @@ class VeniceProducer:
         else:
             try:
                 df = self.spark.createDataFrame(rows)
-            except ValueError:
-                # a field None in EVERY buffered op has no inferable type
-                # and Spark's inference raises, failing the whole flush and
-                # leaving the buffer stuck (code-review r4) — type such
-                # columns from the store's registered value schema, else
-                # string, and infer the rest from the first non-None value
+            except (ValueError, TypeError) as _e:
+                # Spark's row inference raises for (a) a field None in EVERY
+                # buffered op (ValueError: no inferable type) and (b) a
+                # column mixing int and float across ops (PySparkTypeError
+                # CANNOT_MERGE_TYPE, a TypeError) — either way the whole
+                # flush would fail forever with the buffer stuck
+                # (code-review r4). Build the schema ourselves: merge-infer
+                # across ALL non-None samples, fall back to the RT log /
+                # declared value schema for all-None columns.
+                fschema = self._flush_schema(rows)
                 df = self.spark.createDataFrame(
-                    rows, schema=self._flush_schema(rows)
+                    self._coerce_rows(rows, fschema), schema=fschema
                 )
         df.write.mode("append").parquet(rt_dir)
         self._buffer.clear()
@@ -101,10 +115,21 @@ class VeniceProducer:
             vs = self.catalog.get_value_schema(self.store)
             if vs is not None:
                 declared = {f.name: f.dataType for f in vs.fields}
-                # update-op columns carry the base field's type
-                for pre in ("set_", "add_", "rem_", "mapadd_", "maprem_"):
-                    for name, t in list(declared.items()):
-                        declared.setdefault(f"{pre}{name}", t)
+                # update-op columns: set_ carries the base type; element ops
+                # carry COLLECTION shapes (add_/rem_ hold the base array
+                # type, mapadd_ the base map type, maprem_ the removed-key
+                # list) — typing them scalar would write a parquet file the
+                # mandatory mergeSchema read can never merge
+                for name, t in list(declared.items()):
+                    declared.setdefault(f"set_{name}", t)
+                    arr = t if isinstance(t, T.ArrayType) else T.ArrayType(t)
+                    declared.setdefault(f"add_{name}", arr)
+                    declared.setdefault(f"rem_{name}", arr)
+                    declared.setdefault(
+                        f"mapadd_{name}",
+                        t if isinstance(t, T.MapType) else T.MapType(T.StringType(), t),
+                    )
+                    declared.setdefault(f"maprem_{name}", T.ArrayType(T.StringType()))
         except Exception:
             pass
         existing: dict = {}
@@ -147,24 +172,69 @@ class VeniceProducer:
 
         def widen(t):
             # future flushes INFER types (int -> long, float -> double); a
-            # narrow declared type would collide with them under mergeSchema
+            # narrow declared type would collide with them under mergeSchema.
+            # Recurses into collections (array<int> must widen too).
             if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType)):
                 return T.LongType()
             if isinstance(t, T.FloatType):
                 return T.DoubleType()
+            if isinstance(t, T.ArrayType):
+                return T.ArrayType(widen(t.elementType), t.containsNull)
+            if isinstance(t, T.MapType):
+                return T.MapType(
+                    t.keyType, widen(t.valueType), t.valueContainsNull
+                )
             return t
+
+        def merge2(a, b):
+            # numeric widening across samples: int ops and float ops in one
+            # buffer must type double, not whichever came first
+            if a == b:
+                return a
+            num = (T.LongType, T.DoubleType)
+            if isinstance(a, num) and isinstance(b, num):
+                return T.DoubleType()
+            if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+                return T.ArrayType(merge2(a.elementType, b.elementType))
+            if isinstance(a, T.MapType) and isinstance(b, T.MapType):
+                return T.MapType(T.StringType(), merge2(a.valueType, b.valueType))
+            return a  # irreconcilable: keep the first; Spark's row
+            # verification will name the offending column loudly
 
         fields = []
         for c in rows[0]:
-            sample = next((r[c] for r in rows if r[c] is not None), None)
-            if sample is not None:
-                t = infer(sample)
+            samples = [r[c] for r in rows if r[c] is not None]
+            if samples:
+                t = infer(samples[0])
+                for s in samples[1:]:
+                    t = merge2(t, infer(s))
             elif c in existing:
                 t = existing[c]  # exact: merges against past flushes
             else:
                 t = widen(declared.get(c, T.StringType()))
             fields.append(T.StructField(c, t, True))
         return T.StructType(fields)
+
+    @staticmethod
+    def _coerce_rows(rows: list[dict], schema) -> list[dict]:
+        """Align Python values with the merged flush schema: a column typed
+        double (because the buffer mixed int and float ops) must hand Spark
+        floats — its row verifier rejects a raw int against DoubleType."""
+        from pyspark.sql import types as T
+
+        def fix(v, t):
+            if v is None:
+                return None
+            if isinstance(t, T.DoubleType) and isinstance(v, int) and not isinstance(v, bool):
+                return float(v)
+            if isinstance(t, T.ArrayType) and isinstance(v, list):
+                return [fix(x, t.elementType) for x in v]
+            if isinstance(t, T.MapType) and isinstance(v, dict):
+                return {k: fix(x, t.valueType) for k, x in v.items()}
+            return v
+
+        types = {f.name: f.dataType for f in schema.fields}
+        return [{c: fix(v, types[c]) for c, v in r.items()} for r in rows]
 
     def _normalize_rows(self) -> list[dict]:
         # every row must carry every column (sparse ops -> None fill)
