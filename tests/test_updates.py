@@ -181,12 +181,13 @@ def test_untouched_list_rows_pass_through_verbatim(spark):
     from venice_spark.updates import FieldSpec, apply_update_columns
 
     base = spark.createDataFrame(
-        [("k1", ["b", "a", "a"]), ("k2", ["z", "y"])],
+        [("k1", ["b", "a", "a"]), ("k2", ["z", "y"]), ("k3", ["q"])],
         "key string, tags array<string>",
     )
     ups = spark.createDataFrame(
-        [("k2", ["new"], None)],
-        "key string, add_tags array<string>, rem_tags array<string>",
+        [("k2", ["new"], None, None), ("k3", None, None, ["d", "c", "c"])],
+        "key string, add_tags array<string>, rem_tags array<string>, "
+        "set_tags array<string>",
     )
     out = {
         r["key"]: r["tags"]
@@ -196,3 +197,4 @@ def test_untouched_list_rows_pass_through_verbatim(spark):
     }
     assert out["k1"] == ["b", "a", "a"]        # untouched: verbatim
     assert out["k2"] == ["new", "y", "z"]      # touched: sorted set
+    assert out["k3"] == ["c", "d"]             # whole-list set canonicalizes too

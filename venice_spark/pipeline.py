@@ -900,3 +900,140 @@ def temperature_rates(
         return {}
     top = max(raw.values()) or 1.0
     return {s: min(max_rate, r * max_rate / top) for s, r in raw.items()}
+
+
+def ingest_crawl_batch(
+    engine,
+    store: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    config: CorpusPrepConfig | None = None,
+    band_view: str | None = None,
+    near_dup_threshold: float = 0.5,
+    eval_df: DataFrame | None = None,
+    fp_store: str | None = None,
+    eager: bool = False,
+    **push_kwargs,
+) -> dict:
+    """The BATCH edition of the daily-crawl ingest loop — one call from a
+    raw crawl batch to a new corpus version, with per-stage accounting:
+
+      1. in-batch prep (prepare_corpus: quality gates, in-batch exact +
+         optional near-dup removal);
+      2. exact dedup AGAINST the store's history (anti-join on the 16-byte
+         fingerprint — dedup.exact_dedup_incremental; pass `fp_store` to
+         probe a companion fingerprint store instead of re-fingerprinting
+         the corpus, the 100 TB path);
+      3. near-dup dedup AGAINST the store's persisted MinHash band index
+         (store.near_dups_vs over a declared push.BandIndexViewDef — the
+         batch probes the index, history is never re-shingled; skipped
+         unless `band_view` names one). Re-ingests of the SAME id are
+         upserts, not duplicates: self-pairs are ignored;
+      4. optional benchmark decontamination (shingle anti-join vs eval_df);
+      5. incremental_push of the survivors (first batch bootstraps the
+         store with a full push; declared views — including the band index
+         itself — are maintained by the write path).
+
+    Every probe is batch-sized: history is touched only through its
+    fingerprint index, band index, and (for a lazy push) delta log. The
+    survivors keep the BATCH's original columns — prep-derived columns
+    (n_tokens, ...) gate membership but don't widen the store schema.
+
+    Returns {"received", "after_prep", "after_history_exact",
+    "after_history_near_dup", "after_decontaminate", "pushed", "version"}.
+
+    Streaming twin: streaming/corpus.run_corpus_ingest_to_store (exact
+    history dedup per micro-batch); this adds the near-dup stage, which
+    wants the versioned band index a micro-batch loop maintains between
+    pushes anyway.
+
+    Reference: the VenicePushJob + Samza-producer split
+    (clients/venice-push-job/src/main/java/com/linkedin/venice/hadoop/VenicePushJob.java:1)
+    has no dedup-against-history notion — this is the training-corpus
+    extension of W9 incremental push."""
+    from venice_spark.dedup import exact_dedup_incremental
+
+    cfg = config or CorpusPrepConfig()
+    if cfg.pack_budget is not None:
+        raise ValueError(
+            "pack_budget packs documents into training sequences — pack at "
+            "EXPORT time, not at ingest (the store keeps documents)"
+        )
+    in_cols = list(batch.columns)
+    stats: dict = {"received": batch.count()}
+
+    kept = prepare_corpus(batch, text_col, id_col, cfg).select(*in_cols).persist()
+    stats["after_prep"] = kept.count()
+
+    handle = engine.store(store)
+    have_history = engine.catalog.current_version(store) > 0
+    if have_history:
+        if fp_store is not None and engine.catalog.current_version(fp_store) > 0:
+            hist = engine.store(fp_store).df()
+            survivors = exact_dedup_incremental(
+                kept, hist, text_col, id_col, history_fp_col="fingerprint"
+            )
+        else:
+            survivors = exact_dedup_incremental(
+                kept, handle.df().select(text_col), text_col, id_col
+            )
+        survivors = survivors.persist()
+        stats["after_history_exact"] = survivors.count()
+        kept.unpersist()
+        kept = survivors
+
+        if band_view is not None:
+            pairs = handle.near_dups_vs(
+                band_view, kept, id_col, text_col, threshold=near_dup_threshold
+            )
+            dup_ids = (
+                pairs.filter(F.col("new_id") != F.col("hist_id"))
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            survivors = kept.join(dup_ids, on=id_col, how="left_anti").persist()
+            stats["after_history_near_dup"] = survivors.count()
+            kept.unpersist()
+            kept = survivors
+
+    if eval_df is not None:
+        survivors = decontaminate(kept, eval_df, text_col, id_col).persist()
+        stats["after_decontaminate"] = survivors.count()
+        kept.unpersist()
+        kept = survivors
+
+    stats["pushed"] = kept.count()
+    try:
+        if stats["pushed"] == 0:
+            stats["version"] = engine.catalog.current_version(store)
+            return stats
+        if have_history:
+            res = engine.incremental_push(store, kept, eager=eager, **push_kwargs)
+        else:
+            res = engine.push(store, kept, **push_kwargs)
+        stats["version"] = res.version
+        if fp_store is not None:
+            # maintain the companion fingerprint index alongside the corpus
+            if engine.catalog.current_version(fp_store) > 0:
+                fps = kept.select(
+                    TX.fingerprint(F.col(text_col)).alias("fingerprint")
+                ).dropDuplicates(["fingerprint"])
+                engine.incremental_push(fp_store, fps, eager=eager)
+            else:
+                # bootstrap the digest table from the WHOLE corpus (which
+                # now includes this batch): seeding from the batch alone
+                # would leave every pre-existing document unfingerprinted
+                # and re-crawls of old content would sail through the
+                # anti-join forever (the streaming loop's fp bootstrap
+                # closes the same gap). One full-corpus pass, once.
+                fps = (
+                    engine.store(store)
+                    .df()
+                    .select(TX.fingerprint(F.col(text_col)).alias("fingerprint"))
+                    .dropDuplicates(["fingerprint"])
+                )
+                engine.push(fp_store, fps, allow_duplicate_key=True)
+        return stats
+    finally:
+        kept.unpersist()

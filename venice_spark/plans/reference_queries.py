@@ -1101,6 +1101,60 @@ def x_training_pipeline(spark, sf_dir):
     )
 
 
+@register(
+    "x_crawl_ingest",
+    # two-day crawl ingest, exact math twin: gate -> per-day in-batch dedup
+    # (lowest id per fingerprint) -> day-2 fingerprint anti-join vs the
+    # day-1 survivors (= the ingested history). Day 2 = odd doc_ids PLUS
+    # re-crawls of every even doc's CONTENT under doc_id + 1000000.
+    "WITH gated AS ("
+    f"  SELECT doc_id, lang, "
+    "   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+    f"  FROM documents WHERE {_TP_QUAL}), "
+    "day1 AS ("
+    "  SELECT doc_id, lang, fp FROM ("
+    "    SELECT doc_id, lang, fp, row_number() OVER ("
+    "      PARTITION BY fp ORDER BY doc_id) AS rn "
+    "    FROM gated WHERE doc_id % 2 = 0) WHERE rn = 1), "
+    "day2 AS ("
+    "  SELECT doc_id, lang, fp FROM ("
+    "    SELECT doc_id, lang, fp, row_number() OVER ("
+    "      PARTITION BY fp ORDER BY doc_id) AS rn FROM ("
+    "      SELECT doc_id, lang, fp FROM gated WHERE doc_id % 2 = 1 "
+    "      UNION ALL "
+    "      SELECT doc_id + 1000000, lang, fp FROM gated WHERE doc_id % 2 = 0)"
+    "  ) WHERE rn = 1) "
+    "SELECT doc_id, lang FROM day1 "
+    "UNION ALL "
+    "SELECT d2.doc_id, d2.lang FROM day2 d2 "
+    "WHERE d2.fp NOT IN (SELECT fp FROM day1)",
+)
+def x_crawl_ingest(spark, sf_dir):
+    """Two-day crawl ingest (pipeline.ingest_crawl_batch's dataflow): day 1
+    is gated and in-batch-deduped; day 2 — new docs plus re-crawls of day-1
+    content under fresh ids — is gated, in-batch-deduped, then
+    fingerprint-anti-joined against the ingested HISTORY
+    (dedup.exact_dedup_incremental: the anti-join probes a 16-byte digest,
+    batch-sized, history never re-scanned). Result = final corpus content.
+    The store-backed edition (band-index near-dup stage, fp-store digest
+    probe, incremental push) is exercised in
+    tests/test_ingest_crawl_batch.py — this query certifies the dedup
+    math the composition rides on."""
+    from venice_spark.dedup import exact_dedup_incremental
+    from venice_spark.pipeline import CorpusPrepConfig, prepare_corpus
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    cfg = CorpusPrepConfig()
+    day1_in = df.filter(F.col("doc_id") % 2 == 0)
+    day1 = prepare_corpus(day1_in, config=cfg).select("doc_id", "lang", "text")
+    day2_in = df.filter(F.col("doc_id") % 2 == 1).unionByName(
+        day1_in.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    day2 = prepare_corpus(day2_in, config=cfg).select("doc_id", "lang", "text")
+    survivors = exact_dedup_incremental(day2, day1.select("text"), "text", "doc_id")
+    return day1.unionByName(survivors).select("doc_id", "lang")
+
+
 @register("x_ann_ivf")  # rows-only: approximate by design (probe subset)
 def x_ann_ivf(spark, sf_dir):
     """IVF ANN: driver-trained coarse k-means quantizer, nprobe nearest
@@ -2610,6 +2664,7 @@ DRIVER_WINDOW = 50
 
 _TAIL = [
     "r4_project",              # pure projection is exercised by every query; scan pruning pinned by r1/r10 plan tests
+    "x_crawl_ingest",          # composed ingest dedup math; exact fingerprint oracle checked locally (store-backed edition in tests/test_ingest_crawl_batch.py)
     "x_dup_clusters",          # strictly subsumed by x_canonical_docs (same recursive-closure oracle, plus survivor ranking on top)
     "x_asof_join",             # interval-join family driver-green r03 (twice: asof + range); slot given to x_decontaminate_spans
     "x_ann_topk",              # ANN family driver-green r03 and still holds 4 window slots (knn_join_lsh + 3 recall/PQ gates); slot given to x_frame_dedup_gate

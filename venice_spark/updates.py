@@ -79,22 +79,29 @@ def merged_scalar(old: Column, set_col: Column | None) -> Column:
     return F.coalesce(set_col, old)
 
 
-def merged_list(old: Column, add_col: Column | None, rem_col: Column | None) -> Column:
+def merged_list(
+    old: Column,
+    add_col: Column | None,
+    rem_col: Column | None,
+    set_col: Column | None = None,
+) -> Column:
     """W4 setUnion + W5 setDiff as a sorted set.
 
-    The sorted-set canonicalization applies only to rows an element op
-    actually touched (per-row NULL add+rem = untouched): base rows with no
-    update must pass through verbatim, order and duplicates included.
+    The sorted-set canonicalization applies only to rows an update actually
+    touched — an element op, or a whole-list set (pass the per-row set
+    column as `set_col` so the row counts as touched; under the documented
+    sorted-set deviation a replaced list canonicalizes too). Base rows with
+    no update pass through verbatim, order and duplicates included.
 
     Typed empty arrays are built as array_except(x, x) so the expression works
     for any element type without schema introspection."""
-    if add_col is None and rem_col is None:
+    if add_col is None and rem_col is None and set_col is None:
         return old
     cands = [c for c in (old, add_col, rem_col) if c is not None]
     any_arr = F.coalesce(*cands) if len(cands) > 1 else cands[0]
     empty = F.array_except(any_arr, any_arr)
     out = F.coalesce(old, empty)
-    touched = F.lit(False)
+    touched = F.lit(False) if set_col is None else set_col.isNotNull()
     if add_col is not None:
         out = F.concat(out, F.coalesce(add_col, empty))
         touched = touched | add_col.isNotNull()
@@ -148,7 +155,12 @@ def apply_update_columns(
         if f_.kind == "scalar":
             c = old
         elif f_.kind == "list":
-            c = merged_list(old, _opt(updates, f"add_{f_.name}"), _opt(updates, f"rem_{f_.name}"))
+            c = merged_list(
+                old,
+                _opt(updates, f"add_{f_.name}"),
+                _opt(updates, f"rem_{f_.name}"),
+                set_col=set_c,
+            )
         elif f_.kind == "map":
             c = merged_map(old, _opt(updates, f"mapadd_{f_.name}"), _opt(updates, f"maprem_{f_.name}"))
         else:  # pragma: no cover
