@@ -120,3 +120,53 @@ def test_rejects_pack_budget(engine, spark):
             engine, "corpus", _frame(spark, [(1, _doc(1))]),
             config=CorpusPrepConfig(pack_budget=512),
         )
+
+
+def test_upsert_colliding_with_other_doc_content_is_kept(engine, spark):
+    """A content UPDATE for an existing id must land even when its new text
+    exactly matches (or nearly matches) a DIFFERENT historical doc —
+    dropping it would serve the stale row forever."""
+    cfg = CorpusPrepConfig(min_tokens=3, min_stopword_ratio=0.0)
+    day1 = _frame(spark, [(i, _doc(i)) for i in range(6)])
+    engine.push("corpus", day1, views=[BandIndexViewDef("ndx", text_col="text")])
+    # doc 2's page now mirrors doc 5's content exactly
+    update = _frame(spark, [(2, _doc(5))])
+    s = ingest_crawl_batch(engine, "corpus", update, config=cfg, band_view="ndx")
+    assert s["pushed"] == 1
+    assert engine.store("corpus").get(2)["text"] == _doc(5)
+
+
+def test_misconfigs_fail_before_any_store_mutation(engine, spark):
+    cfg = CorpusPrepConfig(min_tokens=3, min_stopword_ratio=0.0)
+    batch = _frame(spark, [(1, _doc(1))])
+    # missing fp store: rejected before the corpus push lands
+    with pytest.raises(Exception):
+        ingest_crawl_batch(engine, "corpus", batch, config=cfg, fp_store="nope")
+    assert engine.catalog.current_version("corpus") == 0  # nothing mutated
+    # views after bootstrap: rejected
+    ingest_crawl_batch(engine, "corpus", batch, config=cfg)
+    with pytest.raises(ValueError, match="bootstrap"):
+        ingest_crawl_batch(
+            engine, "corpus", _frame(spark, [(2, _doc(2))]), config=cfg,
+            views=[BandIndexViewDef("ndx", text_col="text")],
+        )
+    # unknown band view: rejected before the prep stage runs
+    with pytest.raises(ValueError, match="no band index view"):
+        ingest_crawl_batch(
+            engine, "corpus", _frame(spark, [(3, _doc(3))]), config=cfg,
+            band_view="ghost",
+        )
+
+
+def test_fp_store_bootstraps_even_on_all_duplicate_batch(engine, spark):
+    """Enabling fp_store on a corpus with history must build the digest
+    table even when the first probed batch dedups to zero survivors —
+    otherwise every later batch pays the full-corpus fallback."""
+    cfg = CorpusPrepConfig(min_tokens=3, min_stopword_ratio=0.0)
+    day1 = _frame(spark, [(i, _doc(i)) for i in range(5)])
+    ingest_crawl_batch(engine, "corpus", day1, config=cfg)  # no fp store yet
+    engine.create_store("fps", key_fields=["fingerprint"], partition_count=2)
+    recrawl = _frame(spark, [(100 + i, _doc(i)) for i in range(5)])
+    s = ingest_crawl_batch(engine, "corpus", recrawl, config=cfg, fp_store="fps")
+    assert s["pushed"] == 0
+    assert engine.store("fps").df().count() == 5  # bootstrapped anyway

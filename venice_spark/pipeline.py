@@ -914,7 +914,7 @@ def ingest_crawl_batch(
     eval_df: DataFrame | None = None,
     fp_store: str | None = None,
     eager: bool = False,
-    **push_kwargs,
+    views: list | None = None,
 ) -> dict:
     """The BATCH edition of the daily-crawl ingest loop — one call from a
     raw crawl batch to a new corpus version, with per-stage accounting:
@@ -928,17 +928,24 @@ def ingest_crawl_batch(
       3. near-dup dedup AGAINST the store's persisted MinHash band index
          (store.near_dups_vs over a declared push.BandIndexViewDef — the
          batch probes the index, history is never re-shingled; skipped
-         unless `band_view` names one). Re-ingests of the SAME id are
-         upserts, not duplicates: self-pairs are ignored;
+         unless `band_view` names one);
       4. optional benchmark decontamination (shingle anti-join vs eval_df);
       5. incremental_push of the survivors (first batch bootstraps the
-         store with a full push; declared views — including the band index
-         itself — are maintained by the write path).
+         store with a full push and registers `views` — declare the band
+         index here; all declared views are maintained by the write path).
+
+    Batch rows whose id ALREADY EXISTS in the store are UPSERTS: they
+    bypass both history-dedup stages entirely (prep gates still apply).
+    Dropping a content update because its new text matches some OTHER
+    historical doc would serve the stale row forever — worse than keeping
+    a resolvable in-store duplicate.
 
     Every probe is batch-sized: history is touched only through its
-    fingerprint index, band index, and (for a lazy push) delta log. The
-    survivors keep the BATCH's original columns — prep-derived columns
-    (n_tokens, ...) gate membership but don't widen the store schema.
+    fingerprint index, band index, the id-column scan for the upsert split
+    (broadcast semi-join on sorted key parquet — the batch_get shape), and
+    (for a lazy push) the delta log. The survivors keep the BATCH's
+    original columns — prep-derived columns (n_tokens, ...) gate
+    membership but don't widen the store schema.
 
     Returns {"received", "after_prep", "after_history_exact",
     "after_history_near_dup", "after_decontaminate", "pushed", "version"}.
@@ -952,74 +959,114 @@ def ingest_crawl_batch(
     (clients/venice-push-job/src/main/java/com/linkedin/venice/hadoop/VenicePushJob.java:1)
     has no dedup-against-history notion — this is the training-corpus
     extension of W9 incremental push."""
-    from venice_spark.dedup import exact_dedup_incremental
+    import os
 
     cfg = config or CorpusPrepConfig()
+    # fail every misconfig before any corpus-scale job runs
     if cfg.pack_budget is not None:
         raise ValueError(
             "pack_budget packs documents into training sequences — pack at "
             "EXPORT time, not at ingest (the store keeps documents)"
         )
-    in_cols = list(batch.columns)
-    stats: dict = {"received": batch.count()}
-
-    kept = prepare_corpus(batch, text_col, id_col, cfg).select(*in_cols).persist()
-    stats["after_prep"] = kept.count()
-
     handle = engine.store(store)
     have_history = engine.catalog.current_version(store) > 0
-    if have_history:
-        if fp_store is not None and engine.catalog.current_version(fp_store) > 0:
-            hist = engine.store(fp_store).df()
-            survivors = exact_dedup_incremental(
-                kept, hist, text_col, id_col, history_fp_col="fingerprint"
-            )
+    if views is not None and have_history:
+        raise ValueError(
+            "views are registered at store bootstrap (first batch); this "
+            f"store already serves v{engine.catalog.current_version(store)} "
+            "— declare views via the store config or a full push"
+        )
+    if fp_store is not None:
+        engine.catalog.get_store(fp_store)  # raises before anything runs
+    if band_view is not None:
+        if not have_history:
+            band_view = None  # nothing to probe yet; the view lands with v1
         else:
-            survivors = exact_dedup_incremental(
-                kept, handle.df().select(text_col), text_col, id_col
-            )
-        survivors = survivors.persist()
-        stats["after_history_exact"] = survivors.count()
-        kept.unpersist()
-        kept = survivors
+            v = engine.catalog.current_version(store)
+            vpath = f"{engine.catalog.version_dir(store, v)}__view_{band_view}"
+            if not os.path.isdir(vpath):
+                raise ValueError(
+                    f"store {store} v{v} has no band index view {band_view!r}"
+                )
 
-        if band_view is not None:
-            pairs = handle.near_dups_vs(
-                band_view, kept, id_col, text_col, threshold=near_dup_threshold
-            )
-            dup_ids = (
-                pairs.filter(F.col("new_id") != F.col("hist_id"))
-                .select(F.col("new_id").alias(id_col))
-                .distinct()
-            )
-            survivors = kept.join(dup_ids, on=id_col, how="left_anti").persist()
-            stats["after_history_near_dup"] = survivors.count()
-            kept.unpersist()
-            kept = survivors
+    in_cols = list(batch.columns)
+    stats: dict = {"received": batch.count()}
+    last_count = stats["received"]
 
-    if eval_df is not None:
-        survivors = decontaminate(kept, eval_df, text_col, id_col).persist()
-        stats["after_decontaminate"] = survivors.count()
-        kept.unpersist()
-        kept = survivors
+    persisted: list = []
 
-    stats["pushed"] = kept.count()
+    def _persist(df: DataFrame) -> DataFrame:
+        df.persist()
+        persisted.append(df)
+        return df
+
     try:
-        if stats["pushed"] == 0:
-            stats["version"] = engine.catalog.current_version(store)
-            return stats
+        kept = _persist(prepare_corpus(batch, text_col, id_col, cfg).select(*in_cols))
+        stats["after_prep"] = last_count = kept.count()
+
+        upserts = None
         if have_history:
-            res = engine.incremental_push(store, kept, eager=eager, **push_kwargs)
+            # the upsert split: ids already in the store bypass history
+            # dedup (their content REPLACES; see docstring). existing_ids is
+            # batch-bounded — the store side scans only the id column with
+            # the broadcast batch-id filter (rowgroup-pruned, key-sorted)
+            batch_ids = kept.select(id_col)
+            existing_ids = _persist(
+                handle.df()
+                .select(id_col)
+                .join(F.broadcast(batch_ids), on=id_col, how="left_semi")
+            )
+            upserts = kept.join(F.broadcast(existing_ids), on=id_col, how="left_semi")
+            fresh = kept.join(F.broadcast(existing_ids), on=id_col, how="left_anti")
+
+            if fp_store is not None and engine.catalog.current_version(fp_store) > 0:
+                survivors = DD.exact_dedup_incremental(
+                    fresh, engine.store(fp_store).df(), text_col, id_col,
+                    history_fp_col="fingerprint",
+                )
+            else:
+                survivors = DD.exact_dedup_incremental(
+                    fresh, handle.df().select(text_col), text_col, id_col
+                )
+            kept = _persist(survivors.unionByName(upserts))
+            stats["after_history_exact"] = last_count = kept.count()
+
+            if band_view is not None:
+                fresh = kept.join(
+                    F.broadcast(existing_ids), on=id_col, how="left_anti"
+                )
+                pairs = handle.near_dups_vs(
+                    band_view, fresh, id_col, text_col, threshold=near_dup_threshold
+                )
+                dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+                kept = _persist(kept.join(dup_ids, on=id_col, how="left_anti"))
+                stats["after_history_near_dup"] = last_count = kept.count()
+
+        if eval_df is not None:
+            kept = _persist(decontaminate(kept, eval_df, text_col, id_col))
+            stats["after_decontaminate"] = last_count = kept.count()
+
+        stats["pushed"] = last_count
+        if last_count > 0:
+            if have_history:
+                res = engine.incremental_push(store, kept, eager=eager)
+            else:
+                res = engine.push(store, kept, views=views)
+            stats["version"] = res.version
         else:
-            res = engine.push(store, kept, **push_kwargs)
-        stats["version"] = res.version
-        if fp_store is not None:
-            # maintain the companion fingerprint index alongside the corpus
+            stats["version"] = engine.catalog.current_version(store)
+
+        if fp_store is not None and engine.catalog.current_version(store) > 0:
+            # maintain the companion fingerprint index alongside the corpus;
+            # runs even on an all-duplicates batch, or a pre-existing corpus
+            # would pay the full re-fingerprint fallback on EVERY batch
+            # until one happened to survive
             if engine.catalog.current_version(fp_store) > 0:
-                fps = kept.select(
-                    TX.fingerprint(F.col(text_col)).alias("fingerprint")
-                ).dropDuplicates(["fingerprint"])
-                engine.incremental_push(fp_store, fps, eager=eager)
+                if last_count > 0:
+                    fps = kept.select(
+                        TX.fingerprint(F.col(text_col)).alias("fingerprint")
+                    ).dropDuplicates(["fingerprint"])
+                    engine.incremental_push(fp_store, fps, eager=eager)
             else:
                 # bootstrap the digest table from the WHOLE corpus (which
                 # now includes this batch): seeding from the batch alone
@@ -1036,4 +1083,5 @@ def ingest_crawl_batch(
                 engine.push(fp_store, fps, allow_duplicate_key=True)
         return stats
     finally:
-        kept.unpersist()
+        for d in persisted:
+            d.unpersist()
