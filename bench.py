@@ -84,12 +84,14 @@ HEADLINE = [
     "x_canonical_docs",
     "x_decontaminate_spans",
     "x_frame_dedup_gate",
+    "x_crawl_ingest",
 ]
 
 # round-3 steady-state seconds × 1.5 headroom at sf0.1/local[32]; the
 # over-budget check adds 0.5s absolute slack on top (see BENCH_TARGETS.md)
 BUDGET_SEC = {
     "w8_batch_push": 5.5,
+    "x_crawl_ingest": 2.8,  # r4 steady 1.7-1.9s x 1.5 (two prep passes + fp anti-join)
     "r1_store_point_get": 0.5,
     "r2_store_batch_get": 1.5,
     "r2_batch_get": 0.8,
