@@ -1085,3 +1085,131 @@ def ingest_crawl_batch(
     finally:
         for d in persisted:
             d.unpersist()
+
+
+def export_training_data(
+    engine,
+    store: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    version: int | None = None,
+    eval_df: DataFrame | None = None,
+    rates: dict[str, float] | None = None,
+    stratum_col: str | None = None,
+    split_weights: dict[str, float] | None = None,
+    split_by_col: str | None = None,
+    pack_budget: int | None = None,
+    n_shards: int = 32,
+    split_seed: int = 0,
+    shard_seed: int = 1,
+) -> dict:
+    """The EXPORT side of the corpus lifecycle — one call from a versioned
+    store to training-ready sharded parquet, the mirror of
+    ingest_crawl_batch:
+
+      1. read the serving (or a pinned `version`) corpus;
+      2. optional benchmark decontamination (eval n-gram set broadcast);
+      3. optional domain mixing (stratified_resample over `rates` keyed by
+         `stratum_col` — upsampling adds `copy`, and the export row key
+         becomes id:copy so repeats shuffle as distinct examples);
+      4. train/val/test assignment (assign_splits; pass `split_by_col` —
+         e.g. a dup-cluster id or domain — as the leakage guard so
+         near-duplicates never straddle the boundary);
+      5. the training shuffle: hash-shard + in-shard sort by the seeded
+         shuffle key (shard_plan — no global orderBy(rand)); with
+         `pack_budget`, greedy sequence packing runs PER SPLIT instead
+         (packs never mix splits), keyed (shard, pack_id);
+      6. one partitioned write: out_dir/split=<s>/shard=<n>/ with exactly
+         one file per (split, shard) — the layout trainers stream.
+
+    `split_seed` and `shard_seed` default to DIFFERENT values: both hashes
+    share the md5 construction, so equal seeds would correlate shard
+    placement with the split thresholds (the resample purpose-salt lesson).
+
+    Writes `_export_manifest.json` (store version, seeds, config, per-split
+    rows/tokens) into out_dir for reproducibility and returns the manifest.
+    Everything is deterministic — re-running the same export overwrites
+    byte-identical content."""
+    import json
+    import os
+
+    if (rates is None) != (stratum_col is None):
+        raise ValueError("rates and stratum_col must be passed together")
+    v = version if version is not None else engine.catalog.current_version(store)
+    if v <= 0:
+        raise ValueError(f"store {store!r} has no version to export")
+    if split_seed == shard_seed:
+        raise ValueError(
+            "split_seed and shard_seed must differ — equal seeds correlate "
+            "shard placement with the split thresholds (same hash family)"
+        )
+    df = engine.store(store).df(v)
+    if "partition_id" in df.columns:
+        df = df.drop("partition_id")
+
+    if eval_df is not None:
+        df = decontaminate(df, eval_df, text_col, id_col)
+
+    key = F.col(id_col).cast("string")
+    if rates is not None:
+        df = stratified_resample(df, stratum_col, rates, id_col)
+        key = F.concat(key, F.lit(":"), F.col("copy").cast("string"))
+    df = df.withColumn("__xid", key)
+
+    df = assign_splits(df, "__xid", split_weights, by_col=split_by_col, seed=split_seed)
+
+    if pack_budget is not None:
+        df = df.withColumn("__nt", TX.token_count(text_col))
+        # pack PER SPLIT: pack_sequences shards by a pure hash of the id, so
+        # packing the whole frame would build packs that mix train and val
+        parts = []
+        split_names = list((split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}))
+        for s in split_names:
+            parts.append(
+                DD.pack_sequences(
+                    df.filter(F.col("split") == s), "__nt", "__xid",
+                    budget=pack_budget, n_shards=n_shards,
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.drop("__nt")
+        order_cols = ["pack_id"]
+    else:
+        out = shard_plan(df, "__xid", seed=shard_seed, n_shards=n_shards)
+        order_cols = ["shuffle_key"]
+
+    per_split = {
+        r["split"]: {"rows": r["rows"], "tokens": r["tokens"]}
+        for r in out.groupBy("split")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(TX.token_count(text_col)).alias("tokens"),
+        )
+        .collect()
+    }
+    (
+        out.repartition(F.col("split"), F.col("shard"))
+        .sortWithinPartitions("split", "shard", *order_cols)
+        .drop("__xid")
+        .write.mode("overwrite")
+        .partitionBy("split", "shard")
+        .parquet(out_dir)
+    )
+    manifest = {
+        "store": store,
+        "version": v,
+        "splits": per_split,
+        "n_shards": n_shards,
+        "pack_budget": pack_budget,
+        "split_seed": split_seed,
+        "shard_seed": shard_seed,
+        "split_by_col": split_by_col,
+        "rates": rates,
+        "stratum_col": stratum_col,
+    }
+    with open(os.path.join(out_dir, "_export_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
