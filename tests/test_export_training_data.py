@@ -116,3 +116,47 @@ def test_export_validation(engine, tmp_path, spark):
     eng2.create_store("empty", key_fields=["k"])
     with pytest.raises(ValueError, match="no version"):
         export_training_data(eng2, "empty", str(tmp_path / "z"))
+
+
+def test_upsampled_copies_never_straddle_splits(engine, spark, tmp_path):
+    """Leakage regression: without split_by_col, every COPY of an
+    upsampled document must land in the same split (independent per-copy
+    hashes would put identical text in both train and val)."""
+    out = str(tmp_path / "copies")
+    export_training_data(
+        engine, "corpus", out,
+        rates={"wiki": 3.0, "web": 1.0}, stratum_col="source",
+        split_weights={"train": 0.5, "val": 0.5},
+        n_shards=2,
+    )
+    back = spark.read.parquet(out)
+    straddlers = (
+        back.groupBy("doc_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    # and the copies still exist as distinct examples
+    assert back.filter(F.col("copy") > 0).count() > 0
+
+
+def test_null_guard_values_fall_back_to_id(engine, spark, tmp_path):
+    """A NULL split_by_col value must not produce a NULL split (which
+    would crash the manifest and hide rows under the hive default dir)."""
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root3"))
+    eng.create_store("c2", key_fields=["doc_id"], partition_count=2)
+    df = spark.createDataFrame(
+        [(i, _doc(i), None if i % 2 else "dom") for i in range(40)],
+        "doc_id long, text string, grp string",
+    )
+    eng.push("c2", df)
+    out = str(tmp_path / "nullguard")
+    man = export_training_data(
+        eng, "c2", out, split_by_col="grp",
+        split_weights={"train": 0.5, "val": 0.5}, n_shards=2,
+    )
+    assert None not in man["splits"]
+    assert sum(s["rows"] for s in man["splits"].values()) == 40
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("split").isNull()).count() == 0

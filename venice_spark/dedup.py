@@ -435,6 +435,7 @@ def pack_sequences(
     id_col: str,
     budget: int,
     n_shards: int = 32,
+    seed: int | None = None,
 ) -> DataFrame:
     """Sequence packing for training batches: assign documents to packs of
     at most `budget` total tokens (greedy close-on-overflow in (shard, id)
@@ -454,9 +455,14 @@ def pack_sequences(
     from pyspark.sql import types as T
 
     # md5-based shard (portable construction — same math runs in any SQL
-    # engine for oracle parity; xxhash64 would be marginally cheaper)
+    # engine for oracle parity; xxhash64 would be marginally cheaper).
+    # `seed` salts the hash for epoch reshuffles; None keeps the unsalted
+    # historical construction the DuckDB oracle re-derives.
+    skey = F.col(id_col).cast("string")
+    if seed is not None:
+        skey = F.concat(F.lit(f"{seed}:"), skey)
     shard = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint"),
+        F.conv(F.substring(F.md5(skey), 1, 8), 16, 10).cast("bigint"),
         F.lit(n_shards),
     ).cast("int")
     # a NULL token count surfaces as NaN in the Arrow batch and int(NaN)

@@ -386,7 +386,7 @@ def assign_splits(
     leakage path where near-duplicate documents straddle the boundary.
     Pure per-row expression — no shuffle, no RNG, stable across runs and
     engines (same md5 hash64 construction the oracle re-derives)."""
-    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    weights = weights or _DEFAULT_SPLIT_WEIGHTS
     total = sum(weights.values())
     key = by_col or id_col
     bucket = F.pmod(
@@ -1087,6 +1087,9 @@ def ingest_crawl_batch(
             d.unpersist()
 
 
+_DEFAULT_SPLIT_WEIGHTS = {"train": 0.98, "val": 0.01, "test": 0.01}
+
+
 def export_training_data(
     engine,
     store: str,
@@ -1103,34 +1106,44 @@ def export_training_data(
     n_shards: int = 32,
     split_seed: int = 0,
     shard_seed: int = 1,
+    max_records_per_file: int | None = None,
 ) -> dict:
     """The EXPORT side of the corpus lifecycle — one call from a versioned
     store to training-ready sharded parquet, the mirror of
     ingest_crawl_batch:
 
-      1. read the serving (or a pinned `version`) corpus;
+      1. read the serving (or a pinned `version`) corpus; rows with NULL
+         text are excluded up front (nothing to train on, and the packed
+         and unpacked exports must agree on row accounting);
       2. optional benchmark decontamination (eval n-gram set broadcast);
       3. optional domain mixing (stratified_resample over `rates` keyed by
-         `stratum_col` — upsampling adds `copy`, and the export row key
-         becomes id:copy so repeats shuffle as distinct examples);
+         `stratum_col` — upsampling adds `copy`, and the SHARD key becomes
+         id:copy so repeats shuffle as distinct examples, while the SPLIT
+         key stays the bare id so every copy of a document lands on the
+         same side of the train/val boundary);
       4. train/val/test assignment (assign_splits; pass `split_by_col` —
          e.g. a dup-cluster id or domain — as the leakage guard so
-         near-duplicates never straddle the boundary);
+         near-duplicates never straddle the boundary; NULL guard values
+         fall back to the row's own id, never to a NULL split);
       5. the training shuffle: hash-shard + in-shard sort by the seeded
          shuffle key (shard_plan — no global orderBy(rand)); with
          `pack_budget`, greedy sequence packing runs PER SPLIT instead
-         (packs never mix splits), keyed (shard, pack_id);
-      6. one partitioned write: out_dir/split=<s>/shard=<n>/ with exactly
-         one file per (split, shard) — the layout trainers stream.
+         (packs never mix splits), keyed (shard, pack_id), shard hash
+         salted with `shard_seed` for epoch reshuffles;
+      6. one partitioned write: out_dir/split=<s>/shard=<n>/ with one
+         sorted file sequence per (split, shard) — the layout trainers
+         stream (`max_records_per_file` bounds file sizes without
+         changing order).
 
     `split_seed` and `shard_seed` default to DIFFERENT values: both hashes
     share the md5 construction, so equal seeds would correlate shard
     placement with the split thresholds (the resample purpose-salt lesson).
 
     Writes `_export_manifest.json` (store version, seeds, config, per-split
-    rows/tokens) into out_dir for reproducibility and returns the manifest.
-    Everything is deterministic — re-running the same export overwrites
-    byte-identical content."""
+    rows/tokens) into out_dir when it is a local path — a URI destination
+    (s3a://, hdfs://) gets manifest_written=False in the returned dict
+    instead of a driver-side crash after the parquet landed. Deterministic:
+    re-running the same export reproduces identical content and order."""
     import json
     import os
 
@@ -1144,60 +1157,85 @@ def export_training_data(
             "split_seed and shard_seed must differ — equal seeds correlate "
             "shard placement with the split thresholds (same hash family)"
         )
+    weights = split_weights or _DEFAULT_SPLIT_WEIGHTS
     df = engine.store(store).df(v)
     if "partition_id" in df.columns:
         df = df.drop("partition_id")
+    df = df.filter(F.col(text_col).isNotNull())
 
     if eval_df is not None:
         df = decontaminate(df, eval_df, text_col, id_col)
 
-    key = F.col(id_col).cast("string")
+    shard_key = F.col(id_col).cast("string")
     if rates is not None:
         df = stratified_resample(df, stratum_col, rates, id_col)
-        key = F.concat(key, F.lit(":"), F.col("copy").cast("string"))
-    df = df.withColumn("__xid", key)
+        # copies are distinct examples for the SHUFFLE only; the split key
+        # stays the bare id (independent per-copy split hashes would leak
+        # identical text across the train/val boundary)
+        shard_key = F.concat(shard_key, F.lit(":"), F.col("copy").cast("string"))
+    df = df.withColumn("__xid", shard_key)
 
-    df = assign_splits(df, "__xid", split_weights, by_col=split_by_col, seed=split_seed)
+    # leakage-guard key: NULL guard values fall back to the row id — a row
+    # with no cluster/domain is unconstrained, never a NULL split
+    guard = "__skey"
+    if split_by_col is not None:
+        df = df.withColumn(
+            guard,
+            F.coalesce(F.col(split_by_col).cast("string"), F.col(id_col).cast("string")),
+        )
+    else:
+        df = df.withColumn(guard, F.col(id_col).cast("string"))
+    df = assign_splits(df, guard, weights, seed=split_seed).drop(guard)
 
-    if pack_budget is not None:
-        df = df.withColumn("__nt", TX.token_count(text_col))
-        # pack PER SPLIT: pack_sequences shards by a pure hash of the id, so
-        # packing the whole frame would build packs that mix train and val
-        parts = []
-        split_names = list((split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}))
-        for s in split_names:
-            parts.append(
+    persisted: list = []
+    try:
+        if pack_budget is not None:
+            df = df.withColumn("__nt", TX.token_count(text_col))
+            df.persist()
+            persisted.append(df)
+            # pack PER SPLIT: pack_sequences shards by a hash of the id, so
+            # packing the whole frame would build packs mixing train and val
+            parts = [
                 DD.pack_sequences(
                     df.filter(F.col("split") == s), "__nt", "__xid",
-                    budget=pack_budget, n_shards=n_shards,
+                    budget=pack_budget, n_shards=n_shards, seed=shard_seed,
                 )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out = out.drop("__nt")
-        order_cols = ["pack_id"]
-    else:
-        out = shard_plan(df, "__xid", seed=shard_seed, n_shards=n_shards)
-        order_cols = ["shuffle_key"]
+                for s in weights
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out = out.drop("__nt")
+            order_cols = ["pack_id", "__xid"]  # deterministic in-pack order
+        else:
+            out = shard_plan(df, "__xid", seed=shard_seed, n_shards=n_shards)
+            order_cols = ["shuffle_key", "__xid"]
+        out.persist()
+        persisted.append(out)
 
-    per_split = {
-        r["split"]: {"rows": r["rows"], "tokens": r["tokens"]}
-        for r in out.groupBy("split")
-        .agg(
-            F.count("*").alias("rows"),
-            F.sum(TX.token_count(text_col)).alias("tokens"),
+        per_split = {
+            r["split"]: {"rows": r["rows"], "tokens": r["tokens"]}
+            for r in out.groupBy("split")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(TX.token_count(text_col)).alias("tokens"),
+            )
+            .collect()
+        }
+        writer = (
+            out.repartition(F.col("split"), F.col("shard"))
+            .sortWithinPartitions("split", "shard", *order_cols)
+            .drop("__xid")
+            .write.mode("overwrite")
+            .partitionBy("split", "shard")
         )
-        .collect()
-    }
-    (
-        out.repartition(F.col("split"), F.col("shard"))
-        .sortWithinPartitions("split", "shard", *order_cols)
-        .drop("__xid")
-        .write.mode("overwrite")
-        .partitionBy("split", "shard")
-        .parquet(out_dir)
-    )
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(out_dir)
+    finally:
+        for d in persisted:
+            d.unpersist()
+
     manifest = {
         "store": store,
         "version": v,
@@ -1209,7 +1247,9 @@ def export_training_data(
         "split_by_col": split_by_col,
         "rates": rates,
         "stratum_col": stratum_col,
+        "manifest_written": "://" not in out_dir,
     }
-    with open(os.path.join(out_dir, "_export_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    if manifest["manifest_written"]:
+        with open(os.path.join(out_dir, "_export_manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
