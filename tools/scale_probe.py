@@ -101,6 +101,9 @@ PROBE_QUERIES = [
     # span decontamination (broadcast window-set semi join)
     "x_canonical_docs",
     "x_decontaminate_spans",
+    # round-4 continuation: composed two-day ingest dedup math (two prep
+    # passes + fingerprint anti-join vs day-1 survivors)
+    "x_crawl_ingest",
 ]
 
 
