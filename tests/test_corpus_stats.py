@@ -681,3 +681,44 @@ def test_random_projection_null_on_short_vector(spark):
     assert rows[1]["proj"][0] is not None and rows[1]["p0"] is not None
     assert rows[2]["proj"][0] is None and rows[2]["p0"] is None
     assert rows[3]["proj"][0] is None
+
+
+def test_mixture_rates_realizes_target_shares(spark):
+    """The solver's rates, realized through stratified_resample, hit the
+    requested token mixture and budget within hash-sampling noise."""
+    from venice_spark.pipeline import mixture_rates, stratified_resample
+
+    rows = (
+        [(f"w{i}", "web", "tok " * 40) for i in range(400)]
+        + [(f"k{i}", "wiki", "tok " * 40) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, dom string, text string")
+    # corpus: web 16000 tokens, wiki 4000. Ask 50/50 at 6000 total.
+    rates = mixture_rates(df, "dom", {"web": 1.0, "wiki": 1.0}, token_budget=6000)
+    assert abs(rates["web"] - 3000 / 16000) < 1e-9
+    assert abs(rates["wiki"] - 3000 / 4000) < 1e-9
+    out = stratified_resample(df, "dom", rates, "doc_id", default_rate=0.0)
+    toks = {
+        r["dom"]: r["n"] * 40
+        for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(toks["web"] - 3000) < 600      # hash-threshold noise
+    assert abs(toks["wiki"] - 3000) < 600
+
+    # budget=None: binding stratum (wiki at 50%) pins rate 1.0
+    r2 = mixture_rates(df, "dom", {"web": 1.0, "wiki": 1.0})
+    assert r2["wiki"] == 1.0
+    assert abs(r2["web"] - 4000 / 16000) < 1e-9
+
+    # max_rate caps repetition
+    r3 = mixture_rates(
+        df, "dom", {"web": 1.0, "wiki": 1.0}, token_budget=16000, max_rate=1.5
+    )
+    assert r3["wiki"] == 1.5  # uncapped would be 2.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unrealizable"):
+        mixture_rates(df, "dom", {"web": 1.0, "code": 1.0})
+    with pytest.raises(ValueError, match="non-negative"):
+        mixture_rates(df, "dom", {"web": -1.0})

@@ -404,3 +404,57 @@ def test_fp_store_enabled_on_existing_corpus_bootstraps_history(spark, tmp_path)
     assert ids == {100, 2}, f"pre-existing content re-ingested: {ids}"
     # digest store now covers pre-existing + new content
     assert eng.store("corpus_fps").df().count() == 2
+
+
+def test_corpus_ingest_with_band_view_near_dup(spark, tmp_path):
+    """Streaming ingest with the persisted MinHash band index: a micro-batch
+    doc that NEAR-duplicates history (no exact fingerprint match) is
+    dropped by the band-view probe; an update for an EXISTING id still
+    lands (upsert); a declared-but-unknown view fails before the stream."""
+    import pytest
+
+    from venice_spark import VeniceSparkEngine
+    from venice_spark.push import BandIndexViewDef
+    from venice_spark.streaming.corpus import run_corpus_ingest_to_store
+
+    src = f"{tmp_path}/src"
+    ckpt = f"{tmp_path}/ckpt"
+    eng = VeniceSparkEngine(spark, f"{tmp_path}/root")
+    # declare the band index AT CREATION: the bootstrap push builds it and
+    # every later push maintains it (object normalized to its spec dict)
+    eng.create_store(
+        "corpus", key_fields=["doc_id"], partition_count=2,
+        views=[BandIndexViewDef("ndx", text_col="text")],
+    )
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = run_corpus_ingest_to_store(
+            stream, eng, "corpus", ckpt,
+            ts_col="ts", min_tokens=5, min_stopword_ratio=0.0,
+            band_view="ndx", near_dup_threshold=0.5,
+        )
+        q.awaitTermination(120)
+
+    _write(spark, src, [(1, int(0.1 * HOUR_NS), GOOD)])
+    with pytest.raises(ValueError, match="no band index view"):
+        run_corpus_ingest_to_store(
+            spark.readStream.schema(SCHEMA).parquet(src), eng, "corpus",
+            ckpt, band_view="ghost",
+        )
+    run()
+    # view landed with the bootstrap push
+    v = eng.catalog.current_version("corpus")
+    import os
+    assert os.path.isdir(f"{eng.catalog.version_dir('corpus', v)}__view_ndx")
+
+    _write(spark, src, [
+        (2, int(5.0 * HOUR_NS), GOOD + " extra"),   # near-dup of doc 1
+        (3, int(5.1 * HOUR_NS), DUP),               # genuinely new content
+        (1, int(5.2 * HOUR_NS), GOOD + " v2 edit"), # upsert of existing id
+    ])
+    run()
+    st = eng.store("corpus")
+    rows = {r["doc_id"]: r["text"] for r in st.df().collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1].endswith("v2 edit")

@@ -143,6 +143,15 @@ class StoreCatalog:
     ) -> StoreMeta:
         if os.path.exists(self._meta_path(name)):
             raise ValueError(f"store {name!r} already exists")
+        if config.get("views"):
+            # accept view OBJECTS (MaterializedViewDef & friends) as well as
+            # spec dicts: the meta stores JSON-able specs, and a raw object
+            # here would crash declared_views on the first later read
+            config = dict(config)
+            config["views"] = [
+                v.spec() if hasattr(v, "spec") and callable(v.spec) else v
+                for v in config["views"]
+            ]
         meta = StoreMeta(
             name=name,
             key_fields=list(key_fields),
@@ -192,6 +201,13 @@ class StoreCatalog:
                 if k in self._MUTABLE_FIELDS:
                     setattr(meta, k, v)
                 else:
+                    if k == "views" and v:
+                        # normalize view objects to JSON-able specs, same as
+                        # create_store
+                        v = [
+                            x.spec() if hasattr(x, "spec") and callable(x.spec) else x
+                            for x in v
+                        ]
                     meta.config[k] = v
             self._write_meta(meta)
             return meta

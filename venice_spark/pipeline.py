@@ -1253,3 +1253,64 @@ def export_training_data(
         with open(os.path.join(out_dir, "_export_manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def mixture_rates(
+    df: DataFrame,
+    stratum_col: str,
+    weights: dict[str, float],
+    token_budget: int | None = None,
+    text_col: str = "text",
+    max_rate: float | None = None,
+) -> dict[str, float]:
+    """Per-stratum sampling rates realizing a TARGET MIXTURE under a token
+    budget — the data-recipe solver that turns "40% web, 40% code, 20%
+    wiki, 300B tokens" into stratified_resample rates:
+
+        rate_s = (weight_s / Σweights) * budget / available_tokens_s
+
+    With token_budget=None the budget is the LARGEST total achievable
+    without upsampling anything: the binding stratum (smallest
+    available/weight ratio) gets rate 1.0 and everything else downsamples
+    to match the mixture. Rates above 1 mean repetition (upsampling —
+    stratified_resample emits full + fractional copies); pass `max_rate`
+    to cap repetition, accepting that capped strata fall short of their
+    target share (the returned rate shows exactly by how much).
+
+    One partial-agg count/sum per stratum collected to the driver (bounded
+    by the stratum count, never the corpus) — the same footprint as
+    temperature_rates. Strata outside `weights` get rate 0 (dropped by
+    stratified_resample's default_rate=0 convention is NOT automatic —
+    pass default_rate=0.0 explicitly when exporting a strict mixture).
+    Raises if a requested stratum has no tokens: the mixture is
+    unrealizable and silently renormalizing would misstate every share."""
+    if not weights:
+        raise ValueError("weights must name at least one stratum")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be non-negative and sum > 0: {weights}")
+    avail = {
+        r["s"]: int(r["toks"])
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.sum(TX.token_count(text_col)).alias("toks"))
+        .collect()
+    }
+    missing = [s for s, w in weights.items() if w > 0 and not avail.get(s)]
+    if missing:
+        raise ValueError(
+            f"strata {missing} have no tokens in the corpus — the requested "
+            "mixture is unrealizable"
+        )
+    z = sum(weights.values())
+    shares = {s: w / z for s, w in weights.items()}
+    if token_budget is None:
+        # binding stratum caps the budget at no-upsampling
+        token_budget = int(
+            min(avail[s] / shares[s] for s in shares if shares[s] > 0)
+        )
+    rates = {}
+    for s, share in shares.items():
+        r = (share * token_budget) / avail[s] if share > 0 else 0.0
+        if max_rate is not None:
+            r = min(r, max_rate)
+        rates[s] = round(r, 9)
+    return rates

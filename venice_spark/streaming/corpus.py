@@ -48,7 +48,10 @@ def streaming_corpus_prep(
       * streaming with `ts_col`: `dropDuplicatesWithinWatermark` — state is
         one fingerprint per distinct doc within the watermark horizon,
         evicted automatically (the ONLY bounded-state streaming dedup;
-        plain dropDuplicates on a stream grows state forever);
+        plain dropDuplicates on a stream grows state forever). NOTE:
+        Structured Streaming's initial watermark is epoch 0, so rows whose
+        event time is AT epoch 0 are dropped as late before the first
+        batch advances it — feed real event times, not placeholder zeros;
       * streaming without `ts_col`: plain dropDuplicates — documented
         unbounded state, only for bounded replays;
       * batch: dropDuplicates (one shuffle), matching exact_dedup's set.
@@ -94,6 +97,8 @@ def run_corpus_ingest_to_store(
     ts_col: str | None = None,
     dedup_against_store: bool = True,
     fp_store: str | None = None,
+    band_view: str | None = None,
+    near_dup_threshold: float = 0.5,
     available_now: bool = True,
     **prep_kwargs,
 ):
@@ -111,8 +116,39 @@ def run_corpus_ingest_to_store(
     store's partition-by-fingerprint layout co-locates the anti-join).
     Without it the corpus frame itself is used — correct at any scale,
     cheap below it. The corpus store's key fields must include `id_col`;
-    the fp store's must be ["fingerprint"]."""
+    the fp store's must be ["fingerprint"].
+
+    `band_view` names a declared push.BandIndexViewDef on the corpus
+    store: each micro-batch additionally probes the persisted MinHash
+    band index for NEAR-duplicates of history at `near_dup_threshold`
+    jaccard (store.near_dups_vs — history is never re-shingled; ids
+    already in the store are upserts and bypass the probe, matching
+    pipeline.ingest_crawl_batch). The view is maintained by the push
+    paths this loop already uses, so it stays current between batches."""
     from venice_spark.dedup import exact_dedup_incremental
+
+    if band_view is not None:
+        # fail before the stream starts, not inside micro-batch N: the view
+        # must either already exist on the served version or be DECLARED on
+        # the store so the bootstrap push creates and maintains it
+        import os
+
+        from venice_spark.push import BandIndexViewDef, declared_views
+
+        meta = engine.catalog.get_store(store)
+        declared = any(
+            d.name == band_view and isinstance(d, BandIndexViewDef)
+            for d in declared_views(meta)
+        )
+        v = engine.catalog.current_version(store)
+        has_dir = v > 0 and os.path.isdir(
+            f"{engine.catalog.version_dir(store, v)}__view_{band_view}"
+        )
+        if not declared and not has_dir:
+            raise ValueError(
+                f"store {store!r} declares no band index view {band_view!r} "
+                "— register it in the store config so every push maintains it"
+            )
 
     prepped = streaming_corpus_prep(
         stream, text_col=text_col, ts_col=ts_col, **prep_kwargs
@@ -174,6 +210,22 @@ def run_corpus_ingest_to_store(
             elif engine.catalog.current_version(store) > 0:
                 history = engine.store(store).df().select(text_col)
                 out = exact_dedup_incremental(out, history, text_col, id_col)
+        if band_view is not None and engine.catalog.current_version(store) > 0:
+            # near-dup vs the persisted band index; existing ids are
+            # upserts (their content replaces) and skip the probe
+            handle = engine.store(store)
+            batch_ids = out.select(id_col)
+            existing = (
+                handle.df()
+                .select(id_col)
+                .join(F.broadcast(batch_ids), on=id_col, how="left_semi")
+            )
+            fresh = out.join(F.broadcast(existing), on=id_col, how="left_anti")
+            pairs = handle.near_dups_vs(
+                band_view, fresh, id_col, text_col, threshold=near_dup_threshold
+            )
+            dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+            out = out.join(dup_ids, on=id_col, how="left_anti")
         if not out.isEmpty():
             _push(store, out.drop("__fp"))
             if fp_store is not None:
