@@ -458,3 +458,43 @@ def test_corpus_ingest_with_band_view_near_dup(spark, tmp_path):
     rows = {r["doc_id"]: r["text"] for r in st.df().collect()}
     assert set(rows) == {1, 3}
     assert rows[1].endswith("v2 edit")
+
+
+def test_streaming_exact_dup_update_is_upsert(spark, tmp_path):
+    """An update whose NEW text exactly matches some OTHER historical doc
+    must still land (upsert) — the history fingerprint anti-join only
+    applies to fresh ids, matching ingest_crawl_batch's semantics. (The
+    IN-STREAM watermark dedup still applies while the matching content's
+    state is inside the horizon — documented limitation — so the update
+    arrives after the watermark has evicted it.)"""
+    from venice_spark import VeniceSparkEngine
+    from venice_spark.streaming.corpus import run_corpus_ingest_to_store
+
+    src = f"{tmp_path}/src"
+    ckpt = f"{tmp_path}/ckpt"
+    eng = VeniceSparkEngine(spark, f"{tmp_path}/root")
+    eng.create_store("corpus", key_fields=["doc_id"], partition_count=2)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = run_corpus_ingest_to_store(
+            stream, eng, "corpus", ckpt,
+            ts_col="ts", min_tokens=5, min_stopword_ratio=0.0,
+        )
+        q.awaitTermination(120)
+
+    _write(spark, src, [
+        (1, int(0.1 * HOUR_NS), GOOD),
+        (2, int(0.2 * HOUR_NS), DUP),
+    ])
+    run()
+    # advance the watermark far past 0.2h+delay so DUP's fp state evicts
+    _write(spark, src, [(3, int(10 * HOUR_NS), GOOD + " unrelated new doc")])
+    run()
+    # doc 1's page now mirrors doc 2's content exactly — an UPSERT: the
+    # history anti-join must not drop it (the store serves doc 1 forever)
+    _write(spark, src, [(1, int(11 * HOUR_NS), DUP)])
+    run()
+    rows = {r["doc_id"]: r["text"] for r in eng.store("corpus").df().collect()}
+    assert rows[1] == DUP  # the update landed, not the stale GOOD
+    assert rows[2] == DUP

@@ -902,6 +902,42 @@ def temperature_rates(
     return {s: min(max_rate, r * max_rate / top) for s, r in raw.items()}
 
 
+def split_upserts(handle, frame: DataFrame, id_col: str) -> DataFrame:
+    """Ids of `frame` rows already present in the store — UPSERTS. Their
+    content REPLACES the stored row, so they must bypass every
+    history-dedup stage: dropping an update because its new text matches
+    some OTHER historical doc would serve the stale row forever. The store
+    side scans only the id column under a broadcast semi-join of the batch
+    ids (rowgroup-pruned on sorted key parquet — the batch_get shape).
+    Shared by ingest_crawl_batch and the streaming ingest loop so the
+    upsert semantics can never drift between them."""
+    ids = frame.select(id_col)
+    return (
+        handle.df().select(id_col).join(F.broadcast(ids), on=id_col, how="left_semi")
+    )
+
+
+def band_near_dup_filter(
+    handle,
+    frame: DataFrame,
+    existing_ids: DataFrame,
+    id_col: str,
+    text_col: str,
+    band_view: str,
+    threshold: float,
+) -> DataFrame:
+    """Drop `frame` rows that NEAR-duplicate the store's persisted MinHash
+    band index (store.near_dups_vs — history probed, never re-shingled).
+    Rows whose id is in `existing_ids` are upserts and bypass the probe.
+    Shared by ingest_crawl_batch and the streaming ingest loop."""
+    fresh = frame.join(F.broadcast(existing_ids), on=id_col, how="left_anti")
+    pairs = handle.near_dups_vs(
+        band_view, fresh, id_col, text_col, threshold=threshold
+    )
+    dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    return frame.join(dup_ids, on=id_col, how="left_anti")
+
+
 def ingest_crawl_batch(
     engine,
     store: str,
@@ -1007,15 +1043,8 @@ def ingest_crawl_batch(
         upserts = None
         if have_history:
             # the upsert split: ids already in the store bypass history
-            # dedup (their content REPLACES; see docstring). existing_ids is
-            # batch-bounded — the store side scans only the id column with
-            # the broadcast batch-id filter (rowgroup-pruned, key-sorted)
-            batch_ids = kept.select(id_col)
-            existing_ids = _persist(
-                handle.df()
-                .select(id_col)
-                .join(F.broadcast(batch_ids), on=id_col, how="left_semi")
-            )
+            # dedup (split_upserts; existing_ids is batch-bounded)
+            existing_ids = _persist(split_upserts(handle, kept, id_col))
             upserts = kept.join(F.broadcast(existing_ids), on=id_col, how="left_semi")
             fresh = kept.join(F.broadcast(existing_ids), on=id_col, how="left_anti")
 
@@ -1032,14 +1061,12 @@ def ingest_crawl_batch(
             stats["after_history_exact"] = last_count = kept.count()
 
             if band_view is not None:
-                fresh = kept.join(
-                    F.broadcast(existing_ids), on=id_col, how="left_anti"
+                kept = _persist(
+                    band_near_dup_filter(
+                        handle, kept, existing_ids, id_col, text_col,
+                        band_view, near_dup_threshold,
+                    )
                 )
-                pairs = handle.near_dups_vs(
-                    band_view, fresh, id_col, text_col, threshold=near_dup_threshold
-                )
-                dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
-                kept = _persist(kept.join(dup_ids, on=id_col, how="left_anti"))
                 stats["after_history_near_dup"] = last_count = kept.count()
 
         if eval_df is not None:
@@ -1289,7 +1316,9 @@ def mixture_rates(
     if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
         raise ValueError(f"weights must be non-negative and sum > 0: {weights}")
     avail = {
-        r["s"]: int(r["toks"])
+        # a stratum whose every text is NULL sums to NULL — count it as 0
+        # (it may not even be requested; int(None) would crash here)
+        r["s"]: int(r["toks"] or 0)
         for r in df.groupBy(F.col(stratum_col).alias("s"))
         .agg(F.sum(TX.token_count(text_col)).alias("toks"))
         .collect()
@@ -1303,10 +1332,10 @@ def mixture_rates(
     z = sum(weights.values())
     shares = {s: w / z for s, w in weights.items()}
     if token_budget is None:
-        # binding stratum caps the budget at no-upsampling
-        token_budget = int(
-            min(avail[s] / shares[s] for s in shares if shares[s] > 0)
-        )
+        # binding stratum caps the budget at no-upsampling; keep the float
+        # (int truncation would push the binding rate below the documented
+        # exact 1.0 whenever avail/share is fractional)
+        token_budget = min(avail[s] / shares[s] for s in shares if shares[s] > 0)
     rates = {}
     for s, share in shares.items():
         r = (share * token_budget) / avail[s] if share > 0 else 0.0

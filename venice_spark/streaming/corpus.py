@@ -124,31 +124,50 @@ def run_corpus_ingest_to_store(
     jaccard (store.near_dups_vs — history is never re-shingled; ids
     already in the store are upserts and bypass the probe, matching
     pipeline.ingest_crawl_batch). The view is maintained by the push
-    paths this loop already uses, so it stays current between batches."""
-    from venice_spark.dedup import exact_dedup_incremental
+    paths this loop already uses, so it stays current between batches.
 
+    Upsert semantics: ids already in the store bypass BOTH history-dedup
+    stages (their content replaces). One documented limitation: the
+    IN-STREAM watermark dedup is content-keyed and cannot consult the
+    store, so an update whose new text matches content seen within the
+    live watermark horizon is deduped there; once the horizon passes, the
+    history stages treat it as the upsert it is."""
     if band_view is not None:
-        # fail before the stream starts, not inside micro-batch N: the view
-        # must either already exist on the served version or be DECLARED on
-        # the store so the bootstrap push creates and maintains it
+        # fail before the stream starts, not inside micro-batch N. The view
+        # must be DECLARED — every push this loop lands rebuilds only
+        # declared views, so an undeclared dir would vanish at the first
+        # eager write — and, when a version is already serving, it must be
+        # MATERIALIZED as a band index on that version (a declared-but-
+        # unbuilt view would fail the first probe mid-stream)
         import os
 
-        from venice_spark.push import BandIndexViewDef, declared_views
+        from venice_spark.push import BandIndexViewDef, declared_views, read_view_spec
 
         meta = engine.catalog.get_store(store)
         declared = any(
             d.name == band_view and isinstance(d, BandIndexViewDef)
             for d in declared_views(meta)
         )
-        v = engine.catalog.current_version(store)
-        has_dir = v > 0 and os.path.isdir(
-            f"{engine.catalog.version_dir(store, v)}__view_{band_view}"
-        )
-        if not declared and not has_dir:
+        if not declared:
             raise ValueError(
                 f"store {store!r} declares no band index view {band_view!r} "
                 "— register it in the store config so every push maintains it"
             )
+        v = engine.catalog.current_version(store)
+        if v > 0:
+            vpath = f"{engine.catalog.version_dir(store, v)}__view_{band_view}"
+            if not os.path.isdir(vpath):
+                raise ValueError(
+                    f"band index view {band_view!r} is declared but not "
+                    f"materialized on served v{v} — run an eager push or "
+                    "compact_store to build it before streaming"
+                )
+            written = read_view_spec(vpath)
+            if written is not None and not isinstance(written, BandIndexViewDef):
+                raise ValueError(
+                    f"view {band_view!r} on {store!r} v{v} is not a MinHash "
+                    "band index"
+                )
 
     prepped = streaming_corpus_prep(
         stream, text_col=text_col, ts_col=ts_col, **prep_kwargs
@@ -188,48 +207,65 @@ def run_corpus_ingest_to_store(
         # and the fp_store push (it was being recomputed over full text up
         # to three times per batch — code-review r4)
         out = batch_df.withColumn("__fp", TX.fingerprint(F.col(text_col)))
-        if dedup_against_store:
-            if fp_store is not None and engine.catalog.current_version(fp_store) > 0:
-                # same two stages as exact_dedup_incremental, reusing the
-                # already-computed __fp: in-batch lowest-id-per-fingerprint,
-                # then the anti-join against the digest store
-                from pyspark.sql import Window
+        have_history = engine.catalog.current_version(store) > 0
+        persisted: list = []
+        existing = None
+        if have_history and (dedup_against_store or band_view is not None):
+            # the upsert split (pipeline.split_upserts): ids already in the
+            # store bypass BOTH history-dedup stages — their content
+            # REPLACES, and an update whose new text matches some OTHER
+            # historical doc must not be dropped (stale row forever)
+            from venice_spark.pipeline import band_near_dup_filter, split_upserts
 
-                w = Window.partitionBy("__fp").orderBy(id_col)
-                out = (
-                    out.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1)
-                    .drop("__rn")
-                )
+            existing = split_upserts(engine.store(store), out, id_col)
+            existing.persist()
+            persisted.append(existing)
+        if dedup_against_store and have_history:
+            ups = out.join(F.broadcast(existing), on=id_col, how="left_semi")
+            fresh = out.join(F.broadcast(existing), on=id_col, how="left_anti")
+            # same two stages as exact_dedup_incremental, reusing the
+            # already-computed __fp: in-batch lowest-id-per-fingerprint,
+            # then the anti-join against the history digest — the fp STORE
+            # when it serves (16 B/doc), else fingerprints derived from the
+            # corpus text on the fly
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("__fp").orderBy(id_col)
+            fresh = (
+                fresh.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            if fp_store is not None and engine.catalog.current_version(fp_store) > 0:
                 history = engine.store(fp_store).df().select(
                     F.col("fingerprint").alias("__hfp")
                 )
-                out = out.join(
-                    history, out["__fp"] == history["__hfp"], "left_anti"
+            else:
+                history = engine.store(store).df().select(
+                    TX.fingerprint(F.col(text_col)).alias("__hfp")
                 )
-            elif engine.catalog.current_version(store) > 0:
-                history = engine.store(store).df().select(text_col)
-                out = exact_dedup_incremental(out, history, text_col, id_col)
-        if band_view is not None and engine.catalog.current_version(store) > 0:
-            # near-dup vs the persisted band index; existing ids are
-            # upserts (their content replaces) and skip the probe
-            handle = engine.store(store)
-            batch_ids = out.select(id_col)
-            existing = (
-                handle.df()
-                .select(id_col)
-                .join(F.broadcast(batch_ids), on=id_col, how="left_semi")
+            fresh = fresh.join(
+                history, fresh["__fp"] == history["__hfp"], "left_anti"
             )
-            fresh = out.join(F.broadcast(existing), on=id_col, how="left_anti")
-            pairs = handle.near_dups_vs(
-                band_view, fresh, id_col, text_col, threshold=near_dup_threshold
+            out = fresh.unionByName(ups)
+        if band_view is not None and have_history:
+            out = band_near_dup_filter(
+                engine.store(store), out, existing, id_col, text_col,
+                band_view, near_dup_threshold,
             )
-            dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
-            out = out.join(dup_ids, on=id_col, how="left_anti")
-        if not out.isEmpty():
-            _push(store, out.drop("__fp"))
-            if fp_store is not None:
-                _push(fp_store, out.select(F.col("__fp").alias("fingerprint")))
+        # one materialization serves the emptiness check and both pushes
+        # (the band-probe lineage is expensive; unpersisted it would run
+        # up to three times per micro-batch)
+        out.persist()
+        persisted.append(out)
+        try:
+            if not out.isEmpty():
+                _push(store, out.drop("__fp"))
+                if fp_store is not None:
+                    _push(fp_store, out.select(F.col("__fp").alias("fingerprint")))
+        finally:
+            for d in persisted:
+                d.unpersist()
 
     writer = (
         prepped.writeStream.outputMode("append")
