@@ -169,11 +169,9 @@ def test_driver_window_carries_only_oracle_queries():
         # x_ann_topk was driver-green r03 and the ANN family still holds
         # four window slots; slot given to the frame-dedup gate
         "x_ann_topk",
-        # composed crawl-ingest dedup math: the fingerprint anti-join shape
-        # is carried in-window by x_dedup_exact/x_decontaminate and the prep
-        # gates by x_training_pipeline; exact oracle checked locally, the
-        # store-backed composition by tests/test_ingest_crawl_batch.py
-        "x_crawl_ingest",
+        # driver-green r03, subsumed by the in-window x_crawl_ingest (same
+        # gates + in-batch dedup math, plus the history anti-join stage)
+        "x_training_pipeline",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

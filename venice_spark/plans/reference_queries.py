@@ -2664,7 +2664,7 @@ DRIVER_WINDOW = 50
 
 _TAIL = [
     "r4_project",              # pure projection is exercised by every query; scan pruning pinned by r1/r10 plan tests
-    "x_crawl_ingest",          # composed ingest dedup math; exact fingerprint oracle checked locally (store-backed edition in tests/test_ingest_crawl_batch.py)
+    "x_training_pipeline",     # driver-green r03; SUBSUMED by x_crawl_ingest (same gates + in-batch dedup math, plus the history anti-join stage) — slot given to the superset
     "x_dup_clusters",          # strictly subsumed by x_canonical_docs (same recursive-closure oracle, plus survivor ranking on top)
     "x_asof_join",             # interval-join family driver-green r03 (twice: asof + range); slot given to x_decontaminate_spans
     "x_ann_topk",              # ANN family driver-green r03 and still holds 4 window slots (knn_join_lsh + 3 recall/PQ gates); slot given to x_frame_dedup_gate
