@@ -178,7 +178,9 @@ def main():
         try:
             spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
         except Exception:
-            errors.setdefault("_warmup", f"missing table {t}")
+            # accumulate EVERY missing table (not just the first)
+            prev = errors.get("_warmup", "")
+            errors["_warmup"] = f"{prev} missing table {t}".strip()
     try:
         spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
             "md5(text)", "split(text, ' ')"
@@ -211,7 +213,9 @@ def main():
         finally:
             _sh.rmtree(_warm_root, ignore_errors=True)
     except Exception:
-        errors["_warmup"] = traceback.format_exc(limit=2)
+        # keep the precise missing-table diagnosis when both warmup stages
+        # failed for the same root cause
+        errors.setdefault("_warmup", traceback.format_exc(limit=2))
 
     # bulk ingest (W8): the reference's primary dataflow — full push of
     # lineitem through dedup -> partition+sort -> partitioned write -> swap
@@ -226,6 +230,10 @@ def main():
     # publish the freeze as the push's cost
     for _pass in range(2):
         root = tempfile.mkdtemp(prefix="vs_bench_push_")
+        # `section` names the block actually executing, so a pass-2 failure
+        # is attributed to the real culprit (timings from pass 1 already
+        # exist for all three keys, so presence-in-timings can't tell)
+        section = "w8_batch_push"
         try:
             eng = VeniceSparkEngine(spark, root)
             eng.create_store("bench_li", key_fields=["l_orderkey", "l_linenumber"], partition_count=32)
@@ -236,27 +244,20 @@ def main():
             timings["w8_batch_push"] = min(timings.get("w8_batch_push", dt), dt)
 
             # serving path against the pushed store: partition-dir pruned gets
+            section = "r1_store_point_get"
             st = eng.store("bench_li")
             sample = [tuple(r) for r in li.select("l_orderkey", "l_linenumber").limit(200).collect()]
             t0 = time.monotonic()
             assert st.get(sample[0]) is not None
             dt = round(time.monotonic() - t0, 3)
             timings["r1_store_point_get"] = min(timings.get("r1_store_point_get", dt), dt)
+            section = "r2_store_batch_get"
             keys = sample
             t0 = time.monotonic()
             st.batch_get(keys).write.format("noop").mode("overwrite").save()
             dt = round(time.monotonic() - t0, 3)
             timings["r2_store_batch_get"] = min(timings.get("r2_store_batch_get", dt), dt)
         except Exception:
-            # label the error by what actually failed: the push populates
-            # its timing before the serving section runs
-            section = (
-                "w8_batch_push"
-                if "w8_batch_push" not in timings
-                else "r2_store_batch_get"
-                if "r1_store_point_get" in timings
-                else "r1_store_point_get"
-            )
             errors[section] = traceback.format_exc(limit=2)
             break
         finally:

@@ -66,7 +66,13 @@ def main(argv: list[str]) -> int:
         cat.set_version(argv[2], int(argv[3]))
         print(f"{argv[2]} now serving v{argv[3]}")
     elif cmd == "retire":
-        keep = int(argv[argv.index("--keep") + 1]) if "--keep" in argv else 2
+        keep = 2
+        if "--keep" in argv:
+            i = argv.index("--keep")
+            if i + 1 >= len(argv) or not argv[i + 1].lstrip("-").isdigit():
+                print(__doc__)
+                return 2
+            keep = int(argv[i + 1])
         gone = cat.retire_old_versions(argv[2], keep=keep)
         print(f"retired versions: {gone or 'none'}")
     elif cmd == "delete":

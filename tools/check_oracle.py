@@ -30,6 +30,11 @@ def normalize(v):
 
     if v is None:
         return "∅"
+    # bool BEFORE int: isinstance(True, int) is True, so the int branch
+    # would normalize a Python bool to '1' while a numpy bool_ hit this
+    # branch as 'True' — identical values comparing unequal by carrier type
+    if isinstance(v, (np.bool_, bool)):
+        return repr(bool(v))
     if isinstance(v, (np.floating, float)):
         f = float(v)
         if math.isnan(f):
@@ -37,8 +42,6 @@ def normalize(v):
         return repr(f)
     if isinstance(v, (np.integer, int)):
         return repr(int(v))
-    if isinstance(v, (np.bool_, bool)):
-        return repr(bool(v))
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, np.ndarray):
@@ -73,6 +76,11 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd filter must not report '0/0 passed' and exit green
+        print(f"unknown query names: {sorted(unknown)}")
+        sys.exit(2)
     from venice_spark.plans.reference_queries import DRIVER_WINDOW
 
     window_names = set(list(queries)[:DRIVER_WINDOW])

@@ -30,32 +30,44 @@ def replicate(spark, factor: int) -> str:
     unique across copies (otherwise dedup/groupBy cardinalities would not
     scale and the probe would flatter itself)."""
     out = f"{WORK}/x{factor}"
-    if os.path.exists(out):
+    marker = f"{out}/_REPLICA_OK"
+    if os.path.exists(marker):
         return out
+    # a half-written leftover from a killed prior run must never be timed —
+    # rebuild unless the success marker is present
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     specs = {
-        # table: (id columns to offset, text column to salt or None)
+        # table: (id columns to offset, text column to salt or None).
+        # orders is a FACT table and its keys join events.user_id and
+        # lineitem.l_orderkey — leaving it unreplicated starves the right
+        # side of every join probe at k>0 and flatters the curve
         "lineitem": (["l_orderkey"], None),
         "documents": (["doc_id"], "text"),
         "embeddings": (["vec_id"], None),
         "events": (["event_id", "user_id"], None),
         "customer": (["c_custkey"], None),
+        "orders": (["o_orderkey", "o_custkey"], None),
     }
-    # small dimension tables ride along unreplicated
-    for table in ("region", "nation", "supplier", "part", "orders"):
+    # genuinely small dimension tables ride along unreplicated
+    for table in ("region", "nation", "supplier", "part"):
         src = f"{BASE}/{table}.parquet"
         if os.path.exists(src):
             spark.read.parquet(src).write.mode("overwrite").parquet(
                 f"{out}/{table}.parquet"
             )
+    # ONE shared per-copy offset across all tables (larger than any base
+    # id): events.user_id <-> orders.o_custkey/customer.c_custkey and
+    # lineitem.l_orderkey <-> orders.o_orderkey must keep matching WITHIN
+    # each copy, or join cardinalities stop scaling with the factor
+    stride = 10**9
     for table, (id_cols, text_col) in specs.items():
         df = spark.read.parquet(f"{BASE}/{table}.parquet")
-        n = df.count()
         copies = []
         for k in range(factor):
             c = df
             for col in id_cols:
-                c = c.withColumn(col, F.col(col) + F.lit(k * n * 10))
+                c = c.withColumn(col, F.col(col) + F.lit(k * stride))
             if text_col is not None and k > 0:
                 # salt a suffix token so replicas are near- but not exact
                 # duplicates (keeps minhash candidate structure realistic)
@@ -67,6 +79,7 @@ def replicate(spark, factor: int) -> str:
         for c in copies[1:]:
             u = u.unionByName(c)
         u.repartition(32).write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+    open(marker, "w").close()
     return out
 
 
@@ -122,18 +135,30 @@ def main(factors: list[int]) -> None:
             for t in ("lineitem", "documents", "events")
         }
         timings = {}
+        errs = {}
         for name in PROBE_QUERIES:
             best = None
-            for _ in range(2):
-                spark.sparkContext._jvm.System.gc()
-                t0 = time.monotonic()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                dt = time.monotonic() - t0
-                best = dt if best is None else min(best, dt)
+            try:
+                for _ in range(2):
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.monotonic()
+                    QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = time.monotonic() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception:
+                # one broken query must not abort the factor (and take the
+                # already-timed queries and the replicas down with it)
+                import traceback
+
+                errs[name] = traceback.format_exc(limit=2)
+                continue
             timings[name] = round(best, 2)
-        print(json.dumps({"factor": factor, "rows": rows, "timings": timings}))
+        payload = {"factor": factor, "rows": rows, "timings": timings}
+        if errs:
+            payload["errors"] = errs
+        print(json.dumps(payload))
         sys.stdout.flush()
     spark.stop()
 
