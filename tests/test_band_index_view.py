@@ -108,3 +108,20 @@ def test_multi_field_key_store_refused(spark, tmp_root):
     df = spark.createDataFrame([(1, 2, "x y z")], "a long, b long, text string")
     with pytest.raises(ValueError, match="single-field"):
         eng.push("mk", df, views=[BandIndexViewDef("ndx", text_col="text")])
+
+
+def test_probe_and_search_survive_two_lazy_deltas(engine, spark):
+    """Two (or more) lazy delta dirs used to kill near_dups_vs/ann_topk
+    with CONFLICTING_DIRECTORY_STRUCTURES: a single multi-path parquet
+    read over partition_id-partitioned sibling dirs cannot infer a base
+    path (found by the ingest lifecycle fuzzer). Touched keys now union
+    per delta dir."""
+    d1 = spark.createDataFrame([(3, _text(300))], "doc_id long, text string")
+    d2 = spark.createDataFrame([(4, _text(400))], "doc_id long, text string")
+    engine.incremental_push("docs", d1, eager=False)
+    engine.incremental_push("docs", d2, eager=False)
+    assert len(engine.catalog.list_delta_dirs(
+        "docs", engine.catalog.current_version("docs"))) == 2
+    # exact self-copy of doc 3's NEW text pairs; its OLD text finds nothing
+    pairs = _probe(engine, spark, [(900, _text(300)), (901, _text(3))])
+    assert pairs == {(900, 3): 1.0}

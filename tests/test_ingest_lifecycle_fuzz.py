@@ -1,0 +1,118 @@
+"""Model-based fuzz of ingest_crawl_batch against the version machinery:
+a seeded random sequence of crawl-batch ingests (fresh docs, exact
+re-crawls under new ids, upserts of existing ids) interleaved with
+compact / repush / rollback, with a band-index view maintained
+throughout. Checked after every step against a pure-Python model of the
+corpus content. Catches cross-feature interactions (a lazy ingest delta
+surviving a rollback, the band view going stale across compaction, an
+upsert landing on a rolled-back version) that single-feature tests never
+exercise. Texts are mutually disjoint token sets so the band probe runs
+structurally on every ingest without LSH-recall nondeterminism entering
+the model (near-dup DROP semantics are pinned deterministically in
+test_ingest_crawl_batch.py)."""
+
+import random
+
+import pytest
+
+from venice_spark.engine import VeniceSparkEngine
+from venice_spark.pipeline import CorpusPrepConfig, ingest_crawl_batch
+from venice_spark.push import BandIndexViewDef
+
+CFG = CorpusPrepConfig(min_tokens=1, min_stopword_ratio=0.0)
+
+
+def _text(i):
+    return f"doc {i} " + " ".join(f"tk{i}x{j}" for j in range(12))
+
+
+def _read_state(eng):
+    return {
+        r["doc_id"]: r["text"]
+        for r in eng.store("c").df().select("doc_id", "text").collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_ingest_lifecycle_fuzz_matches_model(spark, tmp_root, seed):
+    rng = random.Random(seed)
+    eng = VeniceSparkEngine(spark, tmp_root + f"_ifz{seed}")
+    eng.create_store(
+        "c", key_fields=["doc_id"], partition_count=2,
+        views=[BandIndexViewDef("ndx", text_col="text")],
+    )
+
+    def mkdf(kvs):
+        return spark.createDataFrame(
+            list(kvs.items()), "doc_id long, text string"
+        )
+
+    next_id = 100
+    state = {i: _text(i) for i in range(6)}
+    ingest_crawl_batch(eng, "c", mkdf(state), config=CFG, band_view="ndx")
+    history = {eng.catalog.current_version("c"): dict(state)}
+
+    def model_ingest(batch):
+        """prep in-batch exact dedup (lowest id per text) + history exact
+        anti-join for fresh ids; existing ids are upserts."""
+        by_text = {}
+        for i in sorted(batch):
+            by_text.setdefault(batch[i], i)
+        survivors = {i: t for t, i in by_text.items()}
+        texts_in_state = set(state.values())
+        out = {}
+        for i, t in survivors.items():
+            if i in state:
+                out[i] = t  # upsert always lands
+            elif t not in texts_in_state:
+                out[i] = t  # fresh id, fresh content
+        return out
+
+    for step in range(12):
+        op = rng.choice(["ingest", "ingest", "ingest", "compact", "repush", "rollback"])
+        if op == "ingest":
+            batch = {}
+            for _ in range(rng.randint(1, 5)):
+                kind = rng.choice(["fresh", "recrawl", "upsert"])
+                if kind == "fresh" or not state:
+                    nonlocal_id = next_id
+                    next_id += 1
+                    batch[nonlocal_id] = _text(nonlocal_id)
+                elif kind == "recrawl":
+                    # existing CONTENT under a brand-new id -> exact-dup drop
+                    src = rng.choice(sorted(state))
+                    batch[next_id] = state[src]
+                    next_id += 1
+                else:  # upsert: existing id, edited content
+                    tgt = rng.choice(sorted(state))
+                    next_id += 1
+                    batch[tgt] = _text(next_id)
+            eager = rng.random() < 0.5
+            ingest_crawl_batch(
+                eng, "c", mkdf(batch), config=CFG, band_view="ndx", eager=eager
+            )
+            state = {**state, **model_ingest(batch)}
+        elif op == "compact":
+            eng.compact("c")
+        elif op == "repush":
+            eng.repush("c")
+        elif op == "rollback":
+            versions = sorted(history)
+            cur = eng.catalog.current_version("c")
+            prior = [v for v in versions if v < cur]
+            if not prior:
+                continue
+            eng.rollback("c", prior[-1])
+            state = dict(history[prior[-1]])
+        got = _read_state(eng)
+        assert got == state, (
+            f"seed {seed} step {step} op {op}: "
+            f"extra={set(got) - set(state)} missing={set(state) - set(got)} "
+            f"diff={[k for k in got if k in state and got[k] != state[k]]}"
+        )
+        history[eng.catalog.current_version("c")] = dict(state)
+        # the band view stays probe-able in every lifecycle state
+        probe = mkdf({999_999: _text(999_999)})
+        assert (
+            eng.store("c").near_dups_vs("ndx", probe, "doc_id").count() == 0
+        )

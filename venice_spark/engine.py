@@ -36,6 +36,20 @@ from venice_spark.push import (
 )
 
 
+def _union_delta_keys(spark: SparkSession, deltas: list[str], keys: list[str]) -> DataFrame:
+    """Key columns of every delta dir, unioned PER DIRECTORY — a single
+    multi-path `read.parquet(d1, d2, ...)` over partition_id-partitioned
+    sibling dirs raises CONFLICTING_DIRECTORY_STRUCTURES the moment a
+    store carries two or more lazy deltas (caught by the ingest lifecycle
+    fuzzer); per-dir reads are exactly what _resolve_delta_view does.
+    Key columns are present in every delta by construction."""
+    out = None
+    for d in deltas:
+        dd = spark.read.parquet(d).select(*keys)
+        out = dd if out is None else out.unionByName(dd)
+    return out.dropDuplicates(list(keys))
+
+
 class StoreHandle:
     def __init__(self, engine: "VeniceSparkEngine", name: str):
         self.engine = engine
@@ -305,14 +319,10 @@ class StoreHandle:
         deltas = self.catalog.list_delta_dirs(self.name, v)
         if deltas:
             # every delta-touched key leaves the index scan (its vector may
-            # have moved lists — a stale row must never serve); ONE
-            # multi-path read builds the touched set, the shared kernel
-            # resolves latest-wins among the slots themselves
-            touched = (
-                self.spark.read.parquet(*deltas)
-                .select(*keys)
-                .dropDuplicates(list(keys))
-            )
+            # have moved lists — a stale row must never serve); the touched
+            # set unions per delta dir, the shared kernel resolves
+            # latest-wins among the slots themselves
+            touched = _union_delta_keys(self.spark, deltas, list(keys))
             base = base.join(F.broadcast(touched), on=list(keys), how="left_anti")
             d0 = self.spark.read.parquet(deltas[0]).limit(0)
             resolved = self.catalog._resolve_delta_view(
@@ -394,9 +404,7 @@ class StoreHandle:
         if deltas:
             # every delta-touched key leaves the index (stale bands must
             # never produce candidates for changed/deleted text) ...
-            touched = (
-                self.spark.read.parquet(*deltas).select(kid).dropDuplicates([kid])
-            )
+            touched = _union_delta_keys(self.spark, deltas, [kid])
             hist_bands = hist_bands.join(
                 F.broadcast(touched), on=kid, how="left_anti"
             )
