@@ -71,3 +71,37 @@ def test_range_join_semantics(spark):
         for r in range_join(pts, ivs, ["k"], "ts", "s", "e", bucket_width=3).collect()
     )
     assert out == [("u1", 5, "A"), ("u1", 15, "B")]
+
+
+def test_asof_null_semantics_match_sql(spark):
+    """NULL right timestamps and NULL keys never match (DuckDB/SQL ASOF):
+    an ascending window puts NULL ts first, so unfiltered a NULL-ts right
+    row would serve as everyone's 'earliest predecessor'."""
+    from venice_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "l1"), (1, 9, "l9"), (None, 5, "lnull")],
+        "id int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "NULLTS"), (1, 8, "r8"), (None, 2, "rnull")],
+        "id int, rts int, val string",
+    )
+    got = {
+        r["tag"]: r["val"]
+        for r in asof_join(left, right, ["id"], "ts", "rts", ["val"]).collect()
+    }
+    assert got["l1"] is None      # no true predecessor: NULL, not 'NULLTS'
+    assert got["l9"] == "r8"
+    assert got["lnull"] is None   # NULL key matches nothing
+
+
+def test_asof_rejects_reserved_temp_columns(spark):
+    import pytest
+
+    from venice_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1, 0)], "id int, ts int, __ats int")
+    right = spark.createDataFrame([(1, 1, "x")], "id int, rts int, val string")
+    with pytest.raises(ValueError, match="__ats"):
+        asof_join(left, right, ["id"], "ts", "rts", ["val"])

@@ -130,3 +130,26 @@ def test_update_log_whole_set_supersedes_older_element_ops(spark):
     out = apply_update_log(base, log, ["id"], field_specs_from_schema(VALUE, ["id"])).first()
     # set@5 wipes base ["z"] and add@1; ops @7 apply on top of ["s1","s2"]
     assert sorted(out["tags"]) == ["new1", "s1"]
+
+
+def test_attach_rmd_is_idempotent_and_single_projection(spark):
+    """Re-stamping a frame read back from a store (already carrying
+    _rmd_ts_* columns) must be a no-op, never mint _rmd_ts__rmd_ts_<f>."""
+    df = spark.createDataFrame(
+        [(1, "a", [1, 2], 100)], "id long, name string, tags array<int>, ts long"
+    )
+    once = attach_rmd(df, ["id"])
+    twice = attach_rmd(once, ["id"])
+    assert twice.columns == once.columns
+    assert not [c for c in twice.columns if c.startswith("_rmd_ts__rmd_ts")]
+
+
+def test_derive_rmd_schema_excludes_ts_and_matches_attach(spark):
+    """The schema derived from the frame being stamped matches the stamped
+    output exactly (no spurious _rmd_ts_ts)."""
+    df = spark.createDataFrame(
+        [(1, "a", 100)], "id long, name string, ts long"
+    )
+    derived = {f.name for f in derive_rmd_schema(df.schema, ["id"]).fields}
+    stamped = {c for c in attach_rmd(df, ["id"]).columns if c.startswith("_rmd_ts")}
+    assert derived == stamped == {"_rmd_ts_name"}

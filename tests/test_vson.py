@@ -204,3 +204,40 @@ def test_mixed_quote_schema_with_apostrophe():
     assert isinstance(t, StructType)
     assert t["it's"].dataType == StringType()
     assert t["n"].dataType == IntegerType()
+
+
+def test_read_vson_input_loud_overflow_without_ansi(spark, tmp_path):
+    """The 'fails loudly instead of silently truncating' guarantee must
+    hold with ANSI off (Spark 3.x default / compat overrides): overflowing
+    values raise VsonSchemaError instead of wrapping."""
+    import pytest
+
+    from venice_spark.sources.vson import VsonSchemaError, read_vson_input
+
+    p = f"{tmp_path}/in"
+    spark.createDataFrame([(1, 2**40)], "k long, big long").write.parquet(p)
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(VsonSchemaError, match="do not fit"):
+            read_vson_input(
+                spark, p, "{'k':'int64','big':'int32'}", fmt="parquet"
+            ).collect()
+        # in-range values read fine with the same declared schema
+        p2 = f"{tmp_path}/ok"
+        spark.createDataFrame([(1, 42)], "k long, big long").write.parquet(p2)
+        out = read_vson_input(spark, p2, "{'k':'int64','big':'int32'}", fmt="parquet")
+        assert out.count() == 1
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_read_vson_input_case_insensitive_columns(spark, tmp_path):
+    """Column resolution follows the session default (case-insensitive): a
+    casing difference must not reject an input spark.read would serve."""
+    from venice_spark.sources.vson import read_vson_input
+
+    p = f"{tmp_path}/cased"
+    spark.createDataFrame([(7,)], "Member_Id long").write.parquet(p)
+    out = read_vson_input(spark, p, "{'member_id':'int64'}", fmt="parquet")
+    assert out.count() == 1

@@ -44,18 +44,25 @@ def derive_rmd_schema(
     value_schema: T.StructType,
     key_fields: list[str],
     per_field: bool = True,
+    ts_col: str | None = "ts",
 ) -> T.StructType:
     """RMD schema for a value schema (RmdSchemaGeneratorV1.java:1).
 
     per_field=False -> single value-level `_rmd_ts` long (record-level DCR).
     per_field=True  -> `_rmd_ts_<f>` long per scalar field; collection
     fields get the CollectionRmdTimestamp struct.
+
+    `ts_col` names the op-timestamp column to EXCLUDE — the same exclusion
+    attach_rmd applies, so a schema derived from the very frame being
+    stamped matches the stamped output (it used to emit a spurious
+    `_rmd_ts_ts`). Already-stamped RMD columns are never value fields.
     """
     if not per_field:
         return T.StructType([T.StructField(RMD_VALUE_LEVEL, T.LongType(), False)])
+    skip = set(rmd_columns(value_schema))
     out = []
     for f_ in value_schema.fields:
-        if f_.name in key_fields:
+        if f_.name in key_fields or f_.name == ts_col or f_.name in skip:
             continue
         if isinstance(f_.dataType, T.ArrayType):
             out.append(
@@ -75,12 +82,24 @@ def attach_rmd(df: DataFrame, key_fields: list[str], ts_col: str = "ts") -> Data
     field was written at the put's timestamp (the state a fresh batch push
     produces; MergeConflictResolver reads exactly this shape back). Scalar
     fields get `_rmd_ts_<f>` = ts; collection fields get a put-only
-    CollectionRmd (all elements in the put-only prefix, no deletes)."""
-    value_schema = T.StructType(
-        [f_ for f_ in df.schema.fields if f_.name not in key_fields and f_.name != ts_col]
-    )
-    out = df
-    for f_ in value_schema.fields:
+    CollectionRmd (all elements in the put-only prefix, no deletes).
+
+    Idempotence guard: a frame read back from a store already carries
+    `_rmd_ts_*` columns — those are never value fields, so re-stamping
+    skips them instead of minting `_rmd_ts__rmd_ts_<f>` doubles. All
+    stamps land in ONE select (a withColumn per field stacks a Project
+    node each — quadratic analysis cost on wide schemas)."""
+    already = set(rmd_columns(df.schema))
+    value_fields = [
+        f_
+        for f_ in df.schema.fields
+        if f_.name not in key_fields
+        and f_.name != ts_col
+        and f_.name not in already             # an RMD column is not a value
+        and (RMD_PREFIX + f_.name) not in already  # field already stamped
+    ]
+    stamps = []
+    for f_ in value_fields:
         name = RMD_PREFIX + f_.name
         if isinstance(f_.dataType, (T.ArrayType, T.MapType)):
             n = F.size(F.coalesce(F.col(f_.name), F.array() if isinstance(f_.dataType, T.ArrayType) else F.map_from_arrays(F.array(), F.array())))
@@ -89,8 +108,7 @@ def attach_rmd(df: DataFrame, key_fields: list[str], ts_col: str = "ts") -> Data
                 if isinstance(f_.dataType, T.ArrayType)
                 else f_.dataType.keyType
             )
-            out = out.withColumn(
-                name,
+            stamps.append(
                 F.struct(
                     F.col(ts_col).cast("long").alias("top_level_ts"),
                     F.lit(0).alias("top_level_colo_id"),
@@ -98,11 +116,11 @@ def attach_rmd(df: DataFrame, key_fields: list[str], ts_col: str = "ts") -> Data
                     F.array().cast(T.ArrayType(T.LongType())).alias("active_elements_ts"),
                     F.array().cast(T.ArrayType(elem_t)).alias("deleted_elements_identities"),
                     F.array().cast(T.ArrayType(T.LongType())).alias("deleted_elements_ts"),
-                ),
+                ).alias(name)
             )
         else:
-            out = out.withColumn(name, F.col(ts_col).cast("long"))
-    return out
+            stamps.append(F.col(ts_col).cast("long").alias(name))
+    return df.select("*", *stamps)
 
 
 def rmd_columns(schema: T.StructType) -> list[str]:

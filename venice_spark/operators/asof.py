@@ -34,16 +34,28 @@ def asof_join(
     own values would otherwise be indistinguishable from right-side values
     in the carry-forward. Right values ride in one struct per right row, so
     a right row whose column is NULL still *matches* (the NULL is carried,
-    like DuckDB/pandas ASOF) instead of being skipped for an older value."""
-    clash = [c for c in right_cols if c in left.columns]
+    like DuckDB/pandas ASOF) instead of being skipped for an older value.
+
+    NULL semantics match SQL/DuckDB ASOF: right rows with a NULL timestamp
+    or a NULL key component never match anything (an ascending window puts
+    NULL timestamps FIRST, so unfiltered they would serve as everyone's
+    'earliest predecessor'), and a NULL-key left row gets NULL right
+    values — NULL never equals NULL."""
+    reserved = ("__ats", "__side", "__rvals")
+    clash = [c for c in (*right_cols, *reserved) if c in left.columns]
     if clash:
         raise ValueError(
-            f"right_cols {clash} already exist on the left frame; rename them first"
+            f"columns {clash} already exist on the left frame "
+            f"(right_cols and the internal temps {reserved} are reserved); "
+            "rename them first"
         )
+    key_ok = F.lit(True)
+    for k in key_cols:
+        key_ok = key_ok & F.col(k).isNotNull()
     lt = left.withColumn("__ats", F.col(left_ts)).withColumn(
         "__side", F.lit(1 if inclusive else 0)
     )
-    rt = right.select(
+    rt = right.filter(F.col(right_ts).isNotNull() & key_ok).select(
         *key_cols,
         F.col(right_ts).alias("__ats"),
         F.lit(0 if inclusive else 1).alias("__side"),
@@ -56,10 +68,17 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = both.withColumn("__rvals", F.last("__rvals", ignorenulls=True).over(w))
-    for c in right_cols:
-        out = out.withColumn(c, F.col("__rvals").getField(c))
+    # NULL-key left rows share one window partition with the filtered-out
+    # NULL-key right rows, so their carry-forward is already NULL — only
+    # the field projection remains. ONE select, not a withColumn chain
+    # (quadratic plan growth on wide right schemas).
+    carried = F.when(key_ok, F.col("__rvals"))
+    out = out.select(
+        *[c for c in out.columns if c not in ("__rvals",)],
+        *[carried.getField(c).alias(c) for c in right_cols],
+    )
     return out.filter(F.col("__side") == (1 if inclusive else 0)).drop(
-        "__ats", "__side", "__rvals"
+        "__ats", "__side"
     )
 
 

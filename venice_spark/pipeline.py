@@ -960,7 +960,12 @@ def ingest_crawl_batch(
       2. exact dedup AGAINST the store's history (anti-join on the 16-byte
          fingerprint — dedup.exact_dedup_incremental; pass `fp_store` to
          probe a companion fingerprint store instead of re-fingerprinting
-         the corpus, the 100 TB path);
+         the corpus, the 100 TB path). Note the fp store is an
+         EVER-INGESTED digest: it only grows, so after a corpus rollback
+         re-crawls of rolled-back content stay deduplicated — dedup
+         against ingestion history, not against the currently-served
+         version (rebuild the fp store from the corpus if you need the
+         latter after a rollback);
       3. near-dup dedup AGAINST the store's persisted MinHash band index
          (store.near_dups_vs over a declared push.BandIndexViewDef — the
          batch probes the index, history is never re-shingled; skipped

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import json
 
+import pyspark.sql.functions as F
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     ArrayType,
@@ -150,18 +152,56 @@ def read_vson_input(
 
     Typed formats (parquet/orc) are cast to the declared types instead of
     schema-on-read, so an int64 file column declared int32 fails loudly in
-    the cast rather than silently truncating downstream.
+    the cast rather than silently truncating downstream — EVEN when the
+    session runs with ANSI off (Spark 3.x default, or a compatibility
+    override): with ANSI disabled the loud cast is rebuilt from try_cast
+    plus an explicit raise on any value the cast would have wrapped.
     """
     struct = vson_struct(value_schema)
     if fmt in ("json", "csv"):
         df = spark.read.schema(struct).format(fmt).options(**options).load(path)
     else:
         df = spark.read.format(fmt).options(**options).load(path)
-        missing = [f.name for f in struct.fields if f.name not in df.columns]
+        # column resolution follows the session's case-sensitivity (Spark
+        # resolves case-insensitively by default) — a casing difference
+        # must not reject an input spark.read itself would serve
+        case_sensitive = (
+            str(spark.conf.get("spark.sql.caseSensitive", "false")).lower() == "true"
+        )
+        have = set(df.columns) if case_sensitive else {c.lower() for c in df.columns}
+        missing = [
+            f.name
+            for f in struct.fields
+            if (f.name if case_sensitive else f.name.lower()) not in have
+        ]
         if missing:
             raise VsonSchemaError(
                 f"input at {path!r} lacks declared VSON fields {missing}"
             )
+        ansi = str(spark.conf.get("spark.sql.ansi.enabled", "false")).lower() == "true"
+        if not ansi:
+            # try_cast NULLs what a wrapping cast would corrupt; any row
+            # where the source was non-null but the cast came back null is
+            # an overflow/parse failure — surface it loudly
+            checked = df.select(
+                *[
+                    F.when(
+                        df[f.name].isNotNull()
+                        & df[f.name].try_cast(f.dataType).isNull(),
+                        F.lit(f.name),
+                    ).alias(f"__bad_{i}")
+                    for i, f in enumerate(struct.fields)
+                ]
+            )
+            bad = checked.select(
+                F.coalesce(*[F.col(c) for c in checked.columns]).alias("f")
+            ).filter(F.col("f").isNotNull()).limit(1).collect()
+            if bad:
+                raise VsonSchemaError(
+                    f"input at {path!r}: values in field {bad[0]['f']!r} do not "
+                    f"fit its declared VSON type (overflow or parse failure) — "
+                    "the non-ANSI cast would silently wrap them"
+                )
         df = df.select(
             *[df[f.name].cast(f.dataType).alias(f.name) for f in struct.fields]
         )
