@@ -116,3 +116,16 @@ def test_ingest_lifecycle_fuzz_matches_model(spark, tmp_root, seed):
         assert (
             eng.store("c").near_dups_vs("ndx", probe, "doc_id").count() == 0
         )
+
+    # the export side works from whatever lifecycle state the fuzz ended in
+    # (lazy deltas, post-rollback, post-compaction) and its accounting
+    # matches the model exactly
+    from venice_spark.pipeline import export_training_data
+
+    out = tmp_root + f"_ifz{seed}_export"
+    man = export_training_data(
+        eng, "c", out, split_weights={"train": 0.8, "val": 0.2}, n_shards=2
+    )
+    assert sum(s["rows"] for s in man["splits"].values()) == len(state)
+    back = spark.read.parquet(out)
+    assert {r["doc_id"]: r["text"] for r in back.select("doc_id", "text").collect()} == state

@@ -59,9 +59,21 @@ class StoreHandle:
 
     # ---- raw frames ----
     def df(self, version: int | None = None) -> DataFrame:
+        """The store's content — delta-resolved for BOTH the current and a
+        pinned version: a version's content includes its lazy-delta log
+        (caught by the ingest lifecycle fuzzer: df(current_version) used to
+        take the raw read_version path and silently drop/stale every
+        delta-touched row, e.g. in an export). Raw file access is
+        catalog.read_version."""
         if version is None:
             return self.catalog.read_current(self.spark, self.name)
-        return self.catalog.read_version(self.spark, self.name, version)
+        base = self.catalog.read_version(self.spark, self.name, version)
+        deltas = self.catalog.list_delta_dirs(self.name, version)
+        if not deltas:
+            return base
+        return self.catalog._resolve_delta_view(
+            self.spark, base, deltas, self.key_fields
+        )
 
     @property
     def key_fields(self) -> list[str]:
