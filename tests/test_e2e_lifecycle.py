@@ -235,6 +235,67 @@ def test_hybrid_serve_rewind_is_seconds_against_ms_timestamps(spark, tmp_path):
     # both rows would have survived (cutoff would be now - 600 ms)
 
 
+def test_hybrid_serve_marker_survives_swaps_rewind_safe(spark, tmp_path):
+    """ADVICE r4 (high): the _seeded_version marker lives inside the serving
+    dir, and every rewrite-mode micro-batch swap replaces that dir. If the
+    swap drops the marker, the NEXT hybrid_serve call mistakes the table
+    for stale, wipes serving + checkpoint, and re-replays the RT log — with
+    rewind_seconds set, already-merged ops older than the window are
+    silently LOST. The marker must survive the swap."""
+    import os
+
+    from venice_spark.streaming.hybrid import seeded_version
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store(
+        "h5", key_fields=["k"], partition_count=2, hybrid=True, rewind_seconds=600
+    )
+    eng.push("h5", spark.createDataFrame([(1, "a")], "k long, v string"))
+    st = eng.store("h5")
+    now_ms = 1_000_000_000_000
+
+    # round 1: an op 100s old — inside the 600s rewind window, merges fine
+    p = st.producer()
+    p.put(2, {"v": "old-op"}, ts=now_ms - 100_000)
+    p.flush(schema="k long, op string, ts long, colo int, v string")
+    out1 = {r["k"]: r["v"] for r in st.hybrid_serve(now_ts=now_ms).read().collect()}
+    assert out1 == {1: "a", 2: "old-op"}
+
+    # marker must still be present after the micro-batch swap
+    serving = os.path.join(eng.catalog.store_dir("h5"), "serving")
+    assert seeded_version(serving) == eng.catalog.current_version("h5")
+
+    # round 2: 1000s later the old op is OUTSIDE the rewind window. No new
+    # version landed, so serving must NOT reset — the merged op survives.
+    later_ms = now_ms + 1_000_000
+    p.put(3, {"v": "new-op"}, ts=later_ms)
+    p.flush(schema="k long, op string, ts long, colo int, v string")
+    out2 = {
+        r["k"]: r["v"] for r in st.hybrid_serve(now_ts=later_ms).read().collect()
+    }
+    assert out2 == {1: "a", 2: "old-op", 3: "new-op"}
+
+
+def test_aa_serve_marker_survives_swaps(spark, tmp_path):
+    """AA twin of the marker-survival test: ActiveActiveReplay._merge_batch
+    also swaps the serving dir; the seed marker must survive so the next
+    aa_serve resumes from the checkpoint instead of wiping state."""
+    import os
+
+    from venice_spark.streaming.hybrid import seeded_version
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("h6", key_fields=["k"], partition_count=2, hybrid=True)
+    eng.push("h6", spark.createDataFrame([(1, "a")], "k long, v string"))
+    st = eng.store("h6")
+    p = st.producer()
+    p.put(2, {"v": "b"}, ts=100)
+    p.flush(schema="k long, op string, ts long, colo int, v string")
+    st.aa_serve(value_cols=["v"])
+    serving = os.path.join(eng.catalog.store_dir("h6"), "aa_serving")
+    assert seeded_version(serving) == eng.catalog.current_version("h6")
+
+
 def test_producer_flush_with_all_null_field(spark, tmp_path):
     """code-review r4: a field that is None in every buffered op has no
     inferable type; flush must fall back to an explicit schema instead of

@@ -647,6 +647,65 @@ def test_eager_push_carries_concurrent_lazy_delta(engine, spark, monkeypatch):
     assert out["late"] == 5.0 and out["b"] == 99.0
 
 
+def test_sweep_targets_actual_current_version_after_lost_race(engine, spark, monkeypatch):
+    """ADVICE r4 (medium): when a concurrent push commits a NEWER version
+    first, the loser's commit early-returns — but its late-delta sweep must
+    then target the winning (current) version, not the loser's never-served
+    one, or those upserts are stranded forever."""
+    from venice_spark.partitioner import repartition_and_sort
+
+    cat = engine.catalog
+    lazy = spark.createDataFrame([("late", 5.0, 50)], "key string, val double, _rmd_ts long")
+    engine.incremental_push("s", lazy, eager=False)
+    old_v = cat.current_version("s")
+
+    # hide the lazy slot from the eager push's snapshot + resolve so the
+    # sweep sees it as late (same interleaving as the carry test above)
+    real_list = cat.list_delta_dirs
+    hidden = {"left": 2}
+    def fake_list(store, version):
+        out = real_list(store, version)
+        if version == old_v and hidden["left"] > 0:
+            hidden["left"] -= 1
+            return []
+        return out
+    monkeypatch.setattr(cat, "list_delta_dirs", fake_list)
+
+    # when the eager push (the loser) tries to commit, a concurrent winner
+    # lands a higher version first
+    real_commit = cat.commit_version
+    state = {"winner": None}
+    def racing_commit(store, version, manifest=None, make_current=True):
+        if state["winner"] is None:
+            w = cat.begin_version(store)
+            wdf = spark.createDataFrame(
+                [("winner", 7.0, 70)], "key string, val double, _rmd_ts long"
+            )
+            out = repartition_and_sort(wdf, ["key"], 2, False)
+            out.write.mode("overwrite").partitionBy("partition_id").parquet(
+                cat.version_dir(store, w)
+            )
+            real_commit(
+                store, w,
+                manifest={"partition_count": 2, "partitioner": "xxhash64"},
+            )
+            state["winner"] = w
+        return real_commit(store, version, manifest=manifest, make_current=make_current)
+    monkeypatch.setattr(cat, "commit_version", racing_commit)
+
+    eager = spark.createDataFrame([("b", 99.0, 60)], "key string, val double, _rmd_ts long")
+    engine.incremental_push("s", eager)  # loses the commit race
+    monkeypatch.setattr(cat, "list_delta_dirs", real_list)
+    monkeypatch.setattr(cat, "commit_version", real_commit)
+
+    cur = cat.current_version("s")
+    assert cur == state["winner"], "winner's version should be current"
+    # the late delta must be on the CURRENT version's log, so reads see it
+    assert cat.list_delta_dirs("s", cur), "late delta stranded off-current"
+    out = {r["key"]: r["val"] for r in engine.store("s").df().collect()}
+    assert out["late"] == 5.0 and out["winner"] == 7.0
+
+
 def test_batch_push_accepts_partition_id_input(engine, spark):
     """code-review r4: re-pushing store-read data (which carries the
     partition_id directory column) must not fail on ambiguous references."""

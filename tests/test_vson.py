@@ -241,3 +241,40 @@ def test_read_vson_input_case_insensitive_columns(spark, tmp_path):
     spark.createDataFrame([(7,)], "Member_Id long").write.parquet(p)
     out = read_vson_input(spark, p, "{'member_id':'int64'}", fmt="parquet")
     assert out.count() == 1
+
+
+def test_read_vson_input_json_malformed_fails_loudly(spark, tmp_path):
+    """ADVICE r4: the json/csv branch read under Spark's default PERMISSIVE
+    mode, so overflow/malformed values silently came back NULL — the exact
+    corruption the module promises to reject. FAILFAST must surface them."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    p = tmp_path / "in"
+    p.mkdir()
+    # int32-declared field with an overflowing value + a malformed line
+    (p / "a.json").write_text('{"k": 1, "n": 4294967296}\n{"k": 2, "n": not-json}\n')
+    df = read_vson_input(spark, str(p), "{'k':'int64','n':'int32'}", fmt="json")
+    with pytest.raises(Exception) as ei:
+        df.collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+    # clean input still reads fine
+    p2 = tmp_path / "ok"
+    p2.mkdir()
+    (p2 / "a.json").write_text('{"k": 1, "n": 42}\n')
+    out = read_vson_input(spark, str(p2), "{'k':'int64','n':'int32'}", fmt="json")
+    assert [(r["k"], r["n"]) for r in out.collect()] == [(1, 42)]
+
+
+def test_read_vson_input_csv_malformed_fails_loudly(spark, tmp_path):
+    """CSV twin of the FAILFAST guarantee: a value that doesn't fit its
+    declared VSON type fails loudly on every format."""
+    import pytest
+
+    p = tmp_path / "csv_in"
+    p.mkdir()
+    (p / "a.csv").write_text("1,notanumber\n")
+    df = read_vson_input(spark, str(p), "{'k':'int64','n':'int32'}", fmt="csv")
+    with pytest.raises(Exception) as ei:
+        df.collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)

@@ -234,6 +234,7 @@ def minhash_pairs_vs_history(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    check_params: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs of a NEW ingest batch against an indexed
     historical corpus — the incremental edition of minhash_lsh_pairs for
@@ -246,10 +247,19 @@ def minhash_pairs_vs_history(
     If `history_bands` carries the index-parameter columns written by
     minhash_band_table, the probe's (num_hashes, bands, shingle_n) are
     asserted against them — different parameters yield disjoint band hashes,
-    so a mismatch would silently report zero near-duplicates."""
+    so a mismatch would silently report zero near-duplicates.
+
+    `check_params=False` skips that eager `.first()` job (it runs per probe
+    call — per micro-batch under streaming ingest) for callers that already
+    DERIVED the probe parameters from the index's sidecar spec, where the
+    check is redundant by construction (engine.near_dups_vs; ADVICE r4).
+    The param columns are still dropped either way."""
     _check_band_params(num_hashes, bands)
     expected = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
     param_cols = [c for c in _BAND_PARAM_COLS if c in history_bands.columns]
+    if param_cols and not check_params:
+        history_bands = history_bands.drop(*param_cols)
+        param_cols = []
     if param_cols:
         # constant columns: one row (a single row-group read) settles parity
         row = history_bands.select(*param_cols).first()

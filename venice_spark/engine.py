@@ -463,6 +463,9 @@ class StoreHandle:
             bands=spec.bands,
             threshold=threshold,
             shingle_n=spec.shingle_n,
+            # probe params were just read from the sidecar spec, so the
+            # per-call parity .first() job is redundant here (ADVICE r4)
+            check_params=False,
         )
 
     def hybrid_view_df(self, view_name: str, replay) -> DataFrame:

@@ -121,13 +121,26 @@ def sweep_late_deltas(
     retired versions are never read again (code-review r4 generalized
     compact_store's private sweep to every committer). A carried slot is
     restamped when the old and new layouts disagree on EITHER the modulus
-    or the partitioner hash; a bare rename is used only when both match."""
+    or the partitioner hash; a bare rename is used only when both match.
+
+    Sweep target = whatever version is ACTUALLY current under the store
+    lock, not the locally reserved one: when a concurrent push commits a
+    newer version first, commit_version early-returns for the loser, and
+    sweeping onto the loser's never-served version would strand those
+    upserts — the winning (current) version never receives them and the
+    old version is no longer read (ADVICE r4, medium)."""
     import os
     import shutil
 
     meta = catalog.get_store(store)
     old_parts, old_md5p = _version_layout(catalog, store, old_version, meta)
     with catalog._locked(store):
+        meta = catalog.get_store(store)
+        if meta.current_version > new_version:
+            new_version = meta.current_version
+            new_parts, new_md5p = _version_layout(
+                catalog, store, new_version, meta
+            )
         late = [
             d
             for d in catalog.list_delta_dirs(store, old_version)

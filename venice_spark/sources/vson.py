@@ -159,7 +159,12 @@ def read_vson_input(
     """
     struct = vson_struct(value_schema)
     if fmt in ("json", "csv"):
-        df = spark.read.schema(struct).format(fmt).options(**options).load(path)
+        # FAILFAST: the default PERMISSIVE mode reads overflow/malformed
+        # values back as NULL — the exact silent corruption this module
+        # promises to reject for typed formats below (ADVICE r4). Callers
+        # may still override mode explicitly via **options.
+        opts = {"mode": "FAILFAST", **options}
+        df = spark.read.schema(struct).format(fmt).options(**opts).load(path)
     else:
         df = spark.read.format(fmt).options(**options).load(path)
         # column resolution follows the session's case-sensitivity (Spark

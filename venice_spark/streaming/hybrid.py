@@ -94,9 +94,19 @@ def atomic_swap_dir(df: DataFrame, target: str, tag: str = "swap") -> None:
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
+    # Carry the _seeded_version marker across the swap: the marker lives
+    # INSIDE the serving dir, and every rewrite-mode micro-batch / AA merge /
+    # append-mode compact replaces that dir. Losing it makes the next
+    # hybrid_serve()/aa_serve() call see seeded_version()=None != current
+    # and reset_serving_if_stale wipes serving + checkpoint — with rewind
+    # set, already-merged RT ops older than the window are silently lost;
+    # without it, the full RT log replays on every call (ADVICE r4, high).
+    seed = seeded_version(target)
     if os.path.isdir(target):
         shutil.move(target, old)
     shutil.move(tmp, target)
+    if seed is not None:
+        mark_seeded_version(target, seed)
     shutil.rmtree(old, ignore_errors=True)
 
 
