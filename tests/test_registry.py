@@ -114,37 +114,17 @@ def test_driver_window_carries_only_oracle_queries():
     outside = [n for n in list(QUERIES)[DRIVER_WINDOW:] if n in ORACLES]
     allowed_outside = {
         # redundant twins parked in the tail on purpose
-        "r11_multi_field_facets", "x_event_histogram", "r3_streaming_batch_get",
+        "r3_streaming_batch_get",
         "x_token_count", "x_fingerprint", "r8_count_array", "x_simhash",
-        "x_knn_join", "x_distinct_users",
+        "x_knn_join",
         # round-3 demotions: each family keeps a stronger in-window query
-        # (x_text_quality, x_minhash_near_dup, x_tfidf_terms, w1's
-        # WindowGroupLimit shape)
-        "x_bpe_token_count", "x_dedup_ngram_jaccard", "x_quality_score",
-        "x_topk_per_group", "x_inverted_index",
-        # round-3 late demotions making room for x_unigram_logprob and
-        # x_random_projection: r4 is exercised by every query's select,
+        # (x_text_quality, x_minhash_near_dup, w1's WindowGroupLimit shape)
+        "x_bpe_token_count", "x_dedup_ngram_jaccard",
+        # round-3 late demotions: r4 is exercised by every query's select,
         # the salted count is the r11 answer with a skew-safe plan twin
         "r4_project", "x_skew_salted_count",
         # blocked-cosine family carried in-window by x_knn_join_lsh
         "x_embedding_near_dup",
-        # kNN-join family carried in-window by x_knn_join_lsh; the IVF
-        # edition's exact blocking oracle is checked by the local gate
-        "x_ivf_knn_join",
-        # hash-threshold sampling family carried in-window by x_stratified_sample
-        "x_importance_sample",
-        # vector-kNN family carried in-window by x_knn_join_lsh
-        "x_knn_classify",
-        # per-row text-kernel family carried in-window by x_text_quality
-        "x_feature_hash",
-        # line-boilerplate family; dup-line metric carried by x_repetition_filter
-        "x_drop_common_lines",
-        # hash64-threshold family carried in-window by x_stratified_sample
-        "x_shard_plan", "x_oversample", "x_split_assign",
-        # one-pass stats family: exact ROLLUP oracle, checked locally
-        "x_corpus_report",
-        # per-row text-kernel family carried in-window by x_text_quality
-        "x_blocklist_hits",
         # round-4 rotation demotions: driver-certified green in r03, parked
         # to make window room for previously-uncertified families
         "x_pii_scrub", "x_lang_id", "x_repetition_filter",
@@ -161,17 +141,23 @@ def test_driver_window_carries_only_oracle_queries():
         # fingerprint anti-join shape)
         "r16_unique_keys", "x_simhash_pairs", "x_sessionize",
         "x_range_join", "x_embed_quantize", "x_decontaminate",
-        # r4 continuation: x_canonical_docs subsumes the cluster query
-        # (same recursive-closure oracle, plus survivor ranking);
-        # x_asof_join was driver-green r03 twice over (asof + range_join),
-        # slot given to the new span-decontamination family
-        "x_dup_clusters", "x_asof_join",
+        "x_asof_join",
         # x_ann_topk was driver-green r03 and the ANN family still holds
         # four window slots; slot given to the frame-dedup gate
         "x_ann_topk",
         # driver-green r03, subsumed by the in-window x_crawl_ingest (same
         # gates + in-batch dedup math, plus the history anti-join stage)
         "x_training_pipeline",
+        # round-5 rotation (VERDICT r4 #1): 4x-consecutive-driver-green
+        # queries parked so the 17 never-certified oracle queries get their
+        # first window pass; carriers annotated per entry in _TAIL
+        "r1_single_get", "r5_dot_product", "r6_cosine_similarity",
+        "r7_hadamard_product", "r11_count_group_by_value",
+        "r12_count_group_by_bucket", "r13_predicate_algebra",
+        "w2_delete_tombstone", "w3_partial_update_set_field",
+        "w4_w5_list_ops", "w6_map_ops", "w10_repush_offset_dedup",
+        "cdc_change_events", "i6_duplicate_key_check", "i9_consistency_check",
+        "x_dedup_exact", "x_sequence_packing",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

@@ -1775,18 +1775,26 @@ def x_topk_per_group(spark, sf_dir):
     f"{_TOKS} AS toks FROM documents) d, UNNEST(d.toks) AS t(tok)), "
     "agg AS (SELECT token, count(*) AS df, list_sort(list(doc_id)) AS postings "
     "FROM p GROUP BY 1) "
-    "SELECT token, df, postings FROM agg WHERE df BETWEEN 2 AND 1000",
+    "SELECT token, df, array_to_string(postings, ',') AS postings "
+    "FROM agg WHERE df BETWEEN 2 AND 1000",
 )
 def x_inverted_index(spark, sf_dir):
     """Token → sorted posting-list index (pipeline.inverted_index). One
     shuffle on token. The df band is the 100 TB guard (stopword-scale terms
     never materialize a list); the testdata vocabulary is 31 near-universal
     tokens, so the registered query opens the band wide enough to build
-    real posting lists rather than filtering everything out."""
+    real posting lists rather than filtering everything out. Registered
+    with the posting list serialized to a comma string — the driver
+    canonicalizer cannot sort raw list values (r5 window rotation);
+    inverted_index itself still returns the array column."""
     from venice_spark.pipeline import inverted_index
 
     df = _t(spark, sf_dir, "documents")
-    return inverted_index(df, "text", "doc_id", min_df=2, max_df=1000)
+    out = inverted_index(df, "text", "doc_id", min_df=2, max_df=1000)
+    return out.withColumn(
+        "postings",
+        F.array_join(F.transform("postings", lambda x: x.cast("string")), ","),
+    )
 
 
 @register(
@@ -1895,19 +1903,29 @@ _FH_DIM = 32
     "FROM documents), "
     "b AS (SELECT doc_id, list_transform(t, tok -> "
     f"(('0x' || substr(md5(tok), 1, 15))::BIGINT % {_FH_DIM})) AS bk FROM toks) "
-    "SELECT doc_id, list_transform(range(0, " + str(_FH_DIM) + "), "
-    "i -> len(list_filter(bk, x -> x = i))) AS fvec FROM b",
+    "SELECT doc_id, array_to_string(list_transform(range(0, " + str(_FH_DIM) + "), "
+    "i -> len(list_filter(bk, x -> x = i))), ',') AS fvec FROM b",
 )
 def x_feature_hash(spark, sf_dir):
     """Hashing-trick featurization (functions/text.feature_hash_vector):
     text -> 32-dim integer count vector via the portable md5 hash64 —
     vocabulary-free content vectors, integer-exact on both engines. Pure
-    per-row expressions, zero shuffle."""
+    per-row expressions, zero shuffle. Registered with the vector
+    serialized to a comma string — the driver canonicalizer cannot sort
+    raw list values (r5 window rotation); feature_hash_vector itself still
+    returns the array column."""
     from venice_spark.functions.text import feature_hash_vector
 
     df = _t(spark, sf_dir, "documents")
     return df.select(
-        "doc_id", feature_hash_vector("text", dim=_FH_DIM).alias("fvec")
+        "doc_id",
+        F.array_join(
+            F.transform(
+                feature_hash_vector("text", dim=_FH_DIM),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("fvec"),
     )
 
 
@@ -2665,15 +2683,10 @@ DRIVER_WINDOW = 50
 _TAIL = [
     "r4_project",              # pure projection is exercised by every query; scan pruning pinned by r1/r10 plan tests
     "x_training_pipeline",     # driver-green r03; SUBSUMED by x_crawl_ingest (same gates + in-batch dedup math, plus the history anti-join stage) — slot given to the superset
-    "x_dup_clusters",          # strictly subsumed by x_canonical_docs (same recursive-closure oracle, plus survivor ranking on top)
     "x_asof_join",             # interval-join family driver-green r03 (twice: asof + range); slot given to x_decontaminate_spans
     "x_ann_topk",              # ANN family driver-green r03 and still holds 4 window slots (knn_join_lsh + 3 recall/PQ gates); slot given to x_frame_dedup_gate
     "x_skew_salted_count",     # skew-salted twin of the r11 facet count (same answer; plan pinned in tests)
     "x_embedding_near_dup",    # blocked-cosine family carried by x_knn_join_lsh (exact hyperplane oracle)
-    "x_ivf_knn_join",          # kNN-join family carried by x_knn_join_lsh; exact IVF-blocking oracle checked locally
-    "x_importance_sample",     # hash-threshold sampling family carried by x_stratified_sample
-    "x_knn_classify",          # vector-kNN family carried by x_knn_join_lsh (exact oracle); brute edition oracle-checked locally
-    "x_feature_hash",          # per-row text-kernel family carried by x_text_quality; oracle-checked locally
     # round-4 rotation: driver-certified green in r03, demoted to make room
     # for previously-uncertified families (VERDICT r3 'Next round' #4)
     "r16_unique_keys",         # strictly subsumed by x_hll_error_gate (same exact count, plus the sketch envelope); driver-green r03
@@ -2687,34 +2700,42 @@ _TAIL = [
     "x_repetition_filter",     # per-row text-kernel family carried by x_text_quality; driver-green r03
     "x_event_percentiles",     # event-agg family carried by x_event_rollup + x_rollup_agg; driver-green r03
     "x_ngram_counts",          # corpus-stats family; x_tfidf_terms rotated in carries it; driver-green r03
-    "x_drop_common_lines",     # line-boilerplate family; dup-line metric carried by x_repetition_filter; oracle-checked locally
     "x_bpe_token_count",       # token-budget family covered by x_text_quality
     "x_dedup_ngram_jaccard",   # verify-stage variant; x_minhash_near_dup carries family
-    "x_quality_score",         # composite of the x_text_quality terms
-    "x_topk_per_group",        # window-rank shape also pinned by w1 WindowGroupLimit
-    "x_inverted_index",        # corpus-stats family carried by x_tfidf_terms
-    "r11_multi_field_facets",  # R11 family covered by r11_count_group_by_value
-    "x_event_histogram",       # bucketed counting covered by r12 + x_event_percentiles
     "r3_streaming_batch_get",  # plan-identical to r2_batch_get
     "x_token_count",           # strict subset of x_text_quality
     "x_fingerprint",           # same md5 fingerprint expr checked via x_dedup_exact
     "r8_count_array",          # R8 family stays covered by r8_count_map
     "x_simhash",               # re-derived and pair-checked by x_simhash_pairs
     "x_knn_join",              # brute-force baseline; x_knn_join_lsh has exact oracle
-    "x_distinct_users",        # distinct-count family covered by r16_unique_keys
     "r16_hll_approx",          # rows-only approximation by design
     "x_ann_lsh",               # rows-only; recall pinned in tests/test_similarity
     "x_ann_ivf",               # rows-only; recall pinned in tests
     "x_pq_topk",               # rows-only; ADC exactness + recall pinned in tests
     "x_rollup_agg",            # event-agg family carried by x_event_rollup; driver-green r03
     "x_unigram_logprob",       # LM family carried by x_bigram_logprob (order-2 ed.); driver-green r03
-    "x_shard_plan",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
-    "x_oversample",            # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
-    "x_split_assign",          # hash64-threshold family carried by x_stratified_sample; oracle-checked locally
-    "x_bpe_vocab",             # rows-only: iterative merge learning (tested vs hand-traced example + invariants)
-    "x_corpus_report",         # one-pass stats family; exact ROLLUP oracle, checked locally
-    "x_blocklist_hits",        # per-row text-kernel family carried by x_text_quality; oracle-checked locally
-    "x_quality_classifier",    # rows-only: iterative LBFGS training; scoring plan-pinned Python-free
+    "x_bpe_vocab",             # rows-only: iterative merge learning (tested vs hand-traced example + invariants); family driver-certified via x_bpe_roundtrip gate
+    "x_quality_classifier",    # rows-only: iterative LBFGS training; family driver-certified via x_quality_classifier_acc gate
+    # round-5 rotation (VERDICT r4 'Next round' #1): every query below was
+    # driver-hash-green in ALL FOUR rounds r01-r04; parked to give the 17
+    # never-driver-certified oracle-bearing queries their first window pass.
+    "r1_single_get",           # point get = batch_get of size 1; key-path partition pruning carried by r2_batch_get (plan also pinned in test_plan_shapes); driver-green r01-r04
+    "r5_dot_product",          # compute-builder vector family; builder chain carried by r9_error_channel, exact cosine math by x_knn_join_lsh; driver-green r01-r04
+    "r6_cosine_similarity",    # same carriers as r5 (x_knn_join_lsh value-checks cosine end-to-end); driver-green r01-r04
+    "r7_hadamard_product",     # elementwise compute family; builder carried by r9_error_channel; driver-green r01-r04
+    "r11_count_group_by_value",# R11 family now carried in-window by r11_multi_field_facets (multi-field superset); driver-green r01-r04
+    "r12_count_group_by_bucket",# bucketed counting carried in-window by x_event_histogram; driver-green r01-r04
+    "r13_predicate_algebra",   # predicate pushdown carried by r10_filter_compute (plan-pinned PushedFilters); driver-green r01-r04
+    "w2_delete_tombstone",     # tombstone resolve is a branch of w1_put_latest_wins' latest-wins fold; driver-green r01-r04
+    "w3_partial_update_set_field", # field-level update family carried by w7_dcr_merge (full UPDATE kernel); driver-green r01-r04
+    "w4_w5_list_ops",          # list setUnion/setDiff carried by w7_dcr_merge's collection-merge rules; driver-green r01-r04
+    "w6_map_ops",              # map union/diff carried by w7_dcr_merge's collection-merge rules; driver-green r01-r04
+    "w10_repush_offset_dedup", # repush family; w9_incremental_push + w11_ttl_filter stay in-window; driver-green r01-r04
+    "cdc_change_events",       # CDC family; the change stream is consumed in-window by x_cdc_chunk_dedup; driver-green r01-r04
+    "i6_duplicate_key_check",  # dup-key policy runs inside every push; in-window x_crawl_ingest exercises the push stages; driver-green r01-r04
+    "i9_consistency_check",    # push-validation family (same counts-vs-files audit BatchPushJob runs); carried by x_crawl_ingest's push stage; driver-green r01-r04
+    "x_dedup_exact",           # fingerprint anti-join shape carried by x_crawl_ingest (history fp stage) + x_decontaminate twin; driver-green r01-r04
+    "x_sequence_packing",      # export family carried in-window by x_shard_plan/x_oversample/x_split_assign; packing invariants pytest-pinned; driver-green r01-r04
 ]
 
 
