@@ -15,6 +15,19 @@ parquet file-stream dir locally — same code path via `readStream`). Replay
 runs `foreachBatch`, merging each micro-batch into the serving table with
 the same latest-wins fold the batch path uses. Rewind maps to a timestamp
 lower bound on the source (Kafka: startingOffsetsByTimestamp).
+
+Why the serving log is its OWN LSM rather than slots in the store's lazy
+delta log (`push.incremental_push(eager=False)`), even though both make
+the identical write-amplification trade (O(batch) appends, amortized
+compaction): the two logs resolve by DIFFERENT orders, by contract. Store
+delta slots resolve by SLOT order — a later upsert deliberately wins, and
+its `_rmd_ts` may legitimately be older (repush, backfill). The RT log
+resolves by TIMESTAMP (delete-wins-ties) — Merge.java:27-31's determinism
+contract makes arrival order irrelevant, so a stale PUT landing in a later
+micro-batch must LOSE to the fresher row already merged. Routing RT
+micro-batches through the slot-order log would break exactly that case.
+Both logs funnel through one latest-wins kernel family (`resolve_latest`
+here, `_resolve_delta_view` there); the order key is the semantic choice.
 """
 
 from __future__ import annotations
@@ -319,7 +332,9 @@ class HybridReplay:
         src_max = rt_batch.agg(F.max(self.ts_col)).collect()[0][0]
         if src_max is None:
             return True
-        serving = self.spark.read.parquet(self.serving_dir)
+        # _raw(): append mode accumulates heterogeneous footers; a bare
+        # read samples one and could miss the ts column's latest values
+        serving = self._raw()
         srv_max = serving.agg(F.max(self.ts_col)).collect()[0][0]
         if srv_max is None:
             return False
