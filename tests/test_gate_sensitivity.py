@@ -86,3 +86,38 @@ def test_frame_gate_fails_on_degenerate_hash():
     assert len(real) == 16, "the 16 planted patterns must stay separated"
     broken = {MM.ahash(im, grid=1) for im in imgs}
     assert len(broken) == 1, "grid=1 must collapse (the verdict then flips)"
+
+
+def test_ivfpq_gate_fails_on_wrong_probe_lists(spark, sf_dir):
+    """Composed IVF-PQ gate sensitivity: probing the FARTHEST nprobe lists
+    (inverted coarse ranking) removes the true neighbors' lists from the
+    scan — the composed recall verdict must flip to False even though the
+    PQ/ADC stage is intact."""
+    from venice_spark.similarity import (
+        ivf_assign,
+        ivf_pq_topk,
+        ivf_probe_lists,
+        pq_encode,
+        pq_train,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {r.vec_id for r in brute_force_topk(emb, W64, "embedding", "vec_id", k=10).collect()}
+    cents = train_ivf_centroids(emb, "embedding", n_centroids=8, sample_fraction=1.0)
+    books = pq_train(emb, "embedding", m=16, k=16, sample_fraction=1.0, seed=7)
+    coded = emb.withColumn("ivf_list", ivf_assign("embedding", cents)).withColumn(
+        "code", pq_encode("embedding", books)
+    )
+    good = set(ivf_probe_lists(W64, cents, 5))
+    far = [i for i in range(8) if i not in good][:3]  # the never-probed lists
+    broken = {
+        r.vec_id
+        for r in ivf_pq_topk(
+            coded.filter(F.col("ivf_list").isin(far)), W64, "code", "vec_id",
+            cents, books, k=10, nprobe=8,  # full probe of a wrongly-pruned corpus
+            refine=50, vec_col="embedding", refine_metric="cosine",
+        ).collect()
+    }
+    hits = len(exact & broken)
+    assert hits < 6, f"wrong-list probe still clears the gate ({hits}/10)"

@@ -2611,6 +2611,48 @@ def x_pq_recall(spark, sf_dir):
     return _recall_verdict(exact, approx, k=10, min_hits=6)
 
 
+@register("x_ivfpq_recall", "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok")
+def x_ivfpq_recall(spark, sf_dir):
+    """IVF-PQ composed certification (VERDICT r4 #8): recall@10 of the full
+    production vector-search composition — coarse quantizer prunes to
+    nprobe=5-of-8 inverted lists, PQ codes shrink what those lists read,
+    ADC ranks, exact cosine re-ranks the top-50 — vs brute force, gated at
+    0.6. x_ann_ivf_recall and x_pq_recall certify the two stages alone;
+    this certifies their composition (`similarity.ivf_pq_topk`, the FAISS
+    IVFPQ shape), since list pruning and code quantization LOSE recall
+    independently and their product is what production ships."""
+    from venice_spark.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_pq_topk,
+        pq_encode,
+        pq_train,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, W64, "embedding", "vec_id", k=10).select("vec_id")
+    cents = train_ivf_centroids(emb, "embedding", n_centroids=8, sample_fraction=1.0)
+    books = pq_train(emb, "embedding", m=16, k=16, sample_fraction=1.0, seed=7)
+    coded = emb.withColumn("ivf_list", ivf_assign("embedding", cents)).withColumn(
+        "code", pq_encode("embedding", books)
+    )
+    approx = ivf_pq_topk(
+        coded,
+        W64,
+        "code",
+        "vec_id",
+        cents,
+        books,
+        k=10,
+        nprobe=5,
+        refine=50,
+        vec_col="embedding",
+        refine_metric="cosine",
+    ).select("vec_id")
+    return _recall_verdict(exact, approx, k=10, min_hits=6)
+
+
 @register(
     "x_bpe_roundtrip",
     "SELECT count(*) AS n_docs, TRUE AS all_roundtrip FROM documents",
@@ -2736,6 +2778,7 @@ _TAIL = [
     "i9_consistency_check",    # push-validation family (same counts-vs-files audit BatchPushJob runs); carried by x_crawl_ingest's push stage; driver-green r01-r04
     "x_dedup_exact",           # fingerprint anti-join shape carried by x_crawl_ingest (history fp stage) + x_decontaminate twin; driver-green r01-r04
     "x_sequence_packing",      # export family carried in-window by x_shard_plan/x_oversample/x_split_assign; packing invariants pytest-pinned; driver-green r01-r04
+    "w15_materialized_view",   # view lifecycle pytest-pinned end-to-end (test_view_maintenance + ivf/band index views); x_crawl_ingest's pushes maintain views in-window; driver-green r01-r04 — slot given to the composed x_ivfpq_recall gate
 ]
 
 

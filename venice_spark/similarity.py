@@ -981,6 +981,7 @@ def ivf_pq_topk(
     list_col: str = "ivf_list",
     refine: int = 0,
     vec_col: str | None = None,
+    refine_metric: str = "l2",
 ) -> DataFrame:
     """IVF-PQ (the FAISS IVFPQ composition): the coarse quantizer prunes
     the scan to `nprobe` inverted lists (partition pruning when the corpus
@@ -991,5 +992,6 @@ def ivf_pq_topk(
     an order of magnitude, all JVM-side."""
     probed = df.filter(F.col(list_col).isin(ivf_probe_lists(query, centroids, nprobe)))
     return pq_topk(
-        probed, query, code_col, id_col, codebooks, k=k, refine=refine, vec_col=vec_col
+        probed, query, code_col, id_col, codebooks, k=k, refine=refine,
+        vec_col=vec_col, refine_metric=refine_metric,
     )
