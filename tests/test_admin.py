@@ -123,6 +123,7 @@ def test_update_store_parses_types(root, capsys):
         ["ROOT", "retire", "s", "--keep"],   # --keep without a value
         ["ROOT", "retire", "s", "--keep", "soon"],  # --keep non-integer
         ["ROOT", "update-store", "s", "noequalsign"],  # malformed kv
+        ["ROOT", "create", "s2", "--keys", "--partitions", "4"],  # flag eats flag
     ],
 )
 def test_usage_errors_exit_2(argv, root, capsys):
@@ -132,7 +133,8 @@ def test_usage_errors_exit_2(argv, root, capsys):
         capsys.readouterr()
     assert admin.main(argv) == 2
     err = capsys.readouterr()
-    assert "Usage:" in err.out or "Usage:" in err.err
+    blob = (err.out + err.err).lower()
+    assert "usage" in blob
 
 
 def test_unknown_store_exits_1(root, capsys):
@@ -141,6 +143,9 @@ def test_unknown_store_exits_1(root, capsys):
         [root, "versions", "ghost"],
         [root, "retire", "ghost"],
         [root, "update-store", "ghost", "partition_count=2"],
+        # delete must refuse unknown stores too — a silent rmtree of
+        # nothing reported success on typos (code-review r5)
+        [root, "delete", "ghost"],
     ):
         assert admin.main(argv) == 1, argv
         assert capsys.readouterr().err.startswith("error:")

@@ -502,3 +502,30 @@ def test_hybrid_append_per_batch_bytes_scale_with_batch(spark, tmp_path):
     replay.compact()
     out2 = {r["key"]: r["val"] for r in replay.read().collect()}
     assert out2 == out
+
+
+def test_rewrite_mode_refuses_append_shaped_log(spark, tmp_path):
+    """code-review r5: opening an append-mode serving log with
+    mode='rewrite' must refuse loudly — rewrite reads are bare (no
+    mergeSchema, no resolve) and would silently serve one row per append."""
+    import pytest
+
+    root = str(tmp_path / "cat")
+    catalog = StoreCatalog(root)
+    catalog.create_store("h", key_fields=["key"], hybrid=True, rewind_seconds=0)
+    serving = str(tmp_path / "serving")
+    spark.createDataFrame([("a", 1.0, 10)], schema=SCHEMA).write.parquet(serving)
+    rt_dir = str(tmp_path / "rt")
+    os.makedirs(rt_dir)
+    replay = HybridReplay(spark, catalog, "h", serving, mode="append", compact_every=0)
+    spark.createDataFrame(
+        [("a", 5.0, 20, "PUT")], schema=SCHEMA + ", op string"
+    ).write.mode("append").parquet(rt_dir)
+    stream = spark.readStream.schema(SCHEMA + ", op string").parquet(rt_dir)
+    replay.start(stream, str(tmp_path / "ckpt")).awaitTermination(120)
+
+    with pytest.raises(ValueError, match="append-mode log"):
+        HybridReplay(spark, catalog, "h", serving, mode="rewrite")
+    # append-mode reopening still works and serves the resolved view
+    again = HybridReplay(spark, catalog, "h", serving, mode="append")
+    assert {r["key"]: r["val"] for r in again.read().collect()} == {"a": 5.0}

@@ -20,6 +20,7 @@ Exit codes: 0 ok; 1 catalog error (unknown store, illegal transition);
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -33,59 +34,66 @@ class _UsageError(Exception):
     pass
 
 
-def _arg(argv: list[str], i: int, what: str) -> str:
-    if i >= len(argv):
-        raise _UsageError(f"missing {what}")
-    return argv[i]
+def _build_parser() -> argparse.ArgumentParser:
+    # argparse owns positional/flag parsing (typed ints, flags-cannot-eat-
+    # flags, generated usage, exit 2 on bad input); semantic validation
+    # beyond its reach (key=value shapes) raises _UsageError below.
+    p = argparse.ArgumentParser(prog="admin.py", description="venice_spark store admin")
+    p.add_argument("root", help="catalog root directory")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("create", help="create a store")
+    c.add_argument("store")
+    c.add_argument("--keys", required=True, help="comma-separated key fields")
+    c.add_argument("--partitions", type=int, default=None)
+    c.add_argument("--hybrid", action="store_true")
+    sub.add_parser("list", help="list stores")
+    for name in ("describe", "versions", "delete"):
+        sp = sub.add_parser(name)
+        sp.add_argument("store")
+    u = sub.add_parser("update-store", help="change store settings")
+    u.add_argument("store")
+    u.add_argument("changes", nargs="*", metavar="key=value")
+    r = sub.add_parser("rollback")
+    r.add_argument("store")
+    r.add_argument("version", nargs="?", type=int, default=None)
+    s = sub.add_parser("set-version")
+    s.add_argument("store")
+    s.add_argument("version", type=int)
+    t = sub.add_parser("retire")
+    t.add_argument("store")
+    t.add_argument("--keep", type=int, default=2)
+    return p
 
 
-def _int_arg(argv: list[str], i: int, what: str) -> int:
-    raw = _arg(argv, i, what)
-    try:
-        return int(raw)
-    except ValueError:
-        raise _UsageError(f"{what} must be an integer, got {raw!r}") from None
-
-
-def _run(argv: list[str]) -> int:
-    root, cmd = _arg(argv, 0, "<root>"), _arg(argv, 1, "<command>")
-    cat = StoreCatalog(root)
-    if cmd == "create":
-        store = _arg(argv, 2, "<store>")
-        rest = argv[3:]
-        if "--keys" not in rest:
-            raise _UsageError("create requires --keys k1[,k2...]")
-        keys = _arg(rest, rest.index("--keys") + 1, "--keys value").split(",")
+def _run(args: argparse.Namespace) -> int:
+    cat = StoreCatalog(args.root)
+    if args.cmd == "create":
         kwargs = {}
-        if "--partitions" in rest:
-            kwargs["partition_count"] = _int_arg(
-                rest, rest.index("--partitions") + 1, "--partitions value"
-            )
-        if "--hybrid" in rest:
+        if args.partitions is not None:
+            kwargs["partition_count"] = args.partitions
+        if args.hybrid:
             kwargs["hybrid"] = True
-        meta = cat.create_store(store, key_fields=keys, **kwargs)
+        meta = cat.create_store(args.store, key_fields=args.keys.split(","), **kwargs)
         print(json.dumps(json.loads(meta.to_json()), indent=2))
-    elif cmd == "list":
+    elif args.cmd == "list":
         for s in cat.list_stores():
             meta = cat.get_store(s)
             print(f"{s}\tcurrent=v{meta.current_version}\tpartitions={meta.partition_count}")
-    elif cmd == "describe":
-        meta = cat.get_store(_arg(argv, 2, "<store>"))
+    elif args.cmd == "describe":
+        meta = cat.get_store(args.store)
         print(json.dumps(json.loads(meta.to_json()), indent=2))
-        man = cat.version_manifest(argv[2])
+        man = cat.version_manifest(args.store)
         if man:
             print("current version manifest:", json.dumps(man, indent=2))
-    elif cmd == "versions":
-        store = _arg(argv, 2, "<store>")
-        cur = cat.current_version(store)
-        for v in cat.list_versions(store):
-            man = cat.version_manifest(store, v) or {}
+    elif args.cmd == "versions":
+        cur = cat.current_version(args.store)
+        for v in cat.list_versions(args.store):
+            man = cat.version_manifest(args.store, v) or {}
             marker = " *current*" if v == cur else ""
             print(f"v{v}{marker}\trows={man.get('rows', '?')}\ttype={man.get('push_type', '?')}")
-    elif cmd == "update-store":
-        store = _arg(argv, 2, "<store>")
+    elif args.cmd == "update-store":
         changes = {}
-        for kv in argv[3:]:
+        for kv in args.changes:
             k, sep, v = kv.partition("=")
             if not sep or not k:
                 raise _UsageError(f"update-store arguments are key=value, got {kv!r}")
@@ -95,37 +103,31 @@ def _run(argv: list[str]) -> int:
                 changes[k] = int(v)
             else:
                 changes[k] = v
-        meta = cat.update_store(store, **changes)
+        meta = cat.update_store(args.store, **changes)
         print(json.dumps(json.loads(meta.to_json()), indent=2))
-    elif cmd == "rollback":
-        store = _arg(argv, 2, "<store>")
-        to = _int_arg(argv, 3, "version") if len(argv) > 3 else None
-        v = cat.rollback(store, to)
-        print(f"{store} now serving v{v}")
-    elif cmd == "set-version":
-        store = _arg(argv, 2, "<store>")
-        v = _int_arg(argv, 3, "<version>")
-        cat.set_version(store, v)
-        print(f"{store} now serving v{v}")
-    elif cmd == "retire":
-        store = _arg(argv, 2, "<store>")
-        keep = 2
-        if "--keep" in argv:
-            keep = _int_arg(argv, argv.index("--keep") + 1, "--keep value")
-        gone = cat.retire_old_versions(store, keep=keep)
+    elif args.cmd == "rollback":
+        v = cat.rollback(args.store, args.version)
+        print(f"{args.store} now serving v{v}")
+    elif args.cmd == "set-version":
+        cat.set_version(args.store, args.version)
+        print(f"{args.store} now serving v{args.version}")
+    elif args.cmd == "retire":
+        gone = cat.retire_old_versions(args.store, keep=args.keep)
         print(f"retired versions: {gone or 'none'}")
-    elif cmd == "delete":
-        store = _arg(argv, 2, "<store>")
-        cat.delete_store(store)
-        print(f"deleted store {store}")
-    else:
-        raise _UsageError(f"unknown command {cmd!r}")
+    elif args.cmd == "delete":
+        cat.get_store(args.store)  # unknown store is exit 1, not silent rmtree
+        cat.delete_store(args.store)
+        print(f"deleted store {args.store}")
     return 0
 
 
 def main(argv: list[str]) -> int:
     try:
-        return _run(argv)
+        args = _build_parser().parse_args(argv)
+    except SystemExit as e:  # argparse already printed usage/error
+        return int(e.code or 0)
+    try:
+        return _run(args)
     except _UsageError as e:
         print(f"error: {e}", file=sys.stderr)
         print(__doc__)

@@ -400,7 +400,8 @@ class StoreHandle:
             )
         # the sidecar's parameters match the FILES (the declaration may
         # have been re-declared since this version landed)
-        spec = self._spec_or_declared(read_view_spec(path), view_name, BandIndexViewDef)
+        written = read_view_spec(path)
+        spec = self._spec_or_declared(written, view_name, BandIndexViewDef)
         if spec is None:
             raise ValueError(
                 f"view {view_name!r} of store {self.name} is not a MinHash "
@@ -463,9 +464,13 @@ class StoreHandle:
             bands=spec.bands,
             threshold=threshold,
             shingle_n=spec.shingle_n,
-            # probe params were just read from the sidecar spec, so the
-            # per-call parity .first() job is redundant here (ADVICE r4)
-            check_params=False,
+            # the per-call parity .first() job is redundant ONLY when the
+            # params were read from the WRITTEN sidecar (parity with the
+            # files by construction; ADVICE r4). On the pre-sidecar
+            # fallback they come from the live declaration — which may have
+            # been re-declared since the files landed — so the check is the
+            # only guard against silently-zero results (code-review r5).
+            check_params=not isinstance(written, BandIndexViewDef),
         )
 
     def hybrid_view_df(self, view_name: str, replay) -> DataFrame:

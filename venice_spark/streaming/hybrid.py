@@ -114,12 +114,14 @@ def atomic_swap_dir(df: DataFrame, target: str, tag: str = "swap") -> None:
     # and reset_serving_if_stale wipes serving + checkpoint — with rewind
     # set, already-merged RT ops older than the window are silently lost;
     # without it, the full RT log replays on every call (ADVICE r4, high).
+    # The marker is written into TMP before any move, so there is no crash
+    # window in which the new dir exists without it (code-review r5).
     seed = seeded_version(target)
+    if seed is not None:
+        mark_seeded_version(tmp, seed)
     if os.path.isdir(target):
         shutil.move(target, old)
     shutil.move(tmp, target)
-    if seed is not None:
-        mark_seeded_version(target, seed)
     shutil.rmtree(old, ignore_errors=True)
 
 
@@ -229,6 +231,28 @@ class HybridReplay:
         self.compact_every = compact_every
         self.ts_scale = 1000 if ts_unit == "ms" else 1
         self._appends = 0
+        if mode == "rewrite":
+            # Refuse to treat an unresolved append-mode log as a resolved
+            # table: rewrite-mode reads are bare (no mergeSchema, no
+            # resolve) and would silently serve one row per APPEND —
+            # duplicates and stale values, no error. __batch columns only
+            # ever come from append-mode merges, so their presence is the
+            # shape test (code-review r5).
+            import os
+
+            if os.path.isdir(serving_dir):
+                cols = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(serving_dir)
+                    .columns
+                )
+                if "__batch" in cols:
+                    raise ValueError(
+                        f"serving dir {serving_dir!r} holds an append-mode "
+                        "log (__batch stamps present); open it with "
+                        "mode='append' — rewrite-mode reads would serve "
+                        "duplicate/stale rows from the unresolved log"
+                    )
 
     @staticmethod
     def _norm_op(df: DataFrame) -> DataFrame:
