@@ -121,3 +121,24 @@ def test_ivfpq_gate_fails_on_wrong_probe_lists(spark, sf_dir):
     }
     hits = len(exact & broken)
     assert hits < 6, f"wrong-list probe still clears the gate ({hits}/10)"
+
+
+def test_audio_gate_fails_on_band_misattribution(spark):
+    """Audio tone gate sensitivity: the gate's verdict formula must flip
+    when the DSP pipeline misattributes spectral energy — simulated by
+    planting the tone one band away from the expected one."""
+    import numpy as np
+
+    from venice_spark.multimodal import audio_features, decode_wav, encode_wav
+
+    rate, n = 8000, 2048
+    n_bins = n // 2 + 1
+    t = np.arange(n) / rate
+    for b in range(8):
+        wrong = (b + 1) % 8
+        kb = int(round((wrong + 0.5) * n_bins / 8))
+        wav = encode_wav(0.5 * np.sin(2 * np.pi * (kb * rate / n) * t), rate)
+        samples, r = decode_wav(wav)
+        feats = audio_features(samples, r, n_bands=8)
+        dominant = int(np.argmax(feats[4:12]))
+        assert dominant == wrong != b  # verdict would be False for band b

@@ -161,6 +161,9 @@ def test_driver_window_carries_only_oracle_queries():
         # slot given to the composed x_ivfpq_recall gate; lifecycle
         # pytest-pinned (test_view_maintenance + index-view suites)
         "w15_materialized_view",
+        # slot given to the x_audio_tone_gate; latest-wins subset of w7,
+        # WindowGroupLimit shape plan-pinned
+        "w1_put_latest_wins",
     }
     stranded = [n for n in outside if n not in allowed_outside]
     assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

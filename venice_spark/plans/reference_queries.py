@@ -2542,6 +2542,59 @@ def x_frame_dedup_gate(spark, sf_dir):
     )
 
 
+@register(
+    "x_audio_tone_gate",
+    "SELECT count(*) AS n_audio, TRUE AS all_bands_ok FROM documents",
+)
+def x_audio_tone_gate(spark, sf_dir):
+    """Audio DSP certification (multimodal.decode_wav + audio_features):
+    synthesize one 16-bit PCM WAV per document containing a pure sine at
+    an exact FFT bin centered in spectral band (doc_id % 8), then run the
+    REAL decode → rFFT → 8-band energy pipeline and require the dominant
+    band to equal the planted one for EVERY row. Integer-cycle tones leak
+    no energy across bins, so the property is exact, not statistical —
+    the gate is all-or-nothing. Closes the certification gap where the
+    audio path (unlike the PPM/video path, x_frame_dedup_gate) was only
+    pytest-covered. Synthesis and extraction are Arrow-batched
+    mapInPandas, zero shuffle; the verdict is one partial-agg fold."""
+    from venice_spark.multimodal import extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    rate, n = 8000, 2048
+    n_bins = n // 2 + 1  # rfft length; np.array_split(spec, 8) band layout
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from venice_spark.multimodal import encode_wav
+
+        t = np.arange(n) / rate
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                b = int(did) % 8
+                kb = int(round((b + 0.5) * n_bins / 8))  # bin inside band b
+                payloads.append(
+                    encode_wav(0.5 * np.sin(2 * np.pi * (kb * rate / n) * t), rate)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wav = docs.mapInPandas(synth, "doc_id long, payload binary")
+    feats = extract_audio_features(wav, n_bands=8)
+    # spectral energies are features[4:12]; array_position is 1-based
+    band = (
+        F.array_position(
+            F.slice("features", 5, 8), F.array_max(F.slice("features", 5, 8))
+        )
+        - 1
+    )
+    ok = F.coalesce(band == (F.col("doc_id") % 8), F.lit(False))
+    return feats.agg(
+        F.count("*").alias("n_audio"), F.bool_and(ok).alias("all_bands_ok")
+    )
+
+
 def _recall_verdict(exact: DataFrame, approx: DataFrame, k: int, min_hits: int):
     """Overlap of two bounded top-k id frames -> (k, recall_ok) verdict row.
     Both inputs are TakeOrdered plans of k rows, so the join is trivially
@@ -2779,6 +2832,7 @@ _TAIL = [
     "x_dedup_exact",           # fingerprint anti-join shape carried by x_crawl_ingest (history fp stage) + x_decontaminate twin; driver-green r01-r04
     "x_sequence_packing",      # export family carried in-window by x_shard_plan/x_oversample/x_split_assign; packing invariants pytest-pinned; driver-green r01-r04
     "w15_materialized_view",   # view lifecycle pytest-pinned end-to-end (test_view_maintenance + ivf/band index views); x_crawl_ingest's pushes maintain views in-window; driver-green r01-r04 — slot given to the composed x_ivfpq_recall gate
+    "w1_put_latest_wins",      # latest-wins resolve is a strict subset of w7_dcr_merge's conflict kernel (in-window); WindowGroupLimit plan shape pinned by test_plan_shapes + x_topk_per_group; driver-green r01-r04 — slot given to the x_audio_tone_gate
 ]
 
 
