@@ -108,3 +108,82 @@ def test_aa_replay_matches_batch_kernel(spark, tmp_path):
     )
     expected = {r["k"]: (r["name"], r["score"]) for r in batch.collect()}
     assert aa == expected
+
+
+def test_aa_append_mode_matches_rewrite_and_bounds_bytes(spark, tmp_path):
+    """The AA serving LSM (mode='append', the aa_serve default): (1) final
+    state equals rewrite mode on the same log — batching/materialization
+    strategy never changes content; (2) a small micro-batch against a
+    large serving table writes a small, flat number of bytes, never a
+    table-proportional rewrite; (3) compact() folds without changing
+    content; (4) rewrite mode refuses an append-shaped log."""
+    import os
+
+    import pytest
+
+    from venice_spark.streaming.aa import ActiveActiveReplay
+
+    def dir_bytes(path):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fns in os.walk(path)
+            for f in fns
+        )
+
+    states = {}
+    for mode in ("append", "rewrite"):
+        eng = VeniceSparkEngine(spark, str(tmp_path / f"root_{mode}"))
+        eng.create_store("aa", key_fields=["k"], partition_count=2, active_active=True)
+        big = spark.range(5000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("n"), F.col("id")).alias("name"),
+            (F.col("id") * 1.0).alias("score"),
+        )
+        eng.push("aa", big)
+        st = eng.store("aa")
+        p = st.producer()
+        _flush(p, [
+            {"k": 1, "op": "PUT", "ts": 100, "colo": 0, "name": "a2", "score": 10.0},
+            {"k": 2, "op": "UPDATE", "ts": 100, "colo": 0, "set_name": "b2"},
+            {"k": 3, "op": "DELETE", "ts": 100, "colo": 0},
+        ])
+        serving = os.path.join(eng.catalog.store_dir("aa"), "aa_serving")
+        replay = st.aa_serve(["name", "score"], mode=mode, compact_every=0)
+        if mode == "append":
+            seeded = dir_bytes(serving)
+            # second micro-batch: 3 touched keys against 5000 rows
+            _flush(p, [
+                {"k": 7, "op": "PUT", "ts": 200, "colo": 0, "name": "g", "score": 7.0},
+                {"k": 3, "op": "PUT", "ts": 90, "colo": 1, "name": "zombie", "score": 0.0},
+                {"k": 2, "op": "UPDATE", "ts": 150, "colo": 1, "set_name": "b3"},
+            ])
+            before = dir_bytes(serving)
+            replay = st.aa_serve(["name", "score"], mode=mode, compact_every=0)
+            added = dir_bytes(serving) - before
+            assert added < seeded / 10, (added, seeded)
+            # rewrite over the append log is refused
+            with pytest.raises(ValueError, match="append-mode AA log"):
+                ActiveActiveReplay(
+                    spark, eng.catalog, "aa", serving, ["name", "score"],
+                    mode="rewrite",
+                )
+            # compact: content stable, one row per key
+            pre = {r["k"]: (r["name"], r["score"]) for r in replay.read().collect()}
+            replay.compact()
+            assert {
+                r["k"]: (r["name"], r["score"]) for r in replay.read().collect()
+            } == pre
+            raw = spark.read.option("mergeSchema", "true").parquet(serving)
+            assert raw.count() == raw.select("k").distinct().count()
+        else:
+            _flush(p, [
+                {"k": 7, "op": "PUT", "ts": 200, "colo": 0, "name": "g", "score": 7.0},
+                {"k": 3, "op": "PUT", "ts": 90, "colo": 1, "name": "zombie", "score": 0.0},
+                {"k": 2, "op": "UPDATE", "ts": 150, "colo": 1, "set_name": "b3"},
+            ])
+            replay = st.aa_serve(["name", "score"], mode=mode, compact_every=0)
+        out = {r["k"]: (r["name"], r["score"]) for r in replay.read().collect()}
+        assert out[1] == ("a2", 10.0) and out[2] == ("b3", 2.0) and out[7] == ("g", 7.0)
+        assert 3 not in out  # tombstone register blocks the stale put
+        states[mode] = out
+    assert states["append"] == states["rewrite"]

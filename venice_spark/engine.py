@@ -606,16 +606,23 @@ class StoreHandle:
         list_fields: set[str] | None = None,
         map_fields: set[str] | None = None,
         ts_col: str = "ts",
+        mode: str = "append",
+        compact_every: int = 16,
     ):
         """Active-active twin of hybrid_serve: the RT log replays through
         the full DCR kernel with per-key register state persisted in the
         serving table (the leader's MergeConflictResolver loop —
         ActiveActiveStoreIngestionTask.java:615,640). Field-level UPDATE
         ops get true per-field timestamps; cross-colo ties resolve
-        deterministically."""
+        deterministically. Default mode="append": per-trigger write cost
+        O(touched keys) with amortized compaction (see ActiveActiveReplay);
+        mode="rewrite" keeps the one-resolved-fileset table."""
         from venice_spark.streaming.aa import aa_serve
 
-        return aa_serve(self, value_cols, list_fields, map_fields, ts_col)
+        return aa_serve(
+            self, value_cols, list_fields, map_fields, ts_col,
+            mode=mode, compact_every=compact_every,
+        )
 
     # ---- R15 DaVinci-style local materialization ----
     def subscribe_all(self) -> DataFrame:

@@ -44,6 +44,21 @@ from venice_spark.catalog import StoreCatalog
 
 
 class ActiveActiveReplay:
+    """Two merge modes, mirroring HybridReplay:
+
+    mode="rewrite": each micro-batch folds touched keys and the FULL table
+    is atomically swapped — O(table) write amplification per trigger.
+
+    mode="append" (the 100 TB shape): each micro-batch appends ONLY its
+    refreshed rows, stamped with the batch id; reads resolve latest-batch-
+    wins per key. Unlike the raw hybrid log (where slot order would let a
+    stale PUT beat a fresher row), slot order IS correct here: every
+    refreshed row was folded FROM the prior state through the commutative
+    DCR kernel, so a later batch's row is authoritative by construction —
+    the registers inside __state__ carry the cross-batch timestamp truth.
+    `compact()` folds the log to one row per key (tombstone rows kept:
+    their registers are what stop stale resurrections)."""
+
     def __init__(
         self,
         spark: SparkSession,
@@ -54,7 +69,11 @@ class ActiveActiveReplay:
         list_fields: set[str] | None = None,
         map_fields: set[str] | None = None,
         ts_col: str = "ts",
+        mode: str = "rewrite",
+        compact_every: int = 16,
     ):
+        if mode not in ("rewrite", "append"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         self.spark = spark
         self.catalog = catalog
         self.store = store
@@ -64,6 +83,21 @@ class ActiveActiveReplay:
         self.list_fields = set(list_fields or set())
         self.map_fields = set(map_fields or set())
         self.ts_col = ts_col
+        self.mode = mode
+        self.compact_every = compact_every
+        self._appends = 0
+        if mode == "rewrite" and os.path.isdir(serving_dir):
+            # same shape guard as HybridReplay: a bare rewrite-mode read of
+            # an unresolved append log would serve one row per APPEND
+            cols = (
+                spark.read.option("mergeSchema", "true").parquet(serving_dir).columns
+            )
+            if "__aa_batch" in cols:
+                raise ValueError(
+                    f"serving dir {serving_dir!r} holds an append-mode AA "
+                    "log (__aa_batch stamps present); open it with "
+                    "mode='append'"
+                )
 
     # ---- serving-table schema helpers ----
     def _fold_schema(self, ops: DataFrame, snap: DataFrame | None = None) -> "object":
@@ -167,9 +201,52 @@ class ActiveActiveReplay:
 
         return ops.groupBy(*kf).applyInPandas(fold, schema=out_schema)
 
+    def _raw(self) -> DataFrame:
+        # append mode accumulates footers with differing column sets (the
+        # seed carries no __aa_batch stamp); merge the schemas
+        reader = self.spark.read
+        if self.mode == "append":
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.serving_dir)
+
+    def _resolve_log(self) -> DataFrame:
+        """One row per key: the latest batch's refreshed row wins (the fold
+        merged prior state, so it is authoritative — see class docstring);
+        the stampless seed row sorts oldest."""
+        from pyspark.sql import Window
+
+        df = self._raw()
+        if "__aa_batch" not in df.columns:
+            return df
+        w = Window.partitionBy(*self.key_fields).orderBy(
+            F.col("__aa_batch").desc_nulls_last()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from venice_spark.streaming.hybrid import atomic_swap_dir
 
+        if self.mode == "append":
+            # O(batch) writes: only the touched keys' refreshed rows land,
+            # stamped with the batch id. Prior state comes from the
+            # resolved log semi-joined to the touched keys — the shuffle is
+            # batch-sized; scanning the log's files is the LSM read
+            # amplification compact() bounds.
+            snap = self._resolve_log()
+            touched = batch_df.select(*self.key_fields).distinct()
+            prior = snap.join(touched, on=self.key_fields, how="left_semi")
+            refreshed = self._fold_new(batch_df, prior=prior, snap=snap)
+            refreshed.withColumn("__aa_batch", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(self.serving_dir)
+            self._appends += 1
+            if self.compact_every and self._appends >= self.compact_every:
+                self.compact()
+            return
         snap = self.spark.read.parquet(self.serving_dir)
         touched = batch_df.select(*self.key_fields).distinct()
         prior = snap.join(touched, on=self.key_fields, how="left_semi")
@@ -177,6 +254,16 @@ class ActiveActiveReplay:
         kept = snap.join(touched, on=self.key_fields, how="left_anti")
         new_snap = kept.unionByName(refreshed)
         atomic_swap_dir(new_snap, self.serving_dir, tag="aa")
+
+    def compact(self) -> None:
+        """Fold the append log to one row per key (winners keep their
+        __aa_batch stamp for future ordering; tombstone rows kept — their
+        registers stop stale resurrections) and swap atomically. Content
+        is unchanged by construction."""
+        from venice_spark.streaming.hybrid import atomic_swap_dir
+
+        atomic_swap_dir(self._resolve_log(), self.serving_dir, tag="aa")
+        self._appends = 0
 
     def start(self, rt_stream: DataFrame, checkpoint_dir: str):
         return (
@@ -189,7 +276,7 @@ class ActiveActiveReplay:
 
     def read(self) -> DataFrame:
         """Live view: deleted keys filtered, state column dropped."""
-        df = self.spark.read.parquet(self.serving_dir)
+        df = self._resolve_log() if self.mode == "append" else self._raw()
         return df.filter(~F.col("__deleted")).select(*self.key_fields, *self.value_cols)
 
 
@@ -199,6 +286,8 @@ def aa_serve(
     list_fields: set[str] | None = None,
     map_fields: set[str] | None = None,
     ts_col: str = "ts",
+    mode: str = "append",
+    compact_every: int = 16,
 ):
     """One-call AA serving loop (the facade twin of hybrid_serve for
     active-active stores): seed from the current version if needed, replay
@@ -206,7 +295,9 @@ def aa_serve(
     the replay handle. Like hybrid_serve: a NEW batch version drops the
     serving table + checkpoint and re-seeds (per-version buffer replay),
     and the stream schema merges ALL flush footers — a bare read would
-    silently drop columns absent from the sampled flush (code-review r4)."""
+    silently drop columns absent from the sampled flush (code-review r4).
+    Default mode is "append": per-trigger write cost is O(touched keys),
+    never O(table) — see ActiveActiveReplay."""
     from venice_spark.producer import read_rt_log
     from venice_spark.streaming.hybrid import (
         mark_seeded_version,
@@ -222,7 +313,8 @@ def aa_serve(
     cur = catalog.current_version(name)
     reset_serving_if_stale(serving, ckpt, cur)
     replay = ActiveActiveReplay(
-        spark, catalog, name, serving, value_cols, list_fields, map_fields, ts_col
+        spark, catalog, name, serving, value_cols, list_fields, map_fields, ts_col,
+        mode=mode, compact_every=compact_every,
     )
     if not os.path.isdir(serving):
         replay.seed(engine_store.df().drop("partition_id"))
