@@ -187,3 +187,52 @@ def test_aa_append_mode_matches_rewrite_and_bounds_bytes(spark, tmp_path):
         assert 3 not in out  # tombstone register blocks the stale put
         states[mode] = out
     assert states["append"] == states["rewrite"]
+
+
+def test_aa_append_survives_checkpoint_reset(spark, tmp_path):
+    """code-review r5: streaming batch ids restart at 0 when a checkpoint
+    is deleted/recreated (a standard ops move). Stamps are derived from the
+    log (max+1), so post-reset writes must still WIN resolution — with raw
+    batch-id stamps the new rows would silently lose to old higher-stamped
+    rows and reads would serve stale content."""
+    import shutil
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    st = _mk(eng, spark)
+    p = st.producer()
+    for i in range(3):  # three serve cycles push stamps up
+        _flush(p, [{"k": 1, "op": "PUT", "ts": 100 + i, "colo": 0,
+                    "name": f"v{i}", "score": float(i)}])
+        st.aa_serve(["name", "score"], compact_every=0)
+    import os
+    ckpt = os.path.join(eng.catalog.store_dir("aa"), "_aa_checkpoint")
+    assert os.path.isdir(ckpt), "checkpoint layout moved; update the test"
+    shutil.rmtree(ckpt)  # ops reset: batch ids restart at 0
+    _flush(p, [{"k": 1, "op": "PUT", "ts": 500, "colo": 0,
+                "name": "after-reset", "score": 99.0}])
+    out = {r["k"]: r["name"] for r in st.aa_serve(["name", "score"], compact_every=0).read().collect()}
+    assert out[1] == "after-reset"
+
+
+def test_aa_facade_auto_compaction_fires(spark, tmp_path):
+    """code-review r5: the compaction trigger must survive handle
+    recreation — aa_serve builds a fresh replay per call, so an in-memory
+    counter would never fire and the log would grow without bound. The
+    pressure metric is the log's distinct-stamp count."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    st = _mk(eng, spark)
+    p = st.producer()
+    for i in range(4):
+        _flush(p, [{"k": i, "op": "PUT", "ts": 100 + i, "colo": 0,
+                    "name": f"n{i}", "score": float(i)}])
+        st.aa_serve(["name", "score"], compact_every=2)
+    serving = os.path.join(eng.catalog.store_dir("aa"), "aa_serving")
+    raw = spark.read.option("mergeSchema", "true").parquet(serving)
+    n_stamps = raw.agg(SF.count_distinct("__aa_batch")).collect()[0][0]
+    assert n_stamps <= 2, f"auto-compaction never fired ({n_stamps} stamps)"
+    out = {r["k"]: r["name"] for r in st.aa_serve(["name", "score"]).read().collect()}
+    assert out[0] == "n0" and out[3] == "n3"

@@ -524,8 +524,32 @@ def test_rewrite_mode_refuses_append_shaped_log(spark, tmp_path):
     stream = spark.readStream.schema(SCHEMA + ", op string").parquet(rt_dir)
     replay.start(stream, str(tmp_path / "ckpt")).awaitTermination(120)
 
-    with pytest.raises(ValueError, match="append-mode log"):
+    with pytest.raises(ValueError, match="append-mode hybrid log"):
         HybridReplay(spark, catalog, "h", serving, mode="rewrite")
     # append-mode reopening still works and serves the resolved view
     again = HybridReplay(spark, catalog, "h", serving, mode="append")
     assert {r["key"]: r["val"] for r in again.read().collect()} == {"a": 5.0}
+
+
+def test_hybrid_facade_auto_compaction_fires(spark, tmp_path):
+    """code-review r5: hybrid_serve builds a fresh HybridReplay per call,
+    so an in-memory append counter would never trigger compaction in the
+    documented flush-then-serve loop; the pressure metric is the log's
+    distinct-stamp count (which compact() coalesces to one)."""
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("hc", key_fields=["k"], partition_count=2, hybrid=True)
+    eng.push("hc", spark.createDataFrame([(1, "a")], "k long, v string"))
+    st = eng.store("hc")
+    p = st.producer()
+    for i in range(4):
+        p.put(10 + i, {"v": f"v{i}"}, ts=100 + i)
+        p.flush(schema="k long, op string, ts long, colo int, v string")
+        st.hybrid_serve(compact_every=2)
+    serving = os.path.join(eng.catalog.store_dir("hc"), "serving")
+    raw = spark.read.option("mergeSchema", "true").parquet(serving)
+    n_stamps = raw.agg(F.count_distinct("__batch")).collect()[0][0]
+    assert n_stamps <= 2, f"auto-compaction never fired ({n_stamps} stamps)"
+    out = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
+    assert out == {1: "a", 10: "v0", 11: "v1", 12: "v2", 13: "v3"}

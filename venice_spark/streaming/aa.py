@@ -50,8 +50,9 @@ class ActiveActiveReplay:
     is atomically swapped — O(table) write amplification per trigger.
 
     mode="append" (the 100 TB shape): each micro-batch appends ONLY its
-    refreshed rows, stamped with the batch id; reads resolve latest-batch-
-    wins per key. Unlike the raw hybrid log (where slot order would let a
+    refreshed rows, stamped with a log-derived monotone sequence number
+    (max existing + 1 — robust to checkpoint resets, unlike the streaming
+    batch id); reads resolve latest-stamp-wins per key. Unlike the raw hybrid log (where slot order would let a
     stale PUT beat a fresher row), slot order IS correct here: every
     refreshed row was folded FROM the prior state through the commutative
     DCR kernel, so a later batch's row is authoritative by construction —
@@ -85,19 +86,10 @@ class ActiveActiveReplay:
         self.ts_col = ts_col
         self.mode = mode
         self.compact_every = compact_every
-        self._appends = 0
-        if mode == "rewrite" and os.path.isdir(serving_dir):
-            # same shape guard as HybridReplay: a bare rewrite-mode read of
-            # an unresolved append log would serve one row per APPEND
-            cols = (
-                spark.read.option("mergeSchema", "true").parquet(serving_dir).columns
-            )
-            if "__aa_batch" in cols:
-                raise ValueError(
-                    f"serving dir {serving_dir!r} holds an append-mode AA "
-                    "log (__aa_batch stamps present); open it with "
-                    "mode='append'"
-                )
+        if mode == "rewrite":
+            from venice_spark.streaming.hybrid import refuse_rewrite_over_append
+
+            refuse_rewrite_over_append(spark, serving_dir, "__aa_batch", "AA")
 
     # ---- serving-table schema helpers ----
     def _fold_schema(self, ops: DataFrame, snap: DataFrame | None = None) -> "object":
@@ -209,13 +201,20 @@ class ActiveActiveReplay:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(self.serving_dir)
 
-    def _resolve_log(self) -> DataFrame:
+    def _resolve_log(self, keys: DataFrame | None = None) -> DataFrame:
         """One row per key: the latest batch's refreshed row wins (the fold
         merged prior state, so it is authoritative — see class docstring);
-        the stampless seed row sorts oldest."""
+        the stampless seed row sorts oldest. `keys` prunes the log to the
+        given key set BEFORE the window (resolution is per-key
+        independent, so this is equivalent) — without it the window would
+        shuffle the ENTIRE log for a batch-sized probe instead of relying
+        on an optimizer rule pushing a later semi join through the
+        Filter + Window (code-review r5)."""
         from pyspark.sql import Window
 
         df = self._raw()
+        if keys is not None:
+            df = df.join(F.broadcast(keys), on=self.key_fields, how="left_semi")
         if "__aa_batch" not in df.columns:
             return df
         w = Window.partitionBy(*self.key_fields).orderBy(
@@ -228,23 +227,27 @@ class ActiveActiveReplay:
         )
 
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from venice_spark.streaming.hybrid import atomic_swap_dir
+        from venice_spark.streaming.hybrid import atomic_swap_dir, log_stamp_pressure
 
         if self.mode == "append":
-            # O(batch) writes: only the touched keys' refreshed rows land,
-            # stamped with the batch id. Prior state comes from the
-            # resolved log semi-joined to the touched keys — the shuffle is
-            # batch-sized; scanning the log's files is the LSM read
-            # amplification compact() bounds.
-            snap = self._resolve_log()
+            # O(batch) writes: only the touched keys' refreshed rows land.
+            # Prior state = resolved log pruned to the touched keys before
+            # the window, so compute is batch-sized too; scanning the
+            # log's files is the LSM read amplification compact() bounds.
+            # Stamp + compaction pressure come from the LOG, not the
+            # streaming batch id / an in-memory counter: batch ids restart
+            # on checkpoint resets, and the aa_serve facade builds a fresh
+            # handle per call so a counter never fires (code-review r5).
+            stamp, n_stamps = log_stamp_pressure(
+                self.spark, self.serving_dir, "__aa_batch"
+            )
             touched = batch_df.select(*self.key_fields).distinct()
-            prior = snap.join(touched, on=self.key_fields, how="left_semi")
-            refreshed = self._fold_new(batch_df, prior=prior, snap=snap)
-            refreshed.withColumn("__aa_batch", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(self.serving_dir)
-            self._appends += 1
-            if self.compact_every and self._appends >= self.compact_every:
+            prior = self._resolve_log(keys=touched)
+            refreshed = self._fold_new(batch_df, prior=prior, snap=self._raw())
+            refreshed.withColumn(
+                "__aa_batch", F.lit(stamp).cast("long")
+            ).write.mode("append").parquet(self.serving_dir)
+            if self.compact_every and n_stamps + 1 >= self.compact_every:
                 self.compact()
             return
         snap = self.spark.read.parquet(self.serving_dir)
@@ -256,14 +259,20 @@ class ActiveActiveReplay:
         atomic_swap_dir(new_snap, self.serving_dir, tag="aa")
 
     def compact(self) -> None:
-        """Fold the append log to one row per key (winners keep their
-        __aa_batch stamp for future ordering; tombstone rows kept — their
-        registers stop stale resurrections) and swap atomically. Content
-        is unchanged by construction."""
+        """Fold the append log to one row per key (tombstone rows kept —
+        their registers stop stale resurrections) and swap atomically.
+        Content is unchanged by construction. Winners coalesce to ONE
+        stamp (the current max): with one row per key the per-key order no
+        longer matters, future appends stamp strictly higher, and the
+        distinct-stamp count becomes the compaction-pressure metric."""
         from venice_spark.streaming.hybrid import atomic_swap_dir
 
-        atomic_swap_dir(self._resolve_log(), self.serving_dir, tag="aa")
-        self._appends = 0
+        out = self._resolve_log()
+        if "__aa_batch" in out.columns:
+            m = self._raw().agg(F.max("__aa_batch")).collect()[0][0]
+            if m is not None:
+                out = out.withColumn("__aa_batch", F.lit(int(m)).cast("long"))
+        atomic_swap_dir(out, self.serving_dir, tag="aa")
 
     def start(self, rt_stream: DataFrame, checkpoint_dir: str):
         return (

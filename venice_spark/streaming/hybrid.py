@@ -125,6 +125,54 @@ def atomic_swap_dir(df: DataFrame, target: str, tag: str = "swap") -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def refuse_rewrite_over_append(
+    spark: SparkSession, serving_dir: str, stamp_col: str, label: str
+) -> None:
+    """Shared rewrite-mode guard for the two serving LSMs (HybridReplay /
+    ActiveActiveReplay): a bare rewrite-mode read of an unresolved append
+    log would silently serve one row per APPEND. Stamp columns only ever
+    come from append-mode merges, so their presence is the shape test
+    (code-review r5; consolidated so the two copies cannot drift)."""
+    import os
+
+    if os.path.isdir(serving_dir):
+        cols = spark.read.option("mergeSchema", "true").parquet(serving_dir).columns
+        if stamp_col in cols:
+            raise ValueError(
+                f"serving dir {serving_dir!r} holds an append-mode {label} "
+                f"log ({stamp_col} stamps present); open it with "
+                "mode='append' — rewrite-mode reads would serve "
+                "duplicate/stale rows from the unresolved log"
+            )
+
+
+def log_stamp_pressure(
+    spark: SparkSession, serving_dir: str, stamp_col: str
+) -> tuple[int, int]:
+    """(next_stamp, distinct_stamps) for an append-mode serving log.
+
+    The stamp is derived from the LOG (max existing + 1), never from the
+    streaming batch id: batch ids restart at 0 when a checkpoint is
+    deleted/recreated — a standard ops move — and id-stamped new rows
+    would silently LOSE resolution to old higher-stamped rows
+    (code-review r5). distinct_stamps is the compaction-pressure metric:
+    compact() coalesces winners to ONE stamp, so the count equals
+    1 + appends-since-compaction. Cost: one column-pruned agg over the
+    stamp column per trigger."""
+    import os
+
+    if not os.path.isdir(serving_dir):
+        return 0, 0
+    df = spark.read.option("mergeSchema", "true").parquet(serving_dir)
+    if stamp_col not in df.columns:
+        return 0, 0
+    row = df.agg(
+        F.max(stamp_col).alias("m"), F.count_distinct(stamp_col).alias("n")
+    ).collect()[0]
+    nxt = 0 if row["m"] is None else int(row["m"]) + 1
+    return nxt, int(row["n"])
+
+
 def seeded_version(serving_dir: str) -> int | None:
     """Which batch version a serving table was seeded from (underscore
     marker file — invisible to parquet reads). None: pre-marker table."""
@@ -230,29 +278,8 @@ class HybridReplay:
         self.mode = mode
         self.compact_every = compact_every
         self.ts_scale = 1000 if ts_unit == "ms" else 1
-        self._appends = 0
         if mode == "rewrite":
-            # Refuse to treat an unresolved append-mode log as a resolved
-            # table: rewrite-mode reads are bare (no mergeSchema, no
-            # resolve) and would silently serve one row per APPEND —
-            # duplicates and stale values, no error. __batch columns only
-            # ever come from append-mode merges, so their presence is the
-            # shape test (code-review r5).
-            import os
-
-            if os.path.isdir(serving_dir):
-                cols = (
-                    spark.read.option("mergeSchema", "true")
-                    .parquet(serving_dir)
-                    .columns
-                )
-                if "__batch" in cols:
-                    raise ValueError(
-                        f"serving dir {serving_dir!r} holds an append-mode "
-                        "log (__batch stamps present); open it with "
-                        "mode='append' — rewrite-mode reads would serve "
-                        "duplicate/stale rows from the unresolved log"
-                    )
+            refuse_rewrite_over_append(spark, serving_dir, "__batch", "hybrid")
 
     @staticmethod
     def _norm_op(df: DataFrame) -> DataFrame:
@@ -278,15 +305,23 @@ class HybridReplay:
             # __batch stamps arrival order as the ts-tie tiebreak — the
             # append-mode twin of rewrite mode's __src (a later batch's PUT
             # wins an exact ts tie); the initial snapshot has no __batch
-            # (NULL sorts last on desc = oldest).
+            # (NULL sorts last on desc = oldest). The stamp and the
+            # compaction pressure come from the LOG, not the streaming
+            # batch id / an in-memory counter: batch ids restart on
+            # checkpoint resets, and facade callers build a fresh handle
+            # per call so a counter never fires (code-review r5).
+            stamp, n_stamps = log_stamp_pressure(
+                self.spark, self.serving_dir, "__batch"
+            )
             resolved = resolve_latest(
-                self._norm_op(batch_df).withColumn("__batch", F.lit(batch_id)),
+                self._norm_op(batch_df).withColumn(
+                    "__batch", F.lit(stamp).cast("long")
+                ),
                 self.key_fields,
                 self.ts_col,
             )
             resolved.write.mode("append").parquet(self.serving_dir)
-            self._appends += 1
-            if self.compact_every and self._appends >= self.compact_every:
+            if self.compact_every and n_stamps + 1 >= self.compact_every:
                 self.compact()
             return
         serving = self._norm_op(self.spark.read.parquet(self.serving_dir))
@@ -318,12 +353,21 @@ class HybridReplay:
         return resolve_latest(df, self.key_fields, self.ts_col, tiebreak=tiebreak)
 
     def compact(self) -> None:
-        """Fold the append log to one resolved row per key (tombstones kept,
-        winning rows keep their __batch stamp for future tie ordering) and
-        swap it in atomically — bounds read amplification; content is
-        unchanged by construction."""
-        self._swap_in(self._resolve_log())
-        self._appends = 0
+        """Fold the append log to one resolved row per key (tombstones
+        kept) and swap it in atomically — bounds read amplification;
+        content is unchanged by construction. Winners coalesce to ONE
+        stamp (the current max): with one row per key the per-key tie
+        order no longer matters, future appends stamp strictly higher,
+        and distinct-stamp count becomes the compaction-pressure metric
+        (log_stamp_pressure)."""
+        out = self._resolve_log()
+        if "__batch" in out.columns:
+            # bounded driver scalar, not a global window (which would
+            # funnel the whole table through one task)
+            m = self._raw().agg(F.max("__batch")).collect()[0][0]
+            if m is not None:
+                out = out.withColumn("__batch", F.lit(int(m)).cast("long"))
+        self._swap_in(out)
 
     def read(self) -> DataFrame:
         """The store's live view: tombstones filtered, op dropped."""
