@@ -48,8 +48,10 @@ def _has_pil() -> bool:
 
 @pytest.mark.skipif(_has_pil(), reason="PIL installed: compressed decode is real")
 def test_real_decode_is_stubbed():
+    # JPEG has no native decode path (PNG now does — see the PNG tests);
+    # without PIL it must fail loudly, never silently skip
     with pytest.raises(NotImplementedError):
-        _decode_image(b"\x89PNG...")
+        _decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 @pytest.mark.skipif(not _has_pil(), reason="PIL not installed in this container")
@@ -402,3 +404,129 @@ def test_frame_near_dup_pairs_excludes_null_media_ids(spark):
     # the two null-id streams would otherwise collapse onto frame key '0'
     # and pair with media 7 under a pseudo-identity
     assert pairs == set()
+
+
+# ---- native PNG codec (stdlib zlib + numpy; VERDICT r4 missing #4) ----
+
+
+def _png_with_filters(img, filters):
+    """Build a spec-exact PNG whose row y uses filter type filters[y], by
+    FORWARD-filtering the reference image — exercises the decoder's
+    reconstruction of every filter type, which encode_png (filter 0 only)
+    cannot."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.int32)
+    h, w, ch = a.shape
+    flat = a.reshape(h, w * ch)
+    out = bytearray()
+    for y, ft in enumerate(filters):
+        up = flat[y - 1] if y else np.zeros(w * ch, dtype=np.int32)
+        row = flat[y]
+        filt = np.zeros(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            left = row[x - ch] if x >= ch else 0
+            ul = up[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up[x]
+            elif ft == 3:
+                pred = (left + up[x]) // 2
+            else:  # Paeth
+                p = left + up[x] - ul
+                pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up[x] if pb <= pc else ul)
+            filt[x] = (row[x] - pred) & 0xFF
+        out += bytes([ft]) + bytes(filt.astype(np.uint8))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ctype_code = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_code, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_round_trip(channels):
+    import numpy as np
+
+    from venice_spark.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(11, 7, channels), dtype=np.uint8)
+    back = decode_png(encode_png(img))
+    assert back.shape == img.shape and (back == img).all()
+
+
+def test_png_all_filter_types_reconstruct():
+    """Each scanline filter (None/Sub/Up/Average/Paeth) must reconstruct
+    the planted image exactly — the decoder's filter math is the part a
+    round-trip through our own filter-0 encoder cannot certify."""
+    import numpy as np
+
+    from venice_spark.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    payload = _png_with_filters(img, [0, 1, 2, 3, 4])
+    assert (decode_png(payload) == img).all()
+
+
+def test_png_crc_corruption_fails_loudly():
+    import numpy as np
+    import pytest as _pt
+
+    from venice_spark.multimodal import decode_png, encode_png
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = bytearray(encode_png(img))
+    payload[40] ^= 0xFF  # flip a byte inside a chunk
+    with _pt.raises(ValueError, match="CRC|length|data"):
+        decode_png(bytes(payload))
+
+
+def test_png_decodes_through_decode_image_and_strips_alpha():
+    import numpy as np
+
+    from venice_spark.multimodal import encode_png
+
+    rng = np.random.default_rng(3)
+    rgba = rng.integers(0, 256, size=(6, 5, 4), dtype=np.uint8)
+    out = _decode_image(bytes(encode_png(rgba)))
+    assert out.shape == (6, 5, 3) and (out == rgba[:, :, :3]).all()
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not installed in this container")
+def test_png_decode_matches_pil_encoded_file():
+    """A PIL-written PNG (PIL picks real filters per row) must decode to
+    the identical array via our native decoder — cross-implementation
+    parity on genuinely filtered data."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from venice_spark.multimodal import decode_png
+
+    rng = np.random.default_rng(5)
+    # smooth gradient + noise so PIL's adaptive filtering uses Sub/Up/Paeth
+    base = np.add.outer(np.arange(32) * 4, np.arange(24) * 3)[:, :, None]
+    img = (base + rng.integers(0, 8, size=(32, 24, 3))).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    assert (decode_png(buf.getvalue()) == img).all()
