@@ -530,3 +530,45 @@ def test_png_decode_matches_pil_encoded_file():
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, format="PNG")
     assert (decode_png(buf.getvalue()) == img).all()
+
+
+def test_png_palette_decode():
+    """Color type 3: scanline indices look up PLTE entries; out-of-range
+    indices refuse loudly."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from venice_spark.multimodal import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    scan = b"".join(b"\x00" + row.tobytes() for row in idx)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == palette[idx]).all()
+
+    bad_scan = b"\x00" + bytes([9, 0, 0]) + b"\x00" + bytes([0, 0, 0])
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(bad_scan))
+        + chunk(b"IEND", b"")
+    )
+    with _pt.raises(ValueError, match="palette index"):
+        decode_png(bad)

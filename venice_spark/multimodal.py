@@ -147,15 +147,16 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def decode_png(payload: bytes):
     """REAL stdlib+numpy decode of PNG (8-bit depth; gray / gray+alpha /
-    RGB / RGBA; non-interlaced): chunk parse with CRC verification, one
-    zlib inflate, and the five scanline filters (None/Sub/Up/Average/
-    Paeth) undone exactly per the spec (RFC 2083 §6). Returns an uint8
-    (h, w, channels) ndarray with alpha preserved. Same rationale as the
+    RGB / RGBA / palette; non-interlaced): chunk parse with CRC
+    verification, one zlib inflate, the five scanline filters (None/Sub/
+    Up/Average/Paeth) undone exactly per the spec (RFC 2083 §6), and PLTE
+    lookup for color type 3. Returns an uint8 (h, w, channels) ndarray
+    with alpha preserved (palette expands to RGB). Same rationale as the
     PPM/WAV codecs: a compressed format whose container + predictor layer
     is pure bookkeeping over a stdlib decompressor needs no external media
     library (VERDICT r4 'What's missing' #4 — compressed-image decode
-    without PIL). Palette, 16-bit, and interlaced PNGs raise ValueError
-    (decode through the optional PIL path instead)."""
+    without PIL). 16-bit and interlaced PNGs raise ValueError (decode
+    through the optional PIL path instead)."""
     import struct
     import zlib
 
@@ -163,7 +164,7 @@ def decode_png(payload: bytes):
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + length]
@@ -174,6 +175,10 @@ def decode_png(payload: bytes):
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -182,9 +187,13 @@ def decode_png(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunks")
     w, h, depth, ctype_code, comp, filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_code)
+    # color type 3 (palette): scanlines carry 1-byte indices into PLTE —
+    # decode as 1 channel, look up to RGB at the end
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_code)
     if channels is None:
-        raise ValueError(f"unsupported PNG color type {ctype_code} (palette?)")
+        raise ValueError(f"unsupported PNG color type {ctype_code}")
+    if ctype_code == 3 and plte is None:
+        raise ValueError("palette PNG missing its PLTE chunk")
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError(
             f"only 8-bit non-interlaced PNG supported "
@@ -223,7 +232,12 @@ def decode_png(payload: bytes):
                 else:
                     raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = rec.astype(np.uint8)
-    return out.reshape(h, w, channels)
+    img = out.reshape(h, w, channels)
+    if ctype_code == 3:
+        if int(img.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        img = plte[img[:, :, 0]]
+    return img
 
 
 def encode_png(arr) -> bytes:
