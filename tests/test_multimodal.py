@@ -109,7 +109,13 @@ def test_ppm_round_trip_and_comments():
 def test_decode_rejects_unknown_format():
     from venice_spark.multimodal import _decode_image
 
+    # JPEG: no native path → loud PIL config error
     with pytest.raises(NotImplementedError, match="PIL"):
+        _decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    # a CORRUPT PNG is bad data (ValueError), NOT a missing-PIL config gap
+    # — the distinction keeps one corrupt blob from aborting a no-PIL job
+    # (code-review r5)
+    with pytest.raises(ValueError):
         _decode_image(b"\x89PNG\r\n\x1a\nrest")
 
 
@@ -572,3 +578,68 @@ def test_png_palette_decode():
     )
     with _pt.raises(ValueError, match="palette index"):
         decode_png(bad)
+
+
+def test_corrupt_png_yields_null_features_not_job_abort(spark):
+    """code-review r5: a corrupt PNG (CRC flip, truncation, broken zlib)
+    must null out under extract_features' corrupt-blob tolerance on ANY
+    cluster — never surface as NotImplementedError (config gap) aborting
+    the task. Valid PNGs in the same batch still extract."""
+    import numpy as np
+
+    from venice_spark.multimodal import encode_png, extract_features
+
+    rng = np.random.default_rng(2)
+    good = encode_png(rng.integers(0, 256, (6, 6, 3), dtype=np.uint8))
+    crc_flip = bytearray(good); crc_flip[40] ^= 0xFF
+    truncated = good[: len(good) // 2]
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, crc_flip), (3, bytearray(truncated))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r["features"] for r in extract_features(df, use_stub=False).collect()}
+    assert out[1] is not None and len(out[1]) == 22
+    assert out[2] is None and out[3] is None
+
+
+def test_png_malformed_raises_valueerror_never_struct_or_zlib_error():
+    """code-review r5: the ValueError contract must hold for every corrupt
+    shape — truncation at the CRC, IHDR length lies, and a broken zlib
+    stream previously leaked struct.error/zlib.error."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from venice_spark.multimodal import decode_png, encode_png
+
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    # truncate exactly mid-CRC of the final chunk
+    with _pt.raises(ValueError):
+        decode_png(good[:-2])
+    # zlib-corrupt IDAT with recomputed (valid) CRC
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\x00not-zlib") + chunk(b"IEND", b"")
+    )
+    with _pt.raises(ValueError, match="zlib"):
+        decode_png(bad)
+
+
+def test_encode_png_rejects_non_uint8():
+    import numpy as np
+    import pytest as _pt
+
+    from venice_spark.multimodal import encode_png
+
+    with _pt.raises(ValueError, match="uint8"):
+        encode_png(np.zeros((2, 2, 3), dtype=np.float64))
+    with _pt.raises(ValueError, match="uint8"):
+        encode_png(np.array([[[300]]], dtype=np.int32))

@@ -145,6 +145,15 @@ def image_features(arr, grid: int = 4) -> list[float]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+class UnsupportedPngError(ValueError):
+    """A structurally VALID PNG in a flavor the native decoder does not
+    handle (16-bit, interlaced, exotic color type) — the caller may fall
+    back to PIL. Distinct from plain ValueError, which means the payload
+    is CORRUPT: corruption must surface as bad data (nulled by the
+    feature kernels' tolerance rule), never as a missing-PIL config error
+    that aborts the job (code-review r5)."""
+
+
 def decode_png(payload: bytes):
     """REAL stdlib+numpy decode of PNG (8-bit depth; gray / gray+alpha /
     RGB / RGBA / palette; non-interlaced): chunk parse with CRC
@@ -155,8 +164,10 @@ def decode_png(payload: bytes):
     PPM/WAV codecs: a compressed format whose container + predictor layer
     is pure bookkeeping over a stdlib decompressor needs no external media
     library (VERDICT r4 'What's missing' #4 — compressed-image decode
-    without PIL). 16-bit and interlaced PNGs raise ValueError (decode
-    through the optional PIL path instead)."""
+    without PIL). 16-bit and interlaced PNGs raise UnsupportedPngError
+    (decode through the optional PIL path instead); every OTHER failure —
+    truncation, CRC mismatch, bad lengths, broken zlib stream — raises
+    plain ValueError, meaning the payload is corrupt."""
     import struct
     import zlib
 
@@ -168,12 +179,14 @@ def decode_png(payload: bytes):
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + length]
-        if len(data) != length:
+        if len(data) != length or pos + 12 + length > len(payload):
             raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack(">I", payload[pos + 8 + length:pos + 12 + length])
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"PNG IHDR length {length} != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             if length % 3:
@@ -191,15 +204,18 @@ def decode_png(payload: bytes):
     # decode as 1 channel, look up to RGB at the end
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_code)
     if channels is None:
-        raise ValueError(f"unsupported PNG color type {ctype_code}")
+        raise UnsupportedPngError(f"unsupported PNG color type {ctype_code}")
     if ctype_code == 3 and plte is None:
         raise ValueError("palette PNG missing its PLTE chunk")
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError(
+        raise UnsupportedPngError(
             f"only 8-bit non-interlaced PNG supported "
             f"(depth={depth}, interlace={interlace})"
         )
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT zlib stream corrupt: {e}") from None
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
@@ -213,24 +229,34 @@ def decode_png(payload: bytes):
             rec = line
         elif ftype == 2:
             rec = (line + up) & 0xFF
-        else:
-            # Sub/Average/Paeth reference the already-reconstructed left
-            # pixel — inherently sequential across the row
-            rec = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                if ftype == 1:
-                    rec[x] = (line[x] + left) & 0xFF
-                elif ftype == 3:
-                    rec[x] = (line[x] + (left + up[x]) // 2) & 0xFF
-                elif ftype == 4:
-                    ul = up[x - bpp] if x >= bpp else 0
-                    p = left + up[x] - ul
-                    pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - ul)
-                    pred = left if pa <= pb and pa <= pc else (up[x] if pb <= pc else ul)
-                    rec[x] = (line[x] + pred) & 0xFF
+        elif ftype == 1:
+            # Sub is a per-channel-lane prefix sum mod 256 — vectorized
+            # (the per-BYTE Python loop cost O(h·w·ch) iterations and real
+            # encoders use adaptive filters on almost every row;
+            # code-review r5)
+            rec = (np.cumsum(line.reshape(w, bpp), axis=0) & 0xFF).reshape(stride)
+        elif ftype in (3, 4):
+            # Average/Paeth reference the already-reconstructed left pixel
+            # — sequential per PIXEL, but the bpp channel lanes vectorize
+            lin = line.reshape(w, bpp)
+            upx = up.reshape(w, bpp)
+            rec2 = np.zeros((w, bpp), dtype=np.int32)
+            zero = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                left = rec2[x - 1] if x else zero
+                if ftype == 3:
+                    rec2[x] = (lin[x] + (left + upx[x]) // 2) & 0xFF
                 else:
-                    raise ValueError(f"unknown PNG filter type {ftype}")
+                    ul = upx[x - 1] if x else zero
+                    p = left + upx[x] - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - upx[x]), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, upx[x], ul)
+                    )
+                    rec2[x] = (lin[x] + pred) & 0xFF
+            rec = rec2.reshape(stride)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = rec.astype(np.uint8)
     img = out.reshape(h, w, channels)
     if ctype_code == 3:
@@ -243,13 +269,17 @@ def decode_png(payload: bytes):
 def encode_png(arr) -> bytes:
     """Inverse of decode_png: uint8 (h, w, 1|2|3|4) ndarray → 8-bit
     non-interlaced PNG (filter 0 scanlines, one zlib stream, CRC'd
-    chunks)."""
+    chunks). Non-uint8 input is rejected loudly, same contract as
+    encode_ppm: a silent dtype cast would wrap/truncate samples into a
+    corrupt-but-valid-looking payload (code-review r5)."""
     import struct
     import zlib
 
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise ValueError(f"encode_png requires uint8 samples (got {a.dtype})")
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, channels = a.shape
@@ -277,20 +307,25 @@ def encode_png(arr) -> bytes:
 
 def _decode_image(payload: bytes):
     """Decode an image payload to an uint8 (h, w, ch) ndarray. PPM/PGM and
-    8-bit non-interlaced PNG decode natively (decode_ppm / decode_png —
-    stdlib + numpy, no media libraries); other compressed formats (JPEG,
-    palette/16-bit/interlaced PNG, ...) decode through PIL when it is
-    installed — the fallback path on clusters that ship Pillow — and stay
-    a LOUD NotImplementedError where it is not (this container), never a
-    silent skip. Alpha strips off to keep the (h, w, 1|3) contract the
-    feature kernels expect."""
+    8-bit PNG (gray/gray+alpha/RGB/RGBA/palette, non-interlaced) decode
+    natively (decode_ppm / decode_png — stdlib + numpy, no media
+    libraries); other compressed formats (JPEG, 16-bit/interlaced PNG,
+    ...) decode through PIL when it is installed — the fallback path on
+    clusters that ship Pillow — and stay a LOUD NotImplementedError where
+    it is not (this container), never a silent skip. A CORRUPT PNG raises
+    ValueError here and is nulled by the feature kernels' corrupt-blob
+    tolerance — it must never surface as a missing-PIL config error that
+    aborts the job (code-review r5). Alpha strips off to keep the
+    (h, w, 1|3) contract the feature kernels expect."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         try:
             arr = decode_png(payload)
-        except ValueError:
-            arr = None  # unsupported PNG flavor: fall through to PIL
+        except UnsupportedPngError:
+            arr = None  # valid but unsupported flavor: fall through to PIL
+        # plain ValueError (corrupt payload) propagates — bad data, not a
+        # config gap
         if arr is not None:
             if arr.shape[2] in (2, 4):  # drop alpha (decode contract: 1|3)
                 arr = arr[:, :, : arr.shape[2] - 1]
@@ -299,7 +334,9 @@ def _decode_image(payload: bytes):
         from PIL import Image  # optional dependency, absent in this container
     except ImportError:
         raise NotImplementedError(
-            "only PPM/PGM decode natively; JPEG/PNG require PIL — not installed"
+            "PPM/PGM and 8-bit non-interlaced PNG decode natively; this "
+            "payload's format (JPEG / 16-bit / interlaced PNG / ...) "
+            "requires PIL — not installed"
         ) from None
     import io
 
