@@ -643,3 +643,35 @@ def test_encode_png_rejects_non_uint8():
         encode_png(np.zeros((2, 2, 3), dtype=np.float64))
     with _pt.raises(ValueError, match="uint8"):
         encode_png(np.array([[[300]]], dtype=np.int32))
+
+
+def test_png_16bit_decodes_to_high_byte():
+    """Depth-16 PNGs decode natively: big-endian u16 samples reconstruct
+    through the byte-level filters and downsample to their high byte (the
+    spec's 16->8 reduction)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from venice_spark.multimodal import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(9)
+    img16 = rng.integers(0, 65536, size=(4, 5, 3), dtype=np.uint16)
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 16, 2, 0, 0, 0)
+    scan = b"".join(
+        b"\x00" + img16[y].astype(">u2").tobytes() for y in range(4)
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out.shape == (4, 5, 3)
+    assert (out == (img16 >> 8).astype(np.uint8)).all()

@@ -6,9 +6,10 @@ is the codec path for header+raw formats: PPM/PGM decode, nearest-neighbor
 resize, re-encode and luminance-grid feature extraction are pure numpy
 (decode_ppm/resize_nearest/image_features), and PCM WAV audio decodes with
 stdlib wave + numpy (decode_wav/audio_features — duration/RMS/ZCR/spectral
-bands). Compressed formats (JPEG/PNG/MP3/video) need PIL/ffmpeg, which are
-not in this container — those stay gated behind a clearly-marked
-NotImplementedError in `_decode_image`, with a deterministic stand-in
+bands). PNG (8/16-bit, palette, non-interlaced) decodes natively too —
+stdlib zlib + numpy (decode_png/encode_png). The rest (JPEG/MP3/video)
+need PIL/ffmpeg, which are not in this container — those stay gated behind
+a clearly-marked NotImplementedError in `_decode_image`, with a deterministic stand-in
 (`_fake_features`) keeping the pipeline shape testable for arbitrary
 payloads.
 
@@ -147,7 +148,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 class UnsupportedPngError(ValueError):
     """A structurally VALID PNG in a flavor the native decoder does not
-    handle (16-bit, interlaced, exotic color type) — the caller may fall
+    handle (interlaced, exotic color type) — the caller may fall
     back to PIL. Distinct from plain ValueError, which means the payload
     is CORRUPT: corruption must surface as bad data (nulled by the
     feature kernels' tolerance rule), never as a missing-PIL config error
@@ -155,8 +156,8 @@ class UnsupportedPngError(ValueError):
 
 
 def decode_png(payload: bytes):
-    """REAL stdlib+numpy decode of PNG (8-bit depth; gray / gray+alpha /
-    RGB / RGBA / palette; non-interlaced): chunk parse with CRC
+    """REAL stdlib+numpy decode of PNG (8/16-bit depth; gray / gray+alpha /
+    RGB / RGBA / 8-bit palette; non-interlaced): chunk parse with CRC
     verification, one zlib inflate, the five scanline filters (None/Sub/
     Up/Average/Paeth) undone exactly per the spec (RFC 2083 §6), and PLTE
     lookup for color type 3. Returns an uint8 (h, w, channels) ndarray
@@ -164,8 +165,10 @@ def decode_png(payload: bytes):
     PPM/WAV codecs: a compressed format whose container + predictor layer
     is pure bookkeeping over a stdlib decompressor needs no external media
     library (VERDICT r4 'What's missing' #4 — compressed-image decode
-    without PIL). 16-bit and interlaced PNGs raise UnsupportedPngError
-    (decode through the optional PIL path instead); every OTHER failure —
+    without PIL). 16-bit samples downsample to their high byte (the
+    spec's 16->8 reduction) to keep the uint8 contract. Interlaced PNGs
+    raise UnsupportedPngError (decode through the optional PIL path
+    instead); every OTHER failure —
     truncation, CRC mismatch, bad lengths, broken zlib stream — raises
     plain ValueError, meaning the payload is corrupt."""
     import struct
@@ -207,21 +210,24 @@ def decode_png(payload: bytes):
         raise UnsupportedPngError(f"unsupported PNG color type {ctype_code}")
     if ctype_code == 3 and plte is None:
         raise ValueError("palette PNG missing its PLTE chunk")
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace != 0:
         raise UnsupportedPngError(
-            f"only 8-bit non-interlaced PNG supported "
+            f"only 8/16-bit non-interlaced PNG supported "
             f"(depth={depth}, interlace={interlace})"
         )
+    if ctype_code == 3 and depth != 8:
+        raise ValueError(f"palette PNG with illegal bit depth {depth}")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT zlib stream corrupt: {e}") from None
-    stride = w * channels
+    sample_bytes = depth // 8
+    bpp = channels * sample_bytes  # filter left-offset is bytes per pixel
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
     for y in range(h):
         ftype, line = raw[y, 0], raw[y, 1:].astype(np.int32)
         up = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
@@ -258,6 +264,10 @@ def decode_png(payload: bytes):
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = rec.astype(np.uint8)
+    if depth == 16:
+        # big-endian 16-bit samples downsample to their high byte — the
+        # spec's own 16→8 reduction; keeps the uint8 (h, w, ch) contract
+        out = out.reshape(h, w * channels, 2)[:, :, 0]
     img = out.reshape(h, w, channels)
     if ctype_code == 3:
         if int(img.max()) >= len(plte):
@@ -307,10 +317,9 @@ def encode_png(arr) -> bytes:
 
 def _decode_image(payload: bytes):
     """Decode an image payload to an uint8 (h, w, ch) ndarray. PPM/PGM and
-    8-bit PNG (gray/gray+alpha/RGB/RGBA/palette, non-interlaced) decode
-    natively (decode_ppm / decode_png — stdlib + numpy, no media
-    libraries); other compressed formats (JPEG, 16-bit/interlaced PNG,
-    ...) decode through PIL when it is installed — the fallback path on
+    8/16-bit PNG (gray/gray+alpha/RGB/RGBA/palette, non-interlaced)
+    decode natively (decode_ppm / decode_png — stdlib + numpy, no media
+    libraries); other compressed formats (JPEG, interlaced PNG, ...) decode through PIL when it is installed — the fallback path on
     clusters that ship Pillow — and stay a LOUD NotImplementedError where
     it is not (this container), never a silent skip. A CORRUPT PNG raises
     ValueError here and is nulled by the feature kernels' corrupt-blob
@@ -334,8 +343,8 @@ def _decode_image(payload: bytes):
         from PIL import Image  # optional dependency, absent in this container
     except ImportError:
         raise NotImplementedError(
-            "PPM/PGM and 8-bit non-interlaced PNG decode natively; this "
-            "payload's format (JPEG / 16-bit / interlaced PNG / ...) "
+            "PPM/PGM and 8/16-bit non-interlaced PNG decode natively; this "
+            "payload's format (JPEG / interlaced PNG / ...) "
             "requires PIL — not installed"
         ) from None
     import io
