@@ -1799,21 +1799,43 @@ def x_inverted_index(spark, sf_dir):
 
 @register(
     "x_embed_centroids",
-    "WITH p AS (SELECT label, u.pos, u.x FROM embeddings, "
+    "WITH p AS (SELECT label, u.pos - 1 AS dim, CAST(u.x AS DECIMAL(27,10)) AS x "
+    "FROM embeddings, "
     "LATERAL (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos) u) "
-    "SELECT label, pos - 1 AS dim, round(avg(x), 4) AS m FROM p GROUP BY 1, 2",
+    "SELECT label, dim, "
+    "CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) * 10000 + 0.5) AS BIGINT) AS m_e4 "
+    "FROM p GROUP BY 1, 2",
 )
 def x_embed_centroids(spark, sf_dir):
-    """Per-label embedding centroids (vectors.label_centroids): posexplode →
-    two-level partial avg → in-row positional reassembly. Means rounded to
-    4 decimals on both sides — distributed float accumulation is not
-    bit-order-stable, the rounding makes the comparison well-defined.
-    Registered exploded to (label, dim, m) rows — the driver canonicalizer
-    cannot sort raw list values; label_centroids itself still returns the
-    assembled array column."""
+    """Per-label embedding centroids: posexplode → per-(label, dim)
+    partial agg, mean quantized to 1e-4 units as an INTEGER. Two
+    float-determinism traps are closed here, both found by the r5 sf0.1
+    oracle sweep (the driver checks sf0.01, where the old form passed):
+    (1) `avg(double)` accumulates in engine/partition order, so four
+    means at sf0.1 landed on opposite sides of a rounding edge — fixed by
+    an exact DECIMAL sum (associative; float→decimal(27,10) agrees across
+    engines because both round the float's shortest decimal form, and a
+    true tie at scale 10 would need a 5^10 denominator no binary float
+    has); (2) `round(x, 4)` of the IDENTICAL double still differed —
+    library rounding (BigDecimal HALF_UP vs scaled-multiply) is not IEEE
+    arithmetic — fixed by quantizing with pure IEEE ops
+    (floor(x*10000 + 0.5)) that evaluate bit-identically from identical
+    inputs on any 754 engine. label_centroids (vectors.py) keeps the
+    production double-avg path — this is the cross-engine-comparable
+    edition."""
     df = _t(spark, sf_dir, "embeddings")
-    cen = vectors.label_centroids(df, "embedding", "label")
-    return cen.select("label", F.posexplode("centroid").alias("dim", "m"))
+    e = df.select("label", F.posexplode("embedding").alias("dim", "x"))
+    agg = e.groupBy("label", "dim").agg(
+        F.sum(F.col("x").cast("decimal(27,10)")).alias("s"),
+        F.count("x").alias("n"),
+    )
+    return agg.select(
+        "label",
+        "dim",
+        F.floor(F.col("s").cast("double") / F.col("n") * 10000 + 0.5)
+        .cast("long")
+        .alias("m_e4"),
+    )
 
 
 _TOKS_CTE = (
