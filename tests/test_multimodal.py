@@ -580,6 +580,41 @@ def test_png_palette_decode():
         decode_png(bad)
 
 
+def test_png_trns_raises_unsupported_not_silently_opaque():
+    """ADVICE r5: transparency lives in the tRNS chunk for palette/truecolor
+    PNGs; the native decoder does not implement it, so decoding one must be
+    UNSUPPORTED (→ PIL fallback in _decode_image), never a silently
+    fully-opaque image."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from venice_spark.multimodal import UnsupportedPngError, decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    palette = np.array([[255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+    idx = np.array([[0, 1]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    scan = b"\x00" + idx[0].tobytes()
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"tRNS", bytes([0]))  # palette entry 0 fully transparent
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    with _pt.raises(UnsupportedPngError, match="tRNS"):
+        decode_png(png)
+
+
 def test_corrupt_png_yields_null_features_not_job_abort(spark):
     """code-review r5: a corrupt PNG (CRC flip, truncation, broken zlib)
     must null out under extract_features' corrupt-blob tolerance on ANY

@@ -166,7 +166,8 @@ def decode_png(payload: bytes):
     is pure bookkeeping over a stdlib decompressor needs no external media
     library (VERDICT r4 'What's missing' #4 — compressed-image decode
     without PIL). 16-bit samples downsample to their high byte (the
-    spec's 16->8 reduction) to keep the uint8 contract. Interlaced PNGs
+    spec's 16->8 reduction) to keep the uint8 contract. Interlaced PNGs and
+    PNGs carrying a tRNS transparency chunk
     raise UnsupportedPngError (decode through the optional PIL path
     instead); every OTHER failure —
     truncation, CRC mismatch, bad lengths, broken zlib stream — raises
@@ -195,6 +196,12 @@ def decode_png(payload: bytes):
             if length % 3:
                 raise ValueError("PNG PLTE length not a multiple of 3")
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            # transparency for palette/truecolor images lives in tRNS;
+            # ignoring it would silently decode the image fully opaque.
+            # Treat it as unsupported-not-corrupt so _decode_image falls
+            # back to PIL where available (ADVICE r5)
+            raise UnsupportedPngError("PNG with tRNS transparency chunk")
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":

@@ -1803,7 +1803,7 @@ def x_inverted_index(spark, sf_dir):
     "FROM embeddings, "
     "LATERAL (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos) u) "
     "SELECT label, dim, "
-    "CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) * 10000 + 0.5) AS BIGINT) AS m_e4 "
+    "CAST(floor(CAST(sum(x) AS DOUBLE) / count(x) * 10000 + 0.5) AS BIGINT) AS m_e4 "
     "FROM p GROUP BY 1, 2",
 )
 def x_embed_centroids(spark, sf_dir):
