@@ -1,0 +1,318 @@
+"""Fault-injection suite for the serving-dir protocols (VERDICT r5 #1).
+
+The one remaining silent-data-loss class lives in the swap/compact/sweep
+seams: r4's high-severity ADVICE bug (seed marker wiped by swaps ->
+serving+checkpoint reset -> merged RT ops silently lost) and r5's crash
+window (process death between atomic_swap_dir's two renames leaves the
+serving dir ABSENT) were both found by review, not tests. These tests
+simulate the crash by making the rename/move syscall raise mid-sequence
+(the exception aborts the sequence exactly where a SIGKILL would), then
+assert the recovery contract: the serving dir is readable again, the
+_seeded_version marker is intact, content is exactly the old or the new
+state (never a mix), and no row is served twice.
+
+Reference discipline being matched: the crash-recovery semantics RocksDB
+gives the reference for free (RocksDBStoragePartition.java:146-150 —
+deferred write + atomic SST ingest)."""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from venice_spark.catalog import StoreCatalog
+from venice_spark.streaming.hybrid import (
+    HybridReplay,
+    atomic_swap_dir,
+    mark_seeded_version,
+    recover_swap_dir,
+    reset_serving_if_stale,
+    seeded_version,
+)
+
+SCHEMA = "key string, val double, ts long"
+
+
+class SimulatedCrash(Exception):
+    """Stands in for process death: aborts the protocol mid-sequence."""
+
+
+class _CrashOnNthMove:
+    """Replace shutil.move with a wrapper that raises on the n-th call.
+    atomic_swap_dir's sequence is move(target->old) = #1,
+    move(tmp->target) = #2 (recover_swap_dir's healthy-path early return
+    consumes no call)."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self.calls = 0
+        self._real = shutil.move
+
+    def __enter__(self):
+        def crashing(src, dst, *a, **k):
+            self.calls += 1
+            if self.calls == self.n:
+                raise SimulatedCrash(f"crash at move #{self.n}: {src} -> {dst}")
+            return self._real(src, dst, *a, **k)
+
+        shutil.move = crashing
+        return self
+
+    def __exit__(self, *exc):
+        shutil.move = self._real
+        return False
+
+
+def _mk_serving(spark, tmp_path, rows, version=3):
+    serving = str(tmp_path / "serving")
+    spark.createDataFrame(rows, schema=SCHEMA).write.parquet(serving)
+    mark_seeded_version(serving, version)
+    return serving
+
+
+def _vals(spark, serving):
+    return {r["key"]: r["val"] for r in spark.read.parquet(serving).collect()}
+
+
+@pytest.mark.parametrize("fail_move", [1, 2])
+def test_swap_crash_at_each_rename_recovers_old_or_new_never_mixed(
+    spark, tmp_path, fail_move
+):
+    """Kill the swap at each of its two renames; after recovery the dir is
+    readable, the seed marker survives, and content is EXACTLY the old or
+    the new state."""
+    old_rows = [("a", 1.0, 10), ("b", 2.0, 10)]
+    serving = _mk_serving(spark, tmp_path, old_rows)
+    new_df = spark.createDataFrame([("a", 9.0, 20), ("c", 3.0, 20)], schema=SCHEMA)
+
+    with _CrashOnNthMove(fail_move):
+        with pytest.raises(SimulatedCrash):
+            atomic_swap_dir(new_df, serving, tag="stream")
+
+    recover_swap_dir(serving)
+    assert os.path.isdir(serving), "serving dir lost after crash"
+    assert seeded_version(serving) == 3, "seed marker lost after crash"
+    got = _vals(spark, serving)
+    assert got in (
+        {"a": 1.0, "b": 2.0},  # crash before the swap took: old state
+        {"a": 9.0, "c": 3.0},  # crash after tmp was complete: new state
+    ), f"mixed/partial state served: {got}"
+
+
+def test_swap_crash_between_renames_promotes_completed_tmp(spark, tmp_path):
+    """The r5 ADVICE window specifically: death between move(target->old)
+    and move(tmp->target). tmp was fully written (parquet _SUCCESS + the
+    carried marker land before any rename starts), so recovery finishes the
+    swap with the NEW state rather than rolling back."""
+    serving = _mk_serving(spark, tmp_path, [("a", 1.0, 10)])
+    new_df = spark.createDataFrame([("a", 9.0, 20)], schema=SCHEMA)
+
+    with _CrashOnNthMove(2):
+        with pytest.raises(SimulatedCrash):
+            atomic_swap_dir(new_df, serving, tag="stream")
+    assert not os.path.isdir(serving), "precondition: crash left target absent"
+
+    assert recover_swap_dir(serving) is True
+    assert _vals(spark, serving) == {"a": 9.0}
+    assert seeded_version(serving) == 3
+
+
+def test_swap_crash_with_incomplete_tmp_restores_old_state(spark, tmp_path):
+    """When the leftover tmp is NOT complete (no _SUCCESS — the crash hit
+    during the parquet write of a previous attempt and a later partial
+    sequence moved the target aside), recovery restores the old dir instead
+    of promoting garbage."""
+    serving = _mk_serving(spark, tmp_path, [("a", 1.0, 10)])
+    shutil.move(serving, f"{serving}__stream_old")
+    os.makedirs(f"{serving}__stream_tmp")
+    with open(f"{serving}__stream_tmp/part-garbage.parquet", "w") as f:
+        f.write("not parquet")
+
+    assert recover_swap_dir(serving) is True
+    assert _vals(spark, serving) == {"a": 1.0}
+    assert seeded_version(serving) == 3
+
+
+def test_next_swap_self_heals_and_keeps_marker(spark, tmp_path):
+    """A swap attempted AFTER an unrecovered crash must first heal the
+    leftover state — the pre-fix entry sequence rmtree'd the .old dir
+    (deleting the only intact copy) and then read seeded_version() from the
+    absent target, dropping the marker from the new dir."""
+    serving = _mk_serving(spark, tmp_path, [("a", 1.0, 10)])
+    with _CrashOnNthMove(2):
+        with pytest.raises(SimulatedCrash):
+            atomic_swap_dir(
+                spark.createDataFrame([("a", 5.0, 15)], schema=SCHEMA),
+                serving,
+                tag="stream",
+            )
+
+    atomic_swap_dir(
+        spark.createDataFrame([("a", 9.0, 20)], schema=SCHEMA), serving, tag="stream"
+    )
+    assert _vals(spark, serving) == {"a": 9.0}
+    assert seeded_version(serving) == 3, "marker dropped by the healing swap"
+    assert not os.path.isdir(f"{serving}__stream_old")
+    assert not os.path.isdir(f"{serving}__stream_tmp")
+
+
+def test_reset_serving_if_stale_recovers_instead_of_reseeding(spark, tmp_path):
+    """The serve facades decide seed-vs-resume through
+    reset_serving_if_stale; after a mid-swap crash it must recover the dir
+    (marker intact -> no reset) instead of treating the absence as
+    'never seeded'."""
+    serving = _mk_serving(spark, tmp_path, [("a", 1.0, 10)], version=7)
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    with _CrashOnNthMove(2):
+        with pytest.raises(SimulatedCrash):
+            atomic_swap_dir(
+                spark.createDataFrame([("a", 5.0, 15)], schema=SCHEMA),
+                serving,
+                tag="stream",
+            )
+
+    assert reset_serving_if_stale(serving, ckpt, current_version=7) is False
+    assert os.path.isdir(serving) and os.path.isdir(ckpt)
+    assert seeded_version(serving) == 7
+    assert _vals(spark, serving) == {"a": 5.0}
+
+
+def test_append_compact_crash_then_read_serves_exact_content(spark, tmp_path):
+    """Kill compact() mid-swap on an append-mode log; the next read must
+    self-heal and serve EXACTLY the pre-compact resolved content — same
+    keys, same values, no duplicate rows from a half-compacted log."""
+    catalog = StoreCatalog(str(tmp_path / "cat"))
+    catalog.create_store("h", key_fields=["key"], hybrid=True, rewind_seconds=0)
+    serving = str(tmp_path / "serving")
+    spark.createDataFrame([("a", 1.0, 10), ("b", 1.0, 10)], schema=SCHEMA).write.parquet(serving)
+    mark_seeded_version(serving, 1)
+
+    rt_dir = str(tmp_path / "rt")
+    os.makedirs(rt_dir)
+    replay = HybridReplay(spark, catalog, "h", serving, mode="append", compact_every=0)
+    for i, rows in enumerate(
+        [[("a", 5.0, 20, "PUT")], [("b", 0.0, 30, "DELETE")], [("c", 7.0, 25, "PUT")]]
+    ):
+        spark.createDataFrame(rows, schema=SCHEMA + ", op string").write.mode(
+            "append"
+        ).parquet(rt_dir)
+        stream = spark.readStream.schema(SCHEMA + ", op string").parquet(rt_dir)
+        replay.start(stream, str(tmp_path / "ckpt")).awaitTermination(120)
+
+    before = {r["key"]: r["val"] for r in replay.read().collect()}
+    assert before == {"a": 5.0, "c": 7.0}
+
+    with _CrashOnNthMove(2):
+        with pytest.raises(SimulatedCrash):
+            replay.compact()
+
+    # read() self-heals through _raw(); content identical, one row per key
+    after_rows = replay.read().collect()
+    assert {r["key"]: r["val"] for r in after_rows} == before
+    assert len(after_rows) == len(before), "half-compacted log double-served"
+    assert seeded_version(serving) == 1
+    # and a later trigger's stamp source is sane again (no restart-from-0
+    # onto a vanished log)
+    from venice_spark.streaming.hybrid import log_stamp_pressure
+
+    nxt, n = log_stamp_pressure(spark, serving, "__batch")
+    assert nxt >= 1 and n >= 1
+
+
+def test_sweep_late_deltas_crash_midway_is_resumable(spark, tmp_path):
+    """Kill the late-delta sweep between slot renames: every slot must be
+    either fully on the old or fully on the new version (os.rename is
+    atomic), and re-running the sweep carries the remainder in the original
+    arrival order."""
+    from venice_spark.push import BatchPushJob, incremental_push, sweep_late_deltas
+
+    catalog = StoreCatalog(str(tmp_path / "cat"))
+    catalog.create_store("s", key_fields=["k"], partition_count=2)
+    BatchPushJob(catalog).run(
+        spark, "s", spark.createDataFrame([(1, 0)], "k long, v long")
+    )
+    for i in (1, 2, 3):
+        incremental_push(
+            spark,
+            catalog,
+            "s",
+            spark.createDataFrame([(1, i)], "k long, v long"),
+            eager=False,
+        )
+    assert len(catalog.list_delta_dirs("s", 1)) == 3
+
+    # a new version commits without having resolved any of the slots
+    v2 = catalog.begin_version("s")
+    base = spark.read.parquet(catalog.version_dir("s", 1))
+    base.write.mode("overwrite").partitionBy("partition_id").parquet(
+        catalog.version_dir("s", v2)
+    )
+    catalog.commit_version(
+        "s", v2, manifest={"partition_count": 2, "partitioner": "xxhash64"}
+    )
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def crashing(src, dst, *a, **k):
+        if "_deltas" in str(dst):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise SimulatedCrash("crash mid-sweep")
+        return real_rename(src, dst, *a, **k)
+
+    os.rename = crashing
+    try:
+        with pytest.raises(SimulatedCrash):
+            sweep_late_deltas(spark, catalog, "s", 1, set(), v2, ["k"], 2, False)
+    finally:
+        os.rename = real_rename
+
+    carried = catalog.list_delta_dirs("s", v2)
+    left = catalog.list_delta_dirs("s", 1)
+    assert len(carried) + len(left) == 3, "a slot vanished mid-sweep"
+
+    # resume: the remaining late slots carry over, arrival order preserved
+    sweep_late_deltas(spark, catalog, "s", 1, set(), v2, ["k"], 2, False)
+    assert len(catalog.list_delta_dirs("s", v2)) == 3
+    assert catalog.list_delta_dirs("s", 1) == []
+    out = catalog.read_current(spark, "s").collect()
+    assert {r["k"]: r["v"] for r in out} == {1: 3}, "slot precedence broken"
+
+
+def test_hybrid_serve_e2e_crash_midswap_preserves_merged_rt_ops(spark, tmp_path):
+    """End-to-end replica of the loss mode both review findings circled:
+    an RT op merges into serving, a later micro-batch's swap crashes
+    between its renames, and the NEXT serve call runs with the op now
+    outside the rewind window. Pre-fix: the facade saw no serving dir,
+    re-seeded from the batch base, and the rewind filter dropped the op on
+    replay — silently lost. Post-fix: recovery restores the serving state
+    (marker intact), so nothing replays and nothing is lost."""
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("h", key_fields=["k"], partition_count=2, hybrid=True)
+    eng.push("h", spark.createDataFrame([(1, "base")], "k long, v string"))
+    st = eng.store("h")
+    flush_schema = "k long, op string, ts long, colo int, v string"
+
+    p = st.producer()
+    p.put(10, {"v": "rt1"}, ts=1_000)
+    p.flush(schema=flush_schema)
+    st.hybrid_serve(mode="rewrite", rewind_seconds=10, now_ts=5_000)
+
+    p.put(11, {"v": "rt2"}, ts=2_000_000)
+    p.flush(schema=flush_schema)
+    with _CrashOnNthMove(2):
+        with pytest.raises(Exception):  # StreamingQueryException(SimulatedCrash)
+            st.hybrid_serve(mode="rewrite", rewind_seconds=10, now_ts=2_000_500)
+
+    # both ops are now older than the rewind window: anything the recovery
+    # loses cannot be replayed back
+    replay = st.hybrid_serve(mode="rewrite", rewind_seconds=10, now_ts=3_000_000)
+    out = {r["k"]: r["v"] for r in replay.read().collect()}
+    assert out.get(10) == "rt1", f"merged RT op lost across the crash: {out}"
+    assert out.get(11) == "rt2", f"crashed batch's op lost: {out}"
+    assert out.get(1) == "base"

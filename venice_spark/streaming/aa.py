@@ -196,6 +196,9 @@ class ActiveActiveReplay:
     def _raw(self) -> DataFrame:
         # append mode accumulates footers with differing column sets (the
         # seed carries no __aa_batch stamp); merge the schemas
+        from venice_spark.streaming.hybrid import recover_swap_dir
+
+        recover_swap_dir(self.serving_dir)  # self-heal a crashed swap
         reader = self.spark.read
         if self.mode == "append":
             reader = reader.option("mergeSchema", "true")
@@ -227,8 +230,15 @@ class ActiveActiveReplay:
         )
 
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from venice_spark.streaming.hybrid import atomic_swap_dir, log_stamp_pressure
+        from venice_spark.streaming.hybrid import (
+            atomic_swap_dir,
+            log_stamp_pressure,
+            recover_swap_dir,
+        )
 
+        # heal a swap that died between its renames before reading or
+        # stamping against the serving dir (ADVICE r5)
+        recover_swap_dir(self.serving_dir)
         if self.mode == "append":
             # O(batch) writes: only the touched keys' refreshed rows land.
             # Prior state = resolved log pruned to the touched keys before

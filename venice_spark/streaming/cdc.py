@@ -172,7 +172,13 @@ class ChangeCaptureStream:
         kf = self.key_fields
         vc, tc = self.value_col, self.ts_col
 
-        # resolve `before` against the current snapshot
+        # resolve `before` against the current snapshot. Heal a snapshot
+        # swap that died between its renames first — the bare except below
+        # would otherwise read the absent dir as "no snapshot yet" and emit
+        # NULL `before` values for every key (ADVICE r5)
+        from venice_spark.streaming.hybrid import recover_swap_dir
+
+        recover_swap_dir(self.snapshot_dir)
         try:
             snap = spark.read.parquet(self.snapshot_dir)
         except Exception:

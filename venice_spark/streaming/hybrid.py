@@ -93,15 +93,61 @@ def latest_wins(df: DataFrame, key_fields: list[str], ts_col: str, tiebreak: lis
     return out
 
 
-def atomic_swap_dir(df: DataFrame, target: str, tag: str = "swap") -> None:
-    """Write `df` to a tmp sibling, move the old dir aside, move the new one
-    in, then drop the old — readers always see either the full old or full
-    new dir. Leftovers from a crashed previous swap are cleared first. ONE
-    implementation shared by the hybrid/AA/CDC serving swaps (three copies
-    had already drifted on crash-leftover handling; code-review r4)."""
+def recover_swap_dir(target: str) -> bool:
+    """Crash recovery for atomic_swap_dir's two-rename window (ADVICE r5):
+    between move(target->old) and move(tmp->target) the target dir is
+    ABSENT; a process death there would make the next serve call see no
+    serving dir, re-seed, and (with rewind set) silently lose already-
+    merged RT ops older than the window — the same loss mode the
+    _seeded_version marker closes for stale seeds.
+
+    Recovery is deterministic because of the swap's step order: the moves
+    only begin after the tmp dir is FULLY written (parquet _SUCCESS +
+    carried seed marker), so when the target is missing and an old dir
+    exists, a complete tmp IS the new state — finish the swap. When tmp is
+    missing/incomplete, the old dir is the intact previous state — restore
+    it. Tag-agnostic (one tag per target in practice): scans for any
+    `<target>__*_tmp` / `<target>__*_old` sibling. Returns True if a
+    recovery move happened. Called on every swap entry and by the serve/
+    read entry points, so the window self-heals on the next touch."""
+    import glob
     import os
     import shutil
 
+    if os.path.isdir(target):
+        return False
+    esc = glob.escape(target)
+    olds = [d for d in glob.glob(f"{esc}__*_old") if os.path.isdir(d)]
+    if not olds:
+        return False
+    done_tmps = [
+        d
+        for d in glob.glob(f"{esc}__*_tmp")
+        if os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))
+    ]
+    if done_tmps:
+        shutil.move(done_tmps[0], target)
+    else:
+        shutil.move(olds[0], target)
+    for d in olds:
+        shutil.rmtree(d, ignore_errors=True)
+    return True
+
+
+def atomic_swap_dir(df: DataFrame, target: str, tag: str = "swap") -> None:
+    """Write `df` to a tmp sibling, move the old dir aside, move the new one
+    in, then drop the old — readers always see either the full old or full
+    new dir. A leftover from a crash BETWEEN the two moves is first
+    recovered (recover_swap_dir), THEN stale leftovers are cleared — the
+    old order rmtree'd the .old dir unconditionally, which after such a
+    crash deleted the only intact copy of the serving state (ADVICE r5).
+    ONE implementation shared by the hybrid/AA/CDC serving swaps (three
+    copies had already drifted on crash-leftover handling; code-review
+    r4)."""
+    import os
+    import shutil
+
+    recover_swap_dir(target)
     tmp = f"{target}__{tag}_tmp"
     old = f"{target}__{tag}_old"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -202,10 +248,17 @@ def reset_serving_if_stale(
     keeps serving the OLD version's rows forever (code-review r4). Drops
     the serving table AND the stream checkpoint when the seed is stale (the
     checkpoint must restart so the rewind window re-applies to the new
-    base). Returns True if a reset happened."""
+    base). Returns True if a reset happened.
+
+    Recovers a crashed swap FIRST: a serving dir absent because the
+    process died between atomic_swap_dir's two renames must be restored
+    (marker intact) before the staleness check — otherwise this function
+    reads seeded_version()=None on the leftover state and the caller
+    re-seeds, losing merged RT ops (ADVICE r5)."""
     import os
     import shutil
 
+    recover_swap_dir(serving_dir)
     if os.path.isdir(serving_dir) and seeded_version(serving_dir) != current_version:
         shutil.rmtree(serving_dir, ignore_errors=True)
         shutil.rmtree(checkpoint_dir, ignore_errors=True)
@@ -216,7 +269,8 @@ def reset_serving_if_stale(
 def read_serving(spark: SparkSession, serving_dir: str) -> DataFrame:
     """Read a hybrid serving table for queries: tombstone rows (op='DELETE',
     kept on disk so stale PUTs cannot resurrect deleted keys) are filtered
-    and the op column dropped."""
+    and the op column dropped. Self-heals a crashed swap first."""
+    recover_swap_dir(serving_dir)
     df = spark.read.parquet(serving_dir)
     if "op" in df.columns:
         df = df.filter(~_is_delete()).drop("op")
@@ -298,6 +352,10 @@ class HybridReplay:
         micro-batch, resurrect the key — violating the arrival-order
         determinism contract (Merge.java:27-31). Readers use `read()` /
         `read_serving()` which filter tombstones."""
+        # a compact()/rewrite swap that died between its renames left the
+        # serving dir absent; heal before reading or stamping against it —
+        # an append onto a missing dir would restart the log from empty
+        recover_swap_dir(self.serving_dir)
         if self.mode == "append":
             # O(batch): fold the micro-batch to one row per key, append.
             # Cross-batch resolution is the reader's (resolve_latest is
@@ -342,6 +400,7 @@ class HybridReplay:
     def _raw(self) -> DataFrame:
         # append mode accumulates files whose column sets may differ (the
         # initial batch-push snapshot has no op column); merge their schemas
+        recover_swap_dir(self.serving_dir)  # self-heal a crashed compact swap
         reader = self.spark.read
         if self.mode == "append":
             reader = reader.option("mergeSchema", "true")
