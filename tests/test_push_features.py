@@ -694,7 +694,7 @@ def test_sweep_targets_actual_current_version_after_lost_race(engine, spark, mon
     monkeypatch.setattr(cat, "commit_version", racing_commit)
 
     eager = spark.createDataFrame([("b", 99.0, 60)], "key string, val double, _rmd_ts long")
-    engine.incremental_push("s", eager)  # loses the commit race
+    res = engine.incremental_push("s", eager)  # loses the commit race
     monkeypatch.setattr(cat, "list_delta_dirs", real_list)
     monkeypatch.setattr(cat, "commit_version", real_commit)
 
@@ -704,6 +704,55 @@ def test_sweep_targets_actual_current_version_after_lost_race(engine, spark, mon
     assert cat.list_delta_dirs("s", cur), "late delta stranded off-current"
     out = {r["key"]: r["val"] for r in engine.store("s").df().collect()}
     assert out["late"] == 5.0 and out["winner"] == 7.0
+    # ADVICE r5: the losing push's OWN upserts must also reach the serving
+    # version (restaged as a lazy slot on the winner) — pre-fix they lived
+    # only in the superseded orphan version, reachable via set_version
+    assert out["b"] == 99.0, "loser's merged upserts stranded in orphan version"
+    assert res.superseded_by == state["winner"]
+
+
+def test_lost_race_restages_tombstones_too(engine, spark, monkeypatch):
+    """ADVICE r5 companion: a lost-race eager push whose delta DELETED a key
+    (nulls_as_deletes) must delete it on the winning version too — the
+    restaged lazy slot carries the __del tombstone through the resolve
+    view, not just the upsert rows."""
+    from venice_spark.partitioner import repartition_and_sort
+
+    cat = engine.catalog
+    real_commit = cat.commit_version
+    state = {"winner": None}
+
+    def racing_commit(store, version, manifest=None, make_current=True):
+        if state["winner"] is None:
+            w = cat.begin_version(store)
+            wdf = spark.createDataFrame(
+                [("a", 100.0, 70), ("winner", 7.0, 70)],
+                "key string, val double, _rmd_ts long",
+            )
+            out = repartition_and_sort(wdf, ["key"], 2, False)
+            out.write.mode("overwrite").partitionBy("partition_id").parquet(
+                cat.version_dir(store, w)
+            )
+            real_commit(
+                store, w, manifest={"partition_count": 2, "partitioner": "xxhash64"}
+            )
+            state["winner"] = w
+        return real_commit(store, version, manifest=manifest, make_current=make_current)
+
+    monkeypatch.setattr(cat, "commit_version", racing_commit)
+    # all value columns NULL == tombstone (ETL union[null, T] convention)
+    tomb = spark.createDataFrame(
+        [("a", None, None)], "key string, val double, _rmd_ts long"
+    )
+    res = engine.incremental_push("s", tomb, nulls_as_deletes=True)
+    monkeypatch.setattr(cat, "commit_version", real_commit)
+
+    assert res.superseded_by == state["winner"]
+    # winner's FULL snapshot replaced the base (only a+winner rows); the
+    # restaged tombstone must then delete 'a' from the served view
+    out = {r["key"]: r["val"] for r in engine.store("s").df().collect()}
+    assert "a" not in out, "loser's tombstone did not reach the winner"
+    assert out == {"winner": 7.0}
 
 
 def test_batch_push_accepts_partition_id_input(engine, spark):

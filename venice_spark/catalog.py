@@ -272,8 +272,13 @@ class StoreCatalog:
     def commit_version(
         self, store: str, version: int, manifest: dict | None = None,
         make_current: bool = True,
-    ) -> None:
+    ) -> bool:
         """Atomically make `version` current (pointer flip == os.replace).
+        Returns True when the pointer now serves `version`; False when the
+        commit was superseded (a concurrent push committed a newer version
+        first — see below) or make_current=False. Committers use the False
+        return to restage their payload onto the winner (push.py lost-race
+        handling, ADVICE r5).
 
         `manifest` records push metadata alongside the version dir (row
         count, partitioner, push type, timestamps) — the role of the
@@ -295,7 +300,7 @@ class StoreCatalog:
             ) as f:
                 json.dump({**manifest, "version": version, "committed_at": time.time()}, f, indent=2)
         if not make_current:
-            return
+            return False
         with self._locked(store):
             meta = self.get_store(store)
             if version < meta.current_version:
@@ -305,10 +310,11 @@ class StoreCatalog:
                 # landed and addressable via set_version, but serving keeps
                 # the newest committed version (explicit rollback remains
                 # set_version's job)
-                return
+                return False
             meta.current_version = version
             meta.config["version_committed_at"] = time.time()
             self._write_meta(meta)
+            return True
 
     def version_manifest(self, store: str, version: int | None = None) -> dict | None:
         if version is None:

@@ -48,6 +48,13 @@ class PushResult:
     rows: int
     partitions: int
     path: str
+    # set when this push's version lost a concurrent commit race and never
+    # became current: the winning (serving) version number. For an eager
+    # incremental push the delta was restaged as a lazy slot on the winner
+    # (reference semantics: incremental data applies to current and future
+    # versions — VenicePushJob.java:919-931; ADVICE r5), so the upserts ARE
+    # served; the orphan version stays addressable via set_version.
+    superseded_by: int | None = None
 
 
 def _fix_empty_partitioned_dir(out: DataFrame, path: str, col: str = "partition_id") -> None:
@@ -923,6 +930,80 @@ def _prepare_delta(
     return _dedup_latest_wins(delta, key_fields, order_col)
 
 
+def _append_delta_slot(
+    spark: SparkSession,
+    catalog: StoreCatalog,
+    store: str,
+    delta: DataFrame,
+    key_fields: list[str],
+) -> tuple[int, str, int, int]:
+    """Append a canonical delta (one row per key, `__del` tombstones) as the
+    next lazy slot on the store's CURRENT version; returns
+    (version, slot_path, rows, total_slots_on_version).
+
+    Stage-then-rename: write the full delta into a staging dir first, then
+    atomically rename it to its log slot while holding the store lock.
+    Readers (list_delta_dirs matches only complete d{K} names) can never
+    observe a half-written delta, and two concurrent lazy pushes can never
+    claim the same K — each appends its own slot, ordered by whoever locks
+    first (the reference serializes incremental pushes per store through
+    the controller the same way). Shared by the lazy push mode and the
+    eager push's lost-race restage (ADVICE r5)."""
+    import os
+    import uuid
+
+    meta = catalog.get_store(store)
+    cur = meta.current_version
+    if cur <= 0:
+        raise ValueError(f"store {store!r} has no current version to delta onto")
+
+    def _stage(layout: tuple) -> str:
+        # the delta MUST share the BASE version's full layout (modulus
+        # AND partitioner hash — code-review r4 extended ADVICE r3's
+        # count check): the resolve view groups on (partition_id, key),
+        # so a mismatched stamp splits a key's base and delta rows into
+        # different groups (duplicate served rows)
+        n_parts, base_md5p = layout
+        s = os.path.join(
+            catalog.store_dir(store), f"_delta_staging-{uuid.uuid4().hex}"
+        )
+        o = repartition_and_sort(delta, key_fields, n_parts, base_md5p)
+        o.write.mode("overwrite").partitionBy("partition_id").parquet(s)
+        _fix_empty_partitioned_dir(o, s)
+        return s
+
+    staged_layout = _version_layout(catalog, store, cur, meta)
+    staging = _stage(staged_layout)
+    rows = spark.read.parquet(staging).count()
+    with catalog._locked(store):
+        # re-resolve the CURRENT version under the lock: the staging
+        # write can take minutes, and a concurrent compact/eager/batch
+        # push may have committed a new version since `cur` was read —
+        # renaming into the old version's delta log would silently lose
+        # this push (retired versions are never read again). A delta is
+        # pure upsert data, so landing it on whatever is current now
+        # preserves the caller's intent exactly.
+        cur = catalog.get_store(store).current_version
+        target_layout = _version_layout(catalog, store, cur, meta)
+        if target_layout != staged_layout:
+            # rare: the new current version was written with a
+            # different layout — restage to match it
+            import shutil as _sh
+
+            _sh.rmtree(staging, ignore_errors=True)
+            staging = _stage(target_layout)
+        existing = catalog.list_delta_dirs(store, cur)
+        k = (
+            max(int(os.path.basename(d)[1:]) for d in existing) + 1
+            if existing
+            else 1
+        )
+        os.makedirs(catalog.deltas_dir(store, cur), exist_ok=True)
+        dpath = os.path.join(catalog.deltas_dir(store, cur), f"d{k}")
+        os.rename(staging, dpath)
+    return cur, dpath, rows, len(existing) + 1
+
+
 def incremental_push(
     spark: SparkSession,
     catalog: StoreCatalog,
@@ -958,65 +1039,11 @@ def incremental_push(
     delta = _prepare_delta(delta, key_fields, order_col, nulls_as_deletes)
 
     if not eager:
-        import os
-        import uuid
-
-        cur = meta.current_version
-        if cur <= 0:
-            raise ValueError(f"store {store!r} has no current version to delta onto")
-        # stage-then-rename: write the full delta into a staging dir first,
-        # then atomically rename it to its log slot while holding the store
-        # lock. Readers (list_delta_dirs matches only complete d{K} names)
-        # can never observe a half-written delta, and two concurrent lazy
-        # pushes can never claim the same K — each appends its own slot,
-        # ordered by whoever locks first (the reference serializes
-        # incremental pushes per store through the controller the same way).
-        def _stage(layout: tuple) -> str:
-            # the delta MUST share the BASE version's full layout (modulus
-            # AND partitioner hash — code-review r4 extended ADVICE r3's
-            # count check): the resolve view groups on (partition_id, key),
-            # so a mismatched stamp splits a key's base and delta rows into
-            # different groups (duplicate served rows)
-            n_parts, base_md5p = layout
-            s = os.path.join(
-                catalog.store_dir(store), f"_delta_staging-{uuid.uuid4().hex}"
-            )
-            o = repartition_and_sort(delta, key_fields, n_parts, base_md5p)
-            o.write.mode("overwrite").partitionBy("partition_id").parquet(s)
-            _fix_empty_partitioned_dir(o, s)
-            return s
-
-        staged_layout = _version_layout(catalog, store, cur, meta)
-        staging = _stage(staged_layout)
-        rows = spark.read.parquet(staging).count()
-        with catalog._locked(store):
-            # re-resolve the CURRENT version under the lock: the staging
-            # write can take minutes, and a concurrent compact/eager/batch
-            # push may have committed a new version since `cur` was read —
-            # renaming into the old version's delta log would silently lose
-            # this push (retired versions are never read again). A delta is
-            # pure upsert data, so landing it on whatever is current now
-            # preserves the caller's intent exactly.
-            cur = catalog.get_store(store).current_version
-            target_layout = _version_layout(catalog, store, cur, meta)
-            if target_layout != staged_layout:
-                # rare: the new current version was written with a
-                # different layout — restage to match it
-                import shutil as _sh
-
-                _sh.rmtree(staging, ignore_errors=True)
-                staging = _stage(target_layout)
-            existing = catalog.list_delta_dirs(store, cur)
-            k = (
-                max(int(os.path.basename(d)[1:]) for d in existing) + 1
-                if existing
-                else 1
-            )
-            os.makedirs(catalog.deltas_dir(store, cur), exist_ok=True)
-            dpath = os.path.join(catalog.deltas_dir(store, cur), f"d{k}")
-            os.rename(staging, dpath)
+        cur, dpath, rows, n_slots = _append_delta_slot(
+            spark, catalog, store, delta, key_fields
+        )
         threshold = int(meta.config.get("delta_compact_threshold", 8))
-        if len(existing) + 1 >= threshold:
+        if n_slots >= threshold:
             return compact_store(spark, catalog, store)
         return PushResult(store, cur, rows, meta.partition_count, dpath)
 
@@ -1046,7 +1073,7 @@ def incremental_push(
     # loses; a delta that should not pay a view rewrite belongs in the
     # lazy eager=False mode, where view_df resolves the log at read time)
     maintain_views(spark, catalog, store, version, written)
-    catalog.commit_version(
+    won = catalog.commit_version(
         store,
         version,
         manifest={
@@ -1063,6 +1090,23 @@ def incremental_push(
         sweep_late_deltas(
             spark, catalog, store, old_version, resolved_deltas,
             version, key_fields, meta.partition_count, md5p,
+        )
+    if not won:
+        # Lost the commit race: a concurrent push committed a newer version
+        # first, so this push's merged snapshot never serves and its
+        # upserts lived only in the orphan version (reachable via
+        # set_version). Reference semantics apply incremental data to
+        # current AND future versions (VenicePushJob.java:919-931), so
+        # restage the delta — tombstones included — as a lazy slot on the
+        # version actually serving (ADVICE r5). The restage only fires on
+        # a commit-time LOSS: after a won commit, a later winner's base
+        # already contains these rows, and re-appending them could regress
+        # the later push's fresher values.
+        actual = catalog.current_version(store)
+        _append_delta_slot(spark, catalog, store, delta, key_fields)
+        return PushResult(
+            store, version, rows, meta.partition_count, path,
+            superseded_by=actual,
         )
     return PushResult(store, version, rows, meta.partition_count, path)
 
