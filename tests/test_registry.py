@@ -8,12 +8,27 @@ hole:
   - every registered query must ANALYZE AND RUN against the actual testdata;
   - the driver checks only the first DRIVER_WINDOW queries, so that window
     must contain only oracle-bearing queries (no wasted slots);
+  - window membership rotates OLDEST-GREEN-FIRST (VERDICT r5 #5), with the
+    certification gates pinned — enforced structurally below, and the
+    LAST_GREEN metadata is recomputed from the CORRECTNESS files on disk so
+    it cannot silently drift;
   - dedup queries must not leak cached plans into a long-lived session.
 """
 
+import glob
+import json
+import os
+import re
+
 import pytest
 
-from venice_spark.plans.reference_queries import DRIVER_WINDOW, ORACLES, QUERIES, _TAIL
+from venice_spark.plans.reference_queries import (
+    DRIVER_WINDOW,
+    LAST_GREEN,
+    ORACLES,
+    PINNED_GATES,
+    QUERIES,
+)
 
 
 def test_window_is_all_oracle_bearing():
@@ -23,15 +38,66 @@ def test_window_is_all_oracle_bearing():
     assert missing == [], f"driver-window queries without an oracle: {missing}"
 
 
-def test_tail_is_only_redundant_or_rows_only():
-    # everything pushed out of the window must be declared in _TAIL (a
-    # conscious demotion), never silently evicted by registration order
+def test_certification_gates_are_pinned_in_window():
+    """The gates are the only driver-checkable evidence for the rows-only
+    families (HLL/ANN/PQ/BPE/classifier/frame/audio); rotation must never
+    park one."""
+    window = set(list(QUERIES)[:DRIVER_WINDOW])
+    parked = PINNED_GATES - window
+    assert not parked, f"certification gates rotated out of the window: {parked}"
+    assert PINNED_GATES <= set(ORACLES)
+
+
+def test_window_rotates_oldest_green_first():
+    """Rotation invariant: no oracle query OUTSIDE the window may be
+    strictly staler (older last-green round, or never green) than any
+    non-pinned query INSIDE it. Never-green queries (new operators) have no
+    LAST_GREEN entry, sort stalest, and must therefore be in-window."""
     names = list(QUERIES)
-    dark = names[DRIVER_WINDOW:]
-    undeclared = [n for n in dark if n not in _TAIL]
-    assert undeclared == [], (
-        f"queries fell outside the driver's {DRIVER_WINDOW}-slot window without "
-        f"an explicit _TAIL demotion: {undeclared}"
+    inside = [n for n in names[:DRIVER_WINDOW] if n not in PINNED_GATES]
+    outside = [n for n in names[DRIVER_WINDOW:] if n in ORACLES]
+    freshest_inside = max(LAST_GREEN.get(n, 0) for n in inside)
+    stale_outside = {
+        n: LAST_GREEN.get(n, 0)
+        for n in outside
+        if LAST_GREEN.get(n, 0) < freshest_inside
+    }
+    assert not stale_outside, (
+        f"oracle queries staler than the freshest in-window green "
+        f"(round {freshest_inside}) are stranded outside: {stale_outside}"
+    )
+    never_green_outside = [n for n in outside if n not in LAST_GREEN]
+    assert not never_green_outside, (
+        f"never-certified oracle queries outside the window: {never_green_outside}"
+    )
+
+
+def test_last_green_matches_correctness_files():
+    """LAST_GREEN is maintained by hand each round; recompute it from the
+    driver's CORRECTNESS_r{N}.json files and fail on drift. Only queries
+    still registered are compared (renamed/retired queries drop out)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")))
+    if not files:
+        pytest.skip("no CORRECTNESS files next to the repo")
+    recomputed = {}
+    for f in files:
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        with open(f) as fh:
+            d = json.load(fh)
+        for name, row in d.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                recomputed[name] = max(recomputed.get(name, 0), rnd)
+    expected = {n: r for n, r in recomputed.items() if n in QUERIES}
+    assert LAST_GREEN == expected, (
+        "LAST_GREEN drifted from the CORRECTNESS files — fold the newest "
+        f"round in. missing/stale: "
+        f"{ {n: (LAST_GREEN.get(n), expected.get(n)) for n in set(LAST_GREEN) ^ set(expected) | {n for n in LAST_GREEN if LAST_GREEN.get(n) != expected.get(n)} } }"
     )
 
 
@@ -98,72 +164,3 @@ def test_dedup_queries_leave_no_cached_plans(spark, sf_dir):
         QUERIES[name](spark, sf_dir).count()
         after = cm.cachedData().size()
         assert after == before, f"{name} left {after - before} cache entries behind"
-
-
-def test_driver_window_carries_only_oracle_queries():
-    """The driver checks the FIRST 50 registered queries; every slot must
-    carry an oracle (rows-only and redundant variants belong in the tail).
-    Guards against a future registration silently evicting a checked query
-    (VERDICT r2 'What's wrong #3')."""
-    from venice_spark.plans.reference_queries import DRIVER_WINDOW, ORACLES, QUERIES
-
-    head = list(QUERIES)[:DRIVER_WINDOW]
-    missing = [n for n in head if n not in ORACLES]
-    assert not missing, f"driver-window queries without oracles: {missing}"
-    # every oracle-bearing query should sit inside the window
-    outside = [n for n in list(QUERIES)[DRIVER_WINDOW:] if n in ORACLES]
-    allowed_outside = {
-        # redundant twins parked in the tail on purpose
-        "r3_streaming_batch_get",
-        "x_token_count", "x_fingerprint", "r8_count_array", "x_simhash",
-        "x_knn_join",
-        # round-3 demotions: each family keeps a stronger in-window query
-        # (x_text_quality, x_minhash_near_dup, w1's WindowGroupLimit shape)
-        "x_bpe_token_count", "x_dedup_ngram_jaccard",
-        # round-3 late demotions: r4 is exercised by every query's select,
-        # the salted count is the r11 answer with a skew-safe plan twin
-        "r4_project", "x_skew_salted_count",
-        # blocked-cosine family carried in-window by x_knn_join_lsh
-        "x_embedding_near_dup",
-        # round-4 rotation demotions: driver-certified green in r03, parked
-        # to make window room for previously-uncertified families
-        "x_pii_scrub", "x_lang_id", "x_repetition_filter",
-        "x_event_percentiles", "x_ngram_counts",
-        # late r4 rotation: the new bigram-LM and CDC families took these
-        # driver-green r03 slots (x_event_rollup carries event aggs,
-        # x_bigram_logprob carries the LM family)
-        "x_rollup_agg", "x_unigram_logprob",
-        # certification-gate rotation: the self-verifying gates took these
-        # driver-green r03 slots (x_hll_error_gate subsumes r16_unique_keys;
-        # x_minhash_near_dup/x_fuzzy_key_pairs carry near-dup pairs;
-        # x_event_rollup carries events; x_asof_join carries interval joins;
-        # x_pq_recall carries quantization; x_dedup_exact shares the
-        # fingerprint anti-join shape)
-        "r16_unique_keys", "x_simhash_pairs", "x_sessionize",
-        "x_range_join", "x_embed_quantize", "x_decontaminate",
-        "x_asof_join",
-        # x_ann_topk was driver-green r03 and the ANN family still holds
-        # four window slots; slot given to the frame-dedup gate
-        "x_ann_topk",
-        # driver-green r03, subsumed by the in-window x_crawl_ingest (same
-        # gates + in-batch dedup math, plus the history anti-join stage)
-        "x_training_pipeline",
-        # round-5 rotation (VERDICT r4 #1): 4x-consecutive-driver-green
-        # queries parked so the 17 never-certified oracle queries get their
-        # first window pass; carriers annotated per entry in _TAIL
-        "r1_single_get", "r5_dot_product", "r6_cosine_similarity",
-        "r7_hadamard_product", "r11_count_group_by_value",
-        "r12_count_group_by_bucket", "r13_predicate_algebra",
-        "w2_delete_tombstone", "w3_partial_update_set_field",
-        "w4_w5_list_ops", "w6_map_ops", "w10_repush_offset_dedup",
-        "cdc_change_events", "i6_duplicate_key_check", "i9_consistency_check",
-        "x_dedup_exact", "x_sequence_packing",
-        # slot given to the composed x_ivfpq_recall gate; lifecycle
-        # pytest-pinned (test_view_maintenance + index-view suites)
-        "w15_materialized_view",
-        # slot given to the x_audio_tone_gate; latest-wins subset of w7,
-        # WindowGroupLimit shape plan-pinned
-        "w1_put_latest_wins",
-    }
-    stranded = [n for n in outside if n not in allowed_outside]
-    assert not stranded, f"oracle queries stranded outside the driver window: {stranded}"

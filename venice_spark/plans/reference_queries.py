@@ -2791,76 +2791,164 @@ def x_quality_classifier_acc(spark, sf_dir):
 # ---------------------------------------------------------------- ordering
 #
 # The driver's correctness gate checks the FIRST 50 registered queries in
-# registration order. Keep maximal signal inside that window: every operator
-# family's strongest oracle-bearing query first; redundant twins and
-# rows-only approximations at the tail (they stay registered and runnable —
-# they just absorb the dark slots). VERDICT r2 "What's wrong #3".
+# registration order; everything after runs but is not certified that round.
+# Window membership ROTATES OLDEST-GREEN-FIRST (VERDICT r5 #5): LAST_GREEN
+# records, per oracle-bearing query, the most recent round whose driver
+# correctness file showed all three checks green (rows + schema + value
+# hash vs DuckDB); each round the window takes the certification gates
+# (pinned — they carry the no-oracle approximate/iterative families) plus
+# the stalest-green queries, so no green ages more than a few rounds while
+# the code under it keeps changing. A brand-new query has no LAST_GREEN
+# entry and sorts stalest of all, i.e. new operators are automatically
+# in-window. Rows-only queries (no oracle) stay in the tail: a window slot
+# without a value-hash check is a wasted slot (VERDICT r2 "What's wrong
+# #3"); their families are certified by the pinned gates.
+#
+# Maintenance contract (enforced by tests/test_registry.py): after each
+# round, fold the new CORRECTNESS_r{N}.json into LAST_GREEN — the test
+# recomputes the dict from the files on disk and fails on drift.
 DRIVER_WINDOW = 50
 
-_TAIL = [
-    "r4_project",              # pure projection is exercised by every query; scan pruning pinned by r1/r10 plan tests
-    "x_training_pipeline",     # driver-green r03; SUBSUMED by x_crawl_ingest (same gates + in-batch dedup math, plus the history anti-join stage) — slot given to the superset
-    "x_asof_join",             # interval-join family driver-green r03 (twice: asof + range); slot given to x_decontaminate_spans
-    "x_ann_topk",              # ANN family driver-green r03 and still holds 4 window slots (knn_join_lsh + 3 recall/PQ gates); slot given to x_frame_dedup_gate
-    "x_skew_salted_count",     # skew-salted twin of the r11 facet count (same answer; plan pinned in tests)
-    "x_embedding_near_dup",    # blocked-cosine family carried by x_knn_join_lsh (exact hyperplane oracle)
-    # round-4 rotation: driver-certified green in r03, demoted to make room
-    # for previously-uncertified families (VERDICT r3 'Next round' #4)
-    "r16_unique_keys",         # strictly subsumed by x_hll_error_gate (same exact count, plus the sketch envelope); driver-green r03
-    "x_simhash_pairs",         # near-dup family carried by x_minhash_near_dup + x_fuzzy_key_pairs; driver-green r03
-    "x_sessionize",            # event family carried by x_event_rollup; driver-green r03
-    "x_range_join",            # interval-join family carried by x_asof_join; driver-green r03
-    "x_embed_quantize",        # quantization family carried by x_pq_recall (learned-codebook ed.); driver-green r03
-    "x_decontaminate",         # fingerprint anti-join shape shared with x_dedup_exact; driver-green r03
-    "x_pii_scrub",             # per-row text-kernel family carried by x_text_quality; driver-green r03
-    "x_lang_id",               # per-row text-kernel family carried by x_text_quality; driver-green r03
-    "x_repetition_filter",     # per-row text-kernel family carried by x_text_quality; driver-green r03
-    "x_event_percentiles",     # event-agg family carried by x_event_rollup + x_rollup_agg; driver-green r03
-    "x_ngram_counts",          # corpus-stats family; x_tfidf_terms rotated in carries it; driver-green r03
-    "x_bpe_token_count",       # token-budget family covered by x_text_quality
-    "x_dedup_ngram_jaccard",   # verify-stage variant; x_minhash_near_dup carries family
-    "r3_streaming_batch_get",  # plan-identical to r2_batch_get
-    "x_token_count",           # strict subset of x_text_quality
-    "x_fingerprint",           # same md5 fingerprint expr checked via x_dedup_exact
-    "r8_count_array",          # R8 family stays covered by r8_count_map
-    "x_simhash",               # re-derived and pair-checked by x_simhash_pairs
-    "x_knn_join",              # brute-force baseline; x_knn_join_lsh has exact oracle
-    "r16_hll_approx",          # rows-only approximation by design
-    "x_ann_lsh",               # rows-only; recall pinned in tests/test_similarity
-    "x_ann_ivf",               # rows-only; recall pinned in tests
-    "x_pq_topk",               # rows-only; ADC exactness + recall pinned in tests
-    "x_rollup_agg",            # event-agg family carried by x_event_rollup; driver-green r03
-    "x_unigram_logprob",       # LM family carried by x_bigram_logprob (order-2 ed.); driver-green r03
-    "x_bpe_vocab",             # rows-only: iterative merge learning (tested vs hand-traced example + invariants); family driver-certified via x_bpe_roundtrip gate
-    "x_quality_classifier",    # rows-only: iterative LBFGS training; family driver-certified via x_quality_classifier_acc gate
-    # round-5 rotation (VERDICT r4 'Next round' #1): every query below was
-    # driver-hash-green in ALL FOUR rounds r01-r04; parked to give the 17
-    # never-driver-certified oracle-bearing queries their first window pass.
-    "r1_single_get",           # point get = batch_get of size 1; key-path partition pruning carried by r2_batch_get (plan also pinned in test_plan_shapes); driver-green r01-r04
-    "r5_dot_product",          # compute-builder vector family; builder chain carried by r9_error_channel, exact cosine math by x_knn_join_lsh; driver-green r01-r04
-    "r6_cosine_similarity",    # same carriers as r5 (x_knn_join_lsh value-checks cosine end-to-end); driver-green r01-r04
-    "r7_hadamard_product",     # elementwise compute family; builder carried by r9_error_channel; driver-green r01-r04
-    "r11_count_group_by_value",# R11 family now carried in-window by r11_multi_field_facets (multi-field superset); driver-green r01-r04
-    "r12_count_group_by_bucket",# bucketed counting carried in-window by x_event_histogram; driver-green r01-r04
-    "r13_predicate_algebra",   # predicate pushdown carried by r10_filter_compute (plan-pinned PushedFilters); driver-green r01-r04
-    "w2_delete_tombstone",     # tombstone resolve is a branch of w1_put_latest_wins' latest-wins fold; driver-green r01-r04
-    "w3_partial_update_set_field", # field-level update family carried by w7_dcr_merge (full UPDATE kernel); driver-green r01-r04
-    "w4_w5_list_ops",          # list setUnion/setDiff carried by w7_dcr_merge's collection-merge rules; driver-green r01-r04
-    "w6_map_ops",              # map union/diff carried by w7_dcr_merge's collection-merge rules; driver-green r01-r04
-    "w10_repush_offset_dedup", # repush family; w9_incremental_push + w11_ttl_filter stay in-window; driver-green r01-r04
-    "cdc_change_events",       # CDC family; the change stream is consumed in-window by x_cdc_chunk_dedup; driver-green r01-r04
-    "i6_duplicate_key_check",  # dup-key policy runs inside every push; in-window x_crawl_ingest exercises the push stages; driver-green r01-r04
-    "i9_consistency_check",    # push-validation family (same counts-vs-files audit BatchPushJob runs); carried by x_crawl_ingest's push stage; driver-green r01-r04
-    "x_dedup_exact",           # fingerprint anti-join shape carried by x_crawl_ingest (history fp stage) + x_decontaminate twin; driver-green r01-r04
-    "x_sequence_packing",      # export family carried in-window by x_shard_plan/x_oversample/x_split_assign; packing invariants pytest-pinned; driver-green r01-r04
-    "w15_materialized_view",   # view lifecycle pytest-pinned end-to-end (test_view_maintenance + ivf/band index views); x_crawl_ingest's pushes maintain views in-window; driver-green r01-r04 — slot given to the composed x_ivfpq_recall gate
-    "w1_put_latest_wins",      # latest-wins resolve is a strict subset of w7_dcr_merge's conflict kernel (in-window); WindowGroupLimit plan shape pinned by test_plan_shapes + x_topk_per_group; driver-green r01-r04 — slot given to the x_audio_tone_gate
-]
+# Self-verifying certification gates: each computes an approximation AND
+# its exact baseline in one query and returns a verdict row; sensitivity
+# tests (tests/test_gate_sensitivity.py) prove a broken implementation
+# flips each verdict. Pinned in-window every round: they are the only
+# driver-checkable evidence for the rows-only families (HLL, ANN, PQ,
+# BPE, the quality classifier, frame/audio recovery).
+PINNED_GATES = {
+    "x_hll_error_gate",
+    "x_ann_lsh_recall",
+    "x_ann_ivf_recall",
+    "x_pq_recall",
+    "x_ivfpq_recall",
+    "x_bpe_roundtrip",
+    "x_quality_classifier_acc",
+    "x_frame_dedup_gate",
+    "x_audio_tone_gate",
+}
+
+# query -> most recent round with a fully-green driver row (derived from
+# CORRECTNESS_r{01..05}.json; tests recompute and diff this)
+LAST_GREEN = {
+    # round 1
+    "x_skew_salted_count": 1,
+    # round 2
+    "r3_streaming_batch_get": 2,
+    "r4_project": 2,
+    "r8_count_array": 2,
+    "x_bpe_token_count": 2,
+    "x_dedup_ngram_jaccard": 2,
+    "x_embedding_near_dup": 2,
+    "x_fingerprint": 2,
+    "x_knn_join": 2,
+    "x_simhash": 2,
+    "x_token_count": 2,
+    # round 3
+    "r16_unique_keys": 3,
+    "x_ann_topk": 3,
+    "x_asof_join": 3,
+    "x_decontaminate": 3,
+    "x_embed_quantize": 3,
+    "x_event_percentiles": 3,
+    "x_lang_id": 3,
+    "x_ngram_counts": 3,
+    "x_pii_scrub": 3,
+    "x_range_join": 3,
+    "x_repetition_filter": 3,
+    "x_rollup_agg": 3,
+    "x_sessionize": 3,
+    "x_simhash_pairs": 3,
+    "x_training_pipeline": 3,
+    "x_unigram_logprob": 3,
+    # round 4
+    "cdc_change_events": 4,
+    "i6_duplicate_key_check": 4,
+    "i9_consistency_check": 4,
+    "r11_count_group_by_value": 4,
+    "r12_count_group_by_bucket": 4,
+    "r13_predicate_algebra": 4,
+    "r1_single_get": 4,
+    "r5_dot_product": 4,
+    "r6_cosine_similarity": 4,
+    "r7_hadamard_product": 4,
+    "w10_repush_offset_dedup": 4,
+    "w15_materialized_view": 4,
+    "w1_put_latest_wins": 4,
+    "w2_delete_tombstone": 4,
+    "w3_partial_update_set_field": 4,
+    "w4_w5_list_ops": 4,
+    "w6_map_ops": 4,
+    "x_dedup_exact": 4,
+    "x_sequence_packing": 4,
+    # round 5
+    "r10_filter_compute": 5,
+    "r11_multi_field_facets": 5,
+    "r2_batch_get": 5,
+    "r8_count_map": 5,
+    "r9_error_channel": 5,
+    "w11_ttl_filter": 5,
+    "w7_dcr_merge": 5,
+    "w9_incremental_push": 5,
+    "x_ann_ivf_recall": 5,
+    "x_ann_lsh_recall": 5,
+    "x_audio_tone_gate": 5,
+    "x_bigram_logprob": 5,
+    "x_blocklist_hits": 5,
+    "x_bpe_roundtrip": 5,
+    "x_canonical_docs": 5,
+    "x_cdc_chunk_dedup": 5,
+    "x_chunk_documents": 5,
+    "x_corpus_report": 5,
+    "x_crawl_ingest": 5,
+    "x_decontaminate_spans": 5,
+    "x_distinct_users": 5,
+    "x_drop_common_lines": 5,
+    "x_dup_clusters": 5,
+    "x_dup_ngram_spans": 5,
+    "x_embed_centroids": 5,
+    "x_event_histogram": 5,
+    "x_event_rollup": 5,
+    "x_feature_hash": 5,
+    "x_frame_dedup_gate": 5,
+    "x_fuzzy_key_pairs": 5,
+    "x_hll_error_gate": 5,
+    "x_importance_sample": 5,
+    "x_inverted_index": 5,
+    "x_ivf_knn_join": 5,
+    "x_ivfpq_recall": 5,
+    "x_knn_classify": 5,
+    "x_knn_join_lsh": 5,
+    "x_minhash_near_dup": 5,
+    "x_multimodal_features": 5,
+    "x_oversample": 5,
+    "x_pq_recall": 5,
+    "x_quality_classifier_acc": 5,
+    "x_quality_score": 5,
+    "x_random_projection": 5,
+    "x_shard_plan": 5,
+    "x_split_assign": 5,
+    "x_stratified_sample": 5,
+    "x_text_quality": 5,
+    "x_tfidf_terms": 5,
+    "x_topk_per_group": 5,
+}
 
 
 def _reorder_registry() -> None:
-    head = [n for n in QUERIES if n not in _TAIL]
-    ordered = head + [n for n in _TAIL if n in QUERIES]
+    """Reorder QUERIES/ORACLES so the first DRIVER_WINDOW entries are the
+    pinned gates plus the stalest-green oracle queries (registration order
+    preserved within the window and within the tail)."""
+    reg_idx = {n: i for i, n in enumerate(QUERIES)}
+    oracle = [n for n in QUERIES if n in ORACLES]
+    pinned = [n for n in oracle if n in PINNED_GATES]
+    rest = sorted(
+        (n for n in oracle if n not in PINNED_GATES),
+        key=lambda n: (LAST_GREEN.get(n, 0), reg_idx[n]),
+    )
+    window = set(pinned) | set(rest[: DRIVER_WINDOW - len(pinned)])
+    ordered = [n for n in QUERIES if n in window] + [
+        n for n in QUERIES if n not in window
+    ]
     q = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(q)
