@@ -125,3 +125,121 @@ def test_hybrid_serve_fuzz_matches_model(spark, tmp_root, seed):
         ops.extend(pending)
     final = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
     assert final == _model(base, ops), f"seed {seed} final"
+
+
+class _SimCrash(Exception):
+    """Process-death stand-in: aborts a swap mid-rename inside the fuzz."""
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_hybrid_serve_fuzz_with_midswap_crashes_matches_model(spark, tmp_root, seed):
+    """VERDICT r5 #7: compose the crash-injection points from
+    test_crash_atomicity into the lifecycle fuzz — the logical mutations
+    (puts/deletes/serve/compact/push-reseed) interleave with compactions
+    KILLED at a random rename (before or after the serving dir is moved
+    aside), and every subsequent serve/push must self-heal and still match
+    the pure-Python model. Seed 11 exercises both crash points and a
+    post-crash push re-seed (asserted at the end so the seed cannot
+    silently stop covering them)."""
+    import shutil
+
+    rng = random.Random(seed)
+    eng = VeniceSparkEngine(spark, tmp_root + f"_hfzc{seed}")
+    eng.create_store("h", key_fields=["k"], partition_count=2, hybrid=True)
+    base = {i: f"b{i}" for i in range(5)}
+    eng.push("h", spark.createDataFrame(list(base.items()), "k long, v string"))
+    st = eng.store("h")
+    p = st.producer()
+
+    ops: list[tuple] = []
+    pending: list[tuple] = []
+    next_ts = 1000
+    replay = None
+    crash_points_hit = set()
+    pushed_after_crash = False
+    crashed_once = False
+
+    def crash_compact(r):
+        nonlocal crashed_once
+        n = rng.choice([1, 2])
+        real = shutil.move
+        calls = {"c": 0}
+
+        def crashing(src, dst, *a, **k):
+            calls["c"] += 1
+            if calls["c"] == n:
+                raise _SimCrash(f"crash at move #{n}")
+            return real(src, dst, *a, **k)
+
+        shutil.move = crashing
+        try:
+            with pytest.raises(_SimCrash):
+                r.compact()
+        finally:
+            shutil.move = real
+        crash_points_hit.add(n)
+        crashed_once = True
+
+    for step in range(16):
+        action = rng.choice(
+            ["op", "op", "op", "flush_serve", "flush_serve",
+             "compact", "crash_compact", "crash_compact", "push"]
+        )
+        if action == "op":
+            k = rng.randrange(0, 10)
+            ts = next_ts
+            next_ts += rng.randrange(1, 7)
+            if rng.random() < 0.25:
+                pending.append((k, ts, "DELETE", None))
+            else:
+                pending.append((k, ts, "PUT", f"v{ts}"))
+            rng.shuffle(pending)
+        elif action == "flush_serve":
+            cut = rng.randint(0, len(pending))
+            batch, pending = pending[:cut], pending[cut:]
+            for k, ts, kind, v in batch:
+                if kind == "DELETE":
+                    p.delete(k, ts=ts)
+                else:
+                    p.put(k, {"v": v}, ts=ts)
+            if batch:
+                p.flush(schema="k long, op string, ts long, colo int, v string")
+            ops.extend(batch)
+            replay = st.hybrid_serve()
+            got = {r["k"]: r["v"] for r in replay.read().collect()}
+            assert got == _model(base, ops), f"seed {seed} step {step} serve"
+        elif action == "compact":
+            if replay is not None:
+                replay.compact()
+                got = {r["k"]: r["v"] for r in replay.read().collect()}
+                assert got == _model(base, ops), f"seed {seed} step {step} compact"
+        elif action == "crash_compact":
+            if replay is not None:
+                crash_compact(replay)
+                # the very next read through a fresh handle must self-heal
+                replay = st.hybrid_serve()
+                got = {r["k"]: r["v"] for r in replay.read().collect()}
+                assert got == _model(base, ops), (
+                    f"seed {seed} step {step} post-crash serve diverged"
+                )
+        elif action == "push":
+            base = {
+                i: f"B{step}_{i}"
+                for i in sorted(rng.sample(range(0, 12), rng.randint(2, 6)))
+            }
+            eng.push(
+                "h", spark.createDataFrame(list(base.items()), "k long, v string")
+            )
+            if crashed_once:
+                pushed_after_crash = True
+            replay = st.hybrid_serve()
+            got = {r["k"]: r["v"] for r in replay.read().collect()}
+            assert got == _model(base, ops), f"seed {seed} step {step} push+reseed"
+
+    final = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
+    assert final == _model(base, ops), f"seed {seed} final"
+    # the committed seed must actually cover the interactions it exists for
+    assert crash_points_hit == {1, 2}, (
+        f"seed {seed} stopped exercising both crash points: {crash_points_hit}"
+    )
+    assert pushed_after_crash, f"seed {seed} lost its post-crash push re-seed"
