@@ -236,3 +236,86 @@ def test_aa_facade_auto_compaction_fires(spark, tmp_path):
     assert n_stamps <= 2, f"auto-compaction never fired ({n_stamps} stamps)"
     out = {r["k"]: r["name"] for r in st.aa_serve(["name", "score"]).read().collect()}
     assert out[0] == "n0" and out[3] == "n3"
+
+
+def test_aa_bucketed_log_equals_flat_and_prunes_directories(spark, tmp_path):
+    """r6 scale path: with buckets set, the AA append log lays out
+    partitionBy(__kb = xxhash64(key) % buckets). Content must be identical
+    to the flat layout under the same op stream (puts, field updates,
+    deletes, stale cross-batch arrivals, compaction), the per-trigger
+    candidate prune must reach the scan as a PARTITION filter (directory
+    pruning — the scan the 20M-row probe showed growing with the log), and
+    reopening a log with the other layout refuses loudly."""
+    import os
+
+    import pytest as _pt
+
+    from venice_spark.producer import read_rt_log
+    from venice_spark.streaming.aa import ActiveActiveReplay
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    st = _mk(eng, spark)
+    p = st.producer()
+    _flush(p, [
+        {"k": 1, "op": "PUT", "ts": 100, "colo": 0, "name": "a2", "score": 10.0},
+        {"k": 2, "op": "UPDATE", "ts": 100, "colo": 0, "set_name": "b2"},
+        {"k": 3, "op": "DELETE", "ts": 100, "colo": 0},
+    ])
+    _flush(p, [
+        {"k": 3, "op": "PUT", "ts": 90, "colo": 1, "name": "zombie", "score": 0.0},
+        {"k": 4, "op": "PUT", "ts": 120, "colo": 1, "name": "d", "score": 4.0},
+        {"k": 1, "op": "UPDATE", "ts": 130, "colo": 1, "set_name": "a3"},
+    ])
+
+    rt_dir = eng.catalog.update_log_dir("aa")
+    schema = read_rt_log(spark, eng.catalog, "aa").schema
+
+    def replica(buckets, tag):
+        serving = str(tmp_path / f"srv_{tag}")
+        r = ActiveActiveReplay(
+            spark, eng.catalog, "aa", serving, ["name", "score"],
+            mode="append", compact_every=0, buckets=buckets,
+        )
+        r.seed(st.df().drop("partition_id"))
+        r.start(
+            spark.readStream.schema(schema).parquet(rt_dir),
+            str(tmp_path / f"ck_{tag}"),
+        ).awaitTermination(120)
+        return r
+
+    flat = replica(0, "flat")
+    bk = replica(8, "bk")
+
+    def view(r):
+        return {row["k"]: (row["name"], row["score"]) for row in r.read().collect()}
+
+    expected = {1: ("a3", 10.0), 2: ("b2", 2.0), 4: ("d", 4.0)}
+    assert view(flat) == view(bk) == expected
+
+    # the candidate prune is a PARTITION filter on __kb (directory pruning)
+    probe = spark.createDataFrame([(1,), (4,)], "k long")
+    plan = bk._resolve_log(keys=probe)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__kb" in plan.split("PartitionFilters")[1][:300], plan
+
+    # compaction preserves the bucketed layout and the content
+    bk.compact()
+    assert view(bk) == expected
+    assert any(e.startswith("__kb=") for e in os.listdir(str(tmp_path / "srv_bk")))
+
+    # layout is fixed at seed time: reopening with the other layout refuses
+    with _pt.raises(ValueError, match="layout is fixed"):
+        ActiveActiveReplay(
+            spark, eng.catalog, "aa", str(tmp_path / "srv_bk"),
+            ["name", "score"], mode="append", buckets=0,
+        )
+    with _pt.raises(ValueError, match="layout is fixed"):
+        ActiveActiveReplay(
+            spark, eng.catalog, "aa", str(tmp_path / "srv_flat"),
+            ["name", "score"], mode="append", buckets=8,
+        )
+    # and buckets without the append log is a config error
+    with _pt.raises(ValueError, match="append-mode"):
+        ActiveActiveReplay(
+            spark, eng.catalog, "aa", str(tmp_path / "srv_new"),
+            ["name", "score"], mode="rewrite", buckets=8,
+        )

@@ -9,7 +9,11 @@ a fixed 100-row micro-batch. The append mode should be ~flat in store size
 of the log), the rewrite mode linear (full-table swap per trigger).
 
 The r5 hybrid numbers in SCALE.md came from an uncommitted throwaway; this
-is the committed, reproducible edition covering AA too.
+is the committed, reproducible edition covering AA too, plus the bucketed
+AA layout (buckets=1024) whose measured NEGATIVE result at local scale is
+recorded in SCALE.md — per-trigger listing + partitioned writes of the
+1024-dir tree cost a fixed ~5s that the pruned data scan never earns back
+at sizes this box can hold.
 
 AA seeding note: replaying a 2M-row seed through the per-key Pandas fold
 would dominate the probe's wall; since per-trigger merge cost does not
@@ -83,23 +87,32 @@ def probe_hybrid(spark, workdir: str, n: int, mode: str) -> float:
     return round(best, 3)
 
 
-def probe_aa(spark, workdir: str, n: int, mode: str) -> float:
+def probe_aa(spark, workdir: str, n: int, mode: str, buckets: int = 0) -> float:
     from venice_spark.streaming.aa import ActiveActiveReplay
     from venice_spark.streaming.hybrid import mark_seeded_version
 
-    catalog = StoreCatalog(f"{workdir}/cat_a_{mode}_{n}")
+    catalog = StoreCatalog(f"{workdir}/cat_a_{mode}_{n}_{buckets}")
     catalog.create_store("a", key_fields=["k"], active_active=True)
-    serving = f"{workdir}/serving_a_{mode}_{n}"
+    serving = f"{workdir}/serving_a_{mode}_{n}_{buckets}"
     state = _aa_seed_state_json(1.0)
-    spark.range(n).select(
+    seed = spark.range(n).select(
         F.col("id").alias("k"),
         F.lit(state).alias("__state__"),
         F.lit(1.0).alias("v"),
         F.lit(False).alias("__deleted"),
-    ).write.parquet(serving)
+    )
+    if buckets:
+        seed = seed.withColumn(
+            "__kb", F.pmod(F.xxhash64("k"), F.lit(buckets)).cast("int")
+        )
+        # cluster by bucket: a bare partitionBy writes tasks x buckets files
+        seed.repartition("__kb").write.partitionBy("__kb").parquet(serving)
+    else:
+        seed.write.parquet(serving)
     mark_seeded_version(serving, 1)
     replay = ActiveActiveReplay(
-        spark, catalog, "a", serving, value_cols=["v"], mode=mode, compact_every=0
+        spark, catalog, "a", serving, value_cols=["v"], mode=mode,
+        compact_every=0, buckets=buckets,
     )
     batch = _batch(spark, n, "")
     replay._merge_batch(batch, 0)  # warm
@@ -126,6 +139,11 @@ def main():
                 sec = probe_aa(spark, workdir, n, mode)
                 print(json.dumps({"engine": "aa", "mode": mode, "rows": n,
                                   "batch": BATCH_ROWS, "sec": sec}), flush=True)
+            # bucketed append log: candidate prune becomes directory pruning
+            sec = probe_aa(spark, workdir, n, "append", buckets=1024)
+            print(json.dumps({"engine": "aa", "mode": "append", "rows": n,
+                              "buckets": 1024, "batch": BATCH_ROWS, "sec": sec}),
+                  flush=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()

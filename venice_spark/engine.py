@@ -608,6 +608,7 @@ class StoreHandle:
         ts_col: str = "ts",
         mode: str = "append",
         compact_every: int = 16,
+        buckets: int = 0,
     ):
         """Active-active twin of hybrid_serve: the RT log replays through
         the full DCR kernel with per-key register state persisted in the
@@ -621,7 +622,7 @@ class StoreHandle:
 
         return aa_serve(
             self, value_cols, list_fields, map_fields, ts_col,
-            mode=mode, compact_every=compact_every,
+            mode=mode, compact_every=compact_every, buckets=buckets,
         )
 
     # ---- R15 DaVinci-style local materialization ----

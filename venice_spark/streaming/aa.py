@@ -72,6 +72,7 @@ class ActiveActiveReplay:
         ts_col: str = "ts",
         mode: str = "rewrite",
         compact_every: int = 16,
+        buckets: int = 0,
     ):
         if mode not in ("rewrite", "append"):
             raise ValueError(f"unknown merge mode {mode!r}")
@@ -86,6 +87,38 @@ class ActiveActiveReplay:
         self.ts_col = ts_col
         self.mode = mode
         self.compact_every = compact_every
+        # buckets > 0: the append log is laid out partitionBy(__kb) where
+        # __kb = xxhash64(key) % buckets. Per-trigger candidate pruning
+        # (_resolve_log(keys=touched)) then reads only the touched keys'
+        # bucket DIRECTORIES instead of the whole log's key/stamp/state
+        # columns — the scan the r6 20M-row probe showed growing with the
+        # log (SCALE.md). A probed batch touches at most min(batch,
+        # buckets) dirs, so the read is O(log/buckets * batch-coverage),
+        # flat once buckets track store growth. Layout is fixed at seed
+        # time: mixing bucketed and flat files in one dir would break
+        # partition discovery, so reopening an existing log with the
+        # other layout refuses loudly.
+        self.buckets = int(buckets)
+        if self.buckets and mode != "append":
+            raise ValueError(
+                "buckets only applies to the append-mode log (rewrite mode "
+                "swaps the full table; there is no candidate scan to prune)"
+            )
+        entries = os.listdir(serving_dir) if os.path.isdir(serving_dir) else []
+        # __kb= partition dirs start with an underscore, so the "has data"
+        # probe must name them explicitly (underscore-prefixed entries are
+        # otherwise markers like _SUCCESS/_seeded_version)
+        has_data = any(
+            e.startswith("__kb=") or not e.startswith(("_", ".")) for e in entries
+        )
+        if has_data:
+            on_disk = any(e.startswith("__kb=") for e in entries)
+            if on_disk != (self.buckets > 0):
+                raise ValueError(
+                    f"serving dir {serving_dir!r} is "
+                    f"{'bucketed' if on_disk else 'flat'} but buckets="
+                    f"{buckets} was requested — layout is fixed at seed time"
+                )
         if mode == "rewrite":
             from venice_spark.streaming.hybrid import refuse_rewrite_over_append
 
@@ -124,11 +157,32 @@ class ActiveActiveReplay:
             + [T.StructField("__deleted", T.BooleanType(), False)]
         )
 
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__kb",
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in self.key_fields]),
+                F.lit(self.buckets),
+            ).cast("int"),
+        )
+
+    def _bucket_prune(self, df: DataFrame, keys: DataFrame) -> DataFrame:
+        """Directory-prune the log to the probed keys' buckets: the
+        distinct-bucket collect is bounded by `buckets` (a config constant,
+        never data-sized), and the resulting IN filter is a partition
+        filter Spark turns into directory pruning."""
+        touched = [
+            r["__kb"]
+            for r in self._with_bucket(keys).select("__kb").distinct().collect()
+        ]
+        return df.filter(F.col("__kb").isin(touched))
+
     def seed(self, base: DataFrame, base_ts: int = 0) -> None:
         """Initialize the serving table from a batch version: every row
         becomes a PUT at `base_ts` folded through the kernel, so RT writes
         with higher timestamps win exactly as the reference's batch-then-RT
-        precedence dictates."""
+        precedence dictates. With buckets set, the log is laid out
+        partitionBy(__kb) from the first write."""
         ops = base.select(
             *self.key_fields,
             F.lit("PUT").alias("op"),
@@ -137,7 +191,18 @@ class ActiveActiveReplay:
             *[F.col(c) for c in self.value_cols if c in base.columns],
         )
         folded = self._fold_new(ops)
-        folded.write.mode("overwrite").parquet(self.serving_dir)
+        if self.buckets:
+            # cluster rows by bucket before the partitioned write: a bare
+            # partitionBy from key-partitioned tasks writes up to
+            # tasks x buckets files (32k for one 20M-row seed — measured
+            # 10x slower per trigger from listing alone); after the
+            # repartition each bucket lands in exactly one task, so the
+            # file count is ~buckets
+            self._with_bucket(folded).repartition("__kb").write.mode(
+                "overwrite"
+            ).partitionBy("__kb").parquet(self.serving_dir)
+        else:
+            folded.write.mode("overwrite").parquet(self.serving_dir)
 
     def _fold_new(
         self,
@@ -194,17 +259,33 @@ class ActiveActiveReplay:
         return ops.groupBy(*kf).applyInPandas(fold, schema=out_schema)
 
     def _raw(self) -> DataFrame:
-        # append mode accumulates footers with differing column sets (the
-        # seed carries no __aa_batch stamp); merge the schemas
+        # The AA log's schema is FIXED by construction — every fold emits
+        # the full (key, __state__, value_cols, __deleted) row — so the
+        # only cross-file variance is the __aa_batch stamp the seed lacks.
+        # Read with the sampled schema widened by that one column instead
+        # of mergeSchema: mergeSchema reads EVERY footer on EVERY read,
+        # which at 3 reads/trigger over a bucketed log's ~buckets files
+        # dominated the trigger (r6 probe: 8.9s vs 2.9 flat at 20M rows);
+        # files missing a schema column read as NULL, exactly what the
+        # stamp's nulls-last resolution wants.
+        from pyspark.sql import types as T
+
         from venice_spark.streaming.hybrid import recover_swap_dir
 
         recover_swap_dir(self.serving_dir)  # self-heal a crashed swap
-        reader = self.spark.read
-        if self.mode == "append":
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(self.serving_dir)
+        sample = self.spark.read.parquet(self.serving_dir)
+        if self.mode != "append":
+            return sample
+        schema = sample.schema
+        if "__aa_batch" not in schema.names:
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField("__aa_batch", T.LongType(), True)]
+            )
+        return self.spark.read.schema(schema).parquet(self.serving_dir)
 
-    def _resolve_log(self, keys: DataFrame | None = None) -> DataFrame:
+    def _resolve_log(
+        self, keys: DataFrame | None = None, raw: DataFrame | None = None
+    ) -> DataFrame:
         """One row per key: the latest batch's refreshed row wins (the fold
         merged prior state, so it is authoritative — see class docstring);
         the stampless seed row sorts oldest. `keys` prunes the log to the
@@ -212,11 +293,15 @@ class ActiveActiveReplay:
         independent, so this is equivalent) — without it the window would
         shuffle the ENTIRE log for a batch-sized probe instead of relying
         on an optimizer rule pushing a later semi join through the
-        Filter + Window (code-review r5)."""
+        Filter + Window (code-review r5). `raw` lets a caller reuse one
+        already-listed read of the log (each `_raw()` re-lists the dir —
+        3x per trigger added up on a bucketed layout)."""
         from pyspark.sql import Window
 
-        df = self._raw()
+        df = self._raw() if raw is None else raw
         if keys is not None:
+            if self.buckets:
+                df = self._bucket_prune(df, keys)
             df = df.join(F.broadcast(keys), on=self.key_fields, how="left_semi")
         if "__aa_batch" not in df.columns:
             return df
@@ -230,11 +315,7 @@ class ActiveActiveReplay:
         )
 
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from venice_spark.streaming.hybrid import (
-            atomic_swap_dir,
-            log_stamp_pressure,
-            recover_swap_dir,
-        )
+        from venice_spark.streaming.hybrid import atomic_swap_dir, recover_swap_dir
 
         # heal a swap that died between its renames before reading or
         # stamping against the serving dir (ADVICE r5)
@@ -248,15 +329,25 @@ class ActiveActiveReplay:
             # streaming batch id / an in-memory counter: batch ids restart
             # on checkpoint resets, and the aa_serve facade builds a fresh
             # handle per call so a counter never fires (code-review r5).
-            stamp, n_stamps = log_stamp_pressure(
-                self.spark, self.serving_dir, "__aa_batch"
-            )
+            # One _raw() serves the whole trigger (stamp agg + prior
+            # resolve + fold schema) — each read re-lists the log dir.
+            raw = self._raw()
+            row = raw.agg(
+                F.max("__aa_batch").alias("m"),
+                F.count_distinct("__aa_batch").alias("n"),
+            ).collect()[0]
+            stamp = 0 if row["m"] is None else int(row["m"]) + 1
+            n_stamps = int(row["n"])
             touched = batch_df.select(*self.key_fields).distinct()
-            prior = self._resolve_log(keys=touched)
-            refreshed = self._fold_new(batch_df, prior=prior, snap=self._raw())
-            refreshed.withColumn(
-                "__aa_batch", F.lit(stamp).cast("long")
-            ).write.mode("append").parquet(self.serving_dir)
+            prior = self._resolve_log(keys=touched, raw=raw)
+            refreshed = self._fold_new(batch_df, prior=prior, snap=raw)
+            stamped = refreshed.withColumn("__aa_batch", F.lit(stamp).cast("long"))
+            if self.buckets:
+                self._with_bucket(stamped).write.mode("append").partitionBy(
+                    "__kb"
+                ).parquet(self.serving_dir)
+            else:
+                stamped.write.mode("append").parquet(self.serving_dir)
             if self.compact_every and n_stamps + 1 >= self.compact_every:
                 self.compact()
             return
@@ -282,7 +373,13 @@ class ActiveActiveReplay:
             m = self._raw().agg(F.max("__aa_batch")).collect()[0][0]
             if m is not None:
                 out = out.withColumn("__aa_batch", F.lit(int(m)).cast("long"))
-        atomic_swap_dir(out, self.serving_dir, tag="aa")
+        if self.buckets and "__kb" in out.columns:
+            # see seed(): cluster by bucket or the swap writes
+            # tasks x buckets files
+            out = out.repartition("__kb")
+            atomic_swap_dir(out, self.serving_dir, tag="aa", partition_by="__kb")
+        else:
+            atomic_swap_dir(out, self.serving_dir, tag="aa")
 
     def start(self, rt_stream: DataFrame, checkpoint_dir: str):
         return (
@@ -307,6 +404,7 @@ def aa_serve(
     ts_col: str = "ts",
     mode: str = "append",
     compact_every: int = 16,
+    buckets: int = 0,
 ):
     """One-call AA serving loop (the facade twin of hybrid_serve for
     active-active stores): seed from the current version if needed, replay
@@ -333,7 +431,7 @@ def aa_serve(
     reset_serving_if_stale(serving, ckpt, cur)
     replay = ActiveActiveReplay(
         spark, catalog, name, serving, value_cols, list_fields, map_fields, ts_col,
-        mode=mode, compact_every=compact_every,
+        mode=mode, compact_every=compact_every, buckets=buckets,
     )
     if not os.path.isdir(serving):
         replay.seed(engine_store.df().drop("partition_id"))

@@ -134,7 +134,9 @@ def recover_swap_dir(target: str) -> bool:
     return True
 
 
-def atomic_swap_dir(df: DataFrame, target: str, tag: str = "swap") -> None:
+def atomic_swap_dir(
+    df: DataFrame, target: str, tag: str = "swap", partition_by: str | None = None
+) -> None:
     """Write `df` to a tmp sibling, move the old dir aside, move the new one
     in, then drop the old — readers always see either the full old or full
     new dir. A leftover from a crash BETWEEN the two moves is first
@@ -152,7 +154,14 @@ def atomic_swap_dir(df: DataFrame, target: str, tag: str = "swap") -> None:
     old = f"{target}__{tag}_old"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by is not None:
+        # preserve a bucketed layout across compaction swaps (the AA
+        # serving log's directory-pruning column). partitionBy leaves no
+        # top-level _SUCCESS-adjacent data files but DOES write _SUCCESS,
+        # so recover_swap_dir's completeness probe still holds.
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
     # Carry the _seeded_version marker across the swap: the marker lives
     # INSIDE the serving dir, and every rewrite-mode micro-batch / AA merge /
     # append-mode compact replaces that dir. Losing it makes the next
