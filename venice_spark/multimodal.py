@@ -6,7 +6,7 @@ is the codec path for header+raw formats: PPM/PGM decode, nearest-neighbor
 resize, re-encode and luminance-grid feature extraction are pure numpy
 (decode_ppm/resize_nearest/image_features), and PCM WAV audio decodes with
 stdlib wave + numpy (decode_wav/audio_features — duration/RMS/ZCR/spectral
-bands). PNG (8/16-bit, palette, non-interlaced) decodes natively too —
+bands). PNG (8/16-bit, palette, incl. Adam7 interlaced) decodes natively too —
 stdlib zlib + numpy (decode_png/encode_png). The rest (JPEG/MP3/video)
 need PIL/ffmpeg, which are not in this container — those stay gated behind
 a clearly-marked NotImplementedError in `_decode_image`, with a deterministic stand-in
@@ -148,16 +148,76 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 class UnsupportedPngError(ValueError):
     """A structurally VALID PNG in a flavor the native decoder does not
-    handle (interlaced, exotic color type) — the caller may fall
+    handle (exotic color type, tRNS transparency) — the caller may fall
     back to PIL. Distinct from plain ValueError, which means the payload
     is CORRUPT: corruption must surface as bad data (nulled by the
     feature kernels' tolerance rule), never as a missing-PIL config error
     that aborts the job (code-review r5)."""
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per RFC 2083 §2.6
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int):
+    """Undo the five scanline filters (RFC 2083 §6) over `h` scanlines of
+    `w` pixels × `bpp` filter-offset bytes; returns uint8 (h, w*bpp).
+    `raw` is exactly h*(w*bpp+1) bytes (leading filter byte per line)."""
+    import numpy as np
+
+    stride = w * bpp
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype, line = rows[y, 0], rows[y, 1:].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:
+            rec = (line + up) & 0xFF
+        elif ftype == 1:
+            # Sub is a per-channel-lane prefix sum mod 256 — vectorized
+            # (the per-BYTE Python loop cost O(h·w·ch) iterations and real
+            # encoders use adaptive filters on almost every row;
+            # code-review r5)
+            rec = (np.cumsum(line.reshape(w, bpp), axis=0) & 0xFF).reshape(stride)
+        elif ftype in (3, 4):
+            # Average/Paeth reference the already-reconstructed left pixel
+            # — sequential per PIXEL, but the bpp channel lanes vectorize
+            lin = line.reshape(w, bpp)
+            upx = up.reshape(w, bpp)
+            rec2 = np.zeros((w, bpp), dtype=np.int32)
+            zero = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                left = rec2[x - 1] if x else zero
+                if ftype == 3:
+                    rec2[x] = (lin[x] + (left + upx[x]) // 2) & 0xFF
+                else:
+                    ul = upx[x - 1] if x else zero
+                    p = left + upx[x] - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - upx[x]), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, upx[x], ul)
+                    )
+                    rec2[x] = (lin[x] + pred) & 0xFF
+            rec = rec2.reshape(stride)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
 def decode_png(payload: bytes):
     """REAL stdlib+numpy decode of PNG (8/16-bit depth; gray / gray+alpha /
-    RGB / RGBA / 8-bit palette; non-interlaced): chunk parse with CRC
+    RGB / RGBA / 8-bit palette; interlace 0 and Adam7): chunk parse with CRC
     verification, one zlib inflate, the five scanline filters (None/Sub/
     Up/Average/Paeth) undone exactly per the spec (RFC 2083 §6), and PLTE
     lookup for color type 3. Returns an uint8 (h, w, channels) ndarray
@@ -166,8 +226,8 @@ def decode_png(payload: bytes):
     is pure bookkeeping over a stdlib decompressor needs no external media
     library (VERDICT r4 'What's missing' #4 — compressed-image decode
     without PIL). 16-bit samples downsample to their high byte (the
-    spec's 16->8 reduction) to keep the uint8 contract. Interlaced PNGs and
-    PNGs carrying a tRNS transparency chunk
+    spec's 16->8 reduction) to keep the uint8 contract. PNGs
+    carrying a tRNS transparency chunk
     raise UnsupportedPngError (decode through the optional PIL path
     instead); every OTHER failure —
     truncation, CRC mismatch, bad lengths, broken zlib stream — raises
@@ -217,11 +277,13 @@ def decode_png(payload: bytes):
         raise UnsupportedPngError(f"unsupported PNG color type {ctype_code}")
     if ctype_code == 3 and plte is None:
         raise ValueError("palette PNG missing its PLTE chunk")
-    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0:
         raise UnsupportedPngError(
-            f"only 8/16-bit non-interlaced PNG supported "
-            f"(depth={depth}, interlace={interlace})"
+            f"only 8/16-bit PNG with standard compression/filtering "
+            f"supported (depth={depth}, comp={comp}, filt={filt})"
         )
+    if interlace not in (0, 1):
+        raise ValueError(f"illegal PNG interlace method {interlace}")
     if ctype_code == 3 and depth != 8:
         raise ValueError(f"palette PNG with illegal bit depth {depth}")
     try:
@@ -230,52 +292,41 @@ def decode_png(payload: bytes):
         raise ValueError(f"PNG IDAT zlib stream corrupt: {e}") from None
     sample_bytes = depth // 8
     bpp = channels * sample_bytes  # filter left-offset is bytes per pixel
-    stride = w * bpp
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):
-        ftype, line = raw[y, 0], raw[y, 1:].astype(np.int32)
-        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
-        if ftype == 0:
-            rec = line
-        elif ftype == 2:
-            rec = (line + up) & 0xFF
-        elif ftype == 1:
-            # Sub is a per-channel-lane prefix sum mod 256 — vectorized
-            # (the per-BYTE Python loop cost O(h·w·ch) iterations and real
-            # encoders use adaptive filters on almost every row;
-            # code-review r5)
-            rec = (np.cumsum(line.reshape(w, bpp), axis=0) & 0xFF).reshape(stride)
-        elif ftype in (3, 4):
-            # Average/Paeth reference the already-reconstructed left pixel
-            # — sequential per PIXEL, but the bpp channel lanes vectorize
-            lin = line.reshape(w, bpp)
-            upx = up.reshape(w, bpp)
-            rec2 = np.zeros((w, bpp), dtype=np.int32)
-            zero = np.zeros(bpp, dtype=np.int32)
-            for x in range(w):
-                left = rec2[x - 1] if x else zero
-                if ftype == 3:
-                    rec2[x] = (lin[x] + (left + upx[x]) // 2) & 0xFF
-                else:
-                    ul = upx[x - 1] if x else zero
-                    p = left + upx[x] - ul
-                    pa, pb, pc = np.abs(p - left), np.abs(p - upx[x]), np.abs(p - ul)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, upx[x], ul)
-                    )
-                    rec2[x] = (lin[x] + pred) & 0xFF
-            rec = rec2.reshape(stride)
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        out[y] = rec.astype(np.uint8)
-    if depth == 16:
-        # big-endian 16-bit samples downsample to their high byte — the
-        # spec's own 16→8 reduction; keeps the uint8 (h, w, ch) contract
-        out = out.reshape(h, w * channels, 2)[:, :, 0]
-    img = out.reshape(h, w, channels)
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        out = _png_unfilter(raw, h, w, bpp)
+        if depth == 16:
+            # big-endian 16-bit samples downsample to their high byte — the
+            # spec's own 16→8 reduction; keeps the uint8 (h, w, ch) contract
+            out = out.reshape(h, w * channels, 2)[:, :, 0]
+        img = out.reshape(h, w, channels)
+    else:
+        # Adam7 (RFC 2083 §2.6): seven reduced images concatenated in one
+        # zlib stream, each with its OWN scanline sequence and filters
+        # (a pass's Up/Average/Paeth reference the previous row of the
+        # pass). Unfilter each pass, reduce 16->8 per pass (the reduction
+        # commutes with the scatter), and scatter into the full image on
+        # the pass's (x0::dx, y0::dy) grid.
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # pass empty for this image size
+            need = ph * (pw * bpp + 1)
+            chunk = raw[pos:pos + need]
+            pos += need
+            if len(chunk) != need:
+                raise ValueError("PNG interlaced pass data truncated")
+            rec = _png_unfilter(chunk, ph, pw, bpp)
+            if depth == 16:
+                rec = rec.reshape(ph, pw * channels, 2)[:, :, 0]
+            img[y0::dy, x0::dx, :] = rec.reshape(ph, pw, channels)
+        if pos != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
     if ctype_code == 3:
         if int(img.max()) >= len(plte):
             raise ValueError("PNG palette index out of range")
@@ -324,9 +375,9 @@ def encode_png(arr) -> bytes:
 
 def _decode_image(payload: bytes):
     """Decode an image payload to an uint8 (h, w, ch) ndarray. PPM/PGM and
-    8/16-bit PNG (gray/gray+alpha/RGB/RGBA/palette, non-interlaced)
+    8/16-bit PNG (gray/gray+alpha/RGB/RGBA/palette, incl. Adam7)
     decode natively (decode_ppm / decode_png — stdlib + numpy, no media
-    libraries); other compressed formats (JPEG, interlaced PNG, ...) decode through PIL when it is installed — the fallback path on
+    libraries); other compressed formats (JPEG, tRNS-transparent PNG, ...) decode through PIL when it is installed — the fallback path on
     clusters that ship Pillow — and stay a LOUD NotImplementedError where
     it is not (this container), never a silent skip. A CORRUPT PNG raises
     ValueError here and is nulled by the feature kernels' corrupt-blob
@@ -350,8 +401,8 @@ def _decode_image(payload: bytes):
         from PIL import Image  # optional dependency, absent in this container
     except ImportError:
         raise NotImplementedError(
-            "PPM/PGM and 8/16-bit non-interlaced PNG decode natively; this "
-            "payload's format (JPEG / interlaced PNG / ...) "
+            "PPM/PGM and 8/16-bit PNG (incl. Adam7) decode natively; this "
+            "payload's format (JPEG / tRNS PNG / ...) "
             "requires PIL — not installed"
         ) from None
     import io
