@@ -36,12 +36,14 @@ def _rand_op(rng, next_ts):
     return op
 
 
-@pytest.mark.parametrize("seed", [9, 27])
-def test_aa_serve_fuzz_matches_batch_kernel(spark, tmp_path, seed):
+@pytest.mark.parametrize("seed,buckets", [(9, 0), (27, 0), (9, 4)])
+def test_aa_serve_fuzz_matches_batch_kernel(spark, tmp_path, seed, buckets):
+    # buckets=4 runs the same lifecycle over the bucketed log layout
+    # (r6): serve/compact/checkpoint-resume must be layout-invariant
     from venice_spark.merge.dcr import merge_op_log
 
     rng = random.Random(seed)
-    eng = VeniceSparkEngine(spark, str(tmp_path / f"root{seed}"))
+    eng = VeniceSparkEngine(spark, str(tmp_path / f"root{seed}_{buckets}"))
     eng.create_store("aa", key_fields=["k"], partition_count=2, active_active=True)
     base_rows = [(i, f"b{i}", float(i)) for i in range(5)]
     eng.push(
@@ -84,7 +86,7 @@ def test_aa_serve_fuzz_matches_batch_kernel(spark, tmp_path, seed):
             if batch:
                 p.flush(schema=OPS_SCHEMA)
             all_ops.extend(batch)
-            replay = st.aa_serve(["name", "score"], compact_every=3)
+            replay = st.aa_serve(["name", "score"], compact_every=3, buckets=buckets)
             got = {
                 r["k"]: (r["name"], r["score"]) for r in replay.read().collect()
             }
@@ -103,6 +105,6 @@ def test_aa_serve_fuzz_matches_batch_kernel(spark, tmp_path, seed):
         all_ops.extend(pending)
     final = {
         r["k"]: (r["name"], r["score"])
-        for r in st.aa_serve(["name", "score"], compact_every=3).read().collect()
+        for r in st.aa_serve(["name", "score"], compact_every=3, buckets=buckets).read().collect()
     }
     assert final == batch_expected(all_ops), f"seed {seed} final"
