@@ -948,6 +948,51 @@ def cdc_change_events(spark, sf_dir):
 
 
 @register(
+    "x_version_diff",
+    "WITH old AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0), "
+    "new AS (SELECT o_orderkey, "
+    "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice "
+    "FROM orders WHERE o_orderkey % 5 <> 0) "
+    "SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey, "
+    "CASE WHEN new.o_orderkey IS NULL THEN 'DELETE' ELSE 'PUT' END AS op, "
+    "old.o_totalprice AS before_price, new.o_totalprice AS after_price "
+    "FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey "
+    "WHERE old.o_totalprice IS DISTINCT FROM new.o_totalprice",
+)
+def x_version_diff(spark, sf_dir):
+    """CDC across a version swap (cdc.snapshot_diff — the dataflow
+    version_diff_events runs between two immutable store versions;
+    VeniceChangelogConsumer's VersionSwap handling,
+    VeniceChangelogConsumer.java:19-209): full-outer join on the key,
+    null-safe struct comparison drops unchanged keys, op=DELETE for keys
+    absent after the swap, PUT for adds/changes. Two derived snapshots of
+    `orders` stand in for the versions (keys %7 deleted before, %5 deleted
+    after = adds in reverse, %3 rewritten); before/after structs flatten
+    to scalar columns for the driver canonicalizer. The doubling is exact
+    in IEEE754 so the change rows compare bit-identically. At scale both
+    versions share the store partitioner and key-sorted files, so the
+    full-outer join is a co-partitioned merge (no Python, one shuffle at
+    most)."""
+    from venice_spark.streaming.cdc import snapshot_diff
+
+    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = df.filter(F.col("o_orderkey") % 7 != 0)
+    new = df.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    ev = snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+    return ev.select(
+        "o_orderkey",
+        "op",
+        F.col("before.o_totalprice").alias("before_price"),
+        F.col("after.o_totalprice").alias("after_price"),
+    )
+
+
+@register(
     "i6_duplicate_key_check",
     "SELECT user_id, event_type, distinct_values FROM ("
     "  SELECT user_id, event_type, count(DISTINCT (event_id, value)) AS distinct_values "

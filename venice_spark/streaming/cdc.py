@@ -68,6 +68,17 @@ def version_diff_events(
     kf = catalog.get_key_fields(store)
     if value_cols is None:
         value_cols = [c for c in new.columns if c not in kf]
+    return snapshot_diff(old, new, kf, value_cols)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_fields: list[str], value_cols: list[str]
+) -> DataFrame:
+    """The version-swap diff's dataflow on two arbitrary snapshots (the
+    pure core version_diff_events drives against store versions; factored
+    out so the registry can certify the math against a SQL oracle —
+    x_version_diff)."""
+    kf = key_fields
     o = old.select(*kf, F.struct(*value_cols).alias("__old"))
     n = new.select(*kf, F.struct(*value_cols).alias("__new"))
     joined = o.join(n, on=kf, how="full_outer")
