@@ -316,3 +316,46 @@ def test_hybrid_serve_e2e_crash_midswap_preserves_merged_rt_ops(spark, tmp_path)
     assert out.get(10) == "rt1", f"merged RT op lost across the crash: {out}"
     assert out.get(11) == "rt2", f"crashed batch's op lost: {out}"
     assert out.get(1) == "base"
+
+
+def test_aa_compact_crash_then_merge_heals_and_serves_exact_content(spark, tmp_path):
+    """AA edition of the compact-crash test: kill the AA log's compaction
+    mid-swap; the next micro-batch merge must self-heal before reading or
+    stamping (an append onto a vanished dir would restart the log from
+    empty) and the served view must match the DCR kernel's answer."""
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("aa", key_fields=["k"], partition_count=2, active_active=True)
+    eng.push(
+        "aa",
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "k long, name string, score double"
+        ),
+    )
+    st = eng.store("aa")
+    p = st.producer()
+    fs = "k long, op string, ts long, colo int, name string, score double"
+    p._buffer.append({"k": 1, "op": "PUT", "ts": 100, "colo": 0, "name": "a2", "score": 9.0})
+    p._buffer.append({"k": 2, "op": "DELETE", "ts": 100, "colo": 0})
+    p.flush(schema=fs)
+    replay = st.aa_serve(["name", "score"])
+
+    with _CrashOnNthMove(2):
+        with pytest.raises(SimulatedCrash):
+            replay.compact()
+
+    # next serve call (fresh handle, checkpoint resume) heals and merges
+    p._buffer.append({"k": 3, "op": "PUT", "ts": 110, "colo": 1, "name": "c", "score": 3.0})
+    p.flush(schema=fs)
+    replay2 = st.aa_serve(["name", "score"])
+    out = {r["k"]: (r["name"], r["score"]) for r in replay2.read().collect()}
+    assert out == {1: ("a2", 9.0), 3: ("c", 3.0)}, out
+    # tombstone register still stops a stale resurrection after the crash
+    p._buffer.append({"k": 2, "op": "PUT", "ts": 50, "colo": 2, "name": "zombie", "score": 0.0})
+    p.flush(schema=fs)
+    out = {
+        r["k"]: r["name"]
+        for r in st.aa_serve(["name", "score"]).read().collect()
+    }
+    assert 2 not in out, f"stale PUT resurrected a deleted key across the crash: {out}"
