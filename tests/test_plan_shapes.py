@@ -309,3 +309,18 @@ def test_hll_gate_is_single_pass_single_scan(spark, sf_dir):
     plan = _plan(QUERIES["x_hll_error_gate"](spark, sf_dir))
     assert plan.count("FileScan") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_version_diff_prunes_columns_and_stays_jvm(spark, sf_dir):
+    """The version-swap CDC diff must read only (key, value) columns from
+    both snapshot scans (a swap diff that reads all columns re-reads the
+    whole store) and run as a single JVM merge join — no Python stage, no
+    cartesian/nested-loop."""
+    df = QUERIES["x_version_diff"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    for seg in plan.split("ReadSchema: ")[1:]:
+        schema = seg.split("\n", 1)[0]
+        assert "o_orderkey" in schema and "o_totalprice" in schema, schema
+        assert "o_orderstatus" not in schema and "o_comment" not in schema, schema
