@@ -359,3 +359,151 @@ def test_aa_compact_crash_then_merge_heals_and_serves_exact_content(spark, tmp_p
         for r in st.aa_serve(["name", "score"]).read().collect()
     }
     assert 2 not in out, f"stale PUT resurrected a deleted key across the crash: {out}"
+
+
+def test_crash_between_commit_and_sweep_heals_on_next_committer(
+    spark, tmp_path, monkeypatch
+):
+    """A process death AFTER commit_version but BEFORE sweep_late_deltas
+    used to strand late lazy slots on the retired version forever (retired
+    versions are never read, and nothing re-ran the sweep). Committers now
+    record their resolved-slot snapshot in the version manifest, and every
+    version-producing operation heals stranded slots first
+    (recover_stranded_deltas)."""
+    import venice_spark.push as push_mod
+    from venice_spark.push import (
+        BatchPushJob,
+        incremental_push,
+        recover_stranded_deltas,
+    )
+
+    catalog = StoreCatalog(str(tmp_path / "cat"))
+    catalog.create_store("s", key_fields=["k"], partition_count=2)
+    BatchPushJob(catalog).run(
+        spark, "s", spark.createDataFrame([(1, "base"), (2, "base")], "k long, v string")
+    )
+    # a lazy slot that the eager push below will NOT see (hidden from its
+    # snapshot + resolve — the standard late-arrival interleaving)
+    incremental_push(
+        spark, catalog, "s",
+        spark.createDataFrame([(2, "late")], "k long, v string"), eager=False,
+    )
+    real_list = catalog.list_delta_dirs
+    hidden = {"left": 2}
+
+    def hiding(store, version):
+        out = real_list(store, version)
+        if version == 1 and hidden["left"] > 0:
+            hidden["left"] -= 1
+            return []
+        return out
+
+    monkeypatch.setattr(catalog, "list_delta_dirs", hiding)
+    # the push dies right after its commit: its sweep never runs
+    real_sweep = push_mod.sweep_late_deltas
+    state = {"calls": 0}
+
+    def dying_sweep(*a, **k):
+        state["calls"] += 1
+        if state["calls"] == 1:
+            raise SimulatedCrash("died post-commit pre-sweep")
+        return real_sweep(*a, **k)
+
+    monkeypatch.setattr(push_mod, "sweep_late_deltas", dying_sweep)
+    with pytest.raises(SimulatedCrash):
+        incremental_push(
+            spark, catalog, "s",
+            spark.createDataFrame([(1, "eager")], "k long, v string"),
+        )
+    monkeypatch.setattr(catalog, "list_delta_dirs", real_list)
+
+    # loss state: v2 is current and serves WITHOUT the late slot
+    assert catalog.current_version("s") == 2
+    assert catalog.list_delta_dirs("s", 1), "precondition: slot stranded on v1"
+    got = {r["k"]: r["v"] for r in catalog.read_current(spark, "s").collect()}
+    assert got == {1: "eager", 2: "base"}, got
+
+    # the next committer heals: the stranded slot carries to the current
+    # version's log before the new push snapshots
+    incremental_push(
+        spark, catalog, "s",
+        spark.createDataFrame([(3, "next")], "k long, v string"),
+    )
+    got = {r["k"]: r["v"] for r in catalog.read_current(spark, "s").collect()}
+    assert got[2] == "late", f"stranded slot never recovered: {got}"
+    assert got[1] == "eager" and got[3] == "next"
+    assert catalog.list_delta_dirs("s", 1) == [], "slot left behind on v1"
+    # idempotent: nothing more to heal
+    assert recover_stranded_deltas(spark, catalog, "s") == 0
+
+
+def test_stacked_commit_sweep_crashes_heal_along_the_lineage(
+    spark, tmp_path, monkeypatch
+):
+    """Two concurrent-ish pushes both die post-commit pre-sweep (each with
+    a late slot it never saw): the slots strand TWO generations back.
+    Recovery walks the swept_from lineage oldest-first, so one healthy
+    committer heals both — and the older generation's slot takes lower
+    precedence than the newer one's."""
+    import venice_spark.push as push_mod
+    from venice_spark.push import BatchPushJob, incremental_push
+
+    catalog = StoreCatalog(str(tmp_path / "cat"))
+    catalog.create_store("s", key_fields=["k"], partition_count=2)
+    BatchPushJob(catalog).run(
+        spark, "s", spark.createDataFrame([(1, "base"), (2, "base")], "k long, v string")
+    )
+
+    real_sweep = push_mod.sweep_late_deltas
+    real_recover = push_mod.recover_stranded_deltas
+    monkeypatch.setattr(push_mod, "recover_stranded_deltas", lambda *a, **k: 0)
+
+    def crash_push(value, late_value, old_v):
+        # the late slot lands while the push runs: hide it from the push's
+        # snapshot/resolve listing, then let the push die at its sweep
+        incremental_push(
+            spark, catalog, "s",
+            spark.createDataFrame([(2, late_value)], "k long, v string"),
+            eager=False,
+        )
+        real_list = catalog.list_delta_dirs
+        hidden = {"left": 2}
+
+        def hiding(store, version):
+            out = real_list(store, version)
+            if version == old_v and hidden["left"] > 0:
+                hidden["left"] -= 1
+                return []
+            return out
+
+        monkeypatch.setattr(catalog, "list_delta_dirs", hiding)
+        monkeypatch.setattr(
+            push_mod, "sweep_late_deltas",
+            lambda *a, **k: (_ for _ in ()).throw(SimulatedCrash("post-commit")),
+        )
+        with pytest.raises(SimulatedCrash):
+            incremental_push(
+                spark, catalog, "s",
+                spark.createDataFrame([(1, value)], "k long, v string"),
+            )
+        monkeypatch.setattr(catalog, "list_delta_dirs", real_list)
+        monkeypatch.setattr(push_mod, "sweep_late_deltas", real_sweep)
+
+    crash_push("eager1", "lateA", old_v=1)   # strands lateA on v1
+    crash_push("eager2", "lateB", old_v=2)   # strands lateB on v2
+    monkeypatch.setattr(push_mod, "recover_stranded_deltas", real_recover)
+
+    assert catalog.list_delta_dirs("s", 1) and catalog.list_delta_dirs("s", 2)
+    got = {r["k"]: r["v"] for r in catalog.read_current(spark, "s").collect()}
+    assert got[2] == "base", f"precondition: both slots stranded, got {got}"
+
+    incremental_push(
+        spark, catalog, "s",
+        spark.createDataFrame([(3, "next")], "k long, v string"),
+    )
+    got = {r["k"]: r["v"] for r in catalog.read_current(spark, "s").collect()}
+    # lateB (newer generation) outranks lateA after the oldest-first carry
+    assert got[2] == "lateB", f"lineage healing broken: {got}"
+    assert got[1] == "eager2" and got[3] == "next"
+    assert catalog.list_delta_dirs("s", 1) == []
+    assert catalog.list_delta_dirs("s", 2) == []

@@ -177,6 +177,73 @@ def sweep_late_deltas(
             k += 1
 
 
+def _resolved_basenames(resolved_deltas: set) -> list[str]:
+    """Manifest form of a committer's resolved-slot snapshot (basenames,
+    sorted) — what recover_stranded_deltas needs to tell a RESOLVED slot
+    (folded into the new version's content, stays on the old version for
+    rollback) from a LATE one (landed after the snapshot, must carry)."""
+    import os
+
+    return sorted(os.path.basename(d) for d in resolved_deltas)
+
+
+def recover_stranded_deltas(
+    spark: SparkSession, catalog: StoreCatalog, store: str
+) -> int:
+    """Heal the crash window between commit_version and sweep_late_deltas:
+    a process death there leaves late lazy slots stranded on the retired
+    version FOREVER (retired versions are never read, and nothing re-runs
+    the sweep). Post-hoc, a leftover slot on the old version is ambiguous
+    — resolved slots legitimately remain there for rollback — so every
+    committer records its resolved-slot snapshot in the version manifest
+    (`swept_from` + `resolved_deltas`), and this function, run at the
+    START of every version-producing operation, carries exactly the slots
+    NOT in that snapshot. Idempotent: carried slots move off the old
+    version, so a second run finds nothing. Also closes the defer_swap
+    gap: a deferred version activated later via set_version never ran a
+    sweep at all — its manifest makes the late slots recoverable here.
+    Returns the number of slots carried."""
+    import os
+
+    meta = catalog.get_store(store)
+    cur = meta.current_version
+    if cur <= 0:
+        return 0
+    # Walk the swept_from lineage from the current version: two stacked
+    # crashes strand slots two generations back (the middle version's own
+    # sweep never ran, and the current version was built from it without
+    # them). Only the LINEAGE manifests are authoritative — an orphan
+    # lost-race version's (smaller) resolved set must never trigger a
+    # re-carry of slots the winner already folded in, which would regress
+    # newer values. Hops process oldest-first so older generations' slots
+    # take lower precedence in the target log.
+    hops = []
+    v, seen = cur, set()
+    while v and v > 0 and v not in seen:
+        seen.add(v)
+        m = catalog.version_manifest(store, v) or {}
+        old = m.get("swept_from")
+        if not old or old <= 0:
+            break
+        hops.append((old, set(m.get("resolved_deltas", []))))
+        v = old
+    carried = 0
+    parts, md5p = _version_layout(catalog, store, cur, meta)
+    for old, resolved_names in reversed(hops):
+        all_slots = catalog.list_delta_dirs(store, old)
+        resolved = {
+            d for d in all_slots if os.path.basename(d) in resolved_names
+        }
+        n_late = len(all_slots) - len(resolved)
+        if n_late <= 0:
+            continue
+        sweep_late_deltas(
+            spark, catalog, store, old, resolved, cur, meta.key_fields, parts, md5p
+        )
+        carried += n_late
+    return carried
+
+
 class BatchPushJob:
     """W8: write a DataFrame as a new immutable store version and swap."""
 
@@ -197,6 +264,9 @@ class BatchPushJob:
         validations: list | None = None,
         defer_swap: bool = False,
     ) -> PushResult:
+        # heal a predecessor that died between its commit and its sweep
+        # (or a defer_swap activation that never swept) BEFORE snapshotting
+        recover_stranded_deltas(spark, self.catalog, store)
         meta = self.catalog.get_store(store)
         key_fields = meta.key_fields
         if md5_parity is None:
@@ -379,6 +449,12 @@ class BatchPushJob:
                 "partition_count": meta.partition_count,
                 "partitioner": "md5" if md5_parity else "xxhash64",
                 "push_type": "full",
+                # crash-recovery record: which old-version slots this push
+                # RESOLVED (stay behind for rollback) — anything else found
+                # there later is a stranded late slot
+                # (recover_stranded_deltas)
+                "swept_from": pre_version,
+                "resolved_deltas": _resolved_basenames(pre_deltas),
             },
             make_current=not defer_swap,
         )
@@ -1033,6 +1109,9 @@ def incremental_push(
     compaction is deferred to compact_store / the `delta_compact_threshold`
     store config (default 8). At 100 TB an incremental push then costs
     delta-sized I/O, not a full rewrite."""
+    # heal a predecessor that died between commit and sweep first — the
+    # eager path's read_current snapshot must include recovered slots
+    recover_stranded_deltas(spark, catalog, store)
     meta = catalog.get_store(store)
     key_fields = meta.key_fields
     md5p = bool(meta.config.get("md5_parity", False))
@@ -1081,6 +1160,8 @@ def incremental_push(
             "partition_count": meta.partition_count,
             "partitioner": "md5" if md5p else "xxhash64",
             "push_type": "incremental",
+            "swept_from": old_version,
+            "resolved_deltas": _resolved_basenames(resolved_deltas),
         },
     )
     # a lazy delta that landed on the old version between our read_current
@@ -1119,6 +1200,7 @@ def compact_store(spark: SparkSession, catalog: StoreCatalog, store: str) -> Pus
     never changes observable content, only read cost."""
     import os
 
+    recover_stranded_deltas(spark, catalog, store)
     meta = catalog.get_store(store)
     old_version = meta.current_version
     resolved_deltas = set(catalog.list_delta_dirs(store, old_version))
@@ -1144,6 +1226,8 @@ def compact_store(spark: SparkSession, catalog: StoreCatalog, store: str) -> Pus
             "partition_count": meta.partition_count,
             "partitioner": "md5" if md5p else "xxhash64",
             "push_type": "compaction",
+            "swept_from": old_version,
+            "resolved_deltas": _resolved_basenames(resolved_deltas),
         },
     )
     # Late-delta sweep (shared with eager incremental and batch push):
@@ -1173,6 +1257,10 @@ def repush(
     `ttl_seconds` (repush.ttl.seconds — records older than now - ttl
     expire) or `ttl_start_timestamp` (repush.ttl.start.timestamp — records
     written before the timestamp expire)."""
+    # read_current materializes the slot list NOW, so stranded late slots
+    # must be recovered before the snapshot (job.run's own recovery would
+    # run after this frame was built and mark them resolved — lost)
+    recover_stranded_deltas(spark, catalog, store)
     meta = catalog.get_store(store)
     df = catalog.read_current(spark, store)
     if ttl_seconds is not None and ttl_start_timestamp is not None:
