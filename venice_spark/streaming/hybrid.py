@@ -213,14 +213,15 @@ def log_stamp_pressure(
     (code-review r5). distinct_stamps is the compaction-pressure metric:
     compact() coalesces winners to ONE stamp, so the count equals
     1 + appends-since-compaction. Cost: one column-pruned agg over the
-    stamp column per trigger."""
+    stamp column per trigger — read with an explicit one-column schema,
+    never mergeSchema (which reads EVERY footer per call; files without
+    the stamp column, e.g. the seed, read as NULL rows, which the
+    null-skipping aggregates already treat as stampless)."""
     import os
 
     if not os.path.isdir(serving_dir):
         return 0, 0
-    df = spark.read.option("mergeSchema", "true").parquet(serving_dir)
-    if stamp_col not in df.columns:
-        return 0, 0
+    df = spark.read.schema(f"{stamp_col} long").parquet(serving_dir)
     row = df.agg(
         F.max(stamp_col).alias("m"), F.count_distinct(stamp_col).alias("n")
     ).collect()[0]
