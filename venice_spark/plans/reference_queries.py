@@ -2873,56 +2873,13 @@ PINNED_GATES = {
 }
 
 # query -> most recent round with a fully-green driver row (derived from
-# CORRECTNESS_r{01..05}.json; tests recompute and diff this)
+# CORRECTNESS_r{01..06}.json; tests recompute and diff this)
 LAST_GREEN = {
-    # round 1
-    "x_skew_salted_count": 1,
-    # round 2
-    "r3_streaming_batch_get": 2,
-    "r4_project": 2,
-    "r8_count_array": 2,
-    "x_bpe_token_count": 2,
-    "x_dedup_ngram_jaccard": 2,
-    "x_embedding_near_dup": 2,
-    "x_fingerprint": 2,
-    "x_knn_join": 2,
-    "x_simhash": 2,
-    "x_token_count": 2,
-    # round 3
-    "r16_unique_keys": 3,
-    "x_ann_topk": 3,
-    "x_asof_join": 3,
-    "x_decontaminate": 3,
-    "x_embed_quantize": 3,
-    "x_event_percentiles": 3,
-    "x_lang_id": 3,
-    "x_ngram_counts": 3,
-    "x_pii_scrub": 3,
-    "x_range_join": 3,
-    "x_repetition_filter": 3,
-    "x_rollup_agg": 3,
-    "x_sessionize": 3,
-    "x_simhash_pairs": 3,
-    "x_training_pipeline": 3,
-    "x_unigram_logprob": 3,
     # round 4
     "cdc_change_events": 4,
     "i6_duplicate_key_check": 4,
     "i9_consistency_check": 4,
-    "r11_count_group_by_value": 4,
-    "r12_count_group_by_bucket": 4,
-    "r13_predicate_algebra": 4,
-    "r1_single_get": 4,
-    "r5_dot_product": 4,
-    "r6_cosine_similarity": 4,
-    "r7_hadamard_product": 4,
     "w10_repush_offset_dedup": 4,
-    "w15_materialized_view": 4,
-    "w1_put_latest_wins": 4,
-    "w2_delete_tombstone": 4,
-    "w3_partial_update_set_field": 4,
-    "w4_w5_list_ops": 4,
-    "w6_map_ops": 4,
     "x_dedup_exact": 4,
     "x_sequence_packing": 4,
     # round 5
@@ -2934,12 +2891,8 @@ LAST_GREEN = {
     "w11_ttl_filter": 5,
     "w7_dcr_merge": 5,
     "w9_incremental_push": 5,
-    "x_ann_ivf_recall": 5,
-    "x_ann_lsh_recall": 5,
-    "x_audio_tone_gate": 5,
     "x_bigram_logprob": 5,
     "x_blocklist_hits": 5,
-    "x_bpe_roundtrip": 5,
     "x_canonical_docs": 5,
     "x_cdc_chunk_dedup": 5,
     "x_chunk_documents": 5,
@@ -2954,20 +2907,15 @@ LAST_GREEN = {
     "x_event_histogram": 5,
     "x_event_rollup": 5,
     "x_feature_hash": 5,
-    "x_frame_dedup_gate": 5,
     "x_fuzzy_key_pairs": 5,
-    "x_hll_error_gate": 5,
     "x_importance_sample": 5,
     "x_inverted_index": 5,
     "x_ivf_knn_join": 5,
-    "x_ivfpq_recall": 5,
     "x_knn_classify": 5,
     "x_knn_join_lsh": 5,
     "x_minhash_near_dup": 5,
     "x_multimodal_features": 5,
     "x_oversample": 5,
-    "x_pq_recall": 5,
-    "x_quality_classifier_acc": 5,
     "x_quality_score": 5,
     "x_random_projection": 5,
     "x_shard_plan": 5,
@@ -2976,6 +2924,57 @@ LAST_GREEN = {
     "x_text_quality": 5,
     "x_tfidf_terms": 5,
     "x_topk_per_group": 5,
+    # round 6
+    "r11_count_group_by_value": 6,
+    "r12_count_group_by_bucket": 6,
+    "r13_predicate_algebra": 6,
+    "r16_unique_keys": 6,
+    "r1_single_get": 6,
+    "r3_streaming_batch_get": 6,
+    "r4_project": 6,
+    "r5_dot_product": 6,
+    "r6_cosine_similarity": 6,
+    "r7_hadamard_product": 6,
+    "r8_count_array": 6,
+    "w15_materialized_view": 6,
+    "w1_put_latest_wins": 6,
+    "w2_delete_tombstone": 6,
+    "w3_partial_update_set_field": 6,
+    "w4_w5_list_ops": 6,
+    "w6_map_ops": 6,
+    "x_ann_ivf_recall": 6,
+    "x_ann_lsh_recall": 6,
+    "x_ann_topk": 6,
+    "x_asof_join": 6,
+    "x_audio_tone_gate": 6,
+    "x_bpe_roundtrip": 6,
+    "x_bpe_token_count": 6,
+    "x_decontaminate": 6,
+    "x_dedup_ngram_jaccard": 6,
+    "x_embed_quantize": 6,
+    "x_embedding_near_dup": 6,
+    "x_event_percentiles": 6,
+    "x_fingerprint": 6,
+    "x_frame_dedup_gate": 6,
+    "x_hll_error_gate": 6,
+    "x_ivfpq_recall": 6,
+    "x_knn_join": 6,
+    "x_lang_id": 6,
+    "x_ngram_counts": 6,
+    "x_pii_scrub": 6,
+    "x_pq_recall": 6,
+    "x_quality_classifier_acc": 6,
+    "x_range_join": 6,
+    "x_repetition_filter": 6,
+    "x_rollup_agg": 6,
+    "x_sessionize": 6,
+    "x_simhash": 6,
+    "x_simhash_pairs": 6,
+    "x_skew_salted_count": 6,
+    "x_token_count": 6,
+    "x_training_pipeline": 6,
+    "x_unigram_logprob": 6,
+    "x_version_diff": 6,
 }
 
 
