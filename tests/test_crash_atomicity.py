@@ -507,3 +507,91 @@ def test_stacked_commit_sweep_crashes_heal_along_the_lineage(
     assert got[1] == "eager2" and got[3] == "next"
     assert catalog.list_delta_dirs("s", 1) == []
     assert catalog.list_delta_dirs("s", 2) == []
+
+
+def test_carried_stranded_slot_never_outranks_fresher_arrivals(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r6 (medium): a slot stranded by a commit→sweep crash used to
+    be carried onto the current version at the HIGHEST slot index, so lazy
+    slots that genuinely arrived AFTER the crash — possibly days later —
+    were overridden by the stale carried values. Precedence is now the
+    per-slot arrival sequence (`_slot_meta.json`, monotonic store-wide),
+    which the carry preserves, so the stranded slot resolves below every
+    later arrival regardless of the d{K} name it lands under."""
+    import venice_spark.push as push_mod
+    from venice_spark.push import (
+        BatchPushJob,
+        incremental_push,
+        recover_stranded_deltas,
+    )
+
+    real_sweep = push_mod.sweep_late_deltas
+    real_recover = push_mod.recover_stranded_deltas
+    catalog = StoreCatalog(str(tmp_path / "cat"))
+    catalog.create_store("s", key_fields=["k"], partition_count=2)
+    BatchPushJob(catalog).run(
+        spark, "s", spark.createDataFrame([(1, "base"), (2, "base")], "k long, v string")
+    )
+    # the slot that will strand on v1 (arrival #1)
+    incremental_push(
+        spark, catalog, "s",
+        spark.createDataFrame([(2, "stranded")], "k long, v string"), eager=False,
+    )
+    real_list = catalog.list_delta_dirs
+    hidden = {"left": 2}
+
+    def hiding(store, version):
+        out = real_list(store, version)
+        if version == 1 and hidden["left"] > 0:
+            hidden["left"] -= 1
+            return []
+        return out
+
+    monkeypatch.setattr(catalog, "list_delta_dirs", hiding)
+    monkeypatch.setattr(
+        push_mod, "sweep_late_deltas",
+        lambda *a, **k: (_ for _ in ()).throw(SimulatedCrash("post-commit")),
+    )
+    with pytest.raises(SimulatedCrash):
+        incremental_push(
+            spark, catalog, "s",
+            spark.createDataFrame([(1, "eager")], "k long, v string"),
+        )
+    monkeypatch.setattr(catalog, "list_delta_dirs", real_list)
+    monkeypatch.setattr(push_mod, "sweep_late_deltas", real_sweep)
+
+    assert catalog.current_version("s") == 2
+    assert catalog.list_delta_dirs("s", 1), "precondition: slot stranded on v1"
+
+    # a FRESH lazy slot lands on the current version after the crash
+    # (arrival #2 — newer than the stranded slot in wall-clock order). It
+    # comes from a push that was already past its own heal-at-entry when
+    # the crash happened (the staging write takes minutes), so its slot
+    # lands WITHOUT carrying the stranded one first — the exact
+    # interleaving where index-order precedence inverted arrival order.
+    monkeypatch.setattr(push_mod, "recover_stranded_deltas", lambda *a, **k: 0)
+    incremental_push(
+        spark, catalog, "s",
+        spark.createDataFrame([(2, "fresh")], "k long, v string"), eager=False,
+    )
+    monkeypatch.setattr(push_mod, "recover_stranded_deltas", real_recover)
+
+    # healing carries the stranded slot onto v2's log...
+    assert recover_stranded_deltas(spark, catalog, "s") == 1
+    assert catalog.list_delta_dirs("s", 1) == []
+    slots = catalog.list_delta_dirs("s", 2)
+    assert len(slots) == 2
+    # ...BELOW the fresher arrival: seq order, not slot-index order
+    seqs = [catalog.slot_seq(s) for s in slots]
+    assert seqs == sorted(seqs) and seqs[0] < seqs[1], seqs
+    got = {r["k"]: r["v"] for r in catalog.read_current(spark, "s").collect()}
+    assert got[2] == "fresh", f"carried slot outranked a fresher arrival: {got}"
+    assert got[1] == "eager"
+
+    # and the inversion stays fixed through compaction
+    from venice_spark.push import compact_store
+
+    compact_store(spark, catalog, "s")
+    got = {r["k"]: r["v"] for r in catalog.read_current(spark, "s").collect()}
+    assert got[2] == "fresh" and got[1] == "eager"

@@ -33,6 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def _slot_index(slot_dir: str) -> int:
+    """Numeric index of a `d{K}` delta-slot dir (naming only, not precedence)."""
+    return int(os.path.basename(slot_dir)[1:])
+
+
 class StoreNotFoundError(KeyError):
     pass
 
@@ -429,13 +434,65 @@ class StoreCatalog:
         return os.path.join(self.version_dir(store, version), "_deltas")
 
     def list_delta_dirs(self, store: str, version: int) -> list[str]:
+        """Slots in RESOLUTION order (lowest precedence first).
+
+        Precedence is ARRIVAL order, not slot-index order: each slot carries
+        a store-level monotonic arrival sequence in its `_slot_meta.json`
+        sidecar (written atomically with the slot by push._append_delta_slot).
+        A slot stranded on a retired version by a crash and later carried
+        forward by recover_stranded_deltas keeps its original sequence, so it
+        resolves BELOW slots that genuinely arrived after it on the target
+        version — the carry can never make days-old data outrank fresh writes
+        (ADVICE r6, medium). Slots without a sidecar (pre-sequence layouts)
+        sort as sequence 0 with the slot index as tiebreak, which preserves
+        their historical index-order semantics among themselves and is
+        correct against sequenced slots: any sidecar-less slot predates every
+        sequenced one."""
         root = self.deltas_dir(store, version)
         if not os.path.isdir(root):
             return []
         ks = sorted(
             int(d[1:]) for d in os.listdir(root) if d.startswith("d") and d[1:].isdigit()
         )
-        return [os.path.join(root, f"d{k}") for k in ks]
+        paths = [os.path.join(root, f"d{k}") for k in ks]
+        return sorted(paths, key=lambda p: (self.slot_seq(p), _slot_index(p)))
+
+    @staticmethod
+    def slot_seq(slot_dir: str) -> int:
+        """Arrival sequence of a delta slot (0 when the sidecar is absent)."""
+        p = os.path.join(slot_dir, "_slot_meta.json")
+        try:
+            with open(p) as f:
+                return int(json.load(f).get("seq", 0))
+        except (OSError, ValueError):
+            return 0
+
+    def next_arrival_seq(self, store: str) -> int:
+        """Allocate the next store-wide arrival sequence number.
+
+        Monotonic across versions (a store-level counter file, not per-log):
+        slot precedence must survive a carry between versions, so the
+        ordering key cannot restart per version. Caller MUST hold the store
+        lock (_locked) — this is a read-increment-write. Crash between the
+        counter write and the slot rename burns a number, which is harmless
+        (gaps never reorder)."""
+        p = os.path.join(self.store_dir(store), "_arrival_seq")
+        n = 0
+        if os.path.exists(p):
+            with open(p) as f:
+                raw = f.read().strip()
+            n = int(raw) if raw else 0
+        n += 1
+        fd, tmp = tempfile.mkstemp(dir=self.store_dir(store), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(str(n))
+            os.replace(tmp, p)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+        return n
 
     # ---- reading ----
     def read_current(

@@ -21,6 +21,7 @@ are never funneled through Python.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -138,6 +139,7 @@ def sweep_late_deltas(
     old version is no longer read (ADVICE r4, medium)."""
     import os
     import shutil
+    import uuid
 
     meta = catalog.get_store(store)
     old_parts, old_md5p = _version_layout(catalog, store, old_version, meta)
@@ -162,7 +164,13 @@ def sweep_late_deltas(
             if existing
             else 1
         )
-        for d in sorted(late, key=lambda p: int(os.path.basename(p)[1:])):
+        # `late` comes back from list_delta_dirs in ARRIVAL order; the
+        # carried slots keep their original `_slot_meta.json` arrival
+        # sequence (the rename moves it with the dir; the restage copies it
+        # before the target becomes visible), so a stranded slot that
+        # predates slots already on the target version resolves BELOW them
+        # no matter what d{K} name it lands under (ADVICE r6, medium).
+        for d in late:
             target = os.path.join(catalog.deltas_dir(store, new_version), f"d{k}")
             if (old_parts, old_md5p) == (new_parts, new_md5p):
                 os.rename(d, target)
@@ -170,9 +178,18 @@ def sweep_late_deltas(
                 ldf = spark.read.parquet(d)
                 if "partition_id" in ldf.columns:
                     ldf = ldf.drop("partition_id")
+                # stage-then-rename: a crash mid-restage must never leave a
+                # half-written d{K} visible to list_delta_dirs
+                staging = os.path.join(
+                    catalog.store_dir(store), f"_delta_staging-{uuid.uuid4().hex}"
+                )
                 o = repartition_and_sort(ldf, key_fields, new_parts, new_md5p)
-                o.write.mode("overwrite").partitionBy("partition_id").parquet(target)
-                _fix_empty_partitioned_dir(o, target)
+                o.write.mode("overwrite").partitionBy("partition_id").parquet(staging)
+                _fix_empty_partitioned_dir(o, staging)
+                side = os.path.join(d, "_slot_meta.json")
+                if os.path.exists(side):
+                    shutil.copy2(side, os.path.join(staging, "_slot_meta.json"))
+                os.rename(staging, target)
                 shutil.rmtree(d, ignore_errors=True)
             k += 1
 
@@ -1074,6 +1091,14 @@ def _append_delta_slot(
             if existing
             else 1
         )
+        # Arrival sequence sidecar: precedence metadata rides INSIDE the
+        # slot (written before the rename, so it is atomic with the slot's
+        # visibility) and survives a carry to a later version unchanged —
+        # see StoreCatalog.list_delta_dirs for why index order is not
+        # precedence (ADVICE r6, medium).
+        seq = catalog.next_arrival_seq(store)
+        with open(os.path.join(staging, "_slot_meta.json"), "w") as f:
+            json.dump({"seq": seq}, f)
         os.makedirs(catalog.deltas_dir(store, cur), exist_ok=True)
         dpath = os.path.join(catalog.deltas_dir(store, cur), f"d{k}")
         os.rename(staging, dpath)
