@@ -595,3 +595,62 @@ def test_carried_stranded_slot_never_outranks_fresher_arrivals(
     compact_store(spark, catalog, "s")
     got = {r["k"]: r["v"] for r in catalog.read_current(spark, "s").collect()}
     assert got[2] == "fresh" and got[1] == "eager"
+
+
+def test_aa_layout_check_heals_swap_crash_before_probing(spark, tmp_path):
+    """ADVICE r6 (low): ActiveActiveReplay.__init__'s bucketed-vs-flat
+    layout probe listed the serving dir WITHOUT healing first. After a
+    crash between atomic_swap_dir's two renames the dir is absent, so the
+    probe saw no entries, skipped the mismatch refusal, and a caller
+    constructed with the wrong `buckets` could later mix __kb= partition
+    dirs and flat files in one log. The probe must heal, then refuse."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import read_rt_log
+    from venice_spark.streaming.aa import ActiveActiveReplay
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("aa", key_fields=["k"], partition_count=2, active_active=True)
+    eng.push(
+        "aa",
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "k long, name string, score double"
+        ),
+    )
+    st = eng.store("aa")
+    p = st.producer()
+    fs = "k long, op string, ts long, colo int, name string, score double"
+    p._buffer.append({"k": 1, "op": "PUT", "ts": 100, "colo": 0, "name": "a2", "score": 9.0})
+    p.flush(schema=fs)
+
+    serving = str(tmp_path / "srv")
+    rt_dir = eng.catalog.update_log_dir("aa")
+    schema = read_rt_log(spark, eng.catalog, "aa").schema
+    replay = ActiveActiveReplay(
+        spark, eng.catalog, "aa", serving, ["name", "score"],
+        mode="append", compact_every=0, buckets=8,
+    )
+    replay.seed(st.df().drop("partition_id"))
+    replay.start(
+        spark.readStream.schema(schema).parquet(rt_dir), str(tmp_path / "ck")
+    ).awaitTermination(120)
+
+    # crash between the swap's two renames: serving dir now ABSENT
+    with _CrashOnNthMove(2):
+        with pytest.raises(SimulatedCrash):
+            replay.compact()
+    assert not os.path.isdir(serving) or not os.listdir(serving)
+
+    # constructing with the WRONG layout must still refuse: the probe
+    # heals the dir first instead of reading entries=[] as "empty log"
+    with pytest.raises(ValueError, match="layout is fixed"):
+        ActiveActiveReplay(
+            spark, eng.catalog, "aa", serving, ["name", "score"],
+            mode="append", buckets=0,
+        )
+    # and the healed dir still serves the right content via a correct handle
+    good = ActiveActiveReplay(
+        spark, eng.catalog, "aa", serving, ["name", "score"],
+        mode="append", compact_every=0, buckets=8,
+    )
+    out = {r["k"]: (r["name"], r["score"]) for r in good.read().collect()}
+    assert out == {1: ("a2", 9.0), 2: ("b", 2.0)}, out

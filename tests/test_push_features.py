@@ -755,6 +755,93 @@ def test_lost_race_restages_tombstones_too(engine, spark, monkeypatch):
     assert out == {"winner": 7.0}
 
 
+def test_lost_race_restage_resolves_overlapping_keys_by_order_col(
+    engine, spark, monkeypatch
+):
+    """ADVICE r6 (low): the restaged slot outranks the winner's base, so on
+    overlapping keys the push that LOST the commit race used to win
+    resolution unconditionally. With order_col supplied, the restage keeps
+    only delta rows at least as fresh as the winner's value for the key —
+    record-order resolution (the reference resolves concurrent RT/
+    incremental writes by record timestamp/offset, never commit order)."""
+    from venice_spark.partitioner import repartition_and_sort
+
+    cat = engine.catalog
+    real_commit = cat.commit_version
+    state = {"winner": None}
+
+    def racing_commit(store, version, manifest=None, make_current=True):
+        if state["winner"] is None:
+            w = cat.begin_version(store)
+            wdf = spark.createDataFrame(
+                [("a", 100.0, 70), ("b", 200.0, 70)],
+                "key string, val double, _rmd_ts long",
+            )
+            out = repartition_and_sort(wdf, ["key"], 2, False)
+            out.write.mode("overwrite").partitionBy("partition_id").parquet(
+                cat.version_dir(store, w)
+            )
+            real_commit(
+                store, w, manifest={"partition_count": 2, "partitioner": "xxhash64"}
+            )
+            state["winner"] = w
+        return real_commit(store, version, manifest=manifest, make_current=make_current)
+
+    monkeypatch.setattr(cat, "commit_version", racing_commit)
+    # loser's delta: 'a' is STALER than the winner's (60 < 70) and must not
+    # override; 'b' is FRESHER (80 > 70) and must
+    delta = spark.createDataFrame(
+        [("a", 1.0, 60), ("b", 2.0, 80)], "key string, val double, _rmd_ts long"
+    )
+    res = engine.incremental_push("s", delta, order_col="_rmd_ts")
+    monkeypatch.setattr(cat, "commit_version", real_commit)
+
+    assert res.superseded_by == state["winner"]
+    out = {r["key"]: r["val"] for r in engine.store("s").df().collect()}
+    assert out["a"] == 100.0, f"stale loser row overrode the fresher winner: {out}"
+    assert out["b"] == 2.0, f"fresh loser row failed to restage: {out}"
+
+
+def test_lost_race_restage_with_all_stale_rows_appends_no_slot(
+    engine, spark, monkeypatch
+):
+    """Companion: when every delta row is staler than the winner, nothing
+    restages — no empty slot joins the resolve union for every later read."""
+    from venice_spark.partitioner import repartition_and_sort
+
+    cat = engine.catalog
+    real_commit = cat.commit_version
+    state = {"winner": None}
+
+    def racing_commit(store, version, manifest=None, make_current=True):
+        if state["winner"] is None:
+            w = cat.begin_version(store)
+            wdf = spark.createDataFrame(
+                [("a", 100.0, 70)], "key string, val double, _rmd_ts long"
+            )
+            out = repartition_and_sort(wdf, ["key"], 2, False)
+            out.write.mode("overwrite").partitionBy("partition_id").parquet(
+                cat.version_dir(store, w)
+            )
+            real_commit(
+                store, w, manifest={"partition_count": 2, "partitioner": "xxhash64"}
+            )
+            state["winner"] = w
+        return real_commit(store, version, manifest=manifest, make_current=make_current)
+
+    monkeypatch.setattr(cat, "commit_version", racing_commit)
+    delta = spark.createDataFrame(
+        [("a", 1.0, 60)], "key string, val double, _rmd_ts long"
+    )
+    res = engine.incremental_push("s", delta, order_col="_rmd_ts")
+    monkeypatch.setattr(cat, "commit_version", real_commit)
+
+    assert res.superseded_by == state["winner"]
+    assert cat.list_delta_dirs("s", state["winner"]) == []
+    out = {r["key"]: r["val"] for r in engine.store("s").df().collect()}
+    assert out["a"] == 100.0
+
+
 def test_batch_push_accepts_partition_id_input(engine, spark):
     """code-review r4: re-pushing store-read data (which carries the
     partition_id directory column) must not fail on ambiguous references."""

@@ -55,6 +55,13 @@ class PushResult:
     # (reference semantics: incremental data applies to current and future
     # versions — VenicePushJob.java:919-931; ADVICE r5), so the upserts ARE
     # served; the orphan version stays addressable via set_version.
+    # Overlapping-key semantics of the restage: with order_col given, only
+    # delta rows at least as fresh as the winner's value for the key are
+    # restaged (record-order resolution, matching the reference's
+    # timestamp/offset discipline). WITHOUT order_col the restaged slot
+    # outranks the winner's base wholesale — i.e. on keys both pushes
+    # wrote, the push that lost the commit race wins resolution. Callers
+    # racing concurrent pushes over overlapping keys should pass order_col.
     superseded_by: int | None = None
 
 
@@ -1208,8 +1215,42 @@ def incremental_push(
         # a commit-time LOSS: after a won commit, a later winner's base
         # already contains these rows, and re-appending them could regress
         # the later push's fresher values.
+        #
+        # Freshness on overlapping keys (ADVICE r6, low): a restaged slot
+        # outranks the winner's base unconditionally, which would let the
+        # race LOSER override the winner regardless of record order. When
+        # the caller supplied order_col (the reference's record
+        # timestamp/offset — ActiveActiveStoreIngestionTask resolves
+        # concurrent writes by it, never by commit order), the restage
+        # keeps only delta rows at least as fresh as the winner's current
+        # value for that key (>= : the incremental write wins ties, same
+        # as put's last-writer-wins). Without order_col there is nothing
+        # to compare, and the restage keeps the documented
+        # last-RESTAGED-wins semantics (see PushResult.superseded_by).
         actual = catalog.current_version(store)
-        _append_delta_slot(spark, catalog, store, delta, key_fields)
+        restage = delta
+        if order_col is not None and order_col in restage.columns:
+            winner = catalog.read_current(spark, store)
+            if order_col in winner.columns:
+                cur_ord = (
+                    winner.join(
+                        F.broadcast(restage.select(*key_fields).distinct()),
+                        on=key_fields,
+                        how="left_semi",
+                    ).select(
+                        *key_fields, F.col(order_col).alias("__winner_ord")
+                    )
+                )
+                restage = (
+                    restage.join(F.broadcast(cur_ord), on=key_fields, how="left")
+                    .filter(
+                        F.col("__winner_ord").isNull()
+                        | (F.col(order_col) >= F.col("__winner_ord"))
+                    )
+                    .drop("__winner_ord")
+                )
+        if restage.limit(1).count() > 0:
+            _append_delta_slot(spark, catalog, store, restage, key_fields)
         return PushResult(
             store, version, rows, meta.partition_count, path,
             superseded_by=actual,

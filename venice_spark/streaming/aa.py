@@ -104,6 +104,14 @@ class ActiveActiveReplay:
                 "buckets only applies to the append-mode log (rewrite mode "
                 "swaps the full table; there is no candidate scan to prune)"
             )
+        # Heal a crash-stranded swap BEFORE probing the layout: between
+        # atomic_swap_dir's two renames the serving dir is ABSENT, so an
+        # unhealed probe sees entries=[] and skips the mismatch refusal —
+        # a caller constructed with the wrong `buckets` would then append
+        # in the other layout once a later read heals the dir (ADVICE r6).
+        from venice_spark.streaming.hybrid import recover_swap_dir
+
+        recover_swap_dir(serving_dir)
         entries = os.listdir(serving_dir) if os.path.isdir(serving_dir) else []
         # __kb= partition dirs start with an underscore, so the "has data"
         # probe must name them explicitly (underscore-prefixed entries are
