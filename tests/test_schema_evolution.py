@@ -72,3 +72,177 @@ def test_length_mismatch_error_entry(spark):
     assert out["score"] is None
     assert "score" in out[ERROR_FIELD]
     assert "member_feature" in out[ERROR_FIELD]["score"]
+
+
+# ---------------------------------------------------------------------------
+# Serving-LSM evolution (VERDICT r6 #2): a live hybrid/AA store must keep
+# serving across a value-schema ADDITION — the reference's value schemas are
+# a versioned evolvable list (schema/SchemaEntry.java:1, SchemaData.java) and
+# hybrid stores serve through additions. The append-mode read schema comes
+# from the writers' sidecar + the registry (hybrid.log_schema), never from a
+# sampled footer (which silently dropped the added column whenever the sample
+# predated it) and never from mergeSchema in the hot path (footer-bound: the
+# r6 20M probe showed 8.9s vs 2.9s flat per trigger).
+# ---------------------------------------------------------------------------
+
+import pyspark.sql.types as T
+import pytest
+
+
+def _no_merge_schema(monkeypatch):
+    """Fail the test if anything turns on mergeSchema while patched."""
+    import pyspark.sql.readwriter as rw
+
+    real = rw.DataFrameReader.option
+
+    def guard(self, key, value=None):
+        assert str(key).lower() != "mergeschema", (
+            "mergeSchema used in the serving hot path"
+        )
+        return real(self, key, value)
+
+    monkeypatch.setattr(rw.DataFrameReader, "option", guard)
+
+
+def _evolved_hybrid(spark, tmp_path, mode, monkeypatch):
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / f"root_{mode}"))
+    eng.catalog.create_store(
+        "h",
+        key_fields=["k"],
+        partition_count=2,
+        hybrid=True,
+        value_schema=T.StructType([T.StructField("v", T.StringType())]),
+    )
+    eng.push("h", spark.createDataFrame([(1, "base"), (2, "base")], "k long, v string"))
+    st = eng.store("h")
+    p = st.producer()
+    p.put(1, {"v": "v1"}, ts=100)
+    p.flush(schema="k long, op string, ts long, colo int, v string")
+    live = st.hybrid_serve(mode=mode)
+    got = {r["k"]: r["v"] for r in live.read().collect()}
+    assert got == {1: "v1", 2: "base"}, got
+
+    # live evolution: register the addition FIRST (the reference's write
+    # discipline), then write records carrying the new field
+    eng.catalog.add_value_schema(
+        "h",
+        T.StructType(
+            [T.StructField("v", T.StringType()), T.StructField("rank", T.LongType())]
+        ),
+    )
+    p.put(3, {"v": "v3", "rank": 7}, ts=200)
+    p.put(1, {"v": "v1b", "rank": 9}, ts=300)
+    p.flush(schema="k long, op string, ts long, colo int, v string, rank long")
+    live = st.hybrid_serve(mode=mode)
+    if mode == "append":
+        _no_merge_schema(monkeypatch)
+    rows = {r["k"]: (r["v"], r["rank"]) for r in live.read().collect()}
+    monkeypatch.undo()
+    return rows
+
+
+@pytest.mark.parametrize("mode", ["append", "rewrite"])
+def test_hybrid_store_serves_across_value_schema_addition(
+    spark, tmp_path, mode, monkeypatch
+):
+    rows = _evolved_hybrid(spark, tmp_path, mode, monkeypatch)
+    assert rows == {
+        1: ("v1b", 9),   # touched after evolution: new field present
+        2: ("base", None),  # untouched pre-evolution row: null-filled
+        3: ("v3", 7),    # new key written with the evolved schema
+    }, rows
+
+
+def test_hybrid_append_evolution_matches_reseeded_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """Parity: the evolved append-mode LSM serves exactly what a reseeded
+    rewrite-mode store serves over the same op stream."""
+    a = _evolved_hybrid(spark, tmp_path / "a", "append", monkeypatch)
+    b = _evolved_hybrid(spark, tmp_path / "b", "rewrite", monkeypatch)
+    assert a == b
+
+
+def _evolved_aa(spark, tmp_path, mode, buckets, monkeypatch):
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / f"root_{mode}_{buckets}"))
+    eng.catalog.create_store(
+        "aa",
+        key_fields=["k"],
+        partition_count=2,
+        active_active=True,
+        value_schema=T.StructType(
+            [T.StructField("name", T.StringType()), T.StructField("score", T.DoubleType())]
+        ),
+    )
+    eng.push(
+        "aa",
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "k long, name string, score double"
+        ),
+    )
+    st = eng.store("aa")
+    p = st.producer()
+    fs = "k long, op string, ts long, colo int, name string, score double"
+    p._buffer.append({"k": 1, "op": "PUT", "ts": 100, "colo": 0, "name": "a2", "score": 9.0})
+    p.flush(schema=fs)
+    live = st.aa_serve(["name", "score"], mode=mode, buckets=buckets)
+    got = {r["k"]: r["name"] for r in live.read().collect()}
+    assert got == {1: "a2", 2: "b"}, got
+
+    eng.catalog.add_value_schema(
+        "aa",
+        T.StructType(
+            [
+                T.StructField("name", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+                T.StructField("rank", T.LongType()),
+            ]
+        ),
+    )
+    fs2 = fs + ", rank long"
+    p._buffer.append({"k": 3, "op": "PUT", "ts": 200, "colo": 1, "name": "c", "score": 3.0, "rank": 7})
+    p._buffer.append({"k": 1, "op": "UPDATE", "ts": 300, "colo": 0, "set_rank": 9})
+    p.flush(schema=fs2.replace("rank long", "rank long, set_rank long"))
+    live = st.aa_serve(["name", "score", "rank"], mode=mode, buckets=buckets)
+    if mode == "append":
+        _no_merge_schema(monkeypatch)
+    rows = {r["k"]: (r["name"], r["score"], r["rank"]) for r in live.read().collect()}
+    monkeypatch.undo()
+    return rows
+
+
+@pytest.mark.parametrize(
+    "mode,buckets", [("append", 0), ("append", 8), ("rewrite", 0)]
+)
+def test_aa_store_serves_across_value_schema_addition(
+    spark, tmp_path, mode, buckets, monkeypatch
+):
+    rows = _evolved_aa(spark, tmp_path, mode, buckets, monkeypatch)
+    assert rows == {
+        1: ("a2", 9.0, 9),    # set_rank UPDATE landed on the evolved field
+        2: ("b", 2.0, None),  # untouched pre-evolution row: null-filled
+        3: ("c", 3.0, 7),     # new key written with the evolved schema
+    }, rows
+
+
+def test_aa_append_evolution_matches_reseeded_rewrite(spark, tmp_path, monkeypatch):
+    a = _evolved_aa(spark, tmp_path / "a", "append", 0, monkeypatch)
+    bk = _evolved_aa(spark, tmp_path / "bk", "append", 8, monkeypatch)
+    b = _evolved_aa(spark, tmp_path / "b", "rewrite", 0, monkeypatch)
+    assert a == b == bk
+
+
+def test_log_schema_sidecar_refuses_silent_retype(tmp_path):
+    """Serving-log columns may be added, never silently retyped — a quiet
+    type swap would corrupt every pre-existing file's reads."""
+    from venice_spark.streaming.hybrid import union_log_fields
+
+    with pytest.raises(ValueError, match="retyped"):
+        union_log_fields(
+            [T.StructField("v", T.StringType(), True)],
+            [T.StructField("v", T.LongType(), True)],
+        )

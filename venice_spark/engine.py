@@ -575,6 +575,13 @@ class StoreHandle:
                 base = base.withColumn(ts_col, F.lit(0).cast("long"))
             base.write.parquet(serving)
             mark_seeded_version(serving, cur)
+            # seed the schema sidecar so append-mode reads never need
+            # mergeSchema (after the write: the dir must exist, and a crash
+            # in between just leaves a pre-sidecar log that upgrades on its
+            # first append)
+            from venice_spark.streaming.hybrid import extend_log_schema
+
+            extend_log_schema(self.spark, serving, base.schema)
         replay = HybridReplay(
             self.spark,
             self.catalog,

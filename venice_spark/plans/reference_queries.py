@@ -993,6 +993,61 @@ def x_version_diff(spark, sf_dir):
 
 
 @register(
+    "x_evolved_serve",
+    "WITH u AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority, "
+    "  row_number() OVER (PARTITION BY o_custkey "
+    "    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) "
+    "SELECT c_custkey, name, acctbal, priority FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY ts DESC) AS rn2 "
+    "  FROM ("
+    "    SELECT c_custkey, c_name AS name, c_acctbal AS acctbal, "
+    "      CAST(NULL AS VARCHAR) AS priority, 0 AS ts FROM customer "
+    "    UNION ALL "
+    "    SELECT o_custkey AS c_custkey, 'order-' || CAST(o_orderkey AS VARCHAR), "
+    "      o_totalprice, o_orderpriority, 1 FROM u WHERE rn = 1)"
+    ") WHERE rn2 = 1",
+)
+def x_evolved_serve(spark, sf_dir):
+    """Serving across a value-schema ADDITION: the pre-evolution snapshot
+    lacks the added column (reads null-fill it) while post-evolution puts
+    carry it; latest-wins per key through the SAME resolve kernel the
+    hybrid serving LSM uses (streaming/hybrid.resolve_latest — reference
+    contract: value schemas are a versioned evolvable list,
+    schema/SchemaEntry.java:1, and hybrid stores keep serving across
+    additions). customer stands in for the pre-evolution base (no
+    `priority` column); each customer's latest order is the evolved PUT.
+    unionByName(allowMissingColumns) is exactly what the LSM read does to
+    pre-evolution files; one window shuffle, no Python."""
+    from venice_spark.streaming.hybrid import resolve_latest
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(0).alias("ts"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    upd = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.concat(F.lit("order-"), F.col("o_orderkey").cast("string")).alias("name"),
+            F.col("o_totalprice").alias("acctbal"),
+            F.col("o_orderpriority").alias("priority"),
+            F.lit(1).alias("ts"),
+        )
+    )
+    merged = cust.unionByName(upd, allowMissingColumns=True)
+    return resolve_latest(merged, ["c_custkey"], "ts").select(
+        "c_custkey", "name", "acctbal", "priority"
+    )
+
+
+@register(
     "i6_duplicate_key_check",
     "SELECT user_id, event_type, distinct_values FROM ("
     "  SELECT user_id, event_type, count(DISTINCT (event_id, value)) AS distinct_values "

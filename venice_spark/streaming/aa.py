@@ -150,6 +150,9 @@ class ActiveActiveReplay:
             snap_types = {f.name: f.dataType for f in snap.schema.fields}
         except Exception:
             pass
+        from venice_spark.streaming.hybrid import registered_value_types
+
+        reg = registered_value_types(self.catalog, self.store)
         value_types = {}
         for c in self.value_cols:
             if c in ops.columns:
@@ -157,7 +160,11 @@ class ActiveActiveReplay:
             elif c in snap_types:
                 value_types[c] = snap_types[c]
             else:
-                value_types[c] = T.StringType()
+                # a value column in neither this batch nor the snapshot —
+                # e.g. a just-registered field no op has touched yet: the
+                # registry knows its true type (StringType would poison the
+                # serving column the moment a real value arrives)
+                value_types[c] = reg.get(c, T.StringType())
         return T.StructType(
             list(key_schema.fields)
             + [T.StructField("__state__", T.StringType(), True)]
@@ -199,6 +206,8 @@ class ActiveActiveReplay:
             *[F.col(c) for c in self.value_cols if c in base.columns],
         )
         folded = self._fold_new(ops)
+        from venice_spark.streaming.hybrid import set_log_schema
+
         if self.buckets:
             # cluster rows by bucket before the partitioned write: a bare
             # partitionBy from key-partitioned tasks writes up to
@@ -206,11 +215,14 @@ class ActiveActiveReplay:
             # 10x slower per trigger from listing alone); after the
             # repartition each bucket lands in exactly one task, so the
             # file count is ~buckets
-            self._with_bucket(folded).repartition("__kb").write.mode(
-                "overwrite"
-            ).partitionBy("__kb").parquet(self.serving_dir)
+            bucketed = self._with_bucket(folded)
+            bucketed.repartition("__kb").write.mode("overwrite").partitionBy(
+                "__kb"
+            ).parquet(self.serving_dir)
+            set_log_schema(self.serving_dir, bucketed.schema)
         else:
             folded.write.mode("overwrite").parquet(self.serving_dir)
+            set_log_schema(self.serving_dir, folded.schema)
 
     def _fold_new(
         self,
@@ -267,29 +279,45 @@ class ActiveActiveReplay:
         return ops.groupBy(*kf).applyInPandas(fold, schema=out_schema)
 
     def _raw(self) -> DataFrame:
-        # The AA log's schema is FIXED by construction — every fold emits
-        # the full (key, __state__, value_cols, __deleted) row — so the
-        # only cross-file variance is the __aa_batch stamp the seed lacks.
-        # Read with the sampled schema widened by that one column instead
-        # of mergeSchema: mergeSchema reads EVERY footer on EVERY read,
-        # which at 3 reads/trigger over a bucketed log's ~buckets files
-        # dominated the trigger (r6 probe: 8.9s vs 2.9 flat at 20M rows);
-        # files missing a schema column read as NULL, exactly what the
-        # stamp's nulls-last resolution wants.
+        # Read schema = the writers' schema SIDECAR (see hybrid.log_schema)
+        # unioned with the catalog's registered value schema and the
+        # __aa_batch stamp — zero footer reads (mergeSchema read EVERY
+        # footer on EVERY read: 8.9s vs 2.9s flat at 20M in the r6 probe),
+        # and, unlike the pre-r7 one-footer sample, safe under live schema
+        # evolution: a value column registered and written mid-serve can
+        # never be dropped by sampling a file that predates it (the
+        # reference's value schemas are a versioned evolvable list —
+        # schema/SchemaEntry.java:1 — and hybrid stores keep serving
+        # across additions). Files missing a schema column read as NULL,
+        # exactly what the stamp's nulls-last resolution and an added
+        # field's null default want.
         from pyspark.sql import types as T
 
-        from venice_spark.streaming.hybrid import recover_swap_dir
+        from venice_spark.streaming.hybrid import (
+            log_schema,
+            recover_swap_dir,
+            registered_value_types,
+            union_log_fields,
+        )
 
         recover_swap_dir(self.serving_dir)  # self-heal a crashed swap
-        sample = self.spark.read.parquet(self.serving_dir)
         if self.mode != "append":
-            return sample
-        schema = sample.schema
-        if "__aa_batch" not in schema.names:
-            schema = T.StructType(
-                list(schema.fields) + [T.StructField("__aa_batch", T.LongType(), True)]
-            )
-        return self.spark.read.schema(schema).parquet(self.serving_dir)
+            return self.spark.read.parquet(self.serving_dir)
+        base = log_schema(self.serving_dir)
+        if base is None:
+            # pre-sidecar log: the historical one-footer sample (the AA
+            # fold always emits full rows, so sampling was safe before
+            # evolution existed); its next write upgrades it
+            base = self.spark.read.parquet(self.serving_dir).schema
+        reg = registered_value_types(self.catalog, self.store)
+        fields = union_log_fields(
+            list(base.fields),
+            [T.StructField(c, reg[c], True) for c in self.value_cols if c in reg]
+            + [T.StructField("__aa_batch", T.LongType(), True)],
+        )
+        return self.spark.read.schema(T.StructType(fields)).parquet(
+            self.serving_dir
+        )
 
     def _resolve_log(
         self, keys: DataFrame | None = None, raw: DataFrame | None = None
@@ -350,11 +378,18 @@ class ActiveActiveReplay:
             prior = self._resolve_log(keys=touched, raw=raw)
             refreshed = self._fold_new(batch_df, prior=prior, snap=raw)
             stamped = refreshed.withColumn("__aa_batch", F.lit(stamp).cast("long"))
+            from venice_spark.streaming.hybrid import extend_log_schema
+
             if self.buckets:
-                self._with_bucket(stamped).write.mode("append").partitionBy(
-                    "__kb"
-                ).parquet(self.serving_dir)
+                out = self._with_bucket(stamped)
+                # write-ahead: the sidecar learns this batch's columns
+                # BEFORE any file lands (see extend_log_schema)
+                extend_log_schema(self.spark, self.serving_dir, out.schema)
+                out.write.mode("append").partitionBy("__kb").parquet(
+                    self.serving_dir
+                )
             else:
+                extend_log_schema(self.spark, self.serving_dir, stamped.schema)
                 stamped.write.mode("append").parquet(self.serving_dir)
             if self.compact_every and n_stamps + 1 >= self.compact_every:
                 self.compact()
@@ -364,7 +399,10 @@ class ActiveActiveReplay:
         prior = snap.join(touched, on=self.key_fields, how="left_semi")
         refreshed = self._fold_new(batch_df, prior=prior, snap=snap)
         kept = snap.join(touched, on=self.key_fields, how="left_anti")
-        new_snap = kept.unionByName(refreshed)
+        # allowMissingColumns: after a value-schema addition the kept
+        # (pre-evolution) snapshot rows lack the new column — null-fill
+        # them instead of failing the union (added fields default to null)
+        new_snap = kept.unionByName(refreshed, allowMissingColumns=True)
         atomic_swap_dir(new_snap, self.serving_dir, tag="aa")
 
     def compact(self) -> None:
