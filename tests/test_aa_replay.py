@@ -167,14 +167,27 @@ def test_aa_append_mode_matches_rewrite_and_bounds_bytes(spark, tmp_path):
                     spark, eng.catalog, "aa", serving, ["name", "score"],
                     mode="rewrite",
                 )
-            # compact: content stable, one row per key
+            # compact: content stable; superseded files retained one GC
+            # cycle (r7 reader isolation), physically folded after GC
+            from venice_spark.streaming.hybrid import gc_pending, run_deferred_gc
+
             pre = {r["k"]: (r["name"], r["score"]) for r in replay.read().collect()}
+            pre_reader = replay.read()  # plan resolved BEFORE the compact
             replay.compact()
             assert {
                 r["k"]: (r["name"], r["score"]) for r in replay.read().collect()
             } == pre
+            # the pre-compact reader still executes (retained snapshot)
+            assert {
+                r["k"]: (r["name"], r["score"]) for r in pre_reader.collect()
+            } == pre
+            assert gc_pending(serving) is not None
+            run_deferred_gc(serving)
             raw = spark.read.option("mergeSchema", "true").parquet(serving)
             assert raw.count() == raw.select("k").distinct().count()
+            assert {
+                r["k"]: (r["name"], r["score"]) for r in replay.read().collect()
+            } == pre
         else:
             _flush(p, [
                 {"k": 7, "op": "PUT", "ts": 200, "colo": 0, "name": "g", "score": 7.0},
@@ -231,9 +244,17 @@ def test_aa_facade_auto_compaction_fires(spark, tmp_path):
                     "name": f"n{i}", "score": float(i)}])
         st.aa_serve(["name", "score"], compact_every=2)
     serving = os.path.join(eng.catalog.store_dir("aa"), "aa_serving")
+    # superseded files are retained one GC cycle (r7 reader isolation);
+    # the LIVE pressure (stamps above the compact floor) is the trigger
+    from venice_spark.streaming.hybrid import gc_pending
+
+    assert gc_pending(serving) is not None, "auto-compaction never fired"
+    pending = gc_pending(serving)
     raw = spark.read.option("mergeSchema", "true").parquet(serving)
-    n_stamps = raw.agg(SF.count_distinct("__aa_batch")).collect()[0][0]
-    assert n_stamps <= 2, f"auto-compaction never fired ({n_stamps} stamps)"
+    n_stamps = raw.filter(
+        SF.col("__aa_batch") >= pending["compact_stamp"]
+    ).agg(SF.count_distinct("__aa_batch")).collect()[0][0]
+    assert n_stamps <= 2, f"auto-compaction never fired ({n_stamps} live stamps)"
     out = {r["k"]: r["name"] for r in st.aa_serve(["name", "score"]).read().collect()}
     assert out[0] == "n0" and out[3] == "n3"
 

@@ -179,10 +179,21 @@ def test_reset_serving_if_stale_recovers_instead_of_reseeding(spark, tmp_path):
     assert _vals(spark, serving) == {"a": 5.0}
 
 
-def test_append_compact_crash_then_read_serves_exact_content(spark, tmp_path):
-    """Kill compact() mid-swap on an append-mode log; the next read must
-    self-heal and serve EXACTLY the pre-compact resolved content — same
-    keys, same values, no duplicate rows from a half-compacted log."""
+@pytest.mark.parametrize("crash_at", ["first_move", "before_manifest", "mid_gc"])
+def test_append_compact_crash_then_read_serves_exact_content(
+    spark, tmp_path, monkeypatch, crash_at
+):
+    """Kill compact() at each seam of the r7 append+deferred-GC protocol
+    (compaction appends the folded fileset and defers deleting the
+    superseded files one cycle — reader isolation, VERDICT r6 #3). Every
+    window is content-safe BY CONSTRUCTION: a partial compacted fileset
+    resolves identically (its rows outrank their own old copies and
+    nothing else), a missing manifest just skips one GC cycle, and a
+    crash mid-GC resumes. The next read must serve EXACTLY the
+    pre-compact resolved content with no duplicate rows, and the next
+    compact must complete and physically fold the log."""
+    import venice_spark.streaming.hybrid as hyb
+
     catalog = StoreCatalog(str(tmp_path / "cat"))
     catalog.create_store("h", key_fields=["key"], hybrid=True, rewind_seconds=0)
     serving = str(tmp_path / "serving")
@@ -204,21 +215,63 @@ def test_append_compact_crash_then_read_serves_exact_content(spark, tmp_path):
     before = {r["key"]: r["val"] for r in replay.read().collect()}
     assert before == {"a": 5.0, "c": 7.0}
 
-    with _CrashOnNthMove(2):
+    if crash_at == "first_move":
+        real_rename = os.rename
+        state = {"n": 0}
+
+        def crashing(src, dst, *a, **k):
+            if "__compact_" in str(src):
+                state["n"] += 1
+                if state["n"] == 1:
+                    raise SimulatedCrash("crash at first compacted-file move")
+            return real_rename(src, dst, *a, **k)
+
+        monkeypatch.setattr(os, "rename", crashing)
         with pytest.raises(SimulatedCrash):
             replay.compact()
+        monkeypatch.undo()
+    elif crash_at == "before_manifest":
+        monkeypatch.setattr(
+            hyb, "record_gc_pending",
+            lambda *a, **k: (_ for _ in ()).throw(SimulatedCrash("pre-manifest")),
+        )
+        with pytest.raises(SimulatedCrash):
+            replay.compact()
+        monkeypatch.undo()
+    else:  # mid_gc: a full compact, then a crash during the NEXT one's GC
+        replay.compact()
+        real_unlink = os.unlink
+        state = {"n": 0}
 
-    # read() self-heals through _raw(); content identical, one row per key
+        def crashing_unlink(p, *a, **k):
+            if str(p).endswith(".parquet"):
+                state["n"] += 1
+                if state["n"] == 1:
+                    raise SimulatedCrash("crash mid-GC")
+            return real_unlink(p, *a, **k)
+
+        monkeypatch.setattr(os, "unlink", crashing_unlink)
+        with pytest.raises(SimulatedCrash):
+            replay.compact()
+        monkeypatch.undo()
+
+    # content identical, one row per key from read() (resolution dedups)
     after_rows = replay.read().collect()
     assert {r["key"]: r["val"] for r in after_rows} == before
     assert len(after_rows) == len(before), "half-compacted log double-served"
     assert seeded_version(serving) == 1
-    # and a later trigger's stamp source is sane again (no restart-from-0
-    # onto a vanished log)
-    from venice_spark.streaming.hybrid import log_stamp_pressure
-
-    nxt, n = log_stamp_pressure(spark, serving, "__batch")
+    # a later trigger's stamp source is sane (no restart-from-0)
+    nxt, n = hyb.log_stamp_pressure(spark, serving, "__batch")
     assert nxt >= 1 and n >= 1
+
+    # recovery: the next compact completes, and after its deferred-GC
+    # grace expires the log is physically one row per key
+    replay.compact()
+    assert {r["key"]: r["val"] for r in replay.read().collect()} == before
+    hyb.run_deferred_gc(serving)
+    raw = spark.read.option("mergeSchema", "true").parquet(serving)
+    assert raw.count() == raw.select("key").distinct().count()
+    assert {r["key"]: r["val"] for r in replay.read().collect()} == before
 
 
 def test_sweep_late_deltas_crash_midway_is_resumable(spark, tmp_path):
@@ -318,11 +371,14 @@ def test_hybrid_serve_e2e_crash_midswap_preserves_merged_rt_ops(spark, tmp_path)
     assert out.get(1) == "base"
 
 
-def test_aa_compact_crash_then_merge_heals_and_serves_exact_content(spark, tmp_path):
+def test_aa_compact_crash_then_merge_heals_and_serves_exact_content(
+    spark, tmp_path, monkeypatch
+):
     """AA edition of the compact-crash test: kill the AA log's compaction
-    mid-swap; the next micro-batch merge must self-heal before reading or
-    stamping (an append onto a vanished dir would restart the log from
-    empty) and the served view must match the DCR kernel's answer."""
+    mid-protocol (r7: compact is an append + deferred GC, so the crash
+    leaves a partial compacted fileset alongside the full old one — never
+    a vanished dir); the next micro-batch merge must keep serving the DCR
+    kernel's exact answer."""
     from venice_spark.engine import VeniceSparkEngine
 
     eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
@@ -341,9 +397,20 @@ def test_aa_compact_crash_then_merge_heals_and_serves_exact_content(spark, tmp_p
     p.flush(schema=fs)
     replay = st.aa_serve(["name", "score"])
 
-    with _CrashOnNthMove(2):
-        with pytest.raises(SimulatedCrash):
-            replay.compact()
+    real_rename = os.rename
+    state = {"n": 0}
+
+    def crashing(src, dst, *a, **k):
+        if "__compact_" in str(src):
+            state["n"] += 1
+            if state["n"] == 1:
+                raise SimulatedCrash("crash at first compacted-file move")
+        return real_rename(src, dst, *a, **k)
+
+    monkeypatch.setattr(os, "rename", crashing)
+    with pytest.raises(SimulatedCrash):
+        replay.compact()
+    monkeypatch.undo()
 
     # next serve call (fresh handle, checkpoint resume) heals and merges
     p._buffer.append({"k": 3, "op": "PUT", "ts": 110, "colo": 1, "name": "c", "score": 3.0})
@@ -634,11 +701,11 @@ def test_aa_layout_check_heals_swap_crash_before_probing(spark, tmp_path):
         spark.readStream.schema(schema).parquet(rt_dir), str(tmp_path / "ck")
     ).awaitTermination(120)
 
-    # crash between the swap's two renames: serving dir now ABSENT
-    with _CrashOnNthMove(2):
-        with pytest.raises(SimulatedCrash):
-            replay.compact()
-    assert not os.path.isdir(serving) or not os.listdir(serving)
+    # simulate a process death between atomic_swap_dir's two renames
+    # (r7: compact() itself no longer swaps, but a rewrite-mode swap or a
+    # pre-r7 layout can still leave this state): target ABSENT, old intact
+    shutil.move(serving, f"{serving}__aa_old")
+    assert not os.path.isdir(serving)
 
     # constructing with the WRONG layout must still refuse: the probe
     # heals the dir first instead of reading entries=[] as "empty log"
@@ -654,3 +721,66 @@ def test_aa_layout_check_heals_swap_crash_before_probing(spark, tmp_path):
     )
     out = {r["k"]: (r["name"], r["score"]) for r in good.read().collect()}
     assert out == {1: ("a2", 9.0), 2: ("b", 2.0)}, out
+
+
+def test_reader_isolation_across_compaction_one_generation_grace(
+    spark, tmp_path
+):
+    """VERDICT r6 #3 (reader-vs-swap isolation): a serve DataFrame whose
+    plan was resolved BEFORE a compaction must still execute correctly
+    after it — Venice serves the old version until the swap completes and
+    retains a backup version (meta/Version.java lifecycle); on a real
+    cluster this maps to Delta/Iceberg snapshot isolation (SCALE.md).
+    Local contract: compaction appends the folded fileset and defers
+    deleting the superseded files until the NEXT compaction, so a held
+    reader stays valid for exactly one compaction cycle. Covers the
+    bucketed AA layout, where compaction also rewrites partition dirs."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import read_rt_log
+    from venice_spark.streaming.aa import ActiveActiveReplay
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("aa", key_fields=["k"], partition_count=2, active_active=True)
+    eng.push(
+        "aa",
+        spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(20)],
+            "k long, name string, score double",
+        ),
+    )
+    st = eng.store("aa")
+    p = st.producer()
+    fs = "k long, op string, ts long, colo int, name string, score double"
+    p._buffer.append({"k": 1, "op": "PUT", "ts": 100, "colo": 0, "name": "x", "score": 9.0})
+    p.flush(schema=fs)
+
+    serving = str(tmp_path / "srv")
+    rt_dir = eng.catalog.update_log_dir("aa")
+    schema = read_rt_log(spark, eng.catalog, "aa").schema
+    replay = ActiveActiveReplay(
+        spark, eng.catalog, "aa", serving, ["name", "score"],
+        mode="append", compact_every=0, buckets=8,
+    )
+    replay.seed(st.df().drop("partition_id"))
+    replay.start(
+        spark.readStream.schema(schema).parquet(rt_dir), str(tmp_path / "ck")
+    ).awaitTermination(120)
+
+    expected = {r["k"]: r["name"] for r in replay.read().collect()}
+    assert expected[1] == "x" and len(expected) == 20
+
+    held = replay.read()          # plan resolved now (files listed)
+    replay.compact()              # generation N+1 lands; N retained
+    got = {r["k"]: r["name"] for r in held.collect()}
+    assert got == expected, "pre-compact reader broke across one compaction"
+    # a fresh reader sees the same content through the compacted files
+    assert {r["k"]: r["name"] for r in replay.read().collect()} == expected
+
+    # grace boundary: the SECOND compaction garbage-collects generation N;
+    # a reader held across TWO compactions is out of contract
+    held2 = replay.read()
+    replay.compact()
+    replay.compact()
+    with pytest.raises(Exception):
+        held2.collect()
+    assert {r["k"]: r["name"] for r in replay.read().collect()} == expected

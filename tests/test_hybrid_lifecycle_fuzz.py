@@ -160,23 +160,47 @@ def test_hybrid_serve_fuzz_with_midswap_crashes_matches_model(spark, tmp_root, s
     crashed_once = False
 
     def crash_compact(r):
+        """Kill compact() at one of the r7 append+deferred-GC protocol's
+        seams: (1) the first staged-file rename (partial compacted
+        fileset lands beside the full old one), (2) just before the GC
+        manifest is recorded (duplicates retained one extra cycle). Both
+        are content-safe by construction; the fuzz proves the LIFECYCLE
+        stays model-exact around them."""
         nonlocal crashed_once
+        import os as _os
+
+        import venice_spark.streaming.hybrid as hyb
+
         n = rng.choice([1, 2])
-        real = shutil.move
-        calls = {"c": 0}
+        if n == 1:
+            real = _os.rename
+            calls = {"c": 0}
 
-        def crashing(src, dst, *a, **k):
-            calls["c"] += 1
-            if calls["c"] == n:
-                raise _SimCrash(f"crash at move #{n}")
-            return real(src, dst, *a, **k)
+            def crashing(src, dst, *a, **k):
+                if "__compact_" in str(src):
+                    calls["c"] += 1
+                    if calls["c"] == 1:
+                        raise _SimCrash("crash at first compacted-file move")
+                return real(src, dst, *a, **k)
 
-        shutil.move = crashing
-        try:
-            with pytest.raises(_SimCrash):
-                r.compact()
-        finally:
-            shutil.move = real
+            _os.rename = crashing
+            try:
+                with pytest.raises(_SimCrash):
+                    r.compact()
+            finally:
+                _os.rename = real
+        else:
+            real_rec = hyb.record_gc_pending
+
+            def crashing_rec(*a, **k):
+                raise _SimCrash("crash before the GC manifest")
+
+            hyb.record_gc_pending = crashing_rec
+            try:
+                with pytest.raises(_SimCrash):
+                    r.compact()
+            finally:
+                hyb.record_gc_pending = real_rec
         crash_points_hit.add(n)
         crashed_once = True
 

@@ -203,14 +203,27 @@ def test_hybrid_replay_append_mode(spark, tmp_path):
     out = {r["key"]: r["val"] for r in replay.read().collect()}
     assert out == {"a": 5.0, "c": 7.0}
 
-    # compaction: content identical, log folded to one row per key
+    # compaction: content identical. Physically the superseded files are
+    # RETAINED one cycle (deferred GC — reader-isolation contract, r7):
+    # the folded rows land stamped above everything, `_gc_pending.json`
+    # names the old files, and the NEXT compact deletes them.
+    pre_compact_reader = replay.read()  # plan resolved BEFORE the compact
     replay.compact()
     out2 = {r["key"]: r["val"] for r in replay.read().collect()}
     assert out2 == out
+    # the pre-compact reader still executes against its retained snapshot
+    assert {r["key"]: r["val"] for r in pre_compact_reader.collect()} == out
+    from venice_spark.streaming.hybrid import gc_pending, run_deferred_gc
+
+    assert gc_pending(serving) is not None
+    # grace expires: after GC the log is physically one row per key
+    run_deferred_gc(serving)
     raw = spark.read.option("mergeSchema", "true").parquet(serving)
     assert raw.count() == raw.select("key").distinct().count()
     # tombstone for b still present post-compaction (stale-PUT protection)
     assert raw.filter(F.col("op") == "DELETE").count() == 1
+    # content still identical after GC
+    assert {r["key"]: r["val"] for r in replay.read().collect()} == out
 
 
 def test_hybrid_append_mode_matches_rewrite_mode(spark, tmp_path):
@@ -639,8 +652,13 @@ def test_hybrid_facade_auto_compaction_fires(spark, tmp_path):
         p.flush(schema="k long, op string, ts long, colo int, v string")
         st.hybrid_serve(compact_every=2)
     serving = os.path.join(eng.catalog.store_dir("hc"), "serving")
-    raw = spark.read.option("mergeSchema", "true").parquet(serving)
-    n_stamps = raw.agg(F.count_distinct("__batch")).collect()[0][0]
-    assert n_stamps <= 2, f"auto-compaction never fired ({n_stamps} stamps)"
+    # superseded files are retained one GC cycle (r7 reader isolation), so
+    # the physical distinct-stamp count includes them — the LIVE pressure
+    # metric is what auto-compaction reads
+    from venice_spark.streaming.hybrid import gc_pending, log_stamp_pressure
+
+    assert gc_pending(serving) is not None, "auto-compaction never fired"
+    _, n_stamps = log_stamp_pressure(spark, serving, "__batch")
+    assert n_stamps <= 2, f"auto-compaction never fired ({n_stamps} live stamps)"
     out = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
     assert out == {1: "a", 10: "v0", 11: "v1", 12: "v2", 13: "v3"}

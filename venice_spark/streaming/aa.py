@@ -368,9 +368,23 @@ class ActiveActiveReplay:
             # One _raw() serves the whole trigger (stamp agg + prior
             # resolve + fold schema) — each read re-lists the log dir.
             raw = self._raw()
+            # pressure floor: files superseded by the last compaction stay
+            # on disk one cycle (deferred GC, reader isolation); their
+            # stamps sit below compact_stamp and must not re-trigger
+            from venice_spark.streaming.hybrid import gc_pending
+
+            pending = gc_pending(self.serving_dir)
+            live = (
+                F.when(
+                    F.col("__aa_batch") >= F.lit(int(pending["compact_stamp"])),
+                    F.col("__aa_batch"),
+                )
+                if pending
+                else F.col("__aa_batch")
+            )
             row = raw.agg(
                 F.max("__aa_batch").alias("m"),
-                F.count_distinct("__aa_batch").alias("n"),
+                F.count_distinct(live).alias("n"),
             ).collect()[0]
             stamp = 0 if row["m"] is None else int(row["m"]) + 1
             n_stamps = int(row["n"])
@@ -407,25 +421,49 @@ class ActiveActiveReplay:
 
     def compact(self) -> None:
         """Fold the append log to one row per key (tombstone rows kept —
-        their registers stop stale resurrections) and swap atomically.
-        Content is unchanged by construction. Winners coalesce to ONE
-        stamp (the current max): with one row per key the per-key order no
-        longer matters, future appends stamp strictly higher, and the
-        distinct-stamp count becomes the compaction-pressure metric."""
-        from venice_spark.streaming.hybrid import atomic_swap_dir
+        their registers stop stale resurrections). Content is unchanged
+        by construction.
 
-        out = self._resolve_log()
-        if "__aa_batch" in out.columns:
-            m = self._raw().agg(F.max("__aa_batch")).collect()[0][0]
-            if m is not None:
-                out = out.withColumn("__aa_batch", F.lit(int(m)).cast("long"))
-        if self.buckets and "__kb" in out.columns:
-            # see seed(): cluster by bucket or the swap writes
+        Like HybridReplay.compact: an APPEND + deferred GC, never a dir
+        swap (VERDICT r6 #3). The folded fileset lands in the same dir
+        stamped above every live row; the superseded files are recorded
+        in `_gc_pending.json` and deleted at the START of the next
+        compaction — so a reader whose plan predates this compact keeps
+        reading valid files (identical content) for one full cycle,
+        Venice's retained-backup-version discipline (meta/Version.java).
+        Every crash window is content-safe (see hybrid.merge_fileset_in)."""
+        import uuid
+
+        from venice_spark.streaming.hybrid import (
+            extend_log_schema,
+            list_log_data_files,
+            merge_fileset_in,
+            record_gc_pending,
+            run_deferred_gc,
+        )
+
+        run_deferred_gc(self.serving_dir)
+        old_files = list_log_data_files(self.serving_dir)
+        raw = self._raw()
+        m = raw.agg(F.max("__aa_batch")).collect()[0][0]
+        stamp = 0 if m is None else int(m) + 1
+        out = self._resolve_log(raw=raw).withColumn(
+            "__aa_batch", F.lit(stamp).cast("long")
+        )
+        staging = f"{self.serving_dir}__compact_{uuid.uuid4().hex}"
+        if self.buckets:
+            if "__kb" not in out.columns:
+                out = self._with_bucket(out)
+            # see seed(): cluster by bucket or the write fans out
             # tasks x buckets files
             out = out.repartition("__kb")
-            atomic_swap_dir(out, self.serving_dir, tag="aa", partition_by="__kb")
+            extend_log_schema(self.spark, self.serving_dir, out.schema)
+            out.write.mode("overwrite").partitionBy("__kb").parquet(staging)
         else:
-            atomic_swap_dir(out, self.serving_dir, tag="aa")
+            extend_log_schema(self.spark, self.serving_dir, out.schema)
+            out.write.mode("overwrite").parquet(staging)
+        merge_fileset_in(staging, self.serving_dir)
+        record_gc_pending(self.serving_dir, old_files, stamp)
 
     def start(self, rt_stream: DataFrame, checkpoint_dir: str):
         return (

@@ -216,21 +216,132 @@ def log_stamp_pressure(
     would silently LOSE resolution to old higher-stamped rows
     (code-review r5). distinct_stamps is the compaction-pressure metric:
     compact() coalesces winners to ONE stamp, so the count equals
-    1 + appends-since-compaction. Cost: one column-pruned agg over the
-    stamp column per trigger — read with an explicit one-column schema,
-    never mergeSchema (which reads EVERY footer per call; files without
-    the stamp column, e.g. the seed, read as NULL rows, which the
-    null-skipping aggregates already treat as stampless)."""
+    1 + appends-since-compaction. Files the last compaction superseded
+    stay on disk one cycle for reader isolation (deferred GC); their
+    stamps sit BELOW the manifest's `compact_stamp` floor and are
+    excluded, so retained garbage never re-triggers compaction. Cost: one
+    column-pruned agg over the stamp column per trigger — read with an
+    explicit one-column schema, never mergeSchema (which reads EVERY
+    footer per call; files without the stamp column, e.g. the seed, read
+    as NULL rows, which the null-skipping aggregates already treat as
+    stampless)."""
     import os
 
     if not os.path.isdir(serving_dir):
         return 0, 0
+    pending = gc_pending(serving_dir)
+    floor = int(pending["compact_stamp"]) if pending else None
     df = spark.read.schema(f"{stamp_col} long").parquet(serving_dir)
+    live = (
+        F.when(F.col(stamp_col) >= F.lit(floor), F.col(stamp_col))
+        if floor is not None
+        else F.col(stamp_col)
+    )
     row = df.agg(
-        F.max(stamp_col).alias("m"), F.count_distinct(stamp_col).alias("n")
+        F.max(stamp_col).alias("m"), F.count_distinct(live).alias("n")
     ).collect()[0]
     nxt = 0 if row["m"] is None else int(row["m"]) + 1
     return nxt, int(row["n"])
+
+
+def list_log_data_files(serving_dir: str) -> list[str]:
+    """Relative paths of the log's parquet data files (recurses the
+    bucketed `__kb=` partition dirs; skips `_` markers/sidecars)."""
+    import os
+
+    out = []
+    if not os.path.isdir(serving_dir):
+        return out
+    for root, dirs, files in os.walk(serving_dir):
+        dirs[:] = [
+            d for d in dirs if d.startswith("__kb=") or not d.startswith(("_", "."))
+        ]
+        for f in files:
+            if not f.startswith(("_", ".")) and f.endswith(".parquet"):
+                out.append(
+                    os.path.relpath(os.path.join(root, f), serving_dir)
+                )
+    return sorted(out)
+
+
+def gc_pending(serving_dir: str) -> dict | None:
+    """The log's deferred-GC manifest (`_gc_pending.json`): files superseded
+    by the LAST compaction, awaiting deletion at the NEXT one, plus that
+    compaction's stamp (`compact_stamp`, the pressure floor). None when no
+    compaction is pending GC."""
+    import json
+    import os
+
+    p = os.path.join(serving_dir, "_gc_pending.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def record_gc_pending(serving_dir: str, files: list[str], compact_stamp: int) -> None:
+    import json
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=serving_dir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump({"files": sorted(files), "compact_stamp": int(compact_stamp)}, f)
+        os.replace(tmp, os.path.join(serving_dir, "_gc_pending.json"))
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def run_deferred_gc(serving_dir: str) -> int:
+    """Delete the files the PREVIOUS compaction superseded (their one-
+    compaction-cycle reader grace has expired) and clear the manifest.
+    Missing files are skipped: a crash mid-GC just resumes here. Returns
+    the number of files removed."""
+    import contextlib
+    import os
+
+    pending = gc_pending(serving_dir)
+    if pending is None:
+        return 0
+    n = 0
+    for rel in pending.get("files", []):
+        p = os.path.join(serving_dir, rel)
+        if os.path.isfile(p):
+            with contextlib.suppress(OSError):
+                os.unlink(p)
+                n += 1
+    # drop now-empty bucket dirs so partition discovery never sees an
+    # empty __kb= dir's schema-less husk
+    for e in os.listdir(serving_dir):
+        d = os.path.join(serving_dir, e)
+        if e.startswith("__kb=") and os.path.isdir(d) and not os.listdir(d):
+            with contextlib.suppress(OSError):
+                os.rmdir(d)
+    with contextlib.suppress(OSError):
+        os.unlink(os.path.join(serving_dir, "_gc_pending.json"))
+    return n
+
+
+def merge_fileset_in(staging: str, serving_dir: str) -> None:
+    """Move a staged fileset's data files into the serving dir, mirroring
+    relative paths (flat files stay flat; `__kb=` bucket files land in the
+    matching bucket dir). Each move is an atomic rename; a crash midway
+    leaves a PARTIAL compacted fileset alongside the full old one, which
+    still resolves to identical content (the moved rows outrank their old
+    copies; unmoved keys fall back to the old rows — same values either
+    way), so the protocol has no content-unsafe window."""
+    import os
+    import shutil
+
+    for rel in list_log_data_files(staging):
+        dst = os.path.join(serving_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(os.path.join(staging, rel), dst)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def seeded_version(serving_dir: str) -> int | None:
@@ -587,20 +698,39 @@ class HybridReplay:
 
     def compact(self) -> None:
         """Fold the append log to one resolved row per key (tombstones
-        kept) and swap it in atomically — bounds read amplification;
-        content is unchanged by construction. Winners coalesce to ONE
-        stamp (the current max): with one row per key the per-key tie
-        order no longer matters, future appends stamp strictly higher,
-        and distinct-stamp count becomes the compaction-pressure metric
-        (log_stamp_pressure)."""
+        kept) — bounds read amplification; content is unchanged by
+        construction.
+
+        Compaction is an APPEND + deferred GC, never a dir swap (VERDICT
+        r6 #3, reader-vs-swap isolation): the folded fileset lands in the
+        SAME dir stamped above every live row, and the files it
+        supersedes are only recorded in `_gc_pending.json` — deleted at
+        the START of the NEXT compaction, one full cycle later. A reader
+        whose plan listed files before this compact still reads them
+        (identical content: resolution is what compact materializes);
+        Venice's discipline is the same — the old version serves until
+        the swap completes and a BACKUP version is retained
+        (meta/Version.java lifecycle). On a real cluster this maps to
+        Delta/Iceberg snapshot isolation (SCALE.md). Every crash window
+        is content-safe: a partial compacted fileset resolves identically
+        (superseded rows win nowhere), a missing manifest just skips one
+        GC cycle, and a crash mid-GC resumes (missing files skipped)."""
+        import os
+        import uuid
+
+        run_deferred_gc(self.serving_dir)  # previous generation's grace is up
+        old_files = list_log_data_files(self.serving_dir)
         out = self._resolve_log()
-        if "__batch" in out.columns:
-            # bounded driver scalar, not a global window (which would
-            # funnel the whole table through one task)
-            m = self._raw().agg(F.max("__batch")).collect()[0][0]
-            if m is not None:
-                out = out.withColumn("__batch", F.lit(int(m)).cast("long"))
-        self._swap_in(out)
+        stamp, _ = log_stamp_pressure(self.spark, self.serving_dir, "__batch")
+        # winners coalesce to ONE stamp above every live row: per-key tie
+        # order no longer matters, future appends stamp strictly higher,
+        # and distinct-stamps-above-the-floor is the pressure metric
+        out = out.withColumn("__batch", F.lit(int(stamp)).cast("long"))
+        extend_log_schema(self.spark, self.serving_dir, out.schema)
+        staging = f"{self.serving_dir}__compact_{uuid.uuid4().hex}"
+        out.write.mode("overwrite").parquet(staging)
+        merge_fileset_in(staging, self.serving_dir)
+        record_gc_pending(self.serving_dir, old_files, stamp)
 
     def read(self) -> DataFrame:
         """The store's live view: tombstones filtered, op dropped."""
