@@ -1,0 +1,133 @@
+"""Ops entries for the crash healers (VERDICT r6 #5): `admin.py recover`
+and `admin.py inspect-log`. The library recovery functions themselves are
+fault-injection-tested in test_crash_atomicity.py; these tests pin the CLI
+contract (exit codes, JSON shape) end-to-end against real stranded state.
+Lives apart from test_admin.py, which stays Spark-free by design — these
+commands legitimately need a session (stranded-slot restage, stamp aggs).
+"""
+
+import importlib.util
+import json
+import os
+import shutil
+import sys
+
+import pytest
+
+_SPEC = importlib.util.spec_from_file_location(
+    "admin_cli",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "admin.py",
+    ),
+)
+admin = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(admin)
+
+from venice_spark.engine import VeniceSparkEngine  # noqa: E402
+
+
+def test_recover_heals_stranded_swap_and_slots(spark, tmp_path, capsys, monkeypatch):
+    import venice_spark.push as push_mod
+    from venice_spark.push import incremental_push
+
+    root = str(tmp_path / "cat")
+    eng = VeniceSparkEngine(spark, root)
+    eng.create_store("s", key_fields=["k"], partition_count=2, hybrid=True)
+    eng.push("s", spark.createDataFrame([(1, "base"), (2, "base")], "k long, v string"))
+    cat = eng.catalog
+
+    # strand a lazy slot on v1 exactly like the crash-atomicity suite:
+    # hide it from an eager push that then dies before its sweep
+    incremental_push(
+        spark, cat, "s",
+        spark.createDataFrame([(2, "late")], "k long, v string"), eager=False,
+    )
+    real_list = cat.list_delta_dirs
+    hidden = {"left": 2}
+
+    def hiding(store, version):
+        out = real_list(store, version)
+        if version == 1 and hidden["left"] > 0:
+            hidden["left"] -= 1
+            return []
+        return out
+
+    monkeypatch.setattr(cat, "list_delta_dirs", hiding)
+    monkeypatch.setattr(
+        push_mod, "sweep_late_deltas",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("died post-commit")),
+    )
+    with pytest.raises(RuntimeError):
+        incremental_push(
+            spark, cat, "s",
+            spark.createDataFrame([(1, "eager")], "k long, v string"),
+        )
+    monkeypatch.undo()
+    assert cat.list_delta_dirs("s", 1), "precondition: slot stranded on v1"
+
+    # and strand a serving-dir swap (process died between the two renames)
+    p = eng.store("s").producer()
+    p.put(1, {"v": "rt"}, ts=100)
+    p.flush(schema="k long, op string, ts long, colo int, v string")
+    eng.store("s").hybrid_serve(mode="rewrite")
+    serving = os.path.join(cat.store_dir("s"), "serving")
+    shutil.move(serving, f"{serving}__stream_old")
+
+    assert admin.main([root, "recover", "s"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["carried_slots"] == 1
+    assert out["healed_swaps"] == ["serving"]
+    assert os.path.isdir(serving)
+    assert cat.list_delta_dirs("s", 1) == []
+    got = {r["k"]: r["v"] for r in cat.read_current(spark, "s").collect()}
+    assert got[2] == "late"
+
+    # idempotent: a second recover finds nothing
+    assert admin.main([root, "recover", "s"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["carried_slots"] == 0 and out["healed_swaps"] == []
+
+    # unknown store exits 1 (before any recovery side effects)
+    assert admin.main([root, "recover", "nope"]) == 1
+
+
+def test_inspect_log_reports_stamps_gc_and_slots(spark, tmp_path, capsys):
+    from venice_spark.streaming.hybrid import gc_pending
+
+    root = str(tmp_path / "cat")
+    eng = VeniceSparkEngine(spark, root)
+    eng.create_store("h", key_fields=["k"], partition_count=2, hybrid=True)
+    eng.push("h", spark.createDataFrame([(1, "a")], "k long, v string"))
+    st = eng.store("h")
+    p = st.producer()
+    for i in range(2):
+        p.put(10 + i, {"v": f"v{i}"}, ts=100 + i)
+        p.flush(schema="k long, op string, ts long, colo int, v string")
+        st.hybrid_serve()
+    live = st.hybrid_serve()
+    live.compact()
+    eng.incremental_push(
+        "h", spark.createDataFrame([(3, "d")], "k long, v string"), eager=False
+    )
+
+    assert admin.main([root, "inspect-log", "h"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["store"] == "h" and rep["current_version"] == 1
+    assert [s["arrival_seq"] for s in rep["delta_slots"]] == [1]
+    log = rep["serving_logs"]["serving"]
+    assert log["seeded_version"] == 1
+    assert log["schema_sidecar"] is True
+    assert log["next_stamp"] >= 1 and log["live_stamps"] >= 1
+    serving = os.path.join(eng.catalog.store_dir("h"), "serving")
+    assert log["gc_pending_files"] == len(gc_pending(serving)["files"])
+    assert log["compact_stamp"] is not None
+
+    # recover --gc ends the reader grace: pending files deleted
+    assert admin.main([root, "recover", "h", "--gc"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["gc_removed"].get("serving", 0) >= 1
+    assert gc_pending(serving) is None
+    got = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
+    assert got == {1: "a", 10: "v0", 11: "v1"}
