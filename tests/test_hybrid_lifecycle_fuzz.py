@@ -160,49 +160,24 @@ def test_hybrid_serve_fuzz_with_midswap_crashes_matches_model(spark, tmp_root, s
     crashed_once = False
 
     def crash_compact(r):
-        """Kill compact() at one of the r7 append+deferred-GC protocol's
-        seams: (1) the first staged-file rename (partial compacted
-        fileset lands beside the full old one), (2) just before the GC
-        manifest is recorded (duplicates retained one extra cycle). Both
-        are content-safe by construction; the fuzz proves the LIFECYCLE
-        stays model-exact around them."""
+        """Kill compact() at a SCHEDULED filesystem mutation (VERDICT r6
+        #4): the nth rename/replace/move/unlink inside the r7
+        append+deferred-GC protocol — staged-file moves, the sidecar
+        replace, the GC manifest replace, GC unlinks — swept by the seed
+        instead of hand-picked points. Every seam is content-safe by
+        construction; the fuzz proves the LIFECYCLE stays model-exact
+        around whichever one the schedule lands on. An nth beyond the
+        op's mutation count completes the compact — that outcome is part
+        of the sweep's accounting."""
         nonlocal crashed_once
-        import os as _os
+        from _crash_schedule import run_with_crash
 
-        import venice_spark.streaming.hybrid as hyb
-
-        n = rng.choice([1, 2])
-        if n == 1:
-            real = _os.rename
-            calls = {"c": 0}
-
-            def crashing(src, dst, *a, **k):
-                if "__compact_" in str(src):
-                    calls["c"] += 1
-                    if calls["c"] == 1:
-                        raise _SimCrash("crash at first compacted-file move")
-                return real(src, dst, *a, **k)
-
-            _os.rename = crashing
-            try:
-                with pytest.raises(_SimCrash):
-                    r.compact()
-            finally:
-                _os.rename = real
-        else:
-            real_rec = hyb.record_gc_pending
-
-            def crashing_rec(*a, **k):
-                raise _SimCrash("crash before the GC manifest")
-
-            hyb.record_gc_pending = crashing_rec
-            try:
-                with pytest.raises(_SimCrash):
-                    r.compact()
-            finally:
-                hyb.record_gc_pending = real_rec
-        crash_points_hit.add(n)
-        crashed_once = True
+        res = run_with_crash(
+            r.compact, nth=rng.randint(1, 5), path_filter="serving"
+        )
+        crash_points_hit.add(res)
+        if res == "crashed":
+            crashed_once = True
 
     for step in range(16):
         action = rng.choice(
@@ -262,8 +237,10 @@ def test_hybrid_serve_fuzz_with_midswap_crashes_matches_model(spark, tmp_root, s
 
     final = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
     assert final == _model(base, ops), f"seed {seed} final"
-    # the committed seed must actually cover the interactions it exists for
-    assert crash_points_hit == {1, 2}, (
-        f"seed {seed} stopped exercising both crash points: {crash_points_hit}"
+    # the committed seed must actually cover the interactions it exists for:
+    # scheduled crashes fired AND at least one schedule ran past the op's
+    # mutation count (the completed tail of the sweep)
+    assert crash_points_hit == {"crashed", "completed"}, (
+        f"seed {seed} stopped covering both schedule outcomes: {crash_points_hit}"
     )
     assert pushed_after_crash, f"seed {seed} lost its post-crash push re-seed"

@@ -147,3 +147,102 @@ def test_ingest_lifecycle_fuzz_matches_model(spark, tmp_root, seed):
     assert sum(s["rows"] for s in man["splits"].values()) == len(state)
     back = spark.read.parquet(out)
     assert {r["doc_id"]: r["text"] for r in back.select("doc_id", "text").collect()} == state
+
+
+@pytest.mark.parametrize("seed", [19])
+def test_ingest_lifecycle_fuzz_with_crash_schedule(spark, tmp_root, seed):
+    """VERDICT r6 #4: the crawl-ingest lifecycle with ops killed at a
+    SCHEDULED filesystem mutation (nth rename/replace/move, seed-swept).
+    Either/or model contract: after a scheduled crash the corpus equals
+    the model state from before or after the op; the model adopts the
+    observed branch and the fuzz continues, so recovery paths face every
+    subsequent interleaving (ingest-over-crashed-ingest, compact-over-
+    crashed-compact, export at the end)."""
+    from _crash_schedule import run_with_crash
+
+    rng = random.Random(seed)
+    root = tmp_root + f"_ifzc{seed}"
+    eng = VeniceSparkEngine(spark, root)
+    eng.create_store(
+        "c", key_fields=["doc_id"], partition_count=2,
+        views=[BandIndexViewDef("ndx", text_col="text")],
+    )
+
+    def mkdf(kvs):
+        return spark.createDataFrame(list(kvs.items()), "doc_id long, text string")
+
+    next_id = 100
+    state = {i: _text(i) for i in range(6)}
+    ingest_crawl_batch(eng, "c", mkdf(state), config=CFG, band_view="ndx")
+
+    def model_ingest(cur, batch):
+        by_text = {}
+        for i in sorted(batch):
+            by_text.setdefault(batch[i], i)
+        survivors = {i: t for t, i in by_text.items()}
+        texts = set(cur.values())
+        out = {}
+        for i, t in survivors.items():
+            if i in cur:
+                out[i] = t
+            elif t not in texts:
+                out[i] = t
+        return out
+
+    outcomes = set()
+    for step in range(12):
+        op = rng.choice(["ingest", "ingest", "ingest", "compact", "repush"])
+        before = dict(state)
+        if op == "ingest":
+            batch = {}
+            for _ in range(rng.randint(1, 4)):
+                kind = rng.choice(["fresh", "recrawl", "upsert"])
+                if kind == "fresh" or not state:
+                    batch[next_id] = _text(next_id)
+                    next_id += 1
+                elif kind == "recrawl":
+                    src = rng.choice(sorted(state))
+                    batch[next_id] = state[src]
+                    next_id += 1
+                else:
+                    tgt = rng.choice(sorted(state))
+                    next_id += 1
+                    batch[tgt] = _text(next_id)
+            eager = rng.random() < 0.5
+            after = {**state, **model_ingest(state, batch)}
+            thunk = lambda b=batch, e=eager: ingest_crawl_batch(
+                eng, "c", mkdf(b), config=CFG, band_view="ndx", eager=e
+            )
+        elif op == "compact":
+            after = dict(state)
+            thunk = lambda: eng.compact("c")
+        else:
+            after = dict(state)
+            thunk = lambda: eng.repush("c")
+
+        if rng.random() < 0.6:
+            outcomes.add(run_with_crash(thunk, nth=rng.randint(1, 5), path_filter=root))
+            got = _read_state(eng)
+            assert got in (before, after), (
+                f"seed {seed} step {step} op {op}: torn corpus after scheduled crash"
+            )
+            state = got
+        else:
+            thunk()
+            state = after
+            assert _read_state(eng) == state, f"seed {seed} step {step} op {op}"
+        # the band view stays probe-able in every crashed/healed state
+        probe = mkdf({999_999: _text(999_999)})
+        assert eng.store("c").near_dups_vs("ndx", probe, "doc_id").count() == 0
+
+    # export works from whatever state the crash storm ended in
+    from venice_spark.pipeline import export_training_data
+
+    out = root + "_export"
+    man = export_training_data(
+        eng, "c", out, split_weights={"train": 0.8, "val": 0.2}, n_shards=2
+    )
+    assert sum(s["rows"] for s in man["splits"].values()) == len(state)
+    assert outcomes == {"crashed", "completed"}, (
+        f"seed {seed} stopped covering both schedule outcomes: {outcomes}"
+    )

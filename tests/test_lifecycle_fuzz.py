@@ -191,3 +191,96 @@ def test_view_lifecycle_fuzz_matches_model(spark, tmp_root, seed):
             with pytest.raises(ValueError, match="no materialized view"):
                 eng.store("sv").view_df("by_g")
         history[cur] = dict(state)
+
+
+@pytest.mark.parametrize("seed", [29])
+def test_lifecycle_fuzz_with_crash_schedule_matches_model(spark, tmp_root, seed):
+    """VERDICT r6 #4: the version-machinery fuzz with ops killed at a
+    SCHEDULED filesystem mutation (nth rename/replace/move, swept by the
+    seed) — slot renames, store.json pointer flips, arrival-counter and
+    sidecar replaces all become crash sites without being hand-picked.
+    Model contract after a scheduled crash: the op's effect is atomic at
+    its commit point, so the observed state must equal the model state
+    from BEFORE the op or AFTER it (anything else is a torn write the
+    recovery machinery failed to hide); the model adopts whichever the
+    engine observed, and the lifecycle continues — so recovery paths are
+    checked against every subsequent interleaving too."""
+    from _crash_schedule import run_with_crash
+
+    rng = random.Random(seed)
+    root = tmp_root + f"_fzc{seed}"
+    eng = VeniceSparkEngine(spark, root)
+    eng.create_store("s", key_fields=["k"], partition_count=2)
+
+    def mkdf(kvs):
+        return spark.createDataFrame(
+            [(k, v, ts) for k, (v, ts) in kvs.items()],
+            "k long, v double, _rmd_ts long",
+        )
+
+    now = 1000
+    state = {k: (float(k), now) for k in range(8)}
+    eng.push("s", mkdf(state))
+    history = {eng.catalog.current_version("s"): dict(state)}
+    outcomes = set()
+
+    for step in range(14):
+        now += 10
+        op = rng.choice(
+            ["incr_eager", "incr_lazy", "compact", "repush", "empty", "full", "rollback"]
+        )
+        before = dict(state)
+        if op == "full":
+            after = {
+                k: (rng.random(), now) for k in rng.sample(range(20), rng.randint(1, 8))
+            }
+            thunk = lambda d=after: eng.push("s", mkdf(d))
+        elif op in ("incr_eager", "incr_lazy"):
+            delta = {
+                k: (rng.random(), now) for k in rng.sample(range(20), rng.randint(1, 5))
+            }
+            after = {**state, **delta}
+            thunk = lambda d=delta, e=(op == "incr_eager"): eng.incremental_push(
+                "s", mkdf(d), eager=e
+            )
+        elif op == "compact":
+            after = dict(state)
+            thunk = lambda: eng.compact("s")
+        elif op == "repush":
+            after = dict(state)
+            thunk = lambda: eng.repush("s")
+        elif op == "empty":
+            after = {}
+            thunk = lambda: eng.empty_push("s")
+        else:  # rollback
+            versions = sorted(history)
+            cur = eng.catalog.current_version("s")
+            prior = [v for v in versions if v < cur]
+            if not prior:
+                continue
+            after = dict(history[prior[-1]])
+            thunk = lambda v=prior[-1]: eng.rollback("s", v)
+
+        if rng.random() < 0.6:
+            outcomes.add(run_with_crash(thunk, nth=rng.randint(1, 8), path_filter=root))
+            got = _read_state(eng, "s")
+            assert got in (before, after), (
+                f"seed {seed} step {step} op {op}: torn state after scheduled "
+                f"crash — neither before nor after\n got={got}\n before={before}\n after={after}"
+            )
+            state = got
+        else:
+            thunk()
+            state = after
+            got = _read_state(eng, "s")
+            assert got == state, f"seed {seed} step {step} op {op}"
+        history[eng.catalog.current_version("s")] = dict(state)
+
+    # a final uncrashed op proves the machinery is healthy after the storm
+    delta = {1: (0.5, now + 10)}
+    eng.incremental_push("s", mkdf(delta))
+    state = {**state, **delta}
+    assert _read_state(eng, "s") == state, f"seed {seed} final"
+    assert outcomes == {"crashed", "completed"}, (
+        f"seed {seed} stopped covering both schedule outcomes: {outcomes}"
+    )
