@@ -580,24 +580,28 @@ def test_png_palette_decode():
         decode_png(bad)
 
 
-def test_png_trns_raises_unsupported_not_silently_opaque():
-    """ADVICE r5: transparency lives in the tRNS chunk for palette/truecolor
-    PNGs; the native decoder does not implement it, so decoding one must be
-    UNSUPPORTED (→ PIL fallback in _decode_image), never a silently
-    fully-opaque image."""
+def _png_chunk(ctype, data):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def test_png_trns_palette_decodes_native_rgba():
+    """r7 (VERDICT r6 #8): palette tRNS decodes NATIVELY — the tRNS chunk
+    holds alpha for the first len(tRNS) palette entries, the rest default
+    opaque, and the palette expands to RGBA. The pre-r7 behavior (raise →
+    PIL fallback) silently lost transparency on clusters without Pillow;
+    the pre-ADVICE-r5 behavior decoded fully opaque. Both are wrong."""
     import struct
     import zlib
 
     import numpy as np
-    import pytest as _pt
 
-    from venice_spark.multimodal import UnsupportedPngError, decode_png
-
-    def chunk(ctype, data):
-        return (
-            struct.pack(">I", len(data)) + ctype + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
+    from venice_spark.multimodal import decode_png
 
     palette = np.array([[255, 0, 0], [0, 255, 0]], dtype=np.uint8)
     idx = np.array([[0, 1]], dtype=np.uint8)
@@ -605,14 +609,82 @@ def test_png_trns_raises_unsupported_not_silently_opaque():
     scan = b"\x00" + idx[0].tobytes()
     png = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"PLTE", palette.tobytes())
-        + chunk(b"tRNS", bytes([0]))  # palette entry 0 fully transparent
-        + chunk(b"IDAT", zlib.compress(scan))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"tRNS", bytes([0]))  # palette entry 0 fully transparent
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
     )
-    with _pt.raises(UnsupportedPngError, match="tRNS"):
+    arr = decode_png(png)
+    assert arr.shape == (1, 2, 4)
+    assert arr[0, 0].tolist() == [255, 0, 0, 0]      # transparent entry
+    assert arr[0, 1].tolist() == [0, 255, 0, 255]    # opaque default
+
+
+def test_png_trns_rgb_and_gray_key_becomes_alpha():
+    """8-bit gray/RGB tRNS: the chunk names ONE fully-transparent sample
+    value; matching pixels get alpha 0, everything else 255."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from venice_spark.multimodal import decode_png, encode_png
+
+    # RGB 2x2 with (1,2,3) as the transparent key
+    rgb = np.array(
+        [[[1, 2, 3], [9, 9, 9]], [[1, 2, 3], [1, 2, 4]]], dtype=np.uint8
+    )
+    base = encode_png(rgb)
+    # splice a tRNS chunk after IHDR (8 sig + 25 IHDR chunk bytes)
+    trns = _png_chunk(b"tRNS", struct.pack(">HHH", 1, 2, 3))
+    png = base[:33] + trns + base[33:]
+    arr = decode_png(png)
+    assert arr.shape == (2, 2, 4)
+    assert arr[:, :, 3].tolist() == [[0, 255], [0, 255]]
+    assert arr[0, 1].tolist() == [9, 9, 9, 255]
+
+    # grayscale with key 7
+    gray = np.array([[[7], [8]]], dtype=np.uint8)
+    base = encode_png(gray)
+    png = base[:33] + _png_chunk(b"tRNS", struct.pack(">H", 7)) + base[33:]
+    arr = decode_png(png)
+    assert arr.shape == (1, 2, 2)
+    assert arr[0, 0].tolist() == [7, 0] and arr[0, 1].tolist() == [8, 255]
+
+
+def test_png_trns_validation_raises_loudly():
+    """tRNS on alpha color types / oversized tRNS = corrupt (ValueError);
+    the one remaining unsupported flavor — 16-bit gray/RGB keys, whose
+    exact match needs the low bytes the 16->8 reduction drops — stays a
+    loud UnsupportedPngError (PIL fallback where installed)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from venice_spark.multimodal import UnsupportedPngError, decode_png, encode_png
+
+    rgba = np.zeros((1, 1, 4), dtype=np.uint8)
+    base = encode_png(rgba)
+    png = base[:33] + _png_chunk(b"tRNS", struct.pack(">HHH", 0, 0, 0)) + base[33:]
+    with _pt.raises(ValueError, match="illegal for alpha"):
         decode_png(png)
+
+    # 16-bit RGB with tRNS: valid but unsupported natively
+    rgb16 = np.zeros((1, 1, 3), dtype=np.uint8)
+    raw = b"\x00" + (b"\x00\x00" * 3)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tRNS", struct.pack(">HHH", 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pt.raises(UnsupportedPngError, match="16-bit"):
+        decode_png(png16)
 
 
 def test_corrupt_png_yields_null_features_not_job_abort(spark):
