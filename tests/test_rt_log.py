@@ -452,3 +452,88 @@ def test_producer_flush_types_all_null_columns_merge_compatibly(spark, tmp_path)
     merged = read_rt_log(spark, eng.catalog, "p2")
     vals = {r["k"]: r["set_x"] for r in merged.collect()}
     assert vals == {"1": None, "2": 5}
+
+
+def test_rt_log_sidecar_replaces_mergeschema_in_read(spark, tmp_path, monkeypatch):
+    """r7: every flush maintains the RT log's `_log_schema.json` sidecar
+    write-ahead, and read_rt_log reads with the sidecar union — one JSON
+    read instead of mergeSchema's O(flushes) footer reads per serve call.
+    Column union across heterogeneous flushes must be identical to the
+    old mergeSchema answer."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import read_rt_log
+    from venice_spark.streaming.hybrid import log_schema
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("s", key_fields=["k"], hybrid=True)
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"a": 1.0}, ts=10)
+    p.flush()
+    p.delete(2, ts=20)  # delete-only flush: no value columns
+    p.flush()
+    p.put(3, {"b": "x"}, ts=30)  # different value column
+    p.flush()
+
+    rt_dir = eng.catalog.update_log_dir("s")
+    side = log_schema(rt_dir)
+    assert side is not None
+    assert {"k", "op", "ts", "colo", "a", "b"} <= set(side.names)
+
+    # the hot read path must not touch mergeSchema anymore
+    import pyspark.sql.readwriter as rw
+
+    real = rw.DataFrameReader.option
+
+    def guard(self, key, value=None):
+        assert str(key).lower() != "mergeschema", "read_rt_log used mergeSchema"
+        return real(self, key, value)
+
+    monkeypatch.setattr(rw.DataFrameReader, "option", guard)
+    df = read_rt_log(spark, eng.catalog, "s")
+    rows = {r["k"]: (r["a"], r["b"], r["op"]) for r in df.collect()}
+    monkeypatch.undo()
+    assert rows[1] == (1.0, None, "PUT")
+    assert rows[2][2] == "DELETE"
+    assert rows[3] == (None, "x", "PUT")
+
+
+def test_truncate_rt_log_is_file_granular_and_ts_safe(spark, tmp_path):
+    """r7 RT retention: only files whose EVERY record predates the cutoff
+    are deleted; a file mixing old and fresh rows is kept whole, and the
+    replayable content at/after the cutoff is untouched."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import read_rt_log
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("s", key_fields=["k"], hybrid=True)
+    eng.push("s", spark.createDataFrame([(9, 9.0)], "k long, v double"))
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=10)
+    p.put(2, {"v": 2.0}, ts=20)
+    p.flush()  # old-only file(s): all < 100 -> eligible
+    # ONE physical file mixing old and fresh rows (a flush may split rows
+    # across part files, so build the mixed file explicitly): must be
+    # kept whole — its ts=50 row survives because its file holds ts=150
+    rt_dir = eng.catalog.update_log_dir("s")
+    spark.createDataFrame(
+        [(3, "PUT", 50, 0, 3.0), (4, "PUT", 150, 0, 4.0)],
+        "k long, op string, ts long, colo int, v double",
+    ).coalesce(1).write.mode("append").parquet(rt_dir)
+    p.put(5, {"v": 5.0}, ts=200)
+    p.flush()  # fresh -> kept
+
+    removed = st.truncate_rt(before_ts=100)
+    assert removed >= 1
+    left = {r["k"]: r["ts"] for r in read_rt_log(spark, eng.catalog, "s").collect()}
+    assert 1 not in left and 2 not in left, "pre-cutoff file survived"
+    assert left[3] == 50, "mixed file lost its old rows (must be kept whole)"
+    assert left[4] == 150 and left[5] == 200
+
+    # idempotent + nothing eligible
+    assert st.truncate_rt(before_ts=100) == 0
+
+    # and a serve over the truncated log still works end-to-end
+    out = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
+    assert out[3] == 3.0 and out[4] == 4.0 and out[5] == 5.0 and out[9] == 9.0

@@ -15,6 +15,7 @@ Usage:
   python tools/admin.py <root> delete <store>
   python tools/admin.py <root> recover <store> [--gc]
   python tools/admin.py <root> inspect-log <store>
+  python tools/admin.py <root> truncate-rt <store> --before-ts N
 
 Exit codes: 0 ok; 1 catalog error (unknown store, illegal transition);
 2 usage error (unknown command, missing/malformed arguments).
@@ -77,6 +78,15 @@ def _build_parser() -> argparse.ArgumentParser:
         help="also delete GC-pending serving files (ends the current "
         "reader-isolation grace — only when no readers are in flight)",
     )
+    tr = sub.add_parser(
+        "truncate-rt",
+        help="RT-log retention: delete update-log files whose every "
+        "record is older than --before-ts (the reference's RT topic "
+        "retention). Pick a cutoff no later than now - rewind and behind "
+        "every live consumer's checkpoint.",
+    )
+    tr.add_argument("store")
+    tr.add_argument("--before-ts", type=int, required=True)
     il = sub.add_parser(
         "inspect-log",
         help="serving-log health: stamp pressure, GC-pending files, "
@@ -245,6 +255,15 @@ def _run(args: argparse.Namespace) -> int:
         print(f"deleted store {args.store}")
     elif args.cmd == "recover":
         return _cmd_recover(cat, args)
+    elif args.cmd == "truncate-rt":
+        cat.get_store(args.store)
+        from venice_spark.producer import truncate_rt_log
+        from venice_spark.session import get_spark
+
+        n = truncate_rt_log(
+            get_spark("admin_truncate"), cat, args.store, args.before_ts
+        )
+        print(json.dumps({"store": args.store, "removed_files": n}))
     elif args.cmd == "inspect-log":
         return _cmd_inspect_log(cat, args)
     return 0

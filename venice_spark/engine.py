@@ -523,6 +523,16 @@ class StoreHandle:
 
         return VeniceProducer(self.spark, self.catalog, self.name, colo=colo)
 
+    def truncate_rt(self, before_ts: int, ts_col: str = "ts") -> int:
+        """RT-log retention (the reference's RT topic retention time):
+        delete log files whose every record is older than `before_ts`.
+        See producer.truncate_rt_log for the consumer-safety contract —
+        pick a cutoff no later than now - rewind and behind every live
+        consumer's checkpoint."""
+        from venice_spark.producer import truncate_rt_log
+
+        return truncate_rt_log(self.spark, self.catalog, self.name, before_ts, ts_col)
+
     def hybrid_serve(
         self,
         ts_col: str = "ts",

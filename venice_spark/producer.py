@@ -19,6 +19,7 @@ from __future__ import annotations
 import time
 from typing import Any
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from venice_spark.catalog import StoreCatalog
@@ -88,6 +89,14 @@ class VeniceProducer:
                 df = self.spark.createDataFrame(
                     self._coerce_rows(rows, fschema), schema=fschema
                 )
+        # write-ahead schema sidecar (same discipline as the serving LSM
+        # logs, streaming/hybrid.log_schema): the RT log accumulates one
+        # fileset per flush with differing column sets, and reading it
+        # with mergeSchema costs O(flushes) footer reads on EVERY serve
+        # call — the sidecar makes read_rt_log one JSON read instead
+        from venice_spark.streaming.hybrid import extend_log_schema
+
+        extend_log_schema(self.spark, rt_dir, df.schema)
         df.write.mode("append").parquet(rt_dir)
         self._buffer.clear()
         return rt_dir
@@ -134,15 +143,21 @@ class VeniceProducer:
             pass
         existing: dict = {}
         try:
+            from venice_spark.streaming.hybrid import log_schema as _sidecar
+
             rt_dir = self.catalog.update_log_dir(self.store)
-            if os.path.isdir(rt_dir) and any(
+            side = _sidecar(rt_dir)
+            if side is not None:
+                # earlier flushes win over the declared schema and are used
+                # EXACTLY: the new files must merge against them as-is. The
+                # sidecar IS their union (maintained write-ahead by flush)
+                existing = {f.name: f.dataType for f in side.fields}
+            elif os.path.isdir(rt_dir) and any(
                 f.endswith(".parquet") for f in os.listdir(rt_dir)
             ):
                 log_schema = (
                     self.spark.read.option("mergeSchema", "true").parquet(rt_dir).schema
                 )
-                # earlier flushes win over the declared schema and are used
-                # EXACTLY: the new files must merge against them as-is
                 existing = {f.name: f.dataType for f in log_schema.fields}
         except Exception:
             pass
@@ -265,10 +280,63 @@ class ProducerUpdateBuilder(UpdateBuilder):
 
 
 def read_rt_log(spark: SparkSession, catalog: StoreCatalog, store: str) -> DataFrame:
-    """Read the append-only RT log. mergeSchema is REQUIRED: each flush
-    writes only the columns its buffered ops carried (a delete-only flush
-    has no value columns), and a single-footer read would silently drop
-    every other flush's value/update columns."""
-    return spark.read.option("mergeSchema", "true").parquet(
-        catalog.update_log_dir(store)
+    """Read the append-only RT log with the UNION of every flush's columns
+    (a delete-only flush has no value columns; a single-footer read would
+    silently drop other flushes' value/update columns). The union comes
+    from the `_log_schema.json` sidecar each flush maintains write-ahead —
+    one JSON read instead of mergeSchema's O(flushes) footer reads per
+    serve call; pre-sidecar logs fall back to mergeSchema and upgrade on
+    their next flush."""
+    from venice_spark.streaming.hybrid import log_schema
+
+    rt_dir = catalog.update_log_dir(store)
+    sidecar = log_schema(rt_dir)
+    if sidecar is not None:
+        return spark.read.schema(sidecar).parquet(rt_dir)
+    return spark.read.option("mergeSchema", "true").parquet(rt_dir)
+
+
+def truncate_rt_log(
+    spark: SparkSession,
+    catalog: StoreCatalog,
+    store: str,
+    before_ts: int,
+    ts_col: str = "ts",
+) -> int:
+    """RT-log retention: delete log files whose every record is older than
+    `before_ts` (the reference's RT topic retention — hybrid config rewind
+    plus retention time decide how much RT history exists to replay;
+    meta/HybridStoreConfigImpl.java). Without retention the rt/ dir grows
+    one fileset per flush forever, and every re-seed replays an
+    ever-longer prefix the rewind window immediately discards.
+
+    File-granular and ts-safe: one column-pruned scan groups max(ts) by
+    input file, and only files STRICTLY below the cutoff are unlinked —
+    a file mixing old and fresh rows is kept whole, so no record at or
+    after the cutoff is ever lost. CONTRACT: callers pick a cutoff no
+    later than (now - rewind window) and behind every live consumer's
+    checkpoint; a streaming source that already processed a deleted file
+    is unaffected (file-source logs tolerate vanished seen files), one
+    that has NOT yet read it would lose data. Returns files removed."""
+    import os
+
+    rt_dir = catalog.update_log_dir(store)
+    if not os.path.isdir(rt_dir):
+        return 0
+    df = read_rt_log(spark, catalog, store)
+    per_file = (
+        df.select(F.input_file_name().alias("__f"), F.col(ts_col))
+        .groupBy("__f")
+        .agg(F.max(ts_col).alias("__max_ts"))
+        .collect()
     )
+    removed = 0
+    for row in per_file:
+        if row["__max_ts"] is not None and row["__max_ts"] < before_ts:
+            path = row["__f"]
+            if path.startswith("file:"):
+                path = path[len("file:"):]
+            if os.path.isfile(path):
+                os.unlink(path)
+                removed += 1
+    return removed
