@@ -131,3 +131,28 @@ def test_inspect_log_reports_stamps_gc_and_slots(spark, tmp_path, capsys):
     assert gc_pending(serving) is None
     got = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
     assert got == {1: "a", 10: "v0", 11: "v1"}
+
+
+def test_recover_clean_staging_removes_orphans_only_on_request(
+    spark, tmp_path, capsys
+):
+    """A push crashed before its slot rename leaves a _delta_staging-*
+    orphan forever; `recover --clean-staging` removes them (explicitly
+    opt-in: a live push's staging dir looks identical)."""
+    import json as _json
+
+    root = str(tmp_path / "cat")
+    eng = VeniceSparkEngine(spark, root)
+    eng.create_store("s", key_fields=["k"], partition_count=2)
+    eng.push("s", spark.createDataFrame([(1, "a")], "k long, v string"))
+    orphan = os.path.join(eng.catalog.store_dir("s"), "_delta_staging-deadbeef")
+    os.makedirs(orphan)
+
+    assert admin.main([root, "recover", "s"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["staging_removed"] == 0 and os.path.isdir(orphan)
+
+    assert admin.main([root, "recover", "s", "--clean-staging"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["staging_removed"] == 1 and not os.path.isdir(orphan)
+

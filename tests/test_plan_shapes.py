@@ -324,3 +324,18 @@ def test_version_diff_prunes_columns_and_stays_jvm(spark, sf_dir):
         schema = seg.split("\n", 1)[0]
         assert "o_orderkey" in schema and "o_totalprice" in schema, schema
         assert "o_orderstatus" not in schema and "o_comment" not in schema, schema
+
+
+def test_evolved_serve_rank_limits_and_prunes_columns(spark, sf_dir):
+    """The schema-evolution serving resolution must rank-limit both
+    windows (WindowGroupLimit: the shuffle carries ~1 row per key, not
+    every version of every key), prune both scans to the query's columns,
+    and stay JVM-only — the same shape the serving LSM read pays."""
+    df = QUERIES["x_evolved_serve"](spark, sf_dir)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    for seg in plan.split("ReadSchema: ")[1:]:
+        schema = seg.split("\n", 1)[0]
+        assert "o_comment" not in schema and "c_comment" not in schema, schema

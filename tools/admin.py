@@ -78,6 +78,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="also delete GC-pending serving files (ends the current "
         "reader-isolation grace — only when no readers are in flight)",
     )
+    rec.add_argument(
+        "--clean-staging",
+        action="store_true",
+        help="also remove _delta_staging-* orphans left by crashed "
+        "pushes (only when no pushes are in flight — a live push's "
+        "staging dir is indistinguishable from an orphan)",
+    )
     tr = sub.add_parser(
         "truncate-rt",
         help="RT-log retention: delete update-log files whose every "
@@ -131,17 +138,30 @@ def _cmd_recover(cat: StoreCatalog, args: argparse.Namespace) -> int:
     for target in sorted(roots):
         if recover_swap_dir(target):
             healed.append(os.path.basename(target))
-    from venice_spark.push import recover_stranded_deltas
-    from venice_spark.session import get_spark
+    carried = 0
+    if cat.current_version(args.store) > 0:
+        # the stranded-delta walk needs a session (a layout-mismatched
+        # slot restages through a repartition); skip the JVM entirely for
+        # versionless stores
+        from venice_spark.push import recover_stranded_deltas
+        from venice_spark.session import get_spark
 
-    spark = get_spark("admin_recover")
-    carried = recover_stranded_deltas(spark, cat, args.store)
+        carried = recover_stranded_deltas(get_spark("admin_recover"), cat, args.store)
     gc_removed = {}
     if args.gc:
         for d, _stamp in _serving_dirs(cat, args.store):
             n = run_deferred_gc(d)
             if n:
                 gc_removed[os.path.basename(d)] = n
+    staging_removed = 0
+    if args.clean_staging:
+        import shutil
+
+        for d in glob.glob(
+            os.path.join(cat.store_dir(args.store), "_delta_staging-*")
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+            staging_removed += 1
     print(
         json.dumps(
             {
@@ -149,6 +169,7 @@ def _cmd_recover(cat: StoreCatalog, args: argparse.Namespace) -> int:
                 "carried_slots": carried,
                 "healed_swaps": healed,
                 "gc_removed": gc_removed,
+                "staging_removed": staging_removed,
             },
             indent=2,
         )

@@ -195,7 +195,12 @@ def refuse_rewrite_over_append(
     import os
 
     if os.path.isdir(serving_dir):
-        cols = spark.read.option("mergeSchema", "true").parquet(serving_dir).columns
+        side = log_schema(serving_dir)
+        cols = (
+            side.names
+            if side is not None
+            else spark.read.option("mergeSchema", "true").parquet(serving_dir).columns
+        )
         if stamp_col in cols:
             raise ValueError(
                 f"serving dir {serving_dir!r} holds an append-mode {label} "
