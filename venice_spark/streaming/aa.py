@@ -314,6 +314,7 @@ class ActiveActiveReplay:
             list(base.fields),
             [T.StructField(c, reg[c], True) for c in self.value_cols if c in reg]
             + [T.StructField("__aa_batch", T.LongType(), True)],
+            on_conflict="keep-base",
         )
         return self.spark.read.schema(T.StructType(fields)).parquet(
             self.serving_dir

@@ -411,12 +411,17 @@ def registered_value_types(catalog, store: str) -> dict:
         return {}
 
 
-def union_log_fields(base_fields: list, extra_fields: list) -> list:
-    """Name-keyed union of StructFields, base first. A same-name field with
-    a DIFFERENT type raises loudly: serving-log columns may be ADDED (old
-    files null-fill) but never silently retyped — a retype needs a reseed
-    or a compact that casts, and a quiet type swap would corrupt every
-    pre-existing file's reads."""
+def union_log_fields(
+    base_fields: list, extra_fields: list, on_conflict: str = "raise"
+) -> list:
+    """Name-keyed union of StructFields, base first. A same-name field
+    with a DIFFERENT type either raises loudly (writers: serving-log
+    columns may be ADDED — old files null-fill — but never silently
+    retyped; a retype needs a reseed or a compact that casts) or keeps
+    the base type (on_conflict='keep-base' — readers: the log's files
+    are ground truth, a registry that disagrees must not brick reads of
+    data that was always readable; the conflict surfaces at the next
+    WRITE, where extend_log_schema unions strictly)."""
     out = list(base_fields)
     by_name = {f.name: f for f in out}
     for f in extra_fields:
@@ -424,7 +429,7 @@ def union_log_fields(base_fields: list, extra_fields: list) -> list:
         if cur is None:
             out.append(f)
             by_name[f.name] = f
-        elif cur.dataType != f.dataType:
+        elif cur.dataType != f.dataType and on_conflict == "raise":
             raise ValueError(
                 f"serving-log column {f.name!r} type conflict: log has "
                 f"{cur.dataType.simpleString()}, writer/registry has "
@@ -691,6 +696,7 @@ class HybridReplay:
                 T.StructField("op", T.StringType(), True),
                 T.StructField("__batch", T.LongType(), True),
             ],
+            on_conflict="keep-base",
         )
         return self.spark.read.schema(T.StructType(fields)).parquet(
             self.serving_dir
