@@ -156,3 +156,18 @@ def test_recover_clean_staging_removes_orphans_only_on_request(
     out = _json.loads(capsys.readouterr().out)
     assert out["staging_removed"] == 1 and not os.path.isdir(orphan)
 
+
+
+def test_inspect_log_reports_rt_log(spark, tmp_path, capsys):
+    root = str(tmp_path / "cat")
+    eng = VeniceSparkEngine(spark, root)
+    eng.create_store("s", key_fields=["k"], hybrid=True)
+    p = eng.store("s").producer()
+    p.put(1, {"v": 1.0}, ts=10)
+    p.flush()
+
+    assert admin.main([root, "inspect-log", "s"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["rt_log"]["files"] >= 1
+    assert rep["rt_log"]["schema_sidecar"] is True
+

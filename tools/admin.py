@@ -201,6 +201,14 @@ def _cmd_inspect_log(cat: StoreCatalog, args: argparse.Namespace) -> int:
         else [],
         "serving_logs": {},
     }
+    rt_dir = cat.update_log_dir(args.store)
+    if os.path.isdir(rt_dir):
+        report["rt_log"] = {
+            "files": sum(
+                1 for f in os.listdir(rt_dir) if f.endswith(".parquet")
+            ),
+            "schema_sidecar": log_schema(rt_dir) is not None,
+        }
     dirs = _serving_dirs(cat, args.store)
     if dirs:
         from venice_spark.session import get_spark
