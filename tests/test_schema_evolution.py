@@ -140,6 +140,13 @@ def _evolved_hybrid(spark, tmp_path, mode, monkeypatch):
         _no_merge_schema(monkeypatch)
     rows = {r["k"]: (r["v"], r["rank"]) for r in live.read().collect()}
     monkeypatch.undo()
+    if mode == "append":
+        # compaction folds the log AFTER the evolution: the evolved
+        # column must survive the fold (the compact output is written
+        # with the sidecar-derived read schema)
+        live.compact()
+        after = {r["k"]: (r["v"], r["rank"]) for r in live.read().collect()}
+        assert after == rows, f"compaction dropped evolved data: {after}"
     return rows
 
 
@@ -212,6 +219,12 @@ def _evolved_aa(spark, tmp_path, mode, buckets, monkeypatch):
         _no_merge_schema(monkeypatch)
     rows = {r["k"]: (r["name"], r["score"], r["rank"]) for r in live.read().collect()}
     monkeypatch.undo()
+    if mode == "append":
+        live.compact()
+        after = {
+            r["k"]: (r["name"], r["score"], r["rank"]) for r in live.read().collect()
+        }
+        assert after == rows, f"compaction dropped evolved data: {after}"
     return rows
 
 
