@@ -588,10 +588,11 @@ class StoreHandle:
             # seed the schema sidecar so append-mode reads never need
             # mergeSchema (after the write: the dir must exist, and a crash
             # in between just leaves a pre-sidecar log that upgrades on its
-            # first append)
-            from venice_spark.streaming.hybrid import extend_log_schema
+            # first append). set, not extend: the seed owns the whole
+            # fileset, so no merge pass over the just-written files
+            from venice_spark.streaming.hybrid import set_log_schema
 
-            extend_log_schema(self.spark, serving, base.schema)
+            set_log_schema(serving, base.schema)
         replay = HybridReplay(
             self.spark,
             self.catalog,
