@@ -882,3 +882,149 @@ def test_png_adam7_truncated_pass_is_corrupt_not_unsupported():
     bad = sig_ihdr + chunk(b"IDAT", cut) + chunk(b"IEND", b"")
     with _pt.raises(ValueError, match="truncated|length mismatch"):
         decode_png(bad)
+
+
+def _mk_png(w, h, depth, ctype, scan_rows, extra_chunks=(), interlace=0):
+    """Hand-assemble a PNG from pre-filtered scanline byte rows."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    raw = b"".join(b"\x00" + r for r in scan_rows)
+    parts = [b"\x89PNG\r\n\x1a\n", _png_chunk(b"IHDR", ihdr)]
+    parts += list(extra_chunks)
+    parts += [_png_chunk(b"IDAT", zlib.compress(raw)), _png_chunk(b"IEND", b"")]
+    return b"".join(parts)
+
+
+def test_png_sub_byte_gray_depths_expand_exactly():
+    """1/2/4-bit grayscale decodes natively: bits unpack MSB-first and
+    samples expand by the spec's exact factors (255, 85, 17)."""
+    from venice_spark.multimodal import decode_png
+
+    # depth 1, 10 pixels wide (2 scan bytes, 6 padding bits ignored)
+    row = bytes([0b10110010, 0b01000000])
+    arr = decode_png(_mk_png(10, 1, 1, 0, [row]))
+    assert arr.shape == (1, 10, 1)
+    assert arr[0, :, 0].tolist() == [
+        255, 0, 255, 255, 0, 0, 255, 0, 0, 255
+    ]
+
+    # depth 2, 5 pixels (values 0..3 scale by 85)
+    row = bytes([0b00011011, 0b10000000])  # 0,1,2,3,2
+    arr = decode_png(_mk_png(5, 1, 2, 0, [row]))
+    assert arr[0, :, 0].tolist() == [0, 85, 170, 255, 170]
+
+    # depth 4, 3 pixels (values scale by 17)
+    row = bytes([0x1F, 0x70])  # 1, 15, 7
+    arr = decode_png(_mk_png(3, 1, 4, 0, [row]))
+    assert arr[0, :, 0].tolist() == [17, 255, 119]
+
+
+def test_png_sub_byte_palette_with_trns():
+    """2-bit palette PNG (the common tiny-icon shape) decodes natively,
+    including palette tRNS alpha."""
+    import numpy as np
+
+    from venice_spark.multimodal import decode_png
+
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8
+    )
+    plte = _png_chunk(b"PLTE", palette.tobytes())
+    row = bytes([0b00011011])  # indices 0,1,2,3
+    arr = decode_png(_mk_png(4, 1, 2, 3, [row], extra_chunks=[plte]))
+    assert arr.shape == (1, 4, 3)
+    assert arr[0].tolist() == palette.tolist()
+
+    trns = _png_chunk(b"tRNS", bytes([0, 128]))  # entry0 clear, entry1 half
+    arr = decode_png(
+        _mk_png(4, 1, 2, 3, [row], extra_chunks=[plte, trns])
+    )
+    assert arr.shape == (1, 4, 4)
+    assert arr[0, :, 3].tolist() == [0, 128, 255, 255]
+
+
+def test_png_sub_byte_gray_trns_key_matches_expanded():
+    from venice_spark.multimodal import decode_png
+
+    import struct
+
+    trns = _png_chunk(b"tRNS", struct.pack(">H", 1))  # raw value 1 at depth 1
+    row = bytes([0b10000000])  # pixels 1, 0
+    arr = decode_png(_mk_png(2, 1, 1, 0, [row], extra_chunks=[trns]))
+    assert arr.shape == (1, 2, 2)
+    assert arr[0, 0].tolist() == [255, 0]   # value 1 -> 255, transparent
+    assert arr[0, 1].tolist() == [0, 255]
+
+
+def test_png_sub_byte_multirow_filters_and_illegal_combos():
+    """Sub-byte scanlines filter on BYTE units (bpp=1): an Up-filtered
+    second row reconstructs against the first row's bytes. Illegal
+    depth/color-type combos are corrupt, not unsupported."""
+    import pytest as _pt
+
+    from venice_spark.multimodal import decode_png
+
+    # depth 4, 2x2: row0 = [1, 2]; row1 Up-filtered with delta 0x11 per
+    # byte -> [2, 3]
+    raw_rows = [bytes([0x12])]
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    raw = b"\x00" + bytes([0x12]) + b"\x02" + bytes([0x11])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    arr = decode_png(png)
+    assert arr[0, :, 0].tolist() == [17, 34]
+    assert arr[1, :, 0].tolist() == [34, 51]
+
+    # RGB at depth 2 is illegal per the spec -> corrupt, plain ValueError
+    with _pt.raises(ValueError, match="illegal bit depth"):
+        decode_png(_mk_png(1, 1, 2, 2, [bytes([0])]))
+
+
+def test_png_sub_byte_adam7_interlaced_palette():
+    """Adam7 + 1-bit palette: per-pass strides are ceil(pw*depth/8) with
+    per-pass filters; the scatter must land every pixel."""
+    import numpy as np
+
+    from venice_spark.multimodal import decode_png, encode_png
+
+    # build an 8x8 1-bit image via a known reference: encode an 8-bit
+    # checkerboard, then hand-interlace the equivalent 1-bit payload
+    from venice_spark.multimodal import _ADAM7_PASSES
+
+    full = (np.indices((8, 8)).sum(axis=0) % 2).astype(np.uint8)  # checker
+    passes = []
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        sub = full[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        rows = []
+        for r in sub:
+            bits = np.zeros(((len(r) + 7) // 8) * 8, dtype=np.uint8)
+            bits[: len(r)] = r
+            rows.append(np.packbits(bits).tobytes())
+        passes.append(b"".join(b"\x00" + row for row in rows))
+    import struct
+    import zlib
+
+    palette = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 1, 3, 0, 0, 1)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(passes)))
+        + _png_chunk(b"IEND", b"")
+    )
+    arr = decode_png(png)
+    assert arr.shape == (8, 8, 3)
+    expect = palette[full]
+    assert (arr == expect).all()

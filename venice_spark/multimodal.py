@@ -219,11 +219,12 @@ def _png_unfilter(raw: bytes, h: int, w: int, bpp: int):
 
 
 def decode_png(payload: bytes):
-    """REAL stdlib+numpy decode of PNG (8/16-bit depth; gray / gray+alpha /
-    RGB / RGBA / 8-bit palette; interlace 0 and Adam7): chunk parse with CRC
-    verification, one zlib inflate, the five scanline filters (None/Sub/
-    Up/Average/Paeth) undone exactly per the spec (RFC 2083 §6), and PLTE
-    lookup for color type 3. Returns an uint8 (h, w, channels) ndarray
+    """REAL stdlib+numpy decode of PNG (1/2/4/8/16-bit depth; gray /
+    gray+alpha / RGB / RGBA / palette; interlace 0 and Adam7): chunk parse
+    with CRC verification, one zlib inflate, the five scanline filters
+    (None/Sub/Up/Average/Paeth) undone exactly per the spec (RFC 2083 §6),
+    sub-byte samples unpacked MSB-first (gray expanded by the spec's exact
+    factors; palette kept as indices), and PLTE lookup for color type 3. Returns an uint8 (h, w, channels) ndarray
     with alpha preserved (palette expands to RGB, or RGBA under tRNS).
     Same rationale as the PPM/WAV codecs: a compressed format whose
     container + predictor layer is pure bookkeeping over a stdlib
@@ -297,38 +298,85 @@ def decode_png(payload: bytes):
             raise UnsupportedPngError(
                 "16-bit gray/RGB PNG with tRNS transparency"
             )
-    if depth not in (8, 16) or comp != 0 or filt != 0:
+    if comp != 0 or filt != 0:
         raise UnsupportedPngError(
-            f"only 8/16-bit PNG with standard compression/filtering "
-            f"supported (depth={depth}, comp={comp}, filt={filt})"
+            f"only standard PNG compression/filtering supported "
+            f"(comp={comp}, filt={filt})"
         )
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"illegal PNG bit depth {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"illegal PNG interlace method {interlace}")
-    if ctype_code == 3 and depth != 8:
-        raise ValueError(f"palette PNG with illegal bit depth {depth}")
+    # legal depth/color-type combos (RFC 2083 §4.1.1): sub-byte depths
+    # exist only for grayscale and palette; palette caps at 8
+    if depth < 8 and ctype_code not in (0, 3):
+        raise ValueError(
+            f"PNG color type {ctype_code} with illegal bit depth {depth}"
+        )
+    if ctype_code == 3 and depth == 16:
+        raise ValueError("palette PNG with illegal bit depth 16")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT zlib stream corrupt: {e}") from None
-    sample_bytes = depth // 8
-    bpp = channels * sample_bytes  # filter left-offset is bytes per pixel
+    # Sub-byte depths (1/2/4-bit gray and palette — icons, thumbnails):
+    # the filter unit is ONE byte (bpp=1 per the spec's floor division),
+    # so _png_unfilter runs over byte strides and the packed bits unpack
+    # AFTER reconstruction. Gray samples scale to 8-bit by the spec's
+    # exact expansion factors (255/1, 255/3, 255/15); palette samples are
+    # indices and stay raw.
+    _GRAY_SCALE = {1: 255, 2: 85, 4: 17}
+
+    def _unpack(rows2d, n_pixels: int, n_rows: int):
+        bits = np.unpackbits(rows2d, axis=1)  # MSB-first, per spec
+        vals = (
+            bits[:, : (bits.shape[1] // depth) * depth]
+            .reshape(n_rows, -1, depth)
+            @ (1 << np.arange(depth - 1, -1, -1))
+        )
+        return vals[:, :n_pixels].astype(np.uint8)
+
+    if depth < 8:
+
+        def decode_rows(chunk, n_rows, n_pixels):
+            stride = (n_pixels * depth + 7) // 8
+            if len(chunk) != n_rows * (stride + 1):
+                raise ValueError("PNG pixel data length mismatch")
+            rec = _png_unfilter(chunk, n_rows, stride, 1)
+            vals = _unpack(rec, n_pixels, n_rows)
+            if ctype_code == 0:
+                vals = (vals.astype(np.uint16) * _GRAY_SCALE[depth]).astype(np.uint8)
+            return vals[:, :, None]  # (rows, pixels, 1 channel)
+
+        def rows_bytes(n_rows, n_pixels):
+            return n_rows * ((n_pixels * depth + 7) // 8 + 1)
+
+    else:
+        sample_bytes = depth // 8
+        bpp = channels * sample_bytes  # filter left-offset is bytes per pixel
+
+        def decode_rows(chunk, n_rows, n_pixels):
+            if len(chunk) != n_rows * (n_pixels * bpp + 1):
+                raise ValueError("PNG pixel data length mismatch")
+            rec = _png_unfilter(chunk, n_rows, n_pixels, bpp)
+            if depth == 16:
+                # big-endian 16-bit samples downsample to their high byte
+                # — the spec's own 16→8 reduction; keeps the uint8 contract
+                rec = rec.reshape(n_rows, n_pixels * channels, 2)[:, :, 0]
+            return rec.reshape(n_rows, n_pixels, channels)
+
+        def rows_bytes(n_rows, n_pixels):
+            return n_rows * (n_pixels * bpp + 1)
+
     if interlace == 0:
-        stride = w * bpp
-        if len(raw) != h * (stride + 1):
-            raise ValueError("PNG pixel data length mismatch")
-        out = _png_unfilter(raw, h, w, bpp)
-        if depth == 16:
-            # big-endian 16-bit samples downsample to their high byte — the
-            # spec's own 16→8 reduction; keeps the uint8 (h, w, ch) contract
-            out = out.reshape(h, w * channels, 2)[:, :, 0]
-        img = out.reshape(h, w, channels)
+        img = decode_rows(raw, h, w)
     else:
         # Adam7 (RFC 2083 §2.6): seven reduced images concatenated in one
         # zlib stream, each with its OWN scanline sequence and filters
         # (a pass's Up/Average/Paeth reference the previous row of the
-        # pass). Unfilter each pass, reduce 16->8 per pass (the reduction
-        # commutes with the scatter), and scatter into the full image on
-        # the pass's (x0::dx, y0::dy) grid.
+        # pass). Decode each pass (unfilter + unpack/reduce — both commute
+        # with the scatter) and scatter into the full image on the pass's
+        # (x0::dx, y0::dy) grid.
         img = np.zeros((h, w, channels), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
@@ -336,15 +384,12 @@ def decode_png(payload: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # pass empty for this image size
-            need = ph * (pw * bpp + 1)
+            need = rows_bytes(ph, pw)
             chunk = raw[pos:pos + need]
             pos += need
             if len(chunk) != need:
                 raise ValueError("PNG interlaced pass data truncated")
-            rec = _png_unfilter(chunk, ph, pw, bpp)
-            if depth == 16:
-                rec = rec.reshape(ph, pw * channels, 2)[:, :, 0]
-            img[y0::dy, x0::dx, :] = rec.reshape(ph, pw, channels)
+            img[y0::dy, x0::dx, :] = decode_rows(chunk, ph, pw)
         if pos != len(raw):
             raise ValueError("PNG interlaced data length mismatch")
     if ctype_code == 3:
@@ -361,9 +406,14 @@ def decode_png(payload: bytes):
         img = plte[img[:, :, 0]]
     elif trns is not None:
         # gray/RGB transparency: the single tRNS sample value is the
-        # fully-transparent color; every other pixel is opaque (8-bit
-        # only — the 16-bit case raised UnsupportedPngError above)
+        # fully-transparent color; every other pixel is opaque (the
+        # 16-bit case raised UnsupportedPngError above). The key is
+        # expressed in the FILE's depth: sub-byte gray samples were
+        # expanded to 8-bit above, so expand the key identically (the
+        # expansion is injective — equality is preserved exactly).
         key = np.frombuffer(trns[1::2], dtype=np.uint8)  # low byte of each
+        if ctype_code == 0 and depth < 8:
+            key = (key.astype(np.uint16) * _GRAY_SCALE[depth]).astype(np.uint8)
         transparent = (img == key.reshape(1, 1, -1)).all(axis=2)
         alpha = np.where(transparent, 0, 255).astype(np.uint8)
         img = np.concatenate([img, alpha[:, :, None]], axis=2)
