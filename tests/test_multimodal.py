@@ -654,17 +654,13 @@ def test_png_trns_rgb_and_gray_key_becomes_alpha():
 
 
 def test_png_trns_validation_raises_loudly():
-    """tRNS on alpha color types / oversized tRNS = corrupt (ValueError);
-    the one remaining unsupported flavor — 16-bit gray/RGB keys, whose
-    exact match needs the low bytes the 16->8 reduction drops — stays a
-    loud UnsupportedPngError (PIL fallback where installed)."""
+    """tRNS on alpha color types / oversized tRNS = corrupt (ValueError)."""
     import struct
-    import zlib
 
     import numpy as np
     import pytest as _pt
 
-    from venice_spark.multimodal import UnsupportedPngError, decode_png, encode_png
+    from venice_spark.multimodal import decode_png, encode_png
 
     rgba = np.zeros((1, 1, 4), dtype=np.uint8)
     base = encode_png(rgba)
@@ -672,19 +668,50 @@ def test_png_trns_validation_raises_loudly():
     with _pt.raises(ValueError, match="illegal for alpha"):
         decode_png(png)
 
-    # 16-bit RGB with tRNS: valid but unsupported natively
-    rgb16 = np.zeros((1, 1, 3), dtype=np.uint8)
-    raw = b"\x00" + (b"\x00\x00" * 3)
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+
+def test_png_trns_16bit_key_matches_full_samples():
+    """16-bit gray/RGB tRNS matches on the FULL 16-bit samples (r7): a
+    pixel equal to the key only in its high byte must stay OPAQUE — the
+    16->8 reduction would alias it transparent."""
+    import struct
+    import zlib
+
+    from venice_spark.multimodal import decode_png
+
+    # 16-bit RGB, 3 pixels: exact key / high-byte-only collision / other
+    key = (0x1234, 0x0000, 0xFFFF)
+    px_exact = struct.pack(">HHH", 0x1234, 0x0000, 0xFFFF)
+    px_alias = struct.pack(">HHH", 0x1299, 0x0000, 0xFFFF)  # same high bytes
+    px_other = struct.pack(">HHH", 0x9999, 0x0000, 0xFFFF)
+    raw = b"\x00" + px_exact + px_alias + px_other
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 16, 2, 0, 0, 0)
     png16 = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"tRNS", struct.pack(">HHH", 0, 0, 0))
+        + _png_chunk(b"tRNS", struct.pack(">HHH", *key))
         + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
-    with _pt.raises(UnsupportedPngError, match="16-bit"):
-        decode_png(png16)
+    arr = decode_png(png16)
+    assert arr.shape == (1, 3, 4)
+    assert arr[0, :, 3].tolist() == [0, 255, 255]
+    # values reduce to their high bytes as before
+    assert arr[0, 0, :3].tolist() == [0x12, 0x00, 0xFF]
+    assert arr[0, 1, :3].tolist() == [0x12, 0x00, 0xFF]
+
+    # 16-bit gray edition
+    graw = b"\x00" + struct.pack(">HH", 0x0102, 0x0103)
+    gihdr = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    gpng = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", gihdr)
+        + _png_chunk(b"tRNS", struct.pack(">H", 0x0102))
+        + _png_chunk(b"IDAT", zlib.compress(graw))
+        + _png_chunk(b"IEND", b"")
+    )
+    arr = decode_png(gpng)
+    assert arr.shape == (1, 2, 2)
+    assert arr[0, :, 1].tolist() == [0, 255]
 
 
 def test_corrupt_png_yields_null_features_not_job_abort(spark):

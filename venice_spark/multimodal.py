@@ -6,8 +6,8 @@ is the codec path for header+raw formats: PPM/PGM decode, nearest-neighbor
 resize, re-encode and luminance-grid feature extraction are pure numpy
 (decode_ppm/resize_nearest/image_features), and PCM WAV audio decodes with
 stdlib wave + numpy (decode_wav/audio_features — duration/RMS/ZCR/spectral
-bands). PNG (8/16-bit, palette, incl. Adam7 interlaced and tRNS transparency)
-decodes natively too — stdlib zlib + numpy (decode_png/encode_png). The
+bands). PNG decodes natively at every RFC 2083 static flavor (1/2/4/8/16-bit,
+gray/palette/RGB/alpha, Adam7 interlace, tRNS transparency) — stdlib zlib + numpy (decode_png/encode_png). The
 rest (JPEG/MP3/video) need PIL/ffmpeg, which are not in this container —
 a documented permanent boundary (r7 decision; the reference has no image
 operators, and the Spark plumbing here is format-independent) gated behind
@@ -150,9 +150,8 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 class UnsupportedPngError(ValueError):
     """A structurally VALID PNG in a flavor the native decoder does not
-    handle (exotic color type; 16-bit gray/RGB tRNS keys, whose exact
-    matching needs the low bytes the 16->8 reduction drops) — the caller
-    may fall back to PIL. Distinct from plain ValueError, which means the payload
+    handle (today: only nonzero compression/filter METHODS, reserved by
+    the spec for future extensions) — the caller may fall back to PIL. Distinct from plain ValueError, which means the payload
     is CORRUPT: corruption must surface as bad data (nulled by the
     feature kernels' tolerance rule), never as a missing-PIL config error
     that aborts the job (code-review r5)."""
@@ -233,9 +232,9 @@ def decode_png(payload: bytes):
     downsample to their high byte (the spec's 16->8 reduction) to keep
     the uint8 contract. tRNS transparency decodes natively (r7): palette
     alpha expands the palette to RGBA, a gray/RGB transparent-color key
-    becomes an alpha channel; the one remaining tRNS gap — 16-bit
-    gray/RGB, where exact key matching needs the low bytes this decoder
-    drops — raises UnsupportedPngError (PIL path where installed). Every
+    becomes an alpha channel; 16-bit gray/RGB keys
+    match on the FULL samples before the reduction (a high-byte-only
+    collision stays opaque). Every
     OTHER failure — truncation, CRC mismatch, bad lengths, broken zlib
     stream — raises plain ValueError, meaning the payload is corrupt."""
     import struct
@@ -291,13 +290,6 @@ def decode_png(payload: bytes):
             raise ValueError("PNG gray tRNS must be 2 bytes")
         if ctype_code == 2 and len(trns) != 6:
             raise ValueError("PNG RGB tRNS must be 6 bytes")
-        if ctype_code in (0, 2) and depth == 16:
-            # exact transparent-sample matching needs the full 16-bit
-            # samples this decoder reduces to their high byte; rather
-            # than approximate alpha, decode through PIL where installed
-            raise UnsupportedPngError(
-                "16-bit gray/RGB PNG with tRNS transparency"
-            )
     if comp != 0 or filt != 0:
         raise UnsupportedPngError(
             f"only standard PNG compression/filtering supported "
@@ -327,6 +319,13 @@ def decode_png(payload: bytes):
     # indices and stay raw.
     _GRAY_SCALE = {1: 255, 2: 85, 4: 17}
 
+    # 16-bit gray/RGB tRNS key: exact transparent-sample matching must see
+    # the FULL 16-bit samples, which the 16->8 reduction below drops — so
+    # the match happens inside decode_rows, pre-reduction
+    key16 = None
+    if trns is not None and ctype_code in (0, 2) and depth == 16:
+        key16 = np.frombuffer(trns, dtype=np.uint8).reshape(channels, 2)
+
     def _unpack(rows2d, n_pixels: int, n_rows: int):
         bits = np.unpackbits(rows2d, axis=1)  # MSB-first, per spec
         vals = (
@@ -346,7 +345,7 @@ def decode_png(payload: bytes):
             vals = _unpack(rec, n_pixels, n_rows)
             if ctype_code == 0:
                 vals = (vals.astype(np.uint16) * _GRAY_SCALE[depth]).astype(np.uint8)
-            return vals[:, :, None]  # (rows, pixels, 1 channel)
+            return vals[:, :, None], None  # (rows, pixels, 1 channel)
 
         def rows_bytes(n_rows, n_pixels):
             return n_rows * ((n_pixels * depth + 7) // 8 + 1)
@@ -359,17 +358,22 @@ def decode_png(payload: bytes):
             if len(chunk) != n_rows * (n_pixels * bpp + 1):
                 raise ValueError("PNG pixel data length mismatch")
             rec = _png_unfilter(chunk, n_rows, n_pixels, bpp)
+            mask = None
             if depth == 16:
+                full = rec.reshape(n_rows, n_pixels, channels, 2)
+                if key16 is not None:
+                    # transparent-key match on the FULL 16-bit samples
+                    mask = (full == key16[None, None]).all(axis=(2, 3))
                 # big-endian 16-bit samples downsample to their high byte
                 # — the spec's own 16→8 reduction; keeps the uint8 contract
-                rec = rec.reshape(n_rows, n_pixels * channels, 2)[:, :, 0]
-            return rec.reshape(n_rows, n_pixels, channels)
+                return full[:, :, :, 0], mask
+            return rec.reshape(n_rows, n_pixels, channels), mask
 
         def rows_bytes(n_rows, n_pixels):
             return n_rows * (n_pixels * bpp + 1)
 
     if interlace == 0:
-        img = decode_rows(raw, h, w)
+        img, tmask = decode_rows(raw, h, w)
     else:
         # Adam7 (RFC 2083 §2.6): seven reduced images concatenated in one
         # zlib stream, each with its OWN scanline sequence and filters
@@ -378,6 +382,7 @@ def decode_png(payload: bytes):
         # with the scatter) and scatter into the full image on the pass's
         # (x0::dx, y0::dy) grid.
         img = np.zeros((h, w, channels), dtype=np.uint8)
+        tmask = np.zeros((h, w), dtype=bool) if key16 is not None else None
         pos = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (w - x0 + dx - 1) // dx
@@ -389,7 +394,10 @@ def decode_png(payload: bytes):
             pos += need
             if len(chunk) != need:
                 raise ValueError("PNG interlaced pass data truncated")
-            img[y0::dy, x0::dx, :] = decode_rows(chunk, ph, pw)
+            rows, m = decode_rows(chunk, ph, pw)
+            img[y0::dy, x0::dx, :] = rows
+            if m is not None:
+                tmask[y0::dy, x0::dx] = m
         if pos != len(raw):
             raise ValueError("PNG interlaced data length mismatch")
     if ctype_code == 3:
@@ -406,15 +414,19 @@ def decode_png(payload: bytes):
         img = plte[img[:, :, 0]]
     elif trns is not None:
         # gray/RGB transparency: the single tRNS sample value is the
-        # fully-transparent color; every other pixel is opaque (the
-        # 16-bit case raised UnsupportedPngError above). The key is
-        # expressed in the FILE's depth: sub-byte gray samples were
-        # expanded to 8-bit above, so expand the key identically (the
-        # expansion is injective — equality is preserved exactly).
-        key = np.frombuffer(trns[1::2], dtype=np.uint8)  # low byte of each
-        if ctype_code == 0 and depth < 8:
-            key = (key.astype(np.uint16) * _GRAY_SCALE[depth]).astype(np.uint8)
-        transparent = (img == key.reshape(1, 1, -1)).all(axis=2)
+        # fully-transparent color; every other pixel is opaque. The key is
+        # expressed in the FILE's depth: at 16 bits the match ran inside
+        # decode_rows on the full samples (tmask — the reduction would
+        # alias keys differing only in their low bytes); sub-byte gray
+        # samples were expanded to 8-bit above, so expand the key
+        # identically (the expansion is injective — equality preserved).
+        if key16 is not None:
+            transparent = tmask
+        else:
+            key = np.frombuffer(trns[1::2], dtype=np.uint8)  # low byte of each
+            if ctype_code == 0 and depth < 8:
+                key = (key.astype(np.uint16) * _GRAY_SCALE[depth]).astype(np.uint8)
+            transparent = (img == key.reshape(1, 1, -1)).all(axis=2)
         alpha = np.where(transparent, 0, 255).astype(np.uint8)
         img = np.concatenate([img, alpha[:, :, None]], axis=2)
     return img
@@ -461,9 +473,9 @@ def encode_png(arr) -> bytes:
 
 def _decode_image(payload: bytes):
     """Decode an image payload to an uint8 (h, w, ch) ndarray. PPM/PGM and
-    8/16-bit PNG (gray/gray+alpha/RGB/RGBA/palette, incl. Adam7 and
-    tRNS transparency) decode natively (decode_ppm / decode_png — stdlib
-    + numpy, no media libraries); JPEG (and the 16-bit-tRNS PNG corner)
+    PNG at every RFC 2083 static flavor (1/2/4/8/16-bit,
+    gray/gray+alpha/RGB/RGBA/palette, Adam7, tRNS) decodes natively (decode_ppm / decode_png — stdlib
+    + numpy, no media libraries); JPEG
     decodes through PIL when it is installed — the fallback path on
     clusters that ship Pillow — and stays a LOUD NotImplementedError
     where it is not (this container), never a silent skip. JPEG is a
