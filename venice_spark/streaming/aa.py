@@ -447,7 +447,12 @@ class ActiveActiveReplay:
         old_files = list_log_data_files(self.serving_dir)
         raw = self._raw()
         m = raw.agg(F.max("__aa_batch")).collect()[0][0]
-        stamp = 0 if m is None else int(m) + 1
+        # coalesce to the CURRENT max stamp, not max+1: ties with the
+        # latest append are content-identical (each AA append row is the
+        # authoritative fold for its key), while stamping above the live
+        # max would let a racing trigger's fresher fold tie with this
+        # compact's staler one (see HybridReplay.compact)
+        stamp = 0 if m is None else int(m)
         out = self._resolve_log(raw=raw).withColumn(
             "__aa_batch", F.lit(stamp).cast("long")
         )

@@ -732,11 +732,16 @@ class HybridReplay:
         run_deferred_gc(self.serving_dir)  # previous generation's grace is up
         old_files = list_log_data_files(self.serving_dir)
         out = self._resolve_log()
-        stamp, _ = log_stamp_pressure(self.spark, self.serving_dir, "__batch")
-        # winners coalesce to ONE stamp above every live row: per-key tie
-        # order no longer matters, future appends stamp strictly higher,
-        # and distinct-stamps-above-the-floor is the pressure metric
-        out = out.withColumn("__batch", F.lit(int(stamp)).cast("long"))
+        nxt, _ = log_stamp_pressure(self.spark, self.serving_dir, "__batch")
+        # Winners coalesce to the CURRENT max stamp (not max+1): a tie
+        # between a compacted row and the latest append's copy of it is
+        # content-identical (the fold materializes that append's winner),
+        # while stamping ABOVE the live max would let a trigger racing
+        # this compact tie at the same stamp with a FRESHER fold and lose
+        # arbitrarily. Future appends stamp strictly higher either way,
+        # and distinct-stamps-at-or-above-the-floor is the pressure metric.
+        stamp = max(0, int(nxt) - 1)
+        out = out.withColumn("__batch", F.lit(stamp).cast("long"))
         extend_log_schema(self.spark, self.serving_dir, out.schema)
         staging = f"{self.serving_dir}__compact_{uuid.uuid4().hex}"
         out.write.mode("overwrite").parquet(staging)
