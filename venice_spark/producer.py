@@ -93,10 +93,16 @@ class VeniceProducer:
         # logs, streaming/hybrid.log_schema): the RT log accumulates one
         # fileset per flush with differing column sets, and reading it
         # with mergeSchema costs O(flushes) footer reads on EVERY serve
-        # call — the sidecar makes read_rt_log one JSON read instead
+        # call — the sidecar makes read_rt_log one JSON read instead.
+        # Under the store lock: the sidecar update is a read-union-replace,
+        # and two producers flushing concurrently (multi-colo writers are
+        # the normal AA shape) could otherwise each read the pre-update
+        # sidecar and the last replace would DROP the other's new columns
+        # from every future read.
         from venice_spark.streaming.hybrid import extend_log_schema
 
-        extend_log_schema(self.spark, rt_dir, df.schema)
+        with self.catalog._locked(self.store):
+            extend_log_schema(self.spark, rt_dir, df.schema)
         df.write.mode("append").parquet(rt_dir)
         self._buffer.clear()
         return rt_dir

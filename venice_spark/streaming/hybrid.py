@@ -479,7 +479,13 @@ def extend_log_schema(spark, serving_dir: str, schema) -> None:
     When the sidecar is absent but the dir already has data (a pre-sidecar
     log being upgraded), the initial union is taken from a one-time
     mergeSchema pass over the existing files, so no historical column is
-    lost."""
+    lost.
+
+    Concurrency: the update is a read-union-replace, so concurrent
+    callers need external serialization — producer.flush holds the store
+    lock; the serving LSM dirs are single-writer by construction (one
+    streaming query per checkpoint, compaction runs inline in its
+    trigger)."""
     import json
     import os
     import tempfile
