@@ -171,3 +171,32 @@ def test_inspect_log_reports_rt_log(spark, tmp_path, capsys):
     assert rep["rt_log"]["files"] >= 1
     assert rep["rt_log"]["schema_sidecar"] is True
 
+
+
+def test_inspect_log_reports_crashed_swap_without_healing(spark, tmp_path, capsys):
+    """inspect-log is read-only: a swap that died between its renames is
+    REPORTED (crashed_swaps), not silently shown as zeros and not healed
+    (that is recover's job)."""
+    root = str(tmp_path / "cat")
+    eng = VeniceSparkEngine(spark, root)
+    eng.create_store("h", key_fields=["k"], hybrid=True)
+    eng.push("h", spark.createDataFrame([(1, "a")], "k long, v string"))
+    st = eng.store("h")
+    p = st.producer()
+    p.put(2, {"v": "b"}, ts=10)
+    p.flush()
+    st.hybrid_serve(mode="rewrite")
+    serving = os.path.join(eng.catalog.store_dir("h"), "serving")
+    shutil.move(serving, f"{serving}__stream_old")
+
+    assert admin.main([root, "inspect-log", "h"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["crashed_swaps"] == ["serving"]
+    assert not os.path.isdir(serving), "inspect-log must not mutate"
+
+    assert admin.main([root, "recover", "h"]) == 0
+    capsys.readouterr()
+    assert admin.main([root, "inspect-log", "h"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert "crashed_swaps" not in rep and os.path.isdir(serving)
+

@@ -209,6 +209,21 @@ def _cmd_inspect_log(cat: StoreCatalog, args: argparse.Namespace) -> int:
             ),
             "schema_sidecar": log_schema(rt_dir) is not None,
         }
+    # a serving dir ABSENT with a __*_old/__*_tmp sibling is a swap that
+    # died between its renames — inspect is read-only, so REPORT it
+    # (recover heals it) instead of showing an absent dir as zeros
+    import glob as _glob
+
+    stranded = sorted(
+        {
+            os.path.basename(d[: d.rindex("__")])
+            for pat in ("*__*_old", "*__*_tmp")
+            for d in _glob.glob(os.path.join(cat.store_dir(args.store), pat))
+            if not os.path.isdir(d[: d.rindex("__")])
+        }
+    )
+    if stranded:
+        report["crashed_swaps"] = stranded
     dirs = _serving_dirs(cat, args.store)
     if dirs:
         from venice_spark.session import get_spark
