@@ -1055,3 +1055,60 @@ def test_png_sub_byte_adam7_interlaced_palette():
     assert arr.shape == (8, 8, 3)
     expect = palette[full]
     assert (arr == expect).all()
+
+
+def test_split_png_stream_and_mixed_image_stream():
+    """Concatenated-PNG streams split at exact IEND boundaries; mixed
+    PPM/PNG streams dispatch per frame on the magic; a corrupt tail
+    salvages the valid prefix (strict=False) or raises (strict=True)."""
+    import numpy as np
+    import pytest as _pt
+
+    from venice_spark import multimodal as MM
+
+    pngs = [MM.encode_png(np.full((3, 2, 3), i * 30, dtype=np.uint8)) for i in range(3)]
+    stream = b"".join(pngs)
+    parts = MM.split_png_stream(stream)
+    assert parts == pngs
+    for i, p in enumerate(parts):
+        assert MM.decode_png(p)[0, 0, 0] == i * 30
+
+    ppm = MM.encode_ppm(np.full((3, 2, 3), 99, dtype=np.uint8))
+    mixed = pngs[0] + ppm + pngs[1]
+    parts = MM.split_image_stream(mixed)
+    assert parts == [pngs[0], ppm, pngs[1]]
+
+    with _pt.raises(ValueError):
+        MM.split_image_stream(mixed + b"garbage", strict=True)
+    assert MM.split_image_stream(mixed + b"garbage", strict=False) == parts
+    # truncated final PNG: salvage keeps the complete prefix
+    assert MM.split_png_stream(stream[:-4], strict=False) == pngs[:2]
+
+
+def test_frame_ahash_png_stream_matches_ppm_stream(spark):
+    """The frame-dedup map stage is format-independent: the same pixel
+    frames hashed from a PNG stream and a PPM stream produce identical
+    aHashes (PNG is lossless), so cross-format re-encodes pair up as
+    exact perceptual dups."""
+    import numpy as np
+
+    from venice_spark import multimodal as MM
+
+    rng = np.random.default_rng(5)
+    frames = [(rng.random((8, 8, 3)) * 255).astype(np.uint8) for _ in range(3)]
+    ppm_stream = b"".join(MM.encode_ppm(f) for f in frames)
+    png_stream = b"".join(MM.encode_png(f) for f in frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm_stream)), (2, bytearray(png_stream))],
+        "media_id long, payload binary",
+    )
+    rows = MM.frame_ahash(df, "payload", "media_id").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["media_id"], {})[r["frame_idx"]] = r["ahash"]
+    assert len(by[1]) == len(by[2]) == 3
+    assert by[1] == by[2], "PNG frames hashed differently from identical PPM frames"
+    # and the pair stage finds the cross-format duplicates
+    pairs = MM.frame_near_dup_pairs(df, max_hamming=0).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("1:0", "2:0") in got and ("1:2", "2:2") in got

@@ -744,8 +744,9 @@ def frame_ahash(
     id_col: str = "media_id",
     grid: int = 8,
 ) -> DataFrame:
-    """Per-frame perceptual hashes over concatenated-PPM video streams:
-    split (split_ppm_stream) → decode (decode_ppm) → aHash, Arrow-batched
+    """Per-frame perceptual hashes over concatenated image streams (PPM
+    and/or PNG frames, magic-sniffed per frame):
+    split (split_image_stream) → native decode → aHash, Arrow-batched
     mapInPandas, ZERO shuffle — each stream hashes where it lies. Returns
     [id_col, frame_idx, width, height, ahash (long)].
 
@@ -773,7 +774,7 @@ def frame_ahash(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 p = bytes(payload) if payload is not None else b""
                 try:
-                    frames = split_ppm_stream(p, strict=False)
+                    frames = split_image_stream(p, strict=False)
                 except Exception:
                     frames = []
                 for idx, fb in enumerate(frames):
@@ -781,7 +782,7 @@ def frame_ahash(
                     # frame inside an otherwise-valid stream must not fail
                     # the task (one corrupt blob would abort a 100 TB job)
                     try:
-                        arr = decode_ppm(fb)
+                        arr = _decode_frame(fb)
                         h = ahash(arr, grid)
                     except Exception:
                         continue
@@ -880,14 +881,99 @@ def split_ppm_stream(payload: bytes, strict: bool = True) -> list[bytes]:
     return frames
 
 
+def split_png_stream(payload: bytes, strict: bool = True) -> list[bytes]:
+    """Frame splitting for a concatenated-PNG stream (APNG-less animation /
+    PNG-frame video stand-ins — each frame is a complete signature→IEND
+    PNG): walk the chunk grammar frame by frame, slicing each at the byte
+    after its IEND CRC. Same strict/salvage contract as split_ppm_stream:
+    strict raises on any malformed boundary or truncated tail; salvage
+    returns the valid prefix."""
+    import struct
+
+    frames = []
+    i, n = 0, len(payload)
+    while i < n:
+        try:
+            if payload[i : i + 8] != _PNG_SIG:
+                raise ValueError("PNG frame boundary without signature")
+            j = i + 8
+            while True:
+                if j + 8 > n:
+                    raise ValueError("truncated PNG frame chunk header")
+                (length,) = struct.unpack(">I", payload[j : j + 4])
+                ctype = payload[j + 4 : j + 8]
+                j += 12 + length
+                if j > n:
+                    raise ValueError("truncated PNG frame chunk body")
+                if ctype == b"IEND":
+                    break
+        except ValueError:
+            if strict:
+                raise
+            return frames
+        frames.append(payload[i:j])
+        i = j
+    return frames
+
+
+def split_image_stream(payload: bytes, strict: bool = True) -> list[bytes]:
+    """Frame splitting for a concatenated image stream with PER-FRAME
+    format dispatch (magic-sniffed): PPM/PGM frames split by the header
+    grammar, PNG frames by the chunk grammar — mixed streams are legal
+    (a transcoding pipeline's natural mid-state). strict/salvage contract
+    as split_ppm_stream."""
+    frames = []
+    i, n = 0, len(payload)
+    while i < n:
+        head = payload[i : i + 8]
+        if head[:2] in (b"P6", b"P5"):
+            try:
+                w, h, _, ch, data = _parse_ppm_header(payload, i)
+                end = data + w * h * ch
+                if end > n:
+                    raise ValueError("truncated PPM frame")
+            except ValueError:
+                if strict:
+                    raise
+                return frames
+            frames.append(payload[i:end])
+            i = end
+        elif head == _PNG_SIG:
+            sub = split_png_stream(payload[i:], strict=False)
+            if not sub:
+                if strict:
+                    raise ValueError("malformed PNG frame in image stream")
+                return frames
+            frames.append(sub[0])
+            i += len(sub[0])
+        else:
+            if strict:
+                raise ValueError(f"unknown frame magic {head[:2]!r} at {i}")
+            return frames
+    return frames
+
+
+def _decode_frame(fb: bytes):
+    """Native per-frame decode for the frame kernels: PPM/PGM or PNG by
+    magic, alpha stripped to the (h, w, 1|3) feature contract. Raises on
+    anything else — the frame loops treat that as per-frame corruption."""
+    if fb[:8] == _PNG_SIG:
+        arr = decode_png(fb)
+        if arr.shape[2] in (2, 4):
+            arr = arr[:, :, : arr.shape[2] - 1]
+        return arr
+    return decode_ppm(fb)
+
+
 def sample_ppm_frames(
     df: DataFrame,
     payload_col: str = "payload",
     every_n: int = 1,
     max_frames: int = 8,
 ) -> DataFrame:
-    """REAL frame sampling over concatenated-PPM streams: split frames by
-    parsing headers (split_ppm_stream), keep every `every_n`-th up to
+    """REAL frame sampling over concatenated image streams (PPM and/or
+    PNG frames): split by per-frame grammar (split_image_stream), keep
+    every `every_n`-th up to
     `max_frames`, one output row per sampled frame with its index and
     decodable bytes. Arrow-batched mapInPandas, no shuffle — the
     one-to-many row contract of video frame extraction with a real codec
@@ -911,7 +997,7 @@ def sample_ppm_frames(
                 p = bytes(vals[0]) if vals[0] is not None else b""
                 others = dict(zip(other_cols, vals[1:]))
                 try:
-                    frames = split_ppm_stream(p, strict=False)
+                    frames = split_image_stream(p, strict=False)
                 except Exception:
                     frames = []
                 for idx, fb in list(enumerate(frames))[::every_n][:max_frames]:
