@@ -1007,6 +1007,12 @@ def sample_ppm_frames(
     return df.mapInPandas(run, schema=out_schema)
 
 
+# format-accurate alias: the sampler dispatches per frame on the magic
+# (PPM/PGM and PNG streams, mixed included) — the historical name stays
+# for compatibility
+sample_image_frames = sample_ppm_frames
+
+
 def sample_frames(
     df: DataFrame, payload_col: str = "payload", every_n_bytes: int = 1024, max_frames: int = 4
 ) -> DataFrame:
