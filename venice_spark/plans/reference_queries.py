@@ -2930,55 +2930,14 @@ PINNED_GATES = {
 # query -> most recent round with a fully-green driver row (derived from
 # CORRECTNESS_r{01..06}.json; tests recompute and diff this)
 LAST_GREEN = {
-    # round 4
-    "cdc_change_events": 4,
-    "i6_duplicate_key_check": 4,
-    "i9_consistency_check": 4,
-    "w10_repush_offset_dedup": 4,
-    "x_dedup_exact": 4,
-    "x_sequence_packing": 4,
     # round 5
-    "r10_filter_compute": 5,
-    "r11_multi_field_facets": 5,
-    "r2_batch_get": 5,
-    "r8_count_map": 5,
-    "r9_error_channel": 5,
-    "w11_ttl_filter": 5,
-    "w7_dcr_merge": 5,
-    "w9_incremental_push": 5,
     "x_bigram_logprob": 5,
     "x_blocklist_hits": 5,
-    "x_canonical_docs": 5,
     "x_cdc_chunk_dedup": 5,
-    "x_chunk_documents": 5,
     "x_corpus_report": 5,
-    "x_crawl_ingest": 5,
-    "x_decontaminate_spans": 5,
-    "x_distinct_users": 5,
-    "x_drop_common_lines": 5,
-    "x_dup_clusters": 5,
-    "x_dup_ngram_spans": 5,
-    "x_embed_centroids": 5,
-    "x_event_histogram": 5,
-    "x_event_rollup": 5,
-    "x_feature_hash": 5,
-    "x_fuzzy_key_pairs": 5,
-    "x_importance_sample": 5,
-    "x_inverted_index": 5,
-    "x_ivf_knn_join": 5,
-    "x_knn_classify": 5,
-    "x_knn_join_lsh": 5,
-    "x_minhash_near_dup": 5,
-    "x_multimodal_features": 5,
     "x_oversample": 5,
-    "x_quality_score": 5,
-    "x_random_projection": 5,
     "x_shard_plan": 5,
     "x_split_assign": 5,
-    "x_stratified_sample": 5,
-    "x_text_quality": 5,
-    "x_tfidf_terms": 5,
-    "x_topk_per_group": 5,
     # round 6
     "r11_count_group_by_value": 6,
     "r12_count_group_by_bucket": 6,
@@ -2997,12 +2956,8 @@ LAST_GREEN = {
     "w3_partial_update_set_field": 6,
     "w4_w5_list_ops": 6,
     "w6_map_ops": 6,
-    "x_ann_ivf_recall": 6,
-    "x_ann_lsh_recall": 6,
     "x_ann_topk": 6,
     "x_asof_join": 6,
-    "x_audio_tone_gate": 6,
-    "x_bpe_roundtrip": 6,
     "x_bpe_token_count": 6,
     "x_decontaminate": 6,
     "x_dedup_ngram_jaccard": 6,
@@ -3010,15 +2965,10 @@ LAST_GREEN = {
     "x_embedding_near_dup": 6,
     "x_event_percentiles": 6,
     "x_fingerprint": 6,
-    "x_frame_dedup_gate": 6,
-    "x_hll_error_gate": 6,
-    "x_ivfpq_recall": 6,
     "x_knn_join": 6,
     "x_lang_id": 6,
     "x_ngram_counts": 6,
     "x_pii_scrub": 6,
-    "x_pq_recall": 6,
-    "x_quality_classifier_acc": 6,
     "x_range_join": 6,
     "x_repetition_filter": 6,
     "x_rollup_agg": 6,
@@ -3030,6 +2980,57 @@ LAST_GREEN = {
     "x_training_pipeline": 6,
     "x_unigram_logprob": 6,
     "x_version_diff": 6,
+    # round 7
+    "cdc_change_events": 7,
+    "i6_duplicate_key_check": 7,
+    "i9_consistency_check": 7,
+    "r10_filter_compute": 7,
+    "r11_multi_field_facets": 7,
+    "r2_batch_get": 7,
+    "r8_count_map": 7,
+    "r9_error_channel": 7,
+    "w10_repush_offset_dedup": 7,
+    "w11_ttl_filter": 7,
+    "w7_dcr_merge": 7,
+    "w9_incremental_push": 7,
+    "x_ann_ivf_recall": 7,
+    "x_ann_lsh_recall": 7,
+    "x_audio_tone_gate": 7,
+    "x_bpe_roundtrip": 7,
+    "x_canonical_docs": 7,
+    "x_chunk_documents": 7,
+    "x_crawl_ingest": 7,
+    "x_decontaminate_spans": 7,
+    "x_dedup_exact": 7,
+    "x_distinct_users": 7,
+    "x_drop_common_lines": 7,
+    "x_dup_clusters": 7,
+    "x_dup_ngram_spans": 7,
+    "x_embed_centroids": 7,
+    "x_event_histogram": 7,
+    "x_event_rollup": 7,
+    "x_evolved_serve": 7,
+    "x_feature_hash": 7,
+    "x_frame_dedup_gate": 7,
+    "x_fuzzy_key_pairs": 7,
+    "x_hll_error_gate": 7,
+    "x_importance_sample": 7,
+    "x_inverted_index": 7,
+    "x_ivf_knn_join": 7,
+    "x_ivfpq_recall": 7,
+    "x_knn_classify": 7,
+    "x_knn_join_lsh": 7,
+    "x_minhash_near_dup": 7,
+    "x_multimodal_features": 7,
+    "x_pq_recall": 7,
+    "x_quality_classifier_acc": 7,
+    "x_quality_score": 7,
+    "x_random_projection": 7,
+    "x_sequence_packing": 7,
+    "x_stratified_sample": 7,
+    "x_text_quality": 7,
+    "x_tfidf_terms": 7,
+    "x_topk_per_group": 7,
 }
 
 
