@@ -147,14 +147,21 @@ def test_recover_clean_staging_removes_orphans_only_on_request(
     eng.push("s", spark.createDataFrame([(1, "a")], "k long, v string"))
     orphan = os.path.join(eng.catalog.store_dir("s"), "_delta_staging-deadbeef")
     os.makedirs(orphan)
+    # crashed-compact staging sibling of a serving log (ADVICE r7)
+    serving = os.path.join(eng.catalog.store_dir("s"), "serving")
+    os.makedirs(serving)
+    compact_orphan = serving + "__compact_deadbeef"
+    os.makedirs(compact_orphan)
 
     assert admin.main([root, "recover", "s"]) == 0
     out = _json.loads(capsys.readouterr().out)
     assert out["staging_removed"] == 0 and os.path.isdir(orphan)
+    assert os.path.isdir(compact_orphan)
 
     assert admin.main([root, "recover", "s", "--clean-staging"]) == 0
     out = _json.loads(capsys.readouterr().out)
-    assert out["staging_removed"] == 1 and not os.path.isdir(orphan)
+    assert out["staging_removed"] == 2 and not os.path.isdir(orphan)
+    assert not os.path.isdir(compact_orphan)
 
 
 
@@ -171,6 +178,36 @@ def test_inspect_log_reports_rt_log(spark, tmp_path, capsys):
     assert rep["rt_log"]["files"] >= 1
     assert rep["rt_log"]["schema_sidecar"] is True
 
+
+
+def test_truncate_rt_cli_refuses_lagging_consumer_then_forces(
+    spark, tmp_path, capsys
+):
+    """VERDICT r7 #3 CLI surface: truncate-rt exits 1 (operational error)
+    and deletes nothing when a consumer checkpoint lags, and --force
+    completes with the JSON report."""
+    root = str(tmp_path / "cat")
+    eng = VeniceSparkEngine(spark, root)
+    eng.create_store("s", key_fields=["k"], hybrid=True)
+    eng.push("s", spark.createDataFrame([(9, 9.0)], "k long, v double"))
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=10)
+    p.flush()
+    st.hybrid_serve()  # checkpoint commits the first file
+    p.put(2, {"v": 2.0}, ts=20)
+    p.flush()  # unread by the (now stopped) consumer
+
+    assert admin.main([root, "truncate-rt", "s", "--before-ts", "100"]) == 1
+    err = capsys.readouterr().err
+    assert "has not committed" in err
+
+    assert (
+        admin.main([root, "truncate-rt", "s", "--before-ts", "100", "--force"])
+        == 0
+    )
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["removed_files"] >= 2  # the refusal deleted nothing
 
 
 def test_inspect_log_reports_crashed_swap_without_healing(spark, tmp_path, capsys):

@@ -274,6 +274,59 @@ def test_append_compact_crash_then_read_serves_exact_content(
     assert {r["key"]: r["val"] for r in replay.read().collect()} == before
 
 
+def test_crashed_compact_staging_swept_by_next_compact(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r7 (low): a crash between the compact staging write and
+    merge_fileset_in used to leak the `<serving>__compact_<hex>` sibling
+    dir forever (referenced by no swap-recovery glob and no GC manifest) —
+    repeated crash-compacts accumulated full-table copies. The next
+    compact must sweep the orphan, complete, and serve exact content."""
+    import glob
+
+    import venice_spark.streaming.hybrid as hyb
+
+    catalog = StoreCatalog(str(tmp_path / "cat"))
+    catalog.create_store("h", key_fields=["key"], hybrid=True, rewind_seconds=0)
+    serving = str(tmp_path / "serving")
+    spark.createDataFrame(
+        [("a", 1.0, 10), ("b", 2.0, 10)], schema=SCHEMA
+    ).write.parquet(serving)
+    mark_seeded_version(serving, 1)
+
+    rt_dir = str(tmp_path / "rt")
+    os.makedirs(rt_dir)
+    replay = HybridReplay(spark, catalog, "h", serving, mode="append", compact_every=0)
+    spark.createDataFrame(
+        [("a", 5.0, 20, "PUT")], schema=SCHEMA + ", op string"
+    ).write.mode("append").parquet(rt_dir)
+    stream = spark.readStream.schema(SCHEMA + ", op string").parquet(rt_dir)
+    replay.start(stream, str(tmp_path / "ckpt")).awaitTermination(120)
+    before = {r["key"]: r["val"] for r in replay.read().collect()}
+    assert before == {"a": 5.0, "b": 2.0}
+
+    # crash BEFORE any staged file moves: the whole staging dir orphans
+    monkeypatch.setattr(
+        hyb,
+        "merge_fileset_in",
+        lambda *a, **k: (_ for _ in ()).throw(SimulatedCrash("pre-merge")),
+    )
+    with pytest.raises(SimulatedCrash):
+        replay.compact()
+    monkeypatch.undo()
+    orphans = glob.glob(serving + "__compact_*")
+    assert len(orphans) == 1, "expected the crashed compact's staging dir"
+
+    # the next compact sweeps it, completes, and content is unchanged
+    replay.compact()
+    assert glob.glob(serving + "__compact_*") == []
+    assert {r["key"]: r["val"] for r in replay.read().collect()} == before
+    hyb.run_deferred_gc(serving)
+    raw = spark.read.option("mergeSchema", "true").parquet(serving)
+    assert raw.count() == raw.select("key").distinct().count()
+    assert {r["key"]: r["val"] for r in replay.read().collect()} == before
+
+
 def test_sweep_late_deltas_crash_midway_is_resumable(spark, tmp_path):
     """Kill the late-delta sweep between slot renames: every slot must be
     either fully on the old or fully on the new version (os.rename is

@@ -1085,6 +1085,41 @@ def test_split_png_stream_and_mixed_image_stream():
     assert MM.split_png_stream(stream[:-4], strict=False) == pngs[:2]
 
 
+def test_png_stream_split_is_one_linear_pass(monkeypatch):
+    """ADVICE r7 regression: split_image_stream used to re-run the full
+    split_png_stream on the entire remaining payload per PNG frame and
+    keep only frame [0] — O(F^2) chunk walks and O(F*S) bytes copied on
+    the frame_ahash hot path. Both splitters must now walk each frame's
+    chunks exactly once: count _png_frame_end invocations."""
+    import numpy as np
+
+    from venice_spark import multimodal as MM
+
+    pngs = [
+        MM.encode_png(np.full((2, 2, 3), (i * 7) % 256, dtype=np.uint8))
+        for i in range(50)
+    ]
+    stream = b"".join(pngs)
+
+    calls = []
+    real = MM._png_frame_end
+
+    def counting(payload, i):
+        calls.append(i)
+        return real(payload, i)
+
+    monkeypatch.setattr(MM, "_png_frame_end", counting)
+    assert MM.split_image_stream(stream) == pngs
+    assert len(calls) == 50, f"expected 50 single-frame walks, got {len(calls)}"
+    # offsets are the true frame starts — each frame parsed in place,
+    # never via a payload[i:] copy re-anchored at 0
+    assert calls == [sum(len(p) for p in pngs[:k]) for k in range(50)]
+
+    calls.clear()
+    assert MM.split_png_stream(stream) == pngs
+    assert len(calls) == 50
+
+
 def test_frame_ahash_png_stream_matches_ppm_stream(spark):
     """The frame-dedup map stage is format-independent: the same pixel
     frames hashed from a PNG stream and a PPM stream produce identical

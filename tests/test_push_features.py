@@ -842,6 +842,52 @@ def test_lost_race_restage_with_all_stale_rows_appends_no_slot(
     assert out["a"] == 100.0
 
 
+def test_lost_race_restage_keeps_null_order_rows(engine, spark, monkeypatch):
+    """ADVICE r7 (low): a delta row whose order_col value is NULL on a key
+    the winner also wrote used to be silently dropped — NULL >= winner_ord
+    evaluates to NULL and fails the freshness filter. The non-racing path
+    applies an unordered upsert unconditionally (slot outranks base), so
+    the racing path must restage it too."""
+    from venice_spark.partitioner import repartition_and_sort
+
+    cat = engine.catalog
+    real_commit = cat.commit_version
+    state = {"winner": None}
+
+    def racing_commit(store, version, manifest=None, make_current=True):
+        if state["winner"] is None:
+            w = cat.begin_version(store)
+            wdf = spark.createDataFrame(
+                [("a", 100.0, 70), ("c", 300.0, 70)],
+                "key string, val double, _rmd_ts long",
+            )
+            out = repartition_and_sort(wdf, ["key"], 2, False)
+            out.write.mode("overwrite").partitionBy("partition_id").parquet(
+                cat.version_dir(store, w)
+            )
+            real_commit(
+                store, w, manifest={"partition_count": 2, "partitioner": "xxhash64"}
+            )
+            state["winner"] = w
+        return real_commit(store, version, manifest=manifest, make_current=make_current)
+
+    monkeypatch.setattr(cat, "commit_version", racing_commit)
+    # 'a' has NO order value but is contested by the winner — must still
+    # restage (non-racing parity); 'b' is uncontested control
+    delta = spark.createDataFrame(
+        [("a", 1.0, None), ("b", 2.0, None)],
+        "key string, val double, _rmd_ts long",
+    )
+    res = engine.incremental_push("s", delta, order_col="_rmd_ts")
+    monkeypatch.setattr(cat, "commit_version", real_commit)
+
+    assert res.superseded_by == state["winner"]
+    out = {r["key"]: r["val"] for r in engine.store("s").df().collect()}
+    assert out["a"] == 1.0, f"NULL-order row dropped on contested key: {out}"
+    assert out["b"] == 2.0
+    assert out["c"] == 300.0
+
+
 def test_batch_push_accepts_partition_id_input(engine, spark):
     """code-review r4: re-pushing store-read data (which carries the
     partition_id directory column) must not fail on ambiguous references."""

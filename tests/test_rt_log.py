@@ -537,3 +537,60 @@ def test_truncate_rt_log_is_file_granular_and_ts_safe(spark, tmp_path):
     # and a serve over the truncated log still works end-to-end
     out = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
     assert out[3] == 3.0 and out[4] == 4.0 and out[5] == 5.0 and out[9] == 9.0
+
+
+def test_truncate_rt_refuses_when_consumer_lags(spark, tmp_path):
+    """VERDICT r7 #3: the 'behind every live consumer's checkpoint'
+    contract is enforced, not documented — a below-cutoff file an existing
+    consumer checkpoint has NOT committed blocks the whole truncation
+    (nothing deleted), and force=True overrides."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import RtTruncateBlockedError, read_rt_log
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("s", key_fields=["k"], hybrid=True)
+    eng.push("s", spark.createDataFrame([(9, 9.0)], "k long, v double"))
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=10)
+    p.flush()
+    st.hybrid_serve()  # consumer commits everything flushed so far
+
+    # caught-up consumer: committed old files truncate normally
+    assert st.truncate_rt(before_ts=100) >= 1
+
+    # a new old file lands AFTER the consumer stopped — unread, so the
+    # truncation refuses atomically and the file survives
+    p.put(2, {"v": 2.0}, ts=20)
+    p.flush()
+    with pytest.raises(RtTruncateBlockedError, match="has not committed"):
+        st.truncate_rt(before_ts=100)
+    left = {r["k"] for r in read_rt_log(spark, eng.catalog, "s").collect()}
+    assert 2 in left, "refusal must not delete anything"
+
+    # force: operator accepts the loss (dead checkpoint case)
+    assert st.truncate_rt(before_ts=100, force=True) >= 1
+    left = {r["k"] for r in read_rt_log(spark, eng.catalog, "s").collect()}
+    assert 2 not in left
+
+
+def test_truncate_rt_unlinks_url_encoded_paths(spark, tmp_path):
+    """ADVICE r7 (low): input_file_name() returns a URL-encoded URI; a
+    catalog root containing a space used to fail os.path.isfile after the
+    bare 'file:' strip, so below-cutoff files silently survived retention
+    forever. The decoded path must unlink."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import read_rt_log
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "cat root"))  # space -> %20
+    eng.create_store("s", key_fields=["k"], hybrid=True)
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=10)
+    p.flush()
+    p.put(2, {"v": 2.0}, ts=200)
+    p.flush()
+
+    assert st.truncate_rt(before_ts=100) >= 1
+    left = {r["k"] for r in read_rt_log(spark, eng.catalog, "s").collect()}
+    assert left == {2}

@@ -82,18 +82,27 @@ def _build_parser() -> argparse.ArgumentParser:
         "--clean-staging",
         action="store_true",
         help="also remove _delta_staging-* orphans left by crashed "
-        "pushes (only when no pushes are in flight — a live push's "
-        "staging dir is indistinguishable from an orphan)",
+        "pushes and *__compact_* staging left by crashed compactions "
+        "(only when no pushes/compactions are in flight — a live "
+        "writer's staging dir is indistinguishable from an orphan)",
     )
     tr = sub.add_parser(
         "truncate-rt",
         help="RT-log retention: delete update-log files whose every "
         "record is older than --before-ts (the reference's RT topic "
-        "retention). Pick a cutoff no later than now - rewind and behind "
-        "every live consumer's checkpoint.",
+        "retention). Refuses (exit 1) when an existing consumer "
+        "checkpoint has not committed a to-be-deleted file; pick a "
+        "cutoff no later than now - rewind.",
     )
     tr.add_argument("store")
     tr.add_argument("--before-ts", type=int, required=True)
+    tr.add_argument(
+        "--force",
+        action="store_true",
+        help="delete even files a consumer checkpoint has not committed "
+        "(accepts data loss for that consumer — only when the checkpoint "
+        "is known dead)",
+    )
     il = sub.add_parser(
         "inspect-log",
         help="serving-log health: stamp pressure, GC-pending files, "
@@ -157,11 +166,17 @@ def _cmd_recover(cat: StoreCatalog, args: argparse.Namespace) -> int:
     if args.clean_staging:
         import shutil
 
+        from venice_spark.streaming.hybrid import sweep_compact_orphans
+
         for d in glob.glob(
             os.path.join(cat.store_dir(args.store), "_delta_staging-*")
         ):
             shutil.rmtree(d, ignore_errors=True)
             staging_removed += 1
+        # crashed-compact staging siblings (ADVICE r7): `<serving>__compact_*`
+        # dirs are referenced by no manifest and re-built by any re-run
+        for d, _stamp in _serving_dirs(cat, args.store):
+            staging_removed += sweep_compact_orphans(d)
     print(
         json.dumps(
             {
@@ -305,7 +320,8 @@ def _run(args: argparse.Namespace) -> int:
         from venice_spark.session import get_spark
 
         n = truncate_rt_log(
-            get_spark("admin_truncate"), cat, args.store, args.before_ts
+            get_spark("admin_truncate"), cat, args.store, args.before_ts,
+            force=args.force,
         )
         print(json.dumps({"store": args.store, "removed_files": n}))
     elif args.cmd == "inspect-log":

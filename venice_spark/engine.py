@@ -523,15 +523,19 @@ class StoreHandle:
 
         return VeniceProducer(self.spark, self.catalog, self.name, colo=colo)
 
-    def truncate_rt(self, before_ts: int, ts_col: str = "ts") -> int:
+    def truncate_rt(
+        self, before_ts: int, ts_col: str = "ts", force: bool = False
+    ) -> int:
         """RT-log retention (the reference's RT topic retention time):
         delete log files whose every record is older than `before_ts`.
-        See producer.truncate_rt_log for the consumer-safety contract —
-        pick a cutoff no later than now - rewind and behind every live
-        consumer's checkpoint."""
+        Raises RtTruncateBlockedError when an existing consumer checkpoint
+        has not committed a to-be-deleted file (force=True overrides); pick
+        a cutoff no later than now - rewind. See producer.truncate_rt_log."""
         from venice_spark.producer import truncate_rt_log
 
-        return truncate_rt_log(self.spark, self.catalog, self.name, before_ts, ts_col)
+        return truncate_rt_log(
+            self.spark, self.catalog, self.name, before_ts, ts_col, force=force
+        )
 
     def hybrid_serve(
         self,

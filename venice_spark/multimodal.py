@@ -881,6 +881,30 @@ def split_ppm_stream(payload: bytes, strict: bool = True) -> list[bytes]:
     return frames
 
 
+def _png_frame_end(payload: bytes, i: int) -> int:
+    """Walk ONE PNG frame's chunk grammar starting at offset `i` and return
+    the offset just past its IEND CRC. Single linear pass over that frame
+    only — the shared kernel that keeps both stream splitters O(total
+    bytes) instead of re-scanning the remaining payload per frame.
+    Raises ValueError on a missing signature or truncated chunk."""
+    import struct
+
+    n = len(payload)
+    if payload[i : i + 8] != _PNG_SIG:
+        raise ValueError("PNG frame boundary without signature")
+    j = i + 8
+    while True:
+        if j + 8 > n:
+            raise ValueError("truncated PNG frame chunk header")
+        (length,) = struct.unpack(">I", payload[j : j + 4])
+        ctype = payload[j + 4 : j + 8]
+        j += 12 + length
+        if j > n:
+            raise ValueError("truncated PNG frame chunk body")
+        if ctype == b"IEND":
+            return j
+
+
 def split_png_stream(payload: bytes, strict: bool = True) -> list[bytes]:
     """Frame splitting for a concatenated-PNG stream (APNG-less animation /
     PNG-frame video stand-ins — each frame is a complete signature→IEND
@@ -888,25 +912,11 @@ def split_png_stream(payload: bytes, strict: bool = True) -> list[bytes]:
     after its IEND CRC. Same strict/salvage contract as split_ppm_stream:
     strict raises on any malformed boundary or truncated tail; salvage
     returns the valid prefix."""
-    import struct
-
     frames = []
     i, n = 0, len(payload)
     while i < n:
         try:
-            if payload[i : i + 8] != _PNG_SIG:
-                raise ValueError("PNG frame boundary without signature")
-            j = i + 8
-            while True:
-                if j + 8 > n:
-                    raise ValueError("truncated PNG frame chunk header")
-                (length,) = struct.unpack(">I", payload[j : j + 4])
-                ctype = payload[j + 4 : j + 8]
-                j += 12 + length
-                if j > n:
-                    raise ValueError("truncated PNG frame chunk body")
-                if ctype == b"IEND":
-                    break
+            j = _png_frame_end(payload, i)
         except ValueError:
             if strict:
                 raise
@@ -939,13 +949,18 @@ def split_image_stream(payload: bytes, strict: bool = True) -> list[bytes]:
             frames.append(payload[i:end])
             i = end
         elif head == _PNG_SIG:
-            sub = split_png_stream(payload[i:], strict=False)
-            if not sub:
+            # One-frame chunk walk from offset i — no payload[i:] copy and
+            # no rescan of the remaining frames (ADVICE r7: the old
+            # split_png_stream(payload[i:])[0] pattern made an F-frame
+            # stream cost O(F^2) chunk walks and O(F*S) bytes copied).
+            try:
+                end = _png_frame_end(payload, i)
+            except ValueError:
                 if strict:
                     raise ValueError("malformed PNG frame in image stream")
                 return frames
-            frames.append(sub[0])
-            i += len(sub[0])
+            frames.append(payload[i:end])
+            i = end
         else:
             if strict:
                 raise ValueError(f"unknown frame magic {head[:2]!r} at {i}")

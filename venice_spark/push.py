@@ -1241,10 +1241,19 @@ def incremental_push(
                         *key_fields, F.col(order_col).alias("__winner_ord")
                     )
                 )
+                # NULL-order delta rows stay restageable (ADVICE r7, low):
+                # the non-racing path applies an unordered upsert
+                # unconditionally (the slot outranks the base by arrival),
+                # so losing the commit race must not silently drop it —
+                # NULL >= __winner_ord would evaluate to NULL and fail the
+                # filter. An unordered row therefore restages even on a
+                # contested key, keeping racing and non-racing outcomes
+                # identical for writers that never supplied order_col values.
                 restage = (
                     restage.join(F.broadcast(cur_ord), on=key_fields, how="left")
                     .filter(
                         F.col("__winner_ord").isNull()
+                        | F.col(order_col).isNull()
                         | (F.col(order_col) >= F.col("__winner_ord"))
                     )
                     .drop("__winner_ord")

@@ -441,9 +441,11 @@ class ActiveActiveReplay:
             merge_fileset_in,
             record_gc_pending,
             run_deferred_gc,
+            sweep_compact_orphans,
         )
 
         run_deferred_gc(self.serving_dir)
+        sweep_compact_orphans(self.serving_dir)  # crashed-compact staging
         old_files = list_log_data_files(self.serving_dir)
         raw = self._raw()
         m = raw.agg(F.max("__aa_batch")).collect()[0][0]

@@ -331,6 +331,30 @@ def run_deferred_gc(serving_dir: str) -> int:
     return n
 
 
+def sweep_compact_orphans(serving_dir: str) -> int:
+    """Remove `<serving_dir>__compact_<hex>` staging siblings left by a
+    compact() that crashed between its staging write and merge_fileset_in
+    (ADVICE r7, low): neither recover_swap_dir (globs __*_old/__*_tmp) nor
+    the deferred-GC manifest ever references them, so each crashed compact
+    leaked a full resolved-table copy on disk. Deleting whole dirs is safe:
+    merge_fileset_in renames file-by-file, so any file already merged is no
+    longer inside the staging dir, and still-staged rows only duplicate
+    content the live log resolves identically — the orphan contributes
+    nothing a re-run compact won't rebuild. Called at the start of every
+    compact() (writers are serialized per store) and by
+    `admin recover --clean-staging`. Returns orphan dirs removed."""
+    import glob
+    import os
+    import shutil
+
+    n = 0
+    for d in glob.glob(glob.escape(serving_dir) + "__compact_*"):
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+            n += 1
+    return n
+
+
 def merge_fileset_in(staging: str, serving_dir: str) -> None:
     """Move a staged fileset's data files into the serving dir, mirroring
     relative paths (flat files stay flat; `__kb=` bucket files land in the
@@ -736,6 +760,7 @@ class HybridReplay:
         import uuid
 
         run_deferred_gc(self.serving_dir)  # previous generation's grace is up
+        sweep_compact_orphans(self.serving_dir)  # crashed-compact staging
         old_files = list_log_data_files(self.serving_dir)
         out = self._resolve_log()
         nxt, _ = log_stamp_pressure(self.spark, self.serving_dir, "__batch")
