@@ -165,6 +165,61 @@ def test_recover_clean_staging_removes_orphans_only_on_request(
 
 
 
+def test_compact_cast_migrates_true_retype(spark, tmp_path, capsys):
+    """VERDICT r7 #2 escape hatch: a GENUINELY incompatible registry
+    retype (string -> long, schema_compat=none) bricks serving-log writes
+    with the retype refusal; `admin compact --cast` rewrites the log with
+    the registry's type (unrepresentable values -> NULL, reported), after
+    which serving works again."""
+    from pyspark.sql import types as T
+
+    from venice_spark.streaming.hybrid import log_schema
+
+    root = str(tmp_path / "cat")
+    eng = VeniceSparkEngine(spark, root)
+    eng.catalog.create_store(
+        "s",
+        key_fields=["k"],
+        partition_count=2,
+        hybrid=True,
+        value_schema=T.StructType([T.StructField("v", T.StringType())]),
+        schema_compat="none",  # a true retype is never Avro-legal
+    )
+    eng.push("s", spark.createDataFrame([(1, "5"), (2, "abc")], "k long, v string"))
+    st = eng.store("s")
+    p = st.producer()
+    p.put(3, {"v": "7"}, ts=100)
+    p.flush(schema="k long, op string, ts long, colo int, v string")
+    st.hybrid_serve()  # serving log now holds v as string
+
+    eng.catalog.add_value_schema(
+        "s", T.StructType([T.StructField("v", T.LongType())])
+    )
+    # the write path refuses the silent retype
+    p.put(4, {"v": 9}, ts=200)
+    with pytest.raises(Exception, match="retyped"):
+        p.flush(schema="k long, op string, ts long, colo int, v long")
+
+    # --cast is required (usage error, exit 2)
+    assert admin.main([root, "compact", "s"]) == 2
+    capsys.readouterr()
+
+    assert admin.main([root, "compact", "s", "--cast"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    serving_rep = rep["cast_report"]["serving"]
+    assert serving_rep["cast"] == ["v"]
+    assert serving_rep["nulled"]["v"] == 1  # 'abc' is unrepresentable
+
+    serving_dir = os.path.join(eng.catalog.store_dir("s"), "serving")
+    side = log_schema(serving_dir)
+    assert dict((f.name, f.dataType.simpleString()) for f in side.fields)["v"] == "bigint"
+
+    # the blocked write now lands, and the serve reads longs
+    p.flush(schema="k long, op string, ts long, colo int, v long")
+    out = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
+    assert out == {1: 5, 2: None, 3: 7, 4: 9}
+
+
 def test_inspect_log_reports_rt_log(spark, tmp_path, capsys):
     root = str(tmp_path / "cat")
     eng = VeniceSparkEngine(spark, root)

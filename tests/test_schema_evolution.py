@@ -249,6 +249,149 @@ def test_aa_append_evolution_matches_reseeded_rewrite(spark, tmp_path, monkeypat
     assert a == b == bk
 
 
+def _promoted_hybrid(spark, tmp_path, mode, monkeypatch):
+    """int->long and float->double promotion on a LIVE hybrid store: the
+    registry evolves mid-serve, old log/RT files keep their narrow
+    physical types, and every read widens (VERDICT r7 #2 — the reference
+    accepts these promotions, SchemaCompatibility.java)."""
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / f"proot_{mode}"))
+    eng.catalog.create_store(
+        "h",
+        key_fields=["k"],
+        partition_count=2,
+        hybrid=True,
+        value_schema=T.StructType(
+            [T.StructField("count", T.IntegerType()), T.StructField("score", T.FloatType())]
+        ),
+        schema_compat="backward",  # promotions are backward-, not forward-legal
+    )
+    eng.push(
+        "h",
+        spark.createDataFrame([(1, 5, 1.5), (2, 6, 2.5)], "k long, count int, score float"),
+    )
+    st = eng.store("h")
+    p = st.producer()
+    p.put(1, {"count": 10, "score": 1.25}, ts=100)
+    p.flush(schema="k long, op string, ts long, colo int, count int, score float")
+    live = st.hybrid_serve(mode=mode)
+    got = {r["k"]: (r["count"], r["score"]) for r in live.read().collect()}
+    assert got == {1: (10, 1.25), 2: (6, 2.5)}, got
+
+    # live widening — pre-fix this bricked every read/write with the
+    # retype error even though the evolution is reference-legal
+    eng.catalog.add_value_schema(
+        "h",
+        T.StructType(
+            [T.StructField("count", T.LongType()), T.StructField("score", T.DoubleType())]
+        ),
+    )
+    big = 1 << 40  # does not fit int32: proves the log really reads long
+    p.put(3, {"count": big, "score": 3.5}, ts=200)
+    p.put(1, {"count": big + 1, "score": 0.25}, ts=300)
+    p.flush(schema="k long, op string, ts long, colo int, count long, score double")
+    live = st.hybrid_serve(mode=mode)
+    if mode == "append":
+        _no_merge_schema(monkeypatch)
+    rows = {r["k"]: (r["count"], r["score"]) for r in live.read().collect()}
+    monkeypatch.undo()
+    if mode == "append":
+        # compaction folds a log whose files mix int32 and int64 physical
+        # types; the fold must write the widened type and lose nothing
+        live.compact()
+        after = {r["k"]: (r["count"], r["score"]) for r in live.read().collect()}
+        assert after == rows, f"compaction corrupted promoted data: {after}"
+    return rows
+
+
+@pytest.mark.parametrize("mode", ["append", "rewrite"])
+def test_hybrid_store_serves_across_type_promotion(spark, tmp_path, mode, monkeypatch):
+    rows = _promoted_hybrid(spark, tmp_path, mode, monkeypatch)
+    assert rows == {
+        1: ((1 << 40) + 1, 0.25),  # re-put post-promotion: wide value
+        2: (6, 2.5),               # untouched narrow row reads widened
+        3: (1 << 40, 3.5),         # new key, > int32
+    }, rows
+
+
+def test_hybrid_promotion_append_matches_reseeded_rewrite(spark, tmp_path, monkeypatch):
+    """Parity: the promoted append-mode LSM serves exactly what a reseeded
+    rewrite-mode store serves over the same op stream."""
+    a = _promoted_hybrid(spark, tmp_path / "a", "append", monkeypatch)
+    b = _promoted_hybrid(spark, tmp_path / "b", "rewrite", monkeypatch)
+    assert a == b
+
+
+def _promoted_aa(spark, tmp_path, mode, buckets, monkeypatch):
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / f"paroot_{mode}_{buckets}"))
+    eng.catalog.create_store(
+        "aa",
+        key_fields=["k"],
+        partition_count=2,
+        active_active=True,
+        value_schema=T.StructType(
+            [T.StructField("count", T.IntegerType()), T.StructField("score", T.FloatType())]
+        ),
+        schema_compat="backward",
+    )
+    eng.push(
+        "aa",
+        spark.createDataFrame([(1, 5, 1.5), (2, 6, 2.5)], "k long, count int, score float"),
+    )
+    st = eng.store("aa")
+    p = st.producer()
+    fs = "k long, op string, ts long, colo int, count int, score float"
+    p._buffer.append({"k": 1, "op": "PUT", "ts": 100, "colo": 0, "count": 10, "score": 1.25})
+    p.flush(schema=fs)
+    live = st.aa_serve(["count", "score"], mode=mode, buckets=buckets)
+    got = {r["k"]: r["count"] for r in live.read().collect()}
+    assert got == {1: 10, 2: 6}, got
+
+    eng.catalog.add_value_schema(
+        "aa",
+        T.StructType(
+            [T.StructField("count", T.LongType()), T.StructField("score", T.DoubleType())]
+        ),
+    )
+    big = 1 << 40
+    fs2 = "k long, op string, ts long, colo int, count long, score double"
+    p._buffer.append({"k": 3, "op": "PUT", "ts": 200, "colo": 1, "count": big, "score": 3.5})
+    # UPDATE touching only count: the untouched score must carry through
+    # the fold with the widened declared type (narrow would Arrow-error)
+    p._buffer.append({"k": 1, "op": "UPDATE", "ts": 300, "colo": 0, "set_count": big + 1})
+    p.flush(schema=fs2.replace("count long", "count long, set_count long"))
+    live = st.aa_serve(["count", "score"], mode=mode, buckets=buckets)
+    if mode == "append":
+        _no_merge_schema(monkeypatch)
+    rows = {r["k"]: (r["count"], r["score"]) for r in live.read().collect()}
+    monkeypatch.undo()
+    if mode == "append":
+        live.compact()
+        after = {r["k"]: (r["count"], r["score"]) for r in live.read().collect()}
+        assert after == rows, f"compaction corrupted promoted data: {after}"
+    return rows
+
+
+@pytest.mark.parametrize("mode,buckets", [("append", 0), ("append", 8), ("rewrite", 0)])
+def test_aa_store_serves_across_type_promotion(spark, tmp_path, mode, buckets, monkeypatch):
+    rows = _promoted_aa(spark, tmp_path, mode, buckets, monkeypatch)
+    assert rows == {
+        1: ((1 << 40) + 1, 1.25),  # UPDATE widened count; score carried
+        2: (6, 2.5),               # untouched narrow row reads widened
+        3: (1 << 40, 3.5),
+    }, rows
+
+
+def test_aa_promotion_append_matches_reseeded_rewrite(spark, tmp_path, monkeypatch):
+    a = _promoted_aa(spark, tmp_path / "a", "append", 0, monkeypatch)
+    bk = _promoted_aa(spark, tmp_path / "bk", "append", 8, monkeypatch)
+    b = _promoted_aa(spark, tmp_path / "b", "rewrite", 0, monkeypatch)
+    assert a == b == bk
+
+
 def test_log_schema_sidecar_refuses_silent_retype(tmp_path):
     """Serving-log columns may be added, never silently retyped — a quiet
     type swap would corrupt every pre-existing file's reads."""
@@ -259,3 +402,55 @@ def test_log_schema_sidecar_refuses_silent_retype(tmp_path):
             [T.StructField("v", T.StringType(), True)],
             [T.StructField("v", T.LongType(), True)],
         )
+
+
+def test_union_log_fields_resolves_avro_promotions():
+    """VERDICT r7 #2: same-name fields whose types differ by a LEGAL Avro
+    promotion resolve to the promotion target instead of raising — in
+    BOTH directions (a narrow writer appending into an already-widened log
+    keeps the wide type), for string<->bytes (binary wins: lossless and
+    monotone), and element-wise inside arrays."""
+    from venice_spark.streaming.hybrid import union_log_fields
+
+    def one(base_t, extra_t):
+        out = union_log_fields(
+            [T.StructField("v", base_t, True)], [T.StructField("v", extra_t, True)]
+        )
+        assert len(out) == 1
+        return out[0].dataType
+
+    assert one(T.IntegerType(), T.LongType()) == T.LongType()
+    assert one(T.LongType(), T.IntegerType()) == T.LongType()  # keep wide
+    assert one(T.FloatType(), T.DoubleType()) == T.DoubleType()
+    assert one(T.IntegerType(), T.DoubleType()) == T.DoubleType()
+    assert one(T.StringType(), T.BinaryType()) == T.BinaryType()
+    assert one(T.BinaryType(), T.StringType()) == T.BinaryType()
+    assert one(
+        T.ArrayType(T.FloatType()), T.ArrayType(T.DoubleType())
+    ) == T.ArrayType(T.DoubleType(), True)
+    # the keep-base reader mode also widens (a registry promotion must
+    # take effect on reads immediately)
+    out = union_log_fields(
+        [T.StructField("v", T.IntegerType(), True)],
+        [T.StructField("v", T.LongType(), True)],
+        on_conflict="keep-base",
+    )
+    assert out[0].dataType == T.LongType()
+
+
+def test_promotion_target_rejects_illegal_pairs():
+    from venice_spark.schema_compat import promotion_target
+
+    assert promotion_target(T.StringType(), T.LongType()) is None
+    assert promotion_target(T.BooleanType(), T.IntegerType()) is None
+    assert (
+        promotion_target(
+            T.MapType(T.StringType(), T.IntegerType()),
+            T.MapType(T.LongType(), T.IntegerType()),
+        )
+        is None
+    )  # map KEY types must match exactly
+    assert promotion_target(
+        T.MapType(T.StringType(), T.IntegerType()),
+        T.MapType(T.StringType(), T.LongType()),
+    ) == T.MapType(T.StringType(), T.LongType(), True)

@@ -15,7 +15,8 @@ Usage:
   python tools/admin.py <root> delete <store>
   python tools/admin.py <root> recover <store> [--gc]
   python tools/admin.py <root> inspect-log <store>
-  python tools/admin.py <root> truncate-rt <store> --before-ts N
+  python tools/admin.py <root> truncate-rt <store> --before-ts N [--force]
+  python tools/admin.py <root> compact <store> --cast
 
 Exit codes: 0 ok; 1 catalog error (unknown store, illegal transition);
 2 usage error (unknown command, missing/malformed arguments).
@@ -102,6 +103,23 @@ def _build_parser() -> argparse.ArgumentParser:
         help="delete even files a consumer checkpoint has not committed "
         "(accepts data loss for that consumer — only when the checkpoint "
         "is known dead)",
+    )
+    cp = sub.add_parser(
+        "compact",
+        help="serving-log type migration: with --cast, rewrite the "
+        "store's serving logs with every registry-typed column cast to "
+        "the registry's CURRENT type (the escape hatch for genuinely "
+        "incompatible retypes the write path refuses — Avro promotions "
+        "like int->long never need it, reads widen them in place). "
+        "Values the target type cannot represent become NULL, reported "
+        "per column.",
+    )
+    cp.add_argument("store")
+    cp.add_argument(
+        "--cast",
+        action="store_true",
+        help="perform the cast rewrite (required — inline folding "
+        "compaction runs in the serving triggers, not here)",
     )
     il = sub.add_parser(
         "inspect-log",
@@ -324,6 +342,30 @@ def _run(args: argparse.Namespace) -> int:
             force=args.force,
         )
         print(json.dumps({"store": args.store, "removed_files": n}))
+    elif args.cmd == "compact":
+        cat.get_store(args.store)
+        if not args.cast:
+            raise _UsageError(
+                "compact requires --cast: folding compaction runs inline "
+                "in the serving triggers; this command is the explicit "
+                "type-migration rewrite"
+            )
+        from venice_spark.session import get_spark
+        from venice_spark.streaming.hybrid import compact_cast
+
+        spark = get_spark("admin_compact")
+        report = {}
+        for d, _stamp in _serving_dirs(cat, args.store):
+            report[os.path.basename(d)] = compact_cast(spark, cat, args.store, d)
+        # the RT log's write-ahead sidecar refuses the retype on every
+        # future flush too — migrate it alongside the serving logs. Note:
+        # batch VERSION dirs are not rewritten (push the next version with
+        # the new schema); a post-cast RESEED therefore still carries the
+        # old type until that push lands.
+        rt_dir = cat.update_log_dir(args.store)
+        if os.path.isdir(rt_dir):
+            report["rt"] = compact_cast(spark, cat, args.store, rt_dir)
+        print(json.dumps({"store": args.store, "cast_report": report}, indent=2))
     elif args.cmd == "inspect-log":
         return _cmd_inspect_log(cat, args)
     return 0

@@ -63,6 +63,44 @@ def _promotable(writer: T.DataType, reader: T.DataType) -> bool:
     return pair == {T.StringType, T.BinaryType}
 
 
+def promotion_target(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """The single type that can hold values of BOTH `a` and `b` under Avro
+    promotion (SchemaCompatibility.java's int→long, int/long→float/double,
+    float→double, string↔bytes), or None when the pair is genuinely
+    incompatible. This is the resolution target for a serving-log type
+    conflict: numerics resolve to the wider member of _NUMERIC_ORDER;
+    string↔bytes resolves to binary (UTF-8 bytes hold any string
+    losslessly, the reverse does not, and a fixed winner keeps the sidecar
+    monotone); arrays and maps resolve element-wise. Spark's parquet reader
+    performs all of these widenings natively on read (SPARK-40876), so a
+    log whose sidecar carries the target type reads files written with
+    either input type with zero rewrites."""
+    if a == b:
+        return a
+    if {type(a), type(b)} == {T.StringType, T.BinaryType}:
+        return T.BinaryType()
+    try:
+        ia, ib = _NUMERIC_ORDER.index(a), _NUMERIC_ORDER.index(b)
+        return _NUMERIC_ORDER[max(ia, ib)]
+    except ValueError:
+        pass
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        el = promotion_target(a.elementType, b.elementType)
+        if el is None:
+            return None
+        return T.ArrayType(el, a.containsNull or b.containsNull)
+    if (
+        isinstance(a, T.MapType)
+        and isinstance(b, T.MapType)
+        and a.keyType == b.keyType
+    ):
+        v = promotion_target(a.valueType, b.valueType)
+        if v is None:
+            return None
+        return T.MapType(a.keyType, v, a.valueContainsNull or b.valueContainsNull)
+    return None
+
+
 def _has_default(field: T.StructField) -> bool:
     """Reader-side default: nullable (== Avro union with null, default null)
     or an explicit default recorded in field metadata."""

@@ -153,6 +153,8 @@ class ActiveActiveReplay:
         from venice_spark.streaming.hybrid import registered_value_types
 
         reg = registered_value_types(self.catalog, self.store)
+        from venice_spark.schema_compat import promotion_target
+
         value_types = {}
         for c in self.value_cols:
             if c in ops.columns:
@@ -165,6 +167,19 @@ class ActiveActiveReplay:
                 # registry knows its true type (StringType would poison the
                 # serving column the moment a real value arrives)
                 value_types[c] = reg.get(c, T.StringType())
+            # Avro promotion (VERDICT r7 #2): an evolved store can have a
+            # WIDER snapshot/registry type than this batch's ops (registry
+            # int->long while the RT flushes still carry int). The fold's
+            # declared output must hold the prior state's wide values — a
+            # narrow ops type would overflow or Arrow-error on the carry-
+            # through of an untouched wide value. Widen to the promotion
+            # target; genuinely incompatible pairs keep the priority pick
+            # (the write-side union raises on those).
+            for other in (snap_types.get(c), reg.get(c)):
+                if other is not None:
+                    wider = promotion_target(value_types[c], other)
+                    if wider is not None:
+                        value_types[c] = wider
         return T.StructType(
             list(key_schema.fields)
             + [T.StructField("__state__", T.StringType(), True)]

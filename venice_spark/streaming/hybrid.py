@@ -373,6 +373,67 @@ def merge_fileset_in(staging: str, serving_dir: str) -> None:
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def compact_cast(spark, catalog, store: str, serving_dir: str) -> dict:
+    """Type-migration rewrite (`admin compact --cast`, VERDICT r7 #2): the
+    escape hatch for GENUINELY incompatible retypes that union_log_fields
+    refuses — Avro promotions (int→long, float→double, string↔bytes) never
+    need this, reads widen them in place. Rewrites the serving log with
+    every column the registry types differently CAST (try_cast) to the
+    registry's CURRENT type, then swaps atomically — the sidecar resets to
+    the casted schema and the seed marker carries over (atomic_swap_dir),
+    so the next write's union no longer conflicts. Rows are preserved
+    one-for-one (op rows, stamps, tombstones — resolution semantics
+    unchanged); only column types change. Lossy casts are the operator's
+    explicit opt-in: values the target type cannot represent become NULL,
+    counted per column in the returned report
+    {'cast': [col...], 'nulled': {col: n}}. Empty dict = nothing to cast.
+
+    Works on serving LSM dirs and the RT log dir alike (the RT flush's
+    write-ahead sidecar refuses retypes too). Rewriting the RT log re-keys
+    its files, so a live file-stream checkpoint re-processes the whole
+    log — content-safe under latest-wins/DCR resolution (ops keep their
+    original ts), same as any checkpoint reset."""
+    import os
+
+    recover_swap_dir(serving_dir)
+    base = log_schema(serving_dir)
+    if base is None:
+        df = spark.read.option("mergeSchema", "true").parquet(serving_dir)
+    else:
+        df = spark.read.schema(base).parquet(serving_dir)
+    reg = registered_value_types(catalog, store)
+    audit = [
+        f.name
+        for f in df.schema.fields
+        if f.name in reg and reg[f.name] != f.dataType
+    ]
+    if not audit:
+        return {}
+    row = df.select(
+        [
+            F.sum(
+                (
+                    F.col(c).isNotNull() & F.col(c).try_cast(reg[c]).isNull()
+                ).cast("long")
+            ).alias(c)
+            for c in audit
+        ]
+    ).collect()[0]
+    nulled = {c: int(row[c] or 0) for c in audit}
+    casted = df
+    for c in audit:
+        casted = casted.withColumn(c, F.col(c).try_cast(reg[c]))
+    bucketed = any(
+        e.startswith("__kb=")
+        for e in os.listdir(serving_dir)
+        if os.path.isdir(os.path.join(serving_dir, e))
+    )
+    atomic_swap_dir(
+        casted, serving_dir, tag="cast", partition_by="__kb" if bucketed else None
+    )
+    return {"cast": audit, "nulled": nulled}
+
+
 def seeded_version(serving_dir: str) -> int | None:
     """Which batch version a serving table was seeded from (underscore
     marker file — invisible to parquet reads). None: pre-marker table."""
@@ -439,26 +500,49 @@ def union_log_fields(
     base_fields: list, extra_fields: list, on_conflict: str = "raise"
 ) -> list:
     """Name-keyed union of StructFields, base first. A same-name field
-    with a DIFFERENT type either raises loudly (writers: serving-log
-    columns may be ADDED — old files null-fill — but never silently
-    retyped; a retype needs a reseed or a compact that casts) or keeps
-    the base type (on_conflict='keep-base' — readers: the log's files
-    are ground truth, a registry that disagrees must not brick reads of
-    data that was always readable; the conflict surfaces at the next
-    WRITE, where extend_log_schema unions strictly)."""
+    with a different type resolves by Avro PROMOTION when legal (VERDICT
+    r7 #2 — the reference's resolver accepts int→long,
+    int/long→float/double, float→double, string↔bytes;
+    schema/avro/SchemaCompatibility.java:1): the field widens to the
+    promotion target, both on read and write — old files keep their
+    narrower physical type and Spark's parquet reader widens them on scan
+    (SPARK-40876, probed on every pair), so a `count int` → `count long`
+    registry evolution keeps a LIVE store serving with zero rewrites.
+    A GENUINELY incompatible retype either raises loudly (writers:
+    serving-log columns may be added or promoted, never silently retyped;
+    a true retype needs a reseed or `admin compact --cast`) or keeps the
+    base type (on_conflict='keep-base' — readers: the log's files are
+    ground truth, a registry that disagrees must not brick reads of data
+    that was always readable; the conflict surfaces at the next WRITE,
+    where extend_log_schema unions strictly)."""
+    from pyspark.sql import types as T
+
+    from venice_spark.schema_compat import promotion_target
+
     out = list(base_fields)
-    by_name = {f.name: f for f in out}
+    idx_by_name = {f.name: i for i, f in enumerate(out)}
     for f in extra_fields:
-        cur = by_name.get(f.name)
-        if cur is None:
+        i = idx_by_name.get(f.name)
+        if i is None:
+            idx_by_name[f.name] = len(out)
             out.append(f)
-            by_name[f.name] = f
-        elif cur.dataType != f.dataType and on_conflict == "raise":
+            continue
+        cur = out[i]
+        if cur.dataType == f.dataType:
+            continue
+        target = promotion_target(cur.dataType, f.dataType)
+        if target is not None:
+            if cur.dataType != target:
+                out[i] = T.StructField(cur.name, target, True)
+            continue
+        if on_conflict == "raise":
             raise ValueError(
                 f"serving-log column {f.name!r} type conflict: log has "
                 f"{cur.dataType.simpleString()}, writer/registry has "
-                f"{f.dataType.simpleString()} — value columns may be added, "
-                "not retyped; reseed or compact-with-cast to change a type"
+                f"{f.dataType.simpleString()} — value columns may be added "
+                "or Avro-promoted (int→long, float→double, string↔bytes), "
+                "not retyped; reseed or `admin compact --cast` to change "
+                "a type"
             )
     return out
 
