@@ -662,3 +662,70 @@ def test_hybrid_facade_auto_compaction_fires(spark, tmp_path):
     assert n_stamps <= 2, f"auto-compaction never fired ({n_stamps} live stamps)"
     out = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
     assert out == {1: "a", 10: "v0", 11: "v1", 12: "v2", 13: "v3"}
+
+
+def test_concurrent_serving_writers_serialize_without_sidecar_loss(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r7 #4: the serving-LSM single-writer assumption is now a
+    LOCK, not prose. Two handles merging into one store concurrently used
+    to interleave extend_log_schema's read-union-replace — the last
+    replace silently dropped the other writer's new column from every
+    future read. With the store writer lock the merges serialize; the
+    sleep inside the sidecar read guarantees the unlocked interleaving
+    would lose a column, so this test is a deterministic regression."""
+    import threading
+    import time
+
+    import venice_spark.streaming.hybrid as hyb
+    from venice_spark.streaming.hybrid import mark_seeded_version
+
+    catalog = StoreCatalog(str(tmp_path / "cat"))
+    catalog.create_store("h", key_fields=["key"], hybrid=True, rewind_seconds=0)
+    serving = str(tmp_path / "serving")
+    spark.createDataFrame([("s", 0.0, 1)], schema=SCHEMA).write.parquet(serving)
+    mark_seeded_version(serving, 1)
+
+    h1 = HybridReplay(spark, catalog, "h", serving, mode="append")
+    h2 = HybridReplay(spark, catalog, "h", serving, mode="append")
+
+    real = hyb.log_schema
+
+    def slow(d):
+        out = real(d)
+        time.sleep(0.4)  # widen the read-union-replace window
+        return out
+
+    monkeypatch.setattr(hyb, "log_schema", slow)
+    b1 = spark.createDataFrame(
+        [("a", 1.0, 20, "x1")], schema=SCHEMA + ", c1 string"
+    )
+    b2 = spark.createDataFrame(
+        [("b", 2.0, 20, "y1")], schema=SCHEMA + ", c2 string"
+    )
+    errs = []
+
+    def run(h, df):
+        try:
+            h._merge_batch(df, 0)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=(h1, b1)),
+        threading.Thread(target=run, args=(h2, b2)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    monkeypatch.undo()
+    assert not errs, errs
+
+    side = hyb.log_schema(serving)
+    assert {"c1", "c2"} <= set(side.names), (
+        f"concurrent writer dropped a sidecar column: {side.names}"
+    )
+    rows = {r["key"]: (r["val"], r["c1"], r["c2"]) for r in h1.read().collect()}
+    assert rows["a"] == (1.0, "x1", None)
+    assert rows["b"] == (2.0, None, "y1")

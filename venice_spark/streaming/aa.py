@@ -87,6 +87,7 @@ class ActiveActiveReplay:
         self.ts_col = ts_col
         self.mode = mode
         self.compact_every = compact_every
+        self._writer_locked = False
         # buckets > 0: the append log is laid out partitionBy(__kb) where
         # __kb = xxhash64(key) % buckets. Per-trigger candidate pruning
         # (_resolve_log(keys=touched)) then reads only the touched keys'
@@ -366,7 +367,20 @@ class ActiveActiveReplay:
             .drop("__rn")
         )
 
+    def _serialized_writer(self):
+        """Store writer lock, re-entrant per handle — see
+        HybridReplay._serialized_writer (VERDICT r7 #4); the AA log's
+        sidecar read-union-replace and compact stamp fold share the same
+        single-writer assumption."""
+        from venice_spark.streaming.hybrid import _writer_lock
+
+        return _writer_lock(self)
+
     def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        with self._serialized_writer():
+            self._merge_batch_locked(batch_df, batch_id)
+
+    def _merge_batch_locked(self, batch_df: DataFrame, batch_id: int) -> None:
         from venice_spark.streaming.hybrid import atomic_swap_dir, recover_swap_dir
 
         # heal a swap that died between its renames before reading or
@@ -447,7 +461,13 @@ class ActiveActiveReplay:
         compaction — so a reader whose plan predates this compact keeps
         reading valid files (identical content) for one full cycle,
         Venice's retained-backup-version discipline (meta/Version.java).
-        Every crash window is content-safe (see hybrid.merge_fileset_in)."""
+        Every crash window is content-safe (see hybrid.merge_fileset_in).
+        Runs under the store writer lock (re-entrant: the inline call
+        from _merge_batch holds one lock for the whole trigger)."""
+        with self._serialized_writer():
+            self._compact_locked()
+
+    def _compact_locked(self) -> None:
         import uuid
 
         from venice_spark.streaming.hybrid import (

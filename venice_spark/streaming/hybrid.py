@@ -331,6 +331,28 @@ def run_deferred_gc(serving_dir: str) -> int:
     return n
 
 
+def _writer_lock(replay):
+    """Shared re-entrant writer-serialization helper for the serving-LSM
+    replay handles (HybridReplay and ActiveActiveReplay): bracket the body
+    in the catalog's per-store fcntl lock unless this handle already holds
+    it (see HybridReplay._serialized_writer for the full rationale)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        if replay._writer_locked:
+            yield
+            return
+        with replay.catalog._locked(replay.store):
+            replay._writer_locked = True
+            try:
+                yield
+            finally:
+                replay._writer_locked = False
+
+    return _cm()
+
+
 def sweep_compact_orphans(serving_dir: str) -> int:
     """Remove `<serving_dir>__compact_<hex>` staging siblings left by a
     compact() that crashed between its staging write and merge_fileset_in
@@ -712,8 +734,24 @@ class HybridReplay:
         self.mode = mode
         self.compact_every = compact_every
         self.ts_scale = 1000 if ts_unit == "ms" else 1
+        self._writer_locked = False
         if mode == "rewrite":
             refuse_rewrite_over_append(spark, serving_dir, "__batch", "hybrid")
+
+    def _serialized_writer(self):
+        """Serialize serving-LSM writers on the catalog store lock
+        (VERDICT r7 #4): extend_log_schema's read-union-replace and the
+        compact append/deferred-GC protocol assume ONE writer per serving
+        dir — previously prose ('one streaming query per checkpoint'),
+        now a lock. Two concurrent replays into one store could otherwise
+        interleave sidecar updates (silently dropping a column from every
+        future read) or race a compact's fold stamp against an append.
+        The fcntl store lock is cross-process; the wrapper is re-entrant
+        within a handle so the pressure-triggered inline compact() doesn't
+        self-deadlock (flock via a second fd would). Handles are
+        single-threaded by contract (foreachBatch invokes sequentially),
+        so the plain flag suffices."""
+        return _writer_lock(self)
 
     @staticmethod
     def _norm_op(df: DataFrame) -> DataFrame:
@@ -731,7 +769,14 @@ class HybridReplay:
         them would let a stale PUT with an older ts, arriving in a later
         micro-batch, resurrect the key — violating the arrival-order
         determinism contract (Merge.java:27-31). Readers use `read()` /
-        `read_serving()` which filter tombstones."""
+        `read_serving()` which filter tombstones.
+
+        The whole trigger body runs under the store writer lock
+        (_serialized_writer, VERDICT r7 #4)."""
+        with self._serialized_writer():
+            self._merge_batch_locked(batch_df, batch_id)
+
+    def _merge_batch_locked(self, batch_df: DataFrame, batch_id: int) -> None:
         # a compact()/rewrite swap that died between its renames left the
         # serving dir absent; heal before reading or stamping against it —
         # an append onto a missing dir would restart the log from empty
@@ -839,8 +884,15 @@ class HybridReplay:
         Delta/Iceberg snapshot isolation (SCALE.md). Every crash window
         is content-safe: a partial compacted fileset resolves identically
         (superseded rows win nowhere), a missing manifest just skips one
-        GC cycle, and a crash mid-GC resumes (missing files skipped)."""
-        import os
+        GC cycle, and a crash mid-GC resumes (missing files skipped).
+
+        Runs under the store writer lock (_serialized_writer; re-entrant,
+        so the inline pressure-triggered call from _merge_batch holds one
+        lock for the whole trigger)."""
+        with self._serialized_writer():
+            self._compact_locked()
+
+    def _compact_locked(self) -> None:
         import uuid
 
         run_deferred_gc(self.serving_dir)  # previous generation's grace is up
