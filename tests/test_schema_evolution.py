@@ -4,6 +4,8 @@ field order — parquet mergeSchema + by-name resolution give Avro
 reader/writer semantics; compute on absent/null vectors yields NULL plus
 an error-channel entry instead of failing."""
 
+import os
+
 import pyspark.sql.functions as F
 
 from venice_spark.compute import ERROR_FIELD, ComputeRequestBuilder
@@ -383,6 +385,48 @@ def test_aa_store_serves_across_type_promotion(spark, tmp_path, mode, buckets, m
         2: (6, 2.5),               # untouched narrow row reads widened
         3: (1 << 40, 3.5),
     }, rows
+
+
+def test_hybrid_store_serves_across_string_bytes_promotion(
+    spark, tmp_path, monkeypatch
+):
+    """string↔bytes is Avro-promotable BOTH ways, so the registry accepts
+    it even under the default `full` compat level; the log resolves the
+    conflict to binary (lossless, monotone) and old string-typed files
+    read back as their UTF-8 bytes."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.streaming.hybrid import log_schema
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "sbroot"))
+    eng.catalog.create_store(
+        "h",
+        key_fields=["k"],
+        partition_count=2,
+        hybrid=True,
+        value_schema=T.StructType([T.StructField("v", T.StringType())]),
+    )
+    eng.push("h", spark.createDataFrame([(1, "abc")], "k long, v string"))
+    st = eng.store("h")
+    p = st.producer()
+    p.put(2, {"v": "xy"}, ts=100)
+    p.flush(schema="k long, op string, ts long, colo int, v string")
+    st.hybrid_serve()
+
+    eng.catalog.add_value_schema(
+        "h", T.StructType([T.StructField("v", T.BinaryType())])
+    )  # default full compat accepts: string<->bytes promotes both ways
+    p.put(3, {"v": b"zz"}, ts=200)
+    p.flush(schema="k long, op string, ts long, colo int, v binary")
+    live = st.hybrid_serve()
+    _no_merge_schema(monkeypatch)
+    rows = {r["k"]: r["v"] for r in live.read().collect()}
+    monkeypatch.undo()
+    assert rows == {1: b"abc", 2: b"xy", 3: b"zz"}, rows
+    live.compact()
+    assert {r["k"]: r["v"] for r in live.read().collect()} == rows
+    serving = os.path.join(eng.catalog.store_dir("h"), "serving")
+    side = log_schema(serving)
+    assert {f.name: f.dataType.simpleString() for f in side.fields}["v"] == "binary"
 
 
 def test_aa_promotion_append_matches_reseeded_rewrite(spark, tmp_path, monkeypatch):
