@@ -87,6 +87,7 @@ HEADLINE = [
     "x_crawl_ingest",
     "x_version_diff",
     "x_evolved_serve",
+    "x_promoted_serve",
 ]
 
 # round-3 steady-state seconds × 1.5 headroom at sf0.1/local[32]; the
@@ -96,6 +97,7 @@ BUDGET_SEC = {
     "x_crawl_ingest": 2.8,  # r4 steady 1.7-1.9s x 1.5 (two prep passes + fp anti-join)
     "x_version_diff": 0.9,  # r6 steady 0.57s x 1.5 (one full-outer merge on the key)
     "x_evolved_serve": 2.0,  # r7 steady 1.3s x 1.5 (two key windows: latest-order rank + serve resolve)
+    "x_promoted_serve": 2.0,  # r8 steady 1.0-1.2s x 1.5 (same two-window shape, widening casts fold into the scan projection)
     "r1_store_point_get": 0.5,
     "r2_store_batch_get": 1.5,
     "r2_batch_get": 0.8,
