@@ -448,6 +448,47 @@ def test_log_schema_sidecar_refuses_silent_retype(tmp_path):
         )
 
 
+def test_batch_read_resolves_reader_schema(spark, tmp_path):
+    """Reader-schema resolution on the BATCH read surface (r8): the
+    reference deserializes reads with the LATEST registered value schema
+    (SchemaEntry), so after a promotion registers, df()/get()/batch_get
+    return the widened type for old data, and a registry-added column
+    null-fills without a re-push."""
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "rr"))
+    eng.catalog.create_store(
+        "s",
+        key_fields=["k"],
+        partition_count=2,
+        value_schema=T.StructType(
+            [T.StructField("count", T.IntegerType()), T.StructField("score", T.FloatType())]
+        ),
+        schema_compat="backward",
+    )
+    eng.push("s", spark.createDataFrame([(1, 5, 1.5)], "k long, count int, score float"))
+    st = eng.store("s")
+    assert dict(st.df().dtypes)["count"] == "int"
+
+    eng.catalog.add_value_schema(
+        "s",
+        T.StructType(
+            [
+                T.StructField("count", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+                T.StructField("tag", T.StringType()),
+            ]
+        ),
+    )
+    types = dict(st.df().dtypes)
+    assert types["count"] == "bigint" and types["score"] == "double"
+    assert types["tag"] == "string"  # registry-added, null-filled
+    row = st.get(1)
+    assert row["count"] == 5 and row["score"] == 1.5 and row["tag"] is None
+    got = st.batch_get([1]).collect()[0]
+    assert got["count"] == 5 and got["tag"] is None
+
+
 def test_union_log_fields_resolves_avro_promotions():
     """VERDICT r7 #2: same-name fields whose types differ by a LEGAL Avro
     promotion resolve to the promotion target instead of raising — in

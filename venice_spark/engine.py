@@ -64,16 +64,52 @@ class StoreHandle:
         (caught by the ingest lifecycle fuzzer: df(current_version) used to
         take the raw read_version path and silently drop/stale every
         delta-touched row, e.g. in an export). Raw file access is
-        catalog.read_version."""
+        catalog.read_version.
+
+        Reader-schema resolution (r8): the reference deserializes every
+        read with the LATEST registered value schema
+        (schema/SchemaEntry.java — a client sees `count long` the moment
+        the promotion registers, old data included), so this surface
+        widens registry-promoted columns on read and null-fills
+        registry-added columns the version's files predate. Pure
+        projection: the casts fold into the scan, no rewrite."""
         if version is None:
-            return self.catalog.read_current(self.spark, self.name)
-        base = self.catalog.read_version(self.spark, self.name, version)
-        deltas = self.catalog.list_delta_dirs(self.name, version)
-        if not deltas:
-            return base
-        return self.catalog._resolve_delta_view(
-            self.spark, base, deltas, self.key_fields
-        )
+            out = self.catalog.read_current(self.spark, self.name)
+        else:
+            base = self.catalog.read_version(self.spark, self.name, version)
+            deltas = self.catalog.list_delta_dirs(self.name, version)
+            if deltas:
+                base = self.catalog._resolve_delta_view(
+                    self.spark, base, deltas, self.key_fields
+                )
+            out = base
+        return self._resolve_reader_schema(out)
+
+    def _resolve_reader_schema(self, df: DataFrame) -> DataFrame:
+        """Resolve a batch read against the latest registered value schema:
+        a column whose registry type is an Avro PROMOTION of the file type
+        widens (int→long, float→double, string↔bytes — the same lattice
+        union_log_fields resolves on the serving logs); a registry column
+        absent from the files null-fills (defaulted add). Genuinely
+        incompatible registry types leave the file type untouched — the
+        files are ground truth on read, and a true retype migrates through
+        `admin compact --cast` / the next push."""
+        from venice_spark.schema_compat import promotion_target
+        from venice_spark.streaming.hybrid import registered_value_types
+
+        reg = registered_value_types(self.catalog, self.name)
+        if not reg:
+            return df
+        file_types = {f.name: f.dataType for f in df.schema.fields}
+        for name, t in reg.items():
+            cur = file_types.get(name)
+            if cur is None:
+                df = df.withColumn(name, F.lit(None).cast(t))
+            elif cur != t:
+                target = promotion_target(cur, t)
+                if target is not None and target != cur:
+                    df = df.withColumn(name, F.col(name).cast(target))
+        return df
 
     @property
     def key_fields(self) -> list[str]:
