@@ -220,6 +220,46 @@ def test_compact_cast_migrates_true_retype(spark, tmp_path, capsys):
     assert out == {1: 5, 2: None, 3: 7, 4: 9}
 
 
+def test_inspect_log_reports_type_drift(spark, tmp_path, capsys):
+    """inspect-log classifies registry-vs-log type drift: a promotable
+    drift reports the read-side widening, an incompatible one points the
+    operator at compact --cast."""
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "cat")
+    eng = VeniceSparkEngine(spark, root)
+    eng.catalog.create_store(
+        "s",
+        key_fields=["k"],
+        partition_count=2,
+        hybrid=True,
+        value_schema=T.StructType(
+            [T.StructField("n", T.IntegerType()), T.StructField("v", T.StringType())]
+        ),
+        schema_compat="none",
+    )
+    eng.push(
+        "s", spark.createDataFrame([(1, 5, "a")], "k long, n int, v string")
+    )
+    st = eng.store("s")
+    p = st.producer()
+    p.put(2, {"n": 6, "v": "b"}, ts=100)
+    p.flush(schema="k long, op string, ts long, colo int, n int, v string")
+    st.hybrid_serve()  # serving sidecar: n int, v string
+
+    eng.catalog.add_value_schema(
+        "s",
+        T.StructType(
+            [T.StructField("n", T.LongType()), T.StructField("v", T.LongType())]
+        ),
+    )
+    assert admin.main([root, "inspect-log", "s"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    drift = rep["serving_logs"]["serving"]["type_drift"]
+    assert drift["n"]["resolution"] == "reads widen to bigint"
+    assert drift["v"]["resolution"] == "needs compact --cast"
+
+
 def test_inspect_log_reports_rt_log(spark, tmp_path, capsys):
     root = str(tmp_path / "cat")
     eng = VeniceSparkEngine(spark, root)

@@ -261,11 +261,15 @@ def _cmd_inspect_log(cat: StoreCatalog, args: argparse.Namespace) -> int:
     if dirs:
         from venice_spark.session import get_spark
 
+        from venice_spark.schema_compat import promotion_target
+        from venice_spark.streaming.hybrid import registered_value_types
+
         spark = get_spark("admin_inspect")
+        reg = registered_value_types(cat, args.store)
         for d, stamp_col in dirs:
             nxt, live = log_stamp_pressure(spark, d, stamp_col)
             pending = gc_pending(d)
-            report["serving_logs"][os.path.basename(d)] = {
+            entry = {
                 "seeded_version": seeded_version(d),
                 "schema_sidecar": log_schema(d) is not None,
                 "next_stamp": nxt,
@@ -273,6 +277,29 @@ def _cmd_inspect_log(cat: StoreCatalog, args: argparse.Namespace) -> int:
                 "gc_pending_files": len(pending["files"]) if pending else 0,
                 "compact_stamp": pending["compact_stamp"] if pending else None,
             }
+            # registry-vs-log type drift (r8): a PROMOTABLE drift widens on
+            # every read (no action needed); an incompatible one bricks the
+            # next write until `compact --cast` migrates it — surface which
+            side = log_schema(d)
+            if side is not None and reg:
+                drift = {}
+                for f in side.fields:
+                    t = reg.get(f.name)
+                    if t is None or t == f.dataType:
+                        continue
+                    target = promotion_target(f.dataType, t)
+                    drift[f.name] = {
+                        "log": f.dataType.simpleString(),
+                        "registry": t.simpleString(),
+                        "resolution": (
+                            f"reads widen to {target.simpleString()}"
+                            if target is not None
+                            else "needs compact --cast"
+                        ),
+                    }
+                if drift:
+                    entry["type_drift"] = drift
+            report["serving_logs"][os.path.basename(d)] = entry
     print(json.dumps(report, indent=2))
     return 0
 
