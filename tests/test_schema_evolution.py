@@ -489,6 +489,53 @@ def test_batch_read_resolves_reader_schema(spark, tmp_path):
     assert got["count"] == 5 and got["tag"] is None
 
 
+def test_superset_value_schema_unions_all_registered_schemas(spark, tmp_path):
+    """SupersetSchemaGenerator semantics: the reader-side registry view is
+    the union of EVERY registered value schema — a field dropped by a
+    later schema stays readable, promotions resolve to the target, and on
+    a true retype (compat=none) the latest schema's type is authoritative."""
+    from venice_spark.catalog import StoreCatalog
+
+    cat = StoreCatalog(str(tmp_path / "ss"))
+    cat.create_store(
+        "s",
+        key_fields=["k"],
+        value_schema=T.StructType(
+            [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+        ),
+        schema_compat="backward",
+    )
+    # v2 widens a and DROPS b (backward-legal: a reader without b just
+    # projects it away)
+    cat.add_value_schema("s", T.StructType([T.StructField("a", T.LongType())]))
+    sup = {f.name: f.dataType.simpleString() for f in cat.get_superset_value_schema("s").fields}
+    assert sup == {"a": "bigint", "b": "string"}
+
+    # reader surface: a registry field only OLD schemas carry still
+    # null-fills on reads of data that predates it entirely
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "ss2"))
+    eng.catalog.create_store(
+        "t",
+        key_fields=["k"],
+        partition_count=2,
+        value_schema=T.StructType([T.StructField("a", T.IntegerType())]),
+        schema_compat="backward",
+    )
+    eng.push("t", spark.createDataFrame([(1, 5)], "k long, a int"))
+    eng.catalog.add_value_schema(
+        "t",
+        T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]),
+    )
+    eng.catalog.add_value_schema(
+        "t", T.StructType([T.StructField("a", T.LongType())])
+    )  # v3 drops b again
+    types = dict(eng.store("t").df().dtypes)
+    assert types["a"] == "bigint"
+    assert types["b"] == "string"  # superset retains the dropped field
+
+
 def test_union_log_fields_resolves_avro_promotions():
     """VERDICT r7 #2: same-name fields whose types differ by a LEGAL Avro
     promotion resolve to the promotion target instead of raising — in

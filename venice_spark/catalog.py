@@ -260,6 +260,29 @@ class StoreCatalog:
             raise SchemaIncompatibleError(f"store {store!r} has no value schemas")
         return _struct_from_json(meta.value_schemas[schema_id - 1 if schema_id > 0 else -1])
 
+    def get_superset_value_schema(self, store: str) -> T.StructType:
+        """The union of EVERY registered value schema — the reference
+        controller's superset schema (controller/supersetschema/
+        DefaultSupersetSchemaGenerator.java:12 delegating to
+        utils/AvroSupersetSchemaUtils.java:44 generateSupersetSchema):
+        readers resolve against the superset, so a field present in ANY
+        registered schema stays readable even after a later schema drops
+        it. Same-name fields resolve to the Avro promotion target; on a
+        genuinely incompatible retype (only reachable with
+        schema_compat='none') the LATEST schema's type is authoritative
+        and older occurrences only contribute missing fields."""
+        meta = self.get_store(store)
+        if not meta.value_schemas:
+            raise SchemaIncompatibleError(f"store {store!r} has no value schemas")
+        from venice_spark.streaming.hybrid import union_log_fields
+
+        fields: list = []
+        for s in reversed(meta.value_schemas):  # latest first = authority
+            fields = union_log_fields(
+                fields, list(_struct_from_json(s).fields), on_conflict="keep-base"
+            )
+        return T.StructType(fields)
+
     def get_key_fields(self, store: str) -> list[str]:
         return self.get_store(store).key_fields
 

@@ -504,16 +504,23 @@ def reset_serving_if_stale(
 
 
 def registered_value_types(catalog, store: str) -> dict:
-    """Field name -> Spark DataType of the store's LATEST registered value
-    schema; {} when the store has no registry entry. The registry is the
+    """Field name -> Spark DataType of the store's SUPERSET value schema
+    (the union of every registered schema, promotions resolved — the
+    reference controller's superset schema readers resolve against,
+    controller/supersetschema/DefaultSupersetSchemaGenerator.java:12);
+    {} when the store has no registry entry. The registry is the
     authoritative source for a serving log's value columns: value schemas
     are a versioned, evolvable list gated by compat checks
     (reference: schema/SchemaEntry.java:1, SchemaData.java — hybrid stores
     keep serving across schema additions), so a column registered after
     some log files were written is REAL even when a sampled footer lacks
-    it."""
+    it — and a column a LATER schema dropped stays readable (superset,
+    not latest)."""
     try:
-        return {f.name: f.dataType for f in catalog.get_value_schema(store).fields}
+        return {
+            f.name: f.dataType
+            for f in catalog.get_superset_value_schema(store).fields
+        }
     except Exception:
         return {}
 
