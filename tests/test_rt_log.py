@@ -574,6 +574,71 @@ def test_truncate_rt_refuses_when_consumer_lags(spark, tmp_path):
     assert 2 not in left
 
 
+def test_rt_retention_config_truncates_after_serve(spark, tmp_path):
+    """Per-store RT retention (reference: the hybrid config derives the RT
+    topic's broker-enforced retention — ZKStore.getRetentionTime): with
+    `rt_retention_seconds` set, a completed hybrid_serve truncates RT files
+    wholly older than now - retention; serving content is unaffected (the
+    checkpoint already merged them), and a lagging second consumer's
+    unread files survive with a warning instead of being lost."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import read_rt_log
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store(
+        "s", key_fields=["k"], hybrid=True, rt_retention_seconds=100
+    )
+    eng.push("s", spark.createDataFrame([(9, 9.0)], "k long, v double"))
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=1_000)  # ancient: eligible once served
+    p.flush()
+    p.put(2, {"v": 2.0}, ts=150_000)  # inside the retention window
+    p.flush()
+
+    st.hybrid_serve(now_ts=200_000)  # cutoff = 200_000 - 100_000
+    left = {r["k"] for r in read_rt_log(spark, eng.catalog, "s").collect()}
+    assert 1 not in left, "retention did not truncate the served old file"
+    assert 2 in left, "retention deleted a file inside the window"
+    out = {r["k"]: r["v"] for r in st.hybrid_serve(now_ts=200_000).read().collect()}
+    assert out == {1: 1.0, 2: 2.0, 9: 9.0}, "serving content changed"
+
+    # a SECOND consumer's checkpoint that lags keeps its unread files:
+    # aa-serve once (creates _aa_checkpoint), then land an old file the AA
+    # checkpoint has not committed — the hybrid serve's retention pass
+    # must skip with a warning, not delete it
+    st.aa_serve(["v"])
+    p.put(3, {"v": 3.0}, ts=2_000)
+    p.flush()
+    with pytest.warns(RuntimeWarning, match="lagging consumer"):
+        st.hybrid_serve(now_ts=200_000)
+    left = {r["k"] for r in read_rt_log(spark, eng.catalog, "s").collect()}
+    assert 3 in left, "lagging consumer's unread file was deleted"
+
+
+def test_rt_retention_below_rewind_is_refused(spark, tmp_path):
+    """Retention must keep at least the rewind window (a re-seed replays
+    rewind from the RT log — StoreUtils.getExpectedRetentionTimeInMs
+    floors retention at rewind + margin)."""
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store(
+        "s",
+        key_fields=["k"],
+        hybrid=True,
+        rewind_seconds=500,
+        rt_retention_seconds=100,
+    )
+    eng.push("s", spark.createDataFrame([(9, 9.0)], "k long, v double"))
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=1_000)
+    p.flush()
+    with pytest.raises(ValueError, match="must be >= "):
+        st.hybrid_serve(now_ts=200_000)
+
+
 def test_truncate_rt_unlinks_url_encoded_paths(spark, tmp_path):
     """ADVICE r7 (low): input_file_name() returns a URL-encoded URI; a
     catalog root containing a space used to fail os.path.isfile after the

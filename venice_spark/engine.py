@@ -656,7 +656,51 @@ class StoreHandle:
             stream = self.spark.readStream.schema(schema).parquet(rt_dir)
             q = replay.start(stream, ckpt)
             q.awaitTermination()
+        self._apply_rt_retention(now_ts)
         return replay
+
+    def _apply_rt_retention(self, now_ts: int | None = None) -> int:
+        """File-edition RT topic retention (the reference derives the RT
+        topic's broker-enforced retention from the hybrid config —
+        ZKStore.getRetentionTime → StoreUtils.getExpectedRetentionTimeInMs:
+        rewind + margin, floor-bounded — and Kafka deletes the tail):
+        when the store config sets `rt_retention_seconds`, every completed
+        serve truncates RT log files whose every record is older than
+        now - retention. Retention below the rewind window is refused
+        loudly (a re-seed must be able to replay the full window), and the
+        consumer-safety guard stays ON: a lagging consumer (e.g. the AA
+        twin's checkpoint, a CDC reader) keeps its unread files alive —
+        skipped with a warning, retried on the next serve. Returns files
+        removed; 0 when retention is unconfigured."""
+        import time
+        import warnings
+
+        meta = self.catalog.get_store(self.name)
+        retention = int(meta.config.get("rt_retention_seconds", 0) or 0)
+        if retention <= 0:
+            return 0
+        if retention < meta.rewind_seconds:
+            raise ValueError(
+                f"rt_retention_seconds ({retention}) must be >= "
+                f"rewind_seconds ({meta.rewind_seconds}): a re-seed replays "
+                "the rewind window from the RT log, so retention must keep "
+                "at least that much history (reference: "
+                "StoreUtils.getExpectedRetentionTimeInMs floors retention "
+                "at rewind + safety margin)"
+            )
+        now_ms = int(now_ts) if now_ts is not None else int(time.time() * 1000)
+        cutoff = now_ms - retention * 1000
+        from venice_spark.producer import RtTruncateBlockedError
+
+        try:
+            return self.truncate_rt(before_ts=cutoff)
+        except RtTruncateBlockedError as e:
+            warnings.warn(
+                f"rt retention skipped this serve (lagging consumer): {e}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return 0
 
     def aa_serve(
         self,

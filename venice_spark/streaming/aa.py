@@ -569,4 +569,8 @@ def aa_serve(
         stream = spark.readStream.schema(schema).parquet(rt_dir)
         q = replay.start(stream, ckpt)
         q.awaitTermination()
+    # per-store RT retention after a completed serve (same contract as
+    # hybrid_serve; the consumer guard keeps a lagging hybrid checkpoint's
+    # unread files alive)
+    engine_store._apply_rt_retention()
     return replay
