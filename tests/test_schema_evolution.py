@@ -489,6 +489,53 @@ def test_batch_read_resolves_reader_schema(spark, tmp_path):
     assert got["count"] == 5 and got["tag"] is None
 
 
+def test_every_promotion_target_is_parquet_readable(spark, tmp_path):
+    """The lattice's load-bearing CONTRACT: whatever promotion_target
+    returns must natively read parquet files of BOTH input types — the
+    serving-log sidecar carries the target over mixed-physical-type
+    filesets. Enumerate every resolvable primitive pair, write one file
+    per input type into one dir, read with the target schema."""
+    import itertools
+
+    from venice_spark.schema_compat import promotion_target
+
+    prim = [
+        T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+        T.FloatType(), T.DoubleType(), T.StringType(), T.BinaryType(),
+    ]
+
+    def sample(t):
+        if isinstance(t, T.BinaryType):
+            return b"x"
+        if isinstance(t, T.StringType):
+            return "x"
+        if isinstance(t, (T.FloatType, T.DoubleType)):
+            return 1.5
+        return 1
+
+    n = 0
+    resolvable = 0
+    for a, b in itertools.combinations(prim, 2):
+        t = promotion_target(a, b)
+        if t is None:
+            continue
+        resolvable += 1
+        d = str(tmp_path / f"pair{n}")
+        n += 1
+        for src in (a, b):
+            spark.createDataFrame(
+                [(sample(src),)], T.StructType([T.StructField("x", src, True)])
+            ).write.mode("append").parquet(d)
+        rows = (
+            spark.read.schema(T.StructType([T.StructField("x", t, True)]))
+            .parquet(d)
+            .collect()
+        )
+        assert len(rows) == 2, f"{a} + {b} -> {t}: read lost rows"
+        assert all(r["x"] is not None for r in rows), f"{a} + {b} -> {t}"
+    assert resolvable >= 10  # the lattice did not silently collapse
+
+
 def test_superset_value_schema_unions_all_registered_schemas(spark, tmp_path):
     """SupersetSchemaGenerator semantics: the reader-side registry view is
     the union of EVERY registered value schema — a field dropped by a
@@ -575,6 +622,16 @@ def test_promotion_target_rejects_illegal_pairs():
 
     assert promotion_target(T.StringType(), T.LongType()) is None
     assert promotion_target(T.BooleanType(), T.IntegerType()) is None
+    # Avro-LEGAL but not natively parquet-readable (probed: int64->float/
+    # double reads fail PARQUET_COLUMN_DATA_TYPE_MISMATCH) — the log union
+    # must refuse these rather than brick every read of old int64 files
+    # (code-review r8 critical finding)
+    assert promotion_target(T.LongType(), T.DoubleType()) is None
+    assert promotion_target(T.LongType(), T.FloatType()) is None
+    # float is never a TARGET (int->float unreadable); int-family + float
+    # resolves to double, which BOTH sides widen to natively
+    assert promotion_target(T.IntegerType(), T.FloatType()) == T.DoubleType()
+    assert promotion_target(T.ShortType(), T.FloatType()) == T.DoubleType()
     assert (
         promotion_target(
             T.MapType(T.StringType(), T.IntegerType()),

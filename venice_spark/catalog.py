@@ -99,6 +99,12 @@ class StoreCatalog:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # superset-schema memo keyed on store.json (mtime_ns, size): the
+        # superset only changes when a schema registers (a meta rewrite),
+        # and recomputing it — N StructType parses + N-1 unions — on every
+        # df()/get()/inspect call would tax the point-read hot path
+        # (code-review r8)
+        self._superset_cache: dict = {}
 
     # ---- paths ----
     def store_dir(self, store: str) -> str:
@@ -271,6 +277,14 @@ class StoreCatalog:
         genuinely incompatible retype (only reachable with
         schema_compat='none') the LATEST schema's type is authoritative
         and older occurrences only contribute missing fields."""
+        try:
+            st = os.stat(self._meta_path(store))
+            cache_key = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            cache_key = None
+        cached = self._superset_cache.get(store)
+        if cached is not None and cache_key is not None and cached[0] == cache_key:
+            return cached[1]
         meta = self.get_store(store)
         if not meta.value_schemas:
             raise SchemaIncompatibleError(f"store {store!r} has no value schemas")
@@ -281,7 +295,10 @@ class StoreCatalog:
             fields = union_log_fields(
                 fields, list(_struct_from_json(s).fields), on_conflict="keep-base"
             )
-        return T.StructType(fields)
+        out = T.StructType(fields)
+        if cache_key is not None:
+            self._superset_cache[store] = (cache_key, out)
+        return out
 
     def get_key_fields(self, store: str) -> list[str]:
         return self.get_store(store).key_fields

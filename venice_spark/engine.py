@@ -614,6 +614,7 @@ class StoreHandle:
             reset_serving_if_stale,
         )
 
+        self._rt_retention_seconds()  # misconfig fails before replay work
         store_dir = self.catalog.store_dir(self.name)
         serving = os.path.join(store_dir, "serving")
         ckpt = os.path.join(store_dir, "_rt_checkpoint")
@@ -656,10 +657,31 @@ class StoreHandle:
             stream = self.spark.readStream.schema(schema).parquet(rt_dir)
             q = replay.start(stream, ckpt)
             q.awaitTermination()
-        self._apply_rt_retention(now_ts)
+        self._apply_rt_retention(now_ts, ts_col=ts_col)
         return replay
 
-    def _apply_rt_retention(self, now_ts: int | None = None) -> int:
+    def _rt_retention_seconds(self) -> int:
+        """Validated `rt_retention_seconds` config (0 = unconfigured).
+        Raises on retention < rewind — checked at SERVE ENTRY (before any
+        replay work runs) as well as at truncation time, so a
+        misconfigured store fails fast instead of doing a full replay and
+        then throwing away the handle (code-review r8)."""
+        meta = self.catalog.get_store(self.name)
+        retention = int(meta.config.get("rt_retention_seconds", 0) or 0)
+        if 0 < retention < meta.rewind_seconds:
+            raise ValueError(
+                f"rt_retention_seconds ({retention}) must be >= "
+                f"rewind_seconds ({meta.rewind_seconds}): a re-seed replays "
+                "the rewind window from the RT log, so retention must keep "
+                "at least that much history (reference: "
+                "StoreUtils.getExpectedRetentionTimeInMs floors retention "
+                "at rewind + safety margin)"
+            )
+        return retention
+
+    def _apply_rt_retention(
+        self, now_ts: int | None = None, ts_col: str = "ts"
+    ) -> int:
         """File-edition RT topic retention (the reference derives the RT
         topic's broker-enforced retention from the hybrid config —
         ZKStore.getRetentionTime → StoreUtils.getExpectedRetentionTimeInMs:
@@ -675,25 +697,15 @@ class StoreHandle:
         import time
         import warnings
 
-        meta = self.catalog.get_store(self.name)
-        retention = int(meta.config.get("rt_retention_seconds", 0) or 0)
+        retention = self._rt_retention_seconds()
         if retention <= 0:
             return 0
-        if retention < meta.rewind_seconds:
-            raise ValueError(
-                f"rt_retention_seconds ({retention}) must be >= "
-                f"rewind_seconds ({meta.rewind_seconds}): a re-seed replays "
-                "the rewind window from the RT log, so retention must keep "
-                "at least that much history (reference: "
-                "StoreUtils.getExpectedRetentionTimeInMs floors retention "
-                "at rewind + safety margin)"
-            )
         now_ms = int(now_ts) if now_ts is not None else int(time.time() * 1000)
         cutoff = now_ms - retention * 1000
         from venice_spark.producer import RtTruncateBlockedError
 
         try:
-            return self.truncate_rt(before_ts=cutoff)
+            return self.truncate_rt(before_ts=cutoff, ts_col=ts_col)
         except RtTruncateBlockedError as e:
             warnings.warn(
                 f"rt retention skipped this serve (lagging consumer): {e}",

@@ -1055,7 +1055,7 @@ def x_evolved_serve(spark, sf_dir):
     "SELECT c_custkey, balance, score FROM ("
     "  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY ts DESC) AS rn2 "
     "  FROM ("
-    "    SELECT c_custkey, CAST(CAST(c_acctbal AS INT) AS BIGINT) AS balance, "
+    "    SELECT c_custkey, CAST(CAST(FLOOR(c_acctbal) AS INT) AS BIGINT) AS balance, "
     "      CAST(CAST(c_acctbal AS REAL) AS DOUBLE) AS score, 0 AS ts FROM customer "
     "    UNION ALL "
     "    SELECT o_custkey AS c_custkey, CAST(FLOOR(o_totalprice * 1000000) AS BIGINT), "
@@ -1082,7 +1082,11 @@ def x_promoted_serve(spark, sf_dir):
     score_t = promotion_target(T.FloatType(), T.DoubleType())
     base = _t(spark, sf_dir, "customer").select(
         "c_custkey",
-        F.col("c_acctbal").cast("int").cast(bal_t).alias("balance"),
+        # FLOOR before the int cast: DuckDB CAST(double AS INT) ROUNDS
+        # while Spark truncates — divergent on any .5+ cents balance the
+        # moment a customer has no orders (latent at sf0.01, where every
+        # customer has one; code-review r8). floor is exact in both.
+        F.floor(F.col("c_acctbal")).cast("int").cast(bal_t).alias("balance"),
         F.col("c_acctbal").cast("float").cast(score_t).alias("score"),
         F.lit(0).alias("ts"),
     )

@@ -64,26 +64,46 @@ def _promotable(writer: T.DataType, reader: T.DataType) -> bool:
 
 
 def promotion_target(a: T.DataType, b: T.DataType) -> T.DataType | None:
-    """The single type that can hold values of BOTH `a` and `b` under Avro
-    promotion (SchemaCompatibility.java's int→long, int/long→float/double,
-    float→double, string↔bytes), or None when the pair is genuinely
-    incompatible. This is the resolution target for a serving-log type
-    conflict: numerics resolve to the wider member of _NUMERIC_ORDER;
-    string↔bytes resolves to binary (UTF-8 bytes hold any string
-    losslessly, the reverse does not, and a fixed winner keeps the sidecar
-    monotone); arrays and maps resolve element-wise. Spark's parquet reader
-    performs all of these widenings natively on read (SPARK-40876), so a
-    log whose sidecar carries the target type reads files written with
-    either input type with zero rewrites."""
+    """The single type that can hold values of BOTH `a` and `b` AND that
+    Spark's parquet reader can widen both inputs to natively on scan, or
+    None. This is the resolution target for a serving-log type conflict:
+    a log whose sidecar carries the target type must read files written
+    with EITHER input type with zero rewrites, so the lattice is the
+    intersection of Avro promotion (SchemaCompatibility.java: int→long,
+    int/long→float/double, float→double, string↔bytes) with the widenings
+    the vectorized parquet reader supports (SPARK-40876, probed on this
+    build): int-family(≤int32)→{wider ints, double}, float→double,
+    string↔bytes. Consequences, each encoded below:
+
+    - int-family vs float resolves to DOUBLE (float is never a target:
+      parquet int32→float reads fail; both inputs widen to double fine).
+    - long vs float/double is None — int64→floating reads fail, so the
+      Avro-legal promotion is refused on the log; the loud retype error
+      points at `admin compact --cast` (the compute path's reader/writer
+      matrix, check_reader_writer below, still accepts it for Avro-style
+      deserialization — that path casts row values, not file schemas).
+    - string↔bytes resolves to binary (UTF-8 bytes hold any string
+      losslessly, the reverse does not; a fixed winner keeps the sidecar
+      monotone); arrays and maps resolve element-wise."""
     if a == b:
         return a
     if {type(a), type(b)} == {T.StringType, T.BinaryType}:
         return T.BinaryType()
     try:
         ia, ib = _NUMERIC_ORDER.index(a), _NUMERIC_ORDER.index(b)
-        return _NUMERIC_ORDER[max(ia, ib)]
     except ValueError:
-        pass
+        ia = ib = None
+    if ia is not None:
+        hi, lo = max(ia, ib), min(ia, ib)
+        long_i = _NUMERIC_ORDER.index(T.LongType())
+        float_i = _NUMERIC_ORDER.index(T.FloatType())
+        if lo == long_i and hi > long_i:
+            return None  # int64 -> float/double not readable
+        if hi == float_i:
+            # float never a target (int->float not readable); both sides
+            # widen to double natively when the int side is <= int32
+            return T.DoubleType()
+        return _NUMERIC_ORDER[hi]
     if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
         el = promotion_target(a.elementType, b.elementType)
         if el is None:

@@ -87,7 +87,7 @@ class ActiveActiveReplay:
         self.ts_col = ts_col
         self.mode = mode
         self.compact_every = compact_every
-        self._writer_locked = False
+        self._writer_lock_owner = None
         # buckets > 0: the append log is laid out partitionBy(__kb) where
         # __kb = xxhash64(key) % buckets. Per-trigger candidate pruning
         # (_resolve_log(keys=touched)) then reads only the touched keys'
@@ -548,6 +548,7 @@ def aa_serve(
         reset_serving_if_stale,
     )
 
+    engine_store._rt_retention_seconds()  # misconfig fails before replay
     spark = engine_store.spark
     catalog = engine_store.catalog
     name = engine_store.name
@@ -572,5 +573,5 @@ def aa_serve(
     # per-store RT retention after a completed serve (same contract as
     # hybrid_serve; the consumer guard keeps a lagging hybrid checkpoint's
     # unread files alive)
-    engine_store._apply_rt_retention()
+    engine_store._apply_rt_retention(ts_col=ts_col)
     return replay

@@ -334,21 +334,30 @@ def run_deferred_gc(serving_dir: str) -> int:
 def _writer_lock(replay):
     """Shared re-entrant writer-serialization helper for the serving-LSM
     replay handles (HybridReplay and ActiveActiveReplay): bracket the body
-    in the catalog's per-store fcntl lock unless this handle already holds
-    it (see HybridReplay._serialized_writer for the full rationale)."""
+    in the catalog's per-store fcntl lock unless THIS THREAD of this
+    handle already holds it (see HybridReplay._serialized_writer for the
+    full rationale). Re-entrancy is per-thread, not per-handle
+    (code-review r8): a continuous (non-availableNow) stream executes
+    foreachBatch on a Spark streaming thread, so a user-thread compact()
+    on the same handle must CONTEND on the flock — a handle-wide flag
+    would make it skip locking and race the in-flight trigger. flock via
+    a second fd of the same file blocks normally within one process, so
+    the cross-thread acquire serializes correctly."""
+    import threading
     from contextlib import contextmanager
 
     @contextmanager
     def _cm():
-        if replay._writer_locked:
+        me = threading.get_ident()
+        if replay._writer_lock_owner == me:
             yield
             return
         with replay.catalog._locked(replay.store):
-            replay._writer_locked = True
+            replay._writer_lock_owner = me
             try:
                 yield
             finally:
-                replay._writer_locked = False
+                replay._writer_lock_owner = None
 
     return _cm()
 
@@ -414,7 +423,20 @@ def compact_cast(spark, catalog, store: str, serving_dir: str) -> dict:
     write-ahead sidecar refuses retypes too). Rewriting the RT log re-keys
     its files, so a live file-stream checkpoint re-processes the whole
     log — content-safe under latest-wins/DCR resolution (ops keep their
-    original ts), same as any checkpoint reset."""
+    original ts), same as any checkpoint reset.
+
+    Holds the per-store writer lock for the whole read→swap (code-review
+    r8): every other writer — replay triggers, compact, producer.flush —
+    serializes on the same lock, so a fileset appended between this
+    migration's scan and its swap can no longer be rmtree'd with the old
+    dir or race the sidecar replace."""
+    import os
+
+    with catalog._locked(store):
+        return _compact_cast_locked(spark, catalog, store, serving_dir)
+
+
+def _compact_cast_locked(spark, catalog, store: str, serving_dir: str) -> dict:
     import os
 
     recover_swap_dir(serving_dir)
@@ -741,7 +763,7 @@ class HybridReplay:
         self.mode = mode
         self.compact_every = compact_every
         self.ts_scale = 1000 if ts_unit == "ms" else 1
-        self._writer_locked = False
+        self._writer_lock_owner = None
         if mode == "rewrite":
             refuse_rewrite_over_append(spark, serving_dir, "__batch", "hybrid")
 
