@@ -220,6 +220,47 @@ def test_compact_cast_migrates_true_retype(spark, tmp_path, capsys):
     assert out == {1: 5, 2: None, 3: 7, 4: 9}
 
 
+def test_compact_cast_narrowing_retype_uses_latest_schema(spark, tmp_path, capsys):
+    """code-review r8: the migration authority is the LATEST registered
+    schema, not the superset — a deliberate narrowing retype (bigint->int
+    under compat=none) resolves back to bigint in the superset, which
+    would make compact --cast a silent no-op and hide the drift from
+    inspect-log. The cast must narrow, reporting overflow rows as NULL."""
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "cat")
+    eng = VeniceSparkEngine(spark, root)
+    eng.catalog.create_store(
+        "s",
+        key_fields=["k"],
+        partition_count=2,
+        hybrid=True,
+        value_schema=T.StructType([T.StructField("n", T.LongType())]),
+        schema_compat="none",
+    )
+    big = 1 << 40  # does not fit int32: nulled by the narrowing cast
+    eng.push("s", spark.createDataFrame([(1, 5), (2, big)], "k long, n long"))
+    st = eng.store("s")
+    p = st.producer()
+    p.put(3, {"n": 7}, ts=100)
+    p.flush(schema="k long, op string, ts long, colo int, n long")
+    st.hybrid_serve()  # serving log: n bigint
+
+    eng.catalog.add_value_schema("s", T.StructType([T.StructField("n", T.IntegerType())]))
+
+    # drift visible against the LATEST schema
+    assert admin.main([root, "inspect-log", "s"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    drift = rep["serving_logs"]["serving"]["type_drift"]
+    assert drift["n"]["registry"] == "int"
+
+    assert admin.main([root, "compact", "s", "--cast"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    serving_rep = rep["cast_report"]["serving"]
+    assert serving_rep["cast"] == ["n"], "narrowing retype was a silent no-op"
+    assert serving_rep["nulled"]["n"] == 1  # the 2**40 row overflows int32
+
+
 def test_inspect_log_reports_type_drift(spark, tmp_path, capsys):
     """inspect-log classifies registry-vs-log type drift: a promotable
     drift reports the read-side widening, an incompatible one points the

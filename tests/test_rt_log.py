@@ -577,37 +577,47 @@ def test_truncate_rt_refuses_when_consumer_lags(spark, tmp_path):
 def test_rt_retention_config_truncates_after_serve(spark, tmp_path):
     """Per-store RT retention (reference: the hybrid config derives the RT
     topic's broker-enforced retention — ZKStore.getRetentionTime): with
-    `rt_retention_seconds` set, a completed hybrid_serve truncates RT files
-    wholly older than now - retention; serving content is unaffected (the
-    checkpoint already merged them), and a lagging second consumer's
+    `rt_retention_seconds` set and a finite rewind window, a completed
+    hybrid_serve truncates RT files wholly older than now - retention;
+    files inside the window survive, and a lagging second consumer's
     unread files survive with a warning instead of being lost."""
     from venice_spark.engine import VeniceSparkEngine
     from venice_spark.producer import read_rt_log
 
     eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    # retention == rewind: files outside the rewind window (which the
+    # replay filters anyway — their content is the next push's job) are
+    # exactly the truncatable set
     eng.create_store(
-        "s", key_fields=["k"], hybrid=True, rt_retention_seconds=100
+        "s",
+        key_fields=["k"],
+        hybrid=True,
+        rewind_seconds=100,
+        rt_retention_seconds=100,
     )
     eng.push("s", spark.createDataFrame([(9, 9.0)], "k long, v double"))
     st = eng.store("s")
     p = st.producer()
-    p.put(1, {"v": 1.0}, ts=1_000)  # ancient: eligible once served
+    p.put(1, {"v": 1.0}, ts=1_000)  # outside the rewind window
     p.flush()
-    p.put(2, {"v": 2.0}, ts=150_000)  # inside the retention window
+    p.put(2, {"v": 2.0}, ts=150_000)  # inside
     p.flush()
 
-    st.hybrid_serve(now_ts=200_000)  # cutoff = 200_000 - 100_000
+    live = st.hybrid_serve(now_ts=200_000)  # cutoff = 200_000 - 100_000
     left = {r["k"] for r in read_rt_log(spark, eng.catalog, "s").collect()}
-    assert 1 not in left, "retention did not truncate the served old file"
+    assert 1 not in left, "retention did not truncate the out-of-window file"
     assert 2 in left, "retention deleted a file inside the window"
-    out = {r["k"]: r["v"] for r in st.hybrid_serve(now_ts=200_000).read().collect()}
-    assert out == {1: 1.0, 2: 2.0, 9: 9.0}, "serving content changed"
+    out = {r["k"]: r["v"] for r in live.read().collect()}
+    # k=1 is outside the rewind window by CONTRACT: the replay filters it
+    # (its content is expected in the next batch push), so truncating its
+    # file changes nothing a re-seed would replay
+    assert out == {2: 2.0, 9: 9.0}, out
 
     # a SECOND consumer's checkpoint that lags keeps its unread files:
     # aa-serve once (creates _aa_checkpoint), then land an old file the AA
     # checkpoint has not committed — the hybrid serve's retention pass
     # must skip with a warning, not delete it
-    st.aa_serve(["v"])
+    st.aa_serve(["v"], now_ts=200_000)
     p.put(3, {"v": 3.0}, ts=2_000)
     p.flush()
     with pytest.warns(RuntimeWarning, match="lagging consumer"):
@@ -616,10 +626,48 @@ def test_rt_retention_config_truncates_after_serve(spark, tmp_path):
     assert 3 in left, "lagging consumer's unread file was deleted"
 
 
+def test_rt_retention_skips_scan_when_fileset_unchanged(spark, tmp_path, monkeypatch):
+    """Serve-path retention cost (code-review r8): when the RT fileset is
+    unchanged since the last retention pass, the serve must not pay the
+    ts scan — the dir cannot grow without a flush."""
+    import venice_spark.producer as prod
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store(
+        "s", key_fields=["k"], hybrid=True,
+        rewind_seconds=100, rt_retention_seconds=100,
+    )
+    eng.push("s", spark.createDataFrame([(9, 9.0)], "k long, v double"))
+    st = eng.store("s")
+    p = st.producer()
+    p.put(2, {"v": 2.0}, ts=150_000)
+    p.flush()
+    st.hybrid_serve(now_ts=200_000)  # pass 1: scans, writes the marker
+
+    calls = []
+    real = prod.truncate_rt_log
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(prod, "truncate_rt_log", counting)
+    st.hybrid_serve(now_ts=200_500)  # no new flush: fileset unchanged
+    assert calls == [], "retention re-scanned an unchanged RT fileset"
+    p.put(3, {"v": 3.0}, ts=151_000)
+    p.flush()
+    st.hybrid_serve(now_ts=201_000)  # new file: scan again
+    assert calls, "retention skipped the scan after a new flush"
+
+
 def test_rt_retention_below_rewind_is_refused(spark, tmp_path):
     """Retention must keep at least the rewind window (a re-seed replays
     rewind from the RT log — StoreUtils.getExpectedRetentionTimeInMs
-    floors retention at rewind + margin)."""
+    floors retention at rewind + margin), must refuse rewind=0 (in this
+    engine that means full-log replay: any truncation loses data), and
+    honors a per-call rewind override — all refused at serve ENTRY,
+    before any replay work."""
     from venice_spark.engine import VeniceSparkEngine
 
     eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
@@ -637,6 +685,17 @@ def test_rt_retention_below_rewind_is_refused(spark, tmp_path):
     p.flush()
     with pytest.raises(ValueError, match="must be >= "):
         st.hybrid_serve(now_ts=200_000)
+
+    # rewind=0 (full-log replay) with retention: refused
+    eng2 = VeniceSparkEngine(spark, str(tmp_path / "root2"))
+    eng2.create_store(
+        "z", key_fields=["k"], hybrid=True, rt_retention_seconds=100
+    )
+    eng2.push("z", spark.createDataFrame([(9, 9.0)], "k long, v double"))
+    with pytest.raises(ValueError, match="finite rewind"):
+        eng2.store("z").hybrid_serve(now_ts=200_000)
+    # a per-call override can SATISFY the contract too
+    eng2.store("z").hybrid_serve(now_ts=200_000, rewind_seconds=100)
 
 
 def test_truncate_rt_unlinks_url_encoded_paths(spark, tmp_path):

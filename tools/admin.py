@@ -262,10 +262,12 @@ def _cmd_inspect_log(cat: StoreCatalog, args: argparse.Namespace) -> int:
         from venice_spark.session import get_spark
 
         from venice_spark.schema_compat import promotion_target
-        from venice_spark.streaming.hybrid import registered_value_types
+        from venice_spark.streaming.hybrid import latest_value_types
 
         spark = get_spark("admin_inspect")
-        reg = registered_value_types(cat, args.store)
+        # drift vs the LATEST schema, not the superset: a narrowing retype
+        # resolves away in the superset and would be invisible here
+        reg = latest_value_types(cat, args.store)
         for d, stamp_col in dirs:
             nxt, live = log_stamp_pressure(spark, d, stamp_col)
             pending = gc_pending(d)

@@ -614,7 +614,8 @@ class StoreHandle:
             reset_serving_if_stale,
         )
 
-        self._rt_retention_seconds()  # misconfig fails before replay work
+        # misconfig fails before replay work (per-call rewind honored)
+        self._rt_retention_seconds(rewind_seconds)
         store_dir = self.catalog.store_dir(self.name)
         serving = os.path.join(store_dir, "serving")
         ckpt = os.path.join(store_dir, "_rt_checkpoint")
@@ -657,21 +658,42 @@ class StoreHandle:
             stream = self.spark.readStream.schema(schema).parquet(rt_dir)
             q = replay.start(stream, ckpt)
             q.awaitTermination()
-        self._apply_rt_retention(now_ts, ts_col=ts_col)
+        self._apply_rt_retention(now_ts, ts_col=ts_col, rewind=rewind_seconds)
         return replay
 
-    def _rt_retention_seconds(self) -> int:
+    def _rt_retention_seconds(self, rewind: int | None = None) -> int:
         """Validated `rt_retention_seconds` config (0 = unconfigured).
-        Raises on retention < rewind — checked at SERVE ENTRY (before any
-        replay work runs) as well as at truncation time, so a
-        misconfigured store fails fast instead of doing a full replay and
-        then throwing away the handle (code-review r8)."""
+        Checked at SERVE ENTRY (before any replay work runs) as well as at
+        truncation time, so a misconfigured store fails fast instead of
+        doing a full replay and then throwing away the handle. `rewind`
+        is the serve's EFFECTIVE window (a per-call override beats the
+        store config — code-review r8). Two refusals:
+
+        - retention < rewind: a re-seed replays the rewind window from the
+          RT log, so retention must keep at least that much history
+          (reference: StoreUtils.getExpectedRetentionTimeInMs floors
+          retention at rewind + safety margin).
+        - rewind == 0 (or unset): in THIS engine rewind=0 means a re-seed
+          replays the FULL RT log, so any truncation would silently revert
+          older RT wins to the batch values on the next push — retention
+          requires a finite rewind window (code-review r8)."""
         meta = self.catalog.get_store(self.name)
         retention = int(meta.config.get("rt_retention_seconds", 0) or 0)
-        if 0 < retention < meta.rewind_seconds:
+        if retention <= 0:
+            return 0
+        eff_rewind = meta.rewind_seconds if rewind is None else int(rewind)
+        if eff_rewind <= 0:
             raise ValueError(
-                f"rt_retention_seconds ({retention}) must be >= "
-                f"rewind_seconds ({meta.rewind_seconds}): a re-seed replays "
+                f"rt_retention_seconds ({retention}) requires a finite "
+                "rewind window: with rewind_seconds=0 a re-seed replays the "
+                "FULL RT log, so any truncation silently loses older RT "
+                "wins on the next push — set rewind_seconds on the store "
+                "or pass it to the serve call"
+            )
+        if retention < eff_rewind:
+            raise ValueError(
+                f"rt_retention_seconds ({retention}) must be >= the "
+                f"effective rewind window ({eff_rewind}): a re-seed replays "
                 "the rewind window from the RT log, so retention must keep "
                 "at least that much history (reference: "
                 "StoreUtils.getExpectedRetentionTimeInMs floors retention "
@@ -680,7 +702,10 @@ class StoreHandle:
         return retention
 
     def _apply_rt_retention(
-        self, now_ts: int | None = None, ts_col: str = "ts"
+        self,
+        now_ts: int | None = None,
+        ts_col: str = "ts",
+        rewind: int | None = None,
     ) -> int:
         """File-edition RT topic retention (the reference derives the RT
         topic's broker-enforced retention from the hybrid config —
@@ -688,31 +713,63 @@ class StoreHandle:
         rewind + margin, floor-bounded — and Kafka deletes the tail):
         when the store config sets `rt_retention_seconds`, every completed
         serve truncates RT log files whose every record is older than
-        now - retention. Retention below the rewind window is refused
-        loudly (a re-seed must be able to replay the full window), and the
-        consumer-safety guard stays ON: a lagging consumer (e.g. the AA
-        twin's checkpoint, a CDC reader) keeps its unread files alive —
-        skipped with a warning, retried on the next serve. Returns files
-        removed; 0 when retention is unconfigured."""
+        now - retention. Retention outside the rewind contract is refused
+        loudly (see _rt_retention_seconds), and the consumer-safety guard
+        stays ON: a lagging consumer (e.g. the AA twin's checkpoint, a CDC
+        reader) keeps its unread files alive — skipped with a warning,
+        retried on the next serve. Returns files removed; 0 when retention
+        is unconfigured.
+
+        Serve-path cost (code-review r8): the ts scan is SKIPPED when the
+        RT fileset is unchanged since the last retention pass (signature
+        marker `_rt_retention_sig` inside the rt dir). A file that only
+        becomes eligible as the clock advances is then deleted on the pass
+        after the NEXT flush — the dir cannot grow without a flush, so
+        growth stays bounded and a hot serve loop pays zero extra Spark
+        jobs between flushes."""
+        import hashlib
+        import os
         import time
         import warnings
 
-        retention = self._rt_retention_seconds()
+        retention = self._rt_retention_seconds(rewind)
         if retention <= 0:
             return 0
+        rt_dir = self.catalog.update_log_dir(self.name)
+        if not os.path.isdir(rt_dir):
+            return 0
+
+        def _sig() -> str:
+            names = sorted(
+                f for f in os.listdir(rt_dir) if f.endswith(".parquet")
+            )
+            return hashlib.md5("\n".join(names).encode()).hexdigest()
+
+        marker = os.path.join(rt_dir, "_rt_retention_sig")
+        sig = _sig()
+        try:
+            with open(marker) as f:
+                if f.read().strip() == sig:
+                    return 0
+        except OSError:
+            pass
         now_ms = int(now_ts) if now_ts is not None else int(time.time() * 1000)
         cutoff = now_ms - retention * 1000
         from venice_spark.producer import RtTruncateBlockedError
 
         try:
-            return self.truncate_rt(before_ts=cutoff, ts_col=ts_col)
+            removed = self.truncate_rt(before_ts=cutoff, ts_col=ts_col)
         except RtTruncateBlockedError as e:
+            # no marker write: retry the scan next serve
             warnings.warn(
                 f"rt retention skipped this serve (lagging consumer): {e}",
                 RuntimeWarning,
                 stacklevel=2,
             )
             return 0
+        with open(marker, "w") as f:
+            f.write(_sig())
+        return removed
 
     def aa_serve(
         self,
@@ -723,6 +780,7 @@ class StoreHandle:
         mode: str = "append",
         compact_every: int = 16,
         buckets: int = 0,
+        now_ts: int | None = None,
     ):
         """Active-active twin of hybrid_serve: the RT log replays through
         the full DCR kernel with per-key register state persisted in the
@@ -737,6 +795,7 @@ class StoreHandle:
         return aa_serve(
             self, value_cols, list_fields, map_fields, ts_col,
             mode=mode, compact_every=compact_every, buckets=buckets,
+            now_ts=now_ts,
         )
 
     # ---- R15 DaVinci-style local materialization ----

@@ -407,6 +407,12 @@ def truncate_rt_log(
     rt_dir = catalog.update_log_dir(store)
     if not os.path.isdir(rt_dir):
         return 0
+    # a fully-truncated pre-sidecar log leaves a parquet-less dir; the
+    # mergeSchema fallback would raise unable-to-infer-schema on it —
+    # and with retention now running on the serve path, that would crash
+    # a serve AFTER all its work (code-review r8)
+    if not any(f.endswith(".parquet") for f in os.listdir(rt_dir)):
+        return 0
     df = read_rt_log(spark, catalog, store)
     per_file = (
         df.select(F.input_file_name().alias("__f"), F.col(ts_col))

@@ -532,6 +532,7 @@ def aa_serve(
     mode: str = "append",
     compact_every: int = 16,
     buckets: int = 0,
+    now_ts: int | None = None,
 ):
     """One-call AA serving loop (the facade twin of hybrid_serve for
     active-active stores): seed from the current version if needed, replay
@@ -572,6 +573,8 @@ def aa_serve(
         q.awaitTermination()
     # per-store RT retention after a completed serve (same contract as
     # hybrid_serve; the consumer guard keeps a lagging hybrid checkpoint's
-    # unread files alive)
-    engine_store._apply_rt_retention(ts_col=ts_col)
+    # unread files alive). now_ts pins the retention clock for replayed/
+    # backfilled timestamp domains — an unpinnable wall clock would judge
+    # every historical-ts file old (code-review r8)
+    engine_store._apply_rt_retention(now_ts, ts_col=ts_col)
     return replay

@@ -430,8 +430,6 @@ def compact_cast(spark, catalog, store: str, serving_dir: str) -> dict:
     serializes on the same lock, so a fileset appended between this
     migration's scan and its swap can no longer be rmtree'd with the old
     dir or race the sidecar replace."""
-    import os
-
     with catalog._locked(store):
         return _compact_cast_locked(spark, catalog, store, serving_dir)
 
@@ -445,7 +443,12 @@ def _compact_cast_locked(spark, catalog, store: str, serving_dir: str) -> dict:
         df = spark.read.option("mergeSchema", "true").parquet(serving_dir)
     else:
         df = spark.read.schema(base).parquet(serving_dir)
-    reg = registered_value_types(catalog, store)
+    # migration authority is the LATEST registered schema, NOT the superset
+    # (code-review r8): the superset resolves a deliberate narrowing retype
+    # (bigint -> int under compat=none) back to the wide type, which would
+    # make this migration a silent no-op for exactly the retypes it exists
+    # to perform. Read paths keep the superset; the cast targets latest.
+    reg = latest_value_types(catalog, store)
     audit = [
         f.name
         for f in df.schema.fields
@@ -523,6 +526,19 @@ def reset_serving_if_stale(
         shutil.rmtree(checkpoint_dir, ignore_errors=True)
         return True
     return False
+
+
+def latest_value_types(catalog, store: str) -> dict:
+    """Field name -> Spark DataType of the store's LATEST registered value
+    schema; {} when the store has no registry entry. This is the
+    MIGRATION authority (compact --cast targets, inspect-log drift): a
+    deliberate narrowing retype lives only in the latest schema — the
+    superset resolves it away. Read paths use registered_value_types
+    (the superset) instead."""
+    try:
+        return {f.name: f.dataType for f in catalog.get_value_schema(store).fields}
+    except Exception:
+        return {}
 
 
 def registered_value_types(catalog, store: str) -> dict:
