@@ -767,8 +767,19 @@ class StoreHandle:
                 stacklevel=2,
             )
             return 0
-        with open(marker, "w") as f:
-            f.write(_sig())
+        import tempfile
+
+        # dot-prefix: a crash-leaked tmp must stay invisible to Spark's
+        # file listing (a bare-named non-parquet file would be read as data)
+        fd, tmp = tempfile.mkstemp(prefix=".rt_sig_", dir=rt_dir)
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(_sig())
+            os.replace(tmp, marker)  # torn marker would force rescans forever
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
         return removed
 
     def aa_serve(
