@@ -489,6 +489,55 @@ def test_batch_read_resolves_reader_schema(spark, tmp_path):
     assert got["count"] == 5 and got["tag"] is None
 
 
+def test_promotion_target_algebra():
+    """Lattice laws the serving-log union depends on, property-tested over
+    every primitive pair and one nesting level: commutativity (the union
+    must not depend on which writer appends first), idempotence at the
+    target (a log already widened to the target never re-widens — the
+    sidecar is monotone), and absorption (the target can hold each input:
+    promotion_target(target, x) == target)."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    from venice_spark.schema_compat import promotion_target
+
+    prim = [
+        T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+        T.FloatType(), T.DoubleType(), T.StringType(), T.BinaryType(),
+        T.BooleanType(), T.DateType(), T.TimestampType(),
+    ]
+    pool = prim + [T.ArrayType(p, True) for p in prim] + [
+        T.MapType(T.StringType(), p, True) for p in prim
+    ] + [
+        # asymmetric nullability: resolution normalizes to containsNull=True
+        T.ArrayType(T.IntegerType(), False),
+        T.ArrayType(T.LongType(), False),
+        T.MapType(T.StringType(), T.FloatType(), False),
+    ]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st_.sampled_from(pool), st_.sampled_from(pool))
+    def laws(a, b):
+        ab = promotion_target(a, b)
+        ba = promotion_target(b, a)
+        # commutative (modulo array/map nullability defaults, which the
+        # lattice normalizes to containsNull=True on resolution)
+        assert ab == ba, (a, b, ab, ba)
+        if ab is not None:
+            # absorption: the target holds each input
+            assert promotion_target(ab, a) == ab, (a, ab)
+            assert promotion_target(ab, b) == ab, (b, ab)
+            # idempotence at the target
+            assert promotion_target(ab, ab) == ab
+
+    laws()
+    # exhaustive over primitives too (hypothesis sampling could miss pairs)
+    for a, b in itertools.product(prim, prim):
+        assert promotion_target(a, b) == promotion_target(b, a), (a, b)
+
+
 def test_every_promotion_target_is_parquet_readable(spark, tmp_path):
     """The lattice's load-bearing CONTRACT: whatever promotion_target
     returns must natively read parquet files of BOTH input types — the
