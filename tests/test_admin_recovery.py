@@ -165,6 +165,36 @@ def test_recover_clean_staging_removes_orphans_only_on_request(
 
 
 
+def test_lag_reports_replay_lag_with_threshold_gate(spark, tmp_path, capsys):
+    """`admin lag`: max RT ts - max served ts per serving log (the
+    reference's ready-to-serve lag gate as a scriptable command); exit 1
+    only when --threshold is exceeded."""
+    root = str(tmp_path / "cat")
+    eng = VeniceSparkEngine(spark, root)
+    eng.create_store("s", key_fields=["k"], hybrid=True)
+    eng.push("s", spark.createDataFrame([(9, 9.0)], "k long, v double"))
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=100)
+    p.flush()
+    st.hybrid_serve()  # caught up: served max ts == rt max ts
+
+    assert admin.main([root, "lag", "s", "--threshold", "0"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["rt_max_ts"] == 100
+    assert rep["serving"]["serving"]["lag"] == 0
+
+    p.put(2, {"v": 2.0}, ts=250)
+    p.flush()  # unserved: lag 150
+    assert admin.main([root, "lag", "s"]) == 0  # no threshold: report only
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["serving"]["serving"]["lag"] == 150
+    assert admin.main([root, "lag", "s", "--threshold", "100"]) == 1
+    capsys.readouterr()
+    assert admin.main([root, "lag", "s", "--threshold", "200"]) == 0
+    capsys.readouterr()
+
+
 def test_compact_cast_migrates_true_retype(spark, tmp_path, capsys):
     """VERDICT r7 #2 escape hatch: a GENUINELY incompatible registry
     retype (string -> long, schema_compat=none) bricks serving-log writes

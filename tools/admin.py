@@ -17,6 +17,7 @@ Usage:
   python tools/admin.py <root> inspect-log <store>
   python tools/admin.py <root> truncate-rt <store> --before-ts N [--force]
   python tools/admin.py <root> compact <store> --cast
+  python tools/admin.py <root> lag <store> [--threshold N] [--ts-col ts]
 
 Exit codes: 0 ok; 1 catalog error (unknown store, illegal transition);
 2 usage error (unknown command, missing/malformed arguments).
@@ -121,6 +122,17 @@ def _build_parser() -> argparse.ArgumentParser:
         help="perform the cast rewrite (required — inline folding "
         "compaction runs in the serving triggers, not here)",
     )
+    lg = sub.add_parser(
+        "lag",
+        help="hybrid replay lag per serving log: max RT ts minus max "
+        "served ts (the reference's ready-to-serve gate — offset/"
+        "producer-timestamp lag thresholds, HybridStoreConfigImpl). "
+        "With --threshold, exits 1 when any serving log lags more — a "
+        "scriptable health gate.",
+    )
+    lg.add_argument("store")
+    lg.add_argument("--threshold", type=int, default=None)
+    lg.add_argument("--ts-col", default="ts")
     il = sub.add_parser(
         "inspect-log",
         help="serving-log health: stamp pressure, GC-pending files, "
@@ -208,6 +220,63 @@ def _cmd_recover(cat: StoreCatalog, args: argparse.Namespace) -> int:
         )
     )
     return 0
+
+
+def _cmd_lag(cat: StoreCatalog, args: argparse.Namespace) -> int:
+    """Replay-lag report (the reference's ready-to-serve gate:
+    offsetLagThresholdToGoOnline / producerTimestampLagThresholdToGoOnline,
+    meta/HybridStoreConfigImpl.java — HybridReplay.ready_to_serve computes
+    the same formula inside a serve loop; this is the ops-side, no-handle
+    edition). lag = max RT ts - max served ts per serving log, in the ts
+    column's own unit. Exit 1 when --threshold is given and any serving
+    log lags more; a serving log with NO served ts yet reports the full RT
+    max as its lag."""
+    cat.get_store(args.store)
+    import pyspark.sql.functions as F
+
+    from venice_spark.producer import read_rt_log
+    from venice_spark.session import get_spark
+    from venice_spark.streaming.hybrid import log_schema
+
+    spark = get_spark("admin_lag")
+    rt_dir = cat.update_log_dir(args.store)
+    rt_max = None
+    if os.path.isdir(rt_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(rt_dir)
+    ):
+        rt_max = (
+            read_rt_log(spark, cat, args.store)
+            .agg(F.max(args.ts_col))
+            .collect()[0][0]
+        )
+    report: dict = {"store": args.store, "rt_max_ts": rt_max, "serving": {}}
+    lagging = False
+    for d, _stamp in _serving_dirs(cat, args.store):
+        side = log_schema(d)
+        df = (
+            spark.read.schema(side).parquet(d)
+            if side is not None
+            else spark.read.option("mergeSchema", "true").parquet(d)
+        )
+        srv_max = (
+            df.agg(F.max(args.ts_col)).collect()[0][0]
+            if args.ts_col in df.columns
+            else None
+        )
+        if rt_max is None:
+            lag = 0  # nothing to replay: caught up by definition
+        elif srv_max is None:
+            lag = rt_max  # nothing served yet: the whole log is lag
+        else:
+            lag = max(0, rt_max - srv_max)
+        report["serving"][os.path.basename(d)] = {
+            "serving_max_ts": srv_max,
+            "lag": lag,
+        }
+        if args.threshold is not None and lag > args.threshold:
+            lagging = True
+    print(json.dumps(report, indent=2))
+    return 1 if lagging else 0
 
 
 def _cmd_inspect_log(cat: StoreCatalog, args: argparse.Namespace) -> int:
@@ -395,6 +464,8 @@ def _run(args: argparse.Namespace) -> int:
         if os.path.isdir(rt_dir):
             report["rt"] = compact_cast(spark, cat, args.store, rt_dir)
         print(json.dumps({"store": args.store, "cast_report": report}, indent=2))
+    elif args.cmd == "lag":
+        return _cmd_lag(cat, args)
     elif args.cmd == "inspect-log":
         return _cmd_inspect_log(cat, args)
     return 0
