@@ -729,3 +729,80 @@ def test_concurrent_serving_writers_serialize_without_sidecar_loss(
     rows = {r["key"]: (r["val"], r["c1"], r["c2"]) for r in h1.read().collect()}
     assert rows["a"] == (1.0, "x1", None)
     assert rows["b"] == (2.0, None, "y1")
+
+
+def test_three_writers_with_compacts_stay_model_exact(spark, tmp_path):
+    """Heavier companion to the two-handle sidecar test: three handles
+    merge interleaved batches into one store from three threads, each
+    firing an inline compact midway. Under the store writer lock the
+    final content must equal the latest-ts-wins model exactly and the
+    sidecar must retain every writer's private column."""
+    import threading
+
+    import pyspark.sql.functions as F
+
+    from venice_spark.streaming.hybrid import log_schema, mark_seeded_version
+
+    catalog = StoreCatalog(str(tmp_path / "cat"))
+    catalog.create_store("h", key_fields=["key"], hybrid=True, rewind_seconds=0)
+    serving = str(tmp_path / "serving")
+    spark.createDataFrame([("seed", 0.0, 1)], schema=SCHEMA).write.parquet(serving)
+    mark_seeded_version(serving, 1)
+
+    import random
+
+    n_writers, n_batches = 3, 3
+    handles = [
+        HybridReplay(spark, catalog, "h", serving, mode="append", compact_every=0)
+        for _ in range(n_writers)
+    ]
+    model: dict = {}
+    model_lock = threading.Lock()
+    errs: list = []
+
+    def writer(idx):
+        rng = random.Random(1000 + idx)
+        h = handles[idx]
+        try:
+            for b in range(n_batches):
+                rows = []
+                for j in range(rng.randint(1, 3)):
+                    k = f"k{rng.randrange(0, 10)}"
+                    # globally unique, writer-disjoint ts: the model never
+                    # needs the value-JSON tie rule
+                    ts = 10_000 * idx + 100 * b + j
+                    v = float(rng.randrange(0, 1000))
+                    rows.append((k, v, ts))
+                    with model_lock:
+                        cur = model.get(k)
+                        if cur is None or ts > cur[0]:
+                            model[k] = (ts, v)
+                df = spark.createDataFrame(rows, schema=SCHEMA).withColumn(
+                    f"w{idx}", F.lit(f"writer{idx}")
+                )
+                h._merge_batch(df, b)
+                if b == 1:
+                    h.compact()
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append((idx, e))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(600)
+    assert not errs, errs
+
+    names = set(log_schema(serving).names)
+    assert {f"w{i}" for i in range(n_writers)} <= names, names
+    out = {
+        r["key"]: (r["ts"], r["val"])
+        for r in handles[0].read().select("key", "ts", "val").collect()
+    }
+    expect = dict(model)
+    expect["seed"] = (1, 0.0)
+    assert out == expect, {
+        k: (out.get(k), expect.get(k))
+        for k in set(out) | set(expect)
+        if out.get(k) != expect.get(k)
+    }
