@@ -2993,56 +2993,15 @@ PINNED_GATES = {
 # query -> most recent round with a fully-green driver row (derived from
 # CORRECTNESS_r{01..06}.json; tests recompute and diff this)
 LAST_GREEN = {
-    # round 5
-    "x_bigram_logprob": 5,
-    "x_blocklist_hits": 5,
-    "x_cdc_chunk_dedup": 5,
-    "x_corpus_report": 5,
-    "x_oversample": 5,
-    "x_shard_plan": 5,
-    "x_split_assign": 5,
     # round 6
-    "r11_count_group_by_value": 6,
-    "r12_count_group_by_bucket": 6,
-    "r13_predicate_algebra": 6,
-    "r16_unique_keys": 6,
-    "r1_single_get": 6,
-    "r3_streaming_batch_get": 6,
-    "r4_project": 6,
-    "r5_dot_product": 6,
-    "r6_cosine_similarity": 6,
-    "r7_hadamard_product": 6,
-    "r8_count_array": 6,
-    "w15_materialized_view": 6,
-    "w1_put_latest_wins": 6,
-    "w2_delete_tombstone": 6,
-    "w3_partial_update_set_field": 6,
-    "w4_w5_list_ops": 6,
-    "w6_map_ops": 6,
-    "x_ann_topk": 6,
     "x_asof_join": 6,
-    "x_bpe_token_count": 6,
-    "x_decontaminate": 6,
-    "x_dedup_ngram_jaccard": 6,
-    "x_embed_quantize": 6,
-    "x_embedding_near_dup": 6,
     "x_event_percentiles": 6,
-    "x_fingerprint": 6,
-    "x_knn_join": 6,
-    "x_lang_id": 6,
     "x_ngram_counts": 6,
     "x_pii_scrub": 6,
     "x_range_join": 6,
     "x_repetition_filter": 6,
     "x_rollup_agg": 6,
-    "x_sessionize": 6,
-    "x_simhash": 6,
-    "x_simhash_pairs": 6,
-    "x_skew_salted_count": 6,
-    "x_token_count": 6,
-    "x_training_pipeline": 6,
     "x_unigram_logprob": 6,
-    "x_version_diff": 6,
     # round 7
     "cdc_change_events": 7,
     "i6_duplicate_key_check": 7,
@@ -3056,10 +3015,6 @@ LAST_GREEN = {
     "w11_ttl_filter": 7,
     "w7_dcr_merge": 7,
     "w9_incremental_push": 7,
-    "x_ann_ivf_recall": 7,
-    "x_ann_lsh_recall": 7,
-    "x_audio_tone_gate": 7,
-    "x_bpe_roundtrip": 7,
     "x_canonical_docs": 7,
     "x_chunk_documents": 7,
     "x_crawl_ingest": 7,
@@ -3074,19 +3029,14 @@ LAST_GREEN = {
     "x_event_rollup": 7,
     "x_evolved_serve": 7,
     "x_feature_hash": 7,
-    "x_frame_dedup_gate": 7,
     "x_fuzzy_key_pairs": 7,
-    "x_hll_error_gate": 7,
     "x_importance_sample": 7,
     "x_inverted_index": 7,
     "x_ivf_knn_join": 7,
-    "x_ivfpq_recall": 7,
     "x_knn_classify": 7,
     "x_knn_join_lsh": 7,
     "x_minhash_near_dup": 7,
     "x_multimodal_features": 7,
-    "x_pq_recall": 7,
-    "x_quality_classifier_acc": 7,
     "x_quality_score": 7,
     "x_random_projection": 7,
     "x_sequence_packing": 7,
@@ -3094,6 +3044,57 @@ LAST_GREEN = {
     "x_text_quality": 7,
     "x_tfidf_terms": 7,
     "x_topk_per_group": 7,
+    # round 8
+    "r11_count_group_by_value": 8,
+    "r12_count_group_by_bucket": 8,
+    "r13_predicate_algebra": 8,
+    "r16_unique_keys": 8,
+    "r1_single_get": 8,
+    "r3_streaming_batch_get": 8,
+    "r4_project": 8,
+    "r5_dot_product": 8,
+    "r6_cosine_similarity": 8,
+    "r7_hadamard_product": 8,
+    "r8_count_array": 8,
+    "w15_materialized_view": 8,
+    "w1_put_latest_wins": 8,
+    "w2_delete_tombstone": 8,
+    "w3_partial_update_set_field": 8,
+    "w4_w5_list_ops": 8,
+    "w6_map_ops": 8,
+    "x_ann_ivf_recall": 8,
+    "x_ann_lsh_recall": 8,
+    "x_ann_topk": 8,
+    "x_audio_tone_gate": 8,
+    "x_bigram_logprob": 8,
+    "x_blocklist_hits": 8,
+    "x_bpe_roundtrip": 8,
+    "x_bpe_token_count": 8,
+    "x_cdc_chunk_dedup": 8,
+    "x_corpus_report": 8,
+    "x_decontaminate": 8,
+    "x_dedup_ngram_jaccard": 8,
+    "x_embed_quantize": 8,
+    "x_embedding_near_dup": 8,
+    "x_fingerprint": 8,
+    "x_frame_dedup_gate": 8,
+    "x_hll_error_gate": 8,
+    "x_ivfpq_recall": 8,
+    "x_knn_join": 8,
+    "x_lang_id": 8,
+    "x_oversample": 8,
+    "x_pq_recall": 8,
+    "x_promoted_serve": 8,
+    "x_quality_classifier_acc": 8,
+    "x_sessionize": 8,
+    "x_shard_plan": 8,
+    "x_simhash": 8,
+    "x_simhash_pairs": 8,
+    "x_skew_salted_count": 8,
+    "x_split_assign": 8,
+    "x_token_count": 8,
+    "x_training_pipeline": 8,
+    "x_version_diff": 8,
 }
 
 
