@@ -403,3 +403,22 @@ def test_inspect_log_reports_crashed_swap_without_healing(spark, tmp_path, capsy
     rep = json.loads(capsys.readouterr().out)
     assert "crashed_swaps" not in rep and os.path.isdir(serving)
 
+
+
+def test_lag_missing_ts_col_exits_2(spark, tmp_path, capsys):
+    """ADVICE r8 (low): `admin lag` guarded the serving side with a
+    column check but read the RT max unconditionally — a wrong --ts-col
+    escaped as a raw AnalysisException traceback instead of the
+    documented 0/1/2 exit contract. A missing ts column is a usage error:
+    exit 2 with a pointed message."""
+    root = str(tmp_path / "cat")
+    eng = VeniceSparkEngine(spark, root)
+    eng.create_store("s", key_fields=["k"], hybrid=True)
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=100)
+    p.flush()
+
+    assert admin.main([root, "lag", "s", "--ts-col", "bogus"]) == 2
+    err = capsys.readouterr().err
+    assert "bogus" in err and "--ts-col" in err

@@ -718,3 +718,168 @@ def test_truncate_rt_unlinks_url_encoded_paths(spark, tmp_path):
     assert st.truncate_rt(before_ts=100) >= 1
     left = {r["k"] for r in read_rt_log(spark, eng.catalog, "s").collect()}
     assert left == {2}
+
+
+def test_truncate_rt_respects_registered_consumer_checkpoint(spark, tmp_path):
+    """ADVICE r8 (medium): the retention guard probed only the two
+    built-in checkpoints, so a CDC reader with a caller-chosen checkpoint
+    dir could lose unread RT files. A checkpoint registered via
+    catalog.register_consumer_checkpoint (ChangeCaptureStream.start does
+    it when given its store) now blocks truncation of its unread files;
+    unregistering the dead consumer unblocks."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import RtTruncateBlockedError, read_rt_log
+    from venice_spark.streaming.cdc import ChangeCaptureStream
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("s", key_fields=["k"], hybrid=True)
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=10)
+    p.flush()
+
+    rt_dir = eng.catalog.update_log_dir("s")
+    ckpt = str(tmp_path / "cdc_ckpt")  # OUTSIDE the store dir: only the
+    # registration makes it visible to the guard
+    cdc = ChangeCaptureStream(
+        spark, str(tmp_path / "snap"), str(tmp_path / "events"), ["k"], "v"
+    )
+    schema = read_rt_log(spark, eng.catalog, "s").schema
+    stream = spark.readStream.schema(schema).parquet(rt_dir)
+    cdc.start(stream, ckpt, catalog=eng.catalog, store="s").awaitTermination()
+    roster = eng.catalog.consumer_checkpoints("s")
+    assert roster and ckpt in roster.values(), "start() must auto-register"
+
+    # consumer committed everything so far: truncation proceeds
+    assert st.truncate_rt(before_ts=100) >= 1
+
+    # a new below-cutoff file the CDC checkpoint has NOT committed blocks
+    p.put(2, {"v": 2.0}, ts=20)
+    p.flush()
+    with pytest.raises(RtTruncateBlockedError, match="registered:"):
+        st.truncate_rt(before_ts=100)
+    left = {r["k"] for r in read_rt_log(spark, eng.catalog, "s").collect()}
+    assert 2 in left, "refusal must not delete anything"
+
+    # dead consumer: unregister drops the protection
+    (name,) = list(roster)
+    assert eng.catalog.unregister_consumer_checkpoint("s", name)
+    assert st.truncate_rt(before_ts=100) >= 1
+
+
+def test_truncate_rt_scans_in_store_dir_checkpoints(spark, tmp_path):
+    """ADVICE r8 (medium), defensive half: an UNREGISTERED checkpoint
+    placed inside the store dir (an `offsets` subdir is the Spark
+    streaming-checkpoint signature) is also probed — a started-but-
+    nothing-committed consumer conservatively blocks truncation."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import RtTruncateBlockedError
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("s", key_fields=["k"], hybrid=True)
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=10)
+    p.flush()
+
+    ckpt = os.path.join(eng.catalog.store_dir("s"), "_third_party_ckpt")
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    with pytest.raises(RtTruncateBlockedError, match="_third_party_ckpt"):
+        st.truncate_rt(before_ts=100)
+    # force still overrides (dead-consumer escape hatch)
+    assert st.truncate_rt(before_ts=100, force=True) >= 1
+
+
+def test_checkpoint_committed_files_credits_compact_entries(tmp_path):
+    """ADVICE r8 (low): Spark prunes per-batch delta files after writing
+    <n>.compact, so when batch n itself is uncommitted, skipping the whole
+    compact file reported files committed MANY batches ago as unread
+    (spurious RtTruncateBlockedError until the next batch commits).
+    Entries carry batchId: credit the ones at or below the max committed
+    batch even while batch n is in flight."""
+    import json as _json
+
+    from venice_spark.producer import _checkpoint_committed_files
+
+    ckpt = tmp_path / "ckpt"
+    src = ckpt / "sources" / "0"
+    commits = ckpt / "commits"
+    src.mkdir(parents=True)
+    commits.mkdir(parents=True)
+    # batches 0..8 committed; 9.compact is the in-flight batch's rewrite
+    for b in range(9):
+        (commits / str(b)).write_text("{}")
+    lines = ["v1"] + [
+        _json.dumps(
+            {"path": f"file:///data/f{b}.parquet", "timestamp": b, "batchId": b}
+        )
+        for b in range(10)
+    ]
+    (src / "9.compact").write_text("\n".join(lines))
+    # plus a plain uncommitted delta: still NOT credited
+    (src / "10").write_text(
+        "v1\n"
+        + _json.dumps(
+            {"path": "file:///data/f10.parquet", "timestamp": 10, "batchId": 10}
+        )
+    )
+
+    out = _checkpoint_committed_files(str(ckpt))
+    got = {os.path.basename(p) for p in out}
+    assert {f"f{b}.parquet" for b in range(9)} <= got, got
+    assert "f9.parquet" not in got, "in-flight batch credited"
+    assert "f10.parquet" not in got, "uncommitted delta credited"
+
+
+def test_rt_retention_honors_rt_ts_unit(spark, tmp_path):
+    """ADVICE r8 (low): the retention cutoff hard-assumed epoch-ms
+    (retention*1000 + time.time()*1000 default) — a second-scaled ts
+    column made every RT file look ancient and the whole log was deleted
+    right after a serve. Store config rt_ts_unit='s' now scales BOTH the
+    replay's rewind window and the retention cutoff; rt_ts_unit='raw'
+    (non-epoch/logical ts) refuses retention at serve entry."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import read_rt_log
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store(
+        "s",
+        key_fields=["k"],
+        hybrid=True,
+        rewind_seconds=100,
+        rt_retention_seconds=100,
+        rt_ts_unit="s",
+    )
+    eng.push("s", spark.createDataFrame([(9, 9.0)], "k long, v double"))
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=1_000)  # seconds; outside the rewind window
+    p.flush()
+    # the discriminating file: the old ms-fixed cutoff (200_000 - 100*1000
+    # = 100_000) wrongly KEPT this out-of-window file forever; the
+    # second-scaled cutoff (199_900) truncates it
+    p.put(3, {"v": 3.0}, ts=150_000)
+    p.flush()
+    p.put(2, {"v": 2.0}, ts=199_950)  # inside
+    p.flush()
+
+    live = st.hybrid_serve(now_ts=200_000)  # cutoff = 200_000 - 100 (sec)
+    left = {r["k"] for r in read_rt_log(spark, eng.catalog, "s").collect()}
+    assert 1 not in left, "second-scaled retention did not truncate"
+    assert 3 not in left, "ms-fixed cutoff kept an out-of-window file"
+    assert 2 in left, "second-scaled retention deleted an in-window file"
+    out = {r["k"]: r["v"] for r in live.read().collect()}
+    assert out == {2: 2.0, 9: 9.0}, out
+
+    # non-epoch ts domain: retention refused at serve entry
+    eng.create_store(
+        "z",
+        key_fields=["k"],
+        hybrid=True,
+        rewind_seconds=100,
+        rt_retention_seconds=100,
+        rt_ts_unit="raw",
+    )
+    eng.push("z", spark.createDataFrame([(9, 9.0)], "k long, v double"))
+    with pytest.raises(ValueError, match="epoch-based"):
+        eng.store("z").hybrid_serve(now_ts=200_000)

@@ -244,11 +244,19 @@ def _cmd_lag(cat: StoreCatalog, args: argparse.Namespace) -> int:
     if os.path.isdir(rt_dir) and any(
         f.endswith(".parquet") for f in os.listdir(rt_dir)
     ):
-        rt_max = (
-            read_rt_log(spark, cat, args.store)
-            .agg(F.max(args.ts_col))
-            .collect()[0][0]
-        )
+        rt_df = read_rt_log(spark, cat, args.store)
+        # mirror the serving-side guard: a missing --ts-col must honor the
+        # 0/1/2 exit contract, not escape as a raw AnalysisException
+        # traceback (ADVICE r8)
+        if args.ts_col not in rt_df.columns:
+            print(
+                f"admin lag: rt log of store {args.store!r} has no column "
+                f"{args.ts_col!r} (columns: {rt_df.columns}) — pass the "
+                "right --ts-col",
+                file=sys.stderr,
+            )
+            return 2
+        rt_max = rt_df.agg(F.max(args.ts_col)).collect()[0][0]
     report: dict = {"store": args.store, "rt_max_ts": rt_max, "serving": {}}
     lagging = False
     for d, _stamp in _serving_dirs(cat, args.store):

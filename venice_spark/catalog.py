@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import contextlib
 import fcntl
+import hashlib
 import json
 import os
 import shutil
@@ -233,6 +234,68 @@ class StoreCatalog:
 
     def delete_store(self, name: str) -> None:
         shutil.rmtree(self.store_dir(name), ignore_errors=True)
+
+    # ---- consumer checkpoint registry (RT retention safety) ----
+    # The reference's RT topic retention is Kafka-side: a lagging consumer
+    # keeps its committed offsets and Kafka's deletion is coordinated with
+    # them structurally. The file edition needs an explicit roster: every
+    # consumer that replays the RT log from its own Spark checkpoint
+    # registers that checkpoint here, and truncate_rt_log refuses to delete
+    # files any registered (or built-in) checkpoint has not committed
+    # (ADVICE r8: a CDC reader with a caller-chosen checkpoint dir was
+    # invisible to the guard — silent data loss for exactly the consumer
+    # the contract named).
+    def _consumer_ckpt_path(self, store: str) -> str:
+        return os.path.join(self.store_dir(store), "consumer_checkpoints.json")
+
+    def consumer_checkpoints(self, store: str) -> dict:
+        """Registered consumer checkpoints: {name: abs_checkpoint_dir}."""
+        try:
+            with open(self._consumer_ckpt_path(store)) as f:
+                d = json.load(f)
+            return d if isinstance(d, dict) else {}
+        except (OSError, ValueError):
+            return {}
+
+    def register_consumer_checkpoint(
+        self, store: str, checkpoint_dir: str, name: str | None = None
+    ) -> str:
+        """Register a consumer's Spark checkpoint dir so RT retention
+        (producer.truncate_rt_log) protects its unread files. Returns the
+        roster name (derived from the path when not given). Idempotent."""
+        self.get_store(store)
+        path = os.path.abspath(checkpoint_dir)
+        if name is None:
+            name = "consumer_" + hashlib.md5(path.encode()).hexdigest()[:12]
+        with self._locked(store):
+            roster = self.consumer_checkpoints(store)
+            roster[name] = path
+            self._write_consumer_checkpoints(store, roster)
+        return name
+
+    def unregister_consumer_checkpoint(self, store: str, name: str) -> bool:
+        """Drop a dead consumer from the roster (its checkpoint no longer
+        blocks retention). Returns whether the name was registered."""
+        with self._locked(store):
+            roster = self.consumer_checkpoints(store)
+            existed = name in roster
+            if existed:
+                del roster[name]
+                self._write_consumer_checkpoints(store, roster)
+        return existed
+
+    def _write_consumer_checkpoints(self, store: str, roster: dict) -> None:
+        path = self._consumer_ckpt_path(store)
+        fd, tmp = tempfile.mkstemp(
+            prefix=".consumer_ckpt_", dir=os.path.dirname(path)
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(roster, f, indent=2, sort_keys=True)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     # ---- schema registry (R14) ----
     def add_value_schema(self, store: str, schema: T.StructType) -> int:

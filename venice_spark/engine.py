@@ -593,9 +593,11 @@ class StoreHandle:
         A NEW batch push re-seeds: the serving table remembers which
         version seeded it, and a version change drops table + checkpoint so
         the new base replays the RT window on top (the reference's
-        per-version buffer replay; code-review r4). `ts` is the producer's
-        epoch-millisecond stamp, so rewind/lag seconds scale accordingly
-        (ts_unit='ms'); pass now_ts in ms.
+        per-version buffer replay; code-review r4). `ts` defaults to the
+        producer's epoch-millisecond stamp, so rewind/lag seconds scale
+        accordingly and now_ts is in ms; store config `rt_ts_unit` ("s",
+        "raw") switches the unit for both the rewind window and the
+        retention cutoff (ADVICE r8 — one knob so they cannot disagree).
 
         Default mode is "append" — the serving table is an LSM log (the
         same write-amplification trade the store's lazy delta slots make):
@@ -645,7 +647,7 @@ class StoreHandle:
             now_ts=now_ts,
             mode=mode,
             compact_every=compact_every,
-            ts_unit="ms",
+            ts_unit=self._rt_ts_unit(),
         )
         rt_dir = self.catalog.update_log_dir(self.name)
         if os.path.isdir(rt_dir) and any(
@@ -660,6 +662,23 @@ class StoreHandle:
             q.awaitTermination()
         self._apply_rt_retention(now_ts, ts_col=ts_col, rewind=rewind_seconds)
         return replay
+
+    def _rt_ts_unit(self) -> str:
+        """Unit of the store's RT ts column on the engine serving path
+        (store config `rt_ts_unit`): "ms" (default — the producer's
+        time.time()*1000 stamp), "s", or "raw" (ts is a logical counter;
+        rewind_seconds then counts ts units, and wall-clock retention is
+        refused). One knob feeds both HybridReplay's rewind scaling and
+        _apply_rt_retention's cutoff, so they cannot disagree (ADVICE r8)."""
+        unit = str(
+            self.catalog.get_store(self.name).config.get("rt_ts_unit", "ms")
+        ).lower()
+        if unit not in ("ms", "s", "raw"):
+            raise ValueError(
+                f"store {self.name!r}: unknown rt_ts_unit {unit!r} "
+                "(supported: 'ms', 's', 'raw')"
+            )
+        return unit
 
     def _rt_retention_seconds(self, rewind: int | None = None) -> int:
         """Validated `rt_retention_seconds` config (0 = unconfigured).
@@ -699,6 +718,14 @@ class StoreHandle:
                 "StoreUtils.getExpectedRetentionTimeInMs floors retention "
                 "at rewind + safety margin)"
             )
+        if self._rt_ts_unit() not in ("ms", "s"):
+            raise ValueError(
+                f"rt_retention_seconds needs an epoch-based ts column: "
+                f"store {self.name!r} declares rt_ts_unit="
+                f"{self._rt_ts_unit()!r}. A raw/logical ts cannot be "
+                "compared against wall-clock retention — clear "
+                "rt_retention_seconds or set rt_ts_unit to 'ms'/'s'"
+            )
         return retention
 
     def _apply_rt_retention(
@@ -715,10 +742,22 @@ class StoreHandle:
         serve truncates RT log files whose every record is older than
         now - retention. Retention outside the rewind contract is refused
         loudly (see _rt_retention_seconds), and the consumer-safety guard
-        stays ON: a lagging consumer (e.g. the AA twin's checkpoint, a CDC
-        reader) keeps its unread files alive — skipped with a warning,
-        retried on the next serve. Returns files removed; 0 when retention
-        is unconfigured.
+        stays ON: a lagging consumer keeps its unread files alive —
+        skipped with a warning, retried on the next serve. Protected
+        consumers are the built-in hybrid/AA checkpoints, checkpoints
+        registered via catalog.register_consumer_checkpoint (a CDC reader
+        must register — ChangeCaptureStream.start does it when given its
+        store), and checkpoint dirs inside the store dir; an unregistered
+        external checkpoint is NOT protected (ADVICE r8). Returns files
+        removed; 0 when retention is unconfigured.
+
+        The ts domain must be epoch-based: store config `rt_ts_unit`
+        ("ms" default, "s", or "raw") drives BOTH the serving replay's
+        rewind scaling (hybrid_serve passes it to HybridReplay) and this
+        cutoff's scale, so the two can never disagree. "raw" (a logical
+        counter, a non-epoch ts) makes "older than now - retention"
+        meaningless and is refused loudly (ADVICE r8 — the old fixed
+        *1000 silently treated second-scaled logs as all-expired).
 
         Serve-path cost (code-review r8): the ts scan is SKIPPED when the
         RT fileset is unchanged since the last retention pass (signature
@@ -735,6 +774,7 @@ class StoreHandle:
         retention = self._rt_retention_seconds(rewind)
         if retention <= 0:
             return 0
+        meta = self.catalog.get_store(self.name)
         rt_dir = self.catalog.update_log_dir(self.name)
         if not os.path.isdir(rt_dir):
             return 0
@@ -753,8 +793,19 @@ class StoreHandle:
                     return 0
         except OSError:
             pass
-        now_ms = int(now_ts) if now_ts is not None else int(time.time() * 1000)
-        cutoff = now_ms - retention * 1000
+        unit = self._rt_ts_unit()
+        scales = {"ms": 1000, "s": 1}
+        if unit not in scales:
+            raise ValueError(
+                f"rt_retention_seconds needs an epoch-based ts column: store "
+                f"{self.name!r} declares rt_ts_unit={unit!r} (retention "
+                f"supports {sorted(scales)}). A raw/logical ts cannot be "
+                "compared against wall-clock retention — clear "
+                "rt_retention_seconds or set rt_ts_unit"
+            )
+        scale = scales[unit]
+        now_val = int(now_ts) if now_ts is not None else int(time.time() * scale)
+        cutoff = now_val - retention * scale
         from venice_spark.producer import RtTruncateBlockedError
 
         try:

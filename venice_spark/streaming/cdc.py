@@ -260,7 +260,21 @@ class ChangeCaptureStream:
 
         atomic_swap_dir(new_snap, self.snapshot_dir, tag="cdc")
 
-    def start(self, update_stream: DataFrame, checkpoint_dir: str):
+    def start(
+        self,
+        update_stream: DataFrame,
+        checkpoint_dir: str,
+        catalog=None,
+        store: str | None = None,
+    ):
+        """Start the change-capture stream. Pass `catalog` + `store` when
+        the update stream reads a managed store's RT log: the checkpoint
+        dir is then registered as a consumer of that store, so RT
+        retention (producer.truncate_rt_log) will not delete files this
+        stream has not committed (ADVICE r8 — an unregistered CDC
+        checkpoint was invisible to the retention guard)."""
+        if catalog is not None and store is not None:
+            catalog.register_consumer_checkpoint(store, checkpoint_dir)
         return (
             update_stream.writeStream.foreachBatch(self._process_batch)
             .option("checkpointLocation", checkpoint_dir)
