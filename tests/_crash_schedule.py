@@ -27,11 +27,24 @@ class ScheduledCrash(Exception):
 class CrashSchedule:
     """Context manager: raise ScheduledCrash at the nth intercepted
     filesystem mutation whose destination path contains `path_filter`
-    (filter out of tree mutations, e.g. pytest tmp bookkeeping)."""
+    (filter out of tree mutations, e.g. pytest tmp bookkeeping).
 
-    def __init__(self, nth: int, path_filter: str = ""):
+    hard=True is the SIGKILL model (VERDICT r8 missing #2): a real process
+    death runs no cleanup, but the exception-based crash stand-in DOES run
+    every `except BaseException` handler on its way out — so state a
+    handler would have cleaned (a crash-leaked tmp file, a half-done
+    compensating unlink) was structurally invisible to every soft-mode
+    sweep. In hard mode, once the schedule fires, every subsequent
+    intercepted mutation (rename/replace/move/ALL unlinks — not just data
+    files) silently no-ops: the handlers still execute Python-side, but
+    their filesystem effects vanish, exactly as if the process had died at
+    the crash point. (Writes through plain open() are not intercepted;
+    the protocol seams' cleanup is unlink/rename-based.)"""
+
+    def __init__(self, nth: int, path_filter: str = "", hard: bool = False):
         self.nth = nth
         self.path_filter = path_filter
+        self.hard = hard
         self.count = 0
         self.fired = False
 
@@ -49,6 +62,8 @@ class CrashSchedule:
 
         def mk2(real):
             def wrapped(src, dst, *a, **k):
+                if self.hard and self.fired:
+                    return None  # post-kill: the dead process mutates nothing
                 if self._hit(dst):
                     raise ScheduledCrash(f"scheduled crash #{self.nth}: {dst}")
                 return real(src, dst, *a, **k)
@@ -56,6 +71,8 @@ class CrashSchedule:
             return wrapped
 
         def unlink(p, *a, **k):
+            if self.hard and self.fired:
+                return None  # post-kill: cleanup handlers' unlinks vanish
             # only data files count as crash sites for unlink (GC); tmp
             # cleanup unlinks in error paths would double-fire
             if str(p).endswith(".parquet") and self._hit(p):
@@ -73,12 +90,13 @@ class CrashSchedule:
         return False
 
 
-def run_with_crash(op, nth: int, path_filter: str = "") -> str:
+def run_with_crash(op, nth: int, path_filter: str = "", hard: bool = False) -> str:
     """Run `op` under a crash schedule; 'crashed' | 'completed'. A
     completed run means nth exceeded the op's mutation count — that
     outcome must appear in a sweep too, or the sweep silently stopped
-    covering the op's tail."""
-    sched = CrashSchedule(nth, path_filter)
+    covering the op's tail. hard=True uses the SIGKILL model (no cleanup
+    effects after the crash point — see CrashSchedule)."""
+    sched = CrashSchedule(nth, path_filter, hard=hard)
     try:
         with sched:
             op()

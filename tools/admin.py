@@ -177,6 +177,20 @@ def _cmd_recover(cat: StoreCatalog, args: argparse.Namespace) -> int:
     for target in sorted(roots):
         if recover_swap_dir(target):
             healed.append(os.path.basename(target))
+    # crash-leaked tmp files: VISIBLE pre-r9-style tmpXXXX.tmp in a parquet
+    # dir bricks every read, so recover always sweeps those; dot-prefixed
+    # orphans are invisible to Spark and swept only with --clean-staging
+    # (while no writer runs — a live writer's in-flight tmp would race)
+    from venice_spark.streaming.hybrid import sweep_leaked_tmps
+
+    tmps_removed = 0
+    for d, _stamp in _serving_dirs(cat, args.store):
+        tmps_removed += sweep_leaked_tmps(d, include_hidden=args.clean_staging)
+    rt_dir = cat.update_log_dir(args.store)
+    if os.path.isdir(rt_dir):
+        tmps_removed += sweep_leaked_tmps(
+            rt_dir, include_hidden=args.clean_staging
+        )
     carried = 0
     if cat.current_version(args.store) > 0:
         # the stranded-delta walk needs a session (a layout-mismatched
@@ -215,6 +229,7 @@ def _cmd_recover(cat: StoreCatalog, args: argparse.Namespace) -> int:
                 "healed_swaps": healed,
                 "gc_removed": gc_removed,
                 "staging_removed": staging_removed,
+                "leaked_tmps_removed": tmps_removed,
             },
             indent=2,
         )

@@ -113,6 +113,9 @@ class ActiveActiveReplay:
         from venice_spark.streaming.hybrid import recover_swap_dir
 
         recover_swap_dir(serving_dir)
+        from venice_spark.streaming.hybrid import sweep_leaked_tmps
+
+        sweep_leaked_tmps(serving_dir)
         entries = os.listdir(serving_dir) if os.path.isdir(serving_dir) else []
         # __kb= partition dirs start with an underscore, so the "has data"
         # probe must name them explicitly (underscore-prefixed entries are

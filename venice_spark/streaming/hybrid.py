@@ -134,6 +134,50 @@ def recover_swap_dir(target: str) -> bool:
     return True
 
 
+def sweep_leaked_tmps(serving_dir: str, include_hidden: bool = False) -> int:
+    """Remove crash-leaked tmp files from a serving parquet dir.
+
+    VISIBLE `tmpXXXXXXXX.tmp` files (the pre-r9 mkstemp default name used
+    by record_gc_pending / extend_log_schema / set_log_schema) are swept
+    unconditionally: Spark lists any non-underscore, non-dot file as DATA,
+    so a hard crash (kill -9, OOM) between mkstemp and os.replace bricked
+    every subsequent read of the store ("not a Parquet file") until
+    manually deleted (VERDICT r8 #1). Current writers dot-prefix their
+    tmps, so nothing live ever matches this pattern — sweeping on the
+    unlocked read path cannot race a writer.
+
+    DOT-PREFIXED orphans (`._gc_*`/`._schema_*`/... `.tmp`, `.rt_sig_*`)
+    are invisible to Spark and harmless to reads; they are swept only with
+    include_hidden=True (`admin recover --clean-staging`, operator-invoked
+    while no writer runs) because a read-path sweep WOULD race a live
+    writer's in-flight tmp between its mkstemp and os.replace."""
+    import os
+    import re
+
+    try:
+        entries = os.listdir(serving_dir)
+    except OSError:
+        return 0
+    removed = 0
+    for e in entries:
+        visible_leak = re.fullmatch(r"tmp\w+\.tmp", e)
+        hidden_leak = include_hidden and (
+            (e.startswith(".") and e.endswith(".tmp"))
+            or e.startswith(".rt_sig_")
+        )
+        if not (visible_leak or hidden_leak):
+            continue
+        p = os.path.join(serving_dir, e)
+        if not os.path.isfile(p):
+            continue
+        try:
+            os.unlink(p)
+            removed += 1
+        except OSError:
+            pass
+    return removed
+
+
 def atomic_swap_dir(
     df: DataFrame, target: str, tag: str = "swap", partition_by: str | None = None
 ) -> None:
@@ -290,7 +334,13 @@ def record_gc_pending(serving_dir: str, files: list[str], compact_stamp: int) ->
     import os
     import tempfile
 
-    fd, tmp = tempfile.mkstemp(dir=serving_dir, suffix=".tmp")
+    # dot-prefix (VERDICT r8 #2, the 4404c4e pattern): a hard crash (kill
+    # -9 / OOM) between mkstemp and os.replace must leave a file Spark's
+    # listing IGNORES — a visible tmpXXXX.tmp inside the serving parquet
+    # dir bricked every subsequent read ("not a Parquet file") until
+    # manually deleted. The exception handler below only runs for soft
+    # failures.
+    fd, tmp = tempfile.mkstemp(prefix="._gc_", dir=serving_dir, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
             json.dump({"files": sorted(files), "compact_stamp": int(compact_stamp)}, f)
@@ -683,7 +733,8 @@ def extend_log_schema(spark, serving_dir: str, schema) -> None:
         base_fields = list(base.fields)
     merged = T.StructType(union_log_fields(base_fields, list(schema.fields)))
     os.makedirs(serving_dir, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=serving_dir, suffix=".tmp")
+    # dot-prefix: crash-leaked tmps must stay invisible to Spark (VERDICT r8 #2)
+    fd, tmp = tempfile.mkstemp(prefix="._schema_", dir=serving_dir, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
             json.dump(merged.jsonValue(), f)
@@ -702,7 +753,8 @@ def set_log_schema(serving_dir: str, schema) -> None:
     import os
     import tempfile
 
-    fd, tmp = tempfile.mkstemp(dir=serving_dir, suffix=".tmp")
+    # dot-prefix: crash-leaked tmps must stay invisible to Spark (VERDICT r8 #2)
+    fd, tmp = tempfile.mkstemp(prefix="._schema_", dir=serving_dir, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
             json.dump(schema.jsonValue(), f)
@@ -716,8 +768,10 @@ def set_log_schema(serving_dir: str, schema) -> None:
 def read_serving(spark: SparkSession, serving_dir: str) -> DataFrame:
     """Read a hybrid serving table for queries: tombstone rows (op='DELETE',
     kept on disk so stale PUTs cannot resurrect deleted keys) are filtered
-    and the op column dropped. Self-heals a crashed swap first."""
+    and the op column dropped. Self-heals a crashed swap and sweeps
+    crash-leaked visible tmp files first (either would fail the read)."""
     recover_swap_dir(serving_dir)
+    sweep_leaked_tmps(serving_dir)
     df = spark.read.parquet(serving_dir)
     if "op" in df.columns:
         df = df.filter(~_is_delete()).drop("op")
@@ -826,6 +880,7 @@ class HybridReplay:
         # serving dir absent; heal before reading or stamping against it —
         # an append onto a missing dir would restart the log from empty
         recover_swap_dir(self.serving_dir)
+        sweep_leaked_tmps(self.serving_dir)
         if self.mode == "append":
             # O(batch): fold the micro-batch to one row per key, append.
             # Cross-batch resolution is the reader's (resolve_latest is
@@ -881,6 +936,7 @@ class HybridReplay:
         # pre-sidecar log pays mergeSchema, once per read until its next
         # write upgrades it.
         recover_swap_dir(self.serving_dir)  # self-heal a crashed compact swap
+        sweep_leaked_tmps(self.serving_dir)
         if self.mode != "append":
             return self.spark.read.parquet(self.serving_dir)
         from pyspark.sql import types as T
