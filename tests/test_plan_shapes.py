@@ -353,3 +353,18 @@ def test_promoted_serve_rank_limits_and_prunes_columns(spark, sf_dir):
     for seg in plan.split("ReadSchema: ")[1:]:
         schema = seg.split("\n", 1)[0]
         assert "o_comment" not in schema and "c_comment" not in schema, schema
+
+
+def test_cast_promoted_serve_rank_limits_and_prunes_columns(spark, sf_dir):
+    """The cast-on-read promotion resolution (x_cast_promoted_serve, r9:
+    long→double) keeps the promoted-serve plan shape: rank-limited
+    windows, pruned scans, and the Avro-target cast folded into the JVM
+    projection — no Python stage, no extra shuffle over x_promoted_serve."""
+    df = QUERIES["x_cast_promoted_serve"](spark, sf_dir)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    for seg in plan.split("ReadSchema: ")[1:]:
+        schema = seg.split("\n", 1)[0]
+        assert "o_comment" not in schema and "c_comment" not in schema, schema

@@ -110,10 +110,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="serving-log type migration: with --cast, rewrite the "
         "store's serving logs with every registry-typed column cast to "
         "the registry's CURRENT type (the escape hatch for genuinely "
-        "incompatible retypes the write path refuses — Avro promotions "
-        "like int->long never need it, reads widen them in place). "
-        "Values the target type cannot represent become NULL, reported "
-        "per column.",
+        "incompatible retypes the write path refuses — every Avro "
+        "promotion incl. long->double is zero-rewrite on serving logs "
+        "since r9; the rt dir still needs this for a non-native sidecar "
+        "widening before wide flushes land). Values the target type "
+        "cannot represent become NULL, reported per column.",
     )
     cp.add_argument("store")
     cp.add_argument(
@@ -275,12 +276,9 @@ def _cmd_lag(cat: StoreCatalog, args: argparse.Namespace) -> int:
     report: dict = {"store": args.store, "rt_max_ts": rt_max, "serving": {}}
     lagging = False
     for d, _stamp in _serving_dirs(cat, args.store):
-        side = log_schema(d)
-        df = (
-            spark.read.schema(side).parquet(d)
-            if side is not None
-            else spark.read.option("mergeSchema", "true").parquet(d)
-        )
+        from venice_spark.streaming.hybrid import read_log
+
+        df = read_log(spark, d, log_schema(d))
         srv_max = (
             df.agg(F.max(args.ts_col)).collect()[0][0]
             if args.ts_col in df.columns

@@ -94,7 +94,7 @@ class StoreHandle:
         incompatible registry types leave the file type untouched — the
         files are ground truth on read, and a true retype migrates through
         `admin compact --cast` / the next push."""
-        from venice_spark.schema_compat import promotion_target
+        from venice_spark.schema_compat import avro_promotion_target
         from venice_spark.streaming.hybrid import registered_value_types
 
         reg = registered_value_types(self.catalog, self.name)
@@ -106,7 +106,11 @@ class StoreHandle:
             if cur is None:
                 df = df.withColumn(name, F.lit(None).cast(t))
             elif cur != t:
-                target = promotion_target(cur, t)
+                # FULL Avro lattice (r9): the scan already read the file
+                # type, so the widening is a plain projection cast — no
+                # native-parquet-widening constraint applies here, and
+                # long→double parity with SchemaCompatibility.java holds
+                target = avro_promotion_target(cur, t)
                 if target is not None and target != cur:
                     df = df.withColumn(name, F.col(name).cast(target))
         return df

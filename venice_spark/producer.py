@@ -99,10 +99,22 @@ class VeniceProducer:
         # the normal AA shape) could otherwise each read the pre-update
         # sidecar and the last replace would DROP the other's new columns
         # from every future read.
-        from venice_spark.streaming.hybrid import extend_log_schema
+        from venice_spark.streaming.hybrid import (
+            align_to_log_schema,
+            extend_log_schema,
+        )
 
         with self.catalog._locked(self.store):
-            extend_log_schema(self.spark, rt_dir, df.schema)
+            # cast_groups=False: the RT log is consumed by readStream,
+            # which cannot split its scan per legacy fileset — a
+            # non-natively-widenable SIDECAR WIDENING (long→double) keeps
+            # the loud refusal here and migrates via `admin compact
+            # --cast` on the rt dir (the serving LSM dirs accept it
+            # zero-rewrite). A batch merely narrower than the sidecar is
+            # fine: align casts it up before the write, so every rt file
+            # stays natively readable under the sidecar schema.
+            extend_log_schema(self.spark, rt_dir, df.schema, cast_groups=False)
+            df = align_to_log_schema(df, rt_dir)
         df.write.mode("append").parquet(rt_dir)
         self._buffer.clear()
         return rt_dir

