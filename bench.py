@@ -88,6 +88,7 @@ HEADLINE = [
     "x_version_diff",
     "x_evolved_serve",
     "x_promoted_serve",
+    "x_cast_promoted_serve",
 ]
 
 # round-3 steady-state seconds × 1.5 headroom at sf0.1/local[32]; the
@@ -98,6 +99,7 @@ BUDGET_SEC = {
     "x_version_diff": 0.9,  # r6 steady 0.57s x 1.5 (one full-outer merge on the key)
     "x_evolved_serve": 2.0,  # r7 steady 1.3s x 1.5 (two key windows: latest-order rank + serve resolve)
     "x_promoted_serve": 2.0,  # r8 steady 1.0-1.2s x 1.5 (same two-window shape, widening casts fold into the scan projection)
+    "x_cast_promoted_serve": 2.0,  # r9: same two-window shape as x_promoted_serve, Avro-target cast folds into the projection
     "r1_store_point_get": 0.5,
     "r2_store_batch_get": 1.5,
     "r2_batch_get": 0.8,

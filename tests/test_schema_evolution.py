@@ -903,3 +903,68 @@ def test_rt_flush_refuses_widening_until_cast_migration(spark, tmp_path):
     live = st.hybrid_serve()
     rows = sorted((r["k"], r["n"]) for r in live.read().collect())
     assert rows == [(1, 10.0), (2, 20.0), (3, 3.5), (4, 40.0)], rows
+
+
+def test_rewrite_mode_reads_resolve_registry_like_every_other_surface(
+    spark, tmp_path
+):
+    """Code-review r9: the rewrite-mode read paths (hybrid AND AA) must
+    resolve the registry exactly like append mode and the batch surface —
+    the first cut widened only hybrid and forgot the null-fill for
+    registry-ADDED columns, so a rewrite store answered `long` (or
+    AnalysisException'd on the added column) while every sibling surface
+    answered `double`/null. One shared helper now serves all four
+    (hybrid.resolve_registry_reader)."""
+    from venice_spark.engine import VeniceSparkEngine
+
+    # hybrid rewrite: long→double promotion + added column null-fills
+    eng = VeniceSparkEngine(spark, str(tmp_path / "hr"))
+    eng.catalog.create_store(
+        "h",
+        key_fields=["k"],
+        hybrid=True,
+        value_schema=T.StructType([T.StructField("n", T.LongType())]),
+        schema_compat="backward",
+    )
+    eng.push("h", spark.createDataFrame([(1, 6)], "k long, n long"))
+    st = eng.store("h")
+    p = st.producer()
+    p.put(2, {"n": 7}, ts=10)
+    p.flush(schema="k long, op string, ts long, colo int, n long")
+    st.hybrid_serve(mode="rewrite")
+    eng.catalog.add_value_schema(
+        "h",
+        T.StructType(
+            [T.StructField("n", T.DoubleType()), T.StructField("extra", T.StringType())]
+        ),
+    )
+    live = st.hybrid_serve(mode="rewrite")
+    dt = dict(live.read().dtypes)
+    assert dt["n"] == "double", dt
+    got = {r["k"]: (r["n"], r["extra"]) for r in live.read().collect()}
+    assert got == {1: (6.0, None), 2: (7.0, None)}, got
+
+    # AA rewrite: same contract through the DCR replay
+    eng2 = VeniceSparkEngine(spark, str(tmp_path / "ar"))
+    eng2.catalog.create_store(
+        "a",
+        key_fields=["k"],
+        hybrid=True,
+        active_active=True,
+        value_schema=T.StructType([T.StructField("n", T.LongType())]),
+        schema_compat="backward",
+    )
+    eng2.push("a", spark.createDataFrame([(1, 6)], "k long, n long"))
+    st2 = eng2.store("a")
+    p2 = st2.producer()
+    p2.put(2, {"n": 7}, ts=10)
+    p2.flush(schema="k long, op string, ts long, colo int, n long")
+    st2.aa_serve(["n"], mode="rewrite")
+    eng2.catalog.add_value_schema(
+        "a", T.StructType([T.StructField("n", T.DoubleType())])
+    )
+    live2 = st2.aa_serve(["n"], mode="rewrite")
+    dt2 = dict(live2.read().dtypes)
+    assert dt2["n"] == "double", dt2
+    got2 = {r["k"]: r["n"] for r in live2.read().collect()}
+    assert got2 == {1: 6.0, 2: 7.0}, got2

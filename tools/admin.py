@@ -351,7 +351,7 @@ def _cmd_inspect_log(cat: StoreCatalog, args: argparse.Namespace) -> int:
     if dirs:
         from venice_spark.session import get_spark
 
-        from venice_spark.schema_compat import promotion_target
+        from venice_spark.schema_compat import avro_promotion_target
         from venice_spark.streaming.hybrid import latest_value_types
 
         spark = get_spark("admin_inspect")
@@ -369,9 +369,12 @@ def _cmd_inspect_log(cat: StoreCatalog, args: argparse.Namespace) -> int:
                 "gc_pending_files": len(pending["files"]) if pending else 0,
                 "compact_stamp": pending["compact_stamp"] if pending else None,
             }
-            # registry-vs-log type drift (r8): a PROMOTABLE drift widens on
-            # every read (no action needed); an incompatible one bricks the
-            # next write until `compact --cast` migrates it — surface which
+            # registry-vs-log type drift (r8): a PROMOTABLE drift widens
+            # on every read — since r9 via the FULL Avro lattice (native
+            # scan widening or cast-on-read legacy groups), so long→double
+            # no longer sends the operator to a full-table compact --cast
+            # (code-review r9); only a true retype bricks the next write
+            # until the migration runs
             side = log_schema(d)
             if side is not None and reg:
                 drift = {}
@@ -379,7 +382,7 @@ def _cmd_inspect_log(cat: StoreCatalog, args: argparse.Namespace) -> int:
                     t = reg.get(f.name)
                     if t is None or t == f.dataType:
                         continue
-                    target = promotion_target(f.dataType, t)
+                    target = avro_promotion_target(f.dataType, t)
                     drift[f.name] = {
                         "log": f.dataType.simpleString(),
                         "registry": t.simpleString(),

@@ -94,26 +94,14 @@ class StoreHandle:
         incompatible registry types leave the file type untouched — the
         files are ground truth on read, and a true retype migrates through
         `admin compact --cast` / the next push."""
-        from venice_spark.schema_compat import avro_promotion_target
-        from venice_spark.streaming.hybrid import registered_value_types
+        from venice_spark.streaming.hybrid import (
+            registered_value_types,
+            resolve_registry_reader,
+        )
 
-        reg = registered_value_types(self.catalog, self.name)
-        if not reg:
-            return df
-        file_types = {f.name: f.dataType for f in df.schema.fields}
-        for name, t in reg.items():
-            cur = file_types.get(name)
-            if cur is None:
-                df = df.withColumn(name, F.lit(None).cast(t))
-            elif cur != t:
-                # FULL Avro lattice (r9): the scan already read the file
-                # type, so the widening is a plain projection cast — no
-                # native-parquet-widening constraint applies here, and
-                # long→double parity with SchemaCompatibility.java holds
-                target = avro_promotion_target(cur, t)
-                if target is not None and target != cur:
-                    df = df.withColumn(name, F.col(name).cast(target))
-        return df
+        return resolve_registry_reader(
+            df, registered_value_types(self.catalog, self.name)
+        )
 
     @property
     def key_fields(self) -> list[str]:
