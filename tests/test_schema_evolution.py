@@ -968,3 +968,132 @@ def test_rewrite_mode_reads_resolve_registry_like_every_other_surface(
     assert dt2["n"] == "double", dt2
     got2 = {r["k"]: r["n"] for r in live2.read().collect()}
     assert got2 == {1: 6.0, 2: 7.0}, got2
+
+
+def test_successive_promotions_claim_files_by_oldest_group(spark, tmp_path):
+    """Two promotions in sequence — int→long (native, no group) then
+    long→double (cast-on-read, group) then another value column promoted
+    later (second group) — exercise read_log's oldest-group-first file
+    claiming: a file written under generation G must scan with G's
+    schema even when later groups also list it, and files appended
+    between the promotions scan with the schema they were aligned to at
+    write time. Values prove it: ints beyond int32 and fractional
+    doubles survive every step."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.streaming.hybrid import log_legacy_groups
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "sp"))
+    eng.catalog.create_store(
+        "h",
+        key_fields=["k"],
+        hybrid=True,
+        value_schema=T.StructType(
+            [T.StructField("a", T.IntegerType()), T.StructField("b", T.LongType())]
+        ),
+        schema_compat="backward",
+    )
+    eng.push("h", spark.createDataFrame([(1, 5, 50)], "k long, a int, b long"))
+    st = eng.store("h")
+    p = st.producer()
+    p.put(2, {"a": 6, "b": 60}, ts=100)
+    p.flush(schema="k long, op string, ts long, colo int, a int, b long")
+    live = st.hybrid_serve()
+
+    # promotion 1: a int→long — NATIVE, must not create a legacy group
+    eng.catalog.add_value_schema(
+        "h",
+        T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]),
+    )
+    p.put(3, {"a": (1 << 40), "b": 70}, ts=200)
+    p.flush(schema="k long, op string, ts long, colo int, a long, b long")
+    live = st.hybrid_serve()
+    serving = os.path.join(eng.catalog.store_dir("h"), "serving")
+    assert log_legacy_groups(serving) == [], "native promotion made a group"
+
+    # promotion 2: a long→double — cast-on-read; compact materializes it
+    eng.catalog.add_value_schema(
+        "h",
+        T.StructType([T.StructField("a", T.DoubleType()), T.StructField("b", T.LongType())]),
+    )
+    live = st.hybrid_serve()
+    live.compact()
+    g1 = log_legacy_groups(serving)
+    assert len(g1) == 1, g1
+
+    # ops between the promotions land at the new sidecar types; the RT
+    # dir needs its one-time cast migration before a double flush (the
+    # refusal is the rt contract — see
+    # test_rt_flush_refuses_widening_until_cast_migration)
+    from venice_spark.streaming.hybrid import compact_cast
+
+    compact_cast(spark, eng.catalog, "h", eng.catalog.update_log_dir("h"))
+    p.put(4, {"a": 0.25, "b": 80}, ts=300)
+    p.flush(schema="k long, op string, ts long, colo int, a double, b long")
+    live = st.hybrid_serve()
+
+    # promotion 3: b long→double — a SECOND group while the first lives
+    eng.catalog.add_value_schema(
+        "h",
+        T.StructType([T.StructField("a", T.DoubleType()), T.StructField("b", T.DoubleType())]),
+    )
+    live = st.hybrid_serve()
+    live.compact()
+    groups = log_legacy_groups(serving)
+    assert 1 <= len(groups) <= 2, groups
+
+    got = {r["k"]: (r["a"], r["b"]) for r in live.read().collect()}
+    assert got == {
+        1: (5.0, 50.0),
+        2: (6.0, 60.0),
+        3: (float(1 << 40), 70.0),
+        4: (0.25, 80.0),
+    }, got
+    dt = dict(live.read().dtypes)
+    assert dt["a"] == "double" and dt["b"] == "double", dt
+
+    # compactions retire the legacy files; the groups drain to zero
+    live.compact()
+    compact_cast(spark, eng.catalog, "h", eng.catalog.update_log_dir("h"))
+    p.put(5, {"a": 1.5, "b": 2.5}, ts=400)
+    p.flush(schema="k long, op string, ts long, colo int, a double, b double")
+    live = st.hybrid_serve()
+    assert log_legacy_groups(serving) == [], log_legacy_groups(serving)
+    got = {r["k"]: (r["a"], r["b"]) for r in live.read().collect()}
+    assert got[5] == (1.5, 2.5) and got[3] == (float(1 << 40), 70.0), got
+
+
+def test_cast_on_read_promotes_array_columns(spark, tmp_path):
+    """Element-wise cast-on-read: an array<long> serving column promoted
+    to array<double> by the registry — the Avro lattice resolves items
+    recursively and the legacy-group projection casts the whole array in
+    one JVM expression."""
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "arr"))
+    eng.catalog.create_store(
+        "h",
+        key_fields=["k"],
+        hybrid=True,
+        value_schema=T.StructType(
+            [T.StructField("v", T.ArrayType(T.LongType()))]
+        ),
+        schema_compat="backward",
+    )
+    eng.push(
+        "h",
+        spark.createDataFrame([(1, [1, 2])], "k long, v array<long>"),
+    )
+    st = eng.store("h")
+    p = st.producer()
+    p.put(2, {"v": [3, 1 << 40]}, ts=10)
+    p.flush(schema="k long, op string, ts long, colo int, v array<long>")
+    st.hybrid_serve()
+
+    eng.catalog.add_value_schema(
+        "h", T.StructType([T.StructField("v", T.ArrayType(T.DoubleType()))])
+    )
+    live = st.hybrid_serve()
+    live.compact()  # double-array fileset beside long-array files
+    got = {r["k"]: r["v"] for r in live.read().collect()}
+    assert got == {1: [1.0, 2.0], 2: [3.0, float(1 << 40)]}, got
+    assert dict(live.read().dtypes)["v"] == "array<double>"
