@@ -111,3 +111,22 @@ def run_with_crash(op, nth: int, path_filter: str = "", hard: bool = False) -> s
             return "crashed"
         raise
     return "completed"
+
+
+def fuzz_seeds(default):
+    """Seed list for a model-based fuzzer's @parametrize: the committed
+    regression seeds by default, or a fresh battery from
+    SPARK_GRAFT_FUZZ_SEEDS="101,102,..." (the per-round deep-fuzz battery
+    — SCALE.md r8 — without editing committed seed lists). When the
+    committed entry is a (seed, param) tuple, the extra params are kept
+    and crossed with every battery seed."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_FUZZ_SEEDS")
+    if not env:
+        return default
+    seeds = [int(x) for x in env.split(",") if x.strip()]
+    if default and isinstance(default[0], tuple):
+        extras = sorted({d[1:] for d in default})
+        return [(s, *e) for s in seeds for e in extras]
+    return seeds

@@ -16,6 +16,13 @@ import pytest
 
 from venice_spark.engine import VeniceSparkEngine
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _crash_schedule import fuzz_seeds  # noqa: E402
+
+
 OPS_SCHEMA = "k long, op string, ts long, colo int, name string, score double, set_name string, set_score double"
 COLS = ["k", "op", "ts", "colo", "name", "score", "set_name", "set_score"]
 
@@ -36,7 +43,7 @@ def _rand_op(rng, next_ts):
     return op
 
 
-@pytest.mark.parametrize("seed,buckets", [(9, 0), (27, 0), (9, 4)])
+@pytest.mark.parametrize("seed,buckets", fuzz_seeds([(9, 0), (27, 0), (9, 4)]))
 def test_aa_serve_fuzz_matches_batch_kernel(spark, tmp_path, seed, buckets):
     # buckets=4 runs the same lifecycle over the bucketed log layout
     # (r6): serve/compact/checkpoint-resume must be layout-invariant
@@ -110,7 +117,7 @@ def test_aa_serve_fuzz_matches_batch_kernel(spark, tmp_path, seed, buckets):
     assert final == batch_expected(all_ops), f"seed {seed} final"
 
 
-@pytest.mark.parametrize("seed,buckets", [(17, 4)])
+@pytest.mark.parametrize("seed,buckets", fuzz_seeds([(17, 4)]))
 def test_aa_serve_fuzz_with_crash_schedule(spark, tmp_path, seed, buckets):
     """VERDICT r6 #4: the AA lifecycle fuzz with compactions killed at a
     SCHEDULED filesystem mutation (nth rename/replace/move/unlink, swept

@@ -34,7 +34,7 @@ import pytest
 from venice_spark.engine import VeniceSparkEngine
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _crash_schedule import run_with_crash  # noqa: E402
+from _crash_schedule import fuzz_seeds, run_with_crash  # noqa: E402
 
 
 def _model(base: dict, ops: list[tuple]) -> dict:
@@ -135,7 +135,7 @@ def test_hard_mode_exposes_reverted_tmp_leak(spark, tmp_path, monkeypatch):
     assert not glob.glob(os.path.join(serving, "._schema_*.tmp"))
 
 
-@pytest.mark.parametrize("seed", [15, 50])  # both fire compact AND flush
+@pytest.mark.parametrize("seed", fuzz_seeds([15, 50]))  # both fire compact AND flush
 def test_hard_crash_sweep_over_serving_lifecycle(spark, tmp_root, seed):
     """Hard-mode (SIGKILL) sweep over the serving-LSM protocol seams the
     soft fuzzers already cover: compact (staged moves, sidecar replace,

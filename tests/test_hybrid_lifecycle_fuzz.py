@@ -19,6 +19,13 @@ import pytest
 
 from venice_spark.engine import VeniceSparkEngine
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _crash_schedule import fuzz_seeds  # noqa: E402
+
+
 
 def _model(base: dict, ops: list[tuple]) -> dict:
     """ops: (key, ts, kind, value); latest ts wins, DELETE beats PUT on a
@@ -38,7 +45,7 @@ def _model(base: dict, ops: list[tuple]) -> dict:
     return out
 
 
-@pytest.mark.parametrize("seed", [3, 21])
+@pytest.mark.parametrize("seed", fuzz_seeds([3, 21]))
 def test_hybrid_serve_fuzz_matches_model(spark, tmp_root, seed):
     rng = random.Random(seed)
     eng = VeniceSparkEngine(spark, tmp_root + f"_hfz{seed}")
@@ -131,7 +138,7 @@ class _SimCrash(Exception):
     """Process-death stand-in: aborts a swap mid-rename inside the fuzz."""
 
 
-@pytest.mark.parametrize("seed", [11])
+@pytest.mark.parametrize("seed", fuzz_seeds([11]))
 def test_hybrid_serve_fuzz_with_midswap_crashes_matches_model(spark, tmp_root, seed):
     """VERDICT r5 #7: compose the crash-injection points from
     test_crash_atomicity into the lifecycle fuzz — the logical mutations

@@ -11,6 +11,13 @@ import pytest
 
 from venice_spark.engine import VeniceSparkEngine
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _crash_schedule import fuzz_seeds  # noqa: E402
+
+
 
 def _read_state(eng, store):
     return {
@@ -19,7 +26,7 @@ def _read_state(eng, store):
     }
 
 
-@pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.parametrize("seed", fuzz_seeds([7, 23]))
 def test_lifecycle_fuzz_matches_model(spark, tmp_root, seed):
     rng = random.Random(seed)
     eng = VeniceSparkEngine(spark, tmp_root + f"_fuzz{seed}")
@@ -86,7 +93,7 @@ def test_lifecycle_fuzz_matches_model(spark, tmp_root, seed):
             assert row is None
 
 
-@pytest.mark.parametrize("seed", [11, 42])
+@pytest.mark.parametrize("seed", fuzz_seeds([11, 42]))
 def test_view_lifecycle_fuzz_matches_model(spark, tmp_root, seed):
     """Same model-based fuzz, now with a declared materialized view in the
     loop: after every operation the view must equal the store projected
@@ -193,7 +200,7 @@ def test_view_lifecycle_fuzz_matches_model(spark, tmp_root, seed):
         history[cur] = dict(state)
 
 
-@pytest.mark.parametrize("seed", [29])
+@pytest.mark.parametrize("seed", fuzz_seeds([29]))
 def test_lifecycle_fuzz_with_crash_schedule_matches_model(spark, tmp_root, seed):
     """VERDICT r6 #4: the version-machinery fuzz with ops killed at a
     SCHEDULED filesystem mutation (nth rename/replace/move, swept by the

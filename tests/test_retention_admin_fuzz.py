@@ -24,7 +24,7 @@ import pytest
 from venice_spark.engine import VeniceSparkEngine
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _crash_schedule import run_with_crash  # noqa: E402
+from _crash_schedule import fuzz_seeds, run_with_crash  # noqa: E402
 
 _SPEC = importlib.util.spec_from_file_location(
     "admin_cli_fuzz",
@@ -53,7 +53,7 @@ def _model(base: dict, ops: list[tuple]) -> dict:
     return out
 
 
-@pytest.mark.parametrize("seed", [7, 29])
+@pytest.mark.parametrize("seed", fuzz_seeds([7, 29]))
 def test_rt_retention_lifecycle_fuzz_with_scheduled_crashes(spark, tmp_root, seed):
     """Sweep scheduled crashes through producer flushes (the RT sidecar's
     write-ahead replace) and truncate_rt (file-granular unlinks behind the
@@ -141,7 +141,7 @@ def test_rt_retention_lifecycle_fuzz_with_scheduled_crashes(spark, tmp_root, see
     )
 
 
-@pytest.mark.parametrize("seed", [5, 43])
+@pytest.mark.parametrize("seed", fuzz_seeds([5, 43]))
 def test_admin_recover_gc_heals_scheduled_compact_crashes(
     spark, tmp_root, seed, capsys
 ):
