@@ -130,3 +130,22 @@ def fuzz_seeds(default):
         extras = sorted({d[1:] for d in default})
         return [(s, *e) for s in seeds for e in extras]
     return seeds
+
+
+def assert_seed_coverage(cond, msg):
+    """Coverage-accounting assertion: for the COMMITTED regression seeds
+    it must hold (a committed seed that stops exercising an outcome has
+    silently lost coverage — fail loudly so it gets re-tuned). Under a
+    fresh-seed battery (SPARK_GRAFT_FUZZ_SEEDS) a random seed owes no
+    particular outcome mix, so a miss is a SKIP, not a failure — the r9
+    battery's only 'failures' were exactly these (11/105, zero model
+    mismatches)."""
+    import os
+
+    if cond:
+        return
+    if os.environ.get("SPARK_GRAFT_FUZZ_SEEDS"):
+        import pytest
+
+        pytest.skip(f"battery seed without coverage: {msg}")
+    raise AssertionError(msg)

@@ -20,7 +20,7 @@ import os as _os
 import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-from _crash_schedule import fuzz_seeds  # noqa: E402
+from _crash_schedule import assert_seed_coverage, fuzz_seeds# noqa: E402
 
 
 OPS_SCHEMA = "k long, op string, ts long, colo int, name string, score double, set_name string, set_score double"
@@ -203,6 +203,7 @@ def test_aa_serve_fuzz_with_crash_schedule(spark, tmp_path, seed, buckets):
     }
     assert final == batch_expected(all_ops), f"seed {seed} final"
     # accounting: the committed seed must cover both schedule outcomes
-    assert outcomes == {"crashed", "completed"}, (
-        f"seed {seed} stopped covering both schedule outcomes: {outcomes}"
+    assert_seed_coverage(
+        outcomes == {"crashed", "completed"},
+        f"seed {seed} stopped covering both schedule outcomes: {outcomes}",
     )

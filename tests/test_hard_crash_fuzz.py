@@ -34,7 +34,11 @@ import pytest
 from venice_spark.engine import VeniceSparkEngine
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _crash_schedule import fuzz_seeds, run_with_crash  # noqa: E402
+from _crash_schedule import (  # noqa: E402
+    assert_seed_coverage,
+    fuzz_seeds,
+    run_with_crash,
+)
 
 
 def _model(base: dict, ops: list[tuple]) -> dict:
@@ -235,6 +239,7 @@ def test_hard_crash_sweep_over_serving_lifecycle(spark, tmp_root, seed):
         ops.extend(pending)
     final = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
     assert final == _model(base, ops), f"seed {seed} final"
-    assert "crashed" in outcomes, (
-        f"seed {seed} never fired a hard crash — the sweep covers nothing"
+    assert_seed_coverage(
+        "crashed" in outcomes,
+        f"seed {seed} never fired a hard crash — the sweep covers nothing",
     )

@@ -23,7 +23,7 @@ import os as _os
 import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-from _crash_schedule import fuzz_seeds  # noqa: E402
+from _crash_schedule import assert_seed_coverage, fuzz_seeds  # noqa: E402
 
 
 
@@ -247,7 +247,10 @@ def test_hybrid_serve_fuzz_with_midswap_crashes_matches_model(spark, tmp_root, s
     # the committed seed must actually cover the interactions it exists for:
     # scheduled crashes fired AND at least one schedule ran past the op's
     # mutation count (the completed tail of the sweep)
-    assert crash_points_hit == {"crashed", "completed"}, (
-        f"seed {seed} stopped covering both schedule outcomes: {crash_points_hit}"
+    assert_seed_coverage(
+        crash_points_hit == {"crashed", "completed"},
+        f"seed {seed} stopped covering both schedule outcomes: {crash_points_hit}",
     )
-    assert pushed_after_crash, f"seed {seed} lost its post-crash push re-seed"
+    assert_seed_coverage(
+        pushed_after_crash, f"seed {seed} lost its post-crash push re-seed"
+    )

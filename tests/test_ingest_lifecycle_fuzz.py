@@ -24,7 +24,7 @@ import os as _os
 import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-from _crash_schedule import fuzz_seeds  # noqa: E402
+from _crash_schedule import assert_seed_coverage, fuzz_seeds# noqa: E402
 
 
 CFG = CorpusPrepConfig(min_tokens=1, min_stopword_ratio=0.0)
@@ -250,6 +250,7 @@ def test_ingest_lifecycle_fuzz_with_crash_schedule(spark, tmp_root, seed):
         eng, "c", out, split_weights={"train": 0.8, "val": 0.2}, n_shards=2
     )
     assert sum(s["rows"] for s in man["splits"].values()) == len(state)
-    assert outcomes == {"crashed", "completed"}, (
-        f"seed {seed} stopped covering both schedule outcomes: {outcomes}"
+    assert_seed_coverage(
+        outcomes == {"crashed", "completed"},
+        f"seed {seed} stopped covering both schedule outcomes: {outcomes}",
     )

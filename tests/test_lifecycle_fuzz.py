@@ -15,7 +15,7 @@ import os as _os
 import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-from _crash_schedule import fuzz_seeds  # noqa: E402
+from _crash_schedule import assert_seed_coverage, fuzz_seeds# noqa: E402
 
 
 
@@ -288,6 +288,7 @@ def test_lifecycle_fuzz_with_crash_schedule_matches_model(spark, tmp_root, seed)
     eng.incremental_push("s", mkdf(delta))
     state = {**state, **delta}
     assert _read_state(eng, "s") == state, f"seed {seed} final"
-    assert outcomes == {"crashed", "completed"}, (
-        f"seed {seed} stopped covering both schedule outcomes: {outcomes}"
+    assert_seed_coverage(
+        outcomes == {"crashed", "completed"},
+        f"seed {seed} stopped covering both schedule outcomes: {outcomes}",
     )

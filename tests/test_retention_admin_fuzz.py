@@ -24,7 +24,7 @@ import pytest
 from venice_spark.engine import VeniceSparkEngine
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _crash_schedule import fuzz_seeds, run_with_crash  # noqa: E402
+from _crash_schedule import assert_seed_coverage, fuzz_seeds, run_with_crash# noqa: E402
 
 _SPEC = importlib.util.spec_from_file_location(
     "admin_cli_fuzz",
@@ -136,8 +136,9 @@ def test_rt_retention_lifecycle_fuzz_with_scheduled_crashes(spark, tmp_root, see
     assert final == _model(base, ops), f"seed {seed} final"
     # the sweep must exercise both schedule outcomes or it silently
     # stopped covering the op's tail
-    assert outcomes == {"crashed", "completed"}, (
-        f"seed {seed} stopped covering both schedule outcomes: {outcomes}"
+    assert_seed_coverage(
+        outcomes == {"crashed", "completed"},
+        f"seed {seed} stopped covering both schedule outcomes: {outcomes}",
     )
 
 
@@ -210,6 +211,7 @@ def test_admin_recover_gc_heals_scheduled_compact_crashes(
             f"seed {seed} round {round_no} post-recover compact diverged"
         )
 
-    assert outcomes == {"crashed", "completed"}, (
-        f"seed {seed} stopped covering both schedule outcomes: {outcomes}"
+    assert_seed_coverage(
+        outcomes == {"crashed", "completed"},
+        f"seed {seed} stopped covering both schedule outcomes: {outcomes}",
     )
