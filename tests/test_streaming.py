@@ -806,3 +806,58 @@ def test_three_writers_with_compacts_stay_model_exact(spark, tmp_path):
         for k in set(out) | set(expect)
         if out.get(k) != expect.get(k)
     }
+
+
+def test_stamp_memo_serves_writer_and_rescans_on_foreign_writes(spark, tmp_path):
+    """r9 hot-path memo: log_stamp_pressure skips the store-sized column
+    scan when the fileset signature matches what THIS process recorded
+    after its own append (the 200M probe's one growing term). Any write
+    the process did not make — another handle's append, a compact, file
+    surgery — changes the signature, so the next call pays the real scan
+    and can never serve stale stamps."""
+    import os
+
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.streaming.hybrid import (
+        _STAMP_MEMO,
+        log_stamp_pressure,
+        record_stamp_after_append,
+    )
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("s", key_fields=["k"], hybrid=True)
+    eng.push("s", spark.createDataFrame([(9, 9.0)], "k long, v double"))
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=10)
+    p.flush()
+    st.hybrid_serve()  # append-mode trigger: memo recorded post-append
+    serving = os.path.join(eng.catalog.store_dir("s"), "serving")
+    key = os.path.realpath(serving)
+    assert key in _STAMP_MEMO
+
+    # memo agrees with a forced rescan
+    memo_next, memo_n = _STAMP_MEMO[key][1], _STAMP_MEMO[key][2]
+    _STAMP_MEMO.pop(key)
+    scan_next, scan_n = log_stamp_pressure(spark, serving, "__batch")
+    assert (memo_next, memo_n) == (scan_next, scan_n)
+
+    # a memo poisoned with wrong numbers but a STALE signature is ignored
+    record_stamp_after_append(serving, 999, 999)
+    spark.createDataFrame([(5, "PUT", 50, 0, 5.0, scan_next)],
+                          "k long, op string, ts long, colo int, v double, __batch long"
+                          ).write.mode("append").parquet(serving)  # foreign write
+    nxt, n = log_stamp_pressure(spark, serving, "__batch")
+    assert nxt == scan_next + 1 and n == scan_n + 1, (nxt, n)
+
+    # a poisoned memo with a MATCHING signature would be served — that is
+    # the writer's contract: only record after your own append
+    record_stamp_after_append(serving, nxt, n)
+    assert log_stamp_pressure(spark, serving, "__batch") == (nxt, n)
+
+    # the serve loop still resolves correctly end-to-end across the memo
+    p.put(2, {"v": 2.0}, ts=20)
+    p.flush()
+    live = st.hybrid_serve()
+    got = {r["k"]: r["v"] for r in live.read().collect()}
+    assert got == {9: 9.0, 1: 1.0, 5: 5.0, 2: 2.0}, got

@@ -86,7 +86,7 @@ def test_cross_process_writers_serialize_on_the_store_lock(spark, tmp_path):
     child = subprocess.Popen(
         [sys.executable, script, root, ready, str(rounds)],
         stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
+        stderr=subprocess.STDOUT,
         text=True,
         env={
             **os.environ,

@@ -115,7 +115,15 @@ class VeniceProducer:
             # stays natively readable under the sidecar schema.
             extend_log_schema(self.spark, rt_dir, df.schema, cast_groups=False)
             df = align_to_log_schema(df, rt_dir)
-        df.write.mode("append").parquet(rt_dir)
+            # the WRITE stays under the lock too (r9 — found by the
+            # two-process test): Spark's output committer stages every
+            # append in the dir-shared `_temporary/0`, so two processes
+            # flushing the same rt dir concurrently delete each other's
+            # staging at job commit (FileNotFoundException: _temporary/0)
+            # — the exact multi-colo producer shape the sidecar comment
+            # already serializes. Flushes are micro-batches; holding the
+            # flock for the write is the serialization, not an accident.
+            df.write.mode("append").parquet(rt_dir)
         self._buffer.clear()
         return rt_dir
 

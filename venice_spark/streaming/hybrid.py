@@ -254,6 +254,45 @@ def refuse_rewrite_over_append(
             )
 
 
+# per-process memo for log_stamp_pressure, keyed on the log's exact data
+# fileset (r9 — the stamp agg was the ONLY store-sized read left on the
+# append hot path: the 200M-row probe measured it at ~0.6s/trigger).
+# {realpath(serving_dir): (fileset_signature, next_stamp, distinct)}
+_STAMP_MEMO: dict = {}
+
+
+def _fileset_sig(serving_dir: str) -> str:
+    import hashlib
+
+    names = "\n".join(list_log_data_files(serving_dir))
+    return hashlib.md5(names.encode()).hexdigest()
+
+
+def record_stamp_after_append(
+    serving_dir: str, next_stamp: int, distinct: int
+) -> None:
+    """Writer-side memo update: after appending a fileset stamped
+    `next_stamp - 1`, the log's next stamp and live-distinct count are
+    known without a rescan. Keyed on the post-append fileset signature,
+    so ANY write this process did not make (a second process's append, a
+    compact, manual surgery) changes the signature and forces the next
+    log_stamp_pressure back to the real column scan — the memo can serve
+    stale data to no one."""
+    import os
+
+    _STAMP_MEMO[os.path.realpath(serving_dir)] = (
+        _fileset_sig(serving_dir),
+        int(next_stamp),
+        int(distinct),
+    )
+
+
+def invalidate_stamp_memo(serving_dir: str) -> None:
+    import os
+
+    _STAMP_MEMO.pop(os.path.realpath(serving_dir), None)
+
+
 def log_stamp_pressure(
     spark: SparkSession, serving_dir: str, stamp_col: str
 ) -> tuple[int, int]:
@@ -268,16 +307,26 @@ def log_stamp_pressure(
     1 + appends-since-compaction. Files the last compaction superseded
     stay on disk one cycle for reader isolation (deferred GC); their
     stamps sit BELOW the manifest's `compact_stamp` floor and are
-    excluded, so retained garbage never re-triggers compaction. Cost: one
-    column-pruned agg over the stamp column per trigger — read with an
+    excluded, so retained garbage never re-triggers compaction.
+
+    Cost: one column-pruned agg over the stamp column — read with an
     explicit one-column schema, never mergeSchema (which reads EVERY
     footer per call; files without the stamp column, e.g. the seed, read
     as NULL rows, which the null-skipping aggregates already treat as
-    stampless)."""
+    stampless) — and since r9 only when the data fileset changed outside
+    this process's own appends: the writer memoizes (signature, next,
+    distinct) after each append (record_stamp_after_append), so a steady
+    serve loop pays an os.walk instead of a store-sized column scan per
+    trigger (the 200M probe's one growing term)."""
     import os
 
     if not os.path.isdir(serving_dir):
         return 0, 0
+    memo = _STAMP_MEMO.get(os.path.realpath(serving_dir))
+    if memo is not None:
+        sig, nxt, n = memo
+        if sig == _fileset_sig(serving_dir):
+            return nxt, n
     pending = gc_pending(serving_dir)
     floor = int(pending["compact_stamp"]) if pending else None
     df = spark.read.schema(f"{stamp_col} long").parquet(serving_dir)
@@ -1133,6 +1182,9 @@ class HybridReplay:
             # read_log scans them with the current schema
             resolved = align_to_log_schema(resolved, self.serving_dir)
             resolved.write.mode("append").parquet(self.serving_dir)
+            # this append made `stamp` the new max with one more live
+            # stamp — memo it so the next trigger skips the column scan
+            record_stamp_after_append(self.serving_dir, stamp + 1, n_stamps + 1)
             if self.compact_every and n_stamps + 1 >= self.compact_every:
                 self.compact()
             return
@@ -1246,6 +1298,10 @@ class HybridReplay:
         out.write.mode("overwrite").parquet(staging)
         merge_fileset_in(staging, self.serving_dir)
         record_gc_pending(self.serving_dir, old_files, stamp)
+        # post-compact: max stamp unchanged (the fold coalesced AT the
+        # max), live distinct = 1 (everything below the new floor is
+        # excluded from pressure)
+        record_stamp_after_append(self.serving_dir, stamp + 1, 1)
 
     def read(self) -> DataFrame:
         """The store's live view: tombstones filtered, op dropped."""
