@@ -1,6 +1,11 @@
 import os
+import sys
 
 import pytest
+
+# tests-dir helpers (_crash_schedule) importable from every test module
+# without per-file sys.path boilerplate (code-review r9)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # leaner for unit tests
 

@@ -33,7 +33,6 @@ import pytest
 
 from venice_spark.engine import VeniceSparkEngine
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _crash_schedule import (  # noqa: E402
     assert_seed_coverage,
     fuzz_seeds,

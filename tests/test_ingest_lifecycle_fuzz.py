@@ -20,11 +20,7 @@ from venice_spark.engine import VeniceSparkEngine
 from venice_spark.pipeline import CorpusPrepConfig, ingest_crawl_batch
 from venice_spark.push import BandIndexViewDef
 
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-from _crash_schedule import assert_seed_coverage, fuzz_seeds# noqa: E402
+from _crash_schedule import assert_seed_coverage, fuzz_seeds  # noqa: E402
 
 
 CFG = CorpusPrepConfig(min_tokens=1, min_stopword_ratio=0.0)

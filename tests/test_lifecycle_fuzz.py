@@ -11,11 +11,7 @@ import pytest
 
 from venice_spark.engine import VeniceSparkEngine
 
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-from _crash_schedule import assert_seed_coverage, fuzz_seeds# noqa: E402
+from _crash_schedule import assert_seed_coverage, fuzz_seeds  # noqa: E402
 
 
 

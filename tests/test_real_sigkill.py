@@ -83,11 +83,27 @@ def test_sigkill_mid_lifecycle_store_recovers(spark, tmp_path):
             assert child.poll() is None, "child died before ready"
             assert time.time() < deadline, "child spark never came up"
             time.sleep(0.2)
-        # let it complete at least one flush+compact cycle, then kill it
-        # mid-whatever-it-is-doing (the point: an arbitrary, unannounced
-        # instant — compact staging, sidecar replace, GC unlink, parquet
-        # job commit are all fair game)
-        time.sleep(6.0)
+        # wait until at least TWO child flushes have landed (committed rt
+        # files — so the model assertion has material), then kill it
+        # mid-whatever-it-is-doing (an arbitrary, unannounced instant —
+        # compact staging, sidecar replace, GC unlink, parquet job commit
+        # are all fair game). A fixed sleep raced slow boxes
+        # (code-review r9).
+        rt_dir = eng.catalog.update_log_dir("s")
+        baseline = len(
+            [f for f in os.listdir(rt_dir) if f.endswith(".parquet")]
+        )
+        deadline = time.time() + 120
+        while True:
+            now_files = len(
+                [f for f in os.listdir(rt_dir) if f.endswith(".parquet")]
+            )
+            if now_files >= baseline + 2:
+                break
+            assert child.poll() is None, "child died before flushing"
+            assert time.time() < deadline, "child never flushed"
+            time.sleep(0.1)
+        time.sleep(0.3)  # land the kill inside the NEXT cycle's protocol
         os.kill(child.pid, signal.SIGKILL)
         child.wait(timeout=30)
     finally:

@@ -23,7 +23,6 @@ import pytest
 
 from venice_spark.engine import VeniceSparkEngine
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _crash_schedule import assert_seed_coverage, fuzz_seeds, run_with_crash# noqa: E402
 
 _SPEC = importlib.util.spec_from_file_location(

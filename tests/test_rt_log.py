@@ -883,3 +883,61 @@ def test_rt_retention_honors_rt_ts_unit(spark, tmp_path):
     eng.push("z", spark.createDataFrame([(9, 9.0)], "k long, v double"))
     with pytest.raises(ValueError, match="epoch-based"):
         eng.store("z").hybrid_serve(now_ts=200_000)
+
+
+def test_dead_job_staging_cannot_resurrect_unacked_rows(spark, tmp_path):
+    """Code-review r9 (exposed by the real-SIGKILL test): a producer
+    killed between a write-task commit and the job commit leaves its
+    staged rows under the rt dir's shared `_temporary/<job>`, and
+    FileOutputCommitter merges every committed task dir into the NEXT
+    job's commit on that dir — silently publishing rows the dead producer
+    never acked. All rt/serving writers hold the store lock, so any
+    `_temporary` seen under the lock is a dead job's: flush clears it
+    before writing, and `admin recover --clean-staging` clears it for
+    operators."""
+    import importlib.util
+
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import read_rt_log
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("s", key_fields=["k"], hybrid=True)
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=10)
+    p.flush(schema="k long, op string, ts long, colo int, v double")
+
+    # plant a dead job's committed task staging: a REAL parquet row the
+    # committer would merge in (k=666 marks the never-acked ghost)
+    rt_dir = eng.catalog.update_log_dir("s")
+    task_dir = os.path.join(
+        rt_dir, "_temporary", "0", "task_20990101000000_0001_m_000000"
+    )
+    os.makedirs(task_dir)
+    spark.createDataFrame(
+        [(666, "PUT", 99, 0, 6.66)], "k long, op string, ts long, colo int, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "ghost"))
+    import glob as _glob
+    import shutil as _shutil
+
+    (ghost_file,) = _glob.glob(str(tmp_path / "ghost" / "part-*.parquet"))
+    _shutil.copy(ghost_file, os.path.join(task_dir, os.path.basename(ghost_file)))
+
+    # the next flush must NOT merge the ghost in
+    p.put(2, {"v": 2.0}, ts=20)
+    p.flush(schema="k long, op string, ts long, colo int, v double")
+    keys = {r["k"] for r in read_rt_log(spark, eng.catalog, "s").collect()}
+    assert 666 not in keys, "dead job's un-acked rows were resurrected"
+    assert keys == {1, 2}, keys
+    assert not os.path.isdir(os.path.join(rt_dir, "_temporary"))
+
+    # operator path: recover --clean-staging clears a planted one too
+    os.makedirs(task_dir)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _spec = importlib.util.spec_from_file_location(
+        "admin_staging", os.path.join(repo, "tools", "admin.py")
+    )
+    admin = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(admin)
+    assert admin.main([str(tmp_path / "root"), "recover", "s", "--clean-staging"]) == 0
+    assert not os.path.isdir(os.path.join(rt_dir, "_temporary"))

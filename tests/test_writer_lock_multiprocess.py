@@ -83,9 +83,13 @@ def test_cross_process_writers_serialize_on_the_store_lock(spark, tmp_path):
     script = str(tmp_path / "child.py")
     with open(script, "w") as f:
         f.write(_CHILD.format(repo=repo))
+    # child output goes to a FILE, not a pipe: an undrained 64KB pipe can
+    # block a chatty child JVM mid-write while it holds the store flock,
+    # deadlocking the parent's own flush/serve loop (code-review r9)
+    child_log = open(str(tmp_path / "child.log"), "w+")
     child = subprocess.Popen(
         [sys.executable, script, root, ready, str(rounds)],
-        stdout=subprocess.PIPE,
+        stdout=child_log,
         stderr=subprocess.STDOUT,
         text=True,
         env={
@@ -113,11 +117,14 @@ def test_cross_process_writers_serialize_on_the_store_lock(spark, tmp_path):
             live = st.hybrid_serve()  # merges BOTH processes' flushes
             if i % 2 == 1:
                 live.compact()  # contends with the child's compacts
-        out, _ = child.communicate(timeout=180)
-        assert child.returncode == 0 and "CHILD DONE" in out, out
+        child.wait(timeout=180)
+        child_log.seek(0)
+        out = child_log.read()
+        assert child.returncode == 0 and "CHILD DONE" in out, out[-2000:]
     finally:
         if child.poll() is None:
             child.kill()
+        child_log.close()
 
     # one final serve folds any child flush the last parent serve predated
     live = st.hybrid_serve()

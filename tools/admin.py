@@ -182,16 +182,28 @@ def _cmd_recover(cat: StoreCatalog, args: argparse.Namespace) -> int:
     # dir bricks every read, so recover always sweeps those; dot-prefixed
     # orphans are invisible to Spark and swept only with --clean-staging
     # (while no writer runs — a live writer's in-flight tmp would race)
-    from venice_spark.streaming.hybrid import sweep_leaked_tmps
+    from venice_spark.streaming.hybrid import (
+        clear_dead_job_staging,
+        sweep_leaked_tmps,
+    )
 
     tmps_removed = 0
+    staging_cleared = 0
     for d, _stamp in _serving_dirs(cat, args.store):
         tmps_removed += sweep_leaked_tmps(d, include_hidden=args.clean_staging)
+        # a killed job's `_temporary` staging would be merged into the
+        # NEXT writer's commit on the same dir (resurrecting un-acked
+        # rows); writers clear it under the lock, recover clears it here
+        # when the operator asserts nothing is running (code-review r9)
+        if args.clean_staging and clear_dead_job_staging(d):
+            staging_cleared += 1
     rt_dir = cat.update_log_dir(args.store)
     if os.path.isdir(rt_dir):
         tmps_removed += sweep_leaked_tmps(
             rt_dir, include_hidden=args.clean_staging
         )
+        if args.clean_staging and clear_dead_job_staging(rt_dir):
+            staging_cleared += 1
     carried = 0
     if cat.current_version(args.store) > 0:
         # the stranded-delta walk needs a session (a layout-mismatched
@@ -231,6 +243,7 @@ def _cmd_recover(cat: StoreCatalog, args: argparse.Namespace) -> int:
                 "gc_removed": gc_removed,
                 "staging_removed": staging_removed,
                 "leaked_tmps_removed": tmps_removed,
+                "dead_job_staging_cleared": staging_cleared,
             },
             indent=2,
         )

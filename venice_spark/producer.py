@@ -101,6 +101,7 @@ class VeniceProducer:
         # from every future read.
         from venice_spark.streaming.hybrid import (
             align_to_log_schema,
+            clear_dead_job_staging,
             extend_log_schema,
         )
 
@@ -115,6 +116,10 @@ class VeniceProducer:
             # stays natively readable under the sidecar schema.
             extend_log_schema(self.spark, rt_dir, df.schema, cast_groups=False)
             df = align_to_log_schema(df, rt_dir)
+            # under the lock, a `_temporary` dir can only be a killed
+            # job's staging; left in place the committer would merge its
+            # task dirs into THIS job's commit (clear_dead_job_staging)
+            clear_dead_job_staging(rt_dir)
             # the WRITE stays under the lock too (r9 — found by the
             # two-process test): Spark's output committer stages every
             # append in the dir-shared `_temporary/0`, so two processes

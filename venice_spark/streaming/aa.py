@@ -442,12 +442,18 @@ class ActiveActiveReplay:
                 # BEFORE any file lands (see extend_log_schema)
                 extend_log_schema(self.spark, self.serving_dir, out.schema)
                 out = align_to_log_schema(out, self.serving_dir)
+                from venice_spark.streaming.hybrid import clear_dead_job_staging
+
+                clear_dead_job_staging(self.serving_dir)
                 out.write.mode("append").partitionBy("__kb").parquet(
                     self.serving_dir
                 )
             else:
                 extend_log_schema(self.spark, self.serving_dir, stamped.schema)
                 stamped = align_to_log_schema(stamped, self.serving_dir)
+                from venice_spark.streaming.hybrid import clear_dead_job_staging
+
+                clear_dead_job_staging(self.serving_dir)
                 stamped.write.mode("append").parquet(self.serving_dir)
             if self.compact_every and n_stamps + 1 >= self.compact_every:
                 self.compact()

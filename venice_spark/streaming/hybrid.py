@@ -287,10 +287,26 @@ def record_stamp_after_append(
     )
 
 
-def invalidate_stamp_memo(serving_dir: str) -> None:
+def clear_dead_job_staging(log_dir: str) -> bool:
+    """Remove a dead writer's Spark job staging (`_temporary`) from an
+    append-log dir. Call ONLY while holding the dir's writer/store lock:
+    every rt- and serving-log writer serializes on the per-store flock,
+    so any `_temporary` present under the lock belongs to a KILLED job.
+    Left alone, it is a correctness hazard, not litter:
+    FileOutputCommitter merges every committed task dir under
+    `_temporary/<jobId>` into the NEXT job's commit on the same dir —
+    silently publishing rows the dead producer never acked (code-review
+    r9, exposed by the real-SIGKILL test: a kill between task commit and
+    job commit resurrected the child's un-acked batch at the parent's
+    next flush). Returns whether anything was removed."""
     import os
+    import shutil
 
-    _STAMP_MEMO.pop(os.path.realpath(serving_dir), None)
+    p = os.path.join(log_dir, "_temporary")
+    if os.path.isdir(p):
+        shutil.rmtree(p, ignore_errors=True)
+        return True
+    return False
 
 
 def log_stamp_pressure(
@@ -1181,6 +1197,7 @@ class HybridReplay:
             # widened) sidecar types — they are in no legacy group, so
             # read_log scans them with the current schema
             resolved = align_to_log_schema(resolved, self.serving_dir)
+            clear_dead_job_staging(self.serving_dir)  # killed-trigger staging
             resolved.write.mode("append").parquet(self.serving_dir)
             # this append made `stamp` the new max with one more live
             # stamp — memo it so the next trigger skips the column scan
