@@ -407,26 +407,17 @@ class ActiveActiveReplay:
             # One _raw() serves the whole trigger (stamp agg + prior
             # resolve + fold schema) — each read re-lists the log dir.
             raw = self._raw()
-            # pressure floor: files superseded by the last compaction stay
-            # on disk one cycle (deferred GC, reader isolation); their
-            # stamps sit below compact_stamp and must not re-trigger
-            from venice_spark.streaming.hybrid import gc_pending
+            # stamp + pressure via the shared helper (same max/floor-
+            # filtered-distinct semantics this block used to hand-roll):
+            # a one-column scan instead of the full read schema, and the
+            # r9 fileset-signature memo makes steady triggers skip the
+            # store-sized read entirely (hybrid got this first; the 200M
+            # probe showed AA's agg as its own slowly-growing term)
+            from venice_spark.streaming.hybrid import log_stamp_pressure
 
-            pending = gc_pending(self.serving_dir)
-            live = (
-                F.when(
-                    F.col("__aa_batch") >= F.lit(int(pending["compact_stamp"])),
-                    F.col("__aa_batch"),
-                )
-                if pending
-                else F.col("__aa_batch")
+            stamp, n_stamps = log_stamp_pressure(
+                self.spark, self.serving_dir, "__aa_batch"
             )
-            row = raw.agg(
-                F.max("__aa_batch").alias("m"),
-                F.count_distinct(live).alias("n"),
-            ).collect()[0]
-            stamp = 0 if row["m"] is None else int(row["m"]) + 1
-            n_stamps = int(row["n"])
             touched = batch_df.select(*self.key_fields).distinct()
             prior = self._resolve_log(keys=touched, raw=raw)
             refreshed = self._fold_new(batch_df, prior=prior, snap=raw)
@@ -448,6 +439,11 @@ class ActiveActiveReplay:
                 out.write.mode("append").partitionBy("__kb").parquet(
                     self.serving_dir
                 )
+                from venice_spark.streaming.hybrid import record_stamp_after_append
+
+                record_stamp_after_append(
+                    self.serving_dir, stamp + 1, n_stamps + 1
+                )
             else:
                 extend_log_schema(self.spark, self.serving_dir, stamped.schema)
                 stamped = align_to_log_schema(stamped, self.serving_dir)
@@ -455,6 +451,11 @@ class ActiveActiveReplay:
 
                 clear_dead_job_staging(self.serving_dir)
                 stamped.write.mode("append").parquet(self.serving_dir)
+                from venice_spark.streaming.hybrid import record_stamp_after_append
+
+                record_stamp_after_append(
+                    self.serving_dir, stamp + 1, n_stamps + 1
+                )
             if self.compact_every and n_stamps + 1 >= self.compact_every:
                 self.compact()
             return
@@ -530,6 +531,9 @@ class ActiveActiveReplay:
             out.write.mode("overwrite").parquet(staging)
         merge_fileset_in(staging, self.serving_dir)
         record_gc_pending(self.serving_dir, old_files, stamp)
+        from venice_spark.streaming.hybrid import record_stamp_after_append
+
+        record_stamp_after_append(self.serving_dir, stamp + 1, 1)
 
     def start(self, rt_stream: DataFrame, checkpoint_dir: str):
         return (
