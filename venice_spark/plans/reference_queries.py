@@ -3053,57 +3053,16 @@ PINNED_GATES = {
 # query -> most recent round with a fully-green driver row (derived from
 # CORRECTNESS_r{01..06}.json; tests recompute and diff this)
 LAST_GREEN = {
-    # round 6
-    "x_asof_join": 6,
-    "x_event_percentiles": 6,
-    "x_ngram_counts": 6,
-    "x_pii_scrub": 6,
-    "x_range_join": 6,
-    "x_repetition_filter": 6,
-    "x_rollup_agg": 6,
-    "x_unigram_logprob": 6,
     # round 7
-    "cdc_change_events": 7,
-    "i6_duplicate_key_check": 7,
-    "i9_consistency_check": 7,
-    "r10_filter_compute": 7,
-    "r11_multi_field_facets": 7,
-    "r2_batch_get": 7,
-    "r8_count_map": 7,
-    "r9_error_channel": 7,
-    "w10_repush_offset_dedup": 7,
-    "w11_ttl_filter": 7,
-    "w7_dcr_merge": 7,
-    "w9_incremental_push": 7,
-    "x_canonical_docs": 7,
     "x_chunk_documents": 7,
-    "x_crawl_ingest": 7,
     "x_decontaminate_spans": 7,
-    "x_dedup_exact": 7,
-    "x_distinct_users": 7,
     "x_drop_common_lines": 7,
-    "x_dup_clusters": 7,
     "x_dup_ngram_spans": 7,
-    "x_embed_centroids": 7,
-    "x_event_histogram": 7,
-    "x_event_rollup": 7,
-    "x_evolved_serve": 7,
     "x_feature_hash": 7,
     "x_fuzzy_key_pairs": 7,
     "x_importance_sample": 7,
-    "x_inverted_index": 7,
-    "x_ivf_knn_join": 7,
     "x_knn_classify": 7,
-    "x_knn_join_lsh": 7,
-    "x_minhash_near_dup": 7,
-    "x_multimodal_features": 7,
-    "x_quality_score": 7,
-    "x_random_projection": 7,
-    "x_sequence_packing": 7,
-    "x_stratified_sample": 7,
-    "x_text_quality": 7,
     "x_tfidf_terms": 7,
-    "x_topk_per_group": 7,
     # round 8
     "r11_count_group_by_value": 8,
     "r12_count_group_by_bucket": 8,
@@ -3122,13 +3081,9 @@ LAST_GREEN = {
     "w3_partial_update_set_field": 8,
     "w4_w5_list_ops": 8,
     "w6_map_ops": 8,
-    "x_ann_ivf_recall": 8,
-    "x_ann_lsh_recall": 8,
     "x_ann_topk": 8,
-    "x_audio_tone_gate": 8,
     "x_bigram_logprob": 8,
     "x_blocklist_hits": 8,
-    "x_bpe_roundtrip": 8,
     "x_bpe_token_count": 8,
     "x_cdc_chunk_dedup": 8,
     "x_corpus_report": 8,
@@ -3137,15 +3092,10 @@ LAST_GREEN = {
     "x_embed_quantize": 8,
     "x_embedding_near_dup": 8,
     "x_fingerprint": 8,
-    "x_frame_dedup_gate": 8,
-    "x_hll_error_gate": 8,
-    "x_ivfpq_recall": 8,
     "x_knn_join": 8,
     "x_lang_id": 8,
     "x_oversample": 8,
-    "x_pq_recall": 8,
     "x_promoted_serve": 8,
-    "x_quality_classifier_acc": 8,
     "x_sessionize": 8,
     "x_shard_plan": 8,
     "x_simhash": 8,
@@ -3155,6 +3105,57 @@ LAST_GREEN = {
     "x_token_count": 8,
     "x_training_pipeline": 8,
     "x_version_diff": 8,
+    # round 9
+    "cdc_change_events": 9,
+    "i6_duplicate_key_check": 9,
+    "i9_consistency_check": 9,
+    "r10_filter_compute": 9,
+    "r11_multi_field_facets": 9,
+    "r2_batch_get": 9,
+    "r8_count_map": 9,
+    "r9_error_channel": 9,
+    "w10_repush_offset_dedup": 9,
+    "w11_ttl_filter": 9,
+    "w7_dcr_merge": 9,
+    "w9_incremental_push": 9,
+    "x_ann_ivf_recall": 9,
+    "x_ann_lsh_recall": 9,
+    "x_asof_join": 9,
+    "x_audio_tone_gate": 9,
+    "x_bpe_roundtrip": 9,
+    "x_canonical_docs": 9,
+    "x_cast_promoted_serve": 9,
+    "x_crawl_ingest": 9,
+    "x_dedup_exact": 9,
+    "x_distinct_users": 9,
+    "x_dup_clusters": 9,
+    "x_embed_centroids": 9,
+    "x_event_histogram": 9,
+    "x_event_percentiles": 9,
+    "x_event_rollup": 9,
+    "x_evolved_serve": 9,
+    "x_frame_dedup_gate": 9,
+    "x_hll_error_gate": 9,
+    "x_inverted_index": 9,
+    "x_ivf_knn_join": 9,
+    "x_ivfpq_recall": 9,
+    "x_knn_join_lsh": 9,
+    "x_minhash_near_dup": 9,
+    "x_multimodal_features": 9,
+    "x_ngram_counts": 9,
+    "x_pii_scrub": 9,
+    "x_pq_recall": 9,
+    "x_quality_classifier_acc": 9,
+    "x_quality_score": 9,
+    "x_random_projection": 9,
+    "x_range_join": 9,
+    "x_repetition_filter": 9,
+    "x_rollup_agg": 9,
+    "x_sequence_packing": 9,
+    "x_stratified_sample": 9,
+    "x_text_quality": 9,
+    "x_topk_per_group": 9,
+    "x_unigram_logprob": 9,
 }
 
 
