@@ -172,3 +172,50 @@ def test_cli_subprocess_smoke(root):
         capture_output=True, text=True, timeout=60,
     )
     assert r.returncode == 1
+
+
+def test_recover_clean_staging_waits_for_store_lock(root, capsys):
+    """ADVICE r9 (low): recover --clean-staging swept hidden tmps and
+    cleared `_temporary` job staging WITHOUT the per-store lock, relying
+    on the operator's 'nothing is running' assertion —
+    clear_dead_job_staging's own contract requires the writer lock, and
+    an operator mistake against a live writer deleted that writer's
+    in-flight staging mid-job. The sweep now runs under
+    catalog._locked(store): against a live writer it safely WAITS."""
+    import fcntl
+    import threading
+    import time
+
+    assert admin.main([root, "create", "s", "--keys", "k", "--hybrid"]) == 0
+    cat = StoreCatalog(root)
+    rt = cat.update_log_dir("s")
+    staging = os.path.join(rt, "_temporary")
+    os.makedirs(staging)
+
+    # a "live writer": holds the store flock on an independent fd
+    lock_fd = os.open(os.path.join(cat.store_dir("s"), ".lock"),
+                      os.O_CREAT | os.O_RDWR)
+    fcntl.flock(lock_fd, fcntl.LOCK_EX)
+    rc = {}
+
+    def run():
+        rc["code"] = admin.main([root, "recover", "s", "--clean-staging"])
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    deadline = time.time() + 2.0
+    while time.time() < deadline:
+        assert os.path.isdir(staging), (
+            "recover cleared a live writer's in-flight staging — it did "
+            "not wait for the store lock"
+        )
+        if not t.is_alive():
+            break
+        time.sleep(0.05)
+    assert t.is_alive(), "recover finished while the writer lock was held"
+
+    fcntl.flock(lock_fd, fcntl.LOCK_UN)
+    os.close(lock_fd)
+    t.join(30)
+    assert rc.get("code") == 0
+    assert not os.path.isdir(staging), "dead staging must be cleared"

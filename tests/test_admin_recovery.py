@@ -431,8 +431,16 @@ def test_crash_leaked_tmps_swept_from_serving_dir(spark, tmp_path, capsys):
     lists it as data and every subsequent read of the store fails ("not a
     Parquet file") until someone deletes it by hand. Writers now
     dot-prefix their tmps; reads sweep pre-fix visible leftovers; `admin
-    recover` sweeps visible always and dot-orphans with --clean-staging."""
+    recover` sweeps visible always and dot-orphans with --clean-staging.
+
+    ADVICE r9/r10: read-path sweeps are age-guarded (60s) so a
+    mixed-version pre-r9 writer's IN-FLIGHT visible tmp is never
+    matched — the planted leak is backdated to model a real crash
+    artifact; a fresh one must survive the read sweep (the read itself
+    then fails until the age passes or recover runs — the documented
+    trade)."""
     import json as _json
+    import time as _time
 
     root = str(tmp_path / "cat")
     eng = VeniceSparkEngine(spark, root)
@@ -450,8 +458,11 @@ def test_crash_leaked_tmps_swept_from_serving_dir(spark, tmp_path, capsys):
     for f in (visible, hidden):
         with open(f, "w") as fh:
             fh.write('{"files": []}')
+    # a crash leak is minutes old by the time a read meets it; a FRESH
+    # visible tmp (mixed-version writer in flight) must NOT be swept
+    os.utime(visible, (_time.time() - 300, _time.time() - 300))
 
-    # the read path heals itself: visible leak swept, read succeeds
+    # the read path heals itself: aged visible leak swept, read succeeds
     out = {r["k"]: r["v"] for r in live.read().collect()}
     assert out == {1: 1.0, 9: 9.0}, out
     assert not os.path.exists(visible), "read path left the bricking tmp"

@@ -242,3 +242,41 @@ def test_hard_crash_sweep_over_serving_lifecycle(spark, tmp_root, seed):
         "crashed" in outcomes,
         f"seed {seed} never fired a hard crash — the sweep covers nothing",
     )
+
+
+def test_sweep_age_guard_spares_inflight_visible_tmp(tmp_path):
+    """ADVICE r9 (low): the read-path sweep deleted ANY visible
+    tmpXXXX.tmp immediately; during a mixed-version rolling deploy a
+    pre-r9 writer's in-flight tmp between mkstemp and os.replace could be
+    deleted by a new-version reader, failing that writer's sidecar
+    update. Read-path sweeps now only remove visible tmps older than
+    min_age_seconds (a leak is permanent; an in-flight tmp lives
+    milliseconds); `admin recover` passes 0 for the immediate sweep."""
+    import os
+    import time
+
+    from venice_spark.streaming import hybrid
+
+    d = tmp_path / "serving"
+    d.mkdir()
+    fresh = d / "tmpfresh123.tmp"
+    fresh.write_bytes(b"in-flight")
+    old = d / "tmpold456.tmp"
+    old.write_bytes(b"leaked")
+    os.utime(old, (time.time() - 3600, time.time() - 3600))
+
+    # read path (default 60s age): the fresh tmp survives, the leak goes
+    assert hybrid.sweep_leaked_tmps(str(d)) == 1
+    assert fresh.exists() and not old.exists()
+
+    # operator sweep (recover, age 0): immediate
+    assert hybrid.sweep_leaked_tmps(str(d), min_age_seconds=0) == 1
+    assert not fresh.exists()
+
+    # hidden orphans are only swept under include_hidden (operator-quiet
+    # context) and are NOT age-guarded there
+    orphan = d / "._schema_789.tmp"
+    orphan.write_bytes(b"orphan")
+    assert hybrid.sweep_leaked_tmps(str(d)) == 0
+    assert hybrid.sweep_leaked_tmps(str(d), include_hidden=True) == 1
+    assert not orphan.exists()

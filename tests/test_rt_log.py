@@ -767,6 +767,41 @@ def test_truncate_rt_respects_registered_consumer_checkpoint(spark, tmp_path):
     assert st.truncate_rt(before_ts=100) >= 1
 
 
+def test_truncate_rt_blocks_on_registered_checkpoint_with_no_dir_yet(
+    spark, tmp_path
+):
+    """ADVICE r9 (low): between ChangeCaptureStream.start's registration
+    and the stream's first checkpoint write, the registered checkpoint
+    dir does not exist; treating that as 'consumer never existed' let
+    truncate_rt delete the very files the just-registered consumer was
+    meant to replay — a reopening of the ADVICE r8 gap the roster closed.
+    A REGISTERED entry with a missing dir now means 'committed nothing
+    yet' and blocks; the built-in probe names keep the skip."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import RtTruncateBlockedError, read_rt_log
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("s", key_fields=["k"], hybrid=True)
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=10)
+    p.flush()
+
+    # registration happened; the stream has not completed a batch yet
+    eng.catalog.register_consumer_checkpoint(
+        "s", str(tmp_path / "ckpt_not_yet_written"), name="cdc_reader"
+    )
+    with pytest.raises(RtTruncateBlockedError, match="registered:cdc_reader"):
+        st.truncate_rt(before_ts=100)
+    left = {r["k"] for r in read_rt_log(spark, eng.catalog, "s").collect()}
+    assert left == {1}, "refusal must not delete anything"
+
+    # force still overrides (operator escape hatch) ...
+    # ... but first: unregistering restores normal truncation
+    assert eng.catalog.unregister_consumer_checkpoint("s", "cdc_reader")
+    assert st.truncate_rt(before_ts=100) >= 1
+
+
 def test_truncate_rt_scans_in_store_dir_checkpoints(spark, tmp_path):
     """ADVICE r8 (medium), defensive half: an UNREGISTERED checkpoint
     placed inside the store dir (an `offsets` subdir is the Spark

@@ -861,3 +861,55 @@ def test_stamp_memo_serves_writer_and_rescans_on_foreign_writes(spark, tmp_path)
     live = st.hybrid_serve()
     got = {r["k"]: r["v"] for r in live.read().collect()}
     assert got == {9: 9.0, 1: 1.0, 5: 5.0, 2: 2.0}, got
+
+
+def test_empty_append_does_not_advance_stamp_memo(spark, tmp_path):
+    """ADVICE r9 (low): an empty micro-batch used to advance the memo
+    (next_stamp+1, distinct+1) even though it lands no rows — on this
+    Spark build the committer publishes a ZERO-ROW part file, so the
+    fileset changes but a real scan would find the counters unchanged.
+    The divergence skipped stamp values and over-counted compaction
+    pressure by one per empty trigger, eventually firing a no-op
+    compact. record_stamp_after_append now keeps the pre-append counters
+    (re-keyed to the new fileset) when every file the append added holds
+    zero rows, and returns the EFFECTIVE pressure for the caller's
+    compact decision."""
+    import os
+
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.streaming.hybrid import (
+        _STAMP_MEMO,
+        log_stamp_pressure,
+        record_stamp_after_append,
+    )
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store("s", key_fields=["k"], hybrid=True)
+    eng.push("s", spark.createDataFrame([(9, 9.0)], "k long, v double"))
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=10)
+    p.flush()
+    st.hybrid_serve()
+    serving = os.path.join(eng.catalog.store_dir("s"), "serving")
+    nxt, n = log_stamp_pressure(spark, serving, "__batch")
+
+    # the empty-trigger shape: an append that publishes only zero-row files
+    spark.read.parquet(serving).limit(0).write.mode("append").parquet(serving)
+    got = record_stamp_after_append(serving, nxt + 1, n + 1)
+    assert got == (nxt, n), "empty append must not advance the counters"
+
+    # memo-served AND real-scan values agree post-empty-append
+    assert log_stamp_pressure(spark, serving, "__batch") == (nxt, n)
+    _STAMP_MEMO.pop(os.path.realpath(serving))
+    assert log_stamp_pressure(spark, serving, "__batch") == (nxt, n)
+
+    # a REAL append still advances normally
+    spark.createDataFrame(
+        [(5, "PUT", 50, 0, 5.0, nxt)],
+        "k long, op string, ts long, colo int, v double, __batch long",
+    ).write.mode("append").parquet(serving)
+    got = record_stamp_after_append(serving, nxt + 1, n + 1)
+    assert got == (nxt + 1, n + 1)
+    _STAMP_MEMO.pop(os.path.realpath(serving))
+    assert log_stamp_pressure(spark, serving, "__batch") == (nxt + 1, n + 1)

@@ -179,9 +179,14 @@ def _cmd_recover(cat: StoreCatalog, args: argparse.Namespace) -> int:
         if recover_swap_dir(target):
             healed.append(os.path.basename(target))
     # crash-leaked tmp files: VISIBLE pre-r9-style tmpXXXX.tmp in a parquet
-    # dir bricks every read, so recover always sweeps those; dot-prefixed
-    # orphans are invisible to Spark and swept only with --clean-staging
-    # (while no writer runs — a live writer's in-flight tmp would race)
+    # dir bricks every read, so recover always sweeps those (age 0 — the
+    # operator asserts nothing is running); dot-prefixed orphans are
+    # invisible to Spark and swept only with --clean-staging. The whole
+    # sweep/staging-clear runs under the per-store flock (ADVICE r9):
+    # clear_dead_job_staging's contract requires the writer lock, and the
+    # lock turns an operator running recover against a still-live writer
+    # into a safe wait instead of deleting that writer's in-flight
+    # _temporary staging mid-job.
     from venice_spark.streaming.hybrid import (
         clear_dead_job_staging,
         sweep_leaked_tmps,
@@ -189,21 +194,24 @@ def _cmd_recover(cat: StoreCatalog, args: argparse.Namespace) -> int:
 
     tmps_removed = 0
     staging_cleared = 0
-    for d, _stamp in _serving_dirs(cat, args.store):
-        tmps_removed += sweep_leaked_tmps(d, include_hidden=args.clean_staging)
-        # a killed job's `_temporary` staging would be merged into the
-        # NEXT writer's commit on the same dir (resurrecting un-acked
-        # rows); writers clear it under the lock, recover clears it here
-        # when the operator asserts nothing is running (code-review r9)
-        if args.clean_staging and clear_dead_job_staging(d):
-            staging_cleared += 1
-    rt_dir = cat.update_log_dir(args.store)
-    if os.path.isdir(rt_dir):
-        tmps_removed += sweep_leaked_tmps(
-            rt_dir, include_hidden=args.clean_staging
-        )
-        if args.clean_staging and clear_dead_job_staging(rt_dir):
-            staging_cleared += 1
+    with cat._locked(args.store):
+        for d, _stamp in _serving_dirs(cat, args.store):
+            tmps_removed += sweep_leaked_tmps(
+                d, include_hidden=args.clean_staging, min_age_seconds=0
+            )
+            # a killed job's `_temporary` staging would be merged into the
+            # NEXT writer's commit on the same dir (resurrecting un-acked
+            # rows); writers clear it under the lock, recover clears it
+            # here under the same lock (code-review r9, ADVICE r9)
+            if args.clean_staging and clear_dead_job_staging(d):
+                staging_cleared += 1
+        rt_dir = cat.update_log_dir(args.store)
+        if os.path.isdir(rt_dir):
+            tmps_removed += sweep_leaked_tmps(
+                rt_dir, include_hidden=args.clean_staging, min_age_seconds=0
+            )
+            if args.clean_staging and clear_dead_job_staging(rt_dir):
+                staging_cleared += 1
     carried = 0
     if cat.current_version(args.store) > 0:
         # the stranded-delta walk needs a session (a layout-mismatched

@@ -766,7 +766,6 @@ class StoreHandle:
         retention = self._rt_retention_seconds(rewind)
         if retention <= 0:
             return 0
-        meta = self.catalog.get_store(self.name)
         rt_dir = self.catalog.update_log_dir(self.name)
         if not os.path.isdir(rt_dir):
             return 0

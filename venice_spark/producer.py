@@ -507,6 +507,25 @@ def truncate_rt_log(
         for ckpt_name, ckpt_path in sorted(probes.items()):
             committed = _checkpoint_committed_files(ckpt_path)
             if committed is None:
+                # Built-in probe names and discovered dirs: a missing
+                # checkpoint dir means that consumer never existed —
+                # nothing to lag. An EXPLICITLY REGISTERED entry is
+                # different (ADVICE r9): between
+                # register_consumer_checkpoint and the stream's first
+                # checkpoint write there is a window where the dir does
+                # not exist yet, and skipping it here would let truncation
+                # delete files the just-registered consumer was meant to
+                # replay. Registration is a claim of intent — treat
+                # "registered but no checkpoint yet" as "committed
+                # nothing" and block.
+                if ckpt_name.startswith("registered:") and candidates:
+                    raise RtTruncateBlockedError(
+                        f"refusing to truncate rt log of store {store!r}: "
+                        f"registered consumer checkpoint {ckpt_name} has "
+                        f"no checkpoint directory yet (its stream has not "
+                        f"completed a batch); let it commit, or unregister "
+                        f"it, or pass force=True"
+                    )
                 continue  # consumer never existed — nothing to lag
             unread = sorted(
                 p for p in candidates if os.path.realpath(p) not in committed

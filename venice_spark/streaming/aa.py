@@ -441,7 +441,7 @@ class ActiveActiveReplay:
                 )
                 from venice_spark.streaming.hybrid import record_stamp_after_append
 
-                record_stamp_after_append(
+                _, n_live = record_stamp_after_append(
                     self.serving_dir, stamp + 1, n_stamps + 1
                 )
             else:
@@ -453,10 +453,13 @@ class ActiveActiveReplay:
                 stamped.write.mode("append").parquet(self.serving_dir)
                 from venice_spark.streaming.hybrid import record_stamp_after_append
 
-                record_stamp_after_append(
+                _, n_live = record_stamp_after_append(
                     self.serving_dir, stamp + 1, n_stamps + 1
                 )
-            if self.compact_every and n_stamps + 1 >= self.compact_every:
+            # n_live, not n_stamps + 1: an empty batch publishes no files,
+            # so pressure must not advance (ADVICE r9 — a no-op compact
+            # per compact_every empty triggers otherwise)
+            if self.compact_every and n_live >= self.compact_every:
                 self.compact()
             return
         snap = self.spark.read.parquet(self.serving_dir)

@@ -134,17 +134,25 @@ def recover_swap_dir(target: str) -> bool:
     return True
 
 
-def sweep_leaked_tmps(serving_dir: str, include_hidden: bool = False) -> int:
+def sweep_leaked_tmps(
+    serving_dir: str,
+    include_hidden: bool = False,
+    min_age_seconds: float = 60.0,
+) -> int:
     """Remove crash-leaked tmp files from a serving parquet dir.
 
     VISIBLE `tmpXXXXXXXX.tmp` files (the pre-r9 mkstemp default name used
     by record_gc_pending / extend_log_schema / set_log_schema) are swept
-    unconditionally: Spark lists any non-underscore, non-dot file as DATA,
-    so a hard crash (kill -9, OOM) between mkstemp and os.replace bricked
-    every subsequent read of the store ("not a Parquet file") until
-    manually deleted (VERDICT r8 #1). Current writers dot-prefix their
-    tmps, so nothing live ever matches this pattern — sweeping on the
-    unlocked read path cannot race a writer.
+    from the unlocked read paths too: Spark lists any non-underscore,
+    non-dot file as DATA, so a hard crash (kill -9, OOM) between mkstemp
+    and os.replace bricked every subsequent read of the store ("not a
+    Parquet file") until manually deleted (VERDICT r8 #1). Current
+    writers dot-prefix their tmps, so nothing live ever matches this
+    pattern — but during a MIXED-VERSION rolling deploy a pre-r9 writer's
+    in-flight visible tmp could (ADVICE r9), so read-path sweeps only
+    remove files older than `min_age_seconds` (a leak is permanent; an
+    in-flight tmp lives milliseconds). `admin recover`, invoked while the
+    operator asserts nothing is running, passes 0 to sweep immediately.
 
     DOT-PREFIXED orphans (`._gc_*`/`._schema_*`/... `.tmp`, `.rt_sig_*`)
     are invisible to Spark and harmless to reads; they are swept only with
@@ -153,12 +161,14 @@ def sweep_leaked_tmps(serving_dir: str, include_hidden: bool = False) -> int:
     writer's in-flight tmp between its mkstemp and os.replace."""
     import os
     import re
+    import time
 
     try:
         entries = os.listdir(serving_dir)
     except OSError:
         return 0
     removed = 0
+    now = time.time()
     for e in entries:
         visible_leak = re.fullmatch(r"tmp\w+\.tmp", e)
         hidden_leak = include_hidden and (
@@ -170,6 +180,12 @@ def sweep_leaked_tmps(serving_dir: str, include_hidden: bool = False) -> int:
         p = os.path.join(serving_dir, e)
         if not os.path.isfile(p):
             continue
+        if visible_leak and min_age_seconds > 0:
+            try:
+                if now - os.path.getmtime(p) < min_age_seconds:
+                    continue  # possibly in flight — next sweep gets it
+            except OSError:
+                continue  # vanished: its writer just renamed it into place
         try:
             os.unlink(p)
             removed += 1
@@ -257,34 +273,71 @@ def refuse_rewrite_over_append(
 # per-process memo for log_stamp_pressure, keyed on the log's exact data
 # fileset (r9 — the stamp agg was the ONLY store-sized read left on the
 # append hot path: the 200M-row probe measured it at ~0.6s/trigger).
-# {realpath(serving_dir): (fileset_signature, next_stamp, distinct)}
+# {realpath(serving_dir): (fileset_names_tuple, next_stamp, distinct)}
 _STAMP_MEMO: dict = {}
 
 
-def _fileset_sig(serving_dir: str) -> str:
-    import hashlib
+def _fileset_sig(serving_dir: str) -> tuple:
+    return tuple(list_log_data_files(serving_dir))
 
-    names = "\n".join(list_log_data_files(serving_dir))
-    return hashlib.md5(names.encode()).hexdigest()
+
+def _delta_files_all_empty(serving_dir: str, prev: tuple, cur: tuple) -> bool:
+    """True iff every data file in `cur` but not `prev` holds zero rows —
+    one LOCAL footer read per NEW file (batch-sized, never store-sized).
+    Unreadable/remote footers count as non-empty: the only cost of a
+    false negative is the pre-r10 behavior (a skipped stamp value)."""
+    import os
+
+    delta = [f for f in cur if f not in set(prev)]
+    if not delta:
+        return True
+    try:
+        import pyarrow.parquet as pq
+
+        return all(
+            pq.ParquetFile(os.path.join(serving_dir, f)).metadata.num_rows == 0
+            for f in delta
+        )
+    except Exception:
+        return False
 
 
 def record_stamp_after_append(
     serving_dir: str, next_stamp: int, distinct: int
-) -> None:
+) -> tuple[int, int]:
     """Writer-side memo update: after appending a fileset stamped
     `next_stamp - 1`, the log's next stamp and live-distinct count are
-    known without a rescan. Keyed on the post-append fileset signature,
-    so ANY write this process did not make (a second process's append, a
-    compact, manual surgery) changes the signature and forces the next
+    known without a rescan. Keyed on the post-append fileset names, so
+    ANY write this process did not make (a second process's append, a
+    compact, manual surgery) changes the key and forces the next
     log_stamp_pressure back to the real column scan — the memo can serve
-    stale data to no one."""
+    stale data to no one.
+
+    An EMPTY micro-batch is real in a serve loop (source idle, or every
+    row filtered), and Spark's committer publishes a ZERO-ROW part file
+    for it (probed on this build — an empty append is NOT fileset-
+    invariant). Blindly advancing the memo then diverges from a real
+    scan: stamp values get skipped and compaction pressure over-counts
+    by one per empty trigger, eventually firing a no-op compact (ADVICE
+    r9). So when every file this append added holds zero rows (one local
+    footer read per new file), the memo keeps its previous counters
+    under the new fileset key. Returns the EFFECTIVE (next_stamp,
+    distinct) — callers drive their compact-pressure check off the
+    returned distinct, not the passed one."""
     import os
 
-    _STAMP_MEMO[os.path.realpath(serving_dir)] = (
-        _fileset_sig(serving_dir),
-        int(next_stamp),
-        int(distinct),
-    )
+    key = os.path.realpath(serving_dir)
+    sig = _fileset_sig(serving_dir)
+    prev = _STAMP_MEMO.get(key)
+    if prev is not None and (
+        prev[0] == sig or _delta_files_all_empty(serving_dir, prev[0], sig)
+    ):
+        # nothing (or only zero-row files) landed — the pre-append
+        # counters are still the truth; re-key to the current fileset
+        _STAMP_MEMO[key] = (sig, prev[1], prev[2])
+        return prev[1], prev[2]
+    _STAMP_MEMO[key] = (sig, int(next_stamp), int(distinct))
+    return int(next_stamp), int(distinct)
 
 
 def clear_dead_job_staging(log_dir: str) -> bool:
@@ -338,10 +391,11 @@ def log_stamp_pressure(
 
     if not os.path.isdir(serving_dir):
         return 0, 0
+    cur_sig = _fileset_sig(serving_dir)
     memo = _STAMP_MEMO.get(os.path.realpath(serving_dir))
     if memo is not None:
         sig, nxt, n = memo
-        if sig == _fileset_sig(serving_dir):
+        if sig == cur_sig:
             return nxt, n
     pending = gc_pending(serving_dir)
     floor = int(pending["compact_stamp"]) if pending else None
@@ -355,6 +409,11 @@ def log_stamp_pressure(
         F.max(stamp_col).alias("m"), F.count_distinct(live).alias("n")
     ).collect()[0]
     nxt = 0 if row["m"] is None else int(row["m"]) + 1
+    # seed the memo with the scanned truth (the caller holds the store
+    # lock, so the fileset cannot change under this call): an empty
+    # append's record_stamp_after_append then has a same-trigger baseline
+    # to detect that nothing landed (ADVICE r9)
+    _STAMP_MEMO[os.path.realpath(serving_dir)] = (cur_sig, nxt, int(row["n"]))
     return nxt, int(row["n"])
 
 
@@ -1201,8 +1260,11 @@ class HybridReplay:
             resolved.write.mode("append").parquet(self.serving_dir)
             # this append made `stamp` the new max with one more live
             # stamp — memo it so the next trigger skips the column scan
-            record_stamp_after_append(self.serving_dir, stamp + 1, n_stamps + 1)
-            if self.compact_every and n_stamps + 1 >= self.compact_every:
+            # (no-op for an empty batch that published no files)
+            _, n_live = record_stamp_after_append(
+                self.serving_dir, stamp + 1, n_stamps + 1
+            )
+            if self.compact_every and n_live >= self.compact_every:
                 self.compact()
             return
         serving = self._norm_op(self.spark.read.parquet(self.serving_dir))
