@@ -219,3 +219,45 @@ def test_recover_clean_staging_waits_for_store_lock(root, capsys):
     t.join(30)
     assert rc.get("code") == 0
     assert not os.path.isdir(staging), "dead staging must be cleared"
+
+
+def test_consumers_list_and_unregister(root, capsys):
+    """VERDICT r9 #6: a registered checkpoint whose consumer died blocks
+    RT truncation/retention forever with no operator-facing remedy —
+    `admin consumers <store>` lists every protected checkpoint (shared
+    probe builder with the guard) with its commit state and blocker
+    count; `--unregister NAME` clears a dead entry (exit 1 for an
+    unknown name, like the other commands)."""
+    import json as _json
+
+    assert admin.main([root, "create", "s", "--keys", "k", "--hybrid"]) == 0
+    cat = StoreCatalog(root)
+    # a flushed rt file makes the roster's blocker counts meaningful
+    rt = cat.update_log_dir("s")
+    os.makedirs(rt, exist_ok=True)
+    with open(os.path.join(rt, "part-0000-fake.parquet"), "wb") as f:
+        f.write(b"PAR1fake")
+    # a registered consumer that never wrote its checkpoint dir: blocks
+    cat.register_consumer_checkpoint("s", os.path.join(root, "dead_ckpt"), name="cdc")
+    capsys.readouterr()
+    assert admin.main([root, "consumers", "s"]) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    by_name = {e["name"]: e for e in rep["consumers"]}
+    assert "registered:cdc" in by_name, by_name
+    dead = by_name["registered:cdc"]
+    assert dead["kind"] == "registered"
+    assert dead["state"] == "no checkpoint dir"
+    assert dead["blocks_truncation"] is True
+    assert dead["uncommitted_rt_files"] == 1
+    # the built-ins never existed -> absent, not blocking
+    assert by_name["_rt_checkpoint"]["blocks_truncation"] is False
+
+    # unregister clears it; unknown name exits 1
+    assert admin.main([root, "consumers", "s", "--unregister", "cdc"]) == 0
+    capsys.readouterr()
+    assert admin.main([root, "consumers", "s"]) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert "registered:cdc" not in {e["name"] for e in rep["consumers"]}
+    assert admin.main([root, "consumers", "s", "--unregister", "ghost"]) == 1
+    # unknown store exits 1 like every command
+    assert admin.main([root, "consumers", "nope"]) == 1

@@ -18,6 +18,7 @@ Usage:
   python tools/admin.py <root> truncate-rt <store> --before-ts N [--force]
   python tools/admin.py <root> compact <store> --cast
   python tools/admin.py <root> lag <store> [--threshold N] [--ts-col ts]
+  python tools/admin.py <root> consumers <store> [--unregister NAME]
 
 Exit codes: 0 ok; 1 catalog error (unknown store, illegal transition);
 2 usage error (unknown command, missing/malformed arguments).
@@ -140,6 +141,26 @@ def _build_parser() -> argparse.ArgumentParser:
         "schema sidecar, seed marker, delta-slot arrival order",
     )
     il.add_argument("store")
+    co = sub.add_parser(
+        "consumers",
+        help="consumer-checkpoint roster hygiene (the reference's "
+        "consumer/offset inspection slice, Command.java:206-746): list "
+        "every checkpoint the RT retention guard protects — built-in "
+        "replay checkpoints, registered entries, discovered in-store-dir "
+        "checkpoints — with commit state, last-commit age, and how many "
+        "current rt files each has NOT committed (the truncation "
+        "blockers). A registered checkpoint whose consumer died blocks "
+        "truncate-rt and serve-path retention forever; clear it with "
+        "--unregister NAME (exit 1 when NAME is not registered).",
+    )
+    co.add_argument("store")
+    co.add_argument(
+        "--unregister",
+        metavar="NAME",
+        default=None,
+        help="drop a dead consumer from the registered roster (NAME as "
+        "shown without the 'registered:' prefix)",
+    )
     return p
 
 
@@ -151,6 +172,80 @@ def _serving_dirs(cat: StoreCatalog, store: str) -> list[tuple[str, str]]:
         if os.path.isdir(d):
             out.append((d, stamp))
     return out
+
+
+def _cmd_consumers(cat: StoreCatalog, args: argparse.Namespace) -> int:
+    """Operator view of the RT retention guard's roster (VERDICT r9 #6):
+    a registered checkpoint whose consumer died blocks truncate-rt and
+    serve-path retention with no remedy short of force=True; this lists
+    each protected checkpoint's commit state so the operator can see WHO
+    blocks, and --unregister clears the dead entry. Shares the probe
+    builder with truncate_rt_log, so what this prints is exactly what
+    the guard enforces."""
+    import time
+
+    from venice_spark.producer import (
+        _checkpoint_committed_files,
+        consumer_checkpoint_probes,
+    )
+
+    cat.get_store(args.store)
+    if args.unregister is not None:
+        existed = cat.unregister_consumer_checkpoint(args.store, args.unregister)
+        print(
+            json.dumps(
+                {"store": args.store, "unregistered": args.unregister, "existed": existed}
+            )
+        )
+        return 0 if existed else 1
+
+    rt_dir = cat.update_log_dir(args.store)
+    rt_files = set()
+    if os.path.isdir(rt_dir):
+        rt_files = {
+            os.path.realpath(os.path.join(rt_dir, f))
+            for f in os.listdir(rt_dir)
+            if f.endswith(".parquet")
+        }
+    report = []
+    now = time.time()
+    for name, path in sorted(consumer_checkpoint_probes(cat, args.store).items()):
+        committed = _checkpoint_committed_files(path)
+        kind = (
+            "registered"
+            if name.startswith("registered:")
+            else ("builtin" if name in ("_rt_checkpoint", "_aa_checkpoint") else "discovered")
+        )
+        entry = {"name": name, "path": path, "kind": kind}
+        if committed is None:
+            entry["state"] = "no checkpoint dir"
+            # the guard's semantics (ADVICE r9): a registered entry with
+            # no dir yet means committed-nothing — every rt file blocks
+            entry["blocks_truncation"] = kind == "registered" and bool(rt_files)
+            entry["uncommitted_rt_files"] = len(rt_files) if kind == "registered" else 0
+        else:
+            entry["state"] = "committed"
+            uncommitted = sorted(
+                os.path.basename(p) for p in rt_files if p not in committed
+            )
+            entry["uncommitted_rt_files"] = len(uncommitted)
+            if uncommitted:
+                entry["first_uncommitted"] = uncommitted[0]
+            entry["blocks_truncation"] = bool(uncommitted)
+            commits = os.path.join(path, "commits")
+            try:
+                ages = [
+                    now - os.path.getmtime(os.path.join(commits, f))
+                    for f in os.listdir(commits)
+                    if f.isdigit()
+                ]
+                if ages:
+                    entry["last_commit_age_seconds"] = int(min(ages))
+            except OSError:
+                pass
+        report.append(entry)
+    print(json.dumps({"store": args.store, "consumers": report}, indent=2))
+    return 0
 
 
 def _cmd_recover(cat: StoreCatalog, args: argparse.Namespace) -> int:
@@ -513,6 +608,8 @@ def _run(args: argparse.Namespace) -> int:
         return _cmd_lag(cat, args)
     elif args.cmd == "inspect-log":
         return _cmd_inspect_log(cat, args)
+    elif args.cmd == "consumers":
+        return _cmd_consumers(cat, args)
     return 0
 
 
