@@ -368,3 +368,19 @@ def test_cast_promoted_serve_rank_limits_and_prunes_columns(spark, sf_dir):
     for seg in plan.split("ReadSchema: ")[1:]:
         schema = seg.split("\n", 1)[0]
         assert "o_comment" not in schema and "c_comment" not in schema, schema
+
+
+def test_rt_migrated_serve_rank_limits_and_prunes_columns(spark, sf_dir):
+    """The RT auto-migration fold (x_rt_migrated_serve, r10: narrow gen
+    migrated-cast + native wide gen + narrow gen aligned up) keeps the
+    promoted-serve plan shape: rank-limited window, partial-agg count
+    generation, all three casts folded into JVM projections — no Python
+    stage, no cartesian blowup, comment columns pruned from every scan."""
+    df = QUERIES["x_rt_migrated_serve"](spark, sf_dir)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    for seg in plan.split("ReadSchema: ")[1:]:
+        schema = seg.split("\n", 1)[0]
+        assert "o_comment" not in schema and "c_comment" not in schema, schema

@@ -1171,6 +1171,86 @@ def x_cast_promoted_serve(spark, sf_dir):
 
 
 @register(
+    "x_rt_migrated_serve",
+    "WITH u1 AS (SELECT o_custkey, o_totalprice, row_number() OVER ("
+    "  PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn "
+    "  FROM orders WHERE o_custkey % 3 <> 0), "
+    "u2 AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders "
+    "  WHERE o_custkey % 7 = 0 GROUP BY 1) "
+    "SELECT c_custkey, metric FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY ts DESC) AS rn2 "
+    "  FROM ("
+    "    SELECT c_custkey, CAST(CAST(FLOOR(c_acctbal) AS BIGINT) AS DOUBLE) "
+    "      AS metric, 0 AS ts FROM customer "
+    "    UNION ALL "
+    "    SELECT o_custkey AS c_custkey, CAST(o_totalprice AS DOUBLE), 1 "
+    "    FROM u1 WHERE rn = 1 "
+    "    UNION ALL "
+    "    SELECT o_custkey AS c_custkey, CAST(cnt AS DOUBLE), 2 FROM u2)"
+    ") WHERE rn2 = 1",
+)
+def x_rt_migrated_serve(spark, sf_dir):
+    """Serving across an RT-log AUTO-MIGRATION (r10, VERDICT r9 #3): the
+    RT log holds a narrow BIGINT generation when a DOUBLE flush arrives;
+    producer.flush migrates the log in place (migrate_rt_widening_locked
+    casts every narrow op to the Avro target — SchemaCompatibility.java:1
+    long→double), the wide generation lands natively, and a LATER narrow
+    flush aligns UP at write (align_to_log_schema). This dataflow twin
+    pins the three cast points against the DuckDB oracle in one
+    latest-wins fold: gen0 narrow→migrated-cast, gen1 native wide, gen2
+    narrow aligned up — each generation deliberately PARTIAL over the key
+    domain so every cast path survives into the result (the live-store
+    edition is certified by
+    test_rt_flush_auto_migrates_nonnative_widening /
+    test_rt_auto_migration_mid_aa_serve_stays_dcr_exact). Window shuffle
+    + one partial agg, no Python."""
+    from pyspark.sql import types as T
+
+    from venice_spark.schema_compat import avro_promotion_target
+    from venice_spark.streaming.hybrid import resolve_latest
+
+    metric_t = avro_promotion_target(T.LongType(), T.DoubleType())
+    assert metric_t == T.DoubleType()
+    # gen0: the pre-migration narrow generation — written long, then the
+    # in-place migration casts it to the Avro target (FLOOR first: DuckDB
+    # CAST(double AS BIGINT) rounds where Spark truncates)
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal")).cast("long").cast(metric_t).alias("metric"),
+        F.lit(0).alias("ts"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    # gen1: the wide flush that triggered the migration (native double)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    upd1 = (
+        orders.filter(F.col("o_custkey") % 3 != 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_totalprice").cast("double").alias("metric"),
+            F.lit(1).alias("ts"),
+        )
+    )
+    # gen2: a post-migration NARROW flush — align_to_log_schema casts it
+    # up to the widened sidecar before it lands
+    upd2 = (
+        orders.filter(F.col("o_custkey") % 7 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("cnt").cast("long").cast(metric_t).alias("metric"),
+            F.lit(2).alias("ts"),
+        )
+    )
+    merged = base.unionByName(upd1).unionByName(upd2)
+    return resolve_latest(merged, ["c_custkey"], "ts").select("c_custkey", "metric")
+
+
+@register(
     "i6_duplicate_key_check",
     "SELECT user_id, event_type, distinct_values FROM ("
     "  SELECT user_id, event_type, count(DISTINCT (event_id, value)) AS distinct_values "
