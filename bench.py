@@ -278,6 +278,31 @@ def main():
     os.sync()
     time.sleep(2)
 
+    # Whole-suite SETTLING pass (VERDICT r9 #4): BENCH_r09 recorded an
+    # ~18% across-the-board level shift that an A-B-A experiment pinned
+    # to machine state (the run started in the wake of a 36-minute pytest
+    # shard), not code — and the per-query quiet pass only defends BUDGET
+    # breaches, not the whole-suite geomean the round-over-round
+    # comparison reads. Run the entire headline sweep once UNTIMED first:
+    # it drains straggling writeback, faults the inputs back into page
+    # cache, finishes JIT/codegen, and gives any external throttle time
+    # to lift, so the timed min-of-2 sweep starts from the state the
+    # quiet pass otherwise only reaches per-suspect. The A-B-A
+    # adjudication protocol for any residual level shift is recorded in
+    # BENCH_TARGETS.md. SPARK_GRAFT_BENCH_NO_SETTLE=1 skips the pass
+    # (halves the wall for local iteration; the driver's run keeps it).
+    settled = not os.environ.get("SPARK_GRAFT_BENCH_NO_SETTLE")
+    if settled:
+        for name in names:
+            try:
+                queries[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # the timed sweep will record the error
+        os.sync()
+        time.sleep(2)
+
     # two timed runs per query, keep the min: single-shot numbers flap ±20%
     # under GC/JIT jitter on a shared box and trip budgets at random; the
     # min estimates steady-state cost (what the budgets and the baseline
@@ -369,6 +394,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "settled": settled,
     }
     if errors:
         out["errors"] = {n: m.splitlines()[-1][:300] for n, m in errors.items()}
