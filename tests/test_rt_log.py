@@ -976,3 +976,58 @@ def test_dead_job_staging_cannot_resurrect_unacked_rows(spark, tmp_path):
     _spec.loader.exec_module(admin)
     assert admin.main([str(tmp_path / "root"), "recover", "s", "--clean-staging"]) == 0
     assert not os.path.isdir(os.path.join(rt_dir, "_temporary"))
+
+
+def test_blocked_retention_writes_sig_marker_once_per_fileset(spark, tmp_path):
+    """code-review r10: a blocked serve-path retention pass used to skip
+    the `_rt_retention_sig` marker, so a persistently lagging (or
+    registered-but-uncommitted) consumer forced the store-sized per-file
+    ts scan — the exact job the marker exists to elide — plus a warning
+    on EVERY serve. Blocked is a stable outcome of the unchanged
+    fileset: the marker is now written, deferring the retry (and the
+    deletion) to the pass after the next flush, the same deferral the
+    clock-advance case already accepts."""
+    import warnings as _w
+
+    from venice_spark.engine import VeniceSparkEngine
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
+    eng.create_store(
+        "s",
+        key_fields=["k"],
+        hybrid=True,
+        rewind_seconds=100,
+        rt_retention_seconds=500,
+    )
+    eng.push("s", spark.createDataFrame([(9, 9.0)], "k long, v double"))
+    st = eng.store("s")
+    p = st.producer()
+    p.put(1, {"v": 1.0}, ts=1_000)
+    p.flush()
+    # a registered consumer that never commits: retention blocks
+    eng.catalog.register_consumer_checkpoint(
+        "s", str(tmp_path / "never_ckpt"), name="dead"
+    )
+    rt_dir = eng.catalog.update_log_dir("s")
+    marker = os.path.join(rt_dir, "_rt_retention_sig")
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        st.hybrid_serve(now_ts=700_000)
+    assert any("deferred" in str(r.message) for r in rec), [
+        str(r.message) for r in rec
+    ]
+    assert os.path.exists(marker), "blocked pass must still write the marker"
+
+    # unchanged fileset: the next serve neither warns nor rescans
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        st.hybrid_serve(now_ts=700_000)
+    assert not any("deferred" in str(r.message) for r in rec), [
+        str(r.message) for r in rec
+    ]
+
+    # nothing was deleted while blocked
+    from venice_spark.producer import read_rt_log
+
+    assert {r["k"] for r in read_rt_log(spark, eng.catalog, "s").collect()} == {1}

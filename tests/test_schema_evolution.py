@@ -1177,3 +1177,141 @@ def test_cast_on_read_promotes_array_columns(spark, tmp_path):
     got = {r["k"]: r["v"] for r in live.read().collect()}
     assert got == {1: [1.0, 2.0], 2: [3.0, float(1 << 40)]}, got
     assert dict(live.read().dtypes)["v"] == "array<double>"
+
+
+def test_rt_migration_crash_window_heals_on_next_touch(spark, tmp_path):
+    """code-review r10: a kill inside the auto-migration's two-rename
+    swap window leaves the rt dir ABSENT with rt__cast_old intact.
+    Nothing used to heal that path — the next flush's sidecar write
+    recreated a FRESH rt dir and the old log was stranded forever (and
+    recover_swap_dir no-ops once the target exists). flush and
+    read_rt_log now call recover_swap_dir(rt_dir) at entry."""
+    import shutil
+
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import read_rt_log
+
+    for touch in ("flush", "read"):
+        eng = VeniceSparkEngine(spark, str(tmp_path / f"crash_{touch}"))
+        eng.catalog.create_store(
+            "m",
+            key_fields=["k"],
+            hybrid=True,
+            value_schema=T.StructType([T.StructField("n", T.LongType())]),
+            schema_compat="backward",
+        )
+        eng.push("m", spark.createDataFrame([(1, 10)], "k long, n long"))
+        st = eng.store("m")
+        p = st.producer()
+        p.put(2, {"n": 20}, ts=10)
+        p.flush(schema="k long, op string, ts long, colo int, n long")
+        rt = eng.catalog.update_log_dir("m")
+
+        # the crash window: target moved aside, no completed tmp
+        shutil.move(rt, rt + "__cast_old")
+        assert not os.path.isdir(rt)
+
+        if touch == "flush":
+            p.put(3, {"n": 30}, ts=20)
+            p.flush(schema="k long, op string, ts long, colo int, n long")
+            got = {r["k"] for r in read_rt_log(spark, eng.catalog, "m").collect()}
+            assert got == {2, 3}, f"old log stranded: {got}"
+        else:
+            got = {r["k"] for r in read_rt_log(spark, eng.catalog, "m").collect()}
+            assert got == {2}, f"old log stranded: {got}"
+        assert not os.path.isdir(rt + "__cast_old"), "leftover not cleared"
+
+
+def test_rt_migration_presidecar_log_migrates_from_mergeschema(spark, tmp_path):
+    """code-review r10: a PRE-SIDECAR rt log (supported: upgrades on its
+    next flush) holding narrow files used to make the auto-migration a
+    no-op ('no sidecar, nothing to widen') while extend_log_schema kept
+    deriving the widening from a mergeSchema read — the retry re-raised
+    and the flush failed. The migration now derives its base the same
+    way the refusal did."""
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.streaming.hybrid import log_schema
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / "presc"))
+    eng.catalog.create_store(
+        "m",
+        key_fields=["k"],
+        hybrid=True,
+        value_schema=T.StructType([T.StructField("n", T.LongType())]),
+        schema_compat="backward",
+    )
+    eng.push("m", spark.createDataFrame([(1, 10)], "k long, n long"))
+    st = eng.store("m")
+    rt = eng.catalog.update_log_dir("m")
+    # a pre-sidecar generation: narrow op rows written straight to the dir
+    spark.createDataFrame(
+        [(2, "PUT", 10, 0, 20)], "k long, op string, ts long, colo int, n long"
+    ).write.mode("append").parquet(rt)
+    assert log_schema(rt) is None, "premise: no sidecar yet"
+
+    eng.catalog.add_value_schema("m", T.StructType([T.StructField("n", T.DoubleType())]))
+    p = st.producer()
+    p.put(3, {"n": 3.5}, ts=20)
+    p.flush(schema="k long, op string, ts long, colo int, n double")  # no raise
+
+    live = st.hybrid_serve()
+    rows = sorted((r["k"], r["n"]) for r in live.read().collect())
+    assert rows == [(1, 10.0), (2, 20.0), (3, 3.5)], rows
+
+
+@pytest.mark.parametrize("nth", [1, 2, 3, 4, 5, 6, 7, 8, 9, 10])
+def test_rt_migration_crash_sweep_every_mutation_point(spark, tmp_path, nth):
+    """Hard-crash (SIGKILL model) sweep over the RT auto-migration: kill
+    at the nth intercepted filesystem mutation inside the migrating
+    flush — sidecar tmp replaces, the swap's two renames, staging moves —
+    with no cleanup effects after the kill. Contract: the rt log must
+    afterwards hold EITHER the full pre-flush op set (narrow or widened —
+    the migration itself is content-neutral) or the post-flush set, and a
+    retried flush must land and serve exactly the model. Covers the
+    stranded-__cast_old window (code-review r10) at every seam instead of
+    the one hand-built scenario."""
+    from _crash_schedule import run_with_crash
+
+    from venice_spark.engine import VeniceSparkEngine
+    from venice_spark.producer import read_rt_log
+
+    eng = VeniceSparkEngine(spark, str(tmp_path / f"mcr{nth}"))
+    eng.catalog.create_store(
+        "m",
+        key_fields=["k"],
+        hybrid=True,
+        value_schema=T.StructType([T.StructField("n", T.LongType())]),
+        schema_compat="backward",
+    )
+    eng.push("m", spark.createDataFrame([(1, 10)], "k long, n long"))
+    st = eng.store("m")
+    p = st.producer()
+    p.put(2, {"n": 20}, ts=10)
+    p.flush(schema="k long, op string, ts long, colo int, n long")
+    eng.catalog.add_value_schema(
+        "m", T.StructType([T.StructField("n", T.DoubleType())])
+    )
+
+    p.put(3, {"n": 3.5}, ts=20)
+    res = run_with_crash(
+        lambda: p.flush(schema="k long, op string, ts long, colo int, n double"),
+        nth=nth,
+        path_filter="rt",
+        hard=True,
+    )
+    if nth >= 10:
+        # the op has ~9 python-side mutations; the sweep must also show
+        # its COMPLETED tail or it silently stopped covering the op
+        assert res == "completed", res
+    # crashed mid-flush: the producer buffer retains the op for retry
+    if res == "crashed":
+        # reads heal the swap window and lose nothing
+        got = {r["k"] for r in read_rt_log(spark, eng.catalog, "m").collect()}
+        assert {2} <= got <= {2, 3}, f"nth={nth}: torn rt state {got}"
+        p._buffer.clear()
+        p.put(3, {"n": 3.5}, ts=20)
+        p.flush(schema="k long, op string, ts long, colo int, n double")
+
+    live = st.hybrid_serve()
+    rows = sorted((r["k"], r["n"]) for r in live.read().collect())
+    assert rows == [(1, 10.0), (2, 20.0), (3, 3.5)], f"nth={nth}: {rows}"

@@ -113,9 +113,10 @@ def _build_parser() -> argparse.ArgumentParser:
         "the registry's CURRENT type (the escape hatch for genuinely "
         "incompatible retypes the write path refuses — every Avro "
         "promotion incl. long->double is zero-rewrite on serving logs "
-        "since r9; the rt dir still needs this for a non-native sidecar "
-        "widening before wide flushes land). Values the target type "
-        "cannot represent become NULL, reported per column.",
+        "since r9, and the rt dir auto-migrates non-native widenings at "
+        "flush since r10, so this is needed only for true retypes). "
+        "Values the target type cannot represent become NULL, reported "
+        "per column.",
     )
     cp.add_argument("store")
     cp.add_argument(
@@ -148,8 +149,10 @@ def _build_parser() -> argparse.ArgumentParser:
         "every checkpoint the RT retention guard protects — built-in "
         "replay checkpoints, registered entries, discovered in-store-dir "
         "checkpoints — with commit state, last-commit age, and how many "
-        "current rt files each has NOT committed (the truncation "
-        "blockers). A registered checkpoint whose consumer died blocks "
+        "current rt files each has NOT committed (a consumer blocks "
+        "truncate-rt only when the cutoff covers such a file; healthy "
+        "consumers lag the newest flush between triggers). A registered "
+        "checkpoint whose consumer died blocks "
         "truncate-rt and serve-path retention forever; clear it with "
         "--unregister NAME (exit 1 when NAME is not registered).",
     )
@@ -179,9 +182,11 @@ def _cmd_consumers(cat: StoreCatalog, args: argparse.Namespace) -> int:
     a registered checkpoint whose consumer died blocks truncate-rt and
     serve-path retention with no remedy short of force=True; this lists
     each protected checkpoint's commit state so the operator can see WHO
-    blocks, and --unregister clears the dead entry. Shares the probe
-    builder with truncate_rt_log, so what this prints is exactly what
-    the guard enforces."""
+    would block, and --unregister clears the dead entry. Shares the
+    PROBE SET with truncate_rt_log (the same roster the guard walks);
+    whether an uncommitted file actually blocks depends on the
+    operator's cutoff, so committed-but-lagging consumers report
+    `lagging`, not `blocks_truncation`."""
     import time
 
     from venice_spark.producer import (
@@ -228,10 +233,16 @@ def _cmd_consumers(cat: StoreCatalog, args: argparse.Namespace) -> int:
             uncommitted = sorted(
                 os.path.basename(p) for p in rt_files if p not in committed
             )
+            # `lagging`, not `blocks_truncation`: the guard only blocks on
+            # files BELOW the operator's cutoff, and a healthy consumer is
+            # expected to lag the newest flush between triggers — naming
+            # this a blocker invited unregistering LIVE consumers
+            # (code-review r10). It blocks a truncate-rt only when the
+            # cutoff covers one of these files.
+            entry["lagging"] = bool(uncommitted)
             entry["uncommitted_rt_files"] = len(uncommitted)
             if uncommitted:
                 entry["first_uncommitted"] = uncommitted[0]
-            entry["blocks_truncation"] = bool(uncommitted)
             commits = os.path.join(path, "commits")
             try:
                 ages = [
@@ -258,38 +269,49 @@ def _cmd_recover(cat: StoreCatalog, args: argparse.Namespace) -> int:
     import glob
 
     cat.get_store(args.store)  # unknown store exits 1 before any JVM spinup
-    from venice_spark.streaming.hybrid import recover_swap_dir, run_deferred_gc
-
-    healed = []
-    # every `<target>__<tag>_old` sibling marks a swap that may have died
-    # between its two renames; recover each target (no-op when healthy)
-    roots = {
-        d[: d.rindex("__")]
-        for pat in ("*__*_old", "*__*_tmp")
-        for d in glob.glob(os.path.join(cat.store_dir(args.store), pat))
-    }
-    for name in ("serving", "aa_serving"):
-        roots.add(os.path.join(cat.store_dir(args.store), name))
-    for target in sorted(roots):
-        if recover_swap_dir(target):
-            healed.append(os.path.basename(target))
-    # crash-leaked tmp files: VISIBLE pre-r9-style tmpXXXX.tmp in a parquet
-    # dir bricks every read, so recover always sweeps those (age 0 — the
-    # operator asserts nothing is running); dot-prefixed orphans are
-    # invisible to Spark and swept only with --clean-staging. The whole
-    # sweep/staging-clear runs under the per-store flock (ADVICE r9):
-    # clear_dead_job_staging's contract requires the writer lock, and the
-    # lock turns an operator running recover against a still-live writer
-    # into a safe wait instead of deleting that writer's in-flight
-    # _temporary staging mid-job.
     from venice_spark.streaming.hybrid import (
         clear_dead_job_staging,
+        recover_swap_dir,
+        run_deferred_gc,
         sweep_leaked_tmps,
     )
 
+    healed = []
     tmps_removed = 0
     staging_cleared = 0
+    gc_removed = {}
+    staging_removed = 0
+    # EVERY filesystem mutation below runs under the per-store flock
+    # (ADVICE r9 + code-review r10): clear_dead_job_staging's contract
+    # requires the writer lock; sweep_compact_orphans racing a LIVE
+    # compact (which holds the flock between staging its `__compact_*`
+    # fileset and merging it in) would delete the staged fileset and let
+    # record_gc_pending queue the only copy of the serving rows for
+    # deletion; a swap-heal racing a live rewrite-mode writer mid-swap
+    # could mis-heal. Under the lock, recover against a still-running
+    # writer is a safe WAIT instead of silent corruption. Only the
+    # stranded-delta carry stays outside (it is version-level state
+    # guarded by its own lineage-manifest protocol and needs a
+    # SparkSession).
     with cat._locked(args.store):
+        # every `<target>__<tag>_old` sibling marks a swap that may have
+        # died between its two renames; recover each target (no-op when
+        # healthy)
+        roots = {
+            d[: d.rindex("__")]
+            for pat in ("*__*_old", "*__*_tmp")
+            for d in glob.glob(os.path.join(cat.store_dir(args.store), pat))
+        }
+        for name in ("serving", "aa_serving"):
+            roots.add(os.path.join(cat.store_dir(args.store), name))
+        for target in sorted(roots):
+            if recover_swap_dir(target):
+                healed.append(os.path.basename(target))
+        # crash-leaked tmp files: VISIBLE pre-r9-style tmpXXXX.tmp in a
+        # parquet dir bricks every read, so recover always sweeps those
+        # (age 0 — under the lock nothing can be in flight); dot-prefixed
+        # orphans are invisible to Spark and swept only with
+        # --clean-staging.
         for d, _stamp in _serving_dirs(cat, args.store):
             tmps_removed += sweep_leaked_tmps(
                 d, include_hidden=args.clean_staging, min_age_seconds=0
@@ -307,6 +329,26 @@ def _cmd_recover(cat: StoreCatalog, args: argparse.Namespace) -> int:
             )
             if args.clean_staging and clear_dead_job_staging(rt_dir):
                 staging_cleared += 1
+        if args.gc:
+            for d, _stamp in _serving_dirs(cat, args.store):
+                n = run_deferred_gc(d)
+                if n:
+                    gc_removed[os.path.basename(d)] = n
+        if args.clean_staging:
+            import shutil
+
+            from venice_spark.streaming.hybrid import sweep_compact_orphans
+
+            for d in glob.glob(
+                os.path.join(cat.store_dir(args.store), "_delta_staging-*")
+            ):
+                shutil.rmtree(d, ignore_errors=True)
+                staging_removed += 1
+            # crashed-compact staging siblings (ADVICE r7):
+            # `<serving>__compact_*` dirs are referenced by no manifest
+            # and re-built by any re-run
+            for d, _stamp in _serving_dirs(cat, args.store):
+                staging_removed += sweep_compact_orphans(d)
     carried = 0
     if cat.current_version(args.store) > 0:
         # the stranded-delta walk needs a session (a layout-mismatched
@@ -316,27 +358,6 @@ def _cmd_recover(cat: StoreCatalog, args: argparse.Namespace) -> int:
         from venice_spark.session import get_spark
 
         carried = recover_stranded_deltas(get_spark("admin_recover"), cat, args.store)
-    gc_removed = {}
-    if args.gc:
-        for d, _stamp in _serving_dirs(cat, args.store):
-            n = run_deferred_gc(d)
-            if n:
-                gc_removed[os.path.basename(d)] = n
-    staging_removed = 0
-    if args.clean_staging:
-        import shutil
-
-        from venice_spark.streaming.hybrid import sweep_compact_orphans
-
-        for d in glob.glob(
-            os.path.join(cat.store_dir(args.store), "_delta_staging-*")
-        ):
-            shutil.rmtree(d, ignore_errors=True)
-            staging_removed += 1
-        # crashed-compact staging siblings (ADVICE r7): `<serving>__compact_*`
-        # dirs are referenced by no manifest and re-built by any re-run
-        for d, _stamp in _serving_dirs(cat, args.store):
-            staging_removed += sweep_compact_orphans(d)
     print(
         json.dumps(
             {

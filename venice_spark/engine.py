@@ -802,13 +802,22 @@ class StoreHandle:
         try:
             removed = self.truncate_rt(before_ts=cutoff, ts_col=ts_col)
         except RtTruncateBlockedError as e:
-            # no marker write: retry the scan next serve
+            # Blocked is a stable outcome of this fileset + roster state:
+            # write the marker anyway so a persistently lagging (or
+            # registered-but-not-yet-committed) consumer costs ONE warn +
+            # ts scan per flush, not per serve — pre-r10 every serve
+            # re-ran the store-sized read_rt_log scan the marker exists
+            # to elide (code-review r10). Deletion then happens on the
+            # pass after the NEXT flush, the same deferral the
+            # clock-advance case already accepts (the dir cannot grow
+            # without a flush).
             warnings.warn(
-                f"rt retention skipped this serve (lagging consumer): {e}",
+                f"rt retention deferred to the next flush (lagging "
+                f"consumer): {e}",
                 RuntimeWarning,
                 stacklevel=2,
             )
-            return 0
+            removed = 0
         import tempfile
 
         # dot-prefix: a crash-leaked tmp must stay invisible to Spark's

@@ -105,9 +105,15 @@ class VeniceProducer:
             clear_dead_job_staging,
             extend_log_schema,
             migrate_rt_widening_locked,
+            recover_swap_dir,
         )
 
         with self.catalog._locked(self.store):
+            # a crashed auto-migration swap leaves rt absent with
+            # rt__cast_old intact; heal BEFORE extend_log_schema, whose
+            # sidecar write would otherwise makedirs a fresh empty rt dir
+            # and strand the old log forever (code-review r10)
+            recover_swap_dir(rt_dir)
             # cast_groups=False: the RT log is consumed by readStream,
             # which cannot split its scan per legacy fileset. A
             # non-natively-widenable SIDECAR WIDENING (long→double) —
@@ -327,9 +333,15 @@ def read_rt_log(spark: SparkSession, catalog: StoreCatalog, store: str) -> DataF
     one JSON read instead of mergeSchema's O(flushes) footer reads per
     serve call; pre-sidecar logs fall back to mergeSchema and upgrade on
     their next flush."""
-    from venice_spark.streaming.hybrid import log_schema
+    from venice_spark.streaming.hybrid import log_schema, recover_swap_dir
 
     rt_dir = catalog.update_log_dir(store)
+    # heal a crashed auto-migration swap (r10): a kill in atomic_swap_dir's
+    # two-rename window leaves rt absent with rt__cast_old intact — the
+    # same self-heal every serving-dir read entry performs. Without it the
+    # next flush would makedirs a FRESH rt dir and the old log would be
+    # stranded forever (code-review r10).
+    recover_swap_dir(rt_dir)
     sidecar = log_schema(rt_dir)
     if sidecar is not None:
         return spark.read.schema(sidecar).parquet(rt_dir)

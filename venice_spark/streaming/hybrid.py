@@ -288,7 +288,8 @@ def _delta_files_all_empty(serving_dir: str, prev: tuple, cur: tuple) -> bool:
     false negative is the pre-r10 behavior (a skipped stamp value)."""
     import os
 
-    delta = [f for f in cur if f not in set(prev)]
+    prev_set = set(prev)
+    delta = [f for f in cur if f not in prev_set]
     if not delta:
         return True
     try:
@@ -930,8 +931,17 @@ def migrate_rt_widening_locked(spark, rt_dir: str, casts: list) -> dict:
     from pyspark.sql import types as T
 
     side = log_schema(rt_dir)
-    if side is None:  # no sidecar: nothing recorded to widen
-        return {}
+    if side is None:
+        # pre-sidecar log (supported: upgrades on its next flush):
+        # extend_log_schema derived the casts from a mergeSchema read of
+        # the data files, so the narrow files ARE on disk — derive the
+        # base the same way and migrate them; returning {} here would
+        # make flush's retry re-raise (code-review r10)
+        if not list_log_data_files(rt_dir):
+            return {}
+        side = (
+            spark.read.option("mergeSchema", "true").parquet(rt_dir).schema
+        )
     by_name = {n: t for n, t in casts}
     widened = T.StructType(
         [
