@@ -361,3 +361,132 @@ def test_cross_process_kill_aa_fuzz(spark, tmp_path, seed):
         len(child_keys) >= 1,
         f"seed {seed}: kill landed before any child flush",
     )
+
+
+_MIGRATION_CHILD = r'''
+import os, random, sys
+sys.path.insert(0, {repo!r})
+from venice_spark.session import get_spark
+from venice_spark.catalog import StoreCatalog
+from venice_spark.producer import VeniceProducer
+
+root, ready, progress, seed = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+rng = random.Random(seed)
+spark = get_spark("xkill_mig_child")
+cat = StoreCatalog(root)
+p = VeniceProducer(spark, cat, "s", colo=1)
+open(ready, "w").write("up")
+NARROW = "k long, op string, ts long, colo int, v long"
+WIDE = "k long, op string, ts long, colo int, v double"
+i = j = 0
+wide = False
+while True:  # killed from outside
+    if not wide and j >= 2 and rng.random() < 0.5:
+        wide = True  # this flush carries the widening -> in-place migration
+    if wide:
+        p.put(1000 + j, {{"v": float(j) + 0.5}}, ts=50000 + j)
+        p.flush(schema=WIDE)
+    else:
+        p.put(1000 + j, {{"v": j}}, ts=50000 + j)
+        p.flush(schema=NARROW)
+    j += 1
+    with open(progress, "a") as f:
+        f.write(f"{{i}} flush wide={{wide}}\n")
+        f.flush()
+    i += 1
+'''
+
+
+@pytest.mark.parametrize("seed", fuzz_seeds([15, 34]))
+def test_cross_process_kill_during_rt_migration_fuzz(spark, tmp_path, seed):
+    """r10 seam: the RT widening AUTO-MIGRATION (an atomic-swap rewrite
+    of the rt log inside flush) racing a parent that serves and reads,
+    with the child SIGKILLed at a seed-chosen point — possibly inside
+    the migration's two-rename window. The heal-at-entry fix
+    (code-review r10) plus checkpoint full-replay must keep the final
+    view model-exact: base + parent narrow ops + exactly the child
+    flushes that landed, each value long-or-double by its generation."""
+    rng = random.Random(seed)
+    root = str(tmp_path / "cat")
+    eng = VeniceSparkEngine(spark, root)
+    import pyspark.sql.types as T
+
+    eng.catalog.create_store(
+        "s",
+        key_fields=["k"],
+        hybrid=True,
+        value_schema=T.StructType([T.StructField("v", T.LongType())]),
+        schema_compat="backward",
+    )
+    eng.push("s", spark.createDataFrame([(1, -1), (2, -2)], "k long, v long"))
+    st = eng.store("s")
+    p = st.producer()
+    NARROW = "k long, op string, ts long, colo int, v long"
+    p.put(3, {"v": -3}, ts=10)
+    p.flush(schema=NARROW)
+    st.hybrid_serve()
+    # register the wide schema up front (the reference's write discipline)
+    eng.catalog.add_value_schema(
+        "s", T.StructType([T.StructField("v", T.DoubleType())])
+    )
+
+    child, ready, progress, log = _launch_child(
+        tmp_path, _MIGRATION_CHILD, root, seed + 1000
+    )
+    parent_ops = {}
+    try:
+        _await_ready(child, ready)
+        kill_after = rng.randrange(3, 8)
+        t = 0
+        while _progress_count(progress) < kill_after:
+            assert child.poll() is None, "child died early"
+            act = rng.choice(["flush", "serve", "read"])
+            if act == "flush":
+                k = 1 + (t % 3)
+                p.put(k, {"v": 100 + t}, ts=1000 + t)
+                parent_ops[k] = 100 + t
+                p.flush(schema=NARROW)
+                t += 1
+            elif act == "serve":
+                st.hybrid_serve()
+            else:
+                from venice_spark.producer import read_rt_log
+
+                # rt reads race the child's in-place migration swap; the
+                # heal-at-entry + atomic swap must keep them working
+                read_rt_log(spark, eng.catalog, "s").count()
+        _kill_at(child, progress, kill_after, rng.uniform(0, 0.5))
+    finally:
+        if child.poll() is None:
+            child.kill()
+        log.close()
+
+    rows = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
+    assert _admin().main([root, "recover", "s", "--clean-staging"]) == 0
+    rows2 = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
+    assert rows2 == rows, "recovery changed served content"
+
+    expect = {1: -1.0, 2: -2.0, 3: -3.0}
+    for k, v in parent_ops.items():
+        expect[k] = float(v)
+    child_keys = sorted(k for k in rows if k >= 1000)
+    migrated = False
+    for k in child_keys:
+        j = k - 1000
+        # narrow-generation value j (reads widened) or wide-generation
+        # j + 0.5 — both legal depending on where the child flipped
+        assert rows[k] in (float(j), j + 0.5), (k, rows[k])
+        if rows[k] == j + 0.5:
+            migrated = True
+        expect[k] = rows[k]
+    assert rows == {k: float(v) for k, v in expect.items()}, rows
+
+    # the store keeps working, still wide
+    p.put(9, {"v": 9.25}, ts=99999)
+    p.flush(schema="k long, op string, ts long, colo int, v double")
+    final = {r["k"]: r["v"] for r in st.hybrid_serve().read().collect()}
+    assert final[9] == 9.25
+    assert_seed_coverage(
+        len(child_keys) >= 1 and migrated,
+        f"seed {seed}: no migrated (wide) child flush landed before the kill",
+    )

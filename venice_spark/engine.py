@@ -645,13 +645,20 @@ class StoreHandle:
         if os.path.isdir(rt_dir) and any(
             f.endswith(".parquet") for f in os.listdir(rt_dir)
         ):
-            # mergeSchema: each flush writes only the columns its ops
-            # carried; a bare read samples one footer and would silently
-            # drop the other flushes' value columns from the replay
-            schema = read_rt_log(self.spark, self.catalog, self.name).schema
-            stream = self.spark.readStream.schema(schema).parquet(rt_dir)
-            q = replay.start(stream, ckpt)
-            q.awaitTermination()
+            from venice_spark.streaming.hybrid import run_replay_query
+
+            def _start():
+                # mergeSchema union via the sidecar: each flush writes only
+                # the columns its ops carried; a bare read samples one
+                # footer and would silently drop the other flushes' value
+                # columns. Rebuilt per attempt: a concurrent rt migration
+                # (run_replay_query's restart case) changes both the
+                # fileset and the schema.
+                schema = read_rt_log(self.spark, self.catalog, self.name).schema
+                stream = self.spark.readStream.schema(schema).parquet(rt_dir)
+                return replay.start(stream, ckpt)
+
+            run_replay_query(_start)
         self._apply_rt_retention(now_ts, ts_col=ts_col, rewind=rewind_seconds)
         return replay
 

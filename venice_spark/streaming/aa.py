@@ -612,10 +612,16 @@ def aa_serve(
         mark_seeded_version(serving, cur)
     rt_dir = catalog.update_log_dir(name)
     if os.path.isdir(rt_dir) and any(f.endswith(".parquet") for f in os.listdir(rt_dir)):
-        schema = read_rt_log(spark, catalog, name).schema
-        stream = spark.readStream.schema(schema).parquet(rt_dir)
-        q = replay.start(stream, ckpt)
-        q.awaitTermination()
+        from venice_spark.streaming.hybrid import run_replay_query
+
+        def _start():
+            # rebuilt per attempt: a concurrent rt migration (the restart
+            # case) changes both the fileset and the schema
+            schema = read_rt_log(spark, catalog, name).schema
+            stream = spark.readStream.schema(schema).parquet(rt_dir)
+            return replay.start(stream, ckpt)
+
+        run_replay_query(_start)
     # per-store RT retention after a completed serve (same contract as
     # hybrid_serve; the consumer guard keeps a lagging hybrid checkpoint's
     # unread files alive). now_ts pins the retention clock for replayed/

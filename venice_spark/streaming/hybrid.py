@@ -1180,6 +1180,35 @@ def read_log(spark: SparkSession, serving_dir: str, schema=None) -> DataFrame:
     return out
 
 
+def run_replay_query(start_query, max_restarts: int = 2) -> None:
+    """Drive an availableNow replay query to completion, restarting it
+    when a concurrent in-place RT migration re-keyed the log's files
+    under a mid-batch scan (r10 — found by the cross-process migration
+    kill fuzzer): the file source lists paths at batch planning, another
+    process's migrate_rt_widening_locked atomically swaps the dir, and
+    the scan dies with FAILED_READ_FILE / FILE_NOT_EXIST. The failed
+    trigger never committed, so a restart (fresh listing, fresh schema —
+    `start_query` must rebuild the stream, not reuse it) is exactly-once
+    safe; the re-keyed copies carry the same ops and fold idempotently.
+    Any other error, or the race persisting past max_restarts, re-raises
+    — this must never mask a genuinely lost file (retention's consumer
+    guard owns that invariant)."""
+    from pyspark.errors import StreamingQueryException
+
+    attempt = 0
+    while True:
+        q = start_query()
+        try:
+            q.awaitTermination()
+            return
+        except StreamingQueryException as e:
+            msg = str(e)
+            racy = "FAILED_READ_FILE" in msg or "FILE_NOT_EXIST" in msg
+            if not racy or attempt >= max_restarts:
+                raise
+            attempt += 1
+
+
 def read_serving(spark: SparkSession, serving_dir: str) -> DataFrame:
     """Read a hybrid serving table for queries: tombstone rows (op='DELETE',
     kept on disk so stale PUTs cannot resurrect deleted keys) are filtered
