@@ -127,6 +127,14 @@ def minhash_lsh_pairs(
             F.broadcast(big), ["band_idx", "h"], "left_anti"
         ).persist()
 
+    # Candidate generation stays the (band_idx, h) SELF-JOIN over the
+    # persisted band rows. The r10 optimization pass A/B-tested the
+    # one-exchange alternative (groupBy bucket + collect_list + row-local
+    # pair expansion): it was 1.7x SLOWER at sf0.1 — collect_list forces a
+    # non-codegen ObjectHashAggregate with object serialization between
+    # partial and final aggregation, losing more than the saved exchange
+    # of skinny (id, band, hash) rows (guide §1.1: the "ideal" plan lost
+    # to the gotcha; measured, reverted).
     a = exploded.alias("a")
     b_ = exploded.alias("b")
     cands = (
@@ -631,11 +639,25 @@ def fuzzy_key_pairs(
     d = int(max_subs)
     if d not in (1, 2):
         raise ValueError("fuzzy_key_pairs supports max_subs 1 or 2")
-    members = df.select(
-        F.col(id_col).alias("__id"), F.col(key_col).alias("__k")
-    ).distinct()  # exact duplicate (id, key) rows must not duplicate pairs
-    base = members.select("__k").distinct().select(
-        "__k", F.length("__k").alias("__len")
+    # members feeds FOUR downstream consumers (ma, mb, both sides of the
+    # same-key self-join) and base feeds both sides of the blocked
+    # candidate join: left lazy, each consumer re-ran the corpus scan and
+    # the distinct shuffle from scratch — the r10 before-plan showed SIX
+    # independent Scan+Exchange+HashAggregate(distinct) subtrees for ONE
+    # input (guide §2.4: remove shuffles outright). Eager localCheckpoints
+    # materialize each distinct once; blocks are RDD-scoped and reclaimed
+    # by the ContextCleaner when the result is dropped (the minhash
+    # discipline), so a long session accumulates no cached plans.
+    members = (
+        df.select(F.col(id_col).alias("__id"), F.col(key_col).alias("__k"))
+        .distinct()  # exact duplicate (id, key) rows must not duplicate pairs
+        .localCheckpoint(eager=True)
+    )
+    base = (
+        members.select("__k")
+        .distinct()
+        .select("__k", F.length("__k").alias("__len"))
+        .localCheckpoint(eager=True)
     )
     if d == 1:
         variants = F.expr(
@@ -663,19 +685,20 @@ def fuzzy_key_pairs(
     )
     a = blocked.select(F.col("__k").alias("ka"), F.col("__len").alias("__la"), "__block")
     b = blocked.select(F.col("__k").alias("kb"), F.col("__len").alias("__lb"), "__block")
-    # repartition after the distinct: AQE coalesces the small distinct
-    # output to a couple of partitions, which would run the per-character
-    # hamming verify below nearly serially (measured 8s vs 3.6s on 262k
-    # candidates); one cheap exchange of skinny (ka, kb) rows restores
-    # full parallelism for the expensive expression
     key_cand = (
         a.join(b, "__block")
         .filter((F.col("ka") < F.col("kb")) & (F.col("__la") == F.col("__lb")))
         .select("ka", "kb")
         .distinct()
     )
-    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    key_cand = key_cand.repartition(n_shuffle, "ka", "kb")
+    # No repartition after the distinct (r10): Catalyst pushes the
+    # deterministic dist filter below the distinct INTO the block join
+    # (the executed plan shows the levenshtein threshold as a join
+    # condition), so the expensive verify already runs at the join's full
+    # parallelism and the post-distinct work is one projection per
+    # surviving pair — the former "restore parallelism" exchange (added
+    # when the verify still ran post-distinct) bought a whole extra
+    # stage for nothing.
     if d == 1:
         # equal-length strings: hamming <= 1 <=> levenshtein <= 1 (an
         # insert+delete pair costs 2, so a lev-1 edit must be one
@@ -716,7 +739,10 @@ def fuzzy_key_pairs(
             F.greatest("__ida", "__idb").alias("id_b"),
             "dist",
         )
-        .distinct()
+        # no .distinct() here (r10): the final groupBy(id_a, id_b).min(dist)
+        # already collapses duplicate triples — the per-branch distinct was
+        # a full extra exchange of the same rows for an aggregation the
+        # tail performs anyway (min over a multiset == min over its set)
     )
     same = (
         members.alias("x")
@@ -963,33 +989,39 @@ def dup_clusters(
         .withColumn("cluster_id", F.col("id"))
         .persist()
     )
+    cached = labels  # the frame currently holding a cache entry
     for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        new_labels = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+        # __changed rides along in the update itself (new < old iff a
+        # neighbor's label undercuts ours), so convergence is read off the
+        # materialized frame — the former separate old-vs-new join ran one
+        # extra shuffle join per iteration just to ask "anything changed?"
+        # (guide §2.4; r10). Same label progression, same fixpoint.
+        new_full = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
             "id",
             F.least(
                 F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
             ).alias("cluster_id"),
+            (F.col("nmin").isNotNull() & (F.col("nmin") < F.col("cluster_id"))).alias(
+                "__changed"
+            ),
         )
         # every 3rd round, truncate the label lineage too — otherwise the
         # plan (and its analysis time) grows linearly with iterations
         if (i + 1) % 3 == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_full = new_full.localCheckpoint(eager=True)
         else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+            new_full = new_full.persist()
+        changed = new_full.filter(F.col("__changed")).limit(1).count()
+        cached.unpersist()
+        cached = new_full
+        labels = new_full.select("id", "cluster_id")
         if changed == 0:
             break
     else:
@@ -999,14 +1031,14 @@ def dup_clusters(
         # with no signal (code-review r4). Fail loudly; deep chains are
         # rare in dedup graphs (unions of near-cliques), so a raise means
         # either a pathological graph or a too-small max_iter.
-        labels.unpersist()
+        cached.unpersist()
         raise RuntimeError(
             f"dup_clusters did not converge within max_iter={max_iter} "
             "rounds — the duplicate graph has a component wider than "
             "max_iter hops; raise max_iter"
         )
     out = labels.localCheckpoint(eager=True)
-    labels.unpersist()
+    cached.unpersist()
     return out
 
 

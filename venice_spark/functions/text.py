@@ -31,6 +31,19 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(_c(col), r"\s+"), lambda t: t != F.lit(""))
 
 
+def _bind(expr: Column, f) -> Column:
+    """Evaluate `f(x)` with `x` — an expensive per-row expression — bound
+    ONCE: `expr` becomes the single element of a transient array and `f`
+    runs inside a `transform` lambda, so the engine evaluates `expr`
+    exactly once per row no matter how many times `f` references its
+    argument. Needed because higher-order-function subtrees are
+    CodegenFallback and defeat Catalyst's common-subexpression
+    elimination — the r10 before-plans showed quality_score re-running
+    split()+filter() ~12x per row (guide §1.2 per-task work). Float math
+    is unchanged: same operations, same order, evaluated once."""
+    return F.element_at(F.transform(F.array(expr), f), 1)
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
@@ -41,21 +54,28 @@ def char_count(col: Column | str) -> Column:
 
 def avg_token_len(col: Column | str) -> Column:
     """Mean token length in doubles (total non-space chars / token count);
-    0.0 for token-less text (ANSI divide-by-zero guard)."""
-    toks = tokens(col)
-    total = F.aggregate(toks, F.lit(0).cast("int"), lambda acc, t: acc + F.length(t))
-    return F.when(
-        F.size(toks) > 0, total.cast("double") / F.size(toks).cast("double")
-    ).otherwise(F.lit(0.0))
+    0.0 for token-less text (ANSI divide-by-zero guard). Tokenizes ONCE
+    (_bind); the former form re-split the text 3x per row."""
+    def _avg(t: Column) -> Column:
+        total = F.aggregate(t, F.lit(0).cast("int"), lambda acc, tk: acc + F.length(tk))
+        return F.when(
+            F.size(t) > 0, total.cast("double") / F.size(t).cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return _bind(tokens(col), _avg)
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Stopword-token share; tokenizes ONCE (_bind — was 3x per row)."""
     sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
-    toks = tokens(col)
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
-    return F.when(
-        F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")
-    ).otherwise(F.lit(0.0))
+
+    def _ratio(t: Column) -> Column:
+        hits = F.size(F.filter(t, lambda tk: F.array_contains(sw, F.lower(tk))))
+        return F.when(
+            F.size(t) > 0, hits.cast("double") / F.size(t).cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return _bind(tokens(col), _ratio)
 
 
 def punct_ratio(col: Column | str) -> Column:
@@ -73,14 +93,41 @@ def punct_ratio(col: Column | str) -> Column:
 def quality_score(col: Column | str) -> Column:
     """Composite heuristic in [0,1]: rewards stopword presence and sane token
     lengths, penalizes very short docs — the standard cheap pre-filter shape
-    for LLM corpus cleaning."""
-    n = token_count(col)
-    sw = stopword_ratio(col)
-    avg = avg_token_len(col)
-    len_ok = F.when(n >= 20, F.lit(1.0)).otherwise(n.cast("double") / F.lit(20.0))
-    sw_ok = F.least(sw * 4.0, F.lit(1.0))
-    avg_ok = F.when((avg >= 2.0) & (avg <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    return (len_ok * 0.4 + sw_ok * 0.4 + avg_ok * 0.2)
+    for LLM corpus cleaning.
+
+    Tokenizes and folds ONCE per row: the straightforward composition of
+    token_count/stopword_ratio/avg_token_len re-ran split()+filter() ~12x
+    and the length fold 2x per row (r10 before-plan; HOFs defeat CSE).
+    Two nested _binds: outer binds the token array, inner binds the
+    (n, total_len, stopword_hits) scalars, and the scoring arithmetic —
+    unchanged formulas, unchanged float order — runs on the bound struct."""
+    sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+
+    def _score(m: Column) -> Column:
+        n = m["n"]
+        sw = F.when(
+            n > 0, m["hits"].cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0))
+        avg = F.when(
+            n > 0, m["total"].cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0))
+        len_ok = F.when(n >= 20, F.lit(1.0)).otherwise(n.cast("double") / F.lit(20.0))
+        sw_ok = F.least(sw * 4.0, F.lit(1.0))
+        avg_ok = F.when((avg >= 2.0) & (avg <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+        return len_ok * 0.4 + sw_ok * 0.4 + avg_ok * 0.2
+
+    def _metrics(t: Column) -> Column:
+        return F.struct(
+            F.size(t).alias("n"),
+            F.aggregate(
+                t, F.lit(0).cast("int"), lambda acc, tk: acc + F.length(tk)
+            ).alias("total"),
+            F.size(
+                F.filter(t, lambda tk: F.array_contains(sw_arr, F.lower(tk)))
+            ).alias("hits"),
+        )
+
+    return _bind(tokens(col), lambda t: _bind(_metrics(t), _score))
 
 
 def lang_id(col: Column | str) -> Column:

@@ -2850,11 +2850,25 @@ def x_frame_dedup_gate(spark, sf_dir):
 
     media = docs.mapInPandas(synth, "media_id long, payload binary")
     hashes = frame_ahash(media, "payload", "media_id")
-    per_group = hashes.groupBy(
-        (F.col("media_id") % 8).alias("g"), "frame_idx"
-    ).agg(F.countDistinct("ahash").alias("nh"))
-    totals = hashes.agg(
-        F.count("*").alias("n_frames"), F.countDistinct("ahash").alias("n_hashes")
+    # ONE pass over the Python synth+decode chain: the former
+    # totals.crossJoin(groups) evaluated the mapInPandas subtree TWICE
+    # (once per aggregate branch — r10 measure-first finding). Aggregate
+    # to the tiny (g, frame_idx, ahash, cnt) base eagerly (≤ groups ×
+    # frames rows), then both aggregates read the checkpointed base:
+    # n_frames = Σcnt, n_hashes = distinct ahash, nh per (g, frame_idx) =
+    # base row count — identical values by construction.
+    base = (
+        hashes.groupBy(
+            (F.col("media_id") % 8).alias("g"), "frame_idx", "ahash"
+        )
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    per_group = base.groupBy("g", "frame_idx").agg(F.count("*").alias("nh"))
+    totals = base.agg(
+        # coalesce: sum over an EMPTY base is NULL where count(*) was 0
+        F.coalesce(F.sum("cnt"), F.lit(0).cast("bigint")).alias("n_frames"),
+        F.countDistinct("ahash").alias("n_hashes"),
     )
     groups = per_group.agg(
         F.count("*").alias("n_groups"), F.max("nh").alias("max_per_group")

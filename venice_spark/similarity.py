@@ -380,14 +380,32 @@ def lsh_table_buckets(
     the fold form beats the unrolled tree by ~15x at execution); Column
     inputs keep the object formulation."""
     if isinstance(vec_col, str):
-        tbl_exprs = []
-        for t in range(tables):
-            comps = [
-                f"IF({_plane_dot_sql(vec_col, plane)} > 0, {2 ** i}, 0)"
-                for i, plane in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t))
-            ]
-            tbl_exprs.append(" + ".join(comps))
-        return F.expr("array(" + ", ".join(tbl_exprs) + ")")
+        # ONE nested fold over a single literal plane tensor, not
+        # tables×planes separate aggregate/zip_with folds: the 128-fold
+        # form cost ~3s of DRIVER analysis per invocation (r10
+        # bench_profile: x_knn_join_lsh build=3.07s, 1 job — pure plan
+        # work), because the analyzer resolves every HOF lambda
+        # independently. Bit value parity: per plane the dot is the same
+        # zip_with/aggregate left-to-right fold over the same double
+        # literals; per table the bit sum folds in the same plane order
+        # (integer adds, shiftleft(1, i) == the former 2**i literal).
+        planes3 = ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{float(v)!r}D" for v in plane) + ")"
+                for plane in _hyperplanes(dim, n_planes, seed + 1000 * t)
+            )
+            + ")"
+            for t in range(tables)
+        )
+        v = _qident(vec_col)
+        return F.expr(
+            f"transform(array({planes3}), __tbl -> "
+            "aggregate(transform(__tbl, (__p, __i) -> "
+            f"IF(aggregate(zip_with({v}, __p, (x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) > 0, shiftleft(1, __i), 0)), "
+            "0, (a, b) -> a + b))"
+        )
     entries = []
     for t in range(tables):
         b = F.lit(0)
@@ -545,6 +563,31 @@ def _ivf_sims_sql(vec_col: str, centroids: list[list[float]]) -> list[str]:
     ]
 
 
+def _ivf_sims_arr_sql(vec_col: str, centroids: list[list[float]]) -> str:
+    """SQL string for the WHOLE sims array with the row's norm bound ONCE:
+    `transform(array(<sq>), s -> transform(array(<safe(s)>), nv ->
+    array(dot_0/nv, ...)))[1][1]`. The per-sim form (_ivf_sims_sql) embeds
+    the 64-element self-dot fold inside every sim (2x per centroid via the
+    IF guard) — n_centroids×2 norm folds per row where one suffices; at a
+    realistic 1k-list quantizer that is 2000 redundant d-element folds per
+    row (guide §1.2 per-task work; r10). Same float math, same fold order,
+    each dot and the sq fold evaluated exactly once."""
+    q = _qident(vec_col)
+    sq = (
+        f"aggregate(zip_with({q}, {q}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    dots = ", ".join(
+        f"(({_plane_dot_sql(vec_col, c)}) / __nv)" for c in ivf_normalized(centroids)
+    )
+    return (
+        f"element_at(transform(array({sq}), __sq -> "
+        "element_at(transform(array(IF(sqrt(__sq) > 0, sqrt(__sq), CAST(1.0 AS DOUBLE))), "
+        f"__nv -> array({dots})), 1)), 1)"
+    )
+
+
 def ivf_assign(vec_col: str, centroids: list[list[float]]):
     """Column: index of the nearest (max-cosine) centroid — the IVF list id.
     A free Column over `vec_col` (not bound to any frame); write the
@@ -556,8 +599,14 @@ def ivf_assign(vec_col: str, centroids: list[list[float]]):
     rows; 100 TB corpora want 1k-4k lists). Ties resolve to the FIRST
     list (first occurrence of the max); a NULL vector yields a NULL list
     id — an unindexable vector has no meaningful list."""
-    arr = "array(" + ", ".join(_ivf_sims_sql(vec_col, centroids)) + ")"
-    return F.expr(f"CAST(array_position({arr}, array_max({arr})) - 1 AS INT)")
+    # bind the sims array once (element_at/transform trick): the former
+    # `array_position({arr}, array_max({arr}))` embedded the whole
+    # n_centroids × d expression TWICE per row (r10)
+    arr = _ivf_sims_arr_sql(vec_col, centroids)
+    return F.expr(
+        f"element_at(transform(array({arr}), "
+        "__a -> CAST(array_position(__a, array_max(__a)) - 1 AS INT)), 1)"
+    )
 
 
 def ivf_normalized(centroids: list[list[float]]) -> list[list[float]]:
@@ -622,19 +671,22 @@ def ivf_probe_lists_col(vec_col: str, centroids: list[list[float]], nprobe: int)
     silently lose exact-duplicate pairs — code-review r4 continuation,
     reproduced.) Implemented as ascending sort on (-sim, id) structs; one
     parsed SQL string (see _ivf_sims_sql), linear in n_centroids."""
-    sims = _ivf_sims_sql(vec_col, centroids)
-    structs = ", ".join(
-        f"named_struct('s', -{s}, 'i', {i})" for i, s in enumerate(sims)
-    )
     # NULL/ragged vector -> all sims NULL; without the guard the all-tie
     # sort would fabricate probe lists [0..nprobe-1] and the join would
     # emit phantom NULL-cos neighbors for unindexable rows (code-review r4
     # continuation, reproduced). A NULL array explodes to no rows, which
     # excludes the row from blocking — matching the right side's
     # ivf_assign NULL filter and the oracle's sim IS NOT NULL.
+    # The sims array is bound ONCE (was: every sim expr duplicated into
+    # its named_struct AND sims[0] again for the guard — r10); the
+    # (x, i) transform index is 0-based, matching the former enumerate.
+    arr = _ivf_sims_arr_sql(vec_col, centroids)
     return F.expr(
-        f"IF({sims[0]} IS NULL, CAST(NULL AS ARRAY<INT>), "
-        f"transform(slice(array_sort(array({structs})), 1, {int(nprobe)}), x -> CAST(x.i AS INT)))"
+        f"element_at(transform(array({arr}), __a -> "
+        "IF(element_at(__a, 1) IS NULL, CAST(NULL AS ARRAY<INT>), "
+        "transform(slice(array_sort(transform(__a, (__x, __i) -> "
+        "named_struct('s', -__x, 'i', __i))), "
+        f"1, {int(nprobe)}), x -> CAST(x.i AS INT)))), 1)"
     )
 
 
