@@ -73,20 +73,28 @@ def cosine_similarity(field: Column | str, param: Sequence[float] | Column) -> C
         b = _lit_array(param)
         b_norm = F.lit(param_l2_norm(param))
     denom = F.sqrt(squared_l2_norm(a)) * b_norm
-    raw = _fold_sum(F.zip_with(a, b, lambda x, y: x * y)) / denom
+
     # denom > 0: a zero-norm vector (padding row, empty doc) makes 0/0,
     # which under Spark 4's default ANSI mode is not NaN but a
     # DIVIDE_BY_ZERO that aborts the whole job (code-review r4); cosine is
-    # undefined there, so it degrades to NULL like every other bad input
-    ok = (
-        a.isNotNull()
-        & b.isNotNull()
-        & (F.size(a) > 0)
-        & (F.size(b) > 0)
-        & (F.size(a) == F.size(b))
-        & (denom > 0)
-    )
-    return F.when(ok, raw)
+    # undefined there, so it degrades to NULL like every other bad input.
+    # The norm product is BOUND ONCE (text._bind — r10): it appeared in
+    # both the guard and the value, so the d-element self-norm fold ran
+    # twice per row — on every candidate pair of the kNN rescore tails.
+    def _guarded(d: Column) -> Column:
+        ok = (
+            a.isNotNull()
+            & b.isNotNull()
+            & (F.size(a) > 0)
+            & (F.size(b) > 0)
+            & (F.size(a) == F.size(b))
+            & (d > 0)
+        )
+        return F.when(ok, _fold_sum(F.zip_with(a, b, lambda x, y: x * y)) / d)
+
+    from venice_spark.functions.text import _bind
+
+    return _bind(denom, _guarded)
 
 
 def param_l2_norm(param: Sequence[float]) -> float:

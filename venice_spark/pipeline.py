@@ -523,6 +523,13 @@ def tfidf_top_terms(
     volume ≈ k rows per doc per input partition). Scores rounded so the
     distributed float product is engine/order-independent."""
     toks = df.select(F.col(id_col), F.explode(TX.tokens(text_col)).alias("tok"))
+    # tf stays LAZY although it feeds three consumers (dfreq, the score
+    # join's left side, and dfreq's probe): the r10 pass A/B-tested an
+    # eager localCheckpoint of tf and it was ~10% SLOWER at sf0.1 — the
+    # blocking materialization serializes a pipeline whose redundant
+    # subtree evaluations otherwise overlap on idle cores, and unlike
+    # bigram_logprob's frames (which sit behind a join) tf is one cheap
+    # partial-agg off the scan. Measured, reverted (guide §1.1).
     tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").cast("double").alias("n_docs"))

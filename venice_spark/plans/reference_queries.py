@@ -1386,14 +1386,41 @@ def x_training_pipeline(spark, sf_dir):
     from venice_spark.functions import text as TX
 
     df = _t(spark, sf_dir, "documents")
-    qual = df.filter(
-        TX.token_count("text").between(5, 100000)
-        & (TX.stopword_ratio("text") >= 0.05)
-    ).select(
-        "doc_id",
-        "lang",
-        TX.token_count("text").alias("n_tokens"),
-        TX.fingerprint("text").alias("fingerprint"),
+    # Tokenize ONCE per row (r10): filter + select evaluated the
+    # split()+filter() tokenizer three times per row (token_count in the
+    # predicate, stopword_ratio's own pass, token_count again in the
+    # projection). The explode of a 1-element struct array is a Generate
+    # barrier Catalyst cannot collapse, so the quality gate and the
+    # n_tokens projection read attribute fields instead of re-deriving
+    # the chain; the fingerprint md5 stays AFTER the filter (survivors
+    # only). Same predicate on the same values — oracle-checked.
+    from venice_spark.functions.text import STOPWORDS
+
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    metrics = F.explode(
+        F.transform(
+            F.array(TX.tokens("text")),
+            lambda t: F.struct(
+                F.size(t).alias("n"),
+                F.size(
+                    F.filter(t, lambda tk: F.array_contains(sw, F.lower(tk)))
+                ).alias("hits"),
+            ),
+        )
+    )
+    stop_ratio = F.when(
+        F.col("__m.n") > 0,
+        F.col("__m.hits").cast("double") / F.col("__m.n").cast("double"),
+    ).otherwise(F.lit(0.0))
+    qual = (
+        df.select("doc_id", "lang", "text", metrics.alias("__m"))
+        .filter(F.col("__m.n").between(5, 100000) & (stop_ratio >= 0.05))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("__m.n").alias("n_tokens"),
+            TX.fingerprint("text").alias("fingerprint"),
+        )
     )
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     return (

@@ -429,6 +429,15 @@ class BatchPushJob:
         codec = {"no_op": "none", "gzip": "gzip", "zstd": "zstd"}[
             str(meta.config.get("compression", "zstd")).lower()
         ]
+        # manifest row count observed ON the write job (CollectMetrics)
+        # instead of a post-write `written.count()` pass — one less job per
+        # push, and at scale one less listing+footer sweep of the version
+        # dir (guide §1.4 territory: don't re-run a pass to learn what the
+        # pass you just ran already knew)
+        from pyspark.sql import Observation
+
+        push_obs = Observation("push_rows")
+        out = out.observe(push_obs, F.count(F.lit(1)).alias("rows"))
         writer = out.write.mode("overwrite").option("compression", codec)
         # Store config `bloom_filter=True`: write parquet bloom filters on
         # the key columns — the RocksDB-bloom parity for point-get-heavy
@@ -451,7 +460,7 @@ class BatchPushJob:
             for view in views or []:
                 view.write(self.catalog, store, version, written)
 
-            rows = written.count()
+            rows = int(push_obs.get["rows"])
         finally:
             # the quota/conflict persists must never outlive the push — a
             # DuplicateKeyError/validation/write failure above would
@@ -1057,7 +1066,7 @@ def _append_delta_slot(
     if cur <= 0:
         raise ValueError(f"store {store!r} has no current version to delta onto")
 
-    def _stage(layout: tuple) -> str:
+    def _stage(layout: tuple) -> tuple:
         # the delta MUST share the BASE version's full layout (modulus
         # AND partitioner hash — code-review r4 extended ADVICE r3's
         # count check): the resolve view groups on (partition_id, key),
@@ -1067,14 +1076,18 @@ def _append_delta_slot(
         s = os.path.join(
             catalog.store_dir(store), f"_delta_staging-{uuid.uuid4().hex}"
         )
+        from pyspark.sql import Observation
+
+        obs = Observation()
         o = repartition_and_sort(delta, key_fields, n_parts, base_md5p)
+        o = o.observe(obs, F.count(F.lit(1)).alias("rows"))
         o.write.mode("overwrite").partitionBy("partition_id").parquet(s)
         _fix_empty_partitioned_dir(o, s)
-        return s
+        # row count observed on the write job itself — no re-read pass
+        return s, int(obs.get["rows"])
 
     staged_layout = _version_layout(catalog, store, cur, meta)
-    staging = _stage(staged_layout)
-    rows = spark.read.parquet(staging).count()
+    staging, rows = _stage(staged_layout)
     with catalog._locked(store):
         # re-resolve the CURRENT version under the lock: the staging
         # write can take minutes, and a concurrent compact/eager/batch
@@ -1091,7 +1104,7 @@ def _append_delta_slot(
             import shutil as _sh
 
             _sh.rmtree(staging, ignore_errors=True)
-            staging = _stage(target_layout)
+            staging, rows = _stage(target_layout)
         existing = catalog.list_delta_dirs(store, cur)
         k = (
             max(int(os.path.basename(d)[1:]) for d in existing) + 1
@@ -1174,11 +1187,15 @@ def incremental_push(
     merged = survivors.unionByName(inserts, allowMissingColumns=True)
     version = catalog.begin_version(store)
     path = catalog.version_dir(store, version)
+    from pyspark.sql import Observation
+
+    obs = Observation()
     out = repartition_and_sort(merged, key_fields, meta.partition_count, md5p)
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
     out.write.mode("overwrite").partitionBy("partition_id").parquet(path)
     _fix_empty_partitioned_dir(out, path)
     written = spark.read.parquet(path)
-    rows = written.count()
+    rows = int(obs.get["rows"])  # observed on the write job — no re-read pass
     # declared views ride every write path (rebuilt from the files just
     # written — see maintain_views for why a delta-incremental variant
     # loses; a delta that should not pay a view rewrite belongs in the
@@ -1285,11 +1302,15 @@ def compact_store(spark: SparkSession, catalog: StoreCatalog, store: str) -> Pus
     version = catalog.begin_version(store)
     path = catalog.version_dir(store, version)
     md5p = bool(meta.config.get("md5_parity", False))
+    from pyspark.sql import Observation
+
+    obs = Observation()
     out = repartition_and_sort(resolved, meta.key_fields, meta.partition_count, md5p)
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
     out.write.mode("overwrite").partitionBy("partition_id").parquet(path)
     _fix_empty_partitioned_dir(out, path)
     written = spark.read.parquet(path)
-    rows = written.count()
+    rows = int(obs.get["rows"])  # observed on the write job — no re-read pass
     # compaction folds an unbounded delta log, so declared views rebuild
     # from the compacted files (no small-delta assumption to exploit)
     maintain_views(spark, catalog, store, version, written)
