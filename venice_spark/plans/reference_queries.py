@@ -541,11 +541,35 @@ def x_text_quality(spark, sf_dir):
     from venice_spark.functions import text as TX
 
     df = _t(spark, sf_dir, "documents")
+    # tokenize ONCE per row (r10): token_count and stopword_ratio each ran
+    # their own split()+filter() chain; the 1-element explode is a Generate
+    # barrier, so both outputs read fields of the same materialized struct
+    from venice_spark.functions.text import STOPWORDS
+
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    metrics = F.explode(
+        F.transform(
+            F.array(TX.tokens("text")),
+            lambda t: F.struct(
+                F.size(t).alias("n"),
+                F.size(
+                    F.filter(t, lambda tk: F.array_contains(sw, F.lower(tk)))
+                ).alias("hits"),
+            ),
+        )
+    )
     return df.select(
+        "doc_id", TX.char_count("text").alias("n_chars"), metrics.alias("__m")
+    ).select(
         "doc_id",
-        TX.char_count("text").alias("n_chars"),
-        TX.token_count("text").alias("n_tokens"),
-        TX.stopword_ratio("text").alias("stop_ratio"),
+        "n_chars",
+        F.col("__m.n").alias("n_tokens"),
+        F.when(
+            F.col("__m.n") > 0,
+            F.col("__m.hits").cast("double") / F.col("__m.n").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("stop_ratio"),
     )
 
 
