@@ -384,3 +384,22 @@ def test_rt_migrated_serve_rank_limits_and_prunes_columns(spark, sf_dir):
     for seg in plan.split("ReadSchema: ")[1:]:
         schema = seg.split("\n", 1)[0]
         assert "o_comment" not in schema and "c_comment" not in schema, schema
+
+
+def test_corpus_gate_tokenizes_once(spark, sf_dir):
+    """The stage-1 quality gate must tokenize ONCE per row (r10): the
+    (n, hits) struct rides a gate_metrics Generate barrier and the
+    predicate + n_tokens projection read its fields — the composed
+    token_count/stopword_ratio form ran split()+filter() 3x per row
+    (_bind fuses within one expression, not across the filter/project
+    boundary). Pin: exactly one split() in the whole default-config plan
+    (the gate's own, inside its Generate) for BOTH the batch and the
+    nearline edition; fingerprint/dedup contribute none."""
+    from venice_spark.pipeline import prepare_corpus
+    from venice_spark.streaming.corpus import streaming_corpus_prep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (prepare_corpus(docs), streaming_corpus_prep(docs, dedup=False)):
+        plan = _plan(df)
+        assert plan.count("split(") == 1, plan
+        assert "Generate" in plan, plan

@@ -78,6 +78,41 @@ def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Col
     return _bind(tokens(col), _ratio)
 
 
+def gate_metrics(col: Column | str) -> Column:
+    """Generator column for the tokenize-once quality gate: explodes a
+    1-element array into one (n, hits) struct row per input row — n =
+    token_count, hits = default-STOPWORDS matches. The explode's Generate
+    node is a barrier Catalyst cannot collapse projections through, so a
+    filter predicate AND a downstream n_tokens projection read fields of
+    ONE materialized token pass instead of re-running split()+filter() per
+    reference (_bind fuses within one expression; this fuses ACROSS the
+    filter/project boundary — the composite gate still ran the tokenizer
+    3x per row, r10). Attach via select("*", gate_metrics(c).alias(x));
+    always yields exactly one row per input row (the array is never
+    empty); NULL text propagates NULL struct fields exactly like the
+    unfused size(tokens())."""
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.explode(
+        F.transform(
+            F.array(tokens(col)),
+            lambda t: F.struct(
+                F.size(t).alias("n"),
+                F.size(
+                    F.filter(t, lambda tk: F.array_contains(sw, F.lower(tk)))
+                ).alias("hits"),
+            ),
+        )
+    )
+
+
+def gate_stop_ratio(m: Column) -> Column:
+    """stopword_ratio recomputed from a gate_metrics struct — identical
+    formula and float order (hits/n as doubles, 0.0 when token-less)."""
+    return F.when(
+        m["n"] > 0, m["hits"].cast("double") / m["n"].cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 def punct_ratio(col: Column | str) -> Column:
     """Punctuation chars / total chars; 0.0 for the empty string (under
     default ANSI mode the unguarded 0/0 is a job-aborting DIVIDE_BY_ZERO,

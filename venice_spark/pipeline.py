@@ -108,9 +108,15 @@ def prepare_corpus(
             .withColumnRenamed("clean_text", text_col)
         )
 
-    # 1. quality filter — narrow, no shuffle
-    pred = TX.token_count(text_col).between(cfg.min_tokens, cfg.max_tokens) & (
-        TX.stopword_ratio(text_col) >= cfg.min_stopword_ratio
+    # 1. quality filter — narrow, no shuffle; tokenize ONCE per row: the
+    # (n, hits) struct rides a gate_metrics Generate barrier so the
+    # token_count/stopword_ratio predicate AND the n_tokens projection
+    # share one tokenizer pass (the composed form ran split()+filter() 3x
+    # per row — r10, guide §1.2)
+    gated = df.select("*", TX.gate_metrics(text_col).alias("__gate_m"))
+    m = F.col("__gate_m")
+    pred = m["n"].between(cfg.min_tokens, cfg.max_tokens) & (
+        TX.gate_stop_ratio(m) >= cfg.min_stopword_ratio
     )
     if cfg.max_dup_line_frac is not None:
         pred = pred & (TX.dup_line_fraction(text_col) <= cfg.max_dup_line_frac)
@@ -120,7 +126,7 @@ def prepare_corpus(
         pred = pred & (
             TX.blocklist_hits(text_col, cfg.blocklist_terms) <= cfg.blocklist_max_hits
         )
-    qual = df.filter(pred).withColumn("n_tokens", TX.token_count(text_col))
+    qual = gated.filter(pred).withColumn("n_tokens", m["n"]).drop("__gate_m")
 
     # 2. exact dedup — keep lowest id per fingerprint (one shuffle)
     from pyspark.sql import Window

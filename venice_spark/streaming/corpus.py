@@ -58,8 +58,14 @@ def streaming_corpus_prep(
 
     Adds `n_tokens`. Returns the surviving rows with input columns.
     """
-    pred = TX.token_count(text_col).between(min_tokens, max_tokens) & (
-        TX.stopword_ratio(text_col) >= min_stopword_ratio
+    # tokenize ONCE per row (r10, same shape as prepare_corpus): the
+    # (n, hits) struct rides a gate_metrics Generate barrier (explode is
+    # stateless, so it is stream-safe) and the predicate + n_tokens
+    # projection read its fields instead of re-running the tokenizer 3x
+    gated = stream.select("*", TX.gate_metrics(text_col).alias("__gate_m"))
+    m = F.col("__gate_m")
+    pred = m["n"].between(min_tokens, max_tokens) & (
+        TX.gate_stop_ratio(m) >= min_stopword_ratio
     )
     if max_dup_line_frac is not None:
         pred = pred & (TX.dup_line_fraction(text_col) <= max_dup_line_frac)
@@ -67,7 +73,7 @@ def streaming_corpus_prep(
         pred = pred & (TX.top_bigram_fraction(text_col) <= max_top_bigram_frac)
     if extra_gate is not None:
         pred = pred & extra_gate
-    out = stream.filter(pred).withColumn("n_tokens", TX.token_count(text_col))
+    out = gated.filter(pred).withColumn("n_tokens", m["n"]).drop("__gate_m")
 
     if not dedup:
         return out
