@@ -89,6 +89,7 @@ HEADLINE = [
     "x_evolved_serve",
     "x_promoted_serve",
     "x_cast_promoted_serve",
+    "x_rt_migrated_serve",
 ]
 
 # round-3 steady-state seconds × 1.5 headroom at sf0.1/local[32]; the
@@ -100,6 +101,7 @@ BUDGET_SEC = {
     "x_evolved_serve": 2.0,  # r7 steady 1.3s x 1.5 (two key windows: latest-order rank + serve resolve)
     "x_promoted_serve": 2.0,  # r8 steady 1.0-1.2s x 1.5 (same two-window shape, widening casts fold into the scan projection)
     "x_cast_promoted_serve": 2.0,  # r9: same two-window shape as x_promoted_serve, Avro-target cast folds into the projection
+    "x_rt_migrated_serve": 2.0,  # r10 known-good 1.1s quiet min (three-generation latest-wins fold; one window + one partial agg, all casts JVM)
     "r1_store_point_get": 0.5,
     "r2_store_batch_get": 1.5,
     "r2_batch_get": 0.8,
