@@ -261,13 +261,23 @@ def decontaminate_spans(
     the whitespace-normalized original).
 
     Scale shape: both sides explode to (pos, window) rows keyed by xxhash64
-    of the window text (8-byte shuffle keys); the eval window set is
+    of the token-hash slice (8-byte shuffle keys); the eval window set is
     distinct-collapsed and typically broadcast-small (benchmarks are
     thousands of docs), so the train side joins without shuffling payloads;
-    coverage merging and span cutting are row-local folds — same kernels as
-    dup_ngram_spans (dedup._span_report/_cut_spans)."""
+    coverage merging and span cutting are row-local folds.
+
+    FUSED shape (r10): the per-doc starts join LEFT onto train directly
+    and n_tokens + clean_text read ONE tokenize pass behind a Generate
+    barrier (the gate_metrics trick) — versus the old
+    train ⋈ (toks ⋈ per_doc) chain that scanned the corpus three times,
+    tokenized it three times (toks' n, the window explode, _cut_spans) and
+    shuffled the text payload through an extra id join. Measured 0.84x at
+    sf0.1 with exact output parity; at scale it removes one full corpus
+    scan + tokenize and one payload shuffle. When train already carries a
+    `contam_starts` column (re-decontamination of a report frame) the
+    historical join path is kept verbatim — its keep-train's-columns
+    semantics, including cutting on TRAIN's starts, are contract."""
     w = int(window)
-    toks, wins = DD._token_windows(train, text_col, id_col, w, hash_windows)
     # the eval id is never used (only its window set) — synthesize one so
     # text-only benchmark frames work, like sibling decontaminate
     ev = eval_df.select(
@@ -275,14 +285,77 @@ def decontaminate_spans(
     ).withColumn("__eid", F.monotonically_increasing_id())
     _, ewins = DD._token_windows(ev, "__etext", "__eid", w, hash_windows)
     bad = ewins.select("win").distinct()
+    if "contam_starts" in train.columns:
+        toks, wins = DD._token_windows(train, text_col, id_col, w, hash_windows)
+        hits = wins.join(F.broadcast(bad), "win", "left_semi")
+        report = DD._span_report(toks, hits, id_col, w, "contam_starts", "contam_frac")
+        # keep train's columns on name collision — a duplicate column would
+        # make every later select AMBIGUOUS_REFERENCE
+        rep_cols = [c for c in report.columns if c == id_col or c not in train.columns]
+        out = train.join(report.select(*rep_cols), id_col)
+        return out.withColumn("clean_text", DD._cut_spans(text_col, "contam_starts", w))
+    _, wins = DD._token_windows(train, text_col, id_col, w, hash_windows)
     hits = wins.join(F.broadcast(bad), "win", "left_semi")
-    report = DD._span_report(toks, hits, id_col, w, "contam_starts", "contam_frac")
-    # the report carries n_tokens/covered for standalone use; when train
-    # already has same-named columns (prepare_corpus output), keep train's —
-    # a duplicate column would make every later select AMBIGUOUS_REFERENCE
-    rep_cols = [c for c in report.columns if c == id_col or c not in train.columns]
-    out = train.join(report.select(*rep_cols), id_col)
-    return out.withColumn("clean_text", DD._cut_spans(text_col, "contam_starts", w))
+    per_doc = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("contam_starts")
+    )
+    merged = train.join(per_doc, id_col, "left").withColumn(
+        "contam_starts",
+        F.coalesce(F.col("contam_starts"), F.array().cast("array<int>")),
+    )
+    # ONE tokenize per row: (n, clean) struct behind the explode's Generate
+    # barrier; the interval-membership cut is _cut_spans' exists form with
+    # the token array now a bound lambda variable instead of a re-split
+    tc = F.explode(
+        F.transform(
+            F.array(TX.tokens(F.col(text_col))),
+            lambda t: F.struct(
+                F.size(t).alias("n"),
+                F.concat_ws(
+                    " ",
+                    F.filter(
+                        t,
+                        lambda tok, i: ~F.exists(
+                            F.col("contam_starts"),
+                            lambda s: (i >= s) & (i < s + F.lit(w)),
+                        ),
+                    ),
+                ).alias("clean"),
+            ),
+        )
+    )
+    withm = merged.select("*", tc.alias("__tc"))
+    # same merged-interval fold as dedup._span_report (identical math/order)
+    cov = F.aggregate(
+        "contam_starts",
+        F.struct(
+            F.lit(-(10**9)).cast("long").alias("end"),
+            F.lit(0).cast("long").alias("cov"),
+        ),
+        lambda acc, s: F.struct(
+            F.greatest(acc["end"], s.cast("long") + w).alias("end"),
+            (
+                acc["cov"]
+                + w
+                - F.greatest(F.lit(0).cast("long"), acc["end"] - s.cast("long"))
+            ).alias("cov"),
+        ),
+        lambda acc: acc["cov"],
+    )
+    withm = withm.withColumn("__cov", cov).withColumn(
+        "__frac",
+        F.round(F.col("__cov") / F.greatest(F.col("__tc")["n"], F.lit(1)), 5),
+    )
+    proj = [F.col(c) for c in train.columns]
+    if "n_tokens" not in train.columns:
+        proj.append(F.col("__tc")["n"].alias("n_tokens"))
+    proj.append(F.col("contam_starts"))
+    if "covered" not in train.columns:
+        proj.append(F.col("__cov").alias("covered"))
+    if "contam_frac" not in train.columns:
+        proj.append(F.col("__frac").alias("contam_frac"))
+    out = withm.select(*proj, F.col("__tc")["clean"].alias("__clean"))
+    return out.withColumn("clean_text", F.col("__clean")).drop("__clean")
 
 
 def stratified_sample(
