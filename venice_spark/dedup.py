@@ -39,6 +39,23 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(target, F.col(key))
 
 
+def _jaccard(sh_a: str, sh_b: str) -> F.Column:
+    """Exact jaccard of two DISTINCT-element shingle arrays without
+    building the union array: |a ∪ b| = |a| + |b| - |a ∩ b| holds exactly
+    because TX.shingles is array_distinct'd (and the short-doc arm is a
+    single element), so the division inputs are the same integers the
+    size(array_union) form produced — identical doubles, oracle-checked.
+    The intersection size is bound once (_bind: HOF/array subtrees get no
+    CSE); the two array-length reads are O(1). Saves one hash-set pass +
+    one union-array allocation per candidate pair — the per-pair kernel
+    of every near-dup verify stage."""
+    return TX._bind(
+        F.size(F.array_intersect(sh_a, sh_b)),
+        lambda inter: inter.cast("double")
+        / (F.size(sh_a) + F.size(sh_b) - inter).cast("double"),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Groups of identical (normalized) documents: fingerprint, canonical id
     (min), duplicate count. Survivors = rows where id == canonical_id.
@@ -151,11 +168,7 @@ def minhash_lsh_pairs(
     j = (
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-        )
+        .withColumn("jaccard", _jaccard("sh_a", "sh_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -312,11 +325,7 @@ def minhash_pairs_vs_history(
             "new_id",
         )
         .join(hist_sh, "hist_id")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-        )
+        .withColumn("jaccard", _jaccard("sh_a", "sh_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "hist_id", "jaccard")
         .localCheckpoint(eager=True)
@@ -340,11 +349,7 @@ def ngram_jaccard(
             sh.withColumnsRenamed({id_col: "id_a", "__sh": "sh_a"}), "id_a"
         )
         .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "sh_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-        )
+        .withColumn("jaccard", _jaccard("sh_a", "sh_b"))
         .select("id_a", "id_b", "jaccard")
     )
 
