@@ -652,23 +652,30 @@ def drop_common_lines(
     removed from every document; remaining lines rejoin in original order
     as `clean_text`.
 
-    Plan: posexplode lines -> countDistinct(doc) per line (partial-agg
-    before one shuffle on the line) -> anti-join survivors -> per-doc
-    positional reassembly (sort_array over (pos, line) structs — row-local).
-    At 100 TB key the join on xxhash64(line) instead of the line text, the
-    same 8-byte-key trade as dup_ngram_spans."""
+    Plan: posexplode lines -> countDistinct(doc) per xxhash64(line)
+    (partial-agg before one shuffle of 8-byte keys — the dup_ngram_spans
+    trade, realized here in r10: the count-distinct's TWO exchanges
+    carried full line text; line strings now never shuffle, only the
+    rebuild's own per-doc reassembly moves text) -> anti-join survivors
+    on the hash (broadcast; a collision can only drop an extra line,
+    ~n²/2^65 like every hashed key in this module) -> per-doc positional
+    reassembly (sort_array over (pos, line) structs — row-local).
+    Local wash at sf0.1 (scan-bound, 0.99x interleaved); exact output
+    parity verified."""
     lx = df.select(
         F.col(id_col), F.posexplode(TX.lines(text_col)).alias("pos", "line")
     )
     common = (
         lx.filter(F.length("line") >= min_line_chars)
-        .groupBy("line")
+        .select(F.xxhash64("line").alias("__lh"), id_col)
+        .groupBy("__lh")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
         .filter(F.col("nd") >= min_doc_count)
-        .select("line")
+        .select("__lh")
     )
     rebuilt = (
-        lx.join(common, "line", "left_anti")
+        lx.withColumn("__lh", F.xxhash64("line"))
+        .join(common, "__lh", "left_anti")
         .groupBy(id_col)
         .agg(
             F.array_join(
