@@ -188,8 +188,15 @@ def ngrams(col: Column | str, n: int) -> Column:
 
     Built from n shifted slices zipped together, NOT per-index element_at —
     an element_at lambda re-evaluates the tokenizer expression per element
-    (~150x per row; measured ~20x slower end-to-end)."""
-    toks = tokens(col)
+    (~150x per row; measured ~20x slower end-to-end). The token array is
+    bound ONCE (_bind): the shifted-slice form references it n+2 times and
+    each reference used to re-run the split()+filter() tokenizer."""
+    return _bind(tokens(col), lambda toks: _ngrams_of(toks, n))
+
+
+def _ngrams_of(toks: Column, n: int) -> Column:
+    """`ngrams` over an already-bound token array (a lambda variable —
+    re-references are free, unlike re-references to a HOF subtree)."""
     cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.slice(toks, 1, cnt)
     for j in range(1, n):
@@ -202,10 +209,14 @@ def ngrams(col: Column | str, n: int) -> Column:
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Token n-gram shingles (distinct), the MinHash input unit; a doc
-    shorter than n tokens contributes its whole text as one shingle."""
-    toks = tokens(col)
-    return F.when(F.size(toks) >= n, F.array_distinct(ngrams(col, n))).otherwise(
-        F.array(F.concat_ws(" ", toks))
+    shorter than n tokens contributes its whole text as one shingle.
+    Tokenizes ONCE (_bind) — the former form re-ran the tokenizer ~6x per
+    row (2 direct references + ngrams' internal ones)."""
+    return _bind(
+        tokens(col),
+        lambda toks: F.when(
+            F.size(toks) >= n, F.array_distinct(_ngrams_of(toks, n))
+        ).otherwise(F.array(F.concat_ws(" ", toks))),
     )
 
 
@@ -286,11 +297,15 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> list[Column]
 
 def simhash(col: Column | str, bits: int = 16) -> Column:
     """SimHash over whitespace tokens: per-bit majority vote of token hashes,
-    packed into a bigint. Pure expression (fold over tokens)."""
-    toks = tokens(col)
+    packed into a bigint. Pure expression (fold over tokens). The hashed
+    token array is bound ONCE (_bind): the per-bit loop references it
+    `bits` times and each reference used to re-run tokenize + per-token
+    md5 — 16x the hashing work per row at the default width."""
     hashed = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+        tokens(col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
     )
+
     def _vote_fn(b: int):
         # closure factory: pyspark introspects lambda arity, so a `b=b`
         # default parameter is misread as a 3-arg merge function
@@ -298,11 +313,16 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    out = F.lit(0).cast("bigint")
-    for b in range(bits):
-        votes = F.aggregate(hashed, F.lit(0).cast("int"), _vote_fn(b))
-        out = out + F.when(votes >= 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0))
-    return out
+    def _pack(hs: Column) -> Column:
+        out = F.lit(0).cast("bigint")
+        for b in range(bits):
+            votes = F.aggregate(hs, F.lit(0).cast("int"), _vote_fn(b))
+            out = out + F.when(votes >= 0, F.lit(2**b).cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        return out
+
+    return _bind(hashed, _pack)
 
 
 def lines(col: Column | str) -> Column:
@@ -315,11 +335,17 @@ def dup_line_fraction(col: Column | str) -> Column:
     """Fraction of non-empty lines that are repeats of an earlier line —
     the Gopher-style repetition signal (boilerplate, chat logs, scraped
     nav bars). Pure per-row expression: 1 - distinct/total, 0 for docs
-    with <2 lines."""
-    ls = lines(col)
-    n = F.size(ls)
-    frac = F.lit(1.0) - F.size(F.array_distinct(ls)).cast("double") / n.cast("double")
-    return F.when(n >= 2, frac).otherwise(F.lit(0.0))
+    with <2 lines. The line array is bound ONCE (_bind); the former form
+    re-ran the split+trim+filter chain 3x per row."""
+
+    def _f(ls: Column) -> Column:
+        n = F.size(ls)
+        frac = (
+            F.lit(1.0) - F.size(F.array_distinct(ls)).cast("double") / n.cast("double")
+        )
+        return F.when(n >= 2, frac).otherwise(F.lit(0.0))
+
+    return _bind(lines(col), _f)
 
 
 def bigrams(col: Column | str) -> Column:
@@ -335,8 +361,9 @@ def top_bigram_fraction(col: Column | str) -> Column:
 
     The denominator is arithmetic on the token count, NOT size(grams) — a
     second reference to the gram array would re-evaluate the whole
-    tokenize+zip+sort chain (measured 1.5s -> 0.9s at sf0.1)."""
-    grams = F.array_sort(bigrams(col))
+    tokenize+zip+sort chain (measured 1.5s -> 0.9s at sf0.1). The token
+    array itself is bound ONCE (_bind) so the gram build and the
+    denominator share one tokenizer pass."""
     acc0 = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
@@ -347,11 +374,15 @@ def top_bigram_fraction(col: Column | str) -> Column:
             g.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
         )
 
-    best = F.aggregate(grams, acc0, _step, lambda acc: acc["best"])
-    n = F.greatest(F.size(tokens(col)) - 1, F.lit(0))
-    return F.when(
-        n > 0, best.cast("double") / n.cast("double")
-    ).otherwise(F.lit(0.0))
+    def _tbf(toks: Column) -> Column:
+        grams = F.array_sort(_ngrams_of(toks, 2))
+        best = F.aggregate(grams, acc0, _step, lambda acc: acc["best"])
+        n = F.greatest(F.size(toks) - 1, F.lit(0))
+        return F.when(n > 0, best.cast("double") / n.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    return _bind(tokens(col), _tbf)
 
 
 # PII patterns kept to the Java-regex ∩ RE2 common subset so the same
