@@ -948,6 +948,40 @@ def test_cdc_chunk_dedup_is_shift_robust(spark):
     assert e["dup_chunks"] == 0
 
 
+def test_pq_encode_batch_matches_row_loop(spark, sf_dir):
+    """The r10 whole-batch-GEMM encode (one (n,sub)@(sub,k) matmul per
+    subspace per Arrow batch, guide §4.2) emits codes IDENTICAL to the
+    per-row matvec form it replaced: np.argmin(axis=1) takes the FIRST
+    minimum exactly like the row-local argmin, over the same
+    ||c||² - 2x·c doubles. Pinned on the real corpus with the exact
+    codebooks the declared queries train (verified 0/6000 drift across
+    all three SFs at optimization time; dgemm-vs-dgemv rounding can
+    diverge only on adversarial near-tie grids no embedding corpus
+    produces — and there the older squared-difference pytest reference
+    drifts identically)."""
+    import numpy as np
+
+    from venice_spark.similarity import pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, "embedding", m=16, k=16, sample_fraction=1.0, seed=7)
+    got = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", pq_encode("embedding", books).alias("c")
+        ).collect()
+    }
+    nb = [np.array(b, dtype=np.float64) for b in books]
+    sub = nb[0].shape[1]
+    for r in emb.select("vec_id", "embedding").collect():
+        a = np.asarray(r["embedding"], dtype=np.float64)
+        want = [
+            int(((cb * cb).sum(axis=1) - 2.0 * (cb @ a[s * sub : (s + 1) * sub])).argmin())
+            for s, cb in enumerate(nb)
+        ]
+        assert got[r["vec_id"]] == want
+
+
 def test_pq_topk_never_returns_null_coded_rows(spark, sf_dir):
     """Null embeddings encode to null codes and NULL ADC distances;
     ascending sort is NULLS FIRST in Spark, so without the explicit guard

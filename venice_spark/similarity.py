@@ -909,30 +909,48 @@ def pq_encode(vec_col: str, codebooks: list[list[list[float]]]):
 
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
+    m = len(books)
+    # ||x-c||² = ||c||² - 2x·c + const(x): the centroid self-norms are
+    # batch-invariant, computed once per task
+    csq = [(cb * cb).sum(axis=1) for cb in books]
 
-    expected_dim = len(books) * sub
+    expected_dim = m * sub
 
     @pandas_udf("array<int>")
     def enc(v: pd.Series) -> pd.Series:
-        def one(vec):
-            if vec is None:
-                return None
-            a = np.asarray(vec, dtype=np.float64)
-            if a.shape[0] != expected_dim:
-                # mixed embedding versions: a short vector would crash the
-                # matmul (killing the ingest job) and a long one would
-                # silently truncate to wrong codes — both degrade to a null
-                # code like null vectors do (code-review r4)
-                return None
-            codes = []
+        # Whole-batch GEMM per subspace (guide §4.2), not a per-row Python
+        # loop of m matvecs: rows stack into one (n, d) matrix, each
+        # subspace runs ONE (n, sub) @ (sub, k) matmul and a vectorized
+        # argmin. Per-row Python is reduced to collecting the (rare)
+        # valid-row indices and boxing the output lists. Code parity with
+        # the former per-row form is pinned by
+        # test_pq_encode_batch_matches_row_loop: np.argmin(axis=1) takes
+        # the FIRST minimum exactly like the row-local argmin, and the
+        # distance matrix is the same ||c||² - 2x·c expansion over the
+        # same doubles (verified value-identical on the test corpora and a
+        # seeded random battery incl. constructed exact ties).
+        vals = v.to_numpy()
+        out = np.full(len(vals), None, dtype=object)
+        ok = [
+            i
+            for i, x in enumerate(vals)
+            # mixed embedding versions: a short vector would crash the
+            # matmul (killing the ingest job) and a long one would
+            # silently truncate to wrong codes — both degrade to a null
+            # code like null vectors do (code-review r4)
+            if x is not None and len(x) == expected_dim
+        ]
+        if ok:
+            X = np.asarray([vals[i] for i in ok], dtype=np.float64)
+            codes = np.empty((len(ok), m), dtype=np.int64)
             for s, cb in enumerate(books):
-                xs = a[s * sub : (s + 1) * sub]
-                # ||x-c||² = ||c||² - 2x·c + const(x): argmin over centroids
-                d2 = (cb * cb).sum(axis=1) - 2.0 * (cb @ xs)
-                codes.append(int(d2.argmin()))
-            return codes
-
-        return v.map(one)
+                xs = X[:, s * sub : (s + 1) * sub]
+                d2 = csq[s][None, :] - 2.0 * (xs @ cb.T)
+                codes[:, s] = d2.argmin(axis=1)
+            lists = codes.tolist()  # python ints, one C pass
+            for j, i in enumerate(ok):
+                out[i] = lists[j]
+        return pd.Series(out)
 
     return enc(vec_col)
 
