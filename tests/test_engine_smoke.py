@@ -94,6 +94,43 @@ def test_compute_over_keys(spark, tmp_root, sf_dir):
         assert r["__veniceComputationError__"] == {}
 
 
+def test_pandas_dot_udf_matches_fold_and_null_edges(spark, sf_dir):
+    """The wide-vector pandas-UDF dot (batched GEMV since r10) must agree
+    with the codegen fold kernel on every corpus row and keep its NULL
+    semantics: null vector, empty vector and length mismatch all yield
+    SQL NULL (a NaN would survive Arrow as NaN, not NULL — regression
+    pin; the factory's type hints also resolve only through the
+    module-level pandas import, which this test exercises)."""
+    import pyspark.sql.functions as F
+
+    from venice_spark.functions.vectors import dot_product, make_dot_product_pandas_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    edge = spark.createDataFrame(
+        [(900001, None), (900002, []), (900003, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    p = [0.1 * (i % 7 - 3) for i in range(64)]
+    udf_dot = make_dot_product_pandas_udf(p)
+    rows = (
+        emb.unionByName(edge)
+        .select(
+            "vec_id",
+            udf_dot("embedding").alias("u"),
+            dot_product("embedding", p).alias("f"),
+        )
+        .collect()
+    )
+    for r in rows:
+        if r["vec_id"] >= 900000:
+            assert r["u"] is None and r["f"] is None
+        else:
+            assert r["u"] is not None
+            assert abs(r["u"] - r["f"]) < 1e-9
+
+
 def test_compression_strategy_config(engine, spark, tmp_path):
     import glob
 

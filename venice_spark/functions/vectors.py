@@ -27,6 +27,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve here
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
@@ -164,12 +165,23 @@ def make_dot_product_pandas_udf(param: Sequence[float]):
 
     @pandas_udf("double")
     def dot(col: pd.Series) -> pd.Series:
-        def one(v):
-            if v is None or len(v) == 0 or len(v) != len(p):
-                return None
-            return float(np.asarray(v, dtype=np.float64) @ p)
-
-        return col.map(one)
+        # whole-batch GEMV (guide §4.2): valid rows stack into one (n, d)
+        # matrix and hit BLAS once; per-row Python only filters the
+        # null/length-mismatch rows (same NULL semantics as the fold form)
+        vals = col.to_numpy()
+        # object carrier: invalid rows must surface as SQL NULL, and a
+        # float64 NaN would not (NaN != NULL through Arrow)
+        out = np.full(len(vals), None, dtype=object)
+        ok = [
+            i
+            for i, v in enumerate(vals)
+            if v is not None and len(v) > 0 and len(v) == len(p)
+        ]
+        if ok:
+            X = np.asarray([vals[i] for i in ok], dtype=np.float64)
+            for i, d in zip(ok, (X @ p).tolist()):
+                out[i] = d
+        return pd.Series(out)
 
     return dot
 
