@@ -208,23 +208,34 @@ def quantize_int8(field: Column | str, scale: float = 127.0) -> Column:
     scale)) with amax = max(|x|) per row. 4x storage reduction for 100 TB
     embedding corpora; dequantize ≈ q * amax/scale. Pure JVM expressions.
     Returns struct(amax float, q array<tinyint>)."""
-    a = _as_double_array(field)
-    amax = F.array_max(F.transform(a, lambda x: F.abs(x)))
-    safe = F.when(amax > 0, amax).otherwise(F.lit(1.0))
-    # Bind the per-row scale ONCE via array_repeat + zip_with. Referencing
-    # `safe` inside a transform lambda would inline (and re-evaluate) the
-    # whole array_max per ELEMENT — lambda bodies get no common-subexpression
-    # elimination and no whole-stage codegen, so that shape is O(d²) per row
-    # (measured 4x wall on the quantize query). array_repeat evaluates its
-    # child a single time, making the kernel O(d) again.
-    q = F.zip_with(
-        a,
-        F.array_repeat(safe, F.size(a)),
-        lambda x, m: F.least(
-            F.lit(127.0), F.greatest(F.lit(-127.0), F.round(x / m * F.lit(scale)))
-        ).cast("tinyint"),
-    )
-    return F.struct(amax.cast("float").alias("amax"), q.alias("q"))
+    from venice_spark.functions.text import _bind
+
+    # Bind the cast array and the per-row amax ONCE each. HOF-bearing
+    # subtrees are CodegenFallback with no common-subexpression
+    # elimination, so before the binds the float→double cast pass ran per
+    # REFERENCE (amax chain, zip_with left arm, size — 3x) and the
+    # abs/array_max pass ran twice (struct field + the clamp scale): ~5
+    # O(d) passes per row where 3 suffice. Referencing the scale inside
+    # the transform lambda directly would be worse still — it inlines the
+    # whole array_max per ELEMENT, O(d²) per row (measured 4x wall on the
+    # quantize query) — hence the array_repeat carrier for the lambda and
+    # the _bind carriers for the projection-level references. Float math
+    # unchanged: same ops, same order, evaluated once.
+    def _q(arr):
+        def _with_amax(am):
+            safe = F.when(am > 0, am).otherwise(F.lit(1.0))
+            q = F.zip_with(
+                arr,
+                F.array_repeat(safe, F.size(arr)),
+                lambda x, m: F.least(
+                    F.lit(127.0), F.greatest(F.lit(-127.0), F.round(x / m * F.lit(scale)))
+                ).cast("tinyint"),
+            )
+            return F.struct(am.cast("float").alias("amax"), q.alias("q"))
+
+        return _bind(F.array_max(F.transform(arr, lambda x: F.abs(x))), _with_amax)
+
+    return _bind(_as_double_array(field), _q)
 
 
 def dequantize_int8(field: Column | str, scale: float = 127.0) -> Column:
