@@ -468,13 +468,20 @@ def _rescore_topk(
     tie-break discipline cannot drift between blocking schemes."""
     from pyspark.sql import Window
 
+    from venice_spark.functions.text import _bind
+
     lv = left.select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv"))
     rv = right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv"))
-    dot = VX.dot_product(F.col("lv"), F.col("rv"))
-    nrm = F.sqrt(VX.squared_l2_norm(F.col("lv"))) * F.sqrt(VX.squared_l2_norm(F.col("rv")))
-    scored = cand.join(lv, "lid").join(rv, "rid").withColumn(
-        "cos", F.when(nrm > 0, dot / nrm)
+    # the norm product appears in both the guard and the division: bound
+    # ONCE (text._bind — r10), else the two d-element self-norm folds run
+    # twice per CANDIDATE PAIR (HOF subtrees get no CSE) — the per-pair
+    # kernel of every blocked kNN join's rescore stage
+    cos = _bind(
+        F.sqrt(VX.squared_l2_norm(F.col("lv")))
+        * F.sqrt(VX.squared_l2_norm(F.col("rv"))),
+        lambda nrm: F.when(nrm > 0, VX.dot_product(F.col("lv"), F.col("rv")) / nrm),
     )
+    scored = cand.join(lv, "lid").join(rv, "rid").withColumn("cos", cos)
     w = Window.partitionBy("lid").orderBy(
         F.col("cos").desc_nulls_last(), F.col("rid").asc()
     )
@@ -806,7 +813,16 @@ def kmeans_fit(
     )
     nrm = F.sqrt(VX.squared_l2_norm(vec_col))
     safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
-    unit = F.transform(F.col(vec_col), lambda x: x / safe)
+    # array_repeat carrier (the quantize_int8 discipline — r10):
+    # referencing `safe` inside a transform lambda inlines the whole
+    # d-element norm fold per ELEMENT — O(d²) per row per M-step
+    # iteration. The carrier evaluates it once; x / m is the same
+    # division over the same doubles.
+    unit = F.zip_with(
+        F.col(vec_col),
+        F.array_repeat(safe, F.size(F.col(vec_col))),
+        lambda x, m: x / m,
+    )
 
     for _ in range(iters):
         assigned = df.withColumn("__c", ivf_assign(vec_col, cents))
