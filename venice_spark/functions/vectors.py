@@ -47,13 +47,29 @@ def _fold_sum(products: Column) -> Column:
     return F.aggregate(products, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
 
 
+def _guard_pair(c: Column, bok: Column) -> Column:
+    """Shared not-null/non-empty/equal-length guard for the R5-R7 kernels,
+    evaluated on the UNCAST operands: an array cast preserves null-ness
+    and size exactly, and guarding on the cast arrays re-ran the O(d)
+    float→double copy once per reference (no CSE around the HOF-bearing
+    projection — 4 cast passes per row where the math needs 1)."""
+    return (
+        c.isNotNull()
+        & bok.isNotNull()
+        & (F.size(c) > 0)
+        & (F.size(bok) > 0)
+        & (F.size(c) == F.size(bok))
+    )
+
+
 def dot_product(field: Column | str, param: Sequence[float] | Column) -> Column:
     """R5. NULL when either side is null/empty or lengths mismatch."""
-    a = _as_double_array(field)
+    c = F.col(field) if isinstance(field, str) else field
+    a = c.cast("array<double>")
     b = _lit_array(param) if not isinstance(param, Column) else param.cast("array<double>")
+    bok = b if not isinstance(param, Column) else param
     raw = _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
-    ok = a.isNotNull() & b.isNotNull() & (F.size(a) > 0) & (F.size(b) > 0) & (F.size(a) == F.size(b))
-    return F.when(ok, raw)
+    return F.when(_guard_pair(c, bok), raw)
 
 
 def squared_l2_norm(field: Column | str) -> Column:
@@ -66,12 +82,15 @@ def cosine_similarity(field: Column | str, param: Sequence[float] | Column) -> C
     norm is precomputed driver-side once — the same caching the reference does
     per request (CosineSimilarityOperator.java:46-62), for free via
     constant folding."""
-    a = _as_double_array(field)
+    c = F.col(field) if isinstance(field, str) else field
+    a = c.cast("array<double>")
     if isinstance(param, Column):
         b = param.cast("array<double>")
+        bok = param
         b_norm = F.sqrt(_fold_sum(F.zip_with(b, b, lambda x, y: x * y)))
     else:
         b = _lit_array(param)
+        bok = b
         b_norm = F.lit(param_l2_norm(param))
     denom = F.sqrt(squared_l2_norm(a)) * b_norm
 
@@ -83,14 +102,7 @@ def cosine_similarity(field: Column | str, param: Sequence[float] | Column) -> C
     # both the guard and the value, so the d-element self-norm fold ran
     # twice per row — on every candidate pair of the kNN rescore tails.
     def _guarded(d: Column) -> Column:
-        ok = (
-            a.isNotNull()
-            & b.isNotNull()
-            & (F.size(a) > 0)
-            & (F.size(b) > 0)
-            & (F.size(a) == F.size(b))
-            & (d > 0)
-        )
+        ok = _guard_pair(c, bok) & (d > 0)
         return F.when(ok, _fold_sum(F.zip_with(a, b, lambda x, y: x * y)) / d)
 
     from venice_spark.functions.text import _bind
@@ -108,10 +120,11 @@ def param_l2_norm(param: Sequence[float]) -> float:
 
 def hadamard_product(field: Column | str, param: Sequence[float] | Column) -> Column:
     """R7. Element-wise product; NULL on null/empty/length-mismatch."""
-    a = _as_double_array(field)
+    c = F.col(field) if isinstance(field, str) else field
+    a = c.cast("array<double>")
     b = _lit_array(param) if not isinstance(param, Column) else param.cast("array<double>")
-    ok = a.isNotNull() & b.isNotNull() & (F.size(a) > 0) & (F.size(b) > 0) & (F.size(a) == F.size(b))
-    return F.when(ok, F.zip_with(a, b, lambda x, y: x * y))
+    bok = b if not isinstance(param, Column) else param
+    return F.when(_guard_pair(c, bok), F.zip_with(a, b, lambda x, y: x * y))
 
 
 def collection_count(field: Column | str) -> Column:
