@@ -842,7 +842,12 @@ def dup_ngram_spans(
     collision-free — what the DuckDB oracle re-derives; 64-bit collisions
     at corpus scale are ~n²/2^65, acceptable for the hashed fast path)."""
     w = int(window)
-    toks, wins = _token_windows(df, text_col, id_col, w, hash_windows)
+    # wins feeds BOTH the candidate count and the hits join (and toks the
+    # n_tokens report) — materialize the hashed window base once so the
+    # tokenize+hash subtree runs one corpus pass instead of three
+    toks, wins = _token_windows(
+        df, text_col, id_col, w, hash_windows, materialize=hash_windows
+    )
     dup = (
         wins.groupBy("win")
         .agg(F.count("*").alias("cnt"))
@@ -854,12 +859,17 @@ def dup_ngram_spans(
 
 
 def _token_windows(
-    df: DataFrame, text_col: str, id_col: str, w: int, hash_windows: bool
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int,
+    hash_windows: bool,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared window-explode for span operators: returns (toks, wins) with
-    toks = [id, t (token array), n] and wins = [id, pos, win] — one row per
-    w-token window, keyed by window text or (hash_windows) a hash of it,
-    so candidate counting shuffles 8-byte longs instead of span text.
+    toks = [id, ..., n] and wins = [id, pos, win] — one row per w-token
+    window, keyed by window text or (hash_windows) a hash of it, so
+    candidate counting shuffles 8-byte longs instead of span text.
 
     hash_windows keys each window as xxhash64 over the SLICE OF PER-TOKEN
     xxhash64s, not over the concatenated window text: each token is hashed
@@ -872,7 +882,20 @@ def _token_windows(
     0.67x on x_dup_ngram_spans (interleaved min 2.20 → 1.47 s, exact
     output parity). The token-hash array is bound ONCE via the
     transform-over-singleton trick — referencing it straight from the
-    window lambda would re-hash every token per window (no CSE in HOFs)."""
+    window lambda would re-hash every token per window (no CSE in HOFs).
+
+    materialize (hashed path only): eagerly localCheckpoint the per-doc
+    (id, n, window-key array) base BEFORE the explode, for callers that
+    consume `wins` more than once (dup_ngram_spans reads it in both the
+    candidate-count branch and the hits join, plus `toks` for n_tokens —
+    three tokenize+hash passes over the corpus without the checkpoint).
+    The block is ~8 bytes/token (smaller than the corpus text and the
+    same order as ONE of the win-key shuffles it feeds); RDD-scoped, so
+    ContextCleaner reclaims it. Single-consumer callers (decontaminate's
+    train side) must keep materialize=False — a blocking materialization
+    only pays when it removes re-evaluation (the tfidf lesson,
+    pipeline.py:611). The string-key path never materializes: window
+    STRINGS are ~6w chars per token position, w× the corpus."""
     toks = df.select(
         F.col(id_col),
         TX.tokens(text_col).alias("t"),
@@ -884,6 +907,15 @@ def _token_windows(
             f"i -> xxhash64(slice(th, i + 1, {w}))) "
             "ELSE CAST(array() AS ARRAY<BIGINT>) END), 1)"
         )
+        if materialize:
+            base = toks.select(
+                F.col(id_col), F.col("n"), F.expr(win_arr).alias("__wa")
+            ).localCheckpoint(eager=True)
+            wins = base.select(
+                F.col(id_col),
+                F.posexplode("__wa").alias("pos", "win"),
+            )
+            return base.select(id_col, "n"), wins
     else:
         win_arr = (
             f"CASE WHEN n >= {w} THEN transform(sequence(0, n - {w}), "
