@@ -477,20 +477,23 @@ def feature_hash_vector(col: Column | str, dim: int = 64) -> Column:
     Python. Downstream: feed to knn_classify / embedding ops as a cheap
     content vector.
 
-    Shape matters: a single `aggregate` fold over the bucket array updates
-    the dim-wide accumulator in ONE pass. The transform-per-output-dim
-    formulation (counts[i] = size(filter(buckets, == i))) references the
-    bucket array from inside a lambda, and lambda bodies get no common-
-    subexpression elimination — the whole md5 chain re-evaluates once PER
-    OUTPUT DIM (measured 8.6s vs 0.76s at sf0.1, the same no-CSE-in-lambda
-    trap as the quantize kernel)."""
+    Shape matters twice here. The bucket array MUST be bound once (_bind):
+    referencing it straight from a per-dim lambda re-evaluates the whole
+    md5 chain once PER OUTPUT DIM (measured 8.6s vs 0.76s at sf0.1 — the
+    no-CSE-in-lambda trap the quantize kernel documents). With the bind in
+    place, counts[i] = size(filter(bk, == i)) beats the aggregate-fold
+    accumulator: the fold allocated a fresh dim-wide array per TOKEN
+    (O(tokens×dim) copies), while the per-dim filter scans the bound int
+    array dim times and allocates only the matching elements (~2×tokens
+    ints total) — interleaved A/B 0.77x at sf0.1 (0.817 → 0.632 s min,
+    exact parity), and at scale the per-row allocation pressure drops by
+    ~dim/2."""
     buckets = F.transform(tokens(col), lambda t: F.pmod(hash64(t), F.lit(dim)))
-    init = F.array_repeat(F.lit(0).cast("int"), dim)
-    return F.aggregate(
+    return _bind(
         buckets,
-        init,
-        lambda acc, b: F.transform(
-            acc, lambda v, i: F.when(i.cast("bigint") == b, v + 1).otherwise(v)
+        lambda bk: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.size(F.filter(bk, lambda x: x == i.cast("bigint"))),
         ),
     )
 
