@@ -452,13 +452,18 @@ class BatchPushJob:
             writer.partitionBy("partition_id").parquet(path)
             _fix_empty_partitioned_dir(out, path)
 
-            written = spark.read.parquet(path)
             # W15 materialized views are co-written in the same job — from
             # the FILES just written, not the push plan: handing views the
             # in-flight `out` would re-run the repartition + dedup
-            # aggregation once per view before the view's own shuffle
-            for view in views or []:
-                view.write(self.catalog, store, version, written)
+            # aggregation once per view before the view's own shuffle.
+            # The read-back exists ONLY for the views: with none declared
+            # it was still paying a listing + schema/footer sweep of the
+            # fresh version dir per push (guide §6 — metadata passes are
+            # real I/O at scale), so build it lazily.
+            if views:
+                written = spark.read.parquet(path)
+                for view in views:
+                    view.write(self.catalog, store, version, written)
 
             rows = int(push_obs.get["rows"])
         finally:
@@ -1002,10 +1007,15 @@ def maintain_views(
     catalog: StoreCatalog,
     store: str,
     version: int,
-    written: DataFrame,
+    path: str,
 ) -> None:
     """Bring every DECLARED view up to date for a freshly written version:
     full rebuild from the written version files.
+
+    Takes the version PATH, not a read-back DataFrame: the read-back
+    (listing + schema/footer sweep of the fresh version dir) is only paid
+    when the store actually declares views (guide §6 — a per-commit
+    metadata pass removed for the common no-view store).
 
     Measured (SCALE.md, 2M rows / 1k delta): an "incremental" variant —
     old view minus delta-touched store keys plus projected inserts — was
@@ -1017,7 +1027,11 @@ def maintain_views(
     (eager=False): views stay untouched and view_df resolves the store's
     delta log through the view projection at read time."""
     meta = catalog.get_store(store)
-    for view in declared_views(meta):
+    views = declared_views(meta)
+    if not views:
+        return
+    written = spark.read.parquet(path)
+    for view in views:
         view.write(catalog, store, version, written)
 
 
@@ -1194,13 +1208,12 @@ def incremental_push(
     out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
     out.write.mode("overwrite").partitionBy("partition_id").parquet(path)
     _fix_empty_partitioned_dir(out, path)
-    written = spark.read.parquet(path)
     rows = int(obs.get["rows"])  # observed on the write job — no re-read pass
     # declared views ride every write path (rebuilt from the files just
     # written — see maintain_views for why a delta-incremental variant
     # loses; a delta that should not pay a view rewrite belongs in the
     # lazy eager=False mode, where view_df resolves the log at read time)
-    maintain_views(spark, catalog, store, version, written)
+    maintain_views(spark, catalog, store, version, path)
     won = catalog.commit_version(
         store,
         version,
@@ -1309,11 +1322,10 @@ def compact_store(spark: SparkSession, catalog: StoreCatalog, store: str) -> Pus
     out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
     out.write.mode("overwrite").partitionBy("partition_id").parquet(path)
     _fix_empty_partitioned_dir(out, path)
-    written = spark.read.parquet(path)
     rows = int(obs.get["rows"])  # observed on the write job — no re-read pass
     # compaction folds an unbounded delta log, so declared views rebuild
     # from the compacted files (no small-delta assumption to exploit)
-    maintain_views(spark, catalog, store, version, written)
+    maintain_views(spark, catalog, store, version, path)
     catalog.commit_version(
         store,
         version,
