@@ -2882,21 +2882,33 @@ def x_frame_dedup_gate(spark, sf_dir):
 
         from venice_spark.multimodal import encode_ppm
 
+        # the stream is a pure function of doc_id % 8 — synthesize each of
+        # the 8 distinct 2-frame streams ONCE per task and look the rest up
+        # (measured: 92 µs/doc unmemoized vs ~0 — byte-identical output;
+        # guide §1.2 per-task work). The DECODE side below is untouched:
+        # frame_ahash still splits/decodes/hashes every stream, which is
+        # what the gate certifies.
+        def build(g):
+            stream = b""
+            for fi in range(2):
+                dig = hashlib.md5(f"frame:{g}:{fi}".encode()).digest()
+                bits = np.unpackbits(
+                    np.frombuffer(dig[:8], dtype=np.uint8)
+                ).reshape(8, 8)
+                img = np.kron(
+                    (bits * 255).astype(np.uint8), np.ones((4, 4), dtype=np.uint8)
+                )[:, :, None]
+                stream += encode_ppm(img)
+            return stream
+
+        memo = {}
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
-                stream = b""
-                for fi in range(2):
-                    g = int(did) % 8
-                    dig = hashlib.md5(f"frame:{g}:{fi}".encode()).digest()
-                    bits = np.unpackbits(
-                        np.frombuffer(dig[:8], dtype=np.uint8)
-                    ).reshape(8, 8)
-                    img = np.kron(
-                        (bits * 255).astype(np.uint8), np.ones((4, 4), dtype=np.uint8)
-                    )[:, :, None]
-                    stream += encode_ppm(img)
-                rows.append({"media_id": int(did), "payload": stream})
+                g = int(did) % 8
+                if g not in memo:
+                    memo[g] = build(g)
+                rows.append({"media_id": int(did), "payload": memo[g]})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     media = docs.mapInPandas(synth, "media_id long, payload binary")
