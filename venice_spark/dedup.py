@@ -694,8 +694,19 @@ def fuzzy_key_pairs(
         a.join(b, "__block")
         .filter((F.col("ka") < F.col("kb")) & (F.col("__la") == F.col("__lb")))
         .select("ka", "kb")
-        .distinct()
     )
+    if d != 1:
+        # d=2: a hamming-1 pair shares ~len masked variants, so the
+        # candidate stream carries ~len duplicates per such pair — the
+        # distinct is load-bearing. At d=1 a true pair shares EXACTLY one
+        # variant (the one masking its single differing position), so
+        # every candidate row is already unique (modulo ~n²/2⁶⁵ hash
+        # collisions, which the final groupBy(id_a,id_b).min collapses)
+        # and the distinct was a full exchange + hash-agg of the whole
+        # verified-pair stream deduping nothing (guide §2.4 "a distinct
+        # on data that is already unique" — measured 262.5k in, 262.5k
+        # out at sf0.1; removing it: 0.84x interleaved).
+        key_cand = key_cand.distinct()
     # No repartition after the distinct (r10): Catalyst pushes the
     # deterministic dist filter below the distinct INTO the block join
     # (the executed plan shows the levenshtein threshold as a join
@@ -710,9 +721,16 @@ def fuzzy_key_pairs(
         # substitution). The builtin runs in codegen with an early-exit
         # threshold — ~20x the per-character lambda below (which allocates
         # per element; measured 6s+ on 262k candidates). Threshold form
-        # returns -1 when the distance exceeds 1, which the dist > 0
-        # filter rejects.
-        dist = F.levenshtein(F.col("ka"), F.col("kb"), 1)
+        # returns -1 when the distance exceeds 1, and ka < kb rules out
+        # distance 0, so the whole predicate is ONE comparison: == 1.
+        # Writing it as (dist > 0 AND dist <= 1) on a projected column had
+        # Catalyst duplicating the levenshtein into the join condition
+        # TWICE plus once in the projection (no CSE across the pushed
+        # predicate) — and every survivor's distance is 1 by construction,
+        # so the output column is a literal, not a third evaluation.
+        key_pairs = key_cand.filter(
+            F.levenshtein(F.col("ka"), F.col("kb"), 1) == 1
+        ).withColumn("dist", F.lit(1))
     else:
         # true hamming: lev <= 2 admits equal-length transposition shapes
         # with hamming 3, so count differing positions exactly — one
@@ -724,10 +742,10 @@ def fuzzy_key_pairs(
                 lambda i: F.col("ka").substr(i, F.lit(1)) != F.col("kb").substr(i, F.lit(1)),
             )
         )
-    key_pairs = (
-        key_cand.withColumn("dist", dist)
-        .filter((F.col("dist") > 0) & (F.col("dist") <= d))
-    )
+        key_pairs = (
+            key_cand.withColumn("dist", dist)
+            .filter((F.col("dist") > 0) & (F.col("dist") <= d))
+        )
     # expand key-level matches to id-level pairs (joins sized by the
     # output): cross-key matches take every member combination; same-key
     # (dist 0) pairs are the within-family self-join
