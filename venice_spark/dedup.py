@@ -1056,10 +1056,17 @@ def dup_clusters(
         .distinct()
         .localCheckpoint(eager=True)  # fixed point of the loop: cut lineage once
     )
+    # Fused first round (r10): with every node initialized to its own id,
+    # round 1 always computes min(id, min(neighbor ids)) — fold that into
+    # the initialization aggregate itself (same shuffle the old distinct
+    # paid) and save one whole join+aggregate+action round per clustering.
+    # Near-dup graphs are unions of near-cliques (diameter ~2), so this is
+    # typically one of only two propagation rounds. Label progression from
+    # here on is identical to the old code's post-round-1 state; max_iter
+    # still bounds the LOOP rounds, so the effective hop budget gains one.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("cluster_id"))
         .persist()
     )
     cached = labels  # the frame currently holding a cache entry
