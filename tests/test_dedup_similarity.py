@@ -118,6 +118,35 @@ def test_knn_join_lsh_recall_on_clustered_corpus(spark):
         assert abs(exact_cos[(r["lid"], r["rid"])] - r["cos"]) < 1e-12
 
 
+def test_lsh_gemm_buckets_match_fold_and_null_edges(spark, sf_dir):
+    """r10: knn_join_lsh's Arrow GEMM bucket kernel must emit the SAME
+    bucket ids as the oracle-portable JVM fold (lsh_table_buckets) on the
+    real corpus AND the degenerate rows: null vector / wrong length map
+    to bucket 0, while a NaN element sets every bit (Spark orders NaN
+    above all numbers, so the fold's IF(dot > 0) passes) — a silent
+    drift here silently changes the candidate set."""
+    from venice_spark.similarity import _lsh_gemm_buckets, lsh_table_buckets
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = spark.createDataFrame(
+        [
+            (100001, None),
+            (100002, [1.0, 2.0]),  # wrong length
+            (100003, [float("nan")] * 64),
+            (100004, [0.0] * 64),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    df = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(edges)
+    old = df.select("vec_id", lsh_table_buckets("embedding", 64, 8, 8, 42).alias("bk"))
+    new = df.select("vec_id", _lsh_gemm_buckets("embedding", 64, 8, 8, 42).alias("bk"))
+    j = old.join(new.withColumnRenamed("bk", "b2"), "vec_id")
+    assert j.filter(F.expr("bk != b2")).count() == 0
+    edge = {r["vec_id"]: r["b2"] for r in j.filter("vec_id > 100000").collect()}
+    assert edge[100001] == [0] * 8 and edge[100002] == [0] * 8
+    assert edge[100003] == [255] * 8  # NaN dot: Spark's NaN > 0 is TRUE
+
+
 def test_knn_join_lsh_subset_of_candidates(spark, sf_dir):
     """On the sf corpus: rank/cos are internally consistent and no left id
     exceeds k rows."""
