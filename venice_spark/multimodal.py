@@ -726,10 +726,21 @@ def ahash(arr, grid: int = 8) -> int:
 
     if grid * grid > 64:
         raise ValueError(f"ahash packs into 64 bits: grid {grid} > 8")
-    a = arr.astype(np.float64)
-    lum = a @ [0.299, 0.587, 0.114] if a.shape[2] == 3 else a[:, :, 0]
+    if arr.shape[2] == 3:
+        lum = arr.astype(np.float64) @ [0.299, 0.587, 0.114]
+    else:
+        # slice BEFORE the float cast: same doubles (element-wise cast
+        # commutes with indexing), a third of the copy (r10 — ahash is
+        # the per-frame kernel of the video-dedup map stage)
+        lum = arr[:, :, 0].astype(np.float64)
     small = resize_nearest(lum[:, :, None], grid, grid)[:, :, 0]
     bits = (small > small.mean()).ravel()
+    if bits.size == 64:
+        # packbits is MSB-first row-major — byte k holds bits[8k..8k+7]
+        # with bits[8k] highest, so the big-endian signed read is EXACTLY
+        # the shift-or loop below (r10: the 64-iteration Python loop was
+        # half the kernel; parity pinned for all grids incl. sign edge)
+        return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
     v = 0
     for b in bits:
         v = (v << 1) | int(b)
