@@ -406,6 +406,11 @@ def main():
     # round that measured the same query at the same sf (BENCH_r{N}.json
     # archived by the driver in the repo root). >1.0 = slower than before —
     # machine-visible regressions without judge archaeology (VERDICT r3 #8).
+    # r11: the trend block lives in a SIDECAR file (BENCH_detail.json), not
+    # the stdout line — the one-line JSON grew past the driver's tail
+    # capture in r09 (parsed: null cost that round its whole PERF
+    # comparison; VERDICT r10 #2), so stdout stays minimal and bounded
+    # while the sidecar carries vs_prior and any future detail blocks.
     prior_name, prior_queries = None, {}
     try:
         import glob
@@ -427,15 +432,22 @@ def main():
             prior_name = os.path.basename(f)
     except Exception:
         pass  # trend is advisory; never fail the bench over it
-    if prior_queries:
-        out["vs_prior"] = {
-            "baseline": prior_name,
-            "ratios": {
-                q: round(t / prior_queries[q], 3)
-                for q, t in timings.items()
-                if q in prior_queries and prior_queries[q] > 0
-            },
-        }
+    try:
+        detail = dict(out)
+        if prior_queries:
+            detail["vs_prior"] = {
+                "baseline": prior_name,
+                "ratios": {
+                    q: round(t / prior_queries[q], 3)
+                    for q, t in timings.items()
+                    if q in prior_queries and prior_queries[q] > 0
+                },
+            }
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_detail.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except Exception:
+        pass  # detail is advisory; never fail the bench over it
     print(json.dumps(out))
     try:
         spark.stop()

@@ -7,6 +7,21 @@ import pytest
 # without per-file sys.path boilerplate (code-review r9)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def pytest_collection_modifyitems(config, items):
+    """Fast default tier (VERDICT r10 #1): the suite grew to ~790 tests /
+    36-86 min and the driver's verify run times out mid-suite, which turns
+    a green tree into an unverifiable one. Tests marked `slow` (the
+    plan-capture batteries, multiprocess crash/kill fuzzes, scale probes —
+    release gates, not per-change regressions) are skipped by default and
+    run under SPARK_GRAFT_SLOW=1; the default tier targets <= 20 min."""
+    if os.environ.get("SPARK_GRAFT_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: set SPARK_GRAFT_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # leaner for unit tests
 
 from venice_spark.session import get_spark  # noqa: E402

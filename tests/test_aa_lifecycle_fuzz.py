@@ -18,6 +18,8 @@ from venice_spark.engine import VeniceSparkEngine
 
 from _crash_schedule import assert_seed_coverage, fuzz_seeds  # noqa: E402
 
+pytestmark = pytest.mark.slow  # release-gate battery: run with SPARK_GRAFT_SLOW=1
+
 
 OPS_SCHEMA = "k long, op string, ts long, colo int, name string, score double, set_name string, set_score double"
 COLS = ["k", "op", "ts", "colo", "name", "score", "set_name", "set_score"]

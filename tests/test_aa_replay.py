@@ -2,6 +2,7 @@
 per-key register state persisted in the serving table (the file edition of
 the leader's MergeConflictResolver loop)."""
 
+import pytest
 import pyspark.sql.functions as F
 
 from venice_spark.engine import VeniceSparkEngine
@@ -110,6 +111,7 @@ def test_aa_replay_matches_batch_kernel(spark, tmp_path):
     assert aa == expected
 
 
+@pytest.mark.slow
 def test_aa_append_mode_matches_rewrite_and_bounds_bytes(spark, tmp_path):
     """The AA serving LSM (mode='append', the aa_serve default): (1) final
     state equals rewrite mode on the same log — batching/materialization
@@ -227,6 +229,7 @@ def test_aa_append_survives_checkpoint_reset(spark, tmp_path):
     assert out[1] == "after-reset"
 
 
+@pytest.mark.slow
 def test_aa_facade_auto_compaction_fires(spark, tmp_path):
     """code-review r5: the compaction trigger must survive handle
     recreation — aa_serve builds a fresh replay per call, so an in-memory

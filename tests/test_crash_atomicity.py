@@ -31,6 +31,8 @@ from venice_spark.streaming.hybrid import (
     seeded_version,
 )
 
+pytestmark = pytest.mark.slow  # release-gate battery: run with SPARK_GRAFT_SLOW=1
+
 SCHEMA = "key string, val double, ts long"
 
 

@@ -370,6 +370,8 @@ from venice_spark.session import get_spark
 from venice_spark.catalog import StoreCatalog
 from venice_spark.producer import VeniceProducer
 
+pytestmark = pytest.mark.slow  # release-gate battery: run with SPARK_GRAFT_SLOW=1
+
 root, ready, progress, seed = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
 rng = random.Random(seed)
 spark = get_spark("xkill_mig_child")

@@ -24,6 +24,7 @@ def _read_all(engine, store):
     }
 
 
+@pytest.mark.slow
 def test_full_lifecycle_golden_readback(spark, tmp_path):
     eng = VeniceSparkEngine(spark, str(tmp_path / "root"))
     eng.create_store("life", key_fields=["k"], partition_count=4, hybrid=True)

@@ -39,6 +39,8 @@ from _crash_schedule import (  # noqa: E402
     run_with_crash,
 )
 
+pytestmark = pytest.mark.slow  # release-gate battery: run with SPARK_GRAFT_SLOW=1
+
 
 def _model(base: dict, ops: list[tuple]) -> dict:
     best = {}

@@ -22,6 +22,8 @@ from venice_spark.push import BandIndexViewDef
 
 from _crash_schedule import assert_seed_coverage, fuzz_seeds  # noqa: E402
 
+pytestmark = pytest.mark.slow  # release-gate battery: run with SPARK_GRAFT_SLOW=1
+
 
 CFG = CorpusPrepConfig(min_tokens=1, min_stopword_ratio=0.0)
 

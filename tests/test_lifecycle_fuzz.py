@@ -13,6 +13,8 @@ from venice_spark.engine import VeniceSparkEngine
 
 from _crash_schedule import assert_seed_coverage, fuzz_seeds  # noqa: E402
 
+pytestmark = pytest.mark.slow  # release-gate battery: run with SPARK_GRAFT_SLOW=1
+
 
 
 def _read_state(eng, store):

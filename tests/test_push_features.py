@@ -228,6 +228,7 @@ def test_partial_key_lookup_prefix_validation(spark, sf_dir):
         b3.partial_key_lookup(l_linenumber=1)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [3, 11])
 def test_lazy_and_eager_push_sequences_equivalent(spark, tmp_path, seed):
     """Semantic pin for the LSM path: any sequence of keyed deltas (upserts +

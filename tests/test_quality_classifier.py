@@ -28,6 +28,7 @@ def _corpora(spark):
     return pos, neg
 
 
+@pytest.mark.slow
 def test_classifier_separates_and_scores_in_pure_expressions(spark):
     from venice_spark.quality import score_quality, train_quality_classifier
 

@@ -27,7 +27,11 @@ import subprocess
 import sys
 import time
 
+import pytest
+
 from venice_spark.engine import VeniceSparkEngine
+
+pytestmark = pytest.mark.slow  # release-gate battery: run with SPARK_GRAFT_SLOW=1
 
 _CHILD = r'''
 import os, sys, time

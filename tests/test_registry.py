@@ -122,6 +122,7 @@ def test_registry_query_runs(spark, sf_dir, name):
 _COMPLEX_OK: set[str] = set()
 
 
+@pytest.mark.slow
 def test_window_outputs_are_driver_canonicalizable(spark, sf_dir):
     """No query inside the driver's checked window may expose a raw
     array/map/struct column (VERDICT r3 'Next round' #2 — closes the

@@ -25,6 +25,8 @@ from venice_spark.engine import VeniceSparkEngine
 
 from _crash_schedule import assert_seed_coverage, fuzz_seeds, run_with_crash# noqa: E402
 
+pytestmark = pytest.mark.slow  # release-gate battery: run with SPARK_GRAFT_SLOW=1
+
 _SPEC = importlib.util.spec_from_file_location(
     "admin_cli_fuzz",
     os.path.join(

@@ -244,6 +244,7 @@ def test_aa_store_serves_across_value_schema_addition(
     }, rows
 
 
+@pytest.mark.slow
 def test_aa_append_evolution_matches_reseeded_rewrite(spark, tmp_path, monkeypatch):
     a = _evolved_aa(spark, tmp_path / "a", "append", 0, monkeypatch)
     bk = _evolved_aa(spark, tmp_path / "bk", "append", 8, monkeypatch)
@@ -429,6 +430,7 @@ def test_hybrid_store_serves_across_string_bytes_promotion(
     assert {f.name: f.dataType.simpleString() for f in side.fields}["v"] == "binary"
 
 
+@pytest.mark.slow
 def test_aa_promotion_append_matches_reseeded_rewrite(spark, tmp_path, monkeypatch):
     a = _promoted_aa(spark, tmp_path / "a", "append", 0, monkeypatch)
     bk = _promoted_aa(spark, tmp_path / "bk", "append", 8, monkeypatch)
@@ -538,6 +540,7 @@ def test_promotion_target_algebra():
         assert promotion_target(a, b) == promotion_target(b, a), (a, b)
 
 
+@pytest.mark.slow
 def test_every_promotion_target_is_parquet_readable(spark, tmp_path):
     """The lattice's load-bearing CONTRACT: whatever promotion_target
     returns must natively read parquet files of BOTH input types — the
@@ -823,6 +826,7 @@ def test_hybrid_cast_promotion_append_matches_reseeded_rewrite(spark, tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
 def test_aa_store_serves_across_long_double_promotion(spark, tmp_path):
     """AA flavor: the DCR replay's serving log takes the same cast-on-read
     promotion (shared sidecar/read_log machinery), including bucketed
@@ -1050,6 +1054,7 @@ def test_rewrite_mode_reads_resolve_registry_like_every_other_surface(
     assert got2 == {1: 6.0, 2: 7.0}, got2
 
 
+@pytest.mark.slow
 def test_successive_promotions_claim_files_by_oldest_group(spark, tmp_path):
     """Two promotions in sequence — int→long (native, no group) then
     long→double (cast-on-read, group) then another value column promoted

@@ -1,6 +1,7 @@
 """Stateful streaming latest-wins (applyInPandasWithState): per-key state,
 out-of-order arrival, delete-wins-ties, tombstone blocks stale puts."""
 
+import pytest
 import os
 
 import pyspark.sql.types as T
@@ -232,6 +233,7 @@ def test_stateful_stale_replay_emits_nothing(spark, tmp_path):
     assert emitted[1] == []
 
 
+@pytest.mark.slow
 def test_stateful_ttl_parameter_runs(spark, tmp_path):
     """state_ttl_minutes plumbs through ProcessingTimeTimeout; within-run
     results are identical (expiry only affects idle keys much later)."""

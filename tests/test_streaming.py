@@ -1,6 +1,7 @@
 """Hybrid replay + CDC streaming over file-based update logs (the local
 stand-in for the RT Kafka topic — identical readStream code path)."""
 
+import pytest
 import os
 
 import pyspark.sql.functions as F
@@ -116,6 +117,7 @@ def test_hybrid_replay_op_stream_keeps_serving_only_keys(spark, tmp_path):
     assert out == {"a": 5.0, "b": 1.0}
 
 
+@pytest.mark.slow
 def test_hybrid_replay_tombstone_blocks_stale_put(spark, tmp_path):
     """A DELETE persists as a tombstone in the serving table, so a stale PUT
     (older ts) arriving in a LATER micro-batch cannot resurrect the key —
@@ -161,6 +163,7 @@ def test_hybrid_replay_tombstone_blocks_stale_put(spark, tmp_path):
     assert out == {"a": 7.0, "b": 3.0}
 
 
+@pytest.mark.slow
 def test_hybrid_replay_append_mode(spark, tmp_path):
     """mode='append': each micro-batch appends batch-resolved rows (O(batch)
     per trigger, base never rewritten); reads resolve base ∪ appends; the
@@ -297,6 +300,7 @@ def test_cdc_stream_with_snapshot(spark, tmp_path):
     assert snap == {"a": 2.0}
 
 
+@pytest.mark.slow
 def test_cdc_parity_across_serving_modes_and_compaction(spark, tmp_path):
     """VERDICT r5 #3: the change-event stream is a function of the RT op
     log ALONE (reference contract VeniceChangelogConsumer.java:19-209 —
@@ -635,6 +639,7 @@ def test_rewrite_mode_refuses_append_shaped_log(spark, tmp_path):
     assert {r["key"]: r["val"] for r in again.read().collect()} == {"a": 5.0}
 
 
+@pytest.mark.slow
 def test_hybrid_facade_auto_compaction_fires(spark, tmp_path):
     """code-review r5: hybrid_serve builds a fresh HybridReplay per call,
     so an in-memory append counter would never trigger compaction in the
@@ -731,6 +736,7 @@ def test_concurrent_serving_writers_serialize_without_sidecar_loss(
     assert rows["b"] == (2.0, None, "y1")
 
 
+@pytest.mark.slow
 def test_three_writers_with_compacts_stay_model_exact(spark, tmp_path):
     """Heavier companion to the two-handle sidecar test: three handles
     merge interleaved batches into one store from three threads, each

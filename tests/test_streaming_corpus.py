@@ -163,6 +163,7 @@ def test_corpus_ingest_to_store_end_to_end(spark, tmp_path):
     assert ids == {1, 2, 5}
 
 
+@pytest.mark.slow
 def test_corpus_ingest_with_fingerprint_store(spark, tmp_path):
     """The 100 TB history path: a companion fingerprint store (16 bytes per
     historical doc) carries the anti-join instead of re-fingerprinting the
@@ -246,6 +247,7 @@ def test_minhash_pairs_vs_history(spark):
     assert {(n, h) for (n, h) in got} == cross
 
 
+@pytest.mark.slow
 def test_minhash_band_param_guards(spark):
     """Bad banding parameters fail loudly at every band-row entry point
     (bands>num_hashes = empty-string band hash = O(n²) candidate blowup;
@@ -366,6 +368,7 @@ def test_streaming_prep_extra_gate_with_classifier_and_blocklist(spark, tmp_path
     assert got == {0, 1, 3}  # junk cut by the classifier, doc 2 by the blocklist
 
 
+@pytest.mark.slow
 def test_fp_store_enabled_on_existing_corpus_bootstraps_history(spark, tmp_path):
     """code-review r4: enabling fp_store on a corpus that ALREADY has
     content must bootstrap the digest table from the existing corpus —
@@ -406,6 +409,7 @@ def test_fp_store_enabled_on_existing_corpus_bootstraps_history(spark, tmp_path)
     assert eng.store("corpus_fps").df().count() == 2
 
 
+@pytest.mark.slow
 def test_corpus_ingest_with_band_view_near_dup(spark, tmp_path):
     """Streaming ingest with the persisted MinHash band index: a micro-batch
     doc that NEAR-duplicates history (no exact fingerprint match) is
@@ -460,6 +464,7 @@ def test_corpus_ingest_with_band_view_near_dup(spark, tmp_path):
     assert rows[1].endswith("v2 edit")
 
 
+@pytest.mark.slow
 def test_streaming_exact_dup_update_is_upsert(spark, tmp_path):
     """An update whose NEW text exactly matches some OTHER historical doc
     must still land (upsert) — the history fingerprint anti-join only

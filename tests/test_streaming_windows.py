@@ -207,6 +207,7 @@ def test_session_count_agrees_with_batch_sessionize(spark, dirs):
     assert got == expect == {"a": 2, "b": 1}
 
 
+@pytest.mark.slow
 def test_rollup_into_store_serves_finalized_windows(spark, dirs, tmp_path):
     """End-to-end: event stream -> watermarked windowed rollup ->
     incremental push per micro-batch -> versioned store serves every

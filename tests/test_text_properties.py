@@ -19,6 +19,7 @@ texts = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None)
 @given(texts)
 def test_fraction_metrics_bounded(spark, docs):
@@ -37,6 +38,7 @@ def test_fraction_metrics_bounded(spark, docs):
         assert r["em"] >= 0 and r["ph"] >= 0
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None)
 @given(texts)
 def test_redaction_idempotent_and_clean(spark, docs):

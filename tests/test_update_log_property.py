@@ -3,6 +3,7 @@ application of the same update log in timestamp order — the write-compute
 contract (WriteComputeHandlerV1 applies updates one at a time; our fold
 must be observationally identical for any log)."""
 
+import pytest
 import pyspark.sql.types as T
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -67,6 +68,7 @@ def _sequential(base: dict, log: list[dict]) -> dict:
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(ops=st.lists(op_st, min_size=1, max_size=6))
 def test_fold_matches_sequential(spark, ops):
     base_row = {"k": 1, "s": "init", "lst": ["a"], "mp": {"a": 0}}
