@@ -45,6 +45,8 @@ from venice_spark.engine import VeniceSparkEngine
 
 from _crash_schedule import assert_seed_coverage, fuzz_seeds  # noqa: E402
 
+pytestmark = pytest.mark.slow  # release-gate battery: run with SPARK_GRAFT_SLOW=1
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _HYBRID_CHILD = r'''
@@ -369,8 +371,6 @@ sys.path.insert(0, {repo!r})
 from venice_spark.session import get_spark
 from venice_spark.catalog import StoreCatalog
 from venice_spark.producer import VeniceProducer
-
-pytestmark = pytest.mark.slow  # release-gate battery: run with SPARK_GRAFT_SLOW=1
 
 root, ready, progress, seed = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
 rng = random.Random(seed)
