@@ -1,7 +1,7 @@
-"""Dump `.explain("formatted")` for headline queries to plans/r10/.
+"""Dump `.explain("formatted")` for headline queries to plans/r11/.
 
 Usage: python tools/explain_dump.py <suffix> [query ...]
-  suffix: "before" or "after" — file becomes plans/r10/<query>_<suffix>.txt
+  suffix: "before" or "after" — file becomes plans/r11/<query>_<suffix>.txt
   With no query args, dumps every headline query from bench.py.
 
 Each file carries the formatted explain of the UNEXECUTED plan (what the
@@ -18,7 +18,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-OUT_DIR = os.environ.get("SPARK_GRAFT_PLAN_DIR", "/root/repo/plans/r10")
+OUT_DIR = os.environ.get("SPARK_GRAFT_PLAN_DIR", "/root/repo/plans/r11")
 
 
 def main():
