@@ -525,18 +525,34 @@ def _rescore_topk(
 
     from venice_spark.functions.text import _bind
 
-    lv = left.select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv"))
-    rv = right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv"))
+    # per-VECTOR norms computed below the join (r11): the d-element
+    # self-norm folds used to run per CANDIDATE PAIR (r10 had already
+    # bound the product once per pair; candidates ≈ left × probed-list
+    # mass, so each vector's norm was folded hundreds of times). Same
+    # fold over the same doubles → bit-identical sqrt per vector, and
+    # the product/guard/division see the exact values the per-pair form
+    # produced — oracle-exact. Only the dot fold remains per pair (its
+    # operands genuinely differ per pair).
+    lv = left.select(
+        F.col(left_id).alias("lid"),
+        F.col(vec_col).alias("lv"),
+        F.sqrt(VX.squared_l2_norm(F.col(vec_col))).alias("__ln"),
+    )
+    rv = right.select(
+        F.col(right_id).alias("rid"),
+        F.col(vec_col).alias("rv"),
+        F.sqrt(VX.squared_l2_norm(F.col(vec_col))).alias("__rn"),
+    )
     # the norm product appears in both the guard and the division: bound
-    # ONCE (text._bind — r10), else the two d-element self-norm folds run
-    # twice per CANDIDATE PAIR (HOF subtrees get no CSE) — the per-pair
-    # kernel of every blocked kNN join's rescore stage
+    # ONCE (text._bind — r10), HOF subtrees get no CSE
     cos = _bind(
-        F.sqrt(VX.squared_l2_norm(F.col("lv")))
-        * F.sqrt(VX.squared_l2_norm(F.col("rv"))),
+        F.col("__ln") * F.col("__rn"),
         lambda nrm: F.when(nrm > 0, VX.dot_product(F.col("lv"), F.col("rv")) / nrm),
     )
-    scored = cand.join(lv, "lid").join(rv, "rid").withColumn("cos", cos)
+    scored = (
+        cand.join(lv, "lid").join(rv, "rid").withColumn("cos", cos)
+        .drop("__ln", "__rn")
+    )
     w = Window.partitionBy("lid").orderBy(
         F.col("cos").desc_nulls_last(), F.col("rid").asc()
     )
