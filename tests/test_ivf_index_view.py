@@ -103,6 +103,75 @@ def test_probe_scan_prunes_partitions(engine, spark):
     assert "PartitionFilters" in plan and "ivf_list" in plan.split("PartitionFilters")[1][:200], plan
 
 
+def test_knn_join_vs_matches_raw_join_and_prunes_candidate_scan(engine, spark):
+    """The batch kNN-join endpoint over the IVF layout (r11): results are
+    EXACTLY ivf_knn_join against the raw corpus with the sidecar codebook,
+    and the candidate side reads NO vectors — ivf_list comes from the
+    partition directories, so the assignment fold never runs on the store
+    side and vectors are scanned once (by the rescore projection)."""
+    from venice_spark.push import read_view_spec
+    from venice_spark.similarity import ivf_knn_join
+
+    st = engine.store("emb")
+    left = spark.createDataFrame(
+        [(1000 + i, _vec(i, shift=0.01)) for i in range(10)], "qid long, v array<double>"
+    )
+    got = st.knn_join_vs("ann", left, "qid", vec_col="v", k=3, nprobe=4)
+    path = f"{engine.catalog.version_dir('emb', engine.catalog.current_version('emb'))}__view_ann"
+    cents = read_view_spec(path).centroids
+    raw = ivf_knn_join(
+        left.select(F.col("qid").alias("__qid"), F.col("v").alias("vec")),
+        st.df().select("vid", "vec"),
+        "vec",
+        "__qid",
+        "vid",
+        cents,
+        k=3,
+        nprobe=4,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, raw.collect()))
+    # candidate-side scan of the view dir must be vector-free: at least one
+    # view scan whose ReadSchema has no vec column (ivf_list is a partition
+    # column, vid the only data column)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    view_scans = [
+        seg.split("\n", 1)[0]
+        for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    assert any("vec" not in s for s in view_scans), plan
+
+
+def test_knn_join_vs_folds_lazy_deltas(engine, spark):
+    """Delta discipline parity with ann_topk: a lazy push that moves an
+    existing key's vector and adds a new one must join against the
+    RESOLVED rows — the stale index row never produces a candidate."""
+    from venice_spark.push import read_view_spec
+    from venice_spark.similarity import ivf_knn_join
+
+    delta = spark.createDataFrame(
+        [(900, _vec(900)), (77, _vec(77, shift=2.5))], "vid long, vec array<double>"
+    )
+    engine.incremental_push("emb", delta, eager=False)
+    st = engine.store("emb")
+    left = spark.createDataFrame(
+        [(5000, _vec(900, shift=0.001)), (5001, _vec(77))], "qid long, v array<double>"
+    )
+    got = st.knn_join_vs("ann", left, "qid", vec_col="v", k=4, nprobe=8)
+    path = f"{engine.catalog.version_dir('emb', engine.catalog.current_version('emb'))}__view_ann"
+    cents = read_view_spec(path).centroids
+    raw = ivf_knn_join(
+        left.select(F.col("qid").alias("__qid"), F.col("v").alias("vec")),
+        st.df().select("vid", "vec"),  # df() resolves the delta log
+        "vec",
+        "__qid",
+        "vid",
+        cents,
+        k=4,
+        nprobe=8,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, raw.collect()))
+
+
 def test_spec_roundtrip():
     v = IvfIndexViewDef("a", vec_col="v", n_centroids=4, centroids=[[1.0, 0.0]])
     w = view_from_spec(v.spec())

@@ -392,6 +392,82 @@ class StoreHandle:
             .limit(k)
         )
 
+    def knn_join_vs(
+        self,
+        view_name: str,
+        left_df: DataFrame,
+        left_id: str,
+        vec_col: str | None = None,
+        k: int = 5,
+        nprobe: int | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Batch k-NN JOIN of a query frame against this store's IVF index
+        view — the join edition of ann_topk, and the bucketed-layout path
+        for similarity.ivf_knn_join (guide §3.4/§6.3): the store side
+        arrives PRE-ASSIGNED (ivf_list read back from the partition
+        directories), so the per-row centroid-assignment fold never runs
+        at query time and the candidate side scans only (key, ivf_list) —
+        vectors are read once, by the rescore projection, instead of the
+        raw-corpus path's assign-scan + rescore-scan. Lazy-push deltas
+        fold in exactly like ann_topk: delta-touched keys leave the index
+        (their vector may have moved lists) and the survivors' CURRENT
+        rows assign on the fly — a delta-sized digest, never a corpus
+        rescan. Returns [lid, rid, cos, rank] (ivf_knn_join's contract)."""
+        import os
+
+        from venice_spark.push import IvfIndexViewDef, read_view_spec
+        from venice_spark.similarity import ivf_assign, ivf_knn_join
+
+        v = version if version is not None else self.catalog.current_version(self.name)
+        path = f"{self.catalog.version_dir(self.name, v)}__view_{view_name}"
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"store {self.name} v{v} has no IVF index view {view_name!r}"
+            )
+        spec = self._spec_or_declared(read_view_spec(path), view_name, IvfIndexViewDef)
+        if spec is None or not spec.centroids:
+            raise ValueError(
+                f"view {view_name!r} of store {self.name} carries no IVF codebook"
+            )
+        nprobe = nprobe if nprobe is not None else max(1, len(spec.centroids) // 4)
+        meta = self.catalog.get_store(self.name)
+        kid = meta.key_fields[0]
+        base = self.spark.read.parquet(path)
+        deltas = self.catalog.list_delta_dirs(self.name, v)
+        if deltas:
+            touched = _union_delta_keys(self.spark, deltas, [kid])
+            base = base.join(F.broadcast(touched), on=kid, how="left_anti")
+            d0 = self.spark.read.parquet(deltas[0]).limit(0)
+            resolved = self.catalog._resolve_delta_view(
+                self.spark, d0, deltas, [kid], window_keys=[kid]
+            )
+            if spec.vec_col in resolved.columns:
+                dd = resolved.filter(F.col(spec.vec_col).isNotNull())
+                dd = dd.withColumn("ivf_list", ivf_assign(spec.vec_col, spec.centroids))
+                dd = dd.select(
+                    *[
+                        F.col(c) if c in dd.columns else F.lit(None).cast(t.dataType).alias(c)
+                        for c, t in zip(base.columns, base.schema.fields)
+                    ]
+                )
+                base = base.unionByName(dd)
+        probe = left_df.select(
+            F.col(left_id).alias("__qid"),
+            F.col(vec_col or spec.vec_col).alias(spec.vec_col),
+        )
+        return ivf_knn_join(
+            probe,
+            base.select(kid, spec.vec_col, "ivf_list"),
+            spec.vec_col,
+            "__qid",
+            kid,
+            spec.centroids,
+            k=k,
+            nprobe=nprobe,
+            right_list_col="ivf_list",
+        )
+
     def near_dups_vs(
         self,
         view_name: str,
