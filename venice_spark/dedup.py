@@ -664,6 +664,16 @@ def fuzzy_key_pairs(
         .select("__k", F.length("__k").alias("__len"))
         .localCheckpoint(eager=True)
     )
+    # _spread BEFORE the explode+hash (r11): AQE coalesces the distinct
+    # above to ONE partition at probe scale (240k keys ≈ 5 MB < the 64 MB
+    # advisory size), so the O(n·len^d) block-table build — and every
+    # downstream stage fed by its checkpoint — ran in a single task
+    # (measured at the 16× probe: the whole block join was core-count
+    # FLAT, 29 s at 8 and at 32 cores). Shuffling the n-row key table is
+    # ~1000× cheaper than serializing the n·len-row compute; at real
+    # scale the distinct output already has enough partitions and _spread
+    # no-ops (guide §2.2 — scale-adaptive, not a local[32] constant).
+    base = _spread(base, "__k")
     # Block key = 64-bit hash of (len, mask positions, unmasked PARTS) — the
     # masked-variant STRING is never built (r11; guide §1.2). Two keys share
     # a masked variant at positions (i[, j]) iff their (len, i[, j], parts)
