@@ -605,7 +605,15 @@ def tfidf_top_terms(
     rank-limited window (WindowGroupLimit: per-partition heaps, shuffle
     volume ≈ k rows per doc per input partition). Scores rounded so the
     distributed float product is engine/order-independent."""
-    toks = df.select(F.col(id_col), F.explode(TX.tokens(text_col)).alias("tok"))
+    # _spread (r11): a single-file corpus plans ONE scan task, and tf's
+    # LAZY subtree below evaluates twice (dfreq + the score join's left
+    # side) — both tokenize+explode+partial-agg passes serialized on one
+    # core. Interleaved A/B at sf0.1: 0.89x with the spread; unigram/
+    # bigram measured the OPPOSITE (their single evaluation doesn't repay
+    # the text shuffle — declined there). No-op at real scale.
+    toks = DD._spread(df, id_col).select(
+        F.col(id_col), F.explode(TX.tokens(text_col)).alias("tok")
+    )
     # tf stays LAZY although it feeds three consumers (dfreq, the score
     # join's left side, and dfreq's probe): the r10 pass A/B-tested an
     # eager localCheckpoint of tf and it was ~10% SLOWER at sf0.1 — the
