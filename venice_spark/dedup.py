@@ -1106,12 +1106,13 @@ def dup_clusters(
     # typically one of only two propagation rounds. Label progression from
     # here on is identical to the old code's post-round-1 state; max_iter
     # still bounds the LOOP rounds, so the effective hop budget gains one.
+    # init labels stay LAZY (r11): round 1's two consumers share the
+    # groupBy's exchange (ReusedExchange), so a persist bought a cache
+    # write for nothing — measured inside the 0.73x A/B below.
     labels = (
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.least(F.first("src"), F.min("dst")).alias("cluster_id"))
-        .persist()
     )
-    cached = labels  # the frame currently holding a cache entry
     for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -1123,6 +1124,14 @@ def dup_clusters(
         # materialized frame — the former separate old-vs-new join ran one
         # extra shuffle join per iteration just to ask "anything changed?"
         # (guide §2.4; r10). Same label progression, same fixpoint.
+        # r11: the per-round materialization is an eager localCheckpoint
+        # (not a persist) — it IS the output when this round converges, so
+        # the former separate final-checkpoint action disappears, the
+        # lineage truncates every round (the old every-3rd-round rule),
+        # and no CacheManager entry ever needs an unpersist (RDD-scoped
+        # blocks, ContextCleaner-reclaimed). Interleaved A/B on the
+        # x_dup_clusters pair set: min 0.584 -> 0.429 s (0.73x), labels
+        # exactly equal.
         new_full = labels.join(
             neighbor_min, labels.id == neighbor_min.src, "left"
         ).select(
@@ -1133,35 +1142,22 @@ def dup_clusters(
             (F.col("nmin").isNotNull() & (F.col("nmin") < F.col("cluster_id"))).alias(
                 "__changed"
             ),
-        )
-        # every 3rd round, truncate the label lineage too — otherwise the
-        # plan (and its analysis time) grows linearly with iterations
-        if (i + 1) % 3 == 0:
-            new_full = new_full.localCheckpoint(eager=True)
-        else:
-            new_full = new_full.persist()
+        ).localCheckpoint(eager=True)
         changed = new_full.filter(F.col("__changed")).limit(1).count()
-        cached.unpersist()
-        cached = new_full
         labels = new_full.select("id", "cluster_id")
         if changed == 0:
-            break
-    else:
-        # never converged: labels are WRONG (a component wider than
-        # max_iter hops reports as several clusters) — silent truncation
-        # here means a downstream survivor pass keeps extra duplicates
-        # with no signal (code-review r4). Fail loudly; deep chains are
-        # rare in dedup graphs (unions of near-cliques), so a raise means
-        # either a pathological graph or a too-small max_iter.
-        cached.unpersist()
-        raise RuntimeError(
-            f"dup_clusters did not converge within max_iter={max_iter} "
-            "rounds — the duplicate graph has a component wider than "
-            "max_iter hops; raise max_iter"
-        )
-    out = labels.localCheckpoint(eager=True)
-    cached.unpersist()
-    return out
+            return labels
+    # never converged: labels are WRONG (a component wider than
+    # max_iter hops reports as several clusters) — silent truncation
+    # here means a downstream survivor pass keeps extra duplicates
+    # with no signal (code-review r4). Fail loudly; deep chains are
+    # rare in dedup graphs (unions of near-cliques), so a raise means
+    # either a pathological graph or a too-small max_iter.
+    raise RuntimeError(
+        f"dup_clusters did not converge within max_iter={max_iter} "
+        "rounds — the duplicate graph has a component wider than "
+        "max_iter hops; raise max_iter"
+    )
 
 
 def canonical_docs(
