@@ -2959,9 +2959,16 @@ def x_audio_tone_gate(spark, sf_dir):
     audio path (unlike the PPM/video path, x_frame_dedup_gate) was only
     pytest-covered. Synthesis and extraction are Arrow-batched
     mapInPandas, zero shuffle; the verdict is one partial-agg fold."""
+    from venice_spark.dedup import _spread
     from venice_spark.multimodal import extract_audio_features
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # _spread the pruned id frame (r11): the single-file corpus plans ONE
+    # scan task, so the synth + rFFT decode chain serialized on one core;
+    # the shuffle moves 8 bytes/row. Interleaved A/B: 0.65x (min 1.28 ->
+    # 0.83 s), verdict row identical. The frame gate measured the
+    # OPPOSITE (its synth is memoized per task, decode is cheap — 1.13x)
+    # and keeps its zero-shuffle shape.
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     rate, n = 8000, 2048
     n_bins = n // 2 + 1  # rfft length; np.array_split(spec, 8) band layout
 
